@@ -1,0 +1,219 @@
+"""Brute-force BM25 executor — pure Catalyst DataFrame ops (milestone M1).
+
+This is the engine's pinned scoring oracle (SURVEY §7.5): every other
+execution path (segment scan + WAND, DuckDB SQL twin) must reproduce its
+(doc, score) output exactly.
+
+Physical shape (all JVM-side, whole-stage codegen; no Python UDFs):
+
+    scan transcripts
+      → tokenize (Column expr) → posexplode
+      → filter term ∈ query terms            (pushed to scan where possible)
+      → groupBy(doc, term).count  = tf       (partial+final hash agg)
+      → per-term df via groupBy(term)        (tiny; broadcast back)
+      → BM25 column arithmetic, fixed term-order sum
+      → orderBy(score desc, conv_id, turn_idx).limit(k)
+                                             (TakeOrderedAndProject:
+                                              per-partition heap + driver
+                                              merge ≡ TopDocs.merge)
+
+Scale note: at 10^12 turns this plan recomputes corpus stats per query —
+that is what the prebuilt segment index (index/ + executor.py) avoids.
+The brute-force path exists for (a) rank-identity dueling, (b) ad-hoc
+one-shot queries where building an index is not amortized.
+
+BM25: ``lucene/core/src/java/org/apache/lucene/search/similarities/
+BM25Similarity.java`` — idf = ln(1+(N-df+0.5)/(df+0.5)),
+tf·(k1+1)/(tf+k1·(1-b+b·dl/avgdl)); k1=1.2, b=0.75; exact doc lengths
+(no SmallFloat lossy norm byte — SURVEY §1.1 norms row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analyzer import tokens_col
+from lucene_solr_spark.query.model import B, K1, BooleanSpec
+
+DOC_KEY = ["conv_id", "turn_idx"]
+
+
+def doc_tokens(transcripts: DataFrame) -> DataFrame:
+    """Project transcripts to (doc key, role, tool, ts, toks, doc_len)."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        tokens_col("text").alias("toks"),
+    ).withColumn("doc_len", F.size("toks"))
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """1-row DF: N (doc count), avgdl = sum(doc_len)/N computed exactly.
+
+    avgdl from an integer sum (not F.avg) so it is order-independent —
+    float mean over a shuffled corpus is not reproducible, an int sum is.
+    """
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doc_len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
+def _term_postings(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc key, term, tf, doc_len) for the query's terms only.
+
+    posexplode is not needed for tf; explode + filter + count suffices.
+    The filter sits directly on the generator output so Catalyst prunes
+    non-query tokens before the aggregation shuffle.
+    """
+    return (
+        docs.select(*DOC_KEY, "doc_len", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(*DOC_KEY, "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"), F.first("doc_len").alias("doc_len"))
+    )
+
+
+def _phrase_pred(phrase: tuple[str, ...]):
+    """Column predicate: tokens contain `phrase` as adjacent run.
+
+    TwoPhaseIterator analog (ExactPhraseMatcher): callers apply this only
+    after the cheap term-AND match. Builds n-gram join strings via a
+    higher-order function — stays JVM-side.
+    """
+    n = len(phrase)
+    target = " ".join(phrase)
+    if n == 1:
+        return F.array_contains(F.col("toks"), phrase[0])
+    grams = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+    )
+    return F.array_contains(grams, target)
+
+
+def search(
+    transcripts: DataFrame, spec: BooleanSpec, round_to: int | None = None
+) -> DataFrame:
+    """Execute a BooleanSpec; returns top-k (conv_id, turn_idx, score).
+
+    Deterministic total order: (score desc, conv_id asc, turn_idx asc) —
+    the pinned tiebreak (SURVEY §7.3); TopDocs.merge's (score, shard,
+    doc) tiebreak re-expressed on stable business keys. With `round_to`
+    set, scores are rounded BEFORE the top-k ordering so the k-boundary
+    is engine-independent (oracle comparison mode).
+    """
+    docs = transcripts_docs = doc_tokens(transcripts)
+    for fld, val in spec.filters:
+        # FILTER occur / Solr fq: non-scoring constraint (BooleanClause.Occur#FILTER).
+        docs = docs.filter(F.col(fld) == val)
+    for ph in spec.phrases:
+        docs = docs.filter(_phrase_pred(ph))
+    if spec.must_not:
+        # ReqExclScorer: docs containing any excluded term drop out.
+        excl = F.arrays_overlap("toks", F.array(*[F.lit(t) for t in spec.must_not]))
+        docs = docs.filter(~excl)
+
+    terms = list(spec.scoring_terms)
+    if not terms:
+        raise ValueError("query has no scoring terms")
+
+    postings = _term_postings(docs, terms)
+
+    # Weight phase (IndexSearcher#createWeight): global stats bound once.
+    # df is computed over the UNFILTERED corpus — Lucene's IDF uses index
+    # stats, not the filtered doc set.
+    stats = corpus_stats(transcripts_docs)
+    dfs = (
+        _term_postings(transcripts_docs, terms)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    scored = (
+        postings.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + K1 * (1 - B + B * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+    )
+
+    must_set = set(spec.required_terms)
+    agg = scored.groupBy(*DOC_KEY).agg(
+        F.sum("contrib").alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.when(F.col("term").isin(list(must_set)), 1).otherwise(0)).alias(
+            "n_must"
+        ),
+    )
+    if must_set:
+        agg = agg.filter(F.col("n_must") == len(must_set))
+    if spec.should and spec.min_should_match > 0:
+        # MinShouldMatchSumScorer: >= mm of the SHOULD terms must match.
+        mm_hits = (
+            scored.filter(F.col("term").isin(list(spec.should)))
+            .groupBy(*DOC_KEY)
+            .agg(F.count(F.lit(1)).alias("n_should"))
+            .filter(F.col("n_should") >= spec.min_should_match)
+            .select(*DOC_KEY)
+        )
+        agg = agg.join(mm_hits, DOC_KEY, "left_semi")
+
+    out = agg.select(*DOC_KEY, "score")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(spec.k)
+
+
+def rerank(
+    transcripts: DataFrame,
+    first_pass: BooleanSpec,
+    rerank_terms: list[str],
+    rerank_docs: int,
+    rerank_weight: float,
+    k: int,
+) -> DataFrame:
+    """ReRankQParserPlugin analog: rescore top-N of phase 1 with a second
+    query, final score = phase1 + weight * phase2 (Solr's default
+    additive combine), re-sort, return top-k."""
+    top_n = search(
+        transcripts,
+        BooleanSpec(must=first_pass.must, should=first_pass.should, k=rerank_docs),
+    )
+    second = search(
+        transcripts, BooleanSpec(should=tuple(rerank_terms), min_should_match=1, k=1 << 30)
+    )
+    joined = (
+        top_n.alias("a")
+        .join(
+            second.select(*DOC_KEY, F.col("score").alias("score2")),
+            DOC_KEY,
+            "left",
+        )
+        .withColumn(
+            "score",
+            F.col("score") + rerank_weight * F.coalesce(F.col("score2"), F.lit(0.0)),
+        )
+    )
+    return (
+        joined.select(*DOC_KEY, "score")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(k)
+    )

@@ -1,0 +1,67 @@
+"""Logical query IR — the analog of Lucene's ``Query`` tree.
+
+Reference: ``lucene/core/src/java/org/apache/lucene/search/Query.java``
+subclasses (TermQuery, BooleanQuery, PhraseQuery, …) and Solr's QParser
+output. Ours is a small dataclass tree produced by
+:mod:`lucene_solr_spark.query.parser` and consumed by both executors,
+which is what guarantees rank-identity between them: one logical plan,
+two physical strategies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+#: Pinned BM25 constants — BM25Similarity.java defaults.
+K1 = 1.2
+B = 0.75
+
+
+@dataclass(frozen=True)
+class BooleanSpec:
+    """A normalized boolean query over analyzed terms.
+
+    Mirrors BooleanQuery's four occur buckets
+    (``lucene/core/src/java/org/apache/lucene/search/BooleanClause.java``):
+    MUST = `must`, SHOULD = `should` (with `min_should_match`,
+    MinShouldMatchSumScorer semantics), MUST_NOT = `must_not`, and
+    FILTER = `filters` (non-scoring, Solr `fq`).
+
+    `phrases` are exact-adjacency phrase constraints (PhraseQuery slop=0);
+    each phrase's terms also contribute MUST clauses for scoring — our
+    pinned phrase-scoring contract (SURVEY §7.5): phrase = term-AND for
+    scores + adjacency as a two-phase filter (TwoPhaseIterator analog).
+    """
+
+    must: tuple[str, ...] = ()
+    should: tuple[str, ...] = ()
+    must_not: tuple[str, ...] = ()
+    phrases: tuple[tuple[str, ...], ...] = ()
+    min_should_match: int = 0
+    filters: tuple[tuple[str, str], ...] = ()  # (field, value) exact matches
+    k: int = 10
+
+    @property
+    def scoring_terms(self) -> tuple[str, ...]:
+        """Deduped terms contributing to the score, in first-seen order.
+
+        Fixed order = fixed float summation order = deterministic scores
+        (SURVEY §7.3 rank-identity hard part).
+        """
+        seen: dict[str, None] = {}
+        for t in self.must + self.should:
+            seen.setdefault(t, None)
+        for p in self.phrases:
+            for t in p:
+                seen.setdefault(t, None)
+        return tuple(seen)
+
+    @property
+    def required_terms(self) -> tuple[str, ...]:
+        seen: dict[str, None] = {}
+        for t in self.must:
+            seen.setdefault(t, None)
+        for p in self.phrases:
+            for t in p:
+                seen.setdefault(t, None)
+        return tuple(seen)

@@ -1,0 +1,108 @@
+"""DuckDB oracle SQL twin of the BM25 executor.
+
+Generates, from the SAME :class:`BooleanSpec` logical plan, an ANSI-SQL
+query DuckDB can run over the driver-registered ``documents`` view (via
+the transcripts CTE). The driver compares it against the Spark result
+(row-count + schema + order-insensitive value hash) — this is the
+correctness gate for the CORE query path.
+
+Scores are rounded to 4 decimals on BOTH sides: tf/df/N/doc_len are
+exact integers and avgdl an exact int-sum ratio, so Spark's and
+DuckDB's float64 pipelines agree to ~1 ulp; rounding removes the ulp.
+The top-k boundary is made engine-independent by ordering on the
+ROUNDED score with the pinned (conv_id, turn_idx) tiebreak.
+"""
+
+from __future__ import annotations
+
+from lucene_solr_spark.query.model import B, K1, BooleanSpec
+from lucene_solr_spark.transcripts import TRANSCRIPTS_ORACLE_CTE
+
+ROUND = 4
+
+
+def _sql_list(terms: tuple[str, ...] | list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def _phrase_clause(phrase: tuple[str, ...]) -> str:
+    n = len(phrase)
+    if n == 1:
+        return f"list_contains(toks, '{phrase[0]}')"
+    conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    return (
+        f"len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds})) > 0"
+    )
+
+
+def bm25_oracle_sql(spec: BooleanSpec) -> str:
+    terms = spec.scoring_terms
+    must = spec.required_terms
+    doc_filters = []
+    for fld, val in spec.filters:
+        doc_filters.append(f"{fld} = '{val}'")
+    for ph in spec.phrases:
+        doc_filters.append(_phrase_clause(ph))
+    if spec.must_not:
+        doc_filters.append(f"NOT list_has_any(toks, [{_sql_list(spec.must_not)}])")
+    where_docs = (" WHERE " + " AND ".join(doc_filters)) if doc_filters else ""
+
+    must_filter = (
+        f"HAVING sum(CASE WHEN term IN ({_sql_list(must)}) THEN 1 ELSE 0 END)"
+        f" = {len(must)}"
+        if must
+        else ""
+    )
+    mm_join = ""
+    if spec.should and spec.min_should_match > 0:
+        mm_join = f"""
+        AND (conv_id, turn_idx) IN (
+          SELECT (conv_id, turn_idx) FROM tf
+          WHERE term IN ({_sql_list(spec.should)})
+            AND (conv_id, turn_idx) IN (SELECT (conv_id, turn_idx) FROM hits)
+          GROUP BY conv_id, turn_idx
+          HAVING count(*) >= {spec.min_should_match})"""
+
+    return f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM docs2
+),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2
+),
+tf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf, any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN ({_sql_list(terms)})
+  GROUP BY conv_id, turn_idx, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+hits AS (SELECT conv_id, turn_idx FROM docs2{where_docs}),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * tf.doc_len / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  WHERE (tf.conv_id, tf.turn_idx) IN (SELECT (conv_id, turn_idx) FROM hits)
+        {mm_join}
+  GROUP BY tf.conv_id, tf.turn_idx
+  {must_filter}
+)
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT {spec.k}
+""".strip()
