@@ -1,0 +1,299 @@
+"""Distributed segment build (SURVEY §3.1 re-expression; S7 + W7 + N2).
+
+The Spark analog of Lucene's write path
+(``IndexWriter`` / ``DocumentsWriterPerThread`` / ``FreqProxTermsWriter``):
+
+- the transcripts table is hash-partitioned on ``conv_id`` into
+  ``num_parts`` logical partitions (CompositeIdRouter murmur routing
+  analog — keeps conversations whole for block joins),
+- each partition becomes one immutable **segment** built share-nothing
+  inside ``applyInPandas`` (the DWPT analog: per-task in-RAM inversion,
+  flushed once),
+- docs are sorted by ``(conv_id, turn_idx)`` before ordinal assignment
+  (index-time sort, ``IndexWriterConfig#setIndexSort``), so
+  ``doc_ord`` is a stable dense int and per-turn text equality under
+  that ordering is preserved end-to-end,
+- each task writes its own segment directory (postings / docmap /
+  facet dictionaries as Parquet) directly — the Iceberg writer
+  pattern: executors write data files, the driver commits metadata —
+  and returns only a metrics row,
+- the driver then atomically publishes ``manifest/snapshot-N.json``
+  (two-phase commit, ``SegmentInfos#commit`` analog). Killing the job
+  mid-build loses nothing already committed; resume recomputes only
+  partitions absent from the manifest.
+
+Everything inside the task is numpy/pandas-vectorized: tokenize →
+explode → factorize → lexsort → run-length tf → one-shot varint pack
+(``codec.pack_all_postings``). No per-row Python.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analyzer import tokenize_pandas
+from lucene_solr_spark.index import codec
+from lucene_solr_spark.index.manifest import Manifest
+
+NUM_BUCKETS = 1024  # term hash buckets (partition-pruning key)
+
+METRICS_SCHEMA = (
+    "part int, seg_name string, n_docs long, sum_dl long, n_terms long, "
+    "n_postings long, n_tokens long, bytes long"
+)
+
+FACET_FIELDS = ("role", "tool", "ftok")
+
+
+def term_bucket(term: str) -> int:
+    """Deterministic, process-stable term→bucket hash (crc32)."""
+    return zlib.crc32(term.encode("utf-8")) % NUM_BUCKETS
+
+
+def _bucket_array(terms: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % NUM_BUCKETS for t in terms),
+        dtype=np.int32,
+        count=len(terms),
+    )
+
+
+def _ordinals(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """SORTED-docvalues ordinal encoding: values → (ord per doc, sorted
+    unique terms). Nulls get ord -1 (Lucene 'missing')."""
+    codes, uniques = pd.factorize(values)
+    if len(uniques) == 0:
+        return codes.astype(np.int32), np.array([], dtype=object)
+    order = np.argsort(uniques)
+    rank = np.empty(len(uniques), np.int64)
+    rank[order] = np.arange(len(uniques))
+    out = np.where(codes >= 0, rank[np.clip(codes, 0, None)], -1).astype(np.int32)
+    return out, np.asarray(uniques)[order]
+
+
+def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0) -> dict:
+    """Invert one partition of transcripts into in-memory segment tables.
+
+    Returns dict with pyarrow tables: postings, docmap, dicts, and a
+    metrics dict. Pure function — unit-testable without Spark.
+    """
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    n_docs = len(pdf)
+    toks = tokenize_pandas(pdf["text"])
+    doc_len = toks.str.len().to_numpy(np.int64)
+
+    flat = toks.explode().dropna()
+    doc_idx = flat.index.to_numpy(np.int64)
+    n_tokens = len(flat)
+    # within-doc token position
+    tok_start = np.cumsum(doc_len) - doc_len
+    positions = np.arange(n_tokens, dtype=np.int64) - tok_start[doc_idx]
+
+    codes, uniques = pd.factorize(flat.to_numpy(object))
+    order = np.argsort(uniques) if len(uniques) else np.empty(0, np.int64)
+    rank = np.empty(len(uniques), np.int64)
+    rank[order] = np.arange(len(uniques))
+    terms_sorted = np.asarray(uniques, dtype=object)[order] if len(uniques) else np.array([], object)
+    term_codes = rank[codes]
+
+    srt = np.lexsort((positions, doc_idx, term_codes))
+    t_s, d_s, p_s = term_codes[srt], doc_idx[srt], positions[srt]
+
+    # run-length over (term, doc) = postings with tf
+    if n_tokens:
+        new_run = np.empty(n_tokens, bool)
+        new_run[0] = True
+        new_run[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        run_starts = np.nonzero(new_run)[0]
+        tf = np.diff(np.append(run_starts, n_tokens)).astype(np.int64)
+        p_term = t_s[run_starts]
+        p_doc = d_s[run_starts]
+        term_change = np.empty(len(run_starts), bool)
+        term_change[0] = True
+        term_change[1:] = p_term[1:] != p_term[:-1]
+        term_starts = np.append(np.nonzero(term_change)[0], len(run_starts)).astype(np.int64)
+        packed = codec.pack_all_postings(
+            term_starts, p_doc, tf, doc_len[p_doc], positions=p_s
+        )
+        df_per_term = np.diff(term_starts)
+        cf_per_term = np.add.reduceat(tf, term_starts[:-1])
+    else:
+        term_starts = np.array([0], np.int64)
+        packed = codec.pack_all_postings(term_starts[:0], *([np.empty(0, np.int64)] * 3))
+        df_per_term = np.empty(0, np.int64)
+        cf_per_term = np.empty(0, np.int64)
+
+    def _list_arr(arrs: list[np.ndarray]) -> pa.Array:
+        if not arrs:
+            return pa.array([], type=pa.list_(pa.int32()))
+        offsets = np.zeros(len(arrs) + 1, np.int32)
+        np.cumsum([len(a) for a in arrs], out=offsets[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(np.concatenate(arrs).astype(np.int32))
+        )
+
+    postings = pa.table(
+        {
+            "seg_id": pa.array(np.full(len(terms_sorted), seg_id, np.int32)),
+            "bucket": pa.array(_bucket_array(terms_sorted), pa.int32()),
+            "term": pa.array(terms_sorted.astype(str) if len(terms_sorted) else [], pa.string()),
+            "df": pa.array(df_per_term.astype(np.int32)),
+            "cf": pa.array(cf_per_term.astype(np.int64)),
+            "first_docs": _list_arr(list(packed["first_docs"])),
+            "doc_offs": _list_arr(list(packed["doc_offs"])),
+            "tf_offs": _list_arr(list(packed["tf_offs"])),
+            "pos_offs": _list_arr(list(packed.get("pos_offs", []))),
+            "max_tfs": _list_arr(list(packed["max_tfs"])),
+            "min_dls": _list_arr(list(packed["min_dls"])),
+            "doc_bytes": pa.array(list(packed["doc_bytes"]), pa.binary()),
+            "tf_bytes": pa.array(list(packed["tf_bytes"]), pa.binary()),
+            "pos_bytes": pa.array(list(packed.get("pos_bytes", [])), pa.binary()),
+        }
+    )
+
+    # docvalues-like ordinal columns + dictionaries (faceting forward index)
+    ftok = pd.Series(
+        [t[0] if len(t) else None for t in toks], index=pdf.index, dtype=object
+    )
+    dict_rows: list[pd.DataFrame] = []
+    ords: dict[str, np.ndarray] = {}
+    for fld, series in (("role", pdf["role"]), ("tool", pdf["tool"]), ("ftok", ftok)):
+        o, uq = _ordinals(series)
+        ords[fld] = o
+        dict_rows.append(
+            pd.DataFrame(
+                {
+                    "field": fld,
+                    "term_ord": np.arange(len(uq), dtype=np.int32),
+                    "term": uq.astype(str) if len(uq) else np.array([], object),
+                }
+            )
+        )
+    dict_pdf = pd.concat(dict_rows, ignore_index=True)
+    dict_pdf.insert(0, "seg_id", np.int32(seg_id))
+    dicts = pa.Table.from_pandas(dict_pdf, preserve_index=False)
+
+    docmap = pa.table(
+        {
+            "seg_id": pa.array(np.full(n_docs, seg_id, np.int32)),
+            "doc_ord": pa.array(np.arange(n_docs, dtype=np.int32)),
+            "conv_id": pa.array(pdf["conv_id"].astype(str)),
+            "turn_idx": pa.array(pdf["turn_idx"].to_numpy(np.int32)),
+            "doc_len": pa.array(doc_len.astype(np.int32)),
+            "role": pa.array(pdf["role"], pa.string()),
+            "tool": pa.array(pdf["tool"], pa.string()),
+            "ts": pa.array(pd.to_datetime(pdf["ts"])).cast(pa.timestamp("us")),
+            "role_ord": pa.array(ords["role"]),
+            "tool_ord": pa.array(ords["tool"]),
+            "ftok_ord": pa.array(ords["ftok"]),
+        }
+    )
+    bytes_total = sum(len(b) for b in packed["doc_bytes"]) + sum(
+        len(b) for b in packed["tf_bytes"]
+    ) + sum(len(b) for b in packed.get("pos_bytes", []))
+    metrics = {
+        "n_docs": int(n_docs),
+        "sum_dl": int(doc_len.sum()),
+        "n_terms": int(len(terms_sorted)),
+        "n_postings": int(len(df_per_term) and int(df_per_term.sum())),
+        "n_tokens": int(n_tokens),
+        "bytes": int(bytes_total),
+    }
+    return {"postings": postings, "docmap": docmap, "dicts": dicts, "metrics": metrics}
+
+
+def write_segment(seg: dict, seg_dir: str) -> None:
+    """Write one segment's tables. Row groups of 4k keep term-range
+    pruning effective (Parquet min/max stats = BKD/terms-dict analog)."""
+    tmp = seg_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(seg["postings"], f"{tmp}/postings.parquet", row_group_size=4096)
+    pq.write_table(seg["docmap"], f"{tmp}/docmap.parquet", row_group_size=65536)
+    pq.write_table(seg["dicts"], f"{tmp}/dicts.parquet", row_group_size=65536)
+    if os.path.isdir(seg_dir):
+        import shutil
+
+        shutil.rmtree(seg_dir)
+    os.rename(tmp, seg_dir)
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    num_parts: int = 32,
+    resume: bool = True,
+    lineage_source: str = "",
+) -> Manifest:
+    """Build (or resume building) the inverted index for a transcripts DF."""
+    manifest = Manifest.load(out_root)
+    done = manifest.committed_parts() if resume else set()
+
+    with_part = transcripts.withColumn(
+        "part", F.pmod(F.xxhash64("conv_id"), F.lit(num_parts)).cast("int")
+    )
+    todo = [p for p in range(num_parts) if p not in done]
+    if not todo:
+        return manifest
+    if done:
+        with_part = with_part.filter(~F.col("part").isin(list(done)))
+
+    seg_root = os.path.join(out_root, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part"].iloc[0])
+        seg_name = f"seg_{part:05d}"
+        seg = build_segment_pdf(pdf.drop(columns=["part"]), seg_id=part)
+        write_segment(seg, os.path.join(seg_root, seg_name))
+        m = seg["metrics"]
+        return pd.DataFrame(
+            [
+                {
+                    "part": part,
+                    "seg_name": seg_name,
+                    "n_docs": m["n_docs"],
+                    "sum_dl": m["sum_dl"],
+                    "n_terms": m["n_terms"],
+                    "n_postings": m["n_postings"],
+                    "n_tokens": m["n_tokens"],
+                    "bytes": m["bytes"],
+                }
+            ]
+        )
+
+    rows = (
+        with_part.groupBy("part")
+        .applyInPandas(build_group, schema=METRICS_SCHEMA)
+        .collect()
+    )
+    new_segments = {
+        r.seg_name: {
+            "part": r.part,
+            "n_docs": r.n_docs,
+            "sum_dl": r.sum_dl,
+            "n_terms": r.n_terms,
+            "n_postings": r.n_postings,
+            "n_tokens": r.n_tokens,
+            "bytes": r.bytes,
+        }
+        for r in rows
+    }
+    manifest.commit(
+        new_segments,
+        {
+            "source": lineage_source,
+            "num_parts": num_parts,
+            "parts_built": [r.part for r in rows],
+            "rows": int(sum(r.n_docs for r in rows)),
+        },
+    )
+    return manifest

@@ -127,11 +127,20 @@ def pack_postings(doc_ords: np.ndarray, tfs: np.ndarray) -> dict:
     }
 
 
+def segmented_cumsum(vals: np.ndarray, seg_starts_mask: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting wherever seg_starts_mask is True."""
+    cs = np.cumsum(vals)
+    seg_ids = np.cumsum(seg_starts_mask) - 1
+    base = (cs - vals)[seg_starts_mask]  # running total just before each segment
+    return cs - base[seg_ids]
+
+
 def pack_all_postings(
     term_starts: np.ndarray,
     doc_ords: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode ALL of a segment's posting lists in one vectorized pass.
 
@@ -142,14 +151,17 @@ def pack_all_postings(
 
     Returns per-term lists: first_docs, doc_offs, tf_offs, max_tfs,
     min_dls (numpy arrays per term) and doc_bytes/tf_bytes (bytes per
-    term).
+    term). With `positions` given (the flat within-doc token positions,
+    one entry per token occurrence, grouped by posting in posting
+    order), also emits pos_offs/pos_bytes — the proximity data Lucene
+    stores for PhraseQuery (`Lucene50PostingsFormat` .pos file analog).
     """
     n = len(doc_ords)
     n_terms = len(term_starts) - 1
     if n == 0:
         return {k: [] for k in (
             "first_docs", "doc_offs", "tf_offs", "max_tfs", "min_dls",
-            "doc_bytes", "tf_bytes")}
+            "doc_bytes", "tf_bytes", "pos_offs", "pos_bytes")}
     df = np.diff(term_starts)
     term_of = np.repeat(np.arange(n_terms), df)
     pos_in_term = np.arange(n) - term_starts[term_of]
@@ -197,7 +209,7 @@ def pack_all_postings(
     doc_bytes = [doc_all[s:e] for s, e in zip(term_d_start, term_d_end)]
     tf_bytes = [tf_all[s:e] for s, e in zip(term_t_start, term_t_end)]
     _ = blk_bounds  # (kept for clarity; block ends are implied)
-    return {
+    out = {
         "first_docs": first_docs,
         "doc_offs": doc_offs,
         "tf_offs": tf_offs,
@@ -206,6 +218,52 @@ def pack_all_postings(
         "doc_bytes": doc_bytes,
         "tf_bytes": tf_bytes,
     }
+    if positions is not None:
+        # token index per posting: CSR over tf
+        tok_starts = np.cumsum(tfs) - tfs  # first token idx per posting
+        pair_first_tok_mask = np.zeros(len(positions), bool)
+        pair_first_tok_mask[tok_starts] = True
+        pdeltas = np.empty(len(positions), np.int64)
+        pdeltas[1:] = positions[1:] - positions[:-1]
+        pdeltas[pair_first_tok_mask] = positions[pair_first_tok_mask]
+        p_stream = np.ascontiguousarray(pdeltas, dtype=np.uint64)
+        p_nb = _varint_layout(p_stream)
+        p_pos = np.cumsum(p_nb) - p_nb
+        pos_all = pack_varint(p_stream)
+        p_off_all = p_pos[tok_starts[blk_start_idx]]
+        term_p_start = p_pos[tok_starts[term_starts[:-1]]]
+        term_p_end = np.append(term_p_start[1:], len(pos_all))
+        out["pos_offs"] = [
+            a - s
+            for a, s in zip(np.split(p_off_all, blk_term_bounds), term_p_start)
+        ]
+        out["pos_bytes"] = [pos_all[s:e] for s, e in zip(term_p_start, term_p_end)]
+    return out
+
+
+def unpack_positions(
+    pos_offs: np.ndarray,
+    pos_bytes: bytes,
+    block_tfs: np.ndarray,
+    blocks: np.ndarray,
+    n_blocks: int,
+) -> np.ndarray:
+    """Decode the position stream for selected blocks.
+
+    `block_tfs` must be the decoded tfs of exactly those blocks (posting
+    order). Returns the flat positions array aligned with the tokens of
+    the selected blocks' postings (use cumsum(tf) boundaries to slice
+    per posting).
+    """
+    pos_ends = np.append(pos_offs[1:], len(pos_bytes))
+    buf = np.frombuffer(pos_bytes, np.uint8)
+    chunks = [unpack_varint(buf[pos_offs[b] : pos_ends[b]]) for b in blocks]
+    if not chunks:
+        return np.empty(0, np.int64)
+    deltas = np.concatenate(chunks)
+    starts_mask = np.zeros(len(deltas), bool)
+    starts_mask[np.cumsum(block_tfs) - block_tfs] = True
+    return segmented_cumsum(deltas, starts_mask)
 
 
 def unpack_postings(

@@ -1,0 +1,99 @@
+"""Iceberg-style snapshot/manifest layer (SURVEY §1.4, S9/N2).
+
+The commit protocol mirrors Lucene's two-phase ``SegmentInfos#commit``
+(write ``pending_segments_N`` → fsync → rename) and Iceberg's
+snapshot model: executors write immutable segment data files; nothing
+is "real" until the driver atomically publishes
+``manifest/snapshot-N.json`` listing the committed segments with
+per-partition metrics (terms, postings, bytes, docs) and input
+lineage. Resume = set-difference between input partitions and the
+last snapshot's committed partitions (UpdateLog replay analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Any
+
+SNAPSHOT_PREFIX = "snapshot-"
+
+
+@dataclass
+class Manifest:
+    root: str
+    snapshot_id: int = 0
+    segments: dict[str, dict[str, Any]] = field(default_factory=dict)
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+    analyzer_version: str = "ascii-word-lower-v1"
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    # -- global stats (Weight-binding inputs: N, avgdl) ------------------
+    @property
+    def n_docs(self) -> int:
+        return sum(s["n_docs"] for s in self.segments.values())
+
+    @property
+    def sum_dl(self) -> int:
+        return sum(s["sum_dl"] for s in self.segments.values())
+
+    @property
+    def avgdl(self) -> float:
+        n = self.n_docs
+        return (self.sum_dl / n) if n else 0.0
+
+    def seg_dirs(self) -> list[str]:
+        return [os.path.join(self.root, "segments", name) for name in sorted(self.segments)]
+
+    def committed_parts(self) -> set[int]:
+        return {s["part"] for s in self.segments.values()}
+
+    # -- commit protocol -------------------------------------------------
+    def commit(self, new_segments: dict[str, dict[str, Any]], lineage_entry: dict) -> int:
+        """Atomically publish a new snapshot containing existing +
+        new segments. Returns the new snapshot id."""
+        self.segments.update(new_segments)
+        self.lineage.append(lineage_entry)
+        self.snapshot_id += 1
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        payload = {
+            "snapshot_id": self.snapshot_id,
+            "analyzer_version": self.analyzer_version,
+            "segments": self.segments,
+            "lineage": self.lineage,
+            "global": {"n_docs": self.n_docs, "sum_dl": self.sum_dl},
+        }
+        final = os.path.join(self.manifest_dir, f"{SNAPSHOT_PREFIX}{self.snapshot_id}.json")
+        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # atomic publish
+        return self.snapshot_id
+
+    @classmethod
+    def load(cls, root: str) -> "Manifest":
+        """Load the latest committed snapshot (empty manifest if none)."""
+        mdir = os.path.join(root, "manifest")
+        latest, latest_id = None, 0
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if name.startswith(SNAPSHOT_PREFIX) and name.endswith(".json"):
+                    sid = int(name[len(SNAPSHOT_PREFIX) : -5])
+                    if sid > latest_id:
+                        latest, latest_id = os.path.join(mdir, name), sid
+        m = cls(root=root)
+        if latest:
+            with open(latest) as f:
+                payload = json.load(f)
+            m.snapshot_id = payload["snapshot_id"]
+            m.segments = payload["segments"]
+            m.lineage = payload.get("lineage", [])
+            m.analyzer_version = payload.get("analyzer_version", m.analyzer_version)
+        return m

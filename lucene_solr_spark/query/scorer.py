@@ -1,0 +1,315 @@
+"""Per-segment vectorized BM25 scorer with block-max pruning.
+
+This is the physical Scorer/DISI tree of the engine (SURVEY §3.2 step
+3) — the code Catalyst cannot express, living inside an Arrow UDF by
+design. numpy only; no per-row Python.
+
+Re-expressed reference machinery:
+
+- ConjunctionDISI leapfrog (``lucene/core/src/java/org/apache/lucene/
+  search/ConjunctionDISI.java``): conjunctions intersect in ascending-df
+  order; later terms decode only the 128-doc blocks that can contain
+  surviving candidates (``searchsorted`` over per-block first-doc
+  arrays = the skip list).
+- Block-max WAND (``search/WANDScorer.java``, ``MaxScoreCache``): pure
+  disjunctions compute a per-block score upper bound from stored
+  (max_tf, min_dl) impact metadata, partition the doc space into
+  regions, and process regions in descending upper-bound order,
+  stopping when the bound falls under the running k-th score — blocks
+  in pruned regions are never even varint-decoded.
+- Sparse scoring (SOLR-5894 spirit): score accumulation is
+  sort+reduceat over touched (doc, contrib) pairs only — no dense
+  O(maxDoc) allocation per query.
+- ExactPhraseMatcher: phrase adjacency via vectorized (doc, position)
+  key intersection on the decoded position streams, applied two-phase
+  after the term conjunction (TwoPhaseIterator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_solr_spark.index import codec
+from lucene_solr_spark.query.model import B, K1, BooleanSpec
+
+
+class TermPostings:
+    """One (term, segment) posting list with lazy block decode."""
+
+    __slots__ = (
+        "term", "idf", "first_docs", "doc_offs", "tf_offs", "pos_offs",
+        "max_tfs", "min_dls", "doc_bytes", "tf_bytes", "pos_bytes",
+        "n_blocks", "_cache",
+    )
+
+    def __init__(self, row, idf: float):
+        self.term = row["term"]
+        self.idf = idf
+        self.first_docs = np.asarray(row["first_docs"], np.int64)
+        self.doc_offs = np.asarray(row["doc_offs"], np.int64)
+        self.tf_offs = np.asarray(row["tf_offs"], np.int64)
+        self.pos_offs = np.asarray(row["pos_offs"], np.int64)
+        self.max_tfs = np.asarray(row["max_tfs"], np.int64)
+        self.min_dls = np.asarray(row["min_dls"], np.int64)
+        self.doc_bytes = row["doc_bytes"]
+        self.tf_bytes = row["tf_bytes"]
+        self.pos_bytes = row["pos_bytes"]
+        self.n_blocks = len(self.first_docs)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode_blocks(self, blocks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ords, tfs) for the selected blocks, cached per block."""
+        for b in blocks.tolist():
+            if b not in self._cache:
+                self._cache[b] = codec.unpack_postings(
+                    self.first_docs, self.doc_offs, self.tf_offs,
+                    self.doc_bytes, self.tf_bytes, np.asarray([b]),
+                )
+        if len(blocks) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ds, ts = zip(*(self._cache[b] for b in blocks.tolist()))
+        return np.concatenate(ds), np.concatenate(ts)
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.decode_blocks(np.arange(self.n_blocks))
+
+    def blocks_for_docs(self, docs: np.ndarray) -> np.ndarray:
+        """Skip-list seek: block ids that can contain any of `docs`."""
+        idx = np.searchsorted(self.first_docs, docs, side="right") - 1
+        return np.unique(idx[idx >= 0])
+
+    def positions(self, blocks: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ords, tfs, flat positions) for selected blocks."""
+        d, t = self.decode_blocks(blocks)
+        pos = codec.unpack_positions(self.pos_offs, self.pos_bytes, t, blocks, self.n_blocks)
+        return d, t, pos
+
+    def block_upper_bounds(self, avgdl: float) -> np.ndarray:
+        """BM25 upper bound per block from impact metadata: increasing
+        in tf, decreasing in dl ⇒ ub(max_tf, min_dl) dominates."""
+        mt = self.max_tfs.astype(np.float64)
+        dl = self.min_dls.astype(np.float64)
+        return self.idf * (mt * (K1 + 1)) / (mt + K1 * (1 - B + B * dl / avgdl))
+
+
+def _contrib(idf: float, tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def _sparse_sum(docs: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group-sum (doc → Σval) via sort+reduceat. Also returns per-doc
+    match counts. Sparse-counter analog: touches only hit docs."""
+    order = np.argsort(docs, kind="stable")
+    d, v = docs[order], vals[order]
+    starts = np.nonzero(np.diff(d, prepend=d[0] - 1))[0] if len(d) else np.empty(0, np.int64)
+    uniq = d[starts]
+    sums = np.add.reduceat(v, starts) if len(d) else np.empty(0, np.float64)
+    counts = np.diff(np.append(starts, len(d)))
+    return uniq, sums, counts
+
+
+def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
+    """Docs containing the phrase (terms adjacent, in order)."""
+    if any(tp is None for tp in tps):
+        return np.empty(0, np.int64)
+    stride = seg_max_pos + 2
+    cand: np.ndarray | None = None
+    for j, tp in enumerate(tps):
+        d, t, pos = tp.positions(np.arange(tp.n_blocks))
+        doc_per_tok = np.repeat(d, t)
+        keys = doc_per_tok * stride + (pos - j)  # align phrase offsets
+        keys = keys[pos - j >= 0]
+        cand = keys if cand is None else np.intersect1d(cand, keys, assume_unique=False)
+        if len(cand) == 0:
+            return np.empty(0, np.int64)
+    return np.unique(cand // stride)
+
+
+def score_segment(
+    spec: BooleanSpec,
+    term_rows: dict[str, dict],
+    idf: dict[str, float],
+    avgdl: float,
+    doc_len: np.ndarray,
+    allowed: np.ndarray | None,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one segment. Returns (doc_ords, scores) of its top-k.
+
+    term_rows: term -> postings row dict (absent terms missing).
+    doc_len: per-doc lengths (norms file analog).
+    allowed: bool mask over doc ords (FILTER/fq doc set) or None.
+    """
+    tp: dict[str, TermPostings] = {
+        t: TermPostings(r, idf[t]) for t, r in term_rows.items()
+    }
+    terms = [t for t in spec.scoring_terms if t in tp]
+    must = [t for t in spec.required_terms]
+    n_docs = len(doc_len)
+
+    if any(t not in tp for t in must):
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    # ---- candidate restriction --------------------------------------
+    cand: np.ndarray | None = None  # sorted doc ords or None = all
+    if must:
+        # ConjunctionDISI: ascending-df leapfrog with block skipping.
+        order = sorted(must, key=lambda t: len(tp[t].first_docs))
+        lead = tp[order[0]]
+        cand, _ = lead.decode_all()
+        for t in order[1:]:
+            if len(cand) == 0:
+                break
+            blocks = tp[t].blocks_for_docs(cand)
+            d, _ = tp[t].decode_blocks(blocks)
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+    for ph in spec.phrases:
+        pdocs = _phrase_docs([tp.get(t) for t in ph], int(doc_len.max()) if n_docs else 0)
+        cand = pdocs if cand is None else cand[np.isin(cand, pdocs, assume_unique=True)]
+    if spec.must_not:
+        excl: list[np.ndarray] = []
+        for t in spec.must_not:
+            if t in tp:
+                d, _ = tp[t].decode_all()
+                excl.append(d)
+            elif t in term_rows:
+                pass
+        if excl:
+            ex = np.unique(np.concatenate(excl))
+            if cand is not None:
+                cand = cand[~np.isin(cand, ex, assume_unique=True)]
+            else:
+                cand = np.setdiff1d(np.arange(n_docs), ex)
+    if allowed is not None:
+        ok = np.nonzero(allowed)[0]
+        cand = ok if cand is None else cand[allowed[cand]]
+
+    mm = spec.min_should_match
+    pure_or = cand is None and not must and (not spec.should or mm <= 1)
+
+    if pure_or and len(terms) > 1:
+        return _wand_topk(spec, tp, terms, avgdl, doc_len, k)
+
+    # ---- exact scoring over candidates (or full disjunction) --------
+    all_docs: list[np.ndarray] = []
+    all_vals: list[np.ndarray] = []
+    should_docs: list[np.ndarray] = []
+    for t in terms:
+        p = tp[t]
+        if cand is not None:
+            if len(cand) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            blocks = p.blocks_for_docs(cand)
+            d, tf = p.decode_blocks(blocks)
+            m = np.isin(d, cand, assume_unique=True)
+            d, tf = d[m], tf[m]
+        else:
+            d, tf = p.decode_all()
+        all_docs.append(d)
+        all_vals.append(_contrib(p.idf, tf, doc_len[d].astype(np.float64), avgdl))
+        if t in spec.should:
+            should_docs.append(d)
+    if not all_docs:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.concatenate(all_docs)
+    vals = np.concatenate(all_vals)
+    uniq, sums, _counts = _sparse_sum(docs, vals)
+
+    if spec.should and mm > 0:
+        sd = np.concatenate(should_docs) if should_docs else np.empty(0, np.int64)
+        s_uniq, _s, s_counts = _sparse_sum(sd, np.ones(len(sd)))
+        ok_docs = s_uniq[s_counts >= mm]
+        m = np.isin(uniq, ok_docs, assume_unique=True)
+        uniq, sums = uniq[m], sums[m]
+    if cand is not None:
+        m = np.isin(uniq, cand, assume_unique=True)
+        uniq, sums = uniq[m], sums[m]
+
+    return _topk(uniq, sums, k)
+
+
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """HitQueue analog: top-k by (score desc, doc asc)."""
+    if len(docs) <= k:
+        order = np.lexsort((docs, -scores))
+        return docs[order], scores[order]
+    part = np.argpartition(-scores, k - 1)
+    kth = scores[part[k - 1]]
+    cand = np.nonzero(scores >= kth)[0]  # include ALL boundary ties
+    d, s = docs[cand], scores[cand]
+    order = np.lexsort((d, -s))[:k]
+    return d[order], s[order]
+
+
+def _wand_topk(
+    spec: BooleanSpec,
+    tp: dict[str, TermPostings],
+    terms: list[str],
+    avgdl: float,
+    doc_len: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND over a pure disjunction.
+
+    Doc space is cut at every block boundary of every term; each region
+    gets Σ upper bounds of overlapping blocks. Regions are scored
+    exactly in descending-bound order until bound ≤ θ (k-th best).
+    """
+    n_docs = len(doc_len)
+    ubs = {t: tp[t].block_upper_bounds(avgdl) for t in terms}
+    cuts = np.unique(np.concatenate([tp[t].first_docs for t in terms] + [np.array([0, n_docs])]))
+    cuts = cuts[cuts <= n_docs]
+    n_regions = len(cuts) - 1
+    region_ub = np.zeros(n_regions, np.float64)
+    # per term: which block covers each region (== searchsorted-1), -1 if none
+    blk_of: dict[str, np.ndarray] = {}
+    for t in terms:
+        p = tp[t]
+        bidx = np.searchsorted(p.first_docs, cuts[:-1], side="right") - 1
+        # a block covers region r only if region start < next block start
+        nxt = np.append(p.first_docs[1:], n_docs)
+        covered = (bidx >= 0) & (cuts[:-1] < nxt[np.clip(bidx, 0, None)])
+        bidx = np.where(covered, bidx, -1)
+        blk_of[t] = bidx
+        sel = bidx >= 0
+        region_ub[sel] += ubs[t][bidx[sel]]
+    order = np.argsort(-region_ub, kind="stable")
+
+    top_docs = np.empty(0, np.int64)
+    top_scores = np.empty(0, np.float64)
+    theta = -np.inf
+    CHUNK = 16
+    for c0 in range(0, n_regions, CHUNK):
+        chunk = order[c0 : c0 + CHUNK]
+        if region_ub[chunk[0]] <= theta and len(top_docs) >= k:
+            break  # every remaining region is dominated — prune
+        sel_regions = np.sort(chunk)  # searchsorted below needs sorted bounds
+        lo, hi = cuts[sel_regions], cuts[sel_regions + 1]
+        docs_l: list[np.ndarray] = []
+        vals_l: list[np.ndarray] = []
+        for t in terms:
+            p = tp[t]
+            blocks = np.unique(blk_of[t][sel_regions])
+            blocks = blocks[blocks >= 0]
+            if len(blocks) == 0:
+                continue
+            d, tf = p.decode_blocks(blocks)
+            # keep only docs inside the chunk's regions
+            ridx = np.searchsorted(lo, d, side="right") - 1
+            inside = (ridx >= 0) & (d < hi[np.clip(ridx, 0, None)])
+            # region membership needs lo sorted; sort chunk regions
+            d, tf = d[inside], tf[inside]
+            if len(d) == 0:
+                continue
+            docs_l.append(d)
+            vals_l.append(_contrib(p.idf, tf, doc_len[d].astype(np.float64), avgdl))
+        if not docs_l:
+            continue
+        uniq, sums, _ = _sparse_sum(np.concatenate(docs_l), np.concatenate(vals_l))
+        top_docs = np.concatenate([top_docs, uniq])
+        top_scores = np.concatenate([top_scores, sums])
+        top_docs, top_scores = _topk(top_docs, top_scores, k)
+        if len(top_docs) >= k:
+            theta = top_scores[-1]
+    return top_docs, top_scores

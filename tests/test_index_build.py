@@ -1,0 +1,134 @@
+"""CheckIndex-style structural invariants + per-turn text equality
+(SURVEY §5: `CheckIndex.java` analog, input_hint per-row invariant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.analyzer import tokenize_pandas
+from lucene_solr_spark.index import codec
+from lucene_solr_spark.index.build import build_index, build_segment_pdf, term_bucket
+from lucene_solr_spark.index.manifest import Manifest
+from lucene_solr_spark.transcripts import transcripts_from_documents
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    t = transcripts_from_documents(spark, sf_dir)
+    m = build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+    return root, m, t
+
+
+def test_manifest_globals(built, spark):
+    root, m, t = built
+    assert m.n_docs == t.count()
+    # sum_dl == recount of analyzer token counts
+    pdf = t.toPandas()
+    assert m.sum_dl == int(tokenize_pandas(pdf["text"]).str.len().sum())
+
+
+def test_checkindex_invariants(built, spark):
+    root, m, _ = built
+    for d in m.seg_dirs():
+        p = pd.read_parquet(f"{d}/postings.parquet")
+        terms = p["term"].tolist()
+        assert terms == sorted(terms), "terms dict must be sorted"
+        assert (p["df"] > 0).all()
+        for _, r in p.iterrows():
+            docs, tfs = codec.unpack_postings(
+                np.array(r.first_docs, np.int64), np.array(r.doc_offs, np.int64),
+                np.array(r.tf_offs, np.int64), r.doc_bytes, r.tf_bytes,
+            )
+            assert len(docs) == r.df, r.term
+            assert (np.diff(docs) > 0).all(), "doc ords strictly increasing"
+            assert tfs.sum() == r.cf
+            assert r.bucket == term_bucket(r.term)
+            mts = np.array(r.max_tfs)
+            for b in range(len(mts)):
+                lo, hi = b * codec.BLOCK_SIZE, min(len(tfs), (b + 1) * codec.BLOCK_SIZE)
+                assert mts[b] == tfs[lo:hi].max()
+
+
+def test_metrics_match_recount(built):
+    root, m, _ = built
+    for name, seg in m.segments.items():
+        d = f"{root}/segments/{name}"
+        dm = pd.read_parquet(f"{d}/docmap.parquet")
+        p = pd.read_parquet(f"{d}/postings.parquet")
+        assert seg["n_docs"] == len(dm)
+        assert seg["sum_dl"] == int(dm["doc_len"].sum())
+        assert seg["n_terms"] == len(p)
+        assert seg["n_postings"] == int(p["df"].sum())
+
+
+def test_per_turn_text_equality(built, spark, sf_dir):
+    """input_hint mandate: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — docmap joined back to the source
+    reproduces every turn's token stream (doc_len check) and ordering
+    is dense per segment."""
+    root, m, t = built
+    for d in m.seg_dirs():
+        dm = pd.read_parquet(f"{d}/docmap.parquet")
+        srt = dm.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert (srt["doc_ord"].to_numpy() == np.arange(len(srt))).all(), (
+            "doc_ord must equal the (conv_id, turn_idx) sort rank"
+        )
+    src = t.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    dms = pd.concat(
+        [pd.read_parquet(f"{d}/docmap.parquet") for d in m.seg_dirs()]
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (src["conv_id"] == dms["conv_id"]).all()
+    assert (src["turn_idx"].to_numpy() == dms["turn_idx"].to_numpy()).all()
+    assert (
+        tokenize_pandas(src["text"]).str.len().to_numpy() == dms["doc_len"].to_numpy()
+    ).all()
+
+
+def test_resume_after_partial_build(spark, sf_dir, tmp_path):
+    """Kill-and-resume (SURVEY §5 test_resume): a build over a subset of
+    partitions commits; resuming completes only the missing partitions;
+    the final index equals a from-scratch build."""
+    from pyspark.sql import functions as F
+
+    t = transcripts_from_documents(spark, sf_dir)
+    part_col = F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+
+    root_a = str(tmp_path / "partial")
+    # simulate a crash: only parts 0 and 2 were processed+committed
+    build_index(
+        spark, t.filter(part_col.isin([0, 2])), root_a, num_parts=4,
+        lineage_source="partial",
+    )
+    m1 = Manifest.load(root_a)
+    assert m1.committed_parts() == {0, 2}
+    # resume with the full input
+    m2 = build_index(spark, t, root_a, num_parts=4, lineage_source="resume")
+    assert m2.committed_parts() == {0, 1, 2, 3}
+    assert m2.snapshot_id == 2
+
+    root_b = str(tmp_path / "full")
+    build_index(spark, t, root_b, num_parts=4, lineage_source="full")
+    for name in m2.segments:
+        a = pd.read_parquet(f"{root_a}/segments/{name}/postings.parquet")
+        b = pd.read_parquet(f"{root_b}/segments/{name}/postings.parquet")
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_build_segment_empty_and_null_text():
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": [0, 1],
+            "role": ["user", "tool"],
+            "text": [None, ""],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        }
+    )
+    seg = build_segment_pdf(pdf, seg_id=7)
+    assert seg["metrics"]["n_docs"] == 2
+    assert seg["metrics"]["n_terms"] == 0
+    assert len(seg["postings"]) == 0
