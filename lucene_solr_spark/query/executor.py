@@ -52,16 +52,21 @@ class IndexSearcher:
         self._postings_files = [f"{d}/postings.parquet" for d in dirs]
         self._docmap_files = [f"{d}/docmap.parquet" for d in dirs]
         self._dict_files = [f"{d}/dicts.parquet" for d in dirs]
+        # Resolve file listings once (InMemoryFileIndex construction is
+        # driver-side overhead we must not pay per query).
+        self._postings_df = self.spark.read.parquet(*self._postings_files)
+        self._docmap_df = self.spark.read.parquet(*self._docmap_files)
+        self._dicts_df = self.spark.read.parquet(*self._dict_files)
 
     # -- table handles -------------------------------------------------
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(*self._postings_files)
+        return self._postings_df
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(*self._docmap_files)
+        return self._docmap_df
 
     def dicts(self) -> DataFrame:
-        return self.spark.read.parquet(*self._dict_files)
+        return self._dicts_df
 
     # -- Weight binding ------------------------------------------------
     def global_idf(self, terms: list[str]) -> dict[str, float]:
