@@ -148,3 +148,21 @@ class IndexSearcher:
         if round_to is not None:
             hits = hits.withColumn("score", F.round("score", round_to))
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
+
+    # -- faceting ------------------------------------------------------
+    def facet(
+        self,
+        field: str,
+        spec: BooleanSpec | None = None,
+        limit: int = 10,
+        mincount: int = 1,
+        refine: bool = True,
+    ) -> DataFrame:
+        """SOLR-5894-style facet counts over the query domain
+        (two-phase merge-and-refine; see query/facets.py)."""
+        from lucene_solr_spark.query.facets import FacetRequest, facet_field
+
+        return facet_field(
+            self, FacetRequest(field=field, limit=limit, mincount=mincount),
+            spec=spec, refine=refine,
+        )

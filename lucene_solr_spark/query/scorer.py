@@ -126,6 +126,82 @@ def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
     return np.unique(cand // stride)
 
 
+def _candidates(
+    spec: BooleanSpec,
+    tp: dict[str, TermPostings],
+    n_docs: int,
+    allowed: np.ndarray | None,
+    max_doclen: int,
+) -> np.ndarray | None:
+    """Candidate restriction: MUST conjunction (leapfrog), phrases,
+    MUST_NOT anti-set, FILTER mask. None = unrestricted."""
+    must = [t for t in spec.required_terms]
+    cand: np.ndarray | None = None  # sorted doc ords or None = all
+    if must:
+        # ConjunctionDISI: ascending-df leapfrog with block skipping.
+        order = sorted(must, key=lambda t: len(tp[t].first_docs))
+        lead = tp[order[0]]
+        cand, _ = lead.decode_all()
+        for t in order[1:]:
+            if len(cand) == 0:
+                break
+            blocks = tp[t].blocks_for_docs(cand)
+            d, _ = tp[t].decode_blocks(blocks)
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+    for ph in spec.phrases:
+        pdocs = _phrase_docs([tp.get(t) for t in ph], max_doclen)
+        cand = pdocs if cand is None else cand[np.isin(cand, pdocs, assume_unique=True)]
+    if spec.must_not:
+        excl: list[np.ndarray] = []
+        for t in spec.must_not:
+            if t in tp:
+                d, _ = tp[t].decode_all()
+                excl.append(d)
+        if excl:
+            ex = np.unique(np.concatenate(excl))
+            if cand is not None:
+                cand = cand[~np.isin(cand, ex, assume_unique=True)]
+            else:
+                cand = np.setdiff1d(np.arange(n_docs), ex)
+    if allowed is not None:
+        ok = np.nonzero(allowed)[0]
+        cand = ok if cand is None else cand[allowed[cand]]
+    return cand
+
+
+def match_segment(
+    spec: BooleanSpec,
+    term_rows: dict[str, dict],
+    n_docs: int,
+    allowed: np.ndarray | None,
+    max_doclen: int = 0,
+) -> np.ndarray:
+    """ALL matching doc ords of one segment (the DocSet, no scoring) —
+    ``SolrIndexSearcher#getDocSet`` analog, the facet/fq domain."""
+    tp = {t: TermPostings(r, 0.0) for t, r in term_rows.items()}
+    must = [t for t in spec.required_terms]
+    if any(t not in tp for t in must):
+        return np.empty(0, np.int64)
+    cand = _candidates(spec, tp, n_docs, allowed, max_doclen)
+    if spec.should:
+        mm = max(1, spec.min_should_match)
+        sd = [tp[t].decode_all()[0] for t in spec.should if t in tp]
+        if sd:
+            s_uniq, _s, s_counts = _sparse_sum(
+                np.concatenate(sd), np.ones(sum(len(a) for a in sd))
+            )
+            ok = s_uniq[s_counts >= mm]
+        else:
+            ok = np.empty(0, np.int64)
+        cand = ok if cand is None else cand[np.isin(cand, ok, assume_unique=True)]
+    if cand is None:
+        cand = (
+            np.nonzero(allowed)[0] if allowed is not None
+            else np.arange(n_docs, dtype=np.int64)
+        )
+    return cand
+
+
 def score_segment(
     spec: BooleanSpec,
     term_rows: dict[str, dict],
@@ -151,39 +227,9 @@ def score_segment(
     if any(t not in tp for t in must):
         return np.empty(0, np.int64), np.empty(0, np.float64)
 
-    # ---- candidate restriction --------------------------------------
-    cand: np.ndarray | None = None  # sorted doc ords or None = all
-    if must:
-        # ConjunctionDISI: ascending-df leapfrog with block skipping.
-        order = sorted(must, key=lambda t: len(tp[t].first_docs))
-        lead = tp[order[0]]
-        cand, _ = lead.decode_all()
-        for t in order[1:]:
-            if len(cand) == 0:
-                break
-            blocks = tp[t].blocks_for_docs(cand)
-            d, _ = tp[t].decode_blocks(blocks)
-            cand = cand[np.isin(cand, d, assume_unique=True)]
-    for ph in spec.phrases:
-        pdocs = _phrase_docs([tp.get(t) for t in ph], int(doc_len.max()) if n_docs else 0)
-        cand = pdocs if cand is None else cand[np.isin(cand, pdocs, assume_unique=True)]
-    if spec.must_not:
-        excl: list[np.ndarray] = []
-        for t in spec.must_not:
-            if t in tp:
-                d, _ = tp[t].decode_all()
-                excl.append(d)
-            elif t in term_rows:
-                pass
-        if excl:
-            ex = np.unique(np.concatenate(excl))
-            if cand is not None:
-                cand = cand[~np.isin(cand, ex, assume_unique=True)]
-            else:
-                cand = np.setdiff1d(np.arange(n_docs), ex)
-    if allowed is not None:
-        ok = np.nonzero(allowed)[0]
-        cand = ok if cand is None else cand[allowed[cand]]
+    cand = _candidates(
+        spec, tp, n_docs, allowed, int(doc_len.max()) if n_docs else 0
+    )
 
     mm = spec.min_should_match
     pure_or = cand is None and not must and (not spec.should or mm <= 1)

@@ -62,3 +62,93 @@ def _mk_bm25(spec: BooleanSpec) -> QueryFn:
 
 for _name, _spec in BM25_SPECS.items():
     register(f"q_{_name}", _mk_bm25(_spec), bm25_oracle_sql(_spec))
+
+
+# ---------------------------------------------------------------------------
+# CORE: the same boolean battery through the INDEX engine (segment build →
+# manifest → bucket-pruned postings scan → block-max WAND scorer). Same
+# oracle SQL as the DataFrame path — the driver thereby checks the whole
+# inverted-index pipeline, not just Catalyst arithmetic.
+# ---------------------------------------------------------------------------
+
+_INDEX_ROOTS: dict[str, str] = {}
+
+
+def cached_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once per process per sf_dir) and open the segment index."""
+    import tempfile
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    root = _INDEX_ROOTS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, t, root, num_parts=8, lineage_source=sf_dir)
+        _INDEX_ROOTS[sf_dir] = root
+    return IndexSearcher(spark, root)
+
+
+def _mk_idx_bm25(spec: BooleanSpec) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return cached_searcher(spark, sf_dir).search(spec, round_to=ROUND)
+
+    return run
+
+
+for _name in ("bm25_term", "bm25_and", "bm25_or_mm", "bm25_not",
+              "bm25_phrase", "bm25_filtered"):
+    _spec = BM25_SPECS[_name]
+    register(f"q_idx_{_name}", _mk_idx_bm25(_spec), bm25_oracle_sql(_spec))
+
+
+# ---------------------------------------------------------------------------
+# CORE: SOLR-5894-style faceting (A1-A3) — sparse per-segment ordinal
+# counting + two-phase merge-and-refine, oracle-checked against DuckDB
+# GROUP BY over the same domain.
+# ---------------------------------------------------------------------------
+
+from lucene_solr_spark.transcripts import TRANSCRIPTS_ORACLE_CTE  # noqa: E402
+
+
+def _facet_oracle(domain_where: str, value_expr: str, limit: int,
+                  not_null: bool = False) -> str:
+    nn = f" AND {value_expr} IS NOT NULL" if not_null else ""
+    return f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT {value_expr} AS facet_value, count(*) AS cnt
+FROM docs WHERE {domain_where}{nn}
+GROUP BY 1
+ORDER BY cnt DESC, facet_value
+LIMIT {limit}
+""".strip()
+
+
+def _mk_facet(field: str, spec: BooleanSpec | None, limit: int) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = cached_searcher(spark, sf_dir)
+        return s.facet(field, spec=spec, limit=limit)
+
+    return run
+
+
+register(
+    "q_facet_role",
+    _mk_facet("role", BooleanSpec(must=("merge",)), 10),
+    _facet_oracle("list_contains(toks, 'merge')", "role", 10),
+)
+register(
+    "q_facet_tool",
+    _mk_facet("tool", BooleanSpec(must=("data",)), 10),
+    _facet_oracle("list_contains(toks, 'data')", "tool", 10, not_null=True),
+)
+register(
+    "q_facet_ftok_hc",  # high-cardinality field, MatchAllDocs domain
+    _mk_facet("ftok", None, 20),
+    _facet_oracle("len(toks) > 0", "toks[1]", 20),
+)

@@ -1,0 +1,95 @@
+"""SOLR-5894 faceting regression tests (SURVEY §5, fork's
+sparse-vs-stock equivalence suite re-expressed):
+
+- two-phase merge-and-refine == exact single-shuffle groupBy,
+- index facet path == plain DataFrame GROUP BY over the same domain,
+- missing values (ord -1) are excluded, mincount honored,
+- MatchAllDocs high-cardinality domain (first-token field).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analyzer import tokens_col
+from lucene_solr_spark.index.build import build_index
+from lucene_solr_spark.query.executor import IndexSearcher
+from lucene_solr_spark.query.model import BooleanSpec
+from lucene_solr_spark.transcripts import transcripts_from_documents
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fidx"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+    return IndexSearcher(spark, root), t
+
+
+def control_counts(t, field_col, domain_filter, limit):
+    """Stock faceting control: plain Catalyst GROUP BY over the domain."""
+    return (
+        t.withColumn("toks", tokens_col("text"))
+        .filter(domain_filter)
+        .withColumn("facet_value", field_col)
+        .filter(F.col("facet_value").isNotNull())
+        .groupBy("facet_value")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("facet_value"))
+        .limit(limit)
+        .toPandas()
+    )
+
+
+CASES = [
+    ("role", lambda: F.col("role"), BooleanSpec(must=("merge",)),
+     lambda: F.array_contains(F.col("toks"), "merge"), 10),
+    ("tool", lambda: F.col("tool"), BooleanSpec(must=("data",)),
+     lambda: F.array_contains(F.col("toks"), "data"), 10),
+    ("ftok", lambda: F.element_at(F.col("toks"), 1), None,
+     lambda: F.size("toks") > 0, 20),
+]
+
+
+@pytest.mark.parametrize("field,fcol,spec,dfilter,limit", CASES,
+                         ids=[c[0] for c in CASES])
+def test_facet_matches_control(searcher, field, fcol, spec, dfilter, limit):
+    s, t = searcher
+    got = s.facet(field, spec=spec, limit=limit).toPandas()
+    want = control_counts(t, fcol(), dfilter(), limit)
+    assert list(zip(got.facet_value, got.cnt)) == list(zip(want.facet_value, want.cnt))
+
+
+@pytest.mark.parametrize("field,spec", [
+    ("role", BooleanSpec(must=("merge",))),
+    ("ftok", None),
+], ids=["role", "ftok-hc"])
+def test_refine_equals_exact(searcher, field, spec):
+    """Two-phase merge-and-refine must equal the exact aggregation
+    (the fork's sparse-vs-stock regression invariant)."""
+    s, _ = searcher
+    a = s.facet(field, spec=spec, limit=15, refine=True).toPandas()
+    b = s.facet(field, spec=spec, limit=15, refine=False).toPandas()
+    assert list(zip(a.facet_value, a.cnt)) == list(zip(b.facet_value, b.cnt))
+
+
+def test_mincount_filters(searcher):
+    s, _ = searcher
+    got = s.facet("ftok", spec=None, limit=1000, mincount=3).toPandas()
+    assert (got.cnt >= 3).all()
+
+
+def test_filtered_domain(searcher):
+    """fq-restricted facet domain (FILTER clause, non-scoring)."""
+    s, t = searcher
+    spec = BooleanSpec(must=("query",), filters=(("role", "assistant"),))
+    got = s.facet("role", spec=spec, limit=10).toPandas()
+    assert set(got.facet_value) <= {"assistant"}
+    want = control_counts(
+        t, F.col("role"),
+        F.array_contains(F.col("toks"), "query") & (F.col("role") == "assistant"),
+        10,
+    )
+    assert list(zip(got.facet_value, got.cnt)) == list(zip(want.facet_value, want.cnt))
