@@ -66,6 +66,21 @@ def _bucket_array(terms: np.ndarray) -> np.ndarray:
     )
 
 
+def _list_arr_from(arrs) -> pa.Array:
+    """Series/list of int arrays → Arrow list<int32> column."""
+    arrs = [np.asarray(a, np.int64) for a in arrs]
+    if not arrs:
+        return pa.array([], type=pa.list_(pa.int32()))
+    offsets = np.zeros(len(arrs) + 1, np.int32)
+    np.cumsum([len(a) for a in arrs], out=offsets[1:])
+    flat = (
+        np.concatenate(arrs).astype(np.int32)
+        if any(len(a) for a in arrs)
+        else np.empty(0, np.int32)
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
+
+
 def _ordinals(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """SORTED-docvalues ordinal encoding: values → (ord per doc, sorted
     unique terms). Nulls get ord -1 (Lucene 'missing')."""
@@ -131,14 +146,7 @@ def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0) -> dict:
         df_per_term = np.empty(0, np.int64)
         cf_per_term = np.empty(0, np.int64)
 
-    def _list_arr(arrs: list[np.ndarray]) -> pa.Array:
-        if not arrs:
-            return pa.array([], type=pa.list_(pa.int32()))
-        offsets = np.zeros(len(arrs) + 1, np.int32)
-        np.cumsum([len(a) for a in arrs], out=offsets[1:])
-        return pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(np.concatenate(arrs).astype(np.int32))
-        )
+    _list_arr = _list_arr_from
 
     postings = pa.table(
         {
@@ -190,6 +198,7 @@ def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0) -> dict:
             "doc_len": pa.array(doc_len.astype(np.int32)),
             "role": pa.array(pdf["role"], pa.string()),
             "tool": pa.array(pdf["tool"], pa.string()),
+            "ftok": pa.array(ftok, pa.string()),
             "ts": pa.array(pd.to_datetime(pdf["ts"])).cast(pa.timestamp("us")),
             "role_ord": pa.array(ords["role"]),
             "tool_ord": pa.array(ords["tool"]),

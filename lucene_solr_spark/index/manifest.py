@@ -77,6 +77,13 @@ class Manifest:
         os.rename(tmp, final)  # atomic publish
         return self.snapshot_id
 
+    def commit_replace(self, new_segments: dict[str, dict[str, Any]], lineage_entry: dict) -> int:
+        """Atomically publish a snapshot whose segment set REPLACES the
+        current one (compaction/merge commit: sources drop out of the
+        manifest; their files become unreferenced, GC-able)."""
+        self.segments = {}
+        return self.commit(new_segments, lineage_entry)
+
     @classmethod
     def load(cls, root: str) -> "Manifest":
         """Load the latest committed snapshot (empty manifest if none)."""
