@@ -1,0 +1,995 @@
+"""SQL-CHECK operator battery — the Solr/Lucene query surface beyond
+the CORE index path, each op as an idiomatic Catalyst plan with a
+DuckDB oracle twin (SURVEY §2 rows marked SQL-CHECK).
+
+Every query is deterministic: all LIMITs follow a total-order sort
+(explicit tiebreaks), floats are rounded to 4dp on both sides, and
+timestamps are serialized to strings (cross-engine dtype parity).
+
+Reference citations are on each op (`# ref:` lines) — file paths into
+the public tokee/lucene-solr tree (see SURVEY §0 citation caveat).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analyzer import tokens_col
+from lucene_solr_spark.transcripts import TRANSCRIPTS_ORACLE_CTE, transcripts_from_documents
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: DuckDB prelude: transcripts + tokenized docs CTEs.
+DOCS_CTE = (
+    f"WITH {TRANSCRIPTS_ORACLE_CTE},\n"
+    "docs AS (SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks\n"
+    "         FROM transcripts)"
+)
+
+OPS: list[tuple[str, QueryFn, str | None]] = []
+
+
+def op(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        OPS.append((name, fn, oracle))
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text")
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ===========================================================================
+# P: projections / predicates
+# ===========================================================================
+
+# ref: solr/core/src/java/org/apache/solr/search/SolrReturnFields.java (fl=)
+@op(
+    "q_fl_projection",
+    f"""{DOCS_CTE}
+SELECT conv_id AS id, turn_idx AS turn, len(toks) AS text_len,
+       upper(role) AS role_uc
+FROM docs WHERE turn_idx = 0""",
+)
+def q_fl_projection(spark, sf_dir):
+    return _docs(spark, sf_dir).filter(F.col("turn_idx") == 0).select(
+        F.col("conv_id").alias("id"),
+        F.col("turn_idx").alias("turn"),
+        F.size("toks").cast("long").alias("text_len"),
+        F.upper("role").alias("role_uc"),
+    )
+
+
+# ref: lucene/core/src/java/org/apache/lucene/search/PrefixQuery.java,
+# MultiTermQuery.java#RewriteMethod (term-dict scan → Boolean expansion)
+@op(
+    "q_prefix_query",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx FROM docs
+WHERE len(list_filter(toks, t -> t LIKE 'mer%')) > 0""",
+)
+def q_prefix_query(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        F.exists("toks", lambda t: t.startswith("mer"))
+    ).select("conv_id", "turn_idx")
+
+
+# ref: lucene/core/src/java/org/apache/lucene/search/WildcardQuery.java,
+# util/automaton/RegExp.java
+@op(
+    "q_wildcard_query",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx FROM docs
+WHERE len(list_filter(toks, t -> regexp_full_match(t, 's.an'))) > 0""",
+)
+def q_wildcard_query(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        F.exists("toks", lambda t: t.rlike("^s.an$"))
+    ).select("conv_id", "turn_idx")
+
+
+# ref: lucene/core/src/java/org/apache/lucene/search/FuzzyQuery.java,
+# util/automaton/LevenshteinAutomata.java (dict scan, ed<=1)
+@op(
+    "q_fuzzy_query",
+    f"""{DOCS_CTE}
+SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs)
+WHERE levenshtein(term, 'merge') <= 1
+GROUP BY term ORDER BY df DESC, term""",
+)
+def q_fuzzy_query(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("conv_id", "turn_idx", F.explode("toks").alias("term"))
+        .distinct()
+        .filter(F.levenshtein("term", F.lit("merge")) <= 1)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+# ref: lucene/core/src/java/org/apache/lucene/search/TermRangeQuery.java
+@op(
+    "q_term_range",
+    f"""{DOCS_CTE}
+SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs)
+WHERE term >= 'window' AND term < 'wip'
+GROUP BY term ORDER BY term""",
+)
+def q_term_range(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("conv_id", "turn_idx", F.explode("toks").alias("term"))
+        .distinct()
+        .filter((F.col("term") >= "window") & (F.col("term") < "wip"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy("term")
+    )
+
+
+# ref: lucene/core/src/java/org/apache/lucene/search/PointRangeQuery.java,
+# util/bkd/BKDReader.java#intersect → Parquet row-group pruning
+@op(
+    "q_point_range",
+    """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+FROM events
+WHERE value BETWEEN 100 AND 200
+  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+GROUP BY event_type ORDER BY event_type""",
+)
+def q_point_range(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(
+            F.col("value").between(100, 200)
+            & (F.col("ts") >= "2024-01-10")
+            & (F.col("ts") < "2024-01-20")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ref: lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java
+# (edismax core: max over per-field scores + tiebreak)
+@op(
+    "q_dismax",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(toks, t -> t = 'merge')) AS DOUBLE) AS s_text,
+    CASE WHEN tool = 'tool_7' THEN 2.0 ELSE 0.0 END AS s_tool
+  FROM docs)
+SELECT conv_id, turn_idx,
+       round(greatest(s_text, s_tool)
+             + 0.1 * (s_text + s_tool - greatest(s_text, s_tool)), 4) AS score
+FROM scored
+WHERE s_text > 0 OR s_tool > 0
+ORDER BY score DESC, conv_id, turn_idx LIMIT 25""",
+)
+def q_dismax(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s_text = F.size(F.filter("toks", lambda t: t == "merge")).cast("double")
+    s_tool = F.when(F.col("tool") == "tool_7", 2.0).otherwise(0.0)
+    scored = d.select(
+        "conv_id", "turn_idx",
+        s_text.alias("s_text"), s_tool.alias("s_tool"),
+    )
+    score = F.round(
+        F.greatest("s_text", "s_tool")
+        + 0.1 * (F.col("s_text") + F.col("s_tool") - F.greatest("s_text", "s_tool")),
+        4,
+    )
+    return (
+        scored.filter((F.col("s_text") > 0) | (F.col("s_tool") > 0))
+        .select("conv_id", "turn_idx", score.alias("score"))
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(25)
+    )
+
+
+# ===========================================================================
+# S: export / sorted stream
+# ===========================================================================
+
+# ref: solr/core/src/java/org/apache/solr/handler/export/ExportWriter.java
+@op(
+    "q_export_sorted",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx, role, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM docs WHERE role = 'user'""",
+)
+def q_export_sorted(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(F.col("role") == "user")
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .sortWithinPartitions("ts_s", "conv_id", "turn_idx")
+    )
+
+
+# ===========================================================================
+# J: joins
+# ===========================================================================
+
+# ref: solr/core/src/java/org/apache/solr/search/JoinQParserPlugin.java
+# ({!join from=f to=t} = semi-join on foreign key)
+@op(
+    "q_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey""",
+)
+def q_join_semi(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    inner = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(inner.distinct(), "c_custkey", "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/join/ScoreJoinQParserPlugin.java,
+# lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java (score=max)
+@op(
+    "q_join_score",
+    """SELECT c.c_custkey, c.c_name, round(mx.score, 2) AS score
+FROM customer c
+JOIN (SELECT o_custkey, max(o_totalprice) AS score FROM orders GROUP BY o_custkey) mx
+  ON c.c_custkey = mx.o_custkey
+ORDER BY round(mx.score, 2) DESC, c.c_custkey LIMIT 20""",
+)
+def q_join_score(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mx = o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("score"))
+    return (
+        c.join(mx, c.c_custkey == mx.o_custkey)
+        .select("c_custkey", "c_name", F.round("score", 2).alias("score"))
+        .orderBy(F.desc("score"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ref: lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java
+# — our conversation↔turn block model (SURVEY §1.2): parents ranked by
+# aggregated child hits (ScoreMode.Total ≡ sum, Max ≡ max)
+@op(
+    "q_block_join_parent",
+    f"""{DOCS_CTE}
+SELECT conv_id, count(*) AS n_hits,
+       CAST(sum(len(list_filter(toks, t -> t = 'merge'))) AS BIGINT) AS total_tf
+FROM docs
+WHERE list_contains(toks, 'merge')
+GROUP BY conv_id
+ORDER BY n_hits DESC, total_tf DESC, conv_id LIMIT 30""",
+)
+def q_block_join_parent(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    hits = d.filter(F.array_contains("toks", "merge"))
+    return (
+        hits.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum(F.size(F.filter("toks", lambda t: t == "merge")))
+            .cast("long").alias("total_tf"),
+        )
+        .orderBy(F.desc("n_hits"), F.desc("total_tf"), "conv_id")
+        .limit(30)
+    )
+
+
+# ref: lucene/join/src/java/org/apache/lucene/search/join/ToChildBlockJoinQuery.java
+@op(
+    "q_block_join_child",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx, role FROM docs
+WHERE conv_id IN (SELECT DISTINCT conv_id FROM docs WHERE tool = 'tool_7')
+ORDER BY conv_id, turn_idx""",
+)
+def q_block_join_child(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    parents = d.filter(F.col("tool") == "tool_7").select("conv_id").distinct()
+    return (
+        d.join(parents, "conv_id", "left_semi")
+        .select("conv_id", "turn_idx", "role")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/HashJoinStream.java
+# (build side in memory ≡ broadcast hash join)
+@op(
+    "q_hash_join",
+    """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+)
+def q_hash_join(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ref: io/stream/InnerJoinStream.java (merge join of sorted streams ≡ SMJ)
+@op(
+    "q_merge_join",
+    """SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def q_merge_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.filter(F.col("l_shipdate") >= "1995-01-01")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ===========================================================================
+# A: aggregations / facet family (SQL-CHECK rows; A1-A3 live in facets.py)
+# ===========================================================================
+
+# ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java#getFacetQueryCount
+@op(
+    "q_facet_query",
+    f"""{DOCS_CTE}
+SELECT
+  CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS fq_merge,
+  CAST(sum(CASE WHEN list_contains(toks, 'table') AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS fq_table_user,
+  CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fq_missing_tool
+FROM docs""",
+)
+def q_facet_query(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.sum(F.array_contains("toks", "merge").cast("long")).alias("fq_merge"),
+        F.sum(
+            (F.array_contains("toks", "table") & (F.col("role") == "user")).cast("long")
+        ).alias("fq_table_user"),
+        F.sum(F.col("tool").isNull().cast("long")).alias("fq_missing_tool"),
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/RangeFacetProcessor.java
+@op(
+    "q_range_facet",
+    """SELECT CAST(floor(value / 50) AS INTEGER) AS bucket, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY bucket""",
+)
+def q_range_facet(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.floor(F.col("value") / 50).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/request/IntervalFacets.java
+# (arbitrary, overlapping intervals — one pass)
+@op(
+    "q_interval_facet",
+    """SELECT
+  CAST(sum(CASE WHEN value >= 0 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS i_low,
+  CAST(sum(CASE WHEN value >= 50 AND value < 200 THEN 1 ELSE 0 END) AS BIGINT) AS i_mid,
+  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS i_high
+FROM events""",
+)
+def q_interval_facet(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.sum(((F.col("value") >= 0) & (F.col("value") < 100)).cast("long")).alias("i_low"),
+        F.sum(((F.col("value") >= 50) & (F.col("value") < 200)).cast("long")).alias("i_mid"),
+        F.sum((F.col("value") >= 100).cast("long")).alias("i_high"),
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/PivotFacetProcessor.java
+@op(
+    "q_pivot_facet",
+    """SELECT event_type, hod, cnt FROM (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hod, count(*) AS cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC,
+                            CAST(extract(hour FROM ts) AS INTEGER)) AS rk
+  FROM events GROUP BY 1, 2)
+WHERE rk <= 3 ORDER BY event_type, cnt DESC, hod""",
+)
+def q_pivot_facet(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    counts = e.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("hod"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "hod", "cnt")
+        .orderBy("event_type", F.desc("cnt"), "hod")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/facet/ — SumAgg, AvgAgg,
+# MinMaxAgg, StddevAgg, UniqueAgg, PercentileAgg (JSON Facet API metrics)
+@op(
+    "q_json_facet_aggs",
+    """SELECT event_type,
+  count(*) AS cnt,
+  round(sum(value), 2) AS s,
+  round(avg(value), 4) AS a,
+  round(min(value), 2) AS mn,
+  round(max(value), 2) AS mx,
+  round(stddev_samp(value), 4) AS sd,
+  count(DISTINCT user_id) AS uniq,
+  round(quantile_cont(value, 0.5), 4) AS p50
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q_json_facet_aggs(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("s"),
+            F.round(F.avg("value"), 4).alias("a"),
+            F.round(F.min("value"), 2).alias("mn"),
+            F.round(F.max("value"), 2).alias("mx"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.countDistinct("user_id").alias("uniq"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java,
+# StatsValuesFactory.java (global field stats incl. missing)
+@op(
+    "q_stats_component",
+    f"""{DOCS_CTE}
+SELECT count(*) AS cnt,
+  CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+  CAST(min(len(toks)) AS BIGINT) AS min_len,
+  CAST(max(len(toks)) AS BIGINT) AS max_len,
+  round(avg(len(toks)), 4) AS mean_len,
+  round(stddev_samp(len(toks)), 4) AS sd_len,
+  CAST(sum(len(toks) * len(toks)) AS BIGINT) AS sumsq
+FROM docs""",
+)
+def q_stats_component(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("dl", F.size("toks"))
+    return d.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("tool").isNull().cast("long")).alias("missing"),
+        F.min("dl").cast("long").alias("min_len"),
+        F.max("dl").cast("long").alias("max_len"),
+        F.round(F.avg("dl"), 4).alias("mean_len"),
+        F.round(F.stddev_samp("dl"), 4).alias("sd_len"),
+        F.sum(F.col("dl") * F.col("dl")).cast("long").alias("sumsq"),
+    )
+
+
+# ref: lucene/grouping/src/java/org/apache/lucene/search/grouping/
+# FirstPassGroupingCollector.java + TopGroupsCollector.java; Solr Grouping.java
+@op(
+    "q_grouping",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+             ORDER BY score DESC, turn_idx) AS rk,
+         max(score) OVER (PARTITION BY conv_id) AS gscore
+  FROM scored),
+topg AS (
+  SELECT conv_id FROM (
+    SELECT conv_id, max(score) AS gscore FROM scored GROUP BY conv_id
+    ORDER BY gscore DESC, conv_id LIMIT 5))
+SELECT r.conv_id, r.turn_idx, r.score, r.rk
+FROM ranked r JOIN topg USING (conv_id)
+WHERE r.rk <= 2
+ORDER BY r.gscore DESC, r.conv_id, r.rk""",
+)
+def q_grouping(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    wg = Window.partitionBy("conv_id")
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(wg.orderBy(F.desc("score"), F.asc("turn_idx"))),
+    ).withColumn("gscore", F.max("score").over(wg))
+    topg = (
+        scored.groupBy("conv_id")
+        .agg(F.max("score").alias("gscore"))
+        .orderBy(F.desc("gscore"), "conv_id")
+        .limit(5)
+        .select("conv_id")
+    )
+    return (
+        ranked.join(topg, "conv_id", "left_semi")
+        .filter(F.col("rk") <= 2)
+        .select("conv_id", "turn_idx", "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java
+@op(
+    "q_collapse",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data'))
+SELECT conv_id, turn_idx, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+            ORDER BY score DESC, turn_idx) AS rk FROM scored)
+WHERE rk = 1 ORDER BY conv_id""",
+)
+def q_collapse(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("score"), F.asc("turn_idx"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("conv_id", "turn_idx", "score")
+        .orderBy("conv_id")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/ExpandComponent.java
+@op(
+    "q_expand",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data'))
+SELECT conv_id, turn_idx, score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+            ORDER BY score DESC, turn_idx) AS rk FROM scored)
+WHERE rk BETWEEN 2 AND 3 ORDER BY conv_id, rk""",
+)
+def q_expand(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("score"), F.asc("turn_idx"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk").between(2, 3))
+        .select("conv_id", "turn_idx", "score", F.col("rk").cast("long").alias("rk"))
+        .orderBy("conv_id", "rk")
+    )
+
+
+# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/RollupStream.java
+@op(
+    "q_rollup_stream",
+    """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS s,
+       round(avg(value), 4) AS a, round(min(value), 2) AS mn,
+       round(max(value), 2) AS mx
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def q_rollup_stream(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("s"),
+            F.round(F.avg("value"), 4).alias("a"),
+            F.round(F.min("value"), 2).alias("mn"),
+            F.round(F.max("value"), 2).alias("mx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ref: io/stream/TimeseriesStream.java (fixed time buckets ≡ tumbling window)
+@op(
+    "q_timeseries",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS cnt, round(sum(value), 2) AS total
+FROM events GROUP BY 1 ORDER BY day""",
+)
+def q_timeseries(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "cnt", "total",
+        )
+        .orderBy("day")
+    )
+
+
+# ref: io/stream/SignificantTermsStream.java (fg/bg over-representation)
+@op(
+    "q_significant_terms",
+    f"""{DOCS_CTE},
+per_doc AS (SELECT DISTINCT conv_id, turn_idx, role, unnest(toks) AS term FROM docs),
+bg AS (SELECT term, count(*) AS bg_df FROM per_doc GROUP BY term),
+fg AS (SELECT term, count(*) AS fg_df FROM per_doc WHERE role = 'assistant' GROUP BY term)
+SELECT fg.term, fg_df, bg_df,
+       round(CAST(fg_df AS DOUBLE) * fg_df / bg_df, 4) AS score
+FROM fg JOIN bg USING (term)
+WHERE fg_df >= 5
+ORDER BY score DESC, fg.term LIMIT 20""",
+)
+def q_significant_terms(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "conv_id", "turn_idx", "role", F.explode("toks").alias("term")
+    ).distinct()
+    bg = per_doc.groupBy("term").agg(F.count("*").alias("bg_df"))
+    fg = (
+        per_doc.filter(F.col("role") == "assistant")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    return (
+        fg.join(bg, "term")
+        .filter(F.col("fg_df") >= 5)
+        .select(
+            "term", "fg_df", "bg_df",
+            F.round(
+                F.col("fg_df").cast("double") * F.col("fg_df") / F.col("bg_df"), 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "term")
+        .limit(20)
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/TermsComponent.java
+@op(
+    "q_terms_component",
+    f"""{DOCS_CTE}
+SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs)
+WHERE term LIKE 'sl%'
+GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+)
+def q_terms_component(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("conv_id", "turn_idx", F.explode("toks").alias("term"))
+        .distinct()
+        .filter(F.col("term").startswith("sl"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# W: sorts / paging / rerank / analytic windows
+# ===========================================================================
+
+# ref: lucene/core/src/java/org/apache/lucene/search/Sort.java, SortField.java
+# (multi-key docvalues sort, missing last)
+@op(
+    "q_sort_fields",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx, tool FROM docs
+ORDER BY tool ASC NULLS LAST, conv_id DESC, turn_idx LIMIT 50""",
+)
+def q_sort_fields(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("conv_id", "turn_idx", "tool")
+        .orderBy(F.col("tool").asc_nulls_last(), F.desc("conv_id"), "turn_idx")
+        .limit(50)
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/CursorMark.java (keyset paging)
+@op(
+    "q_cursor_mark",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx FROM docs
+WHERE (conv_id, turn_idx) > ('conv00000010', 3)
+ORDER BY conv_id, turn_idx LIMIT 20""",
+)
+def q_cursor_mark(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(
+            F.struct("conv_id", "turn_idx")
+            > F.struct(F.lit("conv00000010"), F.lit(3))
+        )
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+        .limit(20)
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java
+# (re-score phase-1 top-N with a second query)
+@op(
+    "q_rerank",
+    f"""{DOCS_CTE},
+p1 AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS s1,
+         CAST(len(list_filter(toks, t -> t = 'fast')) AS BIGINT) AS s2
+  FROM docs WHERE list_contains(toks, 'data')
+  ORDER BY s1 DESC, conv_id, turn_idx LIMIT 50)
+SELECT conv_id, turn_idx, s1 + 2 * s2 AS score
+FROM p1 ORDER BY score DESC, conv_id, turn_idx LIMIT 10""",
+)
+def q_rerank(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    p1 = (
+        d.filter(F.array_contains("toks", "data"))
+        .select(
+            "conv_id", "turn_idx",
+            F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("s1"),
+            F.size(F.filter("toks", lambda t: t == "fast")).cast("long").alias("s2"),
+        )
+        .orderBy(F.desc("s1"), "conv_id", "turn_idx")
+        .limit(50)
+    )
+    return (
+        p1.select(
+            "conv_id", "turn_idx", (F.col("s1") + 2 * F.col("s2")).alias("score")
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(10)
+    )
+
+
+# ref: io/stream/UniqueStream.java (dedup on sorted stream)
+@op(
+    "q_unique_stream",
+    f"""{DOCS_CTE}
+SELECT DISTINCT role, tool FROM docs WHERE tool IS NOT NULL
+ORDER BY role, tool""",
+)
+def q_unique_stream(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(F.col("tool").isNotNull())
+        .select("role", "tool")
+        .dropDuplicates()
+        .orderBy("role", "tool")
+    )
+
+
+# ref: SURVEY §2.5 last row — general analytic windows (lag/running agg),
+# exceeding the reference's specialized forms
+@op(
+    "q_window_analytics",
+    """SELECT day, event_type, cnt,
+       CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running,
+       CAST(lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS prev
+FROM (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2)
+ORDER BY event_type, day""",
+)
+def q_window_analytics(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "day", "event_type", "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("running"),
+        F.lag("cnt").over(w).cast("long").alias("prev"),
+    ).orderBy("event_type", "day")
+
+
+# ===========================================================================
+# T: set operations
+# ===========================================================================
+
+# ref: io/stream/MergeStream.java (k-way union of sorted streams)
+@op(
+    "q_set_union",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx FROM docs WHERE list_contains(toks, 'merge')
+UNION
+SELECT conv_id, turn_idx FROM docs WHERE tool = 'tool_7'
+ORDER BY conv_id, turn_idx""",
+)
+def q_set_union(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.array_contains("toks", "merge")).select("conv_id", "turn_idx")
+    b = d.filter(F.col("tool") == "tool_7").select("conv_id", "turn_idx")
+    return a.unionByName(b).distinct().orderBy("conv_id", "turn_idx")
+
+
+# ref: io/stream/IntersectStream.java, solr DocSet intersection (T1/T3)
+@op(
+    "q_set_intersect",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx FROM docs WHERE list_contains(toks, 'merge')
+INTERSECT
+SELECT conv_id, turn_idx FROM docs WHERE list_contains(toks, 'table')
+ORDER BY conv_id, turn_idx""",
+)
+def q_set_intersect(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.array_contains("toks", "merge")).select("conv_id", "turn_idx")
+    b = d.filter(F.array_contains("toks", "table")).select("conv_id", "turn_idx")
+    return a.intersect(b).orderBy("conv_id", "turn_idx")
+
+
+# ref: io/stream/ComplementStream.java (andNot)
+@op(
+    "q_set_complement",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx FROM docs WHERE list_contains(toks, 'merge')
+EXCEPT
+SELECT conv_id, turn_idx FROM docs WHERE list_contains(toks, 'stream')
+ORDER BY conv_id, turn_idx""",
+)
+def q_set_complement(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.array_contains("toks", "merge")).select("conv_id", "turn_idx")
+    b = d.filter(F.array_contains("toks", "stream")).select("conv_id", "turn_idx")
+    return a.exceptAll(b).distinct().orderBy("conv_id", "turn_idx")
+
+
+# ===========================================================================
+# F: scalar function queries (ValueSourceParser surface)
+# ===========================================================================
+
+# ref: solr/core/src/java/org/apache/solr/search/ValueSourceParser.java
+# (math family: sqrt/ln/abs/recip/scale-style expressions)
+@op(
+    "q_function_math",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx,
+  round(sqrt(len(toks)) + ln(1 + turn_idx) + abs(len(toks) - 50) / 10.0
+        + 1000.0 / (1.0 * len(toks) + 10), 4) AS fval
+FROM docs WHERE turn_idx < 2
+ORDER BY fval DESC, conv_id, turn_idx LIMIT 40""",
+)
+def q_function_math(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("dl", F.size("toks"))
+    fval = F.round(
+        F.sqrt("dl")
+        + F.log(1 + F.col("turn_idx"))
+        + F.abs(F.col("dl") - 50) / 10.0
+        + 1000.0 / (1.0 * F.col("dl") + 10),
+        4,
+    )
+    return (
+        d.filter(F.col("turn_idx") < 2)
+        .select("conv_id", "turn_idx", fval.alias("fval"))
+        .orderBy(F.desc("fval"), "conv_id", "turn_idx")
+        .limit(40)
+    )
+
+
+# ref: ValueSourceParser strdist/concat + io/eval Upper/Lower/Trim evaluators
+@op(
+    "q_function_string",
+    f"""{DOCS_CTE}
+SELECT DISTINCT role,
+  concat(upper(role), '_', CAST(length(role) AS VARCHAR)) AS tag,
+  levenshtein(role, 'user') AS dist_user
+FROM docs ORDER BY role""",
+)
+def q_function_string(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "role",
+            F.concat(
+                F.upper("role"), F.lit("_"), F.length("role").cast("string")
+            ).alias("tag"),
+            F.levenshtein("role", F.lit("user")).cast("long").alias("dist_user"),
+        )
+        .distinct()
+        .orderBy("role")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/util/DateMathParser.java
+# (NOW/DAY-7DAYS style arithmetic) + ms() diff
+@op(
+    "q_function_date",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS cnt
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-22' - INTERVAL 7 DAY
+  AND ts < TIMESTAMP '2024-01-22'
+GROUP BY 1 ORDER BY day""",
+)
+def q_function_date(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(
+            (F.col("ts") >= F.expr("timestamp'2024-01-22' - interval 7 days"))
+            & (F.col("ts") < "2024-01-22")
+        )
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("day")
+    )
+
+
+# ref: SURVEY §2.7 Array/Map/JSON row — events.props JSON transport
+@op(
+    "q_json_extract",
+    """SELECT CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) % 10 AS kmod,
+       count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY kmod""",
+)
+def q_json_extract(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            (F.regexp_extract("props", "[0-9]+", 0).cast("int") % 10).alias("kmod")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("kmod")
+    )

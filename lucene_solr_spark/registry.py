@@ -152,3 +152,13 @@ register(
     _mk_facet("ftok", None, 20),
     _facet_oracle("len(toks) > 0", "toks[1]", 20),
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL-CHECK battery (SURVEY §2): the wider Solr operator surface.
+# ---------------------------------------------------------------------------
+
+from lucene_solr_spark.operators import solr_battery  # noqa: E402
+
+for _name, _fn, _oracle in solr_battery.OPS:
+    register(_name, _fn, _oracle)
