@@ -1,0 +1,689 @@
+"""Training-data pipeline operators over ``documents`` / ``embeddings``
+(task brief: dedup, similarity search, text analysis — first-class
+components alongside the SURVEY §2 inventory).
+
+Dedup corpus: the driver's ``documents`` table carries no duplicates,
+so dedup queries run over a deterministic **planted-duplicate corpus**
+derived in BOTH engines with the same arithmetic: every ``doc_id % 7
+== 0`` doc is repeated verbatim at ``doc_id + 100000`` (exact dup) and
+every ``doc_id % 11 == 0`` doc is repeated at ``doc_id + 200000`` with
+three extra tail tokens (near dup, trigram-Jaccard ≈ (n-2)/(n+1)).
+
+Scale notes (100 TB story), per operator:
+
+- exact dedup: hash-groupBy on md5(text) — partial agg map-side, one
+  shuffle of (hash, id) pairs, never the text bytes.
+- MinHash+LSH: signatures built per-partition in ``mapInPandas``
+  (numpy matrix min over 120 universal hashes of trigram shingles);
+  only (doc_id, band, band_hash) rows shuffle (b=40 rows/doc).
+  Candidate pairs come from bucket self-join; exact Jaccard verify is
+  a relational shingle-intersection join — no all-pairs anywhere.
+- SimHash: 60-bit signature as ONE Catalyst aggregation (60 codegen'd
+  sum expressions, no UDF); candidate blocking by pigeonhole on 4 ×
+  15-bit chunks is **lossless** for hamming ≤ 3 (4 chunks, ≤3 flipped
+  bits → some chunk equal), so Spark output == all-pairs oracle by
+  construction, at inverted-join cost.
+- n-gram Jaccard: inverted shingle join (pairs sharing ≥1 shingle)
+  with CSR-style intersection counts — the exact-but-scalable path.
+- embedding cosine near-dup / ANN: JVM-side float math via
+  ``F.aggregate(zip_with(...))`` (no Python in the hot loop); the
+  brute-force top-k broadcasts the query vector; the IVF variant
+  prunes to the probed partitions' candidates first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+OPS: list[tuple[str, QueryFn, str | None]] = []
+
+
+def op(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        OPS.append((name, fn, oracle))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared corpus derivations (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zq extra tail' AS text
+  FROM documents WHERE doc_id % 11 = 0
+)
+""".strip()
+
+#: tokenized corpus + 0-based->1-based shingle construction (DuckDB)
+SHINGLE_CTE = (
+    CORPUS_CTE
+    + """,
+ctoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM corpus
+),
+shingles AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM ctoks, UNNEST(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+)"""
+)
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zq extra tail")).alias("text"),
+    )
+    return d.unionByName(dup).unionByName(near)
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct trigram shingles per doc, Catalyst-only (0-based toks)."""
+    c = corpus_df(spark, sf_dir).withColumn(
+        "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    return (
+        c.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def _pair_jaccard(cand: DataFrame, sh: DataFrame, thresh: float) -> DataFrame:
+    """Exact Jaccard for candidate (a, b) pairs via relational
+    shingle-intersection (never materializes all pairs)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b2"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, (F.col("b") == F.col("b2")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jac") >= thresh)
+        .select("a", "b", "jac")
+        .orderBy("a", "b")
+    )
+
+
+#: DuckDB twin of the exact pair-Jaccard over ALL pairs (oracle).
+def _jaccard_oracle(thresh: float) -> str:
+    return f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM shingles s1 JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2)
+SELECT a, b, round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) AS jac
+FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) >= {thresh}
+ORDER BY a, b
+""".strip()
+
+
+# ===========================================================================
+# 1. exact dedup — hash groupBy (map-side partial agg; text never shuffles)
+# ===========================================================================
+
+@op(
+    "q_dedup_exact",
+    f"""WITH {CORPUS_CTE}
+SELECT md5(text) AS text_hash, count(*) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+ORDER BY keep_id""",
+)
+def q_dedup_exact(spark, sf_dir):
+    c = corpus_df(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("keep_id")
+    )
+
+
+# ===========================================================================
+# 2. MinHash + LSH near-dup (shingle → minhash → band → bucket join)
+# ===========================================================================
+
+_MH_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+_MH_ROWS, _MH_BANDS = 3, 40  # 120 hashes; P(miss | J=0.7) < 1e-8
+
+
+def _mh_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)  # pinned seed — part of the op contract
+    n = _MH_ROWS * _MH_BANDS
+    a = rng.integers(1, _MH_P, n, dtype=np.uint64)
+    b = rng.integers(0, _MH_P, n, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bhash) signature rows, built per-partition in
+    mapInPandas (numpy matrix min — no per-row Python)."""
+    a, b = _mh_params()
+    rows, bands = _MH_ROWS, _MH_BANDS
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.lower().str.findall(r"[a-z0-9]+")
+            out_doc, out_band, out_hash = [], [], []
+            for doc_id, tl in zip(pdf["doc_id"].tolist(), toks.tolist()):
+                if len(tl) < 3:
+                    continue
+                sh = np.array(
+                    [" ".join(tl[i : i + 3]) for i in range(len(tl) - 2)],
+                    dtype=object,
+                )
+                base = pd.util.hash_array(np.unique(sh)).astype(np.uint64)
+                # sig[i] = min((a_i * base + b_i) mod p)
+                m = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MH_P)
+                s = m.min(axis=1)  # (rows*bands,)
+                bh = s.reshape(bands, rows)
+                # band hash: splitmix-style mix of the r row values
+                acc = np.zeros(bands, np.uint64)
+                for r in range(rows):
+                    acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ bh[:, r]
+                out_doc.extend([doc_id] * bands)
+                out_band.extend(range(bands))
+                out_hash.extend(acc.astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band": out_band, "bhash": out_hash}
+            )
+
+    return corpus_df(spark, sf_dir).repartition(8).mapInPandas(
+        sig, "doc_id long, band int, bhash long"
+    )
+
+
+@op("q_dedup_minhash_lsh", _jaccard_oracle(0.7))
+def q_dedup_minhash_lsh(spark, sf_dir):
+    bands_df = _minhash_bands(spark, sf_dir)
+    x = bands_df.select("band", "bhash", F.col("doc_id").alias("a"))
+    y = bands_df.select("band", "bhash", F.col("doc_id").alias("b"))
+    cand = (
+        x.join(y, ["band", "bhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _pair_jaccard(cand, shingles_df(spark, sf_dir), 0.7)
+
+
+# ===========================================================================
+# 3. n-gram Jaccard near-dup — exact inverted-shingle join (no LSH)
+# ===========================================================================
+
+@op("q_dedup_ngram_jaccard", _jaccard_oracle(0.7))
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = shingles_df(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    cand = (
+        sa.join(sb, (F.col("sh") == F.col("sh_b")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    return _pair_jaccard(cand, sh, 0.7)
+
+
+# ===========================================================================
+# 4. SimHash near-dup — 60-bit signature in ONE Catalyst aggregation;
+#    pigeonhole chunk blocking is lossless for hamming <= 3
+# ===========================================================================
+
+_SH_BITS = 60
+_SH_CHUNKS = 4  # 4 x 15-bit chunks; hamming<=3 => >=1 chunk equal
+
+
+def _simhash_sql_duck() -> str:
+    bit_sums = "\n    + ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(_SH_BITS)
+    )
+    return f"""
+tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM corpus),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM tokens GROUP BY doc_id, term),
+sims AS (
+  SELECT doc_id, ({bit_sums}) AS simhash
+  FROM tf GROUP BY doc_id)
+""".strip()
+
+
+@op(
+    "q_dedup_simhash",
+    f"""WITH {CORPUS_CTE},
+{_simhash_sql_duck()}
+SELECT s1.doc_id AS a, s2.doc_id AS b,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+FROM sims s1 JOIN sims s2 ON s1.doc_id < s2.doc_id
+WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+ORDER BY a, b""",
+)
+def q_dedup_simhash(spark, sf_dir):
+    c = corpus_df(spark, sf_dir)
+    tokens = c.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "term"
+        ),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+    )
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(1) == 1, F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            )
+            > 0,
+            F.lit(1 << j),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias(f"b{j}")
+        for j in range(_SH_BITS)
+    ]
+    sims = (
+        tf.groupBy("doc_id")
+        .agg(*bit_aggs)
+        .select(
+            "doc_id",
+            sum([F.col(f"b{j}") for j in range(_SH_BITS)], F.lit(0).cast("long")).alias(
+                "simhash"
+            ),
+        )
+    )
+    # pigeonhole blocking: explode 15-bit chunks, self-join per chunk
+    chunks = sims.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("c"),
+                        F.shiftright("simhash", ci * 15)
+                        .bitwiseAND(0x7FFF)
+                        .alias("v"),
+                    )
+                    for ci in range(_SH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.c", "ch.v")
+    xa = chunks.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"), "c", "v"
+    )
+    xb = chunks.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "c", "v"
+    )
+    cand = (
+        xa.join(xb, ["c", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
+
+
+# ===========================================================================
+# 5. embedding near-dup + ANN (cosine, JVM-side vector math)
+# ===========================================================================
+
+EMB_CTE = """
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.02)
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+""".strip()
+
+
+def emb_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(e, x -> x + 0.02d)").alias("e"),
+    )
+    return e.unionByName(planted)
+
+
+#: cosine(a, b) as a Column expression (whole-stage codegen, no UDF)
+def _cos(a: str, b: str):
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (s, x) -> s + x)"
+    )
+    na = F.sqrt(F.expr(f"aggregate({a}, 0d, (s, x) -> s + x * x)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, 0d, (s, x) -> s + x * x)"))
+    return dot / (na * nb)
+
+
+@op(
+    "q_neardup_cosine",
+    f"""WITH {EMB_CTE}
+SELECT e1.vec_id AS a, e2.vec_id AS b,
+       round(list_cosine_similarity(e1.e, e2.e), 4) AS cos
+FROM emb e1 JOIN emb e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.e, e2.e) >= 0.9
+ORDER BY a, b""",
+)
+def q_neardup_cosine(spark, sf_dir):
+    e = emb_df(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = _cos("ea", "eb")
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.9)
+        .select("a", "b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("a", "b")
+    )
+
+
+@op(
+    "q_ann_topk_brute",
+    f"""WITH {EMB_CTE},
+q AS (SELECT e AS qe FROM emb WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos
+FROM emb, q WHERE vec_id != 0
+ORDER BY round(list_cosine_similarity(e, qe), 4) DESC, vec_id LIMIT 10""",
+)
+def q_ann_topk_brute(spark, sf_dir):
+    e = emb_df(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(_cos("e", "qe"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+@op(
+    "q_ann_ivf",
+    f"""WITH {EMB_CTE},
+cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT emb.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY emb.vec_id
+             ORDER BY list_cosine_similarity(e, ce) DESC, cid) AS rn
+    FROM emb, cent) WHERE rn = 1),
+q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY list_cosine_similarity(ce, qe) DESC, cid) AS rn
+    FROM cent, q) WHERE rn <= 4),
+cands AS (
+  SELECT vec_id FROM assign
+  WHERE cid IN (SELECT cid FROM probes) AND vec_id != 0)
+SELECT emb.vec_id, round(list_cosine_similarity(e, qe), 4) AS cos
+FROM emb JOIN cands ON emb.vec_id = cands.vec_id, q
+ORDER BY round(list_cosine_similarity(e, qe), 4) DESC, emb.vec_id LIMIT 10""",
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: nearest-of-16-centroid partition assignment
+    (deterministic 'training': centroids = first 16 vectors), probe the
+    4 centroids nearest the query, exact rerank within probed lists."""
+    e = emb_df(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    assign = (
+        e.join(F.broadcast(cent))
+        .withColumn("csim", _cos("e", "ce"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    probes = (
+        cent.join(F.broadcast(q))
+        .withColumn("qsim", _cos("ce", "qe"))
+        .orderBy(F.desc("qsim"), "cid")
+        .limit(4)
+        .select("cid")
+    )
+    cands = (
+        assign.join(F.broadcast(probes), "cid", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    return (
+        e.join(cands, "vec_id", "left_semi")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(_cos("e", "qe"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# 6. text analysis: language-ID, quality, token counts, fingerprints
+# ===========================================================================
+
+_LANG_MARKERS = {
+    "query": ("scan", "table", "merge", "join", "filter", "index"),
+    "data": ("data", "value", "key", "row", "column", "batch"),
+    "perf": ("fast", "slow", "small", "large", "cache", "memory"),
+}
+
+
+def _lang_case_duck() -> str:
+    ratios = {
+        lang: "("
+        + " + ".join(
+            f"len(list_filter(toks, t -> t = '{m}'))" for m in ms
+        )
+        + ")"
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    q, d, p = ratios["query"], ratios["data"], ratios["perf"]
+    return (
+        f"CASE WHEN {q} >= {d} AND {q} >= {p} THEN 'query' "
+        f"WHEN {d} >= {p} THEN 'data' ELSE 'perf' END"
+    )
+
+
+@op(
+    "q_lang_id",
+    f"""WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents)
+SELECT {_lang_case_duck()} AS pred_lang, count(*) AS cnt
+FROM docs GROUP BY 1 ORDER BY pred_lang""",
+)
+def q_lang_id(spark, sf_dir):
+    """Marker-token language-ID heuristic (n-gram LID family): score
+    each doc against per-class marker lexicons, argmax with a pinned
+    tie order (query > data > perf)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    )
+    def _count(marker: str):
+        return F.size(F.filter("toks", lambda t: t == F.lit(marker)))
+
+    scores = {
+        lang: sum((_count(m) for m in ms), F.lit(0))
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["query"] >= scores["data"]) & (scores["query"] >= scores["perf"]),
+            "query",
+        )
+        .when(scores["data"] >= scores["perf"], "data")
+        .otherwise("perf")
+    )
+    return (
+        d.select(pred.alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("pred_lang")
+    )
+
+
+@op(
+    "q_quality_score",
+    """WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+         (SELECT avg(strlen(t)) FROM unnest(toks) AS u(t)) AS avg_len
+  FROM docs WHERE len(toks) > 0)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+  round(0.4 * least(n_toks / 100.0, 1.0) + 0.3 * uniq_ratio
+        + 0.3 * least(avg_len / 6.0, 1.0), 4) AS quality
+FROM feats ORDER BY quality DESC, doc_id LIMIT 30""",
+)
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: length + lexical-diversity + mean
+    token length, combined with pinned weights (pipeline filter stage)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    )
+    feats = d.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "uniq_ratio"
+        ),
+        F.expr(
+            "aggregate(toks, 0d, (s, t) -> s + length(t)) / size(toks)"
+        ).alias("avg_len"),
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_toks") / 100.0, F.lit(1.0))
+        + 0.3 * F.col("uniq_ratio")
+        + 0.3 * F.least(F.col("avg_len") / 6.0, F.lit(1.0)),
+        4,
+    )
+    return (
+        feats.select("doc_id", "n_toks", quality.alias("quality"))
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(30)
+    )
+
+
+@op(
+    "q_token_count",
+    """SELECT source,
+  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS word_toks,
+  CAST(sum(len(regexp_extract_all(lower(text), '[aeiou]+|[^aeiou\\s]+'))) AS BIGINT) AS sub_toks
+FROM documents GROUP BY source ORDER BY source""",
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace/word tokens + a BPE-ish sub-token
+    regex (vowel-run / consonant-run split) — the cost estimator of a
+    training-data pipeline."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            ).cast("long").alias("word_toks"),
+            F.sum(
+                F.size(
+                    F.expr(
+                        "regexp_extract_all(lower(text), '[aeiou]+|[^aeiou\\\\s]+', 0)"
+                    )
+                )
+            ).cast("long").alias("sub_toks"),
+        )
+        .orderBy("source")
+    )
+
+
+@op(
+    "q_fingerprint",
+    f"""WITH {SHINGLE_CTE},
+fps AS (SELECT doc_id, min(md5(sh)) AS fp FROM shingles GROUP BY doc_id)
+SELECT fp, count(*) AS cnt, CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM fps GROUP BY fp HAVING count(*) > 1
+ORDER BY keep_id""",
+)
+def q_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: min over md5(shingle) —
+    collision groups are dup candidates at one-value-per-doc cost."""
+    sh = shingles_df(spark, sf_dir)
+    fps = sh.groupBy("doc_id").agg(F.min(F.md5("sh")).alias("fp"))
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").cast("long").alias("keep_id"))
+        .filter(F.col("cnt") > 1)
+        .orderBy("keep_id")
+    )

@@ -158,7 +158,8 @@ register(
 # SQL-CHECK battery (SURVEY §2): the wider Solr operator surface.
 # ---------------------------------------------------------------------------
 
-from lucene_solr_spark.operators import solr_battery  # noqa: E402
+from lucene_solr_spark.operators import multimodal, solr_battery, textpipe  # noqa: E402
 
-for _name, _fn, _oracle in solr_battery.OPS:
-    register(_name, _fn, _oracle)
+for _mod in (solr_battery, textpipe, multimodal):
+    for _name, _fn, _oracle in _mod.OPS:
+        register(_name, _fn, _oracle)

@@ -1,0 +1,72 @@
+"""Training-data pipeline op tests: planted-duplicate recovery, LSH
+recall vs the exact inverted-join path, IVF recall vs brute force,
+multimodal plumbing (schema, batch shapes, media-column pruning)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators import multimodal, textpipe
+
+
+def test_exact_dedup_finds_planted(spark, sf_dir):
+    got = textpipe.q_dedup_exact(spark, sf_dir).toPandas()
+    # every doc_id % 7 == 0 doc has an exact copy planted
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uniq_texts = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.md5("text")).distinct().count()
+    )
+    assert len(got) == uniq_texts
+    assert (got.n_dups >= 2).all()
+
+
+def test_minhash_equals_exact_ngram(spark, sf_dir):
+    """LSH candidates + exact verify must reproduce the exact
+    inverted-join result (recall check at J >= 0.7)."""
+    a = textpipe.q_dedup_minhash_lsh(spark, sf_dir).toPandas()
+    b = textpipe.q_dedup_ngram_jaccard(spark, sf_dir).toPandas()
+    assert list(zip(a.a, a.b, a.jac)) == list(zip(b.a, b.b, b.jac))
+    assert len(a) > 0
+
+
+def test_simhash_planted_exact_pairs(spark, sf_dir):
+    got = textpipe.q_dedup_simhash(spark, sf_dir).toPandas()
+    # exact dups (same text) have identical simhash → hamming 0 rows exist
+    assert (got.hamming == 0).any()
+    assert (got.hamming <= 3).all()
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    brute = textpipe.q_ann_topk_brute(spark, sf_dir).toPandas()
+    ivf = textpipe.q_ann_ivf(spark, sf_dir).toPandas()
+    recall = len(set(ivf.vec_id) & set(brute.vec_id)) / len(brute)
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+    # the planted near-identical vector of the query must be found
+    assert 100000 in set(ivf.vec_id)
+
+
+def test_multimodal_features_schema_and_determinism(spark, sf_dir):
+    a = multimodal.q_multimodal_features(spark, sf_dir).toPandas()
+    b = multimodal.q_multimodal_features(spark, sf_dir).toPandas()
+    assert list(a.columns) == ["doc_id", "kind", "n_bytes", "f_mean", "f_head", "f_crc"]
+    assert a.equals(b)  # deterministic fake decode
+    assert set(a.kind) == {"image", "audio", "video"}
+    assert (a.n_bytes > 0).all()
+
+
+def test_multimodal_frame_sample_shapes(spark, sf_dir):
+    f = multimodal.q_multimodal_frame_sample(spark, sf_dir).toPandas()
+    assert (f.frame_idx % 4 == 0).all()
+    assert (f.frame_bytes.between(1, 64)).all()
+
+
+def test_multimodal_meta_prunes_media(spark, sf_dir):
+    """Metadata-only aggregate over n_chars must not read the media
+    payload column from parquet (column pruning at 100 TB)."""
+    m = multimodal.media_df(spark, sf_dir)
+    plan = m.groupBy("kind").agg(F.avg("meta.n_chars")).explain
+    q = m.groupBy("kind").agg(F.round(F.avg("meta.n_chars"), 4).alias("a"))
+    optimized = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "text#" not in optimized.split("Relation")[0], optimized
+    _ = plan
