@@ -135,18 +135,33 @@ def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0) -> dict:
         term_change[0] = True
         term_change[1:] = p_term[1:] != p_term[:-1]
         term_starts = np.append(np.nonzero(term_change)[0], len(run_starts)).astype(np.int64)
-        packed = codec.pack_all_postings(
+        packed = codec.pack_all_postings_flat(
             term_starts, p_doc, tf, doc_len[p_doc], positions=p_s
         )
         df_per_term = np.diff(term_starts)
         cf_per_term = np.add.reduceat(tf, term_starts[:-1])
     else:
         term_starts = np.array([0], np.int64)
-        packed = codec.pack_all_postings(term_starts[:0], *([np.empty(0, np.int64)] * 3))
+        packed = codec.pack_all_postings_flat(term_starts[:0], *([np.empty(0, np.int64)] * 3))
         df_per_term = np.empty(0, np.int64)
         cf_per_term = np.empty(0, np.int64)
 
-    _list_arr = _list_arr_from
+    # Arrow columns straight from the flat codec output — the offset
+    # vectors ARE the Arrow List/Binary layouts (zero per-term Python).
+    blk_offs = packed["blk_offsets"]
+
+    def _la(flat: np.ndarray) -> pa.Array:
+        return pa.ListArray.from_arrays(
+            pa.array(blk_offs.astype(np.int32)),
+            pa.array(np.asarray(flat).astype(np.int32)),
+        )
+
+    def _ba(term_offs: np.ndarray, data: bytes) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(),
+            len(term_offs) - 1,
+            [None, pa.py_buffer(term_offs.astype(np.int32).tobytes()), pa.py_buffer(data)],
+        )
 
     postings = pa.table(
         {
@@ -155,15 +170,15 @@ def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0) -> dict:
             "term": pa.array(terms_sorted.astype(str) if len(terms_sorted) else [], pa.string()),
             "df": pa.array(df_per_term.astype(np.int32)),
             "cf": pa.array(cf_per_term.astype(np.int64)),
-            "first_docs": _list_arr(list(packed["first_docs"])),
-            "doc_offs": _list_arr(list(packed["doc_offs"])),
-            "tf_offs": _list_arr(list(packed["tf_offs"])),
-            "pos_offs": _list_arr(list(packed.get("pos_offs", []))),
-            "max_tfs": _list_arr(list(packed["max_tfs"])),
-            "min_dls": _list_arr(list(packed["min_dls"])),
-            "doc_bytes": pa.array(list(packed["doc_bytes"]), pa.binary()),
-            "tf_bytes": pa.array(list(packed["tf_bytes"]), pa.binary()),
-            "pos_bytes": pa.array(list(packed.get("pos_bytes", [])), pa.binary()),
+            "first_docs": _la(packed["first_docs"]),
+            "doc_offs": _la(packed["doc_offs"]),
+            "tf_offs": _la(packed["tf_offs"]),
+            "pos_offs": _la(packed["pos_offs"]),
+            "max_tfs": _la(packed["max_tfs"]),
+            "min_dls": _la(packed["min_dls"]),
+            "doc_bytes": _ba(packed["term_d_offsets"], packed["doc_data"]),
+            "tf_bytes": _ba(packed["term_t_offsets"], packed["tf_data"]),
+            "pos_bytes": _ba(packed["term_p_offsets"], packed["pos_data"]),
         }
     )
 
@@ -205,9 +220,9 @@ def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0) -> dict:
             "ftok_ord": pa.array(ords["ftok"]),
         }
     )
-    bytes_total = sum(len(b) for b in packed["doc_bytes"]) + sum(
-        len(b) for b in packed["tf_bytes"]
-    ) + sum(len(b) for b in packed.get("pos_bytes", []))
+    bytes_total = (
+        len(packed["doc_data"]) + len(packed["tf_data"]) + len(packed["pos_data"])
+    )
     metrics = {
         "n_docs": int(n_docs),
         "sum_dl": int(doc_len.sum()),

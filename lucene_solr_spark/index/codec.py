@@ -135,33 +135,41 @@ def segmented_cumsum(vals: np.ndarray, seg_starts_mask: np.ndarray) -> np.ndarra
     return cs - base[seg_ids]
 
 
-def pack_all_postings(
+def pack_all_postings_flat(
     term_starts: np.ndarray,
     doc_ords: np.ndarray,
     tfs: np.ndarray,
     doc_lens: np.ndarray,
     positions: np.ndarray | None = None,
 ) -> dict:
-    """Encode ALL of a segment's posting lists in one vectorized pass.
+    """Encode ALL posting lists in one pass, returning FLAT arrays +
+    offset vectors (no per-term Python objects).
 
-    Inputs are postings sorted by (term, doc_ord); `term_starts` is the
-    CSR-style boundary array (len T+1). One `pack_varint` call encodes
-    every delta in the segment; per-term slicing of the resulting byte
-    stream is the only Python-level loop (T cheap slice ops).
+    This is the hot build path: per-term structure is expressed as
+    offset arrays that map 1:1 onto Arrow List/Binary layouts, so the
+    segment builder constructs its Arrow columns zero-copy instead of
+    np.split-ing into T small arrays and re-concatenating (which cost
+    ~half the inversion time at 32-way parallelism).
 
-    Returns per-term lists: first_docs, doc_offs, tf_offs, max_tfs,
-    min_dls (numpy arrays per term) and doc_bytes/tf_bytes (bytes per
-    term). With `positions` given (the flat within-doc token positions,
-    one entry per token occurrence, grouped by posting in posting
-    order), also emits pos_offs/pos_bytes — the proximity data Lucene
-    stores for PhraseQuery (`Lucene50PostingsFormat` .pos file analog).
+    Returns: n_terms; blk_offsets (T+1) into the flat per-block arrays
+    first_docs / max_tfs / min_dls / doc_offs / tf_offs (term-relative
+    byte offsets); term_d_offsets / term_t_offsets (T+1) byte ranges
+    into doc_data / tf_data; with positions also pos_offs,
+    term_p_offsets, pos_data.
     """
     n = len(doc_ords)
-    n_terms = len(term_starts) - 1
-    if n == 0:
-        return {k: [] for k in (
-            "first_docs", "doc_offs", "tf_offs", "max_tfs", "min_dls",
-            "doc_bytes", "tf_bytes", "pos_offs", "pos_bytes")}
+    n_terms = len(term_starts) - 1 if len(term_starts) else 0
+    if n == 0 or n_terms <= 0:
+        z = np.zeros(max(n_terms, 0) + 1, np.int64)
+        e = np.empty(0, np.int64)
+        return {
+            "n_terms": max(n_terms, 0),
+            "blk_offsets": z,
+            "first_docs": e, "max_tfs": e, "min_dls": e,
+            "doc_offs": e, "tf_offs": e, "pos_offs": e,
+            "term_d_offsets": z, "term_t_offsets": z, "term_p_offsets": z,
+            "doc_data": b"", "tf_data": b"", "pos_data": b"",
+        }
     df = np.diff(term_starts)
     term_of = np.repeat(np.arange(n_terms), df)
     pos_in_term = np.arange(n) - term_starts[term_of]
@@ -176,51 +184,36 @@ def pack_all_postings(
 
     d_nb = _varint_layout(doc_stream)
     t_nb = _varint_layout(tf_stream)
-    d_pos = np.cumsum(d_nb) - d_nb  # global byte start per value
+    d_pos = np.cumsum(d_nb) - d_nb
     t_pos = np.cumsum(t_nb) - t_nb
     doc_all = pack_varint(doc_stream)
     tf_all = pack_varint(tf_stream)
 
-    # Per-block metadata (global order).
-    blk_bounds = np.append(blk_start_idx, n)
-    first_docs_all = doc_ords[blk_start_idx]
-    max_tf_all = np.maximum.reduceat(tfs, blk_start_idx)
-    min_dl_all = np.minimum.reduceat(doc_lens, blk_start_idx)
-    d_off_all = d_pos[blk_start_idx]
-    t_off_all = t_pos[blk_start_idx]
-
-    # Split per term.
     n_blocks_per_term = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
-    blk_term_bounds = np.cumsum(n_blocks_per_term)[:-1]
+    blk_offsets = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(n_blocks_per_term, out=blk_offsets[1:])
+    blk_term = np.repeat(np.arange(n_terms), n_blocks_per_term)
+
     term_d_start = d_pos[term_starts[:-1]]
     term_t_start = t_pos[term_starts[:-1]]
-    term_d_end = np.append(term_d_start[1:], len(doc_all))
-    term_t_end = np.append(term_t_start[1:], len(tf_all))
+    term_d_offsets = np.append(term_d_start, len(doc_all))
+    term_t_offsets = np.append(term_t_start, len(tf_all))
 
-    first_docs = np.split(first_docs_all, blk_term_bounds)
-    max_tfs = np.split(max_tf_all, blk_term_bounds)
-    min_dls = np.split(min_dl_all, blk_term_bounds)
-    doc_offs = [
-        a - s for a, s in zip(np.split(d_off_all, blk_term_bounds), term_d_start)
-    ]
-    tf_offs = [
-        a - s for a, s in zip(np.split(t_off_all, blk_term_bounds), term_t_start)
-    ]
-    doc_bytes = [doc_all[s:e] for s, e in zip(term_d_start, term_d_end)]
-    tf_bytes = [tf_all[s:e] for s, e in zip(term_t_start, term_t_end)]
-    _ = blk_bounds  # (kept for clarity; block ends are implied)
     out = {
-        "first_docs": first_docs,
-        "doc_offs": doc_offs,
-        "tf_offs": tf_offs,
-        "max_tfs": max_tfs,
-        "min_dls": min_dls,
-        "doc_bytes": doc_bytes,
-        "tf_bytes": tf_bytes,
+        "n_terms": n_terms,
+        "blk_offsets": blk_offsets,
+        "first_docs": doc_ords[blk_start_idx],
+        "max_tfs": np.maximum.reduceat(tfs, blk_start_idx),
+        "min_dls": np.minimum.reduceat(doc_lens, blk_start_idx),
+        "doc_offs": d_pos[blk_start_idx] - term_d_start[blk_term],
+        "tf_offs": t_pos[blk_start_idx] - term_t_start[blk_term],
+        "term_d_offsets": term_d_offsets,
+        "term_t_offsets": term_t_offsets,
+        "doc_data": doc_all,
+        "tf_data": tf_all,
     }
     if positions is not None:
-        # token index per posting: CSR over tf
-        tok_starts = np.cumsum(tfs) - tfs  # first token idx per posting
+        tok_starts = np.cumsum(tfs) - tfs
         pair_first_tok_mask = np.zeros(len(positions), bool)
         pair_first_tok_mask[tok_starts] = True
         pdeltas = np.empty(len(positions), np.int64)
@@ -230,14 +223,48 @@ def pack_all_postings(
         p_nb = _varint_layout(p_stream)
         p_pos = np.cumsum(p_nb) - p_nb
         pos_all = pack_varint(p_stream)
-        p_off_all = p_pos[tok_starts[blk_start_idx]]
         term_p_start = p_pos[tok_starts[term_starts[:-1]]]
-        term_p_end = np.append(term_p_start[1:], len(pos_all))
-        out["pos_offs"] = [
-            a - s
-            for a, s in zip(np.split(p_off_all, blk_term_bounds), term_p_start)
+        out["pos_offs"] = p_pos[tok_starts[blk_start_idx]] - term_p_start[blk_term]
+        out["term_p_offsets"] = np.append(term_p_start, len(pos_all))
+        out["pos_data"] = pos_all
+    return out
+
+
+def pack_all_postings(
+    term_starts: np.ndarray,
+    doc_ords: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    positions: np.ndarray | None = None,
+) -> dict:
+    """Per-term-list view of :func:`pack_all_postings_flat` (compat /
+    test API): first_docs, doc_offs, tf_offs, max_tfs, min_dls as
+    lists of numpy arrays per term; doc_bytes/tf_bytes as bytes per
+    term. The hot build path uses the flat form directly."""
+    f = pack_all_postings_flat(term_starts, doc_ords, tfs, doc_lens, positions)
+    T = f["n_terms"]
+    cuts = f["blk_offsets"][1:-1]
+    out = {
+        "first_docs": list(np.split(f["first_docs"], cuts)),
+        "doc_offs": list(np.split(f["doc_offs"], cuts)),
+        "tf_offs": list(np.split(f["tf_offs"], cuts)),
+        "max_tfs": list(np.split(f["max_tfs"], cuts)),
+        "min_dls": list(np.split(f["min_dls"], cuts)),
+        "doc_bytes": [
+            f["doc_data"][f["term_d_offsets"][i] : f["term_d_offsets"][i + 1]]
+            for i in range(T)
+        ],
+        "tf_bytes": [
+            f["tf_data"][f["term_t_offsets"][i] : f["term_t_offsets"][i + 1]]
+            for i in range(T)
+        ],
+    }
+    if positions is not None:
+        out["pos_offs"] = list(np.split(f["pos_offs"], cuts))
+        out["pos_bytes"] = [
+            f["pos_data"][f["term_p_offsets"][i] : f["term_p_offsets"][i + 1]]
+            for i in range(T)
         ]
-        out["pos_bytes"] = [pos_all[s:e] for s, e in zip(term_p_start, term_p_end)]
     return out
 
 

@@ -7,28 +7,28 @@ Physical plan:
                                                      term-sorted — the
                                                      terms-dict seek)
       → tiny groupBy(term).sum(df) → driver          (Weight binding:
-                                                     global df → idf)
-      → cogroup(postings by seg, docmap by seg)
-        → applyInPandas segment scorer               (vectorized decode,
+                                                     global df → idf,
+                                                     cached per term)
+      → groupBy(seg_id) → applyInPandas scorer       (vectorized decode,
                                                      leapfrog AND,
                                                      block-max WAND)
       → per-segment top-k rows
       → orderBy(score desc, conv, turn).limit(k)     (TakeOrderedAndProject
                                                      ≡ TopDocs.merge)
 
-The docmap side of the cogroup carries (doc_len, conv_id, turn_idx)
-plus the evaluated FILTER predicate — the norms file + fq DocSet,
-loaded per segment exactly as Lucene does.
-
-At 10^12-turn scale the expensive scan is postings; it is pruned two
-ways: Catalyst pushes ``term IN (...)`` into Parquet (row-group
-min/max on the sorted term column), and only manifest-committed
-segment files are listed at all.
+Only the pruned postings rows ever shuffle. The scorer task reads its
+OWN segment's docmap columns (doc_len = norms; conv/turn ids; filter
+fields = fq docvalues) straight from the segment's Parquet on shared
+storage — exactly Lucene's per-segment norms/docvalues access pattern
+(``SegmentReader``), and the property that keeps query cost independent
+of corpus width: a query over 10^12 turns touches q-term postings plus
+the docmaps of segments that contain them, never a corpus-wide shuffle.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +38,9 @@ from lucene_solr_spark.query.model import BooleanSpec
 from lucene_solr_spark.query.scorer import score_segment
 
 RESULT_SCHEMA = "conv_id string, turn_idx int, score double"
+
+#: docmap columns every scorer needs (norms + result ids)
+_BASE_COLS = ["doc_ord", "doc_len", "conv_id", "turn_idx"]
 
 
 class IndexSearcher:
@@ -52,11 +55,18 @@ class IndexSearcher:
         self._postings_files = [f"{d}/postings.parquet" for d in dirs]
         self._docmap_files = [f"{d}/docmap.parquet" for d in dirs]
         self._dict_files = [f"{d}/dicts.parquet" for d in dirs]
+        #: seg_id → segment dir (shipped to scorer tasks; tiny)
+        self.seg_dir_by_id = {
+            int(seg["part"]): os.path.join(index_root, "segments", name)
+            for name, seg in self.manifest.segments.items()
+        }
         # Resolve file listings once (InMemoryFileIndex construction is
         # driver-side overhead we must not pay per query).
         self._postings_df = self.spark.read.parquet(*self._postings_files)
         self._docmap_df = self.spark.read.parquet(*self._docmap_files)
         self._dicts_df = self.spark.read.parquet(*self._dict_files)
+        #: term → global df cache (SolrIndexSearcher filterCache spirit)
+        self._df_cache: dict[str, int] = {}
 
     # -- table handles -------------------------------------------------
     def postings(self) -> DataFrame:
@@ -69,21 +79,29 @@ class IndexSearcher:
         return self._dicts_df
 
     # -- Weight binding ------------------------------------------------
+    def global_df(self, terms: list[str]) -> dict[str, int]:
+        """Index-wide doc freq per term (cached). One tiny aggregation
+        over the term-pruned postings scan for uncached terms."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.postings()
+                .filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            found = {r.term: int(r.df) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
     def global_idf(self, terms: list[str]) -> dict[str, float]:
-        """idf from index-wide df (BM25Similarity.java formula).
-        Aggregation over the pruned postings scan — tiny result."""
+        """idf from index-wide df (BM25Similarity.java formula)."""
         n = self.manifest.n_docs
-        rows = (
-            self.postings()
-            .filter(F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        dfs = {r.term: r.df for r in rows}
+        dfs = self.global_df(terms)
         return {
-            t: math.log(1.0 + (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
-            for t in terms
+            t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms
         }
 
     # -- search --------------------------------------------------------
@@ -94,44 +112,38 @@ class IndexSearcher:
         idf = self.global_idf(all_terms)  # must_not idf unused but keyed
         avgdl = self.manifest.avgdl
         k = spec.k
+        seg_dirs = self.seg_dir_by_id
+        filters = spec.filters
+        dm_cols = _BASE_COLS + sorted(
+            {f for f, _ in filters} - set(_BASE_COLS)
+        )
 
         post = self.postings().filter(F.col("term").isin(all_terms))
 
-        dm = self.docmap()
-        filter_expr = F.lit(True)
-        for fld, val in spec.filters:
-            filter_expr = filter_expr & (F.col(fld) == val)
-        dm_side = dm.select(
-            "seg_id",
-            "doc_ord",
-            "doc_len",
-            "conv_id",
-            "turn_idx",
-            filter_expr.alias("allowed"),
-        )
-
-        has_filters = bool(spec.filters)
-
-        def run_seg(post_pdf, dm_pdf):
-            import numpy as np
+        def run_seg(pdf):
             import pandas as pd
+            import pyarrow.parquet as pq
 
-            if len(dm_pdf) == 0:
-                return pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
-            dm_sorted = dm_pdf.sort_values("doc_ord")
-            doc_len = dm_sorted["doc_len"].to_numpy(np.int64)
-            allowed = (
-                dm_sorted["allowed"].to_numpy(bool) if has_filters else None
-            )
-            term_rows = {
-                r["term"]: r for _, r in post_pdf.iterrows()
-            }
+            seg_id = int(pdf["seg_id"].iloc[0])
+            # per-segment docvalues/norms read — segment-local, no shuffle
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()  # written sorted by doc_ord
+            doc_len = dm["doc_len"].to_numpy("int64")
+            allowed = None
+            if filters:
+                mask = None
+                for fld, val in filters:
+                    m = (dm[fld] == val).to_numpy(bool)
+                    mask = m if mask is None else (mask & m)
+                allowed = mask
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             docs, scores = score_segment(
                 spec, term_rows, idf, avgdl, doc_len, allowed, k
             )
             if len(docs) == 0:
                 return pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
-            sel = dm_sorted.iloc[docs]
+            sel = dm.iloc[docs]
             return pd.DataFrame(
                 {
                     "conv_id": sel["conv_id"].to_numpy(),
@@ -140,11 +152,7 @@ class IndexSearcher:
                 }
             )
 
-        hits = (
-            post.groupby("seg_id")
-            .cogroup(dm_side.groupby("seg_id"))
-            .applyInPandas(run_seg, schema=RESULT_SCHEMA)
-        )
+        hits = post.groupBy("seg_id").applyInPandas(run_seg, schema=RESULT_SCHEMA)
         if round_to is not None:
             hits = hits.withColumn("score", F.round("score", round_to))
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)

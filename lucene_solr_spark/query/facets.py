@@ -63,64 +63,77 @@ def _overrequest(limit: int) -> int:
 
 
 def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> DataFrame:
-    """Per-segment sparse ordinal counts: (seg_id, term_ord, cnt)."""
+    """Per-segment sparse ordinal counts: (seg_id, term_ord, cnt).
+
+    No docmap shuffle: each counting task reads its OWN segment's
+    ordinal column straight from the segment Parquet (the per-segment
+    docvalues access of ``DocValuesFacets#getCounts``). With a query
+    domain, only the term-pruned postings rows shuffle; with a
+    MatchAllDocs domain, only a seg_id list does.
+    """
     ord_col = f"{req.field}_ord"
-    dm_side = searcher.docmap().select("seg_id", "doc_ord", "doc_len", ord_col)
+    seg_dirs = searcher.seg_dir_by_id
 
-    if spec is None:
-        # MatchAllDocs domain: count every doc's ordinal, still sparse
-        # per batch (no dense counter sized to field cardinality).
-        def count_all(pdf: pd.DataFrame) -> pd.DataFrame:
-            ords = pdf[ord_col].to_numpy(np.int64)
-            ords = ords[ords >= 0]  # drop missing (-1), Lucene semantics
-            uniq, cnt = np.unique(ords, return_counts=True)
-            return pd.DataFrame(
-                {
-                    "seg_id": np.full(len(uniq), pdf["seg_id"].iloc[0], np.int32),
-                    "term_ord": uniq.astype(np.int32),
-                    "cnt": cnt.astype(np.int64),
-                }
-            )
-
-        return dm_side.groupBy("seg_id").applyInPandas(count_all, PARTIAL_SCHEMA)
-
-    all_terms = list(dict.fromkeys(spec.scoring_terms + tuple(spec.must_not)))
-    post = searcher.postings().filter(F.col("term").isin(all_terms))
-    filter_expr = F.lit(True)
-    for fld, val in spec.filters:
-        filter_expr = filter_expr & (F.col(fld) == val)
-    has_filters = bool(spec.filters)
-    dm_cols = searcher.docmap().select(
-        "seg_id", "doc_ord", "doc_len", ord_col, filter_expr.alias("allowed")
-    )
-
-    def count_hits(post_pdf: pd.DataFrame, dm_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(dm_pdf) == 0:
-            return pd.DataFrame({"seg_id": [], "term_ord": [], "cnt": []}).astype(
-                {"seg_id": np.int32, "term_ord": np.int32, "cnt": np.int64}
-            )
-        dm_sorted = dm_pdf.sort_values("doc_ord")
-        n_docs = len(dm_sorted)
-        allowed = dm_sorted["allowed"].to_numpy(bool) if has_filters else None
-        term_rows = {r["term"]: r for _, r in post_pdf.iterrows()}
-        max_dl = int(dm_sorted["doc_len"].max()) if n_docs else 0
-        hits = match_segment(spec, term_rows, n_docs, allowed, max_dl)
-        ords = dm_sorted[ord_col].to_numpy(np.int64)[hits]
-        ords = ords[ords >= 0]
+    def _count_ords(seg_id: int, hits: np.ndarray | None, ords: np.ndarray) -> pd.DataFrame:
+        if hits is not None:
+            ords = ords[hits]
+        ords = ords[ords >= 0]  # drop missing (-1), Lucene semantics
         uniq, cnt = np.unique(ords, return_counts=True)  # sparse counter
         return pd.DataFrame(
             {
-                "seg_id": np.full(len(uniq), dm_sorted["seg_id"].iloc[0], np.int32),
+                "seg_id": np.full(len(uniq), seg_id, np.int32),
                 "term_ord": uniq.astype(np.int32),
                 "cnt": cnt.astype(np.int64),
             }
         )
 
-    return (
-        post.groupby("seg_id")
-        .cogroup(dm_cols.groupby("seg_id"))
-        .applyInPandas(count_hits, PARTIAL_SCHEMA)
+    if spec is None:
+        seg_df = searcher.spark.createDataFrame(
+            [(s,) for s in sorted(seg_dirs)], "seg_id int"
+        ).repartition(len(seg_dirs), "seg_id")
+
+        def count_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            ords = (
+                pq.read_table(f"{seg_dirs[seg_id]}/docmap.parquet", columns=[ord_col])
+                .column(ord_col)
+                .to_numpy()
+                .astype(np.int64)
+            )
+            return _count_ords(seg_id, None, ords)
+
+        return seg_df.groupBy("seg_id").applyInPandas(count_all, PARTIAL_SCHEMA)
+
+    all_terms = list(dict.fromkeys(spec.scoring_terms + tuple(spec.must_not)))
+    post = searcher.postings().filter(F.col("term").isin(all_terms))
+    filters = spec.filters
+    dm_cols = ["doc_ord", "doc_len", ord_col] + sorted(
+        {f for f, _ in filters} - {"doc_ord", "doc_len", ord_col}
     )
+
+    def count_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        seg_id = int(pdf["seg_id"].iloc[0])
+        dm = pq.read_table(
+            f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+        ).to_pandas()  # written sorted by doc_ord
+        n_docs = len(dm)
+        allowed = None
+        if filters:
+            mask = None
+            for fld, val in filters:
+                m = (dm[fld] == val).to_numpy(bool)
+                mask = m if mask is None else (mask & m)
+            allowed = mask
+        term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+        max_dl = int(dm["doc_len"].max()) if n_docs else 0
+        hits = match_segment(spec, term_rows, n_docs, allowed, max_dl)
+        return _count_ords(seg_id, hits, dm[ord_col].to_numpy(np.int64))
+
+    return post.groupBy("seg_id").applyInPandas(count_hits, PARTIAL_SCHEMA)
 
 
 def _with_terms(searcher, partials: DataFrame, field: str) -> DataFrame:
