@@ -256,15 +256,25 @@ def build_index(
     num_parts: int = 32,
     resume: bool = True,
     lineage_source: str = "",
+    part_offset: int = 0,
+    seg_prefix: str = "",
+    extra_lineage: dict | None = None,
 ) -> Manifest:
-    """Build (or resume building) the inverted index for a transcripts DF."""
+    """Build (or resume building) the inverted index for a transcripts DF.
+
+    ``part_offset``/``seg_prefix`` give appended builds (streaming
+    micro-batches, N1) a disjoint segment-id/name space so snapshots
+    accumulate segments instead of colliding.
+    """
     manifest = Manifest.load(out_root)
     done = manifest.committed_parts() if resume else set()
 
     with_part = transcripts.withColumn(
-        "part", F.pmod(F.xxhash64("conv_id"), F.lit(num_parts)).cast("int")
+        "part",
+        (F.pmod(F.xxhash64("conv_id"), F.lit(num_parts)).cast("int")
+         + F.lit(part_offset)),
     )
-    todo = [p for p in range(num_parts) if p not in done]
+    todo = [p for p in range(part_offset, part_offset + num_parts) if p not in done]
     if not todo:
         return manifest
     if done:
@@ -275,7 +285,7 @@ def build_index(
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["part"].iloc[0])
-        seg_name = f"seg_{part:05d}"
+        seg_name = f"{seg_prefix}seg_{part:05d}"
         seg = build_segment_pdf(pdf.drop(columns=["part"]), seg_id=part)
         write_segment(seg, os.path.join(seg_root, seg_name))
         m = seg["metrics"]
@@ -318,6 +328,7 @@ def build_index(
             "num_parts": num_parts,
             "parts_built": [r.part for r in rows],
             "rows": int(sum(r.n_docs for r in rows)),
+            **(extra_lineage or {}),
         },
     )
     return manifest

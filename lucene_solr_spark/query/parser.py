@@ -1,0 +1,122 @@
+"""Query-string parser → :class:`BooleanSpec` (SURVEY §2.2 P16).
+
+A compact recursive-descent parser for the Lucene classic-syntax
+subset the engine executes — the re-expression of
+``lucene/queryparser/classic/QueryParser.jj`` (javacc grammar) and
+Solr's ``QParser``/``ExtendedDismaxQParser`` front door:
+
+    merge sort             two SHOULD terms (default OR, mm honors q.op)
+    +merge window          MUST + SHOULD      (Occur prefixes)
+    merge -stream          SHOULD + MUST_NOT
+    "table scan"           exact PhraseQuery
+    role:assistant         field FILTER (non-scoring fq, StrField match)
+    merge AND sort         boolean operators (AND → both MUST)
+    merge OR sort          explicit OR
+
+Query-time text analysis uses the SAME pinned analyzer as indexing
+(``Analyzer`` invariant): every bare term and phrase word passes
+through :func:`tokenize_one` before hitting the index, so e.g.
+``MERGE`` and ``merge`` are one term.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lucene_solr_spark.analyzer import tokenize_one
+from lucene_solr_spark.query.model import BooleanSpec
+
+#: fields that parse as non-scoring filters (our StrField schema)
+FILTER_FIELDS = ("role", "tool")
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<phrase>[+-]?"[^"]*")
+  | (?P<field>[A-Za-z_][A-Za-z0-9_]*:[^\s]+)
+  | (?P<op>AND|OR|NOT)(?=\s|$)
+  | (?P<term>[+-]?[^\s]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
+    """Parse a query string into the normalized BooleanSpec IR.
+
+    default_op='AND' mirrors Solr's ``q.op=AND`` (all bare terms MUST);
+    'OR' leaves bare terms SHOULD with min_should_match=1 when no MUST
+    clause exists (Lucene BooleanQuery semantics).
+    """
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    phrases: list[tuple[str, ...]] = []
+    filters: list[tuple[str, str]] = []
+
+    pending_op: str | None = None
+    prev_bare: str | None = None  # last bare SHOULD term (for AND join)
+    negate_next = False
+
+    for m in _TOKEN_RE.finditer(query):
+        kind = m.lastgroup
+        tok = m.group()
+        if kind == "op":
+            if tok == "NOT":
+                negate_next = True
+            else:
+                pending_op = tok
+            continue
+
+        occur = ""
+        if tok[0] in "+-":
+            occur, tok = tok[0], tok[1:]
+        if negate_next:
+            occur, negate_next = "-", False
+
+        if kind == "phrase":
+            words = tuple(
+                w for part in tok.strip('"').split() for w in tokenize_one(part)
+            )
+            if words:
+                phrases.append(words)
+            prev_bare = None
+        elif kind == "field":
+            fld, _, val = tok.partition(":")
+            if fld in FILTER_FIELDS:
+                filters.append((fld, val))
+            else:  # unknown field → treat value as a term on the text
+                for w in tokenize_one(val):
+                    (must_not if occur == "-" else should).append(w)
+            prev_bare = None
+        else:  # bare term
+            words = tokenize_one(tok)
+            if not words:
+                continue
+            for w in words:
+                if occur == "+":
+                    must.append(w)
+                elif occur == "-":
+                    must_not.append(w)
+                elif pending_op == "AND" or default_op == "AND":
+                    # AND joins: promote both operands to MUST
+                    if pending_op == "AND" and prev_bare is not None:
+                        if prev_bare in should:
+                            should.remove(prev_bare)
+                        if prev_bare not in must:
+                            must.append(prev_bare)
+                    must.append(w)
+                else:
+                    should.append(w)
+            prev_bare = words[-1] if occur == "" else None
+        pending_op = None
+
+    mm = 1 if (should and not must and not phrases) else 0
+    return BooleanSpec(
+        must=tuple(dict.fromkeys(must)),
+        should=tuple(dict.fromkeys(should)),
+        must_not=tuple(dict.fromkeys(must_not)),
+        phrases=tuple(phrases),
+        min_should_match=mm,
+        filters=tuple(filters),
+        k=k,
+    )

@@ -1,0 +1,56 @@
+"""Query parser tests (TestSolrQueryParser spirit): string syntax →
+BooleanSpec IR, analyzer applied at query time, end-to-end parity with
+the hand-built spec through the index engine."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.query.model import BooleanSpec
+from lucene_solr_spark.query.parser import parse
+
+
+@pytest.mark.parametrize("q,want", [
+    ("merge", BooleanSpec(should=("merge",), min_should_match=1)),
+    ("merge sort", BooleanSpec(should=("merge", "sort"), min_should_match=1)),
+    ("+merge window", BooleanSpec(must=("merge",), should=("window",))),
+    ("merge -stream",
+     BooleanSpec(should=("merge",), must_not=("stream",), min_should_match=1)),
+    ('"table scan"', BooleanSpec(phrases=(("table", "scan"),))),
+    ("role:assistant +query",
+     BooleanSpec(must=("query",), filters=(("role", "assistant"),))),
+    ("merge AND sort", BooleanSpec(must=("merge", "sort"))),
+    ("merge OR sort", BooleanSpec(should=("merge", "sort"), min_should_match=1)),
+    ("NOT stream +join", BooleanSpec(must=("join",), must_not=("stream",))),
+    ('MERGE "Table SCAN"',
+     BooleanSpec(should=("merge",), phrases=(("table", "scan"),))),
+])
+def test_parse_shapes(q, want):
+    got = parse(q)
+    assert got.must == want.must, q
+    assert got.should == want.should, q
+    assert got.must_not == want.must_not, q
+    assert got.phrases == want.phrases, q
+    assert got.filters == want.filters, q
+    assert got.min_should_match == want.min_should_match, q
+
+
+def test_default_op_and():
+    got = parse("merge sort", default_op="AND")
+    assert got.must == ("merge", "sort")
+    assert got.should == ()
+
+
+def test_parse_end_to_end(spark, sf_dir, tmp_path_factory):
+    """Parsed query == hand-built spec through the real engine."""
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path_factory.mktemp("pidx"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+    s = IndexSearcher(spark, root)
+    a = s.search(parse("+sort +window", k=10)).toPandas()
+    b = s.search(BooleanSpec(must=("sort", "window"), k=10)).toPandas()
+    assert a.equals(b)

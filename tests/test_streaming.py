@@ -1,0 +1,93 @@
+"""Incremental/NRT build tests (SURVEY §2.8 N1/N2): streamed
+micro-batches must yield the same answers as a one-shot batch build;
+batch replay must be idempotent; compaction of micro-segments must
+preserve answers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.index.build import build_index
+from lucene_solr_spark.index.manifest import Manifest
+from lucene_solr_spark.index.merge import merge_segments
+from lucene_solr_spark.query.executor import IndexSearcher
+from lucene_solr_spark.query.model import BooleanSpec
+from lucene_solr_spark.streaming.incremental import IncrementalIndexer
+from lucene_solr_spark.transcripts import transcripts_from_documents
+
+SPECS = [
+    BooleanSpec(must=("merge",), k=10),
+    BooleanSpec(should=("fast", "slow"), min_should_match=1, k=10),
+    BooleanSpec(phrases=(("table", "scan"),), k=10),
+]
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, sf_dir, tmp_path_factory):
+    """Index built through a real Structured Streaming query over the
+    transcripts written as 3 parquet chunks, drained with AvailableNow."""
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "src")
+    t = transcripts_from_documents(spark, sf_dir)
+    # 3 files → 3 micro-batches (maxFilesPerTrigger=1)
+    t.repartition(3).write.parquet(src)
+    out_root = str(base / "idx")
+    ckpt = str(base / "ckpt")
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    indexer = IncrementalIndexer(spark, out_root, parts_per_batch=2)
+    q = indexer.start(stream, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    return out_root, indexer
+
+
+def test_snapshot_per_batch(streamed):
+    out_root, indexer = streamed
+    m = Manifest.load(out_root)
+    batches = indexer.committed_batches()
+    assert len(batches) >= 2  # one snapshot per micro-batch
+    assert m.snapshot_id == len(batches)
+
+
+def test_streamed_equals_batch(spark, sf_dir, streamed, tmp_path_factory):
+    out_root, _ = streamed
+    batch_root = str(tmp_path_factory.mktemp("bidx"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, batch_root, num_parts=4, lineage_source=sf_dir)
+    s_stream = IndexSearcher(spark, out_root)
+    s_batch = IndexSearcher(spark, batch_root)
+    assert s_stream.manifest.n_docs == s_batch.manifest.n_docs
+    for spec in SPECS:
+        a = s_stream.search(spec).toPandas()
+        b = s_batch.search(spec).toPandas()
+        assert list(zip(a.conv_id, a.turn_idx)) == list(zip(b.conv_id, b.turn_idx))
+        assert np.allclose(a.score.to_numpy(), b.score.to_numpy(), atol=1e-9)
+
+
+def test_replay_is_idempotent(spark, sf_dir, streamed):
+    out_root, indexer = streamed
+    m_before = Manifest.load(out_root)
+    bid = min(indexer.committed_batches())
+    t = transcripts_from_documents(spark, sf_dir).limit(50)
+    indexer.process_batch(t, bid)  # replayed batch → must be a no-op
+    m_after = Manifest.load(out_root)
+    assert m_after.snapshot_id == m_before.snapshot_id
+    assert sorted(m_after.segments) == sorted(m_before.segments)
+
+
+def test_compaction_after_streaming(spark, streamed):
+    """Micro-segments compact via the tiered merge (N6) with answers
+    preserved — the ConcurrentMergeScheduler analog."""
+    out_root, _ = streamed
+    before = IndexSearcher(spark, out_root)
+    answers = [before.search(s).toPandas() for s in SPECS]
+    merge_segments(spark, out_root, merge_factor=8, salt_span=2)
+    after = IndexSearcher(spark, out_root)
+    assert len(after.manifest.segments) < len(before.manifest.segments)
+    for spec, want in zip(SPECS, answers):
+        got = after.search(spec).toPandas()
+        assert list(zip(got.conv_id, got.turn_idx)) == list(zip(want.conv_id, want.turn_idx))
