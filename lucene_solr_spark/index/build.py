@@ -249,6 +249,88 @@ def write_segment(seg: dict, seg_dir: str) -> None:
     os.rename(tmp, seg_dir)
 
 
+def build_index_prepartitioned(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    resume: bool = True,
+    lineage_source: str = "",
+) -> Manifest:
+    """Shuffle-free index build for pre-partitioned input (SURVEY §3.1).
+
+    When the transcripts table is already laid out by conversation —
+    the Iceberg ``bucket(conv_id)`` / date partitioning the north star
+    assumes — repartitioning before inversion is pure waste: each scan
+    split is inverted in place by ``mapInPandas`` (one task = one DWPT
+    = one segment), making the build embarrassingly parallel: scan →
+    tokenize → invert → write, no wide dependency anywhere. This is
+    the 100 TB build path; :func:`build_index` (hash repartition) is
+    the fallback for unorganized input.
+
+    Resume: committed partition ids are skipped (their iterators are
+    drained without work — input pruning would need source-side
+    lineage, which the manifest records for the Iceberg case).
+    """
+    manifest = Manifest.load(out_root)
+    done = manifest.committed_parts() if resume else set()
+    seg_root = os.path.join(out_root, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+
+    def build_parts(it):
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        if part in done:
+            return
+        chunks = [c for c in it]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        seg_name = f"seg_{part:05d}"
+        seg = build_segment_pdf(pdf, seg_id=part)
+        write_segment(seg, os.path.join(seg_root, seg_name))
+        m = seg["metrics"]
+        yield pd.DataFrame(
+            [
+                {
+                    "part": part,
+                    "seg_name": seg_name,
+                    "n_docs": m["n_docs"],
+                    "sum_dl": m["sum_dl"],
+                    "n_terms": m["n_terms"],
+                    "n_postings": m["n_postings"],
+                    "n_tokens": m["n_tokens"],
+                    "bytes": m["bytes"],
+                }
+            ]
+        )
+
+    rows = transcripts.mapInPandas(build_parts, METRICS_SCHEMA).collect()
+    new_segments = {
+        r.seg_name: {
+            "part": r.part,
+            "n_docs": r.n_docs,
+            "sum_dl": r.sum_dl,
+            "n_terms": r.n_terms,
+            "n_postings": r.n_postings,
+            "n_tokens": r.n_tokens,
+            "bytes": r.bytes,
+        }
+        for r in rows
+    }
+    if new_segments:
+        manifest.commit(
+            new_segments,
+            {
+                "source": lineage_source,
+                "mode": "prepartitioned",
+                "parts_built": [r.part for r in rows],
+                "rows": int(sum(r.n_docs for r in rows)),
+            },
+        )
+    return manifest
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
