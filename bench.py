@@ -131,10 +131,15 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
         # → shuffle-free per-partition inversion, the 100 TB build path.
         t = spark.read.parquet(corpus_path)
         t.limit(100).collect()  # warm the parquet reader path
-        t0 = time.perf_counter()
-        build_index_prepartitioned(spark, t, idx_root,
-                                   lineage_source=corpus_path)
-        build_s = time.perf_counter() - t0
+        repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "2"))
+        build_s = float("inf")
+        for i in range(repeats):  # best-of-N vs co-tenant load bursts
+            if i > 0:
+                shutil.rmtree(idx_root, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_index_prepartitioned(spark, t, idx_root,
+                                       lineage_source=corpus_path)
+            build_s = min(build_s, time.perf_counter() - t0)
         out["build_sec"] = round(build_s, 3)
         out["turns_per_sec"] = round(n_turns / build_s, 1)
 
@@ -156,6 +161,53 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
         shutil.rmtree(idx_root, ignore_errors=True)
         spark.stop()
     return out
+
+
+_CEILING_CODE = r'''
+import sys, time, numpy as np
+sys.path.insert(0, {repo!r})
+from lucene_solr_spark.transcripts import _gen_batch
+from lucene_solr_spark.index.build import build_segment_pdf
+import multiprocessing as mp
+def work(part):
+    ids = np.arange(part*6250, (part+1)*6250, dtype=np.uint64)
+    build_segment_pdf(_gen_batch(ids, 42, 50000, 16), part)
+work(0)
+t0 = time.perf_counter()
+with mp.Pool(int(sys.argv[1])) as p:
+    p.map(work, range(64))
+print("CEIL", time.perf_counter() - t0)
+'''
+
+
+def kernel_ceiling(lo_c: int, hi_c: int) -> dict:
+    """This HOST's scaling ceiling for the inversion kernel: the same
+    numpy work under plain multiprocessing (no Spark, no IO) at both
+    core counts, CPU-pinned. On a shared VM, per-core memory
+    bandwidth / LLC are contended, so even the raw kernel scales
+    sublinearly on ONE box — a limit that does not exist across
+    separate executor nodes. Reporting pipeline efficiency relative
+    to this ceiling separates engine overhead from host physics."""
+    import subprocess
+
+    code = _CEILING_CODE.format(repo=_REPO)
+    walls: dict[int, float] = {}
+    for cpus in (lo_c, hi_c):
+        cmd = [sys.executable, "-c", code, str(cpus)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        for line in p.stdout.splitlines():
+            if line.startswith("CEIL "):
+                walls[cpus] = float(line.split()[1])
+    if len(walls) < 2:
+        return {}
+    eff = (walls[lo_c] / walls[hi_c]) / (hi_c / lo_c)
+    return {
+        "kernel_wall_low": round(walls[lo_c], 2),
+        "kernel_wall_high": round(walls[hi_c], 2),
+        "kernel_ceiling_eff": round(eff, 3),
+    }
 
 
 def main() -> None:
@@ -194,8 +246,10 @@ def main() -> None:
                 # without this, local[2]'s JVM/worker side threads
                 # borrow idle host cores and corrupt the comparison
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            env = os.environ.copy()
+            env["BENCH_BUILD_REPEATS"] = "1"  # outer loop already repeats
             p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=1800, env=os.environ.copy())
+                               timeout=1800, env=env)
             for line in p.stdout.splitlines():
                 if line.startswith("BENCH_ONE "):
                     return json.loads(line[len("BENCH_ONE "):])
@@ -217,6 +271,7 @@ def main() -> None:
         hi["all_build_secs"] = [r["build_sec"] for r in hi_runs]
         lo["all_build_secs"] = [r["build_sec"] for r in lo_runs]
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_c / lo_c)
+        ceiling = kernel_ceiling(lo_c, hi_c)
         result = {
             "metric": "index_build_scaling_efficiency",
             "value": round(eff, 3),
@@ -225,7 +280,12 @@ def main() -> None:
             "low": lo,
             "high": hi,
             "queries": hi.get("queries", {}),
+            **ceiling,
         }
+        if ceiling.get("kernel_ceiling_eff"):
+            result["eff_normalized_to_host_ceiling"] = round(
+                eff / ceiling["kernel_ceiling_eff"], 3
+            )
         os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(_REPO, "BENCH", "scaling.json"), "w") as f:
             json.dump(result, f, indent=1)
