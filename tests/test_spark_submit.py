@@ -1,0 +1,59 @@
+"""spark-submit --py-files launch test (north rule's stated launch
+mode): package the engine, submit the build job as a cold cluster
+would, verify the committed index answers queries."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from jobs.package import make_zip
+from lucene_solr_spark.query.executor import IndexSearcher
+from lucene_solr_spark.query.model import BooleanSpec
+from lucene_solr_spark.transcripts import transcripts_from_documents
+
+SPARK_SUBMIT = shutil.which("spark-submit") or os.path.join(
+    os.environ.get("SPARK_HOME", ""), "bin", "spark-submit"
+)
+
+
+@pytest.mark.skipif(
+    not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+    reason="spark-submit not on PATH",
+)
+def test_spark_submit_build(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "corpus")
+    transcripts_from_documents(spark, sf_dir).repartition(2).write.parquet(src)
+    out_root = str(tmp_path / "idx")
+    zip_path = make_zip(str(tmp_path / "engine.zip"))
+
+    env = os.environ.copy()
+    env.pop("SPARK_GRAFT_CPUS", None)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(os.path.dirname(__file__), "..", "jobs", "build_job.py"),
+            "--input", src,
+            "--output", out_root,
+            "--mode", "prepartitioned",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["n_docs"] > 0
+    # the index committed by the submitted job is queryable in-process
+    s = IndexSearcher(spark, out_root)
+    hits = s.search(BooleanSpec(must=("merge",), k=5)).toPandas()
+    assert len(hits) > 0
+    _ = sys  # keep import for interpreter parity notes
