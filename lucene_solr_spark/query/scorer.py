@@ -110,20 +110,44 @@ def _sparse_sum(docs: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndar
 
 
 def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
-    """Docs containing the phrase (terms adjacent, in order)."""
+    """Docs containing the phrase (terms adjacent, in order).
+
+    Two-phase (TwoPhaseIterator): phase 1 intersects the doc streams
+    in ascending-df order with block skipping — cheap, no position
+    bytes touched; phase 2 decodes POSITIONS only for the blocks that
+    contain surviving candidate docs and verifies adjacency via
+    (doc, pos-offset) key intersection."""
     if any(tp is None for tp in tps):
         return np.empty(0, np.int64)
-    stride = seg_max_pos + 2
-    cand: np.ndarray | None = None
-    for j, tp in enumerate(tps):
-        d, t, pos = tp.positions(np.arange(tp.n_blocks))
-        doc_per_tok = np.repeat(d, t)
-        keys = doc_per_tok * stride + (pos - j)  # align phrase offsets
-        keys = keys[pos - j >= 0]
-        cand = keys if cand is None else np.intersect1d(cand, keys, assume_unique=False)
+    # phase 1: doc-level conjunction (leapfrog, ascending df)
+    by_df = sorted(tps, key=lambda tp: tp.n_blocks)
+    cand, _ = by_df[0].decode_all()
+    for tp in by_df[1:]:
         if len(cand) == 0:
             return np.empty(0, np.int64)
-    return np.unique(cand // stride)
+        blocks = tp.blocks_for_docs(cand)
+        d, _t = tp.decode_blocks(blocks)
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if len(cand) == 0:
+        return np.empty(0, np.int64)
+    # phase 2: adjacency check over candidate docs only
+    stride = seg_max_pos + 2
+    keys_acc: np.ndarray | None = None
+    for j, tp in enumerate(tps):
+        blocks = tp.blocks_for_docs(cand)
+        d, t, pos = tp.positions(blocks)
+        tok_in_cand = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        doc_per_tok = np.repeat(d, t)[tok_in_cand]
+        pos = pos[tok_in_cand]
+        keys = doc_per_tok * stride + (pos - j)  # align phrase offsets
+        keys = keys[pos - j >= 0]
+        keys_acc = (
+            keys if keys_acc is None
+            else np.intersect1d(keys_acc, keys, assume_unique=False)
+        )
+        if len(keys_acc) == 0:
+            return np.empty(0, np.int64)
+    return np.unique(keys_acc // stride)
 
 
 def _candidates(
