@@ -977,6 +977,113 @@ def q_function_date(spark, sf_dir):
     )
 
 
+# ref: SURVEY §2.8 last row — sliding window (no reference equivalent;
+# nearest is TimeseriesStream fixed buckets). F.window with slide.
+@op(
+    "q_sliding_window",
+    """SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w, count(*) AS cnt,
+       round(sum(value), 2) AS total
+FROM (
+  SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200)
+           - INTERVAL (o * 12) HOUR AS w_start, value
+  FROM events, UNNEST([0, 1]) AS u(o))
+GROUP BY 1 ORDER BY w""",
+)
+def q_sliding_window(spark, sf_dir):
+    """24h windows sliding every 12h: each event lands in exactly two
+    windows; the DuckDB twin materializes the same two windows per
+    event arithmetically."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "24 hours", "12 hours").alias("win"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("w"),
+            "cnt", "total",
+        )
+        .orderBy("w")
+    )
+
+
+# ref: SURVEY §2.8 last row — session window (gap-based); DuckDB twin
+# via the classic gaps-and-islands lag/cumsum construction.
+@op(
+    "q_session_window",
+    """WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 50),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+  FROM o)
+SELECT user_id, count(DISTINCT sess) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id""",
+)
+def q_session_window(spark, sf_dir):
+    """30-min-gap sessionization per user (session_window analog; the
+    Spark side uses the same lag/cumsum plan so both engines express
+    identical session identity — F.session_window gives the same
+    counts in streaming contexts)."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    o = e.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("interval 30 minutes")),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    s = o.withColumn("sess", F.sum("new_sess").over(w))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.countDistinct("sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/update/processor/
+# DistributedUpdateProcessor.java#versionAdd (N3) — last-writer-wins
+# versioned upsert as a batch op: keep the max-ts row per key.
+@op(
+    "q_versioned_upsert",
+    f"""{DOCS_CTE},
+updates AS (
+  SELECT conv_id, turn_idx, role, ts FROM docs
+  UNION ALL
+  SELECT conv_id, turn_idx, 'edited' AS role, ts + INTERVAL 1 DAY AS ts
+  FROM docs WHERE turn_idx = 0)
+SELECT conv_id, turn_idx, role FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, role) AS rn FROM updates)
+WHERE rn = 1 ORDER BY conv_id, turn_idx""",
+)
+def q_versioned_upsert(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("conv_id", "turn_idx", "role", "ts")
+    edited = d.filter(F.col("turn_idx") == 0).select(
+        "conv_id", "turn_idx",
+        F.lit("edited").alias("role"),
+        F.expr("ts + interval 1 day").alias("ts"),
+    )
+    updates = d.unionByName(edited)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.desc("ts"), F.asc("role")
+    )
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "turn_idx", "role")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 # ref: SURVEY §2.7 Array/Map/JSON row — events.props JSON transport
 @op(
     "q_json_extract",

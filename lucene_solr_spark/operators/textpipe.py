@@ -527,6 +527,71 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+@op("q_ann_lsh", None)  # rows-only: probabilistic recall (test-gated)
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed cosine ANN — the scale path: 64 random-hyperplane
+    sign bits per vector (one numpy matmul per Arrow batch in
+    mapInPandas), blocked on 8x8-bit sketch chunks; only vectors
+    sharing a chunk with the query are exactly reranked. At 10^9
+    vectors the chunk join prunes ~255/256 of the corpus per probe;
+    recall vs brute force is test-gated (test_textpipe)."""
+    e = emb_df(spark, sf_dir)
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((64, 64))
+    n_chunks = 8
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["e"].to_numpy())  # (n, 64)
+            bits = (m @ planes.T) > 0  # (n, 64) sign sketch
+            weights = np.left_shift(
+                np.uint64(1), np.arange(8, dtype=np.uint64)
+            )
+            rows = []
+            for c in range(n_chunks):
+                chunk = bits[:, c * 8 : (c + 1) * 8].astype(np.uint64) @ weights
+                rows.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "c": np.int32(c),
+                    "v": chunk.astype(np.int64),
+                }))
+            yield pd.concat(rows, ignore_index=True)
+
+    chunks = e.mapInPandas(sketch, "vec_id long, c int, v long")
+    # multi-probe: the query probes its exact chunk value plus every
+    # hamming-1 neighbor (9 probes per chunk) — the standard recall
+    # lever that costs probe rows, not index size
+    qc = (
+        chunks.filter(F.col("vec_id") == 0)
+        .select(
+            "c",
+            F.explode(
+                F.array(
+                    F.col("v"),
+                    *[F.col("v").bitwiseXOR(F.lit(1 << b)) for b in range(8)],
+                )
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    cands = (
+        chunks.join(F.broadcast(qc), ["c", "v"])
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    return (
+        e.join(cands, "vec_id", "left_semi")
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(_cos("e", "qe"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
 # ===========================================================================
 # 6. text analysis: language-ID, quality, token counts, fingerprints
 # ===========================================================================

@@ -157,6 +157,61 @@ class IndexSearcher:
             hits = hits.withColumn("score", F.round("score", round_to))
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
 
+    # -- DocSet (all matches, no scoring) ------------------------------
+    def docset(self, spec: BooleanSpec) -> DataFrame:
+        """ALL matching (conv_id, turn_idx) — ``getDocSet`` analog,
+        used by filter queries, exports, and MultiTermQuery rewrites."""
+        all_terms = list(dict.fromkeys(spec.scoring_terms + tuple(spec.must_not)))
+        seg_dirs = self.seg_dir_by_id
+        filters = spec.filters
+        dm_cols = _BASE_COLS + sorted({f for f, _ in filters} - set(_BASE_COLS))
+        post = self.postings().filter(F.col("term").isin(all_terms))
+
+        def run_seg(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            allowed = None
+            if filters:
+                mask = None
+                for fld, val in filters:
+                    m = (dm[fld] == val).to_numpy(bool)
+                    mask = m if mask is None else (mask & m)
+                allowed = mask
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            from lucene_solr_spark.query.scorer import match_segment
+
+            hits = match_segment(
+                spec, term_rows, len(dm), allowed,
+                int(dm["doc_len"].max()) if len(dm) else 0,
+            )
+            sel = dm.iloc[hits]
+            return pd.DataFrame(
+                {"conv_id": sel["conv_id"], "turn_idx": sel["turn_idx"]}
+            )
+
+        return post.groupBy("seg_id").applyInPandas(
+            run_seg, schema="conv_id string, turn_idx int"
+        )
+
+    # -- MultiTermQuery rewrite (dictionary scan → OR expansion) -------
+    def expand_terms(self, predicate) -> list[str]:
+        """Dictionary scan: terms of the text field matching a Column
+        predicate over ``term`` (PrefixQuery/WildcardQuery/FuzzyQuery
+        rewrite, ``MultiTermQuery#RewriteMethod``)."""
+        rows = (
+            self.postings()
+            .select("term")
+            .filter(predicate)
+            .distinct()
+            .collect()
+        )
+        return sorted(r.term for r in rows)
+
     # -- faceting ------------------------------------------------------
     def facet(
         self,

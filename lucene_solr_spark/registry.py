@@ -103,6 +103,23 @@ for _name in ("bm25_term", "bm25_and", "bm25_or_mm", "bm25_not",
     register(f"q_idx_{_name}", _mk_idx_bm25(_spec), bm25_oracle_sql(_spec))
 
 
+def _idx_prefix_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery through the REAL index: dictionary scan expands the
+    prefix to its term set (MultiTermQuery rewrite), then the engine
+    computes the constant-score DocSet of the OR."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    terms = s.expand_terms(F.col("term").startswith("mer"))
+    if not terms:
+        return spark.createDataFrame([], "conv_id string, turn_idx int")
+    return s.docset(
+        BooleanSpec(should=tuple(terms), min_should_match=1)
+    ).orderBy("conv_id", "turn_idx")
+
+
+
+
 # ---------------------------------------------------------------------------
 # CORE: SOLR-5894-style faceting (A1-A3) — sparse per-segment ordinal
 # counting + two-phase merge-and-refine, oracle-checked against DuckDB
@@ -163,3 +180,7 @@ from lucene_solr_spark.operators import multimodal, solr_battery, textpipe  # no
 for _mod in (solr_battery, textpipe, multimodal):
     for _name, _fn, _oracle in _mod.OPS:
         register(_name, _fn, _oracle)
+
+# Index-path MultiTermQuery rewrite shares the relational prefix
+# query's oracle: both must produce the same DocSet.
+register("q_idx_prefix_expand", _idx_prefix_expand, ORACLES["q_prefix_query"])

@@ -37,6 +37,14 @@ def test_simhash_planted_exact_pairs(spark, sf_dir):
     assert (got.hamming <= 3).all()
 
 
+def test_ann_lsh_recall(spark, sf_dir):
+    brute = textpipe.q_ann_topk_brute(spark, sf_dir).toPandas()
+    lsh = textpipe.q_ann_lsh(spark, sf_dir).toPandas()
+    recall = len(set(lsh.vec_id) & set(brute.vec_id)) / len(brute)
+    assert recall >= 0.5, f"LSH recall@10 too low: {recall}"
+    assert 100000 in set(lsh.vec_id)  # planted near-identical vector
+
+
 def test_ann_ivf_recall(spark, sf_dir):
     brute = textpipe.q_ann_topk_brute(spark, sf_dir).toPandas()
     ivf = textpipe.q_ann_ivf(spark, sf_dir).toPandas()
