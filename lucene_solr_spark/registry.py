@@ -184,3 +184,40 @@ for _mod in (solr_battery, textpipe, multimodal):
 # Index-path MultiTermQuery rewrite shares the relational prefix
 # query's oracle: both must produce the same DocSet.
 register("q_idx_prefix_expand", _idx_prefix_expand, ORACLES["q_prefix_query"])
+
+
+def _idx_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery dictionary scan through the REAL index: terms within
+    edit distance 1 of 'merge' with their index-wide df (the
+    LevenshteinAutomata dict walk re-expressed over the term
+    dictionary scan + df aggregation)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.postings()
+        .filter(F.levenshtein("term", F.lit("merge")) <= 1)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+def _idx_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent over the REAL index dictionary: prefix-filtered
+    terms ordered by df."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.postings()
+        .filter(F.col("term").startswith("sl"))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+register("q_idx_fuzzy_terms", _idx_fuzzy_terms, ORACLES["q_fuzzy_query"])
+register("q_idx_terms_component", _idx_terms_component, ORACLES["q_terms_component"])
