@@ -249,12 +249,17 @@ def write_segment(seg: dict, seg_dir: str) -> None:
     os.rename(tmp, seg_dir)
 
 
+#: chunked part-id space: part = partition_id * CHUNK_STRIDE + chunk
+CHUNK_STRIDE = 4096
+
+
 def build_index_prepartitioned(
     spark: SparkSession,
     transcripts: DataFrame,
     out_root: str,
     resume: bool = True,
     lineage_source: str = "",
+    max_docs_per_segment: int = 65536,
 ) -> Manifest:
     """Shuffle-free index build for pre-partitioned input (SURVEY §3.1).
 
@@ -273,37 +278,50 @@ def build_index_prepartitioned(
     """
     manifest = Manifest.load(out_root)
     done = manifest.committed_parts() if resume else set()
+    # resume granularity = whole input partition: a job's manifest
+    # commit is atomic, so a partition's chunks are all-or-nothing
+    done_pids = {p // CHUNK_STRIDE for p in done}
     seg_root = os.path.join(out_root, "segments")
     os.makedirs(seg_root, exist_ok=True)
+    max_docs = max_docs_per_segment
 
     def build_parts(it):
         from pyspark import TaskContext
 
-        part = TaskContext.get().partitionId()
-        if part in done:
+        pid = TaskContext.get().partitionId()
+        if pid in done_pids:
             return
-        chunks = [c for c in it]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        seg_name = f"seg_{part:05d}"
-        seg = build_segment_pdf(pdf, seg_id=part)
-        write_segment(seg, os.path.join(seg_root, seg_name))
-        m = seg["metrics"]
-        yield pd.DataFrame(
-            [
-                {
-                    "part": part,
-                    "seg_name": seg_name,
-                    "n_docs": m["n_docs"],
-                    "sum_dl": m["sum_dl"],
-                    "n_terms": m["n_terms"],
-                    "n_postings": m["n_postings"],
-                    "n_tokens": m["n_tokens"],
-                    "bytes": m["bytes"],
-                }
-            ]
-        )
+
+        def flush(pdf: pd.DataFrame, chunk: int) -> pd.DataFrame:
+            part = pid * CHUNK_STRIDE + chunk
+            seg_name = f"seg_{part:08d}"
+            seg = build_segment_pdf(pdf, seg_id=part)
+            write_segment(seg, os.path.join(seg_root, seg_name))
+            m = seg["metrics"]
+            return pd.DataFrame([{
+                "part": part, "seg_name": seg_name,
+                "n_docs": m["n_docs"], "sum_dl": m["sum_dl"],
+                "n_terms": m["n_terms"], "n_postings": m["n_postings"],
+                "n_tokens": m["n_tokens"], "bytes": m["bytes"],
+            }])
+
+        # bound per-segment memory: flush every max_docs rows instead
+        # of concatenating an arbitrarily large input split (the
+        # ramBufferSizeMB flush trigger, by doc count)
+        buf: list[pd.DataFrame] = []
+        n_buf = 0
+        chunk = 0
+        for c in it:
+            if not len(c):
+                continue
+            buf.append(c)
+            n_buf += len(c)
+            if n_buf >= max_docs:
+                yield flush(pd.concat(buf, ignore_index=True), chunk)
+                buf, n_buf = [], 0
+                chunk += 1
+        if n_buf:
+            yield flush(pd.concat(buf, ignore_index=True), chunk)
 
     rows = transcripts.mapInPandas(build_parts, METRICS_SCHEMA).collect()
     new_segments = {

@@ -1,0 +1,90 @@
+"""Physical-plan assertions (task mandate: '.explain' the plan and
+keep it the one you'd want): term predicates must push into the
+Parquet postings scan (terms-dict seek analog), metadata queries must
+prune unread columns, and the relational battery must stay inside
+whole-stage codegen (no row-at-a-time Python in hot paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.build import build_index
+from lucene_solr_spark.transcripts import transcripts_from_documents
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, sf_dir, tmp_path_factory):
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    root = str(tmp_path_factory.mktemp("plidx"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+    return IndexSearcher(spark, root)
+
+
+def _physical(df, finalize: bool = False) -> str:
+    if finalize:  # AQE: run the query so the final plan materializes
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_filter_pushed_to_postings_scan(searcher):
+    """term IN (...) must reach the Parquet reader (PushedFilters) —
+    with term-sorted row groups this is the dictionary seek."""
+    plan = _physical(
+        searcher.postings().filter(F.col("term").isin(["merge", "sort"]))
+    )
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "term" in pushed, pushed
+
+
+def test_postings_scan_prunes_payload_columns(searcher):
+    """df-stats aggregation must not read posting payload bytes."""
+    q = (
+        searcher.postings()
+        .filter(F.col("term") == "merge")
+        .groupBy("term")
+        .agg(F.sum("df"))
+    )
+    plan = _physical(q)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_bytes" not in read_schema, read_schema
+    assert "pos_bytes" not in read_schema, read_schema
+
+
+def test_battery_stays_in_codegen(spark, sf_dir):
+    """A representative relational op (hash join + agg) must run inside
+    WholeStageCodegen with the build side broadcast."""
+    from lucene_solr_spark.operators.solr_battery import q_hash_join
+
+    plan = _physical(q_hash_join(spark, sf_dir), finalize=True)
+    assert "*(" in plan  # WholeStageCodegen spans (starred stages)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan  # map-side combine before shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_topk_is_take_ordered(searcher):
+    """The final k-merge must be TakeOrderedAndProject (two-level heap,
+    TopDocs.merge analog), not a global sort."""
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    plan = _physical(searcher.search(BooleanSpec(must=("merge",), k=10)))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tokenizer_is_jvm_side(spark, sf_dir):
+    """The Catalyst tokenizer spelling must not introduce a Python UDF
+    (BatchEvalPython) — brute-force scoring stays JVM-side."""
+    from lucene_solr_spark.analyzer import tokens_col
+
+    t = transcripts_from_documents(spark, sf_dir)
+    plan = _physical(
+        t.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term").count(),
+        finalize=True,
+    )
+    assert "BatchEvalPython" not in plan
+    assert "*(" in plan  # codegen spans
