@@ -78,17 +78,27 @@ def _term_postings(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
-def _phrase_pred(phrase: tuple[str, ...]):
-    """Column predicate: tokens contain `phrase` as adjacent run.
+def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
+    """Column predicate: tokens contain `phrase` as an ordered run with
+    ≤ `slop` intervening positions (slop=0: exact adjacency).
 
-    TwoPhaseIterator analog (ExactPhraseMatcher): callers apply this only
-    after the cheap term-AND match. Builds n-gram join strings via a
-    higher-order function — stays JVM-side.
-    """
+    TwoPhaseIterator analog (ExactPhraseMatcher / SloppyPhraseMatcher):
+    callers apply this only after the cheap term-AND match. Stays
+    JVM-side (higher-order functions, no Python)."""
     n = len(phrase)
-    target = " ".join(phrase)
     if n == 1:
         return F.array_contains(F.col("toks"), phrase[0])
+    if slop > 0:
+        if n != 2:
+            raise ValueError("phrase_slop supported for 2-term phrases")
+        t1, t2 = phrase
+        return F.expr(
+            f"size(toks) >= 2 AND exists(sequence(1, size(toks) - 1), "
+            f"i -> toks[i - 1] = '{t1}' AND "
+            f"exists(sequence(i + 1, least(size(toks), i + 1 + {slop})), "
+            f"j -> toks[j - 1] = '{t2}'))"
+        )
+    target = " ".join(phrase)
     grams = F.expr(
         f"transform(sequence(0, size(toks) - {n}), "
         f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
@@ -112,7 +122,7 @@ def search(
         # FILTER occur / Solr fq: non-scoring constraint (BooleanClause.Occur#FILTER).
         docs = docs.filter(F.col(fld) == val)
     for ph in spec.phrases:
-        docs = docs.filter(_phrase_pred(ph))
+        docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
     if spec.must_not:
         # ReqExclScorer: docs containing any excluded term drop out.
         excl = F.arrays_overlap("toks", F.array(*[F.lit(t) for t in spec.must_not]))

@@ -40,6 +40,9 @@ class BooleanSpec:
     min_should_match: int = 0
     filters: tuple[tuple[str, str], ...] = ()  # (field, value) exact matches
     k: int = 10
+    #: SloppyPhraseMatcher (P9): ordered match with ≤ slop intervening
+    #: positions; 0 = exact adjacency. Supported for 2-term phrases.
+    phrase_slop: int = 0
 
     @property
     def scoring_terms(self) -> tuple[str, ...]:

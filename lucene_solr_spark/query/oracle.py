@@ -25,10 +25,19 @@ def _sql_list(terms: tuple[str, ...] | list[str]) -> str:
     return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
 
 
-def _phrase_clause(phrase: tuple[str, ...]) -> str:
+def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     n = len(phrase)
     if n == 1:
         return f"list_contains(toks, '{phrase[0]}')"
+    if slop > 0:
+        if n != 2:
+            raise ValueError("phrase_slop supported for 2-term phrases")
+        t1, t2 = phrase
+        return (
+            f"len(list_filter(range(1, len(toks)), i -> toks[i] = '{t1}' AND "
+            f"len(list_filter(range(i + 1, least(len(toks), i + 1 + {slop}) + 1), "
+            f"j -> toks[j] = '{t2}')) > 0)) > 0"
+        )
     conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
     return (
         f"len(list_filter(range(1, len(toks) - {n} + 2), i -> {conds})) > 0"
@@ -42,7 +51,7 @@ def bm25_oracle_sql(spec: BooleanSpec) -> str:
     for fld, val in spec.filters:
         doc_filters.append(f"{fld} = '{val}'")
     for ph in spec.phrases:
-        doc_filters.append(_phrase_clause(ph))
+        doc_filters.append(_phrase_clause(ph, spec.phrase_slop))
     if spec.must_not:
         doc_filters.append(f"NOT list_has_any(toks, [{_sql_list(spec.must_not)}])")
     where_docs = (" WHERE " + " AND ".join(doc_filters)) if doc_filters else ""

@@ -109,6 +109,29 @@ def _sparse_sum(docs: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndar
     return uniq, sums, counts
 
 
+def _sloppy_pair_docs(
+    tp1: TermPostings, tp2: TermPostings, cand: np.ndarray,
+    stride: int, slop: int,
+) -> np.ndarray:
+    """Docs where t2 occurs within (pos1, pos1+slop+1] after t1 —
+    SloppyPhraseMatcher for the 2-term case, vectorized: one
+    searchsorted of t1's (doc,pos) keys into t2's sorted key stream."""
+    d1, t1, p1 = tp1.positions(tp1.blocks_for_docs(cand))
+    d2, t2, p2 = tp2.positions(tp2.blocks_for_docs(cand))
+    m1 = np.repeat(np.isin(d1, cand, assume_unique=True), t1)
+    m2 = np.repeat(np.isin(d2, cand, assume_unique=True), t2)
+    doc1 = np.repeat(d1, t1)[m1]
+    k1 = doc1 * stride + p1[m1]
+    k2 = np.repeat(d2, t2)[m2] * stride + p2[m2]
+    if len(k1) == 0 or len(k2) == 0:
+        return np.empty(0, np.int64)
+    idx = np.searchsorted(k2, k1, side="right")
+    ok = idx < len(k2)
+    nxt = k2[np.clip(idx, 0, len(k2) - 1)]
+    ok &= (nxt <= k1 + slop + 1) & (nxt // stride == doc1)
+    return np.unique(doc1[ok])
+
+
 def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
     """Docs containing the phrase (terms adjacent, in order).
 
@@ -173,7 +196,22 @@ def _candidates(
             d, _ = tp[t].decode_blocks(blocks)
             cand = cand[np.isin(cand, d, assume_unique=True)]
     for ph in spec.phrases:
-        pdocs = _phrase_docs([tp.get(t) for t in ph], max_doclen)
+        ptps = [tp.get(t) for t in ph]
+        if spec.phrase_slop > 0:
+            if len(ph) != 2:
+                raise ValueError("phrase_slop supported for 2-term phrases")
+            if any(p is None for p in ptps):
+                pdocs = np.empty(0, np.int64)
+            else:
+                base = cand
+                if base is None:
+                    base, _ = min(ptps, key=lambda p: p.n_blocks).decode_all()
+                pdocs = _sloppy_pair_docs(
+                    ptps[0], ptps[1], base, max_doclen + 2 + spec.phrase_slop,
+                    spec.phrase_slop,
+                )
+        else:
+            pdocs = _phrase_docs(ptps, max_doclen)
         cand = pdocs if cand is None else cand[np.isin(cand, pdocs, assume_unique=True)]
     if spec.must_not:
         excl: list[np.ndarray] = []

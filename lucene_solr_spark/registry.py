@@ -221,3 +221,10 @@ def _idx_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("q_idx_fuzzy_terms", _idx_fuzzy_terms, ORACLES["q_fuzzy_query"])
 register("q_idx_terms_component", _idx_terms_component, ORACLES["q_terms_component"])
+
+# Sloppy phrase (P9): "table ... merge" with one intervening token
+# matches at slop>=1 but not at slop 0 (the planted fixture phrase is
+# "table scan merge policy").
+_SLOPPY = BooleanSpec(phrases=(("table", "merge"),), phrase_slop=1, k=15)
+register("q_bm25_sloppy", _mk_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
+register("q_idx_bm25_sloppy", _mk_idx_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
