@@ -164,6 +164,12 @@ def search(
             ),
         )
     )
+    if spec.boosts:
+        # BoostQuery: per-term multiplier on the contribution
+        boost_col = F.lit(1.0)
+        for t, b in spec.boosts:
+            boost_col = F.when(F.col("term") == t, F.lit(float(b))).otherwise(boost_col)
+        scored = scored.withColumn("contrib", F.col("contrib") * boost_col)
 
     must_set = set(spec.required_terms)
     agg = scored.groupBy(*DOC_KEY).agg(

@@ -110,6 +110,12 @@ class IndexSearcher:
             dict.fromkeys(spec.scoring_terms + tuple(spec.must_not))
         )
         idf = self.global_idf(all_terms)  # must_not idf unused but keyed
+        if spec.boosts:
+            # BoostQuery: contribution AND WAND upper bound both scale
+            # linearly in idf, so folding the boost into idf applies it
+            # everywhere consistently (pruning stays sound).
+            bm = spec.boost_map
+            idf = {t: v * bm.get(t, 1.0) for t, v in idf.items()}
         avgdl = self.manifest.avgdl
         k = spec.k
         seg_dirs = self.seg_dir_by_id

@@ -43,6 +43,13 @@ class BooleanSpec:
     #: SloppyPhraseMatcher (P9): ordered match with ≤ slop intervening
     #: positions; 0 = exact adjacency. Supported for 2-term phrases.
     phrase_slop: int = 0
+    #: BoostQuery (P14) / edismax qf weights: per-term score multiplier
+    #: applied to that term's BM25 contribution (absent term → 1.0).
+    boosts: tuple[tuple[str, float], ...] = ()
+
+    @property
+    def boost_map(self) -> dict[str, float]:
+        return dict(self.boosts)
 
     @property
     def scoring_terms(self) -> tuple[str, ...]:

@@ -62,6 +62,12 @@ def bm25_oracle_sql(spec: BooleanSpec) -> str:
         if must
         else ""
     )
+    if spec.boosts:
+        _cases = " ".join(f"WHEN '{t}' THEN {float(b)}" for t, b in spec.boosts)
+        boost_case = f"(CASE tf.term {_cases} ELSE 1.0 END)"
+    else:
+        boost_case = "1.0"
+
     mm_join = ""
     if spec.should and spec.min_should_match > 0:
         mm_join = f"""
@@ -98,7 +104,8 @@ hits AS (SELECT conv_id, turn_idx FROM docs2{where_docs}),
 scored AS (
   SELECT tf.conv_id, tf.turn_idx,
          sum(
-           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           {boost_case}
+           * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
            * (tf.tf * ({K1} + 1))
            / (tf.tf + {K1} * (1 - {B} + {B} * tf.doc_len / stats.avgdl))
          ) AS score

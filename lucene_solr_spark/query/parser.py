@@ -52,6 +52,7 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     must_not: list[str] = []
     phrases: list[tuple[str, ...]] = []
     filters: list[tuple[str, str]] = []
+    boosts: list[tuple[str, float]] = []
 
     pending_op: str | None = None
     prev_bare: str | None = None  # last bare SHOULD term (for AND join)
@@ -88,10 +89,19 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
                 for w in tokenize_one(val):
                     (must_not if occur == "-" else should).append(w)
             prev_bare = None
-        else:  # bare term
+        else:  # bare term (with optional ^boost, BoostQuery syntax)
+            boost = None
+            if "^" in tok:
+                tok, _, bs = tok.partition("^")
+                try:
+                    boost = float(bs)
+                except ValueError:
+                    boost = None
             words = tokenize_one(tok)
             if not words:
                 continue
+            if boost is not None:
+                boosts.extend((w, boost) for w in words)
             for w in words:
                 if occur == "+":
                     must.append(w)
@@ -119,4 +129,5 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         min_should_match=mm,
         filters=tuple(filters),
         k=k,
+        boosts=tuple(boosts),
     )

@@ -228,3 +228,9 @@ register("q_idx_terms_component", _idx_terms_component, ORACLES["q_terms_compone
 _SLOPPY = BooleanSpec(phrases=(("table", "merge"),), phrase_slop=1, k=15)
 register("q_bm25_sloppy", _mk_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 register("q_idx_bm25_sloppy", _mk_idx_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
+
+# BoostQuery / edismax qf weights (P14): per-term boosted disjunction.
+_BOOSTED = BooleanSpec(should=("fast", "slow", "vector"), min_should_match=1,
+                       boosts=(("fast", 2.5), ("vector", 0.5)), k=15)
+register("q_bm25_boosted", _mk_bm25(_BOOSTED), bm25_oracle_sql(_BOOSTED))
+register("q_idx_bm25_boosted", _mk_idx_bm25(_BOOSTED), bm25_oracle_sql(_BOOSTED))

@@ -35,6 +35,12 @@ def test_parse_shapes(q, want):
     assert got.min_should_match == want.min_should_match, q
 
 
+def test_boost_syntax():
+    got = parse("fast^2.5 slow vector^0.5")
+    assert got.should == ("fast", "slow", "vector")
+    assert got.boost_map == {"fast": 2.5, "vector": 0.5}
+
+
 def test_default_op_and():
     got = parse("merge sort", default_op="AND")
     assert got.must == ("merge", "sort")
