@@ -66,3 +66,76 @@ def tokenize_pandas(text: pd.Series) -> pd.Series:
 def tokenize_one(text: str) -> list[str]:
     """Scalar tokenizer for driver-side query strings (not a data path)."""
     return _COMPILED.findall((text or "").lower())
+
+
+# ---------------------------------------------------------------------------
+# Token-filter chain (SURVEY §2.7 analysis-chain extension points).
+#
+# Solr schemas compose <analyzer> chains per field type
+# (TextField + TokenFilterFactory SPI); ours compose vectorized
+# pandas-level filters over the token Series. An index built with a
+# filter chain records its analyzer_version in the manifest, and the
+# SAME chain must run at query time (the Analyzer invariant).
+# ---------------------------------------------------------------------------
+
+#: Lucene's classic English stop set (StopAnalyzer#ENGLISH_STOP_WORDS_SET)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def stop_filter(toks: pd.Series, stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> pd.Series:
+    """StopFilter: drop stop words (vectorized list comprehension over
+    the exploded form would shuffle; per-list filter is C-speed via map)."""
+    sw = stopwords
+    return toks.map(lambda ts: [t for t in ts if t not in sw])
+
+
+def edge_ngram_filter(toks: pd.Series, min_gram: int = 2, max_gram: int = 5) -> pd.Series:
+    """EdgeNGramTokenFilter: emit leading n-grams per token (the
+    search-as-you-type index shape)."""
+    lo, hi = min_gram, max_gram
+    return toks.map(
+        lambda ts: [t[:n] for t in ts for n in range(lo, min(len(t), hi) + 1)]
+    )
+
+
+def shingle_filter(toks: pd.Series, size: int = 2, sep: str = " ") -> pd.Series:
+    """ShingleFilter: emit word n-grams of `size` (phrase pre-join)."""
+    k = size
+    return toks.map(
+        lambda ts: [sep.join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+    )
+
+
+_S_SUFFIXES = ("sses", "ies", "ss")
+
+
+def s_stem_filter(toks: pd.Series) -> pd.Series:
+    """Minimal English s-stemmer (EnglishMinimalStemFilter semantics:
+    plural 's' removal, not full Porter — the documented light option)."""
+
+    def stem(t: str) -> str:
+        if t.endswith("sses"):
+            return t[:-2]
+        if t.endswith("ies") and len(t) > 4:
+            return t[:-3] + "y"
+        if t.endswith("s") and not t.endswith(("ss", "us", "is")) and len(t) > 3:
+            return t[:-1]
+        return t
+
+    return toks.map(lambda ts: [stem(t) for t in ts])
+
+
+def chain(*filters):
+    """Compose token filters into one analyzer stage: tokenize →
+    filter_1 → ... → filter_n (Analyzer/TokenStream pipeline)."""
+
+    def run(text: pd.Series) -> pd.Series:
+        toks = tokenize_pandas(text)
+        for f in filters:
+            toks = f(toks)
+        return toks
+
+    return run

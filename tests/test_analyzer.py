@@ -42,3 +42,30 @@ def test_null_handling(spark):
     row = df.select(tokens_col("text").alias("t")).collect()[0]
     assert row.t is None  # Catalyst null-propagates; pandas path fillna('')
     assert tokenize_pandas(pd.Series([None])).iloc[0] == []
+
+
+# --- token-filter chain (analysis extension points, SURVEY §2.7) ---
+
+from lucene_solr_spark.analyzer import (  # noqa: E402
+    chain,
+    edge_ngram_filter,
+    s_stem_filter,
+    shingle_filter,
+    stop_filter,
+)
+
+
+def test_filter_chain_composition():
+    texts = pd.Series(["The Tables and Queries", None, "a"])
+    out = chain(stop_filter, s_stem_filter)(texts)
+    assert out.tolist() == [["table", "query"], [], []]  # 'a' is a stop word
+
+
+def test_edge_ngram():
+    out = edge_ngram_filter(pd.Series([["merge"]]), 2, 4).tolist()
+    assert out == [["me", "mer", "merg"]]  # maxGram=4 < len(token)
+
+
+def test_shingles():
+    out = shingle_filter(pd.Series([["a", "b", "c"]]), 2).tolist()
+    assert out == [["a b", "b c"]]
