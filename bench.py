@@ -144,7 +144,7 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
         out["turns_per_sec"] = round(n_turns / build_s, 1)
 
         if queries:
-            searcher = IndexSearcher(spark, idx_root)
+            searcher = IndexSearcher(spark, idx_root).persist()
             # warmup (JIT/Arrow init — excluded from per-query numbers)
             searcher.search(next(iter(BM25_SPECS.values()))).collect()
             q_secs: dict[str, float] = {}
