@@ -229,6 +229,36 @@ _SLOPPY = BooleanSpec(phrases=(("table", "merge"),), phrase_slop=1, k=15)
 register("q_bm25_sloppy", _mk_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 register("q_idx_bm25_sloppy", _mk_idx_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 
+def _idx_fetch_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-fields fetch phase (SURVEY §3.2 step 5 / §1.1 stored
+    fields row): the index resolves the DocSet, then the original
+    table supplies the text — a broadcast semi-join back on the stable
+    business key, exactly Lucene's doc-id → stored-fields lookup."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.docset(BooleanSpec(phrases=(("table", "scan"),)))
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        t.join(F.broadcast(hits), ["conv_id", "turn_idx"], "left_semi")
+        .select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_idx_fetch_text",
+    _idx_fetch_text,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts)
+SELECT conv_id, turn_idx, text FROM docs
+WHERE len(list_filter(range(1, len(toks)), i ->
+      toks[i] = 'table' AND toks[i + 1] = 'scan')) > 0
+ORDER BY conv_id, turn_idx""",
+)
+
+
 # BoostQuery / edismax qf weights (P14): per-term boosted disjunction.
 _BOOSTED = BooleanSpec(should=("fast", "slow", "vector"), min_should_match=1,
                        boosts=(("fast", 2.5), ("vector", 0.5)), k=15)
