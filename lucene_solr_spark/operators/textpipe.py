@@ -184,6 +184,31 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+@op(
+    "q_dedup_keep_first",
+    f"""WITH {CORPUS_CTE},
+ranked AS (
+  SELECT doc_id, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus)
+SELECT CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM ranked""",
+)
+def q_dedup_keep_first(spark, sf_dir):
+    """The dedup KEEP stage (what a pipeline actually emits): retain
+    the lowest doc_id per content hash, drop the rest. Summarized as
+    (kept, dropped) counts so the oracle check is scale-stable; the
+    kept set itself is `ranked.filter(rn == 1)`."""
+    c = corpus_df(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.sum((F.col("rn") == 1).cast("long")).alias("kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("dropped"),
+    )
+
+
 # ===========================================================================
 # 2. MinHash + LSH near-dup (shingle → minhash → band → bucket join)
 # ===========================================================================

@@ -144,6 +144,107 @@ def _with_terms(searcher, partials: DataFrame, field: str) -> DataFrame:
     return partials.join(dicts, ["seg_id", "term_ord"], "inner")
 
 
+def facet_pivot(
+    searcher,
+    f1: str,
+    f2: str,
+    spec: BooleanSpec | None = None,
+    limit1: int = 3,
+    limit2: int = 2,
+) -> DataFrame:
+    """Hierarchical pivot facet over the index docvalues
+    (``PivotFacetProcessor``): top `limit1` values of f1 by count,
+    within each the top `limit2` values of f2.
+
+    Per-segment sparse PAIR counting: one ``np.unique`` over the
+    packed (ord1, ord2) key of hit docs — only touched pairs leave the
+    executor, so shuffle width is bounded by distinct co-occurring
+    pairs, not field-cardinality product. Rows with either value
+    missing (ord -1) are excluded, Lucene missing semantics."""
+    o1, o2 = f"{f1}_ord", f"{f2}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    pair_schema = "seg_id int, ord1 int, ord2 int, cnt long"
+
+    def count_pairs(seg_id: int, hits: np.ndarray | None,
+                    a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+        if hits is not None:
+            a, b = a[hits], b[hits]
+        m = (a >= 0) & (b >= 0)
+        key = a[m].astype(np.int64) * (1 << 31) + b[m]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "seg_id": np.full(len(uniq), seg_id, np.int32),
+            "ord1": (uniq >> 31).astype(np.int32),
+            "ord2": (uniq & ((1 << 31) - 1)).astype(np.int32),
+            "cnt": cnt.astype(np.int64),
+        })
+
+    if spec is None:
+        seg_df = searcher.spark.createDataFrame(
+            [(s,) for s in sorted(seg_dirs)], "seg_id int"
+        ).repartition(len(seg_dirs), "seg_id")
+
+        def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            t = pq.read_table(f"{seg_dirs[seg_id]}/docmap.parquet", columns=[o1, o2])
+            return count_pairs(
+                seg_id, None,
+                t.column(o1).to_numpy().astype(np.int64),
+                t.column(o2).to_numpy().astype(np.int64),
+            )
+
+        pairs = seg_df.groupBy("seg_id").applyInPandas(run_all, pair_schema)
+    else:
+        all_terms = list(dict.fromkeys(spec.scoring_terms + tuple(spec.must_not)))
+        post = searcher.postings().filter(F.col("term").isin(all_terms))
+
+        def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet",
+                columns=["doc_ord", "doc_len", o1, o2],
+            ).to_pandas()
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            hits = match_segment(
+                spec, term_rows, len(dm), None,
+                int(dm["doc_len"].max()) if len(dm) else 0,
+            )
+            return count_pairs(
+                seg_id, hits,
+                dm[o1].to_numpy(np.int64), dm[o2].to_numpy(np.int64),
+            )
+
+        pairs = post.groupBy("seg_id").applyInPandas(run_hits, pair_schema)
+
+    d1 = searcher.dicts().filter(F.col("field") == f1).select(
+        "seg_id", F.col("term_ord").alias("ord1"), F.col("term").alias("v1")
+    )
+    d2 = searcher.dicts().filter(F.col("field") == f2).select(
+        "seg_id", F.col("term_ord").alias("ord2"), F.col("term").alias("v2")
+    )
+    named = (
+        pairs.join(d1, ["seg_id", "ord1"]).join(d2, ["seg_id", "ord2"])
+        .groupBy("v1", "v2").agg(F.sum("cnt").alias("cnt"))
+    )
+    top1 = (
+        named.groupBy("v1").agg(F.sum("cnt").alias("t1"))
+        .orderBy(F.desc("t1"), "v1").limit(limit1)
+    )
+    w = Window.partitionBy("v1").orderBy(F.desc("cnt"), F.asc("v2"))
+    return (
+        named.join(F.broadcast(top1), "v1")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= limit2)
+        .select("v1", "v2", "cnt", "t1")
+        .orderBy(F.desc("t1"), "v1", F.desc("cnt"), "v2")
+        .drop("t1")
+    )
+
+
 def facet_field(
     searcher,
     req: FacetRequest,

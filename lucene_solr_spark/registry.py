@@ -246,6 +246,33 @@ def _idx_fetch_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idx_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot facet (A7) through the REAL index docvalues: top-3 roles
+    by pair count, top-2 tools within each (nulls excluded)."""
+    from lucene_solr_spark.query.facets import facet_pivot
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_pivot(s, "role", "tool", spec=None, limit1=3, limit2=2)
+
+
+register(
+    "q_idx_facet_pivot",
+    _idx_facet_pivot,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+pairs AS (
+  SELECT role AS v1, tool AS v2, count(*) AS cnt
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY 1, 2),
+top1 AS (
+  SELECT v1, sum(cnt) AS t1 FROM pairs GROUP BY v1
+  ORDER BY t1 DESC, v1 LIMIT 3)
+SELECT v1, v2, cnt FROM (
+  SELECT p.v1, p.v2, p.cnt,
+         row_number() OVER (PARTITION BY p.v1 ORDER BY p.cnt DESC, p.v2) AS rk
+  FROM pairs p JOIN top1 USING (v1))
+WHERE rk <= 2 ORDER BY v1, cnt DESC, v2""",
+)
+
+
 register(
     "q_idx_fetch_text",
     _idx_fetch_text,
