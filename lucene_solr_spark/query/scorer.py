@@ -390,7 +390,11 @@ def _wand_topk(
     CHUNK = 16
     for c0 in range(0, n_regions, CHUNK):
         chunk = order[c0 : c0 + CHUNK]
-        if region_ub[chunk[0]] <= theta and len(top_docs) >= k:
+        if len(top_docs) >= k and region_ub[chunk[0]] < theta:
+            # STRICTLY below theta: a region whose bound equals theta
+            # can still hold docs that tie the k-th score and win the
+            # (score desc, doc asc) tiebreak — pruning them would break
+            # rank-identity at tied boundaries.
             break  # every remaining region is dominated — prune
         sel_regions = np.sort(chunk)  # searchsorted below needs sorted bounds
         lo, hi = cuts[sel_regions], cuts[sel_regions + 1]
