@@ -229,6 +229,30 @@ _SLOPPY = BooleanSpec(phrases=(("table", "merge"),), phrase_slop=1, k=15)
 register("q_bm25_sloppy", _mk_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 register("q_idx_bm25_sloppy", _mk_idx_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 
+def _idx_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facet (A5) over the index's docvalues columns: hourly
+    buckets of the ts column read straight from segment docmaps (the
+    numeric-docvalues path of RangeFacetProcessor)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.docmap()
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("day")
+    )
+
+
+register(
+    "q_idx_range_facet",
+    _idx_range_facet,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS day, count(*) AS cnt
+FROM transcripts GROUP BY 1 ORDER BY day""",
+)
+
+
 def _idx_fetch_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-fields fetch phase (SURVEY §3.2 step 5 / §1.1 stored
     fields row): the index resolves the DocSet, then the original

@@ -41,7 +41,7 @@ def streamed(spark, sf_dir, tmp_path_factory):
     )
     indexer = IncrementalIndexer(spark, out_root, parts_per_batch=2)
     q = indexer.start(stream, ckpt, trigger_once=True)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return out_root, indexer
 
 

@@ -55,7 +55,7 @@ def result(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     import os
 
