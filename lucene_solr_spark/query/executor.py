@@ -27,6 +27,7 @@ the docmaps of segments that contain them, never a corpus-wide shuffle.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import os
 
@@ -171,6 +172,38 @@ class IndexSearcher:
         if round_to is not None:
             hits = hits.withColumn("score", F.round("score", round_to))
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
+
+    # -- block join: conversation-level search -------------------------
+    def search_conversations(
+        self,
+        spec: BooleanSpec,
+        k: int = 10,
+        score_mode: str = "max",
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ToParentBlockJoinQuery over the conv↔turn block model
+        (SURVEY §2.3 J4): rank conversations by their matching turns'
+        BM25 scores aggregated with a Lucene ScoreMode (`max`/`total`/
+        `avg`), plus the matching-turn count.
+
+        Physical: the per-segment scorer emits ALL matching turns with
+        scores (conversations never span segments in the hash-
+        partitioned build, so the parent aggregation needs no extra
+        care), then one groupBy(conv_id) agg + TakeOrdered."""
+        agg_fn = {"max": F.max, "total": F.sum, "avg": F.avg}[score_mode]
+        wide = dataclasses.replace(spec, k=1 << 30)
+        turn_hits = self.search(wide, round_to=None)
+        # search() applies orderBy().limit(2^30); strip to hits only
+        out = (
+            turn_hits.groupBy("conv_id")
+            .agg(
+                agg_fn("score").alias("score"),
+                F.count("*").alias("n_turns"),
+            )
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy(F.desc("score"), "conv_id").limit(k)
 
     # -- DocSet (all matches, no scoring) ------------------------------
     def docset(self, spec: BooleanSpec) -> DataFrame:

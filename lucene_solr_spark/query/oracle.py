@@ -78,7 +78,7 @@ def bm25_oracle_sql(spec: BooleanSpec) -> str:
           GROUP BY conv_id, turn_idx
           HAVING count(*) >= {spec.min_should_match})"""
 
-    return f"""
+    body = f"""
 WITH {TRANSCRIPTS_ORACLE_CTE},
 docs AS (
   SELECT conv_id, turn_idx, role, tool, ts,
@@ -117,8 +117,27 @@ scored AS (
   GROUP BY tf.conv_id, tf.turn_idx
   {must_filter}
 )
+"""
+    return (body + f"""
 SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
 FROM scored
 ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
 LIMIT {spec.k}
-""".strip()
+""").strip()
+
+
+def bm25_conv_oracle_sql(spec: BooleanSpec, k: int, score_mode: str = "max") -> str:
+    """Conversation-level (block-join parent) twin: aggregate the
+    per-turn scored CTE by conv_id with the Lucene ScoreMode, then
+    round AFTER aggregation (matching IndexSearcher.search_conversations)."""
+    agg = {"max": "max(score)", "total": "sum(score)", "avg": "avg(score)"}[score_mode]
+    per_turn = bm25_oracle_sql(spec)
+    # strip the final per-turn SELECT, keep the WITH ... scored body
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f"""
+SELECT conv_id, round({agg}, {ROUND}) AS score,
+       count(*) AS n_turns
+FROM scored GROUP BY conv_id
+ORDER BY round({agg}, {ROUND}) DESC, conv_id
+LIMIT {k}
+""").strip()

@@ -229,6 +229,31 @@ _SLOPPY = BooleanSpec(phrases=(("table", "merge"),), phrase_slop=1, k=15)
 register("q_bm25_sloppy", _mk_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 register("q_idx_bm25_sloppy", _mk_idx_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 
+def _mk_conv_search(spec: BooleanSpec, k: int, mode: str) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        s = cached_searcher(spark, sf_dir)
+        return s.search_conversations(spec, k=k, score_mode=mode, round_to=ROUND)
+
+    return run
+
+
+from lucene_solr_spark.query.oracle import bm25_conv_oracle_sql  # noqa: E402
+
+# Block-join parent search (J4 CORE) through the index: conversations
+# ranked by aggregated turn scores, both Lucene score modes.
+_CONV_SPEC = BooleanSpec(must=("merge",))
+register(
+    "q_idx_conv_search_max",
+    _mk_conv_search(_CONV_SPEC, 10, "max"),
+    bm25_conv_oracle_sql(_CONV_SPEC, 10, "max"),
+)
+register(
+    "q_idx_conv_search_total",
+    _mk_conv_search(_CONV_SPEC, 10, "total"),
+    bm25_conv_oracle_sql(_CONV_SPEC, 10, "total"),
+)
+
+
 def _idx_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range facet (A5) over the index's docvalues columns: hourly
     buckets of the ts column read straight from segment docmaps (the
