@@ -173,6 +173,45 @@ class IndexSearcher:
             hits = hits.withColumn("score", F.round("score", round_to))
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
 
+    # -- MoreLikeThis --------------------------------------------------
+    def more_like_this(
+        self,
+        conv_id: str,
+        turn_idx: int,
+        text: str,
+        max_terms: int = 5,
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """MoreLikeThis (``lucene/queries/src/java/org/apache/lucene/
+        queries/mlt/MoreLikeThis.java``): pick the source doc's most
+        interesting terms by tf × idf (our pinned BM25 idf; scores
+        rounded 6dp before ranking so the selection boundary is
+        engine-independent, tiebreak term asc), then run an OR query
+        excluding the source doc itself."""
+        from collections import Counter
+
+        from lucene_solr_spark.analyzer import tokenize_one
+
+        tf = Counter(tokenize_one(text))
+        idf = self.global_idf(list(tf))
+        interest = sorted(
+            ((round(c * idf[t], 6), t) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        terms = tuple(t for _s, t in interest[:max_terms])
+        hits = self.search(
+            BooleanSpec(should=terms, min_should_match=1, k=k + 1),
+            round_to=round_to,
+        )
+        return (
+            hits.filter(
+                ~((F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx))
+            )
+            .orderBy(F.desc("score"), "conv_id", "turn_idx")
+            .limit(k)
+        )
+
     # -- block join: conversation-level search -------------------------
     def search_conversations(
         self,

@@ -254,6 +254,71 @@ register(
 )
 
 
+_MLT_CONV, _MLT_TURN, _MLT_NTERMS, _MLT_K = "conv00000003", 2, 5, 10
+
+
+def _idx_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis through the index: interesting terms of one doc by
+    tf x idf, OR-search excluding the source doc."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    src = t.filter(
+        (F.col("conv_id") == _MLT_CONV) & (F.col("turn_idx") == _MLT_TURN)
+    ).first()
+    return s.more_like_this(
+        _MLT_CONV, _MLT_TURN, src.text,
+        max_terms=_MLT_NTERMS, k=_MLT_K, round_to=ROUND,
+    )
+
+
+register(
+    "q_idx_more_like_this",
+    _idx_mlt,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs2 AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+  FROM transcripts),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl FROM docs2),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
+alldf AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, term FROM tokens) GROUP BY term),
+src_tf AS (
+  SELECT term, count(*) AS tf FROM tokens
+  WHERE conv_id = '{_MLT_CONV}' AND turn_idx = {_MLT_TURN} GROUP BY term),
+mlt AS (
+  SELECT st.term FROM src_tf st JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY round(st.tf * ln(1.0 + (stats.n_docs - alldf.df + 0.5)
+                 / (alldf.df + 0.5)), 6) DESC, st.term
+  LIMIT {_MLT_NTERMS}),
+tfq AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN (SELECT term FROM mlt)
+  GROUP BY conv_id, turn_idx, term),
+scored AS (
+  SELECT tfq.conv_id, tfq.turn_idx,
+         sum(ln(1.0 + (stats.n_docs - alldf.df + 0.5) / (alldf.df + 0.5))
+             * (tfq.tf * (1.2 + 1))
+             / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * tfq.doc_len / stats.avgdl))
+         ) AS score
+  FROM tfq JOIN alldf USING (term) CROSS JOIN stats
+  GROUP BY tfq.conv_id, tfq.turn_idx)
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+WHERE NOT (conv_id = '{_MLT_CONV}' AND turn_idx = {_MLT_TURN})
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT {_MLT_K}""",
+)
+
+
 def _idx_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range facet (A5) over the index's docvalues columns: hourly
     buckets of the ts column read straight from segment docmaps (the
