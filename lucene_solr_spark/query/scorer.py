@@ -338,15 +338,20 @@ def score_segment(
 
 
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """HitQueue analog: top-k by (score desc, doc asc)."""
+    """HitQueue analog: top-k by (score desc, doc asc) — keeping ALL
+    docs tied with the k-th score. Slicing ties by segment-local
+    doc_ord would make results depend on segment layout (doc_ord
+    assignment changes under merge/repartition); the global
+    TakeOrdered applies the pinned (conv_id, turn_idx) tiebreak, so
+    every boundary-tied candidate must survive the segment stage."""
     if len(docs) <= k:
         order = np.lexsort((docs, -scores))
         return docs[order], scores[order]
     part = np.argpartition(-scores, k - 1)
     kth = scores[part[k - 1]]
-    cand = np.nonzero(scores >= kth)[0]  # include ALL boundary ties
+    cand = np.nonzero(scores >= kth)[0]  # ALL boundary ties survive
     d, s = docs[cand], scores[cand]
-    order = np.lexsort((d, -s))[:k]
+    order = np.lexsort((d, -s))
     return d[order], s[order]
 
 
@@ -423,5 +428,5 @@ def _wand_topk(
         top_scores = np.concatenate([top_scores, sums])
         top_docs, top_scores = _topk(top_docs, top_scores, k)
         if len(top_docs) >= k:
-            theta = top_scores[-1]
+            theta = top_scores[k - 1]  # k-th best (ties may extend past k)
     return top_docs, top_scores
