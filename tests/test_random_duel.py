@@ -21,16 +21,25 @@ SEEDS = list(range(20))
 
 @pytest.fixture(scope="module")
 def env(spark, sf_dir, tmp_path_factory):
+    import shutil
+
+    from lucene_solr_spark.index.merge import merge_segments
+
     root = str(tmp_path_factory.mktemp("duel"))
     t = transcripts_from_documents(spark, sf_dir)
     build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
-    # real vocabulary stratified by df (head / mid / tail)
+    # a MERGED copy: results must be segment-layout-invariant
+    mroot = root + "_m"
+    shutil.copytree(root, mroot)
+    merge_segments(spark, mroot, merge_factor=2, salt_span=1)
     s = IndexSearcher(spark, root)
+    sm = IndexSearcher(spark, mroot)
+    # real vocabulary stratified by df (head / mid / tail)
     vocab = (
         s.postings().groupBy("term").agg(F.sum("df").alias("df"))
         .orderBy(F.desc("df"), "term").toPandas()
     )
-    return s, t, vocab
+    return s, sm, t, vocab
 
 
 def random_spec(rng: np.random.Generator, vocab) -> BooleanSpec:
@@ -70,10 +79,16 @@ def random_spec(rng: np.random.Generator, vocab) -> BooleanSpec:
 
 @pytest.mark.parametrize("seed", SEEDS)
 def test_random_duel(env, seed):
-    s, t, vocab = env
+    """Three-way: fresh index == merged index == brute-force oracle
+    (rank AND score identical) — segment-layout invariance under
+    random query shapes."""
+    s, sm, t, vocab = env
     rng = np.random.default_rng(seed)
     spec = random_spec(rng, vocab)
     a = s.search(spec).toPandas()
     b = bm25_df.search(t, spec).toPandas()
+    c = sm.search(spec).toPandas()
     assert list(zip(a.conv_id, a.turn_idx)) == list(zip(b.conv_id, b.turn_idx)), spec
     assert np.allclose(a.score.to_numpy(), b.score.to_numpy(), atol=1e-9), spec
+    assert list(zip(c.conv_id, c.turn_idx)) == list(zip(b.conv_id, b.turn_idx)), spec
+    assert np.allclose(c.score.to_numpy(), b.score.to_numpy(), atol=1e-9), spec
