@@ -169,6 +169,11 @@ register(
     _mk_facet("ftok", None, 20),
     _facet_oracle("len(toks) > 0", "toks[1]", 20),
 )
+register(
+    "q_facet_or_domain",  # disjunctive facet domain (SHOULD + mm=1)
+    _mk_facet("role", BooleanSpec(should=("fast", "slow"), min_should_match=1), 10),
+    _facet_oracle("list_has_any(toks, ['fast', 'slow'])", "role", 10),
+)
 
 
 # ---------------------------------------------------------------------------
