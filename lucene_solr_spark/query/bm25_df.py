@@ -89,14 +89,24 @@ def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
     if n == 1:
         return F.array_contains(F.col("toks"), phrase[0])
     if slop > 0:
-        if n != 2:
-            raise ValueError("phrase_slop supported for 2-term phrases")
-        t1, t2 = phrase
+        # Pinned sloppy contract (SloppyPhraseMatcher in-order subset):
+        # terms in order with total intervening gap <= slop, i.e.
+        # exists p1<...<pn with pn - p1 <= slop + n - 1.
+        w = slop + n - 1  # max pn - p1
+        # nested exists, innermost-out; 1-based counters over toks[i-1].
+        # Spark sequence(a, b) DESCENDS when a > b, so each level guards
+        # lower <= upper before the exists.
+        expr = f"toks[i{n} - 1] = '{phrase[n - 1]}'"
+        for j in range(n - 1, 0, -1):
+            hi = f"least(size(toks), i1 + {w})"
+            inner = (
+                f"i{j} + 1 <= {hi} AND "
+                f"exists(sequence(i{j} + 1, {hi}), i{j + 1} -> {expr})"
+            )
+            expr = f"toks[i{j} - 1] = '{phrase[j - 1]}' AND ({inner})"
         return F.expr(
-            f"size(toks) >= 2 AND exists(sequence(1, size(toks) - 1), "
-            f"i -> toks[i - 1] = '{t1}' AND "
-            f"exists(sequence(i + 1, least(size(toks), i + 1 + {slop})), "
-            f"j -> toks[j - 1] = '{t2}'))"
+            f"size(toks) >= {n} AND "
+            f"exists(sequence(1, size(toks) - {n - 1}), i1 -> {expr})"
         )
     target = " ".join(phrase)
     grams = F.expr(

@@ -40,8 +40,10 @@ class BooleanSpec:
     min_should_match: int = 0
     filters: tuple[tuple[str, str], ...] = ()  # (field, value) exact matches
     k: int = 10
-    #: SloppyPhraseMatcher (P9): ordered match with ≤ slop intervening
-    #: positions; 0 = exact adjacency. Supported for 2-term phrases.
+    #: SloppyPhraseMatcher (P9): pinned in-order contract — terms in
+    #: order with total intervening gap ≤ slop (∃ p1<…<pn with
+    #: pn-p1 ≤ slop+n-1); 0 = exact adjacency. Any phrase arity.
+    #: (Lucene's out-of-order transposition matches are out of scope.)
     phrase_slop: int = 0
     #: BoostQuery (P14) / edismax qf weights: per-term score multiplier
     #: applied to that term's BM25 contribution (absent term → 1.0).

@@ -30,13 +30,22 @@ def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     if n == 1:
         return f"list_contains(toks, '{phrase[0]}')"
     if slop > 0:
-        if n != 2:
-            raise ValueError("phrase_slop supported for 2-term phrases")
-        t1, t2 = phrase
+        # pinned sloppy contract (in-order, pn - p1 <= slop + n - 1);
+        # DuckDB arrays are 1-based, range(a, b) is half-open and
+        # empty when a >= b (no descending-sequence guard needed).
+        w = slop + n - 1
+        expr = f"toks[i{n}] = '{phrase[n - 1]}'"
+        for j in range(n - 1, 0, -1):
+            hi = f"least(len(toks), i1 + {w})"
+            inner = (
+                f"len(list_filter(range(i{j} + 1, {hi} + 1), "
+                f"i{j + 1} -> {expr})) > 0"
+            )
+            expr = f"toks[i{j}] = '{phrase[j - 1]}' AND {inner}"
         return (
-            f"len(list_filter(range(1, len(toks)), i -> toks[i] = '{t1}' AND "
-            f"len(list_filter(range(i + 1, least(len(toks), i + 1 + {slop}) + 1), "
-            f"j -> toks[j] = '{t2}')) > 0)) > 0"
+            f"len(toks) >= {n} AND "
+            f"len(list_filter(range(1, len(toks) - {n - 1} + 1), "
+            f"i1 -> {expr})) > 0"
         )
     conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
     return (

@@ -109,27 +109,44 @@ def _sparse_sum(docs: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndar
     return uniq, sums, counts
 
 
-def _sloppy_pair_docs(
-    tp1: TermPostings, tp2: TermPostings, cand: np.ndarray,
+def _sloppy_chain_docs(
+    tps: list[TermPostings], cand: np.ndarray,
     stride: int, slop: int,
 ) -> np.ndarray:
-    """Docs where t2 occurs within (pos1, pos1+slop+1] after t1 —
-    SloppyPhraseMatcher for the 2-term case, vectorized: one
-    searchsorted of t1's (doc,pos) keys into t2's sorted key stream."""
-    d1, t1, p1 = tp1.positions(tp1.blocks_for_docs(cand))
-    d2, t2, p2 = tp2.positions(tp2.blocks_for_docs(cand))
-    m1 = np.repeat(np.isin(d1, cand, assume_unique=True), t1)
-    m2 = np.repeat(np.isin(d2, cand, assume_unique=True), t2)
-    doc1 = np.repeat(d1, t1)[m1]
-    k1 = doc1 * stride + p1[m1]
-    k2 = np.repeat(d2, t2)[m2] * stride + p2[m2]
-    if len(k1) == 0 or len(k2) == 0:
-        return np.empty(0, np.int64)
-    idx = np.searchsorted(k2, k1, side="right")
-    ok = idx < len(k2)
-    nxt = k2[np.clip(idx, 0, len(k2) - 1)]
-    ok &= (nxt <= k1 + slop + 1) & (nxt // stride == doc1)
-    return np.unique(doc1[ok])
+    """Docs matching an n-term ordered sloppy phrase — our pinned
+    SloppyPhraseMatcher contract (in-order subset of
+    ``lucene/core/src/java/org/apache/lucene/search/
+    SloppyPhraseMatcher.java``): ∃ positions p1 < p2 < … < pn with
+    toks[pi] = term_i and total intervening gap Σ(p_{i+1}-p_i-1) =
+    pn - p1 - (n-1) ≤ slop.
+
+    Vectorized chain DP over (doc*stride + pos) keys: f_i(q) = best
+    (largest) chain start key among occurrences of term_{i-1} strictly
+    before q. f is monotone in key order, so one searchsorted + one
+    prefix-max per level — O(Σ postings · n), no per-row Python.
+    Cross-doc prefix-max leakage is impossible to exploit: an earlier
+    doc's start key is < this doc's smallest key, and the same-doc
+    check (s // stride == doc) rejects it."""
+    keyed: list[np.ndarray] = []
+    for tp in tps:
+        d, t, p = tp.positions(tp.blocks_for_docs(cand))
+        m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        k = np.repeat(d, t)[m] * stride + p[m]
+        if len(k) == 0:
+            return np.empty(0, np.int64)
+        keyed.append(k)  # sorted: postings are doc-asc, positions asc
+    n = len(tps)
+    f = keyed[0].copy()  # level 1: chain start = own key
+    for i in range(1, n):
+        prev_k, cur_k = keyed[i - 1], keyed[i]
+        fmax = np.maximum.accumulate(f)
+        idx = np.searchsorted(prev_k, cur_k, side="left") - 1
+        s = np.where(idx >= 0, fmax[np.clip(idx, 0, None)], np.int64(-1))
+        valid = (idx >= 0) & (s // stride == cur_k // stride)
+        f = np.where(valid, s, np.int64(-1))
+        keyed[i] = cur_k
+    ok = (f >= 0) & (keyed[n - 1] - f <= slop + n - 1)
+    return np.unique(keyed[n - 1][ok] // stride)
 
 
 def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
@@ -197,17 +214,15 @@ def _candidates(
             cand = cand[np.isin(cand, d, assume_unique=True)]
     for ph in spec.phrases:
         ptps = [tp.get(t) for t in ph]
-        if spec.phrase_slop > 0:
-            if len(ph) != 2:
-                raise ValueError("phrase_slop supported for 2-term phrases")
+        if spec.phrase_slop > 0 and len(ph) > 1:
             if any(p is None for p in ptps):
                 pdocs = np.empty(0, np.int64)
             else:
                 base = cand
                 if base is None:
                     base, _ = min(ptps, key=lambda p: p.n_blocks).decode_all()
-                pdocs = _sloppy_pair_docs(
-                    ptps[0], ptps[1], base, max_doclen + 2 + spec.phrase_slop,
+                pdocs = _sloppy_chain_docs(
+                    ptps, base, max_doclen + 2 + spec.phrase_slop,
                     spec.phrase_slop,
                 )
         else:

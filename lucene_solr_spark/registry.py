@@ -234,6 +234,12 @@ _SLOPPY = BooleanSpec(phrases=(("table", "merge"),), phrase_slop=1, k=15)
 register("q_bm25_sloppy", _mk_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 register("q_idx_bm25_sloppy", _mk_idx_bm25(_SLOPPY), bm25_oracle_sql(_SLOPPY))
 
+# 3-term sloppy phrase: "table … scan … order" with total gap ≤ 2
+# (14 matching docs at sf0.01 — a real selective-but-nonempty shape).
+_SLOPPY3 = BooleanSpec(phrases=(("table", "scan", "order"),), phrase_slop=2, k=15)
+register("q_bm25_sloppy3", _mk_bm25(_SLOPPY3), bm25_oracle_sql(_SLOPPY3))
+register("q_idx_bm25_sloppy3", _mk_idx_bm25(_SLOPPY3), bm25_oracle_sql(_SLOPPY3))
+
 def _mk_conv_search(spec: BooleanSpec, k: int, mode: str) -> QueryFn:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = cached_searcher(spark, sf_dir)
