@@ -116,23 +116,26 @@ def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
     return F.array_contains(grams, target)
 
 
-def search(
-    transcripts: DataFrame, spec: BooleanSpec, round_to: int | None = None
-) -> DataFrame:
-    """Execute a BooleanSpec; returns top-k (conv_id, turn_idx, score).
-
-    Deterministic total order: (score desc, conv_id asc, turn_idx asc) —
-    the pinned tiebreak (SURVEY §7.3); TopDocs.merge's (score, shard,
-    doc) tiebreak re-expressed on stable business keys. With `round_to`
-    set, scores are rounded BEFORE the top-k ordering so the k-boundary
-    is engine-independent (oracle comparison mode).
+def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
+    """UNSORTED scored hits (conv_id, turn_idx, score) — every matching
+    doc, no top-k. The composable core: :func:`search` adds the pinned
+    TakeOrdered; :func:`rerank`'s second pass and parent-block
+    aggregations consume this directly so the plan never sorts the full
+    hit set below an aggregation (the round-1 ``k=1<<30`` anti-pattern:
+    a global single-task sort whose order the next groupBy discarded).
     """
     docs = transcripts_docs = doc_tokens(transcripts)
     for fld, val in spec.filters:
         # FILTER occur / Solr fq: non-scoring constraint (BooleanClause.Occur#FILTER).
         docs = docs.filter(F.col(fld) == val)
+    for fld, val in spec.not_filters:
+        # Negated filter: differs-or-missing matches (MUST_NOT TermQuery
+        # semantics) — null-safe inequality, not `!=` (null != v is null).
+        docs = docs.filter(~F.col(fld).eqNullSafe(F.lit(val)))
     for ph in spec.phrases:
         docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
+    for ph in spec.must_not_phrases:
+        docs = docs.filter(~_phrase_pred(ph, spec.phrase_slop))
     if spec.must_not:
         # ReqExclScorer: docs containing any excluded term drop out.
         excl = F.arrays_overlap("toks", F.array(*[F.lit(t) for t in spec.must_not]))
@@ -202,7 +205,21 @@ def search(
         )
         agg = agg.join(mm_hits, DOC_KEY, "left_semi")
 
-    out = agg.select(*DOC_KEY, "score")
+    return agg.select(*DOC_KEY, "score")
+
+
+def search(
+    transcripts: DataFrame, spec: BooleanSpec, round_to: int | None = None
+) -> DataFrame:
+    """Execute a BooleanSpec; returns top-k (conv_id, turn_idx, score).
+
+    Deterministic total order: (score desc, conv_id asc, turn_idx asc) —
+    the pinned tiebreak (SURVEY §7.3); TopDocs.merge's (score, shard,
+    doc) tiebreak re-expressed on stable business keys. With `round_to`
+    set, scores are rounded BEFORE the top-k ordering so the k-boundary
+    is engine-independent (oracle comparison mode).
+    """
+    out = score_all(transcripts, spec)
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(spec.k)
@@ -223,8 +240,10 @@ def rerank(
         transcripts,
         BooleanSpec(must=first_pass.must, should=first_pass.should, k=rerank_docs),
     )
-    second = search(
-        transcripts, BooleanSpec(should=tuple(rerank_terms), min_should_match=1, k=1 << 30)
+    # phase 2 scores EVERY doc unsorted (no global TakeOrdered of the
+    # full hit set): the left join below keeps only phase-1's top-N.
+    second = score_all(
+        transcripts, BooleanSpec(should=tuple(rerank_terms), min_should_match=1)
     )
     joined = (
         top_n.alias("a")

@@ -27,7 +27,6 @@ the docmaps of segments that contain them, never a corpus-wide shuffle.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 import os
 
@@ -42,6 +41,29 @@ RESULT_SCHEMA = "conv_id string, turn_idx int, score double"
 
 #: docmap columns every scorer needs (norms + result ids)
 _BASE_COLS = ["doc_ord", "doc_len", "conv_id", "turn_idx"]
+
+
+def filter_cols(spec: BooleanSpec, base: list[str]) -> list[str]:
+    """docmap columns needed beyond `base` for fq / negated fq."""
+    want = {f for f, _ in spec.filters} | {f for f, _ in spec.not_filters}
+    return list(base) + sorted(want - set(base))
+
+
+def filter_mask(dm, spec: BooleanSpec):
+    """FILTER/NOT-FILTER doc mask over a docmap pandas frame, or None.
+
+    Negated filters use differs-or-missing semantics (pandas ``==``
+    is False on NaN, so ``~`` correctly admits missing values)."""
+    if not spec.filters and not spec.not_filters:
+        return None
+    mask = None
+    for fld, val in spec.filters:
+        m = (dm[fld] == val).to_numpy(bool)
+        mask = m if mask is None else (mask & m)
+    for fld, val in spec.not_filters:
+        m = ~(dm[fld] == val).to_numpy(bool)
+        mask = m if mask is None else (mask & m)
+    return mask
 
 
 class IndexSearcher:
@@ -115,10 +137,21 @@ class IndexSearcher:
         }
 
     # -- search --------------------------------------------------------
-    def search(self, spec: BooleanSpec, round_to: int | None = None) -> DataFrame:
-        all_terms = list(
-            dict.fromkeys(spec.scoring_terms + tuple(spec.must_not))
-        )
+    def score_hits(self, spec: BooleanSpec, k: int | None = None) -> DataFrame:
+        """UNSORTED scored hits: per-segment top-k rows (all matching
+        turns when k is None) with raw float64 scores — no global sort.
+
+        This is the composable building block: :meth:`search` adds the
+        pinned TakeOrdered; parent-block aggregation
+        (:meth:`search_conversations`) and rerank consume it directly,
+        avoiding a degenerate single-task sort of the full hit set
+        that a giant-k ``orderBy().limit()`` would plan."""
+        if not spec.scoring_terms:
+            # Lucene rejects pure-negative scored queries (QueryUtils
+            # .makeQueryable wraps them for filters, not scoring) — and
+            # bm25_df.search raises identically.
+            raise ValueError("query has no scoring terms")
+        all_terms = list(spec.lookup_terms)
         idf = self.global_idf(all_terms)  # must_not idf unused but keyed
         if spec.boosts:
             # BoostQuery: contribution AND WAND upper bound both scale
@@ -127,12 +160,9 @@ class IndexSearcher:
             bm = spec.boost_map
             idf = {t: v * bm.get(t, 1.0) for t, v in idf.items()}
         avgdl = self.manifest.avgdl
-        k = spec.k
         seg_dirs = self.seg_dir_by_id
-        filters = spec.filters
-        dm_cols = _BASE_COLS + sorted(
-            {f for f, _ in filters} - set(_BASE_COLS)
-        )
+        dm_cols = filter_cols(spec, _BASE_COLS)
+        seg_k = (1 << 62) if k is None else k
 
         post = self.postings().filter(F.col("term").isin(all_terms))
 
@@ -146,16 +176,10 @@ class IndexSearcher:
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()  # written sorted by doc_ord
             doc_len = dm["doc_len"].to_numpy("int64")
-            allowed = None
-            if filters:
-                mask = None
-                for fld, val in filters:
-                    m = (dm[fld] == val).to_numpy(bool)
-                    mask = m if mask is None else (mask & m)
-                allowed = mask
+            allowed = filter_mask(dm, spec)
             term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             docs, scores = score_segment(
-                spec, term_rows, idf, avgdl, doc_len, allowed, k
+                spec, term_rows, idf, avgdl, doc_len, allowed, seg_k
             )
             if len(docs) == 0:
                 return pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
@@ -168,10 +192,13 @@ class IndexSearcher:
                 }
             )
 
-        hits = post.groupBy("seg_id").applyInPandas(run_seg, schema=RESULT_SCHEMA)
+        return post.groupBy("seg_id").applyInPandas(run_seg, schema=RESULT_SCHEMA)
+
+    def search(self, spec: BooleanSpec, round_to: int | None = None) -> DataFrame:
+        hits = self.score_hits(spec, k=spec.k)
         if round_to is not None:
             hits = hits.withColumn("score", F.round("score", round_to))
-        return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
+        return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(spec.k)
 
     # -- MoreLikeThis --------------------------------------------------
     def more_like_this(
@@ -226,13 +253,12 @@ class IndexSearcher:
         `avg`), plus the matching-turn count.
 
         Physical: the per-segment scorer emits ALL matching turns with
-        scores (conversations never span segments in the hash-
-        partitioned build, so the parent aggregation needs no extra
-        care), then one groupBy(conv_id) agg + TakeOrdered."""
+        scores via :meth:`score_hits` (UNSORTED — no global sort below
+        the aggregation; conversations never span segments in the
+        hash-partitioned build, so the parent aggregation needs no
+        extra care), then one groupBy(conv_id) agg + TakeOrdered."""
         agg_fn = {"max": F.max, "total": F.sum, "avg": F.avg}[score_mode]
-        wide = dataclasses.replace(spec, k=1 << 30)
-        turn_hits = self.search(wide, round_to=None)
-        # search() applies orderBy().limit(2^30); strip to hits only
+        turn_hits = self.score_hits(spec, k=None)
         out = (
             turn_hits.groupBy("conv_id")
             .agg(
@@ -244,15 +270,33 @@ class IndexSearcher:
             out = out.withColumn("score", F.round("score", round_to))
         return out.orderBy(F.desc("score"), "conv_id").limit(k)
 
+    # -- segment-driver helper -----------------------------------------
+    def seg_driver(self) -> DataFrame:
+        """One row per committed segment — the MatchAllDocs-style plan
+        driver: guarantees every segment runs, even ones containing
+        none of a query's terms (pure-negative / filter-only specs,
+        MatchAll facet domains)."""
+        seg_ids = sorted(self.seg_dir_by_id)
+        return self.spark.createDataFrame(
+            [(s,) for s in seg_ids], "seg_id int"
+        ).repartition(len(seg_ids), "seg_id")
+
     # -- DocSet (all matches, no scoring) ------------------------------
     def docset(self, spec: BooleanSpec) -> DataFrame:
         """ALL matching (conv_id, turn_idx) — ``getDocSet`` analog,
-        used by filter queries, exports, and MultiTermQuery rewrites."""
-        all_terms = list(dict.fromkeys(spec.scoring_terms + tuple(spec.must_not)))
+        used by filter queries, exports, and MultiTermQuery rewrites.
+
+        Specs WITHOUT positive terms (pure-negative ``-stream`` /
+        filter-only ``role:assistant``) run over the segment-id driver
+        so term-free segments still contribute (Solr wraps these as
+        MatchAllDocs minus exclusions, ``QueryUtils#makeQueryable``);
+        each task then reads its own segment's postings for the
+        excluded terms straight from Parquet (term-pruned by row-group
+        stats) — no corpus shuffle either way."""
         seg_dirs = self.seg_dir_by_id
-        filters = spec.filters
-        dm_cols = _BASE_COLS + sorted({f for f, _ in filters} - set(_BASE_COLS))
-        post = self.postings().filter(F.col("term").isin(all_terms))
+        dm_cols = filter_cols(spec, _BASE_COLS)
+        pure_negative = not spec.scoring_terms
+        lookup = list(spec.lookup_terms)
 
         def run_seg(pdf):
             import pandas as pd
@@ -262,14 +306,17 @@ class IndexSearcher:
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            allowed = None
-            if filters:
-                mask = None
-                for fld, val in filters:
-                    m = (dm[fld] == val).to_numpy(bool)
-                    mask = m if mask is None else (mask & m)
-                allowed = mask
-            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            allowed = filter_mask(dm, spec)
+            if pure_negative:
+                term_rows = {}
+                if lookup:  # filter-only specs never touch postings
+                    post_tbl = pq.read_table(
+                        f"{seg_dirs[seg_id]}/postings.parquet",
+                        filters=[("term", "in", lookup)],
+                    ).to_pandas()
+                    term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+            else:
+                term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             from lucene_solr_spark.query.scorer import match_segment
 
             hits = match_segment(
@@ -281,7 +328,11 @@ class IndexSearcher:
                 {"conv_id": sel["conv_id"], "turn_idx": sel["turn_idx"]}
             )
 
-        return post.groupBy("seg_id").applyInPandas(
+        if pure_negative:
+            driver = self.seg_driver()
+        else:
+            driver = self.postings().filter(F.col("term").isin(lookup))
+        return driver.groupBy("seg_id").applyInPandas(
             run_seg, schema="conv_id string, turn_idx int"
         )
 

@@ -88,9 +88,7 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
         )
 
     if spec is None:
-        seg_df = searcher.spark.createDataFrame(
-            [(s,) for s in sorted(seg_dirs)], "seg_id int"
-        ).repartition(len(seg_dirs), "seg_id")
+        seg_df = searcher.seg_driver()
 
         def count_all(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
@@ -106,12 +104,11 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
 
         return seg_df.groupBy("seg_id").applyInPandas(count_all, PARTIAL_SCHEMA)
 
-    all_terms = list(dict.fromkeys(spec.scoring_terms + tuple(spec.must_not)))
-    post = searcher.postings().filter(F.col("term").isin(all_terms))
-    filters = spec.filters
-    dm_cols = ["doc_ord", "doc_len", ord_col] + sorted(
-        {f for f, _ in filters} - {"doc_ord", "doc_len", ord_col}
-    )
+    from lucene_solr_spark.query.executor import filter_cols, filter_mask
+
+    lookup = list(spec.lookup_terms)
+    pure_negative = not spec.scoring_terms
+    dm_cols = filter_cols(spec, ["doc_ord", "doc_len", ord_col])
 
     def count_hits(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -121,19 +118,29 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
             f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
         ).to_pandas()  # written sorted by doc_ord
         n_docs = len(dm)
-        allowed = None
-        if filters:
-            mask = None
-            for fld, val in filters:
-                m = (dm[fld] == val).to_numpy(bool)
-                mask = m if mask is None else (mask & m)
-            allowed = mask
-        term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+        allowed = filter_mask(dm, spec)
+        if pure_negative:
+            term_rows = {}
+            if lookup:
+                post_tbl = pq.read_table(
+                    f"{seg_dirs[seg_id]}/postings.parquet",
+                    filters=[("term", "in", lookup)],
+                ).to_pandas()
+                term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+        else:
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
         max_dl = int(dm["doc_len"].max()) if n_docs else 0
         hits = match_segment(spec, term_rows, n_docs, allowed, max_dl)
         return _count_ords(seg_id, hits, dm[ord_col].to_numpy(np.int64))
 
-    return post.groupBy("seg_id").applyInPandas(count_hits, PARTIAL_SCHEMA)
+    # pure-negative / filter-only domains must visit EVERY segment
+    # (term-pruned postings would silently drop term-free segments);
+    # the seg-id driver guarantees that, tasks read their own postings.
+    driver = (
+        searcher.seg_driver() if pure_negative
+        else searcher.postings().filter(F.col("term").isin(lookup))
+    )
+    return driver.groupBy("seg_id").applyInPandas(count_hits, PARTIAL_SCHEMA)
 
 
 def _with_terms(searcher, partials: DataFrame, field: str) -> DataFrame:
@@ -180,9 +187,7 @@ def facet_pivot(
         })
 
     if spec is None:
-        seg_df = searcher.spark.createDataFrame(
-            [(s,) for s in sorted(seg_dirs)], "seg_id int"
-        ).repartition(len(seg_dirs), "seg_id")
+        seg_df = searcher.seg_driver()
 
         def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
@@ -197,20 +202,32 @@ def facet_pivot(
 
         pairs = seg_df.groupBy("seg_id").applyInPandas(run_all, pair_schema)
     else:
-        all_terms = list(dict.fromkeys(spec.scoring_terms + tuple(spec.must_not)))
-        post = searcher.postings().filter(F.col("term").isin(all_terms))
+        from lucene_solr_spark.query.executor import filter_cols, filter_mask
+
+        lookup = list(spec.lookup_terms)
+        pure_negative = not spec.scoring_terms
+        dm_cols = filter_cols(spec, ["doc_ord", "doc_len", o1, o2])
 
         def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
 
             seg_id = int(pdf["seg_id"].iloc[0])
             dm = pq.read_table(
-                f"{seg_dirs[seg_id]}/docmap.parquet",
-                columns=["doc_ord", "doc_len", o1, o2],
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            allowed = filter_mask(dm, spec)  # fq domain, like count_hits
+            if pure_negative:
+                term_rows = {}
+                if lookup:
+                    post_tbl = pq.read_table(
+                        f"{seg_dirs[seg_id]}/postings.parquet",
+                        filters=[("term", "in", lookup)],
+                    ).to_pandas()
+                    term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+            else:
+                term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             hits = match_segment(
-                spec, term_rows, len(dm), None,
+                spec, term_rows, len(dm), allowed,
                 int(dm["doc_len"].max()) if len(dm) else 0,
             )
             return count_pairs(
@@ -218,7 +235,11 @@ def facet_pivot(
                 dm[o1].to_numpy(np.int64), dm[o2].to_numpy(np.int64),
             )
 
-        pairs = post.groupBy("seg_id").applyInPandas(run_hits, pair_schema)
+        driver = (
+            searcher.seg_driver() if pure_negative
+            else searcher.postings().filter(F.col("term").isin(lookup))
+        )
+        pairs = driver.groupBy("seg_id").applyInPandas(run_hits, pair_schema)
 
     d1 = searcher.dicts().filter(F.col("field") == f1).select(
         "seg_id", F.col("term_ord").alias("ord1"), F.col("term").alias("v1")

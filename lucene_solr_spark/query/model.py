@@ -39,6 +39,14 @@ class BooleanSpec:
     phrases: tuple[tuple[str, ...], ...] = ()
     min_should_match: int = 0
     filters: tuple[tuple[str, str], ...] = ()  # (field, value) exact matches
+    #: Negated phrase constraints (``-"a b"`` / ``NOT "a b"``): docs
+    #: containing the phrase are excluded; terms do NOT score.
+    #: phrase_slop applies to these like to positive phrases.
+    must_not_phrases: tuple[tuple[str, ...], ...] = ()
+    #: Negated field filters (``-field:value``): doc matches when the
+    #: field differs OR is missing (Lucene MUST_NOT-over-TermQuery
+    #: semantics: absence matches).
+    not_filters: tuple[tuple[str, str], ...] = ()
     k: int = 10
     #: SloppyPhraseMatcher (P9): pinned in-order contract — terms in
     #: order with total intervening gap ≤ slop (∃ p1<…<pn with
@@ -49,9 +57,29 @@ class BooleanSpec:
     #: applied to that term's BM25 contribution (absent term → 1.0).
     boosts: tuple[tuple[str, float], ...] = ()
 
+    def __post_init__(self) -> None:
+        # Lucene rejects boost < 0 (BoostQuery ctor): negative idf
+        # breaks WAND soundness — per-block ub(max_tf, min_dl) becomes
+        # a lower bound and pruning can drop true top-k docs.
+        for t, b in self.boosts:
+            if b < 0:
+                raise ValueError(f"negative boost {b} for term {t!r}")
+
     @property
     def boost_map(self) -> dict[str, float]:
         return dict(self.boosts)
+
+    @property
+    def lookup_terms(self) -> tuple[str, ...]:
+        """Every term whose postings the executor must fetch: scoring
+        terms + MUST_NOT terms + negated-phrase terms, deduped."""
+        seen: dict[str, None] = {}
+        for t in self.scoring_terms + self.must_not:
+            seen.setdefault(t, None)
+        for p in self.must_not_phrases:
+            for t in p:
+                seen.setdefault(t, None)
+        return tuple(seen)
 
     @property
     def scoring_terms(self) -> tuple[str, ...]:

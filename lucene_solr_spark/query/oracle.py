@@ -59,8 +59,12 @@ def bm25_oracle_sql(spec: BooleanSpec) -> str:
     doc_filters = []
     for fld, val in spec.filters:
         doc_filters.append(f"{fld} = '{val}'")
+    for fld, val in spec.not_filters:
+        doc_filters.append(f"({fld} IS DISTINCT FROM '{val}')")
     for ph in spec.phrases:
         doc_filters.append(_phrase_clause(ph, spec.phrase_slop))
+    for ph in spec.must_not_phrases:
+        doc_filters.append(f"NOT ({_phrase_clause(ph, spec.phrase_slop)})")
     if spec.must_not:
         doc_filters.append(f"NOT list_has_any(toks, [{_sql_list(spec.must_not)}])")
     where_docs = (" WHERE " + " AND ".join(doc_filters)) if doc_filters else ""

@@ -9,9 +9,13 @@ Solr's ``QParser``/``ExtendedDismaxQParser`` front door:
     +merge window          MUST + SHOULD      (Occur prefixes)
     merge -stream          SHOULD + MUST_NOT
     "table scan"           exact PhraseQuery
+    -"table scan"          NEGATED phrase (MUST_NOT occur)
     role:assistant         field FILTER (non-scoring fq, StrField match)
+    -role:assistant        negated filter (differs-or-missing matches)
     merge AND sort         boolean operators (AND → both MUST)
     merge OR sort          explicit OR
+    fast^2                 per-term boost (boost < 0 → ValueError,
+                           BoostQuery/WAND soundness)
 
 Query-time text analysis uses the SAME pinned analyzer as indexing
 (``Analyzer`` invariant): every bare term and phrase word passes
@@ -32,7 +36,7 @@ FILTER_FIELDS = ("role", "tool")
 _TOKEN_RE = re.compile(
     r"""
     (?P<phrase>[+-]?"[^"]*")
-  | (?P<field>[A-Za-z_][A-Za-z0-9_]*:[^\s]+)
+  | (?P<field>[+-]?[A-Za-z_][A-Za-z0-9_]*:[^\s]+)
   | (?P<op>AND|OR|NOT)(?=\s|$)
   | (?P<term>[+-]?[^\s]+)
     """,
@@ -51,7 +55,9 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     should: list[str] = []
     must_not: list[str] = []
     phrases: list[tuple[str, ...]] = []
+    must_not_phrases: list[tuple[str, ...]] = []
     filters: list[tuple[str, str]] = []
+    not_filters: list[tuple[str, str]] = []
     boosts: list[tuple[str, float]] = []
 
     pending_op: str | None = None
@@ -79,12 +85,15 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
                 w for part in tok.strip('"').split() for w in tokenize_one(part)
             )
             if words:
-                phrases.append(words)
+                # '-"a b"' / 'NOT "a b"' is a NEGATED phrase — Lucene
+                # MUST_NOT occur, never a positive requirement.
+                (must_not_phrases if occur == "-" else phrases).append(words)
             prev_bare = None
         elif kind == "field":
             fld, _, val = tok.partition(":")
             if fld in FILTER_FIELDS:
-                filters.append((fld, val))
+                # '-role:assistant' → negated filter (differs-or-missing)
+                (not_filters if occur == "-" else filters).append((fld, val))
             else:  # unknown field → treat value as a term on the text
                 for w in tokenize_one(val):
                     (must_not if occur == "-" else should).append(w)
@@ -128,6 +137,8 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         phrases=tuple(phrases),
         min_should_match=mm,
         filters=tuple(filters),
+        must_not_phrases=tuple(must_not_phrases),
+        not_filters=tuple(not_filters),
         k=k,
         boosts=tuple(boosts),
     )

@@ -228,18 +228,32 @@ def _candidates(
         else:
             pdocs = _phrase_docs(ptps, max_doclen)
         cand = pdocs if cand is None else cand[np.isin(cand, pdocs, assume_unique=True)]
-    if spec.must_not:
-        excl: list[np.ndarray] = []
-        for t in spec.must_not:
-            if t in tp:
-                d, _ = tp[t].decode_all()
-                excl.append(d)
-        if excl:
-            ex = np.unique(np.concatenate(excl))
-            if cand is not None:
-                cand = cand[~np.isin(cand, ex, assume_unique=True)]
-            else:
-                cand = np.setdiff1d(np.arange(n_docs), ex)
+    excl: list[np.ndarray] = []
+    for t in spec.must_not:
+        if t in tp:
+            d, _ = tp[t].decode_all()
+            excl.append(d)
+    for ph in spec.must_not_phrases:
+        # ReqExclScorer over a (sloppy) PhraseQuery: docs containing
+        # the negated phrase drop out; its terms never score.
+        ptps = [tp.get(t) for t in ph]
+        if any(p is None for p in ptps) or not ph:
+            continue  # some phrase term absent → phrase can't occur here
+        if len(ph) == 1:
+            excl.append(ptps[0].decode_all()[0])
+        elif spec.phrase_slop > 0:
+            base, _ = min(ptps, key=lambda p: p.n_blocks).decode_all()
+            excl.append(_sloppy_chain_docs(
+                ptps, base, max_doclen + 2 + spec.phrase_slop, spec.phrase_slop
+            ))
+        else:
+            excl.append(_phrase_docs(ptps, max_doclen))
+    if excl:
+        ex = np.unique(np.concatenate(excl))
+        if cand is not None:
+            cand = cand[~np.isin(cand, ex, assume_unique=True)]
+        else:
+            cand = np.setdiff1d(np.arange(n_docs), ex)
     if allowed is not None:
         ok = np.nonzero(allowed)[0]
         cand = ok if cand is None else cand[allowed[cand]]

@@ -411,6 +411,76 @@ ORDER BY conv_id, turn_idx""",
 )
 
 
+# Negated phrase + negated filter shapes (P5/P16 corner the round-1
+# parser silently inverted): '-"merge policy"' and '-role:assistant'
+# through BOTH executors. The parser round-trips these (test_parser).
+_NEG_PHRASE = BooleanSpec(
+    must=("table",), must_not_phrases=(("table", "scan"),), k=12
+)
+register("q_bm25_neg_phrase", _mk_bm25(_NEG_PHRASE), bm25_oracle_sql(_NEG_PHRASE))
+register("q_idx_bm25_neg_phrase", _mk_idx_bm25(_NEG_PHRASE), bm25_oracle_sql(_NEG_PHRASE))
+
+_NEG_FILTER = BooleanSpec(
+    must=("query",), not_filters=(("role", "assistant"),), k=12
+)
+register("q_bm25_neg_filter", _mk_bm25(_NEG_FILTER), bm25_oracle_sql(_NEG_FILTER))
+register("q_idx_bm25_neg_filter", _mk_idx_bm25(_NEG_FILTER), bm25_oracle_sql(_NEG_FILTER))
+
+
+def _idx_docset_pure_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-negative DocSet through the index (``QueryUtils
+    #makeQueryable`` MatchAll-minus-exclusions): every doc NOT
+    containing 'stream' — term-free segments must contribute, which
+    the seg-id driver guarantees (round-1 gap: term-pruned postings
+    silently dropped them)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.docset(BooleanSpec(must_not=("stream",)))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_idx_docset_pure_negative",
+    _idx_docset_pure_negative,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts)
+SELECT conv_id, turn_idx FROM docs
+WHERE NOT list_contains(toks, 'stream')
+ORDER BY conv_id, turn_idx""",
+)
+
+
+def _idx_docset_filter_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-only DocSet (fq with no scored query): role=assistant
+    over every segment via the seg-id driver; postings never read."""
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.docset(BooleanSpec(filters=(("role", "assistant"),)))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_idx_docset_filter_only",
+    _idx_docset_filter_only,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE role = 'assistant'
+ORDER BY conv_id, turn_idx""",
+)
+
+register(
+    "q_facet_neg_domain",  # facet over a pure-negative query domain
+    _mk_facet("role", BooleanSpec(must_not=("merge",)), 10),
+    _facet_oracle("NOT list_contains(toks, 'merge')", "role", 10),
+)
+
+
 # BoostQuery / edismax qf weights (P14): per-term boosted disjunction.
 _BOOSTED = BooleanSpec(should=("fast", "slow", "vector"), min_should_match=1,
                        boosts=(("fast", 2.5), ("vector", 0.5)), k=15)

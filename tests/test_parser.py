@@ -24,6 +24,16 @@ from lucene_solr_spark.query.parser import parse
     ("NOT stream +join", BooleanSpec(must=("join",), must_not=("stream",))),
     ('MERGE "Table SCAN"',
      BooleanSpec(should=("merge",), phrases=(("table", "scan"),))),
+    # negated phrases: MUST_NOT occur, never a positive requirement
+    ('-"table scan" +merge',
+     BooleanSpec(must=("merge",), must_not_phrases=(("table", "scan"),))),
+    ('NOT "table scan" +merge',
+     BooleanSpec(must=("merge",), must_not_phrases=(("table", "scan"),))),
+    # negated field filter: differs-or-missing
+    ("-role:assistant +query",
+     BooleanSpec(must=("query",), not_filters=(("role", "assistant"),))),
+    ("NOT tool:tool_7 +data",
+     BooleanSpec(must=("data",), not_filters=(("tool", "tool_7"),))),
 ])
 def test_parse_shapes(q, want):
     got = parse(q)
@@ -32,6 +42,8 @@ def test_parse_shapes(q, want):
     assert got.must_not == want.must_not, q
     assert got.phrases == want.phrases, q
     assert got.filters == want.filters, q
+    assert got.must_not_phrases == want.must_not_phrases, q
+    assert got.not_filters == want.not_filters, q
     assert got.min_should_match == want.min_should_match, q
 
 
@@ -39,6 +51,14 @@ def test_boost_syntax():
     got = parse("fast^2.5 slow vector^0.5")
     assert got.should == ("fast", "slow", "vector")
     assert got.boost_map == {"fast": 2.5, "vector": 0.5}
+
+
+def test_negative_boost_rejected():
+    """Lucene rejects boost < 0 (WAND upper bounds become unsound)."""
+    with pytest.raises(ValueError, match="negative boost"):
+        parse("fast^-2")
+    with pytest.raises(ValueError, match="negative boost"):
+        BooleanSpec(should=("fast",), boosts=(("fast", -1.0),))
 
 
 def test_default_op_and():

@@ -75,6 +75,44 @@ def test_topk_is_take_ordered(searcher):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_conv_search_no_global_sort_below_agg(searcher):
+    """search_conversations must NOT plan a global sort/TakeOrdered of
+    the full per-turn hit set below the parent aggregation (the round-1
+    k=1<<30 anti-pattern: one task sorts every matching turn, then the
+    groupBy discards the order). Only the FINAL conv-level top-k may
+    sort."""
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    plan = _physical(
+        searcher.search_conversations(BooleanSpec(must=("merge",)), k=10)
+    )
+    # exactly one top-k operator: the final conversation-level one
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    # no GLOBAL sort anywhere (the applyInPandas groupBy needs only a
+    # local per-partition sort, flagged `false` in the plan); the
+    # parent agg is HashAggregate with map-side partials
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert ", false, " in line, f"global sort leaked: {line}"
+    assert "partial_max" in plan or "partial_sum" in plan, plan
+
+
+def test_rerank_no_global_sort_in_second_pass(spark, sf_dir):
+    """rerank phase 2 scores unsorted (score_all); the only global
+    orderings are phase-1's top-N and the final top-k."""
+    from lucene_solr_spark.query import bm25_df
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    t = transcripts_from_documents(spark, sf_dir)
+    plan = _physical(
+        bm25_df.rerank(
+            t, BooleanSpec(must=("merge",)), ["sort"],
+            rerank_docs=20, rerank_weight=2.0, k=10,
+        )
+    )
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+
+
 def test_tokenizer_is_jvm_side(spark, sf_dir):
     """The Catalyst tokenizer spelling must not introduce a Python UDF
     (BatchEvalPython) — brute-force scoring stays JVM-side."""
