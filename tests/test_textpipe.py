@@ -1,9 +1,11 @@
 """Training-data pipeline op tests: planted-duplicate recovery, LSH
 recall vs the exact inverted-join path, IVF recall vs brute force,
-multimodal plumbing (schema, batch shapes, media-column pruning)."""
+hot-shingle skew safety, no-cartesian plan shapes, multimodal
+plumbing (schema, batch shapes, media-column pruning)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.operators import multimodal, textpipe
@@ -28,6 +30,71 @@ def test_minhash_equals_exact_ngram(spark, sf_dir):
     b = textpipe.q_dedup_ngram_jaccard(spark, sf_dir).toPandas()
     assert list(zip(a.a, a.b, a.jac)) == list(zip(b.a, b.b, b.jac))
     assert len(a) > 0
+
+
+def test_neardup_cosine_no_cartesian(spark, sf_dir):
+    """The near-dup plan must be LSH-chunk-blocked — no CartesianProduct
+    / nested-loop join anywhere (the round-1 all-pairs scale hole)."""
+    q = textpipe.q_neardup_cosine(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_hot_shingle_skew(spark, sf_dir):
+    """Planted ubiquitous trigram (Zipf head, df == corpus size): the
+    capped candidate join must stay bounded AND lose no true pair —
+    hot-only-overlap pairs ride the minhash-LSH union."""
+    base = textpipe.corpus_df(spark, sf_dir)
+    # append the same trigram to EVERY doc: its shingles hit df=n_docs
+    hot = base.withColumn(
+        "text", F.concat("text", F.lit(" zz hot shingle zz end"))
+    )
+    # shingles of the hot corpus, Catalyst spelling (mirror shingles_df)
+    c = hot.withColumn(
+        "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    sh = (
+        c.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    got = textpipe.ngram_jaccard_pairs(spark, hot, sh, 0.7).toPandas()
+
+    # brute-force reference: full inverted join, no cap (small corpus)
+    sa = sh.select(F.col("doc_id").alias("a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    cand_all = (
+        sa.join(sb, (F.col("sh") == F.col("sh_b")) & (F.col("a") < F.col("b")))
+        .select("a", "b").distinct()
+    )
+    want = textpipe._pair_jaccard(cand_all, sh, 0.7).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
+def test_minhash_vectorized_batch_invariance(spark, sf_dir):
+    """Signatures are per-doc minima — identical whatever the Arrow
+    batching/partitioning (reduceat path vs per-doc path guard)."""
+    a = (
+        textpipe._minhash_bands_from(textpipe.corpus_df(spark, sf_dir))
+        .toPandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+    )
+    b = (
+        textpipe._minhash_bands_from(
+            textpipe.corpus_df(spark, sf_dir).repartition(13)
+        )
+        .toPandas().sort_values(["doc_id", "band"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_simhash_planted_exact_pairs(spark, sf_dir):
