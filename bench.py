@@ -144,19 +144,54 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
         out["turns_per_sec"] = round(n_turns / build_s, 1)
 
         if queries:
+            from lucene_solr_spark.query.model import BooleanSpec
+
             searcher = IndexSearcher(spark, idx_root).persist()
             # warmup (JIT/Arrow init — excluded from per-query numbers)
             searcher.search(next(iter(BM25_SPECS.values()))).collect()
             q_secs: dict[str, float] = {}
-            for name, spec in BM25_SPECS.items():
+
+            def timed(name: str, fn) -> None:
                 best = float("inf")
                 for _ in range(2):  # steady-state latency (2nd run
                     tq = time.perf_counter()  # dodges post-build GC)
-                    searcher.search(spec).collect()
+                    fn()
                     best = min(best, time.perf_counter() - tq)
                 q_secs[name] = round(best, 3)
+
+            for name, spec in BM25_SPECS.items():
+                timed(name, lambda s=spec: searcher.search(s).collect())
+            # non-BM25 headline paths (fixed/changed in round 2 — facet
+            # sparse counting, parent block join without a global sort)
+            timed("facet_role_merge", lambda: searcher.facet(
+                "role", spec=BooleanSpec(must=("merge",)), limit=10
+            ).collect())
+            timed("facet_ftok_matchall", lambda: searcher.facet(
+                "ftok", spec=None, limit=20
+            ).collect())
+            timed("conv_search_max", lambda: searcher.search_conversations(
+                BooleanSpec(must=("merge",)), k=10
+            ).collect())
             out["queries"] = q_secs
             out["query_total_sec"] = round(sum(q_secs.values()), 3)
+
+            # LLM-pipeline ops over the SF_DIR documents/embeddings
+            # tables (LSH-blocked paths rewritten in round 2); timed
+            # once — candidate generation dominates, warm runs would
+            # just re-read cached shuffle
+            if os.path.isdir(SF_DIR):
+                from lucene_solr_spark.operators import textpipe
+
+                p_secs: dict[str, float] = {}
+                for name, fn in (
+                    ("dedup_minhash_lsh", textpipe.q_dedup_minhash_lsh),
+                    ("dedup_ngram_jaccard", textpipe.q_dedup_ngram_jaccard),
+                    ("neardup_cosine", textpipe.q_neardup_cosine),
+                ):
+                    tq = time.perf_counter()
+                    fn(spark, SF_DIR).collect()
+                    p_secs[name] = round(time.perf_counter() - tq, 3)
+                out["pipeline"] = p_secs
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
         spark.stop()
@@ -299,6 +334,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": r.get("queries", {}),
+        "pipeline": r.get("pipeline", {}),
         "sf": sf,
         "build": {
             "turns": r["turns"],

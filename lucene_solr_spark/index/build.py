@@ -94,15 +94,21 @@ def _ordinals(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return out, np.asarray(uniques)[order]
 
 
-def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0) -> dict:
+def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0, analyzer=None) -> dict:
     """Invert one partition of transcripts into in-memory segment tables.
 
     Returns dict with pyarrow tables: postings, docmap, dicts, and a
     metrics dict. Pure function — unit-testable without Spark.
+
+    `analyzer`: vectorized ``pd.Series[str] -> pd.Series[list[str]]``
+    stage (default: the pinned tokenizer). Passing a filter chain
+    (``analyzer.chain(...)``) builds a chained index; its version
+    string MUST be recorded in the manifest and re-used at query time
+    (the Analyzer invariant — guarded by IndexSearcher).
     """
     pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
-    toks = tokenize_pandas(pdf["text"])
+    toks = (analyzer or tokenize_pandas)(pdf["text"])
     doc_len = toks.str.len().to_numpy(np.int64)
 
     flat = toks.explode().dropna()
@@ -359,14 +365,28 @@ def build_index(
     part_offset: int = 0,
     seg_prefix: str = "",
     extra_lineage: dict | None = None,
+    analyzer=None,
+    analyzer_version: str | None = None,
 ) -> Manifest:
     """Build (or resume building) the inverted index for a transcripts DF.
 
     ``part_offset``/``seg_prefix`` give appended builds (streaming
     micro-batches, N1) a disjoint segment-id/name space so snapshots
     accumulate segments instead of colliding.
+
+    ``analyzer``/``analyzer_version``: non-default analysis chain; the
+    version is pinned in the manifest, and appending to an existing
+    index under a DIFFERENT version raises (mixed-analyzer segments
+    would silently break term matching — the Analyzer invariant).
     """
     manifest = Manifest.load(out_root)
+    version = analyzer_version or Manifest.analyzer_version
+    if manifest.segments and manifest.analyzer_version != version:
+        raise ValueError(
+            f"index at {out_root} was built with analyzer "
+            f"{manifest.analyzer_version!r}; cannot append with {version!r}"
+        )
+    manifest.analyzer_version = version
     done = manifest.committed_parts() if resume else set()
 
     with_part = transcripts.withColumn(
@@ -386,7 +406,7 @@ def build_index(
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["part"].iloc[0])
         seg_name = f"{seg_prefix}seg_{part:05d}"
-        seg = build_segment_pdf(pdf.drop(columns=["part"]), seg_id=part)
+        seg = build_segment_pdf(pdf.drop(columns=["part"]), seg_id=part, analyzer=analyzer)
         write_segment(seg, os.path.join(seg_root, seg_name))
         m = seg["metrics"]
         return pd.DataFrame(

@@ -1100,3 +1100,51 @@ def q_json_extract(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy("kmod")
     )
+
+
+# ===========================================================================
+# Highlighting (the term-vectors consumer SURVEY §1.1 promises)
+# ===========================================================================
+
+# ref: lucene/highlighter/src/java/org/apache/lucene/search/highlight/
+#      Highlighter.java + QueryTermScorer — term-vector-based snippet
+#      marking, re-expressed over the tokens column: every query-term
+#      occurrence is wrapped in <em> tags, rebuilt with the analyzer's
+#      token stream (the UnifiedHighlighter token-level approach; no
+#      regex on raw text, so marking agrees with the pinned analyzer).
+@op(
+    "q_highlight",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx,
+  array_to_string(list_transform(toks, t ->
+    CASE WHEN t IN ('table', 'scan') THEN '<em>' || t || '</em>'
+         ELSE t END), ' ') AS snippet,
+  CAST(len(list_filter(toks, t -> t IN ('table', 'scan'))) AS BIGINT)
+    AS n_marks
+FROM docs
+WHERE list_contains(toks, 'table') AND list_contains(toks, 'scan')
+ORDER BY conv_id, turn_idx""",
+)
+def q_highlight(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    terms = ("table", "scan")
+    is_hit = lambda t: t.isin(*terms)  # noqa: E731
+    mark = F.transform(
+        "toks",
+        lambda t: F.when(
+            is_hit(t), F.concat(F.lit("<em>"), t, F.lit("</em>"))
+        ).otherwise(t),
+    )
+    return (
+        d.filter(
+            F.array_contains("toks", terms[0])
+            & F.array_contains("toks", terms[1])
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.array_join(mark, " ").alias("snippet"),
+            F.size(F.filter("toks", is_hit)).cast("long").alias("n_marks"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )

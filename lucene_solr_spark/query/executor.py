@@ -69,11 +69,30 @@ def filter_mask(dm, spec: BooleanSpec):
 class IndexSearcher:
     """Searcher bound to the latest committed snapshot of an index."""
 
-    def __init__(self, spark: SparkSession, index_root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_root: str,
+        analyzer_version: str | None = None,
+    ):
+        """`analyzer_version`: the QUERY-TIME analysis chain version.
+        When given, it must equal the chain the index was built with
+        (manifest-recorded) — querying a stemmed index with unstemmed
+        terms (or vice versa) silently misses matches, so the mismatch
+        raises instead (the Analyzer invariant, ``Analyzer.java``:
+        one chain at index and query time)."""
         self.spark = spark
         self.manifest = Manifest.load(index_root)
         if not self.manifest.segments:
             raise ValueError(f"no committed snapshot under {index_root}")
+        if (
+            analyzer_version is not None
+            and analyzer_version != self.manifest.analyzer_version
+        ):
+            raise ValueError(
+                f"query-time analyzer {analyzer_version!r} != index "
+                f"analyzer {self.manifest.analyzer_version!r}"
+            )
         dirs = self.manifest.seg_dirs()
         self._postings_files = [f"{d}/postings.parquet" for d in dirs]
         self._docmap_files = [f"{d}/docmap.parquet" for d in dirs]
@@ -337,15 +356,23 @@ class IndexSearcher:
         )
 
     # -- MultiTermQuery rewrite (dictionary scan → OR expansion) -------
-    def expand_terms(self, predicate) -> list[str]:
+    def expand_terms(self, predicate, max_expansions: int = 1024) -> list[str]:
         """Dictionary scan: terms of the text field matching a Column
         predicate over ``term`` (PrefixQuery/WildcardQuery/FuzzyQuery
-        rewrite, ``MultiTermQuery#RewriteMethod``)."""
+        rewrite, ``MultiTermQuery#RewriteMethod``).
+
+        Bounded like Lucene's TopTermsRewrite: when the automaton
+        matches more than ``max_expansions`` terms (think ``.*``-ish
+        wildcards over a 100M-term dictionary), only the highest-df
+        terms survive, (df desc, term asc) — never an unbounded
+        driver collect."""
         rows = (
             self.postings()
-            .select("term")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
             .filter(predicate)
-            .distinct()
+            .orderBy(F.desc("df"), "term")
+            .limit(max_expansions)
             .collect()
         )
         return sorted(r.term for r in rows)

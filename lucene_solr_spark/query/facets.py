@@ -266,6 +266,150 @@ def facet_pivot(
     )
 
 
+def facet_nested(
+    searcher,
+    f1: str,
+    f2: str,
+    spec: BooleanSpec | None = None,
+    limit1: int = 3,
+    limit2: int = 2,
+) -> DataFrame:
+    """One level of JSON-Facet sub-faceting with metrics
+    (``solr/core/src/java/org/apache/solr/search/facet/FacetModule.java``
+    nested-bucket shape): top `limit1` f1 buckets by domain count,
+    inside each the top `limit2` f2 sub-buckets, each sub-bucket
+    carrying count + avg(doc_len) (an ``AggValueSource`` metric riding
+    the same partial rows).
+
+    Physical: per-segment sparse (ord1, ord2) pair counting like
+    :func:`facet_pivot`, but (a) docs missing f2 still count toward
+    their f1 bucket (ord2 = -1 partials survive, Lucene bucket-count
+    semantics: the sub-facet only narrows its own sub-domain), and
+    (b) each partial carries Σ doc_len so any algebraic metric merges
+    associatively — only touched (pair, cnt, sum) rows shuffle."""
+    o1, o2 = f"{f1}_ord", f"{f2}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    pair_schema = "seg_id int, ord1 int, ord2 int, cnt long, sum_dl long"
+
+    def count_pairs(seg_id: int, hits: np.ndarray | None,
+                    a: np.ndarray, b: np.ndarray, dl: np.ndarray) -> pd.DataFrame:
+        if hits is not None:
+            a, b, dl = a[hits], b[hits], dl[hits]
+        m = a >= 0  # keep ord2 == -1: counts toward the parent bucket
+        a, b, dl = a[m], b[m], dl[m]
+        key = a.astype(np.int64) * (1 << 31) + (b + 1)  # -1 → 0
+        order = np.argsort(key, kind="stable")
+        key_s, dl_s = key[order], dl[order]
+        starts = (
+            np.nonzero(np.diff(key_s, prepend=key_s[0] - 1))[0]
+            if len(key_s) else np.empty(0, np.int64)
+        )
+        uniq = key_s[starts]
+        cnt = np.diff(np.append(starts, len(key_s)))
+        sums = (
+            np.add.reduceat(dl_s, starts) if len(key_s)
+            else np.empty(0, np.int64)
+        )
+        return pd.DataFrame({
+            "seg_id": np.full(len(uniq), seg_id, np.int32),
+            "ord1": (uniq >> 31).astype(np.int32),
+            "ord2": ((uniq & ((1 << 31) - 1)) - 1).astype(np.int32),
+            "cnt": cnt.astype(np.int64),
+            "sum_dl": sums.astype(np.int64),
+        })
+
+    from lucene_solr_spark.query.executor import filter_cols, filter_mask
+
+    dm_base = ["doc_ord", "doc_len", o1, o2]
+
+    if spec is None:
+        seg_df = searcher.seg_driver()
+
+        def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            t = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet",
+                columns=["doc_len", o1, o2],
+            )
+            return count_pairs(
+                seg_id, None,
+                t.column(o1).to_numpy().astype(np.int64),
+                t.column(o2).to_numpy().astype(np.int64),
+                t.column("doc_len").to_numpy().astype(np.int64),
+            )
+
+        pairs = seg_df.groupBy("seg_id").applyInPandas(run_all, pair_schema)
+    else:
+        lookup = list(spec.lookup_terms)
+        pure_negative = not spec.scoring_terms
+        dm_cols = filter_cols(spec, dm_base)
+
+        def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            allowed = filter_mask(dm, spec)
+            if pure_negative:
+                term_rows = {}
+                if lookup:
+                    post_tbl = pq.read_table(
+                        f"{seg_dirs[seg_id]}/postings.parquet",
+                        filters=[("term", "in", lookup)],
+                    ).to_pandas()
+                    term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+            else:
+                term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            hits = match_segment(
+                spec, term_rows, len(dm), allowed,
+                int(dm["doc_len"].max()) if len(dm) else 0,
+            )
+            return count_pairs(
+                seg_id, hits,
+                dm[o1].to_numpy(np.int64), dm[o2].to_numpy(np.int64),
+                dm["doc_len"].to_numpy(np.int64),
+            )
+
+        driver = (
+            searcher.seg_driver() if pure_negative
+            else searcher.postings().filter(F.col("term").isin(lookup))
+        )
+        pairs = driver.groupBy("seg_id").applyInPandas(run_hits, pair_schema)
+
+    d1 = searcher.dicts().filter(F.col("field") == f1).select(
+        "seg_id", F.col("term_ord").alias("ord1"), F.col("term").alias("v1")
+    )
+    d2 = searcher.dicts().filter(F.col("field") == f2).select(
+        "seg_id", F.col("term_ord").alias("ord2"), F.col("term").alias("v2")
+    )
+    named = pairs.join(d1, ["seg_id", "ord1"])
+    top1 = (
+        named.groupBy("v1").agg(F.sum("cnt").alias("cnt1"))
+        .orderBy(F.desc("cnt1"), "v1").limit(limit1)
+    )
+    sub = (
+        named.filter(F.col("ord2") >= 0)
+        .join(d2, ["seg_id", "ord2"])
+        .groupBy("v1", "v2")
+        .agg(F.sum("cnt").alias("cnt2"), F.sum("sum_dl").alias("sum_dl"))
+    )
+    w = Window.partitionBy("v1").orderBy(F.desc("cnt2"), F.asc("v2"))
+    return (
+        sub.join(F.broadcast(top1), "v1")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= limit2)
+        .select(
+            "v1", "cnt1", "v2", "cnt2",
+            F.round(F.col("sum_dl") / F.col("cnt2"), 4).alias("avg_dl"),
+        )
+        .orderBy(F.desc("cnt1"), "v1", F.desc("cnt2"), "v2")
+    )
+
+
 def facet_field(
     searcher,
     req: FacetRequest,

@@ -53,7 +53,11 @@ def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     )
 
 
-def bm25_oracle_sql(spec: BooleanSpec) -> str:
+#: default DuckDB spelling of the pinned analyzer
+DEFAULT_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
     terms = spec.scoring_terms
     must = spec.required_terms
     doc_filters = []
@@ -95,7 +99,7 @@ def bm25_oracle_sql(spec: BooleanSpec) -> str:
 WITH {TRANSCRIPTS_ORACLE_CTE},
 docs AS (
   SELECT conv_id, turn_idx, role, tool, ts,
-         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         {toks_sql} AS toks
   FROM transcripts
 ),
 docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),

@@ -191,6 +191,62 @@ for _mod in (solr_battery, textpipe, multimodal):
 register("q_idx_prefix_expand", _idx_prefix_expand, ORACLES["q_prefix_query"])
 
 
+def _idx_prefix_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORED PrefixQuery through the index — Lucene's scoring boolean
+    rewrite (``MultiTermQuery.java#SCORING_BOOLEAN_QUERY_REWRITE``):
+    the dictionary scan expands the prefix (bounded TopTermsRewrite-
+    style), each expanded term becomes a SHOULD TermQuery scored with
+    its own idf, ranked by the summed BM25."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    terms = s.expand_terms(F.col("term").startswith("mer"))
+    if not terms:
+        return spark.createDataFrame([], "conv_id string, turn_idx int, score double")
+    return s.search(
+        BooleanSpec(should=tuple(terms), min_should_match=1, k=15),
+        round_to=ROUND,
+    )
+
+
+from lucene_solr_spark.query.model import B as _B, K1 as _K1  # noqa: E402
+
+register(
+    "q_idx_prefix_scored",
+    _idx_prefix_scored,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl FROM docs2),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
+pterms AS (SELECT DISTINCT term FROM tokens WHERE term LIKE 'mer%'),
+tf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN (SELECT term FROM pterms)
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1))
+             / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.doc_len / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY 1, 2)
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT 15""",
+)
+
+
 def _idx_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery dictionary scan through the REAL index: terms within
     edit distance 1 of 'merge' with their index-wide df (the
@@ -398,6 +454,44 @@ WHERE rk <= 2 ORDER BY v1, cnt DESC, v2""",
 )
 
 
+def _json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON facet (FacetModule): top-3 roles over the 'data'
+    query domain, top-2 tools within each, each sub-bucket carrying
+    count + avg(doc_len) metrics — through the index docvalues path."""
+    from lucene_solr_spark.query.facets import facet_nested
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_nested(
+        s, "role", "tool", spec=BooleanSpec(must=("data",)),
+        limit1=3, limit2=2,
+    )
+
+
+register(
+    "q_json_facet_nested",
+    _json_facet_nested,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+  FROM transcripts),
+dom AS (SELECT * FROM docs WHERE list_contains(toks, 'data')),
+top1 AS (
+  SELECT role AS v1, count(*) AS cnt1 FROM dom
+  GROUP BY 1 ORDER BY cnt1 DESC, v1 LIMIT 3),
+sub AS (
+  SELECT role AS v1, tool AS v2, count(*) AS cnt2,
+         round(CAST(sum(doc_len) AS DOUBLE) / count(*), 4) AS avg_dl,
+         row_number() OVER (
+           PARTITION BY role ORDER BY count(*) DESC, tool) AS rk
+  FROM dom WHERE tool IS NOT NULL GROUP BY 1, 2)
+SELECT v1, cnt1, v2, cnt2, avg_dl
+FROM sub JOIN top1 USING (v1) WHERE rk <= 2
+ORDER BY cnt1 DESC, v1, cnt2 DESC, v2""",
+)
+
+
 register(
     "q_idx_fetch_text",
     _idx_fetch_text,
@@ -481,8 +575,138 @@ register(
 )
 
 
+# ---------------------------------------------------------------------------
+# End-to-end filter-chain index (SURVEY §2.7 analysis-chain extension
+# points): an index built through chain(stop_filter, s_stem_filter),
+# version-pinned in the manifest, queried through the SAME chain and
+# oracle-checked against DuckDB applying identical stop+stem SQL.
+# ---------------------------------------------------------------------------
+
+STEM_CHAIN_VERSION = "stop+sstem-v1"
+
+
+def cached_stemmed_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "stemmed")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_stem_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(an.stop_filter, an.s_stem_filter),
+            analyzer_version=STEM_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    # query-time chain version must match the manifest (guard test:
+    # tests/test_filter_chain.py asserts the mismatch raises)
+    return IndexSearcher(spark, root, analyzer_version=STEM_CHAIN_VERSION)
+
+
+#: DuckDB spelling of chain(stop_filter, s_stem_filter): stop-word
+#: removal then minimal English s-stemming (same rules as
+#: analyzer.s_stem_filter, in the same order).
+def _stem_toks_sql() -> str:
+    from lucene_solr_spark.analyzer import ENGLISH_STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    stem_case = (
+        "CASE WHEN t LIKE '%sses' THEN substr(t, 1, len(t) - 2) "
+        "WHEN t LIKE '%ies' AND len(t) > 4 THEN substr(t, 1, len(t) - 3) || 'y' "
+        "WHEN t LIKE '%s' AND NOT (t LIKE '%ss' OR t LIKE '%us' OR t LIKE '%is') "
+        "AND len(t) > 3 THEN substr(t, 1, len(t) - 1) ELSE t END"
+    )
+    return (
+        "list_transform(list_filter("
+        "regexp_extract_all(lower(text), '[a-z0-9]+'), "
+        f"t -> t NOT IN ({stops})), t -> {stem_case})"
+    )
+
+
+def _mk_stemmed_bm25(spec: BooleanSpec) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return cached_stemmed_searcher(spark, sf_dir).search(spec, round_to=ROUND)
+
+    return run
+
+
+# 'merge' through the stemmed index also matches docs whose surface
+# form was 'merges' (stemmed at index time); doc_len/avgdl reflect the
+# post-chain token stream on both sides.
+_STEMMED_SPEC = BooleanSpec(must=("merge",), k=12)
+register(
+    "q_idx_stemmed_search",
+    _mk_stemmed_bm25(_STEMMED_SPEC),
+    bm25_oracle_sql(_STEMMED_SPEC, toks_sql=_stem_toks_sql()),
+)
+
+
 # BoostQuery / edismax qf weights (P14): per-term boosted disjunction.
 _BOOSTED = BooleanSpec(should=("fast", "slow", "vector"), min_should_match=1,
                        boosts=(("fast", 2.5), ("vector", 0.5)), k=15)
 register("q_bm25_boosted", _mk_bm25(_BOOSTED), bm25_oracle_sql(_BOOSTED))
 register("q_idx_bm25_boosted", _mk_idx_bm25(_BOOSTED), bm25_oracle_sql(_BOOSTED))
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
+# gate attests the FIRST 50 registered queries only, so the dict is
+# re-ordered to put one representative of every SURVEY §2 family, the
+# full LLM-pipeline op set, and every path fixed this round inside the
+# window. Everything below slot 50 still runs in tools/check_oracle.py
+# (the full battery) — curation changes attestation order, not
+# coverage.
+# ---------------------------------------------------------------------------
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # CORE BM25 — Catalyst oracle path (M1) + the full index engine
+    "q_bm25_term", "q_bm25_neg_phrase", "q_bm25_sloppy3",
+    "q_idx_bm25_term", "q_idx_bm25_and", "q_idx_bm25_or_mm",
+    "q_idx_bm25_not", "q_idx_bm25_phrase", "q_idx_bm25_filtered",
+    "q_idx_bm25_sloppy", "q_idx_bm25_sloppy3", "q_idx_bm25_boosted",
+    "q_idx_bm25_neg_filter",
+    # negation / domain fallbacks (round-2 fixes)
+    "q_idx_docset_pure_negative", "q_idx_docset_filter_only",
+    # MultiTermQuery rewrites + block join + MLT + stored fields + chain
+    "q_idx_prefix_scored", "q_idx_fuzzy_terms",
+    "q_idx_conv_search_max", "q_idx_conv_search_total",
+    "q_idx_more_like_this", "q_idx_fetch_text", "q_idx_stemmed_search",
+    # SOLR-5894 faceting family
+    "q_facet_role", "q_facet_ftok_hc", "q_facet_or_domain",
+    "q_facet_neg_domain", "q_idx_facet_pivot", "q_idx_range_facet",
+    "q_json_facet_nested",
+    # one per remaining SURVEY §2 family (rest stay oracle-checked
+    # below the window)
+    "q_lang_id",          # text analysis (pipeline)
+    "q_dismax",           # P15
+    "q_export_sorted",    # S10
+    "q_join_semi",        # J2
+    "q_block_join_parent",  # J4 relational
+    "q_hash_join",        # J7
+    "q_json_facet_aggs",  # A8
+    "q_grouping",         # A10
+    "q_rerank",           # W5 (fixed path this round)
+    "q_ann_lsh_check",    # ANN-LSH attestation (new)
+    "q_set_intersect",    # T3
+    "q_function_math",    # §2.7
+    "q_session_window",   # §2.8 windows
+    "q_versioned_upsert", # N3
+    "q_highlight",        # highlighter (new)
+    # LLM-pipeline dedup/near-dup/ANN (fixed paths this round)
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
+    "q_dedup_simhash", "q_neardup_cosine", "q_ann_ivf",
+)
+assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
+_missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+assert not _missing, _missing
+
+QUERIES = {
+    **{n: QUERIES[n] for n in DRIVER_PRIORITY},
+    **{n: f for n, f in QUERIES.items() if n not in DRIVER_PRIORITY},
+}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
