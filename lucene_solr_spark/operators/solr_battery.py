@@ -1148,3 +1148,100 @@ def q_highlight(spark, sf_dir):
         )
         .orderBy("conv_id", "turn_idx")
     )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/FunctionRangeQuery.java
+#      + FunctionQParser ({!frange l=.. u=..}func) — a filter over a
+#      computed ValueSource; the function here is Solr's recip(x,m,a,b)
+#      = a/(m*x+b) over the doc length, the classic boost-by-recency /
+#      length shape.
+@op(
+    "q_frange",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx,
+       round(100.0 / (1.0 * len(toks) + 50.0), 4) AS fval
+FROM docs
+WHERE 100.0 / (1.0 * len(toks) + 50.0) BETWEEN 0.5 AND 0.9
+ORDER BY conv_id, turn_idx""",
+)
+def q_frange(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    fval = 100.0 / (1.0 * F.size("toks") + 50.0)
+    return (
+        d.withColumn("fv", fval)
+        .filter(F.col("fv").between(0.5, 0.9))
+        .select("conv_id", "turn_idx", F.round("fv", 4).alias("fval"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+# ===========================================================================
+# S2/S3 ingest loaders — CSV/JSON bulk ingest round-trips the corpus
+# through the wire format and proves byte fidelity against the
+# parquet original (the /update/csv + /update/json handlers)
+# ===========================================================================
+
+_INGEST_DIRS: dict[tuple[str, str], str] = {}
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+#: fidelity digest: any loader corruption (quoting, escaping, type
+#: coercion) shifts at least one of these aggregates
+_INGEST_ORACLE = """
+SELECT count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS idsum,
+       CAST(sum(strlen(text)) AS BIGINT) AS chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS nsrc,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM documents
+""".strip()
+
+
+def _ingest_digest(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").cast("long").alias("idsum"),
+        F.sum(F.length("text")).cast("long").alias("chars"),
+        F.countDistinct("source").cast("long").alias("nsrc"),
+        F.sum("n_chars").cast("long").alias("n_chars_sum"),
+    )
+
+
+def _ingest_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    # ref: solr/core/src/java/org/apache/solr/handler/loader/CSVLoader.java,
+    #      JsonLoader.java — bulk ingest endpoints re-expressed as
+    #      spark.read.csv/json with an explicit schema (IndexSchema
+    #      analog; no schemaless guessing on the hot path)
+    import os
+    import tempfile
+
+    key = (sf_dir, fmt)
+    path = _INGEST_DIRS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix=f"lss_ingest_{fmt}_")
+        src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = src.coalesce(4).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).option("escape", '"').csv(path)
+        else:
+            w.json(path)
+        _INGEST_DIRS[key] = path
+    if fmt == "csv":
+        loaded = (
+            spark.read.schema(_DOCS_SCHEMA)
+            .option("header", True).option("escape", '"')
+            .csv(path)
+        )
+    else:
+        loaded = spark.read.schema(_DOCS_SCHEMA).json(path)
+    return _ingest_digest(loaded)
+
+
+@op("q_ingest_csv", _INGEST_ORACLE)
+def q_ingest_csv(spark, sf_dir):
+    return _ingest_roundtrip(spark, sf_dir, "csv")
+
+
+@op("q_ingest_json", _INGEST_ORACLE)
+def q_ingest_json(spark, sf_dir):
+    return _ingest_roundtrip(spark, sf_dir, "json")

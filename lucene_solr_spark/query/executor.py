@@ -220,6 +220,26 @@ class IndexSearcher:
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(spec.k)
 
     # -- MoreLikeThis --------------------------------------------------
+    def interesting_terms(
+        self, text: str, max_terms: int = 5
+    ) -> list[tuple[str, float]]:
+        """MLT interesting-terms surface (``MoreLikeThis.java#
+        retrieveInterestingTerms`` / Solr ``mlt.interestingTerms=
+        details``): the source text's terms ranked by tf x idf under
+        the pinned BM25 idf, rounded 6dp pre-ranking so the selection
+        boundary is engine-independent, tiebreak term asc."""
+        from collections import Counter
+
+        from lucene_solr_spark.analyzer import tokenize_one
+
+        tf = Counter(tokenize_one(text))
+        idf = self.global_idf(list(tf))
+        ranked = sorted(
+            ((round(c * idf[t], 6), t) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [(t, s) for s, t in ranked[:max_terms]]
+
     def more_like_this(
         self,
         conv_id: str,
@@ -235,17 +255,7 @@ class IndexSearcher:
         rounded 6dp before ranking so the selection boundary is
         engine-independent, tiebreak term asc), then run an OR query
         excluding the source doc itself."""
-        from collections import Counter
-
-        from lucene_solr_spark.analyzer import tokenize_one
-
-        tf = Counter(tokenize_one(text))
-        idf = self.global_idf(list(tf))
-        interest = sorted(
-            ((round(c * idf[t], 6), t) for t, c in tf.items()),
-            key=lambda x: (-x[0], x[1]),
-        )
-        terms = tuple(t for _s, t in interest[:max_terms])
+        terms = tuple(t for t, _ in self.interesting_terms(text, max_terms))
         hits = self.search(
             BooleanSpec(should=terms, min_should_match=1, k=k + 1),
             round_to=round_to,

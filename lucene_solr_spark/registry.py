@@ -386,6 +386,50 @@ LIMIT {_MLT_K}""",
 )
 
 
+def _idx_mlt_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLT interesting-terms output surface (``MoreLikeThis.java#
+    retrieveInterestingTerms`` / Solr ``mlt.interestingTerms=details``):
+    the ranked tf x idf term list itself, with scores."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    src = t.filter(
+        (F.col("conv_id") == _MLT_CONV) & (F.col("turn_idx") == _MLT_TURN)
+    ).first()
+    rows = s.interesting_terms(src.text, max_terms=_MLT_NTERMS)
+    return spark.createDataFrame(
+        rows, "term string, score double"
+    ).withColumn("score", F.round("score", ROUND))
+
+
+register(
+    "q_idx_mlt_terms",
+    _idx_mlt_terms,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs2 AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+tokens AS (
+  SELECT conv_id, turn_idx, unnest(toks) AS term FROM docs2),
+alldf AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, term FROM tokens) GROUP BY term),
+stats AS (SELECT count(*) AS n_docs FROM docs2),
+src_tf AS (
+  SELECT term, count(*) AS tf FROM tokens
+  WHERE conv_id = '{_MLT_CONV}' AND turn_idx = {_MLT_TURN} GROUP BY term)
+SELECT st.term,
+       round(round(st.tf * ln(1.0 + (stats.n_docs - alldf.df + 0.5)
+             / (alldf.df + 0.5)), 6), {ROUND}) AS score
+FROM src_tf st JOIN alldf USING (term) CROSS JOIN stats
+ORDER BY round(st.tf * ln(1.0 + (stats.n_docs - alldf.df + 0.5)
+             / (alldf.df + 0.5)), 6) DESC, st.term
+LIMIT {_MLT_NTERMS}""",
+)
+
+
 def _idx_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range facet (A5) over the index's docvalues columns: hourly
     buckets of the ts column read straight from segment docmaps (the

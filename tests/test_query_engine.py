@@ -58,3 +58,23 @@ def test_phrase_requires_adjacency(searcher):
     # every hit's text must contain the adjacent phrase per the oracle
     b = bm25_df.search(t, spec).toPandas()
     assert set(zip(hits.conv_id, hits.turn_idx)) == set(zip(b.conv_id, b.turn_idx))
+
+
+def test_expand_terms_bounded(searcher):
+    """TopTermsRewrite cap: a wide automaton keeps only the
+    max_expansions highest-df terms (never an unbounded collect)."""
+    from pyspark.sql import functions as F
+
+    s, _ = searcher
+    all_terms = s.expand_terms(F.col("term").rlike("^[a-z]"), max_expansions=100000)
+    capped = s.expand_terms(F.col("term").rlike("^[a-z]"), max_expansions=5)
+    assert len(capped) == 5 and len(all_terms) > 5
+    # the kept 5 are the top-df subset of the full expansion
+    post = (
+        s.postings().groupBy("term").agg(F.sum("df").alias("df"))
+        .filter(F.col("term").rlike("^[a-z]")).toPandas()
+    )
+    top5 = set(
+        post.sort_values(["df", "term"], ascending=[False, True]).head(5).term
+    )
+    assert set(capped) == top5
