@@ -117,7 +117,10 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_jaccard(cand: DataFrame, sh: DataFrame, thresh: float) -> DataFrame:
     """Exact Jaccard for candidate (a, b) pairs via relational
-    shingle-intersection (never materializes all pairs)."""
+    shingle-intersection (never materializes all pairs). The shingle
+    frame feeds three branches (sizes + both join sides) — persisted
+    so the corpus is tokenized once, not per branch."""
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), "sh")
     sb = sh.select(F.col("doc_id").alias("b2"), F.col("sh").alias("sh_b"))

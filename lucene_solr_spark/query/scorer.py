@@ -325,7 +325,12 @@ def score_segment(
     mm = spec.min_should_match
     pure_or = cand is None and not must and (not spec.should or mm <= 1)
 
-    if pure_or and len(terms) > 1:
+    if pure_or and len(terms) > 1 and k < n_docs:
+        # WAND only when the heap can actually prune: with k >= n_docs
+        # (score-all mode for parent aggregation / rerank) theta never
+        # rises, so the region machinery would just re-sort the
+        # accumulating hit set per chunk — exact scoring decodes each
+        # block once instead.
         return _wand_topk(spec, tp, terms, avgdl, doc_len, k)
 
     # ---- exact scoring over candidates (or full disjunction) --------
