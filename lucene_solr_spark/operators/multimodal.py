@@ -127,7 +127,69 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-@op("q_multimodal_frame_sample", None)  # rows-only check: stubbed sampler
+# The stub decode is deterministic byte math over the utf-8 payload,
+# so its exact-integer core IS oracle-expressible: DuckDB recomputes
+# byte length, byte sum and head-16 sum from the text characters
+# (ASCII corpus: octet == codepoint). f_mean/f_crc stay in the
+# rows-only op above (no crc32 in DuckDB; float mean rounding differs).
+@op(
+    "q_multimodal_features_check",
+    """WITH chars AS (
+  SELECT doc_id, strlen(text) AS n_bytes,
+         unnest(string_split_regex(text, '')) AS ch,
+         generate_subscripts(string_split_regex(text, ''), 1) AS pos
+  FROM documents)
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+  CAST(sum(ascii(ch)) AS BIGINT) AS b_sum,
+  CAST(sum(CASE WHEN pos <= 16 THEN ascii(ch) ELSE 0 END) AS BIGINT)
+    AS f_head
+FROM chars GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_multimodal_features_check(spark, sf_dir):
+    """Driver-attestable twin of the feature-extract plumbing: the
+    exact-integer byte statistics (length / byte sum / head-16 sum)
+    through the SAME iterator-mapInPandas decode stage."""
+    schema = "doc_id long, kind string, n_bytes long, b_sum long, f_head long"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [np.frombuffer(m, np.uint8) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": np.array([len(b) for b in rows], np.int64),
+                    "b_sum": np.array(
+                        [int(b.sum()) for b in rows], np.int64
+                    ),
+                    "f_head": np.array(
+                        [int(b[:16].sum()) for b in rows], np.int64
+                    ),
+                }
+            )
+
+    return (
+        media_df(spark, sf_dir)
+        .repartition(8, "doc_id")
+        .mapInPandas(extract, schema)
+        .orderBy("doc_id")
+    )
+
+
+@op(
+    "q_multimodal_frame_sample",
+    """WITH v AS (
+  SELECT doc_id, strlen(text) AS L FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         CAST(least(64, L - i * 64) AS BIGINT) AS frame_bytes
+  FROM v, unnest(range(0, CAST(ceil(L / 64.0) AS BIGINT), 4)) AS u(i))
+SELECT doc_id, frame_idx, frame_bytes FROM f
+ORDER BY doc_id, frame_idx""",
+)
 def q_multimodal_frame_sample(spark, sf_dir):
     """Frame sampling stub for 'video' payloads: every k-th 64-byte
     chunk becomes one 'frame' row (explode pattern — the shape a real
