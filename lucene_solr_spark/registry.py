@@ -733,7 +733,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_block_join_parent",  # J4 relational
     "q_hash_join",        # J7
     "q_json_facet_aggs",  # A8
-    "q_grouping",         # A10
+    "q_multimodal_features_check",  # multimodal plumbing (pipeline)
     "q_rerank",           # W5 (fixed path this round)
     "q_ann_lsh_check",    # ANN-LSH attestation (new)
     "q_set_intersect",    # T3

@@ -43,7 +43,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = "/root/testdata/sf0.01"
+    import os
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
     filters = sys.argv[1:]
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duck_conn(sf_dir)
