@@ -161,6 +161,19 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
 
             for name, spec in BM25_SPECS.items():
                 timed(name, lambda s=spec: searcher.search(s).collect())
+            # round-2 query shapes (n-term sloppy chain DP, negated
+            # phrase exclusion) — regressions in the new scorer paths
+            # must show up here
+            extra_specs = {
+                "bm25_sloppy3": BooleanSpec(
+                    phrases=(("table", "scan", "order"),), phrase_slop=2, k=15
+                ),
+                "bm25_neg_phrase": BooleanSpec(
+                    must=("table",), must_not_phrases=(("table", "scan"),), k=12
+                ),
+            }
+            for name, spec in extra_specs.items():
+                timed(name, lambda s=spec: searcher.search(s).collect())
             # non-BM25 headline paths (fixed/changed in round 2 — facet
             # sparse counting, parent block join without a global sort)
             timed("facet_role_merge", lambda: searcher.facet(

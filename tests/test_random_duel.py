@@ -16,7 +16,7 @@ from lucene_solr_spark.query.executor import IndexSearcher
 from lucene_solr_spark.query.model import BooleanSpec
 from lucene_solr_spark.transcripts import transcripts_from_documents
 
-SEEDS = list(range(20))
+SEEDS = list(range(32))  # widened: shapes 5-7 fuzz round-2 paths
 
 
 @pytest.fixture(scope="module")
@@ -51,8 +51,28 @@ def random_spec(rng: np.random.Generator, vocab) -> BooleanSpec:
     def pick(pool, k):
         return [pool[i] for i in rng.integers(0, len(pool), k)]
 
-    shape = rng.integers(0, 5)
+    shape = rng.integers(0, 8)
     k = int(rng.integers(5, 25))
+    if shape == 5:  # boosted disjunction (idf-folded boosts + WAND)
+        terms = tuple(dict.fromkeys(pick(head + mid + tail, int(rng.integers(2, 5)))))
+        boosts = tuple(
+            (t, float(rng.choice([0.5, 1.5, 2.0, 3.0])))
+            for t in terms[: int(rng.integers(1, len(terms) + 1))]
+        )
+        return BooleanSpec(should=terms, min_should_match=1, boosts=boosts, k=k)
+    if shape == 6:  # negated field filter (differs-or-missing)
+        role = ["user", "assistant", "system", "tool"][int(rng.integers(0, 4))]
+        return BooleanSpec(
+            must=tuple(pick(head + mid, int(rng.integers(1, 3)))),
+            not_filters=(("role", role),),
+            k=k,
+        )
+    if shape == 7:  # negated phrase over head-term pairs
+        return BooleanSpec(
+            must=tuple(pick(head, 1)),
+            must_not_phrases=(tuple(pick(head + mid, 2)),),
+            k=k,
+        )
     if shape == 0:  # conjunction
         return BooleanSpec(must=tuple(pick(head + mid, int(rng.integers(1, 4)))), k=k)
     if shape == 1:  # disjunction with mm
