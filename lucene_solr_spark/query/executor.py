@@ -395,12 +395,21 @@ class IndexSearcher:
         limit: int = 10,
         mincount: int = 1,
         refine: bool = True,
+        sort: str = "count",
+        prefix: str | None = None,
+        missing: bool = False,
     ) -> DataFrame:
         """SOLR-5894-style facet counts over the query domain
-        (two-phase merge-and-refine; see query/facets.py)."""
+        (two-phase merge-and-refine; see query/facets.py). sort /
+        prefix / missing mirror facet.sort / facet.prefix /
+        facet.missing."""
         from lucene_solr_spark.query.facets import FacetRequest, facet_field
 
         return facet_field(
-            self, FacetRequest(field=field, limit=limit, mincount=mincount),
+            self,
+            FacetRequest(
+                field=field, limit=limit, mincount=mincount,
+                sort=sort, prefix=prefix, missing=missing,
+            ),
             spec=spec, refine=refine,
         )

@@ -49,11 +49,21 @@ PARTIAL_SCHEMA = "seg_id int, term_ord int, cnt long"
 
 @dataclass(frozen=True)
 class FacetRequest:
-    """facet.field request (``SimpleFacets#getFacetFieldCounts`` params)."""
+    """facet.field request (``SimpleFacets#getFacetFieldCounts`` params:
+    facet.limit / facet.mincount / facet.sort / facet.prefix /
+    facet.missing)."""
 
     field: str  # one of the docvalues-like ordinal fields (role/tool/ftok)
     limit: int = 10
     mincount: int = 1
+    #: facet.sort: "count" (count desc, value asc — default) or
+    #: "index" (value asc, the ordinal/index order)
+    sort: str = "count"
+    #: facet.prefix: only values starting with this prefix
+    prefix: str | None = None
+    #: facet.missing: append a NULL-valued row counting domain docs
+    #: with no value for the field (ord == -1)
+    missing: bool = False
 
 
 def _overrequest(limit: int) -> int:
@@ -73,12 +83,18 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
     """
     ord_col = f"{req.field}_ord"
     seg_dirs = searcher.seg_dir_by_id
+    want_missing = req.missing
 
     def _count_ords(seg_id: int, hits: np.ndarray | None, ords: np.ndarray) -> pd.DataFrame:
         if hits is not None:
             ords = ords[hits]
+        n_missing = int((ords < 0).sum())
         ords = ords[ords >= 0]  # drop missing (-1), Lucene semantics
         uniq, cnt = np.unique(ords, return_counts=True)  # sparse counter
+        if want_missing and n_missing:
+            # facet.missing: one extra partial per segment, ord -1
+            uniq = np.append(uniq, -1)
+            cnt = np.append(cnt, n_missing)
         return pd.DataFrame(
             {
                 "seg_id": np.full(len(uniq), seg_id, np.int32),
@@ -422,8 +438,23 @@ def facet_field(
     refine=False is the exact single-shuffle groupBy (the control both
     the tests and the DuckDB oracle compare against — in Spark both are
     exact; two-phase exists to bound shuffle width at high cardinality).
+
+    facet.sort honors count (default) vs index order — phase-1
+    over-request ranks per segment in the SAME order, Solr's refine
+    contract; facet.prefix narrows before ranking; facet.missing
+    appends a trailing NULL bucket (never subject to limit/sort).
     """
-    parts = _with_terms(searcher, segment_partials(searcher, req, spec), req.field)
+    raw = segment_partials(searcher, req, spec)
+    if req.missing:
+        raw = raw.persist()  # consumed by both the buckets and the miss row
+    # ord -1 (missing) partials have no dictionary row → inner join
+    # keeps them out of the term buckets automatically
+    parts = _with_terms(searcher, raw, req.field)
+    if req.prefix is not None:
+        parts = parts.filter(F.col("term").startswith(req.prefix))
+    rank_order = (
+        [F.desc("cnt"), F.asc("term")] if req.sort == "count" else [F.asc("term")]
+    )
 
     if refine:
         # phase 1 (per-segment top ranking) and phase 2 (exact counts
@@ -433,7 +464,7 @@ def facet_field(
         # rows are tiny — (seg_id, term_ord, cnt) partials only.
         parts = parts.persist()
         over = _overrequest(req.limit)
-        w = Window.partitionBy("seg_id").orderBy(F.desc("cnt"), F.asc("term"))
+        w = Window.partitionBy("seg_id").orderBy(*rank_order)
         cands = (
             parts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= over)
@@ -446,9 +477,21 @@ def facet_field(
     else:
         agg = parts.groupBy("term").agg(F.sum("cnt").alias("cnt"))
 
-    return (
-        agg.filter(F.col("cnt") >= req.mincount)
-        .orderBy(F.desc("cnt"), F.asc("term"))
-        .limit(req.limit)
-        .select(F.col("term").alias("facet_value"), "cnt")
+    out_order = (
+        [F.desc("cnt"), F.asc("facet_value")] if req.sort == "count"
+        else [F.asc("facet_value")]
     )
+    out = (
+        agg.filter(F.col("cnt") >= req.mincount)
+        .select(F.col("term").alias("facet_value"), "cnt")
+        .orderBy(*out_order)
+        .limit(req.limit)
+    )
+    if req.missing:
+        miss = (
+            raw.filter(F.col("term_ord") == -1)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("cnt"))
+            .select(F.lit(None).cast("string").alias("facet_value"), "cnt")
+        )
+        out = out.unionByName(miss)
+    return out

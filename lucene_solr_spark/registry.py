@@ -619,6 +619,58 @@ register(
 )
 
 
+# SimpleFacets parameter surface: facet.missing / facet.sort=index /
+# facet.prefix (SimpleFacets#getFacetFieldCounts params).
+def _facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = cached_searcher(spark, sf_dir)
+    return s.facet("tool", spec=BooleanSpec(must=("data",)), limit=5,
+                   missing=True)
+
+
+register(
+    "q_facet_missing",
+    _facet_missing,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+dom AS (SELECT * FROM docs WHERE list_contains(toks, 'data')),
+buckets AS (
+  SELECT tool AS facet_value, count(*) AS cnt FROM dom
+  WHERE tool IS NOT NULL GROUP BY 1
+  ORDER BY cnt DESC, facet_value LIMIT 5)
+SELECT facet_value, cnt FROM buckets
+UNION ALL
+SELECT NULL AS facet_value, count(*) AS cnt FROM dom WHERE tool IS NULL""",
+)
+
+
+def _facet_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = cached_searcher(spark, sf_dir)
+    return s.facet("ftok", spec=None, limit=15, sort="index")
+
+
+register(
+    "q_facet_sort_index",
+    _facet_sort_index,
+    _facet_oracle("len(toks) > 0", "toks[1]", 15).replace(
+        "ORDER BY cnt DESC, facet_value", "ORDER BY facet_value"
+    ),
+)
+
+
+def _facet_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = cached_searcher(spark, sf_dir)
+    return s.facet("ftok", spec=None, limit=10, prefix="s")
+
+
+register(
+    "q_facet_prefix",
+    _facet_prefix,
+    _facet_oracle("len(toks) > 0 AND toks[1] LIKE 's%'", "toks[1]", 10),
+)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end filter-chain index (SURVEY §2.7 analysis-chain extension
 # points): an index built through chain(stop_filter, s_stem_filter),

@@ -93,3 +93,34 @@ def test_filtered_domain(searcher):
         10,
     )
     assert list(zip(got.facet_value, got.cnt)) == list(zip(want.facet_value, want.cnt))
+
+
+def test_nested_and_pivot_merge_invariant(spark, sf_dir, tmp_path_factory):
+    """facet_nested + facet_pivot are segment-layout-invariant: a
+    merged (compacted) index — new seg ids, re-derived ordinal
+    dictionaries (OrdinalMap analog) — must produce identical buckets
+    and metrics."""
+    import shutil
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.index.merge import merge_segments
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.query.facets import facet_nested, facet_pivot
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path_factory.mktemp("fmi"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+    mroot = root + "_m"
+    shutil.copytree(root, mroot)
+    merge_segments(spark, mroot, merge_factor=2, salt_span=1)
+    s, sm = IndexSearcher(spark, root), IndexSearcher(spark, mroot)
+
+    spec = BooleanSpec(must=("data",))
+    a = facet_nested(s, "role", "tool", spec=spec, limit1=3, limit2=2).toPandas()
+    b = facet_nested(sm, "role", "tool", spec=spec, limit1=3, limit2=2).toPandas()
+    assert a.equals(b), (a, b)
+
+    c = facet_pivot(s, "role", "tool", spec=spec, limit1=3, limit2=2).toPandas()
+    d = facet_pivot(sm, "role", "tool", spec=spec, limit1=3, limit2=2).toPandas()
+    assert c.equals(d), (c, d)
