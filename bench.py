@@ -295,7 +295,14 @@ def main() -> None:
                 # borrow idle host cores and corrupt the comparison
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             env = os.environ.copy()
-            env["BENCH_BUILD_REPEATS"] = "1"  # outer loop already repeats
+            # Two in-process builds per sample, min taken: the FIRST
+            # build in a fresh JVM pays ~7 s of codegen/JIT on the
+            # real scan+write path (measured; the toy warmup cannot
+            # reach it) — 6% of a 2-core build but 25% of an 8-core
+            # build, which systematically depresses the ratio. A
+            # steady-state cluster build amortizes it to nothing, so
+            # steady-state per level is the honest comparison.
+            env["BENCH_BUILD_REPEATS"] = "2"
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=1800, env=env)
             for line in p.stdout.splitlines():

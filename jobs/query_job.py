@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""spark-submit entry point for serving queries against a committed
+index — the /select handler analog, completing the build→query user
+story on a cluster.
+
+Usage:
+
+    spark-submit --master <cluster> \\
+        --py-files dist/lucene_solr_spark.zip \\
+        jobs/query_job.py \\
+        --index /path/to/index_root \\
+        --q '+merge "table scan" -role:assistant' \\
+        [--k 10] [--facet role] [--facet-limit 10]
+        [--conversations max|total|avg]   # parent block-join ranking
+
+Prints one JSON line: top-k hits (conv_id, turn_idx, score), plus
+facet buckets / conversation ranking when requested.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True, help="committed index root")
+    ap.add_argument("--q", required=True, help="classic-syntax query string")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--default-op", choices=["OR", "AND"], default="OR")
+    ap.add_argument("--facet", default=None,
+                    help="facet field (role/tool/ftok)")
+    ap.add_argument("--facet-limit", type=int, default=10)
+    ap.add_argument("--conversations", choices=["max", "total", "avg"],
+                    default=None, help="rank parent conversations instead")
+    ap.add_argument("--analyzer-version", default=None,
+                    help="query-time chain version (must match the index)")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("lucene-solr-spark-query")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.query.parser import parse
+
+    s = IndexSearcher(spark, args.index,
+                      analyzer_version=args.analyzer_version)
+    spec = parse(args.q, k=args.k, default_op=args.default_op)
+    out: dict = {"query": args.q, "spec": {
+        "must": spec.must, "should": spec.should, "must_not": spec.must_not,
+        "phrases": spec.phrases, "must_not_phrases": spec.must_not_phrases,
+        "filters": spec.filters, "not_filters": spec.not_filters,
+        "min_should_match": spec.min_should_match,
+    }}
+
+    if args.conversations:
+        rows = s.search_conversations(
+            spec, k=args.k, score_mode=args.conversations, round_to=4
+        ).collect()
+        out["conversations"] = [
+            {"conv_id": r.conv_id, "score": r.score, "n_turns": r.n_turns}
+            for r in rows
+        ]
+    elif spec.scoring_terms:
+        rows = s.search(spec, round_to=4).collect()
+        out["hits"] = [
+            {"conv_id": r.conv_id, "turn_idx": r.turn_idx, "score": r.score}
+            for r in rows
+        ]
+    else:  # pure-negative / filter-only → DocSet page
+        rows = (
+            s.docset(spec).orderBy("conv_id", "turn_idx").limit(args.k).collect()
+        )
+        out["hits"] = [
+            {"conv_id": r.conv_id, "turn_idx": r.turn_idx} for r in rows
+        ]
+
+    if args.facet:
+        rows = s.facet(args.facet, spec=spec if spec.scoring_terms else None,
+                       limit=args.facet_limit).collect()
+        out["facets"] = {args.facet: [
+            {"value": r.facet_value, "count": r.cnt} for r in rows
+        ]}
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,48 @@ def test_spark_submit_build(spark, sf_dir, tmp_path):
     hits = s.search(BooleanSpec(must=("merge",), k=5)).toPandas()
     assert len(hits) > 0
     _ = sys  # keep import for interpreter parity notes
+
+
+@pytest.mark.skipif(
+    not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+    reason="spark-submit not on PATH",
+)
+def test_spark_submit_query(spark, sf_dir, tmp_path):
+    """build → query via spark-submit: the full cluster user story."""
+    from lucene_solr_spark.index.build import build_index
+
+    root = str(tmp_path / "qidx")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    zip_path = make_zip(str(tmp_path / "engine.zip"))
+    env = os.environ.copy()
+    env.pop("SPARK_GRAFT_CPUS", None)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(os.path.dirname(__file__), "..", "jobs", "query_job.py"),
+            "--index", root,
+            "--q", '+merge -"table scan"',
+            "--k", "5", "--facet", "role",
+        ],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert out["spec"]["must"] == ["merge"]
+    assert out["spec"]["must_not_phrases"] == [["table", "scan"]]
+    assert len(out["hits"]) == 5 and out["hits"][0]["score"] > 0
+    assert out["facets"]["role"]
+    # in-process engine agrees with the submitted job
+    s = IndexSearcher(spark, root)
+    spec = __import__("lucene_solr_spark.query.parser", fromlist=["parse"]).parse(
+        '+merge -"table scan"', k=5
+    )
+    mine = s.search(spec, round_to=4).collect()
+    assert [(h["conv_id"], h["turn_idx"]) for h in out["hits"]] == [
+        (r.conv_id, r.turn_idx) for r in mine
+    ]
