@@ -1,0 +1,134 @@
+"""Graph traversal (SURVEY §2.3 J5) — Solr's GraphQuery / gatherNodes
+re-expressed as a distributed BFS of iterative frontier joins.
+
+ref: solr/core/src/java/org/apache/solr/search/join/GraphQuery.java
+     (from/to field traversal, maxDepth, returnRoot) and
+     solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/
+     GatherNodesStream.java (streaming-expression breadth-first gather).
+
+Semantics (pinned): breadth-first from a root node set over a directed
+edge relation; a node's recorded ``depth`` is the FIRST (minimum) depth
+at which it is reached; traversal stops at ``max_depth`` hops or when a
+frontier comes back empty. Roots are depth 0 and are never re-emitted
+(Solr's returnRoot=true shape).
+
+Scale notes (100 TB): each hop is one shuffle join of ``edges`` against
+the current frontier plus one left-anti join against the visited set —
+no collect, no cartesian. Lineage is truncated every hop with
+``localCheckpoint`` (iterative plans otherwise grow O(depth) and
+re-plan from scratch each hop); the empty-frontier early exit bounds
+work by the true graph diameter, not ``max_depth``. Skewed hub nodes
+cost what any hash join costs — AQE skew-split applies; the visited
+anti-join stays key-only (one long column) so its shuffle is minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.transcripts import TRANSCRIPTS_ORACLE_CTE, transcripts_from_documents
+
+OPS: list = []
+
+
+def op(name: str, oracle: str | None):
+    def deco(fn):
+        OPS.append((name, fn, oracle))
+        return fn
+
+    return deco
+
+
+def bfs(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Breadth-first reachability: (id, depth) for every node reached
+    from ``roots`` within ``max_depth`` directed hops along ``edges``.
+
+    ``roots`` must be distinct on ``id_col``; ``depth`` is the minimum
+    hop count (roots get 0). Runs eagerly hop by hop (localCheckpoint
+    per hop) and early-exits on an empty frontier, so callers get back
+    a small checkpointed result, not a deep iterative lineage.
+    """
+    visited = roots.select(F.col(id_col)).withColumn(
+        "depth", F.lit(0).cast("long")
+    ).localCheckpoint()
+    frontier = visited.select(id_col)
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed(id_col, src), src)
+            .select(F.col(dst).alias(id_col))
+            .distinct()
+            .join(visited.select(id_col), id_col, "left_anti")
+            .withColumn("depth", F.lit(depth).cast("long"))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select(id_col)
+    return visited
+
+
+# The transcripts corpus carries an implicit conversation tree:
+# parent(conv n) = conv (n div 4) — derivable identically in DuckDB,
+# which is what makes J5 fully oracle-checkable (WITH RECURSIVE).
+# Roots = conversations where tool_3 was invoked; 2-hop descendants.
+@op(
+    "q_graph_traversal",
+    f"""WITH RECURSIVE {TRANSCRIPTS_ORACLE_CTE},
+convs AS (
+  SELECT conv_id, CAST(substr(conv_id, 5) AS BIGINT) AS n,
+         count(*) AS n_turns
+  FROM transcripts GROUP BY conv_id
+),
+roots AS (
+  SELECT DISTINCT CAST(substr(conv_id, 5) AS BIGINT) AS n
+  FROM transcripts WHERE tool = 'tool_3'
+),
+r(n, depth) AS (
+  SELECT n, 0 FROM roots
+  UNION
+  SELECT c.n, r.depth + 1
+  FROM r JOIN convs c ON c.n // 4 = r.n AND c.n <> r.n
+  WHERE r.depth < 2
+),
+reach AS (SELECT n, min(depth) AS depth FROM r GROUP BY n)
+SELECT c.conv_id, CAST(reach.depth AS BIGINT) AS depth,
+       CAST(c.n_turns AS BIGINT) AS n_turns
+FROM reach JOIN convs c USING (n)
+ORDER BY depth, conv_id""",
+)
+def q_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_documents(spark, sf_dir)
+    convs = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .withColumn("n", F.substring("conv_id", 5, 8).cast("long"))
+    )
+    # Directed edge relation parent -> child, built once from the node
+    # set (no self-loop at the root node 0).
+    edges = (
+        convs.select(F.col("n").alias("dst"))
+        .withColumn("src", F.expr("dst div 4"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    roots = (
+        t.filter(F.col("tool") == "tool_3")
+        .select(F.col("conv_id"))
+        .distinct()
+        .select(F.substring("conv_id", 5, 8).cast("long").alias("id"))
+    )
+    reach = bfs(edges, roots, max_depth=2)
+    return (
+        reach.withColumnRenamed("id", "n")
+        .join(convs, "n")
+        .select("conv_id", "depth", F.col("n_turns").cast("long").alias("n_turns"))
+        .orderBy("depth", "conv_id")
+    )

@@ -180,9 +180,9 @@ register(
 # SQL-CHECK battery (SURVEY §2): the wider Solr operator surface.
 # ---------------------------------------------------------------------------
 
-from lucene_solr_spark.operators import multimodal, solr_battery, textpipe  # noqa: E402
+from lucene_solr_spark.operators import graph, multimodal, solr_battery, textpipe  # noqa: E402
 
-for _mod in (solr_battery, textpipe, multimodal):
+for _mod in (solr_battery, textpipe, multimodal, graph):
     for _name, _fn, _oracle in _mod.OPS:
         register(_name, _fn, _oracle)
 
@@ -747,6 +747,78 @@ _BOOSTED = BooleanSpec(should=("fast", "slow", "vector"), min_should_match=1,
                        boosts=(("fast", 2.5), ("vector", 0.5)), k=15)
 register("q_bm25_boosted", _mk_bm25(_BOOSTED), bm25_oracle_sql(_BOOSTED))
 register("q_idx_bm25_boosted", _mk_idx_bm25(_BOOSTED), bm25_oracle_sql(_BOOSTED))
+
+
+def _realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime get (P18, RealTimeGetComponent): /get for turns 0-1 of
+    every conversation against a synthetic uncommitted tlog — turn 0
+    edited at v2 everywhere and re-edited at v3 for even convs
+    (latest-wins), turn 1 deleted for every third conv (delete masks
+    the committed row). Committed fallback serves the rest at v1."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.realtime import realtime_get
+
+    t = transcripts_from_documents(spark, sf_dir)
+    n = F.substring("conv_id", 5, 8).cast("long")
+    turn0 = t.filter(F.col("turn_idx") == 0)
+    u2 = (
+        turn0.withColumn("role", F.lit("edited"))
+        .withColumn("_version_", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("add"))
+    )
+    u3 = (
+        turn0.filter(n % 2 == 0)
+        .withColumn("role", F.lit("edited2"))
+        .withColumn("_version_", F.lit(3).cast("long"))
+        .withColumn("op", F.lit("add"))
+    )
+    dels = (
+        t.filter((F.col("turn_idx") == 1) & (n % 3 == 0))
+        .withColumn("_version_", F.lit(4).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    tlog = u2.unionByName(u3).unionByName(dels)
+    ids = t.filter(F.col("turn_idx") <= 1).select("conv_id", "turn_idx")
+    return (
+        realtime_get(ids, t, tlog, fields=["role"])
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.col("_version_").alias("version"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_realtime_get",
+    _realtime_get,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+keyed AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+ids AS (SELECT conv_id, turn_idx FROM keyed WHERE turn_idx <= 1),
+tlog AS (
+  SELECT conv_id, turn_idx, 'edited' AS role, 2 AS v, 'add' AS op
+  FROM keyed WHERE turn_idx = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, 'edited2' AS role, 3 AS v, 'add' AS op
+  FROM keyed WHERE turn_idx = 0 AND n % 2 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 4 AS v, 'delete' AS op
+  FROM keyed WHERE turn_idx = 1 AND n % 3 = 0),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY v DESC) AS rn
+    FROM tlog) WHERE rn = 1)
+SELECT i.conv_id, i.turn_idx,
+       coalesce(l.role, k.role) AS role,
+       CAST(coalesce(l.v, 1) AS BIGINT) AS version
+FROM ids i
+JOIN keyed k ON i.conv_id = k.conv_id AND i.turn_idx = k.turn_idx
+LEFT JOIN latest l ON i.conv_id = l.conv_id AND i.turn_idx = l.turn_idx
+WHERE l.op IS NULL OR l.op = 'add'
+ORDER BY i.conv_id, i.turn_idx""",
+)
 
 
 # ---------------------------------------------------------------------------

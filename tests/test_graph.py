@@ -1,0 +1,85 @@
+"""J5 graph traversal: distributed BFS vs a driver-side brute BFS,
+early-exit behaviour, and plan hygiene.
+
+ref: solr/core/src/java/org/apache/solr/search/join/GraphQuery.java
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.graph import bfs, q_graph_traversal
+
+
+def _brute_bfs(edges: list[tuple[int, int]], roots: set[int], max_depth: int):
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    depth = {r: 0 for r in roots}
+    q = deque(roots)
+    while q:
+        u = q.popleft()
+        if depth[u] >= max_depth:
+            continue
+        for v in adj.get(u, ()):
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    return depth
+
+
+def _run_bfs(spark, edges, roots, max_depth):
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.filter(F.lit(False))
+    r = spark.createDataFrame([(x,) for x in roots], "id long")
+    got = bfs(e, r, max_depth=max_depth)
+    return {row["id"]: row["depth"] for row in got.collect()}
+
+
+def test_bfs_matches_brute_on_random_graphs(spark):
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 90))
+        ]
+        edges = [(s, d) for s, d in edges if s != d]
+        roots = set(rng.sample(range(n), rng.randrange(1, 4)))
+        for max_depth in (0, 1, 3):
+            want = _brute_bfs(edges, roots, max_depth)
+            got = _run_bfs(spark, edges, roots, max_depth)
+            assert got == want, (seed, max_depth)
+
+
+def test_bfs_early_exit_beyond_diameter(spark):
+    # Chain 0->1->2; max_depth 50 must terminate (empty-frontier exit)
+    # and still record min depths.
+    got = _run_bfs(spark, [(0, 1), (1, 2)], {0}, 50)
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_min_depth_on_diamond(spark):
+    # 0->1->3 and 0->3: node 3 must be depth 1, not 2.
+    got = _run_bfs(spark, [(0, 1), (1, 3), (0, 3)], {0}, 5)
+    assert got == {0: 0, 1: 1, 3: 1}
+
+
+def test_bfs_cycle_terminates(spark):
+    got = _run_bfs(spark, [(0, 1), (1, 0)], {0}, 10)
+    assert got == {0: 0, 1: 1}
+
+
+def test_graph_traversal_plan_no_cartesian(spark, sf_dir):
+    df = q_graph_traversal(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # depths bounded by max_depth=2 and roots present at depth 0
+    rows = df.collect()
+    depths = {r["depth"] for r in rows}
+    assert depths <= {0, 1, 2} and 0 in depths

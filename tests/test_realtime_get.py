@@ -1,0 +1,126 @@
+"""P18 realtime get: tlog-first /get semantics.
+
+ref: solr/core/src/java/org/apache/solr/handler/component/
+     RealTimeGetComponent.java; update/UpdateLog.java#lookup
+
+The contract under test: an uncommitted update is retrievable by id
+(tlog wins, latest version wins, deletes mask), while full-text search
+still serves the last commit; after the batch commits, the searcher
+sees it and an empty tlog serves the same doc from the index side.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.build import build_index
+from lucene_solr_spark.query.executor import IndexSearcher
+from lucene_solr_spark.query.model import BooleanSpec
+from lucene_solr_spark.query.realtime import realtime_get
+from lucene_solr_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, i, r, txt, None, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i))
+            for c, i, r, txt in rows
+        ],
+        TRANSCRIPTS_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def committed(spark):
+    return _rows(
+        spark,
+        [
+            ("convA", 0, "user", "alpha bravo"),
+            ("convA", 1, "assistant", "charlie delta"),
+            ("convB", 0, "user", "echo foxtrot"),
+        ],
+    )
+
+
+def _ids(spark, keys):
+    return spark.createDataFrame(keys, "conv_id string, turn_idx int")
+
+
+def test_plain_committed_lookup(spark, committed):
+    got = realtime_get(_ids(spark, [("convA", 1), ("convZ", 9)]), committed)
+    rows = {(r.conv_id, r.turn_idx): r for r in got.collect()}
+    assert set(rows) == {("convA", 1)}  # missing key → no row
+    assert rows[("convA", 1)].role == "assistant"
+    assert rows[("convA", 1)]._version_ == 1
+
+
+def test_tlog_wins_latest_version_and_delete_masks(spark, committed):
+    tlog = (
+        _rows(
+            spark,
+            [
+                ("convA", 0, "user", "alpha bravo EDIT1"),
+                ("convA", 0, "user", "alpha bravo EDIT2"),
+                ("convB", 0, "user", "gone"),
+                ("convC", 7, "tool", "brand new uncommitted"),
+            ],
+        )
+        .withColumn(
+            "_version_",
+            F.when(F.col("text").endswith("EDIT2"), 3)
+            .when(F.col("text") == "gone", 5)
+            .otherwise(2)
+            .cast("long"),
+        )
+        .withColumn(
+            "op", F.when(F.col("text") == "gone", "delete").otherwise("add")
+        )
+    )
+    ids = _ids(
+        spark, [("convA", 0), ("convA", 1), ("convB", 0), ("convC", 7)]
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in realtime_get(ids, committed, tlog).collect()}
+    # latest tlog version wins
+    assert got[("convA", 0)].text == "alpha bravo EDIT2"
+    assert got[("convA", 0)]._version_ == 3
+    # untouched key falls back to committed
+    assert got[("convA", 1)].text == "charlie delta"
+    assert got[("convA", 1)]._version_ == 1
+    # delete masks the committed row
+    assert ("convB", 0) not in got
+    # a doc that exists ONLY in the tlog is retrievable pre-commit
+    assert got[("convC", 7)].text == "brand new uncommitted"
+
+
+def test_rtg_before_and_after_commit(spark, committed, tmp_path):
+    """The NRT story end to end: uncommitted doc is /get-visible but
+    not searchable; after commit it is searchable and the drained tlog
+    serves it from the committed side."""
+    root = str(tmp_path / "idx")
+    build_index(spark, committed, root, num_parts=2, lineage_source="t")
+    s = IndexSearcher(spark, root)
+    assert s.search(BooleanSpec(must=("zulu",), k=5)).count() == 0
+
+    batch2 = _rows(spark, [("convC", 7, "tool", "zulu yankee")])
+    tlog = batch2.withColumn("_version_", F.lit(2).cast("long")).withColumn(
+        "op", F.lit("add")
+    )
+    ids = _ids(spark, [("convC", 7)])
+    # pre-commit: /get sees it, search does not
+    assert realtime_get(ids, committed, tlog).count() == 1
+    assert s.search(BooleanSpec(must=("zulu",), k=5)).count() == 0
+
+    # commit batch2 as an appended micro-segment
+    build_index(
+        spark, batch2, root, num_parts=1, resume=False,
+        lineage_source="batch2", part_offset=100, seg_prefix="b2_",
+    )
+    s2 = IndexSearcher(spark, root)
+    assert s2.search(BooleanSpec(must=("zulu",), k=5)).count() == 1
+    # tlog drained: committed side now serves the same doc
+    committed2 = committed.unionByName(batch2)
+    row = realtime_get(ids, committed2, tlog.limit(0)).collect()[0]
+    assert row.text == "zulu yankee"
