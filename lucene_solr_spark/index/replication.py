@@ -1,0 +1,97 @@
+"""Index replication (SURVEY §2.1 S12) — leader→follower segment sync.
+
+ref: solr/core/src/java/org/apache/solr/handler/ReplicationHandler.java
+     and IndexFetcher.java: the follower polls the leader's latest
+     commit generation; if behind, it fetches ONLY the files it lacks
+     (segment files are immutable, so presence = validity), installs
+     them, then atomically switches to the new commit point and deletes
+     files the new commit no longer references.
+
+Mapping here: "commit generation" = manifest ``snapshot_id``;
+"fetch file list" = the snapshot's segment dict; the atomic switch =
+publishing the leader's snapshot json via tmp-write + rename (the same
+two-phase publish `index/manifest.py` uses for builds — nothing is
+real on the follower until its snapshot-N.json lands). A crash
+mid-copy leaves the follower on its old snapshot with some extra
+unreferenced dirs, which the next sync's cleanup removes.
+
+Scale note: this is an ops-plane job — segment payloads move
+file-by-file (here ``shutil``; on a real deployment the same manifest
+diff drives a distcp/object-store copy, and followers fetch in
+parallel because segments are independent). The data plane never
+blocks: readers on the follower keep serving the old snapshot until
+the rename."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from lucene_solr_spark.index.manifest import SNAPSHOT_PREFIX, Manifest
+
+
+def replicate(src_root: str, dst_root: str, clean: bool = True) -> dict:
+    """One poll cycle: sync ``dst_root`` to the leader's latest
+    snapshot. Returns {"in_sync", "snapshot_id", "copied", "skipped",
+    "removed"} — ``copied`` counts segment dirs actually fetched, so a
+    second cycle after a leader append copies only the new segments."""
+    leader = Manifest.load(src_root)
+    if leader.snapshot_id == 0:
+        raise ValueError(f"no committed snapshot under {src_root}")
+    follower = Manifest.load(dst_root)
+    if follower.snapshot_id == leader.snapshot_id:
+        return {
+            "in_sync": True,
+            "snapshot_id": leader.snapshot_id,
+            "copied": 0,
+            "skipped": len(leader.segments),
+            "removed": 0,
+        }
+
+    seg_dst_base = os.path.join(dst_root, "segments")
+    os.makedirs(seg_dst_base, exist_ok=True)
+    copied = skipped = 0
+    for name in sorted(leader.segments):
+        dst = os.path.join(seg_dst_base, name)
+        if os.path.isdir(dst):
+            skipped += 1  # immutable segment already fetched
+            continue
+        tmp = dst + ".fetch"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # stale partial fetch from a crash
+        shutil.copytree(os.path.join(src_root, "segments", name), tmp)
+        os.rename(tmp, dst)
+        copied += 1
+
+    # atomic install: publish the leader's snapshot json verbatim
+    src_snap = os.path.join(
+        src_root, "manifest", f"{SNAPSHOT_PREFIX}{leader.snapshot_id}.json"
+    )
+    with open(src_snap) as f:
+        payload = json.load(f)
+    mdir = os.path.join(dst_root, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, f"{SNAPSHOT_PREFIX}{leader.snapshot_id}.json"))
+
+    removed = 0
+    if clean:
+        live = set(leader.segments)
+        for name in os.listdir(seg_dst_base):
+            if name not in live:
+                shutil.rmtree(os.path.join(seg_dst_base, name))
+                removed += 1
+
+    return {
+        "in_sync": False,
+        "snapshot_id": leader.snapshot_id,
+        "copied": copied,
+        "skipped": skipped,
+        "removed": removed,
+    }

@@ -821,6 +821,122 @@ ORDER BY i.conv_id, i.turn_idx""",
 )
 
 
+_XCOLL_SPEC = BooleanSpec(must=("data",), k=15)
+
+
+def _xcoll_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-collection join (J9, CrossCollectionJoinQuery): the
+    from-collection (``documents``, a separate corpus with its own
+    schema) is queried for lang='fr'; its join-key values (conv_id)
+    stream to the to-collection side as a broadcast filter on the
+    transcripts INDEX search. Mirrors Solr's contract that the
+    from-side key set must be small enough to ship; scoring uses the
+    to-collection's own BM25 stats (the join filters the domain, it
+    never re-weights).
+
+    ref: solr/core/src/java/org/apache/solr/search/join/
+         CrossCollectionJoinQuery.java"""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bkeys = (
+        docs.filter(F.col("lang") == "fr")
+        .select(
+            F.concat(
+                F.lit("conv"),
+                F.lpad(
+                    F.floor(F.col("doc_id") / 8).cast("long").cast("string"),
+                    8, "0",
+                ),
+            ).alias("conv_id")
+        )
+        .distinct()
+    )
+    # k=None: ALL scored hits (unsorted) so the post-join top-k cannot
+    # miss rows a per-segment pre-filter top-k would have dropped.
+    hits = s.score_hits(_XCOLL_SPEC, k=None)
+    return (
+        hits.join(F.broadcast(bkeys), "conv_id", "left_semi")
+        .withColumn("score", F.round("score", ROUND))
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_XCOLL_SPEC.k)
+    )
+
+
+_xcoll_body = bm25_oracle_sql(_XCOLL_SPEC).split(
+    "\nSELECT conv_id, turn_idx, round(score"
+)[0]
+register(
+    "q_xcoll_join",
+    _xcoll_join,
+    _xcoll_body
+    + f"""
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+WHERE conv_id IN (
+  SELECT 'conv' || lpad(CAST((doc_id // 8) AS VARCHAR), 8, '0')
+  FROM documents WHERE lang = 'fr')
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT {_XCOLL_SPEC.k}""",
+)
+
+
+def _xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: transcripts → Solr XML update payloads → XMLLoader parse →
+    typed rows. The oracle reads the table directly, so any
+    encode/escape/parse/cast defect on the Spark side hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.sources.xml_source import decoded, encode_xml
+
+    t = transcripts_from_documents(spark, sf_dir)
+    back = decoded(encode_xml(t), t.schema)
+    return (
+        back.select(
+            "conv_id", "turn_idx", "role", "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_xml_roundtrip",
+    _xml_roundtrip,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx, role, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+FROM transcripts ORDER BY conv_id, turn_idx""",
+)
+
+
+def _javabin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: transcripts → javabin SolrDocumentList payloads → decode →
+    typed rows, oracled against the table read directly (ts excluded:
+    javabin DATE is millis by format — precision pinned in
+    tests/test_sources.py instead)."""
+    from lucene_solr_spark.sources.javabin import decode_rows, encode_rows
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    return (
+        decode_rows(encode_rows(t), t.schema)
+        .select("conv_id", "turn_idx", "role", "tool")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_javabin_roundtrip",
+    _javabin_roundtrip,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx, role, tool
+FROM transcripts ORDER BY conv_id, turn_idx""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is
