@@ -76,6 +76,74 @@ def bfs(
     return visited
 
 
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """ALL shortest paths source→target within ``max_depth`` hops —
+    Solr's shortestPath() streaming expression.
+
+    ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/
+         ShortestPathStream.java (level-synchronous BFS recording the
+         parent edges per level, then a backward walk emitting every
+         min-length path — identical two-phase shape here, each phase
+         a bounded loop of joins).
+
+    Returns one row per shortest path: (path: array<long>, hops: long).
+    Empty when the target is unreachable within ``max_depth``. A
+    shortest path never revisits a node, so min-depth levels are
+    sufficient (no cycle bookkeeping needed beyond the visited set).
+    """
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], f"{dst} long, depth int")
+    frontier = visited.select(dst)
+    level_edges: list[DataFrame] = []
+    found_at = 0 if source == target else None
+    depth = 0
+    while found_at is None and depth < max_depth:
+        depth += 1
+        step = (
+            edges.join(frontier.withColumnRenamed(dst, src), src)
+            .join(visited.select(dst), dst, "left_anti")
+            .localCheckpoint()
+        )
+        nxt = step.select(dst).distinct()
+        if not nxt.take(1):
+            return spark.createDataFrame([], "path array<long>, hops long")
+        level_edges.append(step)
+        visited = visited.unionByName(
+            nxt.withColumn("depth", F.lit(depth))
+        ).localCheckpoint()
+        frontier = nxt
+        if nxt.filter(F.col(dst) == target).take(1):
+            found_at = depth
+    if found_at is None:
+        return spark.createDataFrame([], "path array<long>, hops long")
+
+    # backward walk: prepend parents level by level
+    paths = spark.createDataFrame([(target,)], f"{dst} long").withColumn(
+        "path", F.array(F.col(dst))
+    )
+    for d in range(found_at, 0, -1):
+        paths = (
+            level_edges[d - 1]
+            .join(paths, dst)
+            .select(
+                F.col(src).alias(dst),
+                F.concat(F.array(F.col(src)), F.col("path")).alias("path"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        paths.filter(F.col(dst) == source)
+        .select("path", F.lit(found_at).cast("long").alias("hops"))
+    )
+
+
 # The transcripts corpus carries an implicit conversation tree:
 # parent(conv n) = conv (n div 4) — derivable identically in DuckDB,
 # which is what makes J5 fully oracle-checkable (WITH RECURSIVE).
@@ -112,6 +180,10 @@ def q_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_turns"))
         .withColumn("n", F.substring("conv_id", 5, 8).cast("long"))
     )
+    return _traverse(spark, t, convs)
+
+
+def _traverse(spark, t, convs):
     # Directed edge relation parent -> child, built once from the node
     # set (no self-loop at the root node 0).
     edges = (
@@ -132,3 +204,51 @@ def q_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", "depth", F.col("n_turns").cast("long").alias("n_turns"))
         .orderBy("depth", "conv_id")
     )
+
+
+# shortestPath() over the conv graph: tree edges (parent n//4 → n)
+# plus back-shortcuts (n → n-3 for n % 7 == 0) so the graph is not a
+# pure tree; all min-hop paths conv0 → conv46 within 5 hops.
+@op(
+    "q_shortest_path",
+    f"""WITH RECURSIVE {TRANSCRIPTS_ORACLE_CTE},
+convs AS (
+  SELECT DISTINCT CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+edges AS (
+  SELECT n // 4 AS src, n AS dst FROM convs WHERE n // 4 <> n
+  UNION ALL
+  SELECT n AS src, n - 3 AS dst FROM convs WHERE n % 7 = 0 AND n >= 3),
+r(n, depth, path) AS (
+  SELECT CAST(0 AS BIGINT) AS n, 0 AS depth, [CAST(0 AS BIGINT)] AS path
+  UNION ALL
+  SELECT e.dst, r.depth + 1, list_append(r.path, e.dst)
+  FROM r JOIN edges e ON e.src = r.n
+  WHERE r.depth < 5 AND NOT list_contains(r.path, e.dst)),
+tgt AS (SELECT * FROM r WHERE n = 46),
+best AS (SELECT min(depth) AS d FROM tgt)
+SELECT array_to_string(path, '/') AS path_s, CAST(depth AS BIGINT) AS hops
+FROM tgt, best WHERE depth = best.d
+ORDER BY path_s""",
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_documents(spark, sf_dir)
+    convs = t.select(
+        F.substring("conv_id", 5, 8).cast("long").alias("n")
+    ).distinct()
+    tree = (
+        convs.select(F.col("n").alias("dst"))
+        .withColumn("src", F.expr("dst div 4"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    shortcuts = (
+        convs.filter((F.col("n") % 7 == 0) & (F.col("n") >= 3))
+        .select(F.col("n").alias("src"), (F.col("n") - 3).alias("dst"))
+    )
+    sp = shortest_paths(tree.unionByName(shortcuts), 0, 46, max_depth=5)
+    return sp.select(
+        F.array_join(F.transform("path", lambda x: x.cast("string")), "/").alias(
+            "path_s"
+        ),
+        "hops",
+    ).orderBy("path_s")

@@ -516,6 +516,37 @@ def q_stats_component(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/handler/component/
+# StatsValuesFactory.java (percentiles param) + search/facet/UniqueAgg.java
+# (JSON facet `unique`). Percentiles here are EXACT (Spark `percentile`
+# and DuckDB `quantile_cont` share the (n-1)*p interpolation rule);
+# Solr's t-digest/HLL approximations are the scale path and stay
+# approximate-only (no oracle possible) — at 100 TB swap in
+# percentile_approx / approx_count_distinct, same plan shape.
+@op(
+    "q_stats_percentiles",
+    f"""{DOCS_CTE}
+SELECT role,
+  round(quantile_cont(len(toks), 0.25), 4) AS p25,
+  round(quantile_cont(len(toks), 0.50), 4) AS p50,
+  round(quantile_cont(len(toks), 0.90), 4) AS p90,
+  count(DISTINCT tool) AS n_tools
+FROM docs GROUP BY role ORDER BY role""",
+)
+def q_stats_percentiles(spark, sf_dir):
+    d = _docs(spark, sf_dir).withColumn("dl", F.size("toks").cast("double"))
+    return (
+        d.groupBy("role")
+        .agg(
+            F.round(F.expr("percentile(dl, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(dl, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(dl, 0.90)"), 4).alias("p90"),
+            F.countDistinct("tool").alias("n_tools"),
+        )
+        .orderBy("role")
+    )
+
+
 # ref: lucene/grouping/src/java/org/apache/lucene/search/grouping/
 # FirstPassGroupingCollector.java + TopGroupsCollector.java; Solr Grouping.java
 @op(
@@ -927,6 +958,76 @@ def q_function_math(spark, sf_dir):
         .select("conv_id", "turn_idx", fval.alias("fval"))
         .orderBy(F.desc("fval"), "conv_id", "turn_idx")
         .limit(40)
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/function/distance/
+# HaversineFunction.java (geodist) + lucene/core .../document/LatLonPoint
+# .java#newDistanceQuery (distance filter with a bounding-box prune).
+# Deterministic synthetic store location per conversation (no lat/lon in
+# the corpus): lat = (n*37 mod 160) - 80 + .5, lon = (n*91 mod 360) -
+# 180 + .5 — both engines derive it identically. The Spark side applies
+# the Lucene-style conservative bbox BEFORE the haversine (cheap prune
+# that at scale pushes to the scan; the exact predicate then dedupes
+# the boundary), the oracle applies only the exact predicate — equal
+# results prove the prune is sound.
+_GEO_R = 6371.0087714  # Lucene GeoUtils.EARTH_MEAN_RADIUS, km
+_GEO_PT = (12.5, 42.5)
+_GEO_D = 6000.0
+
+
+@op(
+    "q_geo_dist",
+    f"""{DOCS_CTE},
+locs AS (
+  SELECT DISTINCT conv_id,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 37 % 160) - 80 + 0.5 AS lat,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 91 % 360) - 180 + 0.5 AS lon
+  FROM docs),
+dists AS (
+  SELECT conv_id, lat, lon,
+    2 * {_GEO_R} * asin(sqrt(
+      pow(sin(radians(lat - {_GEO_PT[0]}) / 2), 2)
+      + cos(radians({_GEO_PT[0]})) * cos(radians(lat))
+        * pow(sin(radians(lon - {_GEO_PT[1]}) / 2), 2))) AS dist
+  FROM locs)
+SELECT conv_id, round(dist, 4) AS dist_km
+FROM dists WHERE dist <= {_GEO_D}
+ORDER BY round(dist, 4), conv_id""",
+)
+def q_geo_dist(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = F.substring("conv_id", 5, 8).cast("long")
+    locs = d.select(
+        "conv_id",
+        ((n * 37 % 160) - 80 + 0.5).alias("lat"),
+        ((n * 91 % 360) - 180 + 0.5).alias("lon"),
+    ).distinct()
+    lat0, lon0 = _GEO_PT
+    # conservative bbox prune (> true radius; exact filter follows)
+    lat_pad = _GEO_D / 110.0
+    boxed = locs.filter(
+        (F.abs(F.col("lat") - lat0) <= lat_pad)
+        & (
+            (F.abs(F.col("lon") - lon0)
+             <= _GEO_D / (110.0 * F.greatest(F.cos(F.radians("lat")), F.lit(0.02))))
+            | (F.abs(F.col("lon") - lon0) >= 360 - _GEO_D
+               / (110.0 * F.greatest(F.cos(F.radians("lat")), F.lit(0.02))))
+        )
+    )
+    dist = (
+        2 * _GEO_R
+        * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat") - lat0) / 2), 2)
+            + F.cos(F.radians(F.lit(lat0))) * F.cos(F.radians("lat"))
+            * F.pow(F.sin(F.radians(F.col("lon") - lon0) / 2), 2)
+        ))
+    )
+    return (
+        boxed.withColumn("dist", dist)
+        .filter(F.col("dist") <= _GEO_D)
+        .select("conv_id", F.round("dist", 4).alias("dist_km"))
+        .orderBy("dist_km", "conv_id")
     )
 
 

@@ -949,16 +949,19 @@ FROM transcripts ORDER BY conv_id, turn_idx""",
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # CORE BM25 — Catalyst oracle path (M1) + the full index engine
+    # (one twin per SHAPE; sloppy3 supersedes sloppy, neg_filter +
+    # pure_negative cover the NOT shapes — dropped twins still run in
+    # the full check_oracle battery)
     "q_bm25_term", "q_bm25_neg_phrase", "q_bm25_sloppy3",
     "q_idx_bm25_term", "q_idx_bm25_and", "q_idx_bm25_or_mm",
-    "q_idx_bm25_not", "q_idx_bm25_phrase", "q_idx_bm25_filtered",
-    "q_idx_bm25_sloppy", "q_idx_bm25_sloppy3", "q_idx_bm25_boosted",
+    "q_idx_bm25_phrase", "q_idx_bm25_filtered",
+    "q_idx_bm25_sloppy3",
     "q_idx_bm25_neg_filter",
     # negation / domain fallbacks (round-2 fixes)
     "q_idx_docset_pure_negative", "q_idx_docset_filter_only",
     # MultiTermQuery rewrites + block join + MLT + stored fields + chain
     "q_idx_prefix_scored", "q_idx_fuzzy_terms",
-    "q_idx_conv_search_max", "q_idx_conv_search_total",
+    "q_idx_conv_search_max",
     "q_idx_more_like_this", "q_idx_fetch_text", "q_idx_stemmed_search",
     # SOLR-5894 faceting family
     "q_facet_role", "q_facet_ftok_hc", "q_facet_or_domain",
@@ -970,17 +973,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dismax",           # P15
     "q_export_sorted",    # S10
     "q_join_semi",        # J2
-    "q_block_join_parent",  # J4 relational
     "q_hash_join",        # J7
     "q_json_facet_aggs",  # A8
     "q_multimodal_features_check",  # multimodal plumbing (pipeline)
     "q_rerank",           # W5 (fixed path this round)
-    "q_ann_lsh_check",    # ANN-LSH attestation (new)
+    "q_ann_lsh_check",    # ANN-LSH attestation
     "q_set_intersect",    # T3
-    "q_function_math",    # §2.7
     "q_session_window",   # §2.8 windows
     "q_versioned_upsert", # N3
-    "q_highlight",        # highlighter (new)
+    "q_highlight",        # highlighter
+    # the six ex-SKIP families closed this round
+    "q_graph_traversal",  # J5 (BFS, WITH RECURSIVE oracle)
+    "q_realtime_get",     # P18 (tlog-first /get)
+    "q_xcoll_join",       # J9 (cross-collection join)
+    "q_xml_roundtrip",    # S4 (XML update format)
+    "q_javabin_roundtrip",  # S5 (javabin wire codec)
+    "q_geo_dist",         # §2.7 geo (geodist + bbox prune)
     # LLM-pipeline dedup/near-dup/ANN (fixed paths this round)
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
     "q_dedup_simhash", "q_neardup_cosine", "q_ann_ivf",

@@ -83,3 +83,85 @@ def test_graph_traversal_plan_no_cartesian(spark, sf_dir):
     rows = df.collect()
     depths = {r["depth"] for r in rows}
     assert depths <= {0, 1, 2} and 0 in depths
+
+
+def _brute_shortest_paths(edges, source, target, max_depth):
+    """All min-hop simple paths source→target (BFS levels + DFS back)."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    depth = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        if depth[u] >= max_depth:
+            continue
+        for v in adj.get(u, ()):
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    if target not in depth:
+        return set()
+    want = depth[target]
+
+    out: set[tuple[int, ...]] = set()
+
+    def walk(node, path):
+        if len(path) - 1 > want:
+            return
+        if node == target and len(path) - 1 == want:
+            out.add(tuple(path))
+            return
+        for v in adj.get(node, ()):
+            if depth.get(v) == len(path):  # stay on BFS levels
+                walk(v, path + [v])
+
+    walk(source, [source])
+    return out
+
+
+def _run_sp(spark, edges, source, target, max_depth):
+    from lucene_solr_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.filter(F.lit(False))
+    got = shortest_paths(e, source, target, max_depth)
+    return {tuple(r["path"]) for r in got.collect()}
+
+
+def test_shortest_paths_diamond_returns_both(spark):
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (0, 3)]
+    # direct edge 0->3 is the unique 1-hop shortest path
+    assert _run_sp(spark, edges, 0, 3, 5) == {(0, 3)}
+    # without it, BOTH 2-hop paths come back
+    edges2 = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    assert _run_sp(spark, edges2, 0, 3, 5) == {(0, 1, 3), (0, 2, 3)}
+
+
+def test_shortest_paths_unreachable_and_self(spark):
+    assert _run_sp(spark, [(0, 1)], 0, 9, 4) == set()
+    assert _run_sp(spark, [(0, 1)], 0, 0, 4) == {(0,)}
+    # reachable but beyond max_depth → empty
+    assert _run_sp(spark, [(0, 1), (1, 2), (2, 3)], 0, 3, 2) == set()
+
+
+def test_shortest_paths_matches_brute_on_random_graphs(spark):
+    import random
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        n = 25
+        edges = list(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randrange(30, 70))
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        target = rng.randrange(1, n)
+        want = _brute_shortest_paths(edges, 0, target, 4)
+        got = _run_sp(spark, edges, 0, target, 4)
+        assert got == want, (seed, target)

@@ -126,3 +126,53 @@ def test_tokenizer_is_jvm_side(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan
     assert "*(" in plan  # codegen spans
+
+
+def test_xcoll_join_broadcasts_from_side(spark, sf_dir):
+    """J9: the from-collection key set must arrive as a broadcast
+    semi-join against the scored hits — never a shuffle of the hit set
+    on the join key, never a cartesian."""
+    from lucene_solr_spark.registry import QUERIES
+
+    df = QUERIES["q_xcoll_join"](spark, sf_dir)
+    plan = _physical(df, finalize=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_geo_bbox_prune_precedes_haversine(spark, sf_dir):
+    """Geo: the conservative bbox predicate must appear in the plan's
+    Filter (cheap prune before the trig), and results must equal the
+    unpruned exact computation (prune soundness)."""
+    from lucene_solr_spark.operators.solr_battery import (
+        _GEO_D, _GEO_PT, _GEO_R, q_geo_dist, _docs,
+    )
+
+    df = q_geo_dist(spark, sf_dir)
+    plan = _physical(df)
+    assert "ASIN" in plan.upper() and "FILTER" in plan.upper()
+
+    # unpruned exact twin
+    d = _docs(spark, sf_dir)
+    n = F.substring("conv_id", 5, 8).cast("long")
+    locs = d.select(
+        "conv_id",
+        ((n * 37 % 160) - 80 + 0.5).alias("lat"),
+        ((n * 91 % 360) - 180 + 0.5).alias("lon"),
+    ).distinct()
+    lat0, lon0 = _GEO_PT
+    dist = (
+        2 * _GEO_R
+        * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat") - lat0) / 2), 2)
+            + F.cos(F.radians(F.lit(lat0))) * F.cos(F.radians("lat"))
+            * F.pow(F.sin(F.radians(F.col("lon") - lon0) / 2), 2)
+        ))
+    )
+    exact = (
+        locs.withColumn("dist", dist)
+        .filter(F.col("dist") <= _GEO_D)
+        .select("conv_id", F.round("dist", 4).alias("dist_km"))
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, exact.collect()))
