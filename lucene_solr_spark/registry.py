@@ -937,6 +937,192 @@ FROM transcripts ORDER BY conv_id, turn_idx""",
 )
 
 
+def _idx_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellCheck (DirectSolrSpellChecker): suggestions for misspelled
+    query terms from the REAL index term dictionary — candidates within
+    edit distance ≤ 2 (len ≥ 3, candidate ≠ input), ranked (distance
+    asc, df desc, term asc), top-5 per input. The dict side aggregates
+    per-segment df once; the 3-row query side broadcasts into a
+    nested-loop probe, the Spark analog of Solr walking the FST per
+    query term.
+
+    ref: solr/core/src/java/org/apache/solr/spelling/
+         DirectSolrSpellChecker.java (maxEdits=2, internal distance
+         ranking) over lucene/suggest .../DirectSpellChecker.java"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    inputs = ["mrege", "tabel", "qurey"]
+    q = spark.createDataFrame([(t,) for t in inputs], "q string")
+    dicts = s.postings().groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+    cand = (
+        dicts.join(F.broadcast(q))
+        .withColumn("dist", F.levenshtein("term", F.col("q")).cast("long"))
+        .filter(
+            (F.col("dist") <= 2)
+            & (F.col("term") != F.col("q"))
+            & (F.length("term") >= 3)
+        )
+    )
+    w = Window.partitionBy("q").orderBy(
+        "dist", F.desc("df"), F.col("term")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q", F.col("term").alias("suggestion"), "dist", "df")
+        .orderBy("q", "dist", F.desc("df"), "suggestion")
+    )
+
+
+register(
+    "q_idx_spellcheck",
+    _idx_spellcheck,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES ('mrege'), ('tabel'), ('qurey')),
+cand AS (
+  SELECT q.q, d.term AS suggestion,
+         CAST(levenshtein(q.q, d.term) AS BIGINT) AS dist, d.df
+  FROM q, dfreq d
+  WHERE levenshtein(q.q, d.term) <= 2 AND d.term <> q.q
+        AND len(d.term) >= 3),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand)
+SELECT q, suggestion, dist, df FROM ranked WHERE rn <= 5
+ORDER BY q, dist, df DESC, suggestion""",
+)
+
+
+_ELEV_SPEC = BooleanSpec(must=("merge",), k=10)
+#: (conv_id, turn_idx, slot) — the elevate.xml entries, in order
+_ELEV_IDS = [("conv00000007", 3, 1), ("conv00000012", 0, 2)]
+
+
+def _idx_elevate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent: configured ids pin to the top in config
+    order (kept even when they don't match the query — forceElevation;
+    score null then), organic BM25 hits fill the remaining k slots,
+    excluding the elevated ids. Pinned output carries the slot number
+    so ordering is part of the compared values.
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+         QueryElevationComponent.java"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    elev = spark.createDataFrame(
+        _ELEV_IDS, "conv_id string, turn_idx int, slot int"
+    )
+    hits = s.score_hits(_ELEV_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    # elevated rows must exist in the corpus; organic score attaches if
+    # the doc also matches the query
+    t = transcripts_from_documents(spark, sf_dir).select("conv_id", "turn_idx")
+    elevated = (
+        elev.join(t, ["conv_id", "turn_idx"], "left_semi")
+        .join(hits, ["conv_id", "turn_idx"], "left")
+        .select("conv_id", "turn_idx", "score", F.col("slot").cast("long").alias("slot"))
+    )
+    n_elev = elevated.count()
+    organic = (
+        hits.join(F.broadcast(elev.select("conv_id", "turn_idx")),
+                  ["conv_id", "turn_idx"], "left_anti")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_ELEV_SPEC.k - n_elev)
+    )
+    w = Window.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    organic = organic.select(
+        "conv_id", "turn_idx", "score",
+        (F.row_number().over(w) + n_elev).cast("long").alias("slot"),
+    )
+    return elevated.unionByName(organic).orderBy("slot")
+
+
+_elev_body = bm25_oracle_sql(_ELEV_SPEC).split(
+    "\nSELECT conv_id, turn_idx, round(score"
+)[0]
+_elev_values = ", ".join(
+    f"('{c}', {t}, {p})" for c, t, p in _ELEV_IDS
+)
+register(
+    "q_idx_elevate",
+    _idx_elevate,
+    _elev_body
+    + f""",
+elev(conv_id, turn_idx, slot) AS (VALUES {_elev_values}),
+present AS (
+  SELECT e.* FROM elev e
+  WHERE (e.conv_id, e.turn_idx) IN
+        (SELECT (conv_id, turn_idx) FROM transcripts)),
+elevated AS (
+  SELECT p.conv_id, p.turn_idx, round(s.score, {ROUND}) AS score,
+         CAST(p.slot AS BIGINT) AS slot
+  FROM present p LEFT JOIN scored s
+    ON p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx),
+organic AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score,
+         CAST(row_number() OVER (
+           ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx)
+           + (SELECT count(*) FROM present) AS BIGINT) AS slot
+  FROM scored
+  WHERE (conv_id, turn_idx) NOT IN
+        (SELECT (conv_id, turn_idx) FROM present)
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {_ELEV_SPEC.k} - (SELECT count(*) FROM present))
+SELECT * FROM elevated UNION ALL SELECT * FROM organic ORDER BY slot""",
+)
+
+
+def _datemath_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date range facet with DateMath endpoints (`DateMathParser`):
+    hourly counts in [NOW/HOUR-6HOURS, NOW/HOUR+1HOUR) with NOW pinned
+    driver-side (the distributed-correctness rule: one NOW per query).
+    The oracle carries the hand-computed literal endpoints, so a parser
+    regression hash-mismatches."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.datemath import parse
+
+    now = datetime.datetime(2024, 1, 1, 12, 34, 56, 789000)
+    lo = parse("NOW/HOUR-6HOURS", now)
+    hi = parse("NOW/HOUR+1HOUR", now)
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        t.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                               "yyyy-MM-dd HH").alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("hour")
+    )
+
+
+register(
+    "q_datemath_range",
+    _datemath_range,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       count(*) AS cnt
+FROM transcripts
+WHERE ts >= TIMESTAMP '2024-01-01 06:00:00'
+  AND ts < TIMESTAMP '2024-01-01 13:00:00'
+GROUP BY 1 ORDER BY hour""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is
