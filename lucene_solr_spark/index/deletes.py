@@ -1,0 +1,72 @@
+"""deleteByQuery (liveDocs tombstones) — SURVEY §2.1 S7 delete side.
+
+ref: solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java
+     #deleteByQuery and lucene/core .../index/LiveDocs (Bits liveDocs):
+     a delete never rewrites segment data — it records which docs are
+     dead, and every reader masks them out. Pinned Lucene parity:
+     **deleted docs still affect scoring statistics** (docFreq, N,
+     avgdl include them) until the data is physically rewritten — the
+     documented Lucene behavior ("deleted documents ... still affect
+     scoring until segments are merged"). Here the physical rewrite is
+     a periodic rebuild from the source-of-truth table (the Spark-first
+     compaction story: segment files are immutable, copy-on-write).
+
+Representation: tombstones are BUSINESS KEYS (conv_id, turn_idx) in a
+per-snapshot parquet referenced from the manifest. Key-based (not
+doc-ord) tombstones survive merges and docID remaps untouched, so
+``merge_segments`` needs zero delete-awareness. Each deleteByQuery
+unions with the previous tombstone set and publishes a new snapshot —
+the same atomic two-phase commit as every other index mutation.
+
+Scale: the mask ships to scorer tasks as a driver-held key set (the
+in-heap liveDocs bitset analog; Lucene holds it per-reader the same
+way). Masking is a vectorized MultiIndex.isin per segment, not
+per-row Python. For delete volumes beyond driver memory, rebuild —
+exactly when Lucene would want a merge anyway.
+
+Caveat (documented, matches key-tombstone semantics): re-adding a
+previously deleted key stays masked until :func:`clear_tombstones`;
+Lucene's update-by-id has the same delete-then-add shape with the add
+winning because it lands in a NEWER segment — our upsert story lives
+in the versioned-upsert / realtime-get layer instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from lucene_solr_spark.index.manifest import Manifest
+from lucene_solr_spark.query.model import BooleanSpec
+
+
+def delete_by_query(spark: SparkSession, index_root: str, spec: BooleanSpec) -> int:
+    """Tombstone every doc matching ``spec``; returns the TOTAL
+    tombstone count after the commit (cumulative, deduped)."""
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    s = IndexSearcher(spark, index_root)
+    keys = s.docset(spec).select("conv_id", "turn_idx")
+    if s.deleted_keys:
+        prev = spark.createDataFrame(
+            sorted(s.deleted_keys), "conv_id string, turn_idx int"
+        )
+        keys = keys.unionByName(prev)
+    keys = keys.distinct()
+
+    m = Manifest.load(index_root)
+    rel = f"deletes/del-{m.snapshot_id + 1}.parquet"
+    out = os.path.join(index_root, rel)
+    keys.coalesce(1).write.mode("overwrite").parquet(out)
+    n = keys.count()
+    m.tombstones = {"path": rel, "n": int(n)}
+    m.commit({}, {"op": "delete_by_query", "spec": repr(spec), "n_total": int(n)})
+    return int(n)
+
+
+def clear_tombstones(index_root: str) -> None:
+    """Drop all tombstones (post-rebuild housekeeping)."""
+    m = Manifest.load(index_root)
+    m.tombstones = None
+    m.commit({}, {"op": "clear_tombstones"})

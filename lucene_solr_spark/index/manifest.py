@@ -28,6 +28,10 @@ class Manifest:
     segments: dict[str, dict[str, Any]] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
     analyzer_version: str = "ascii-word-lower-v1"
+    #: liveDocs analog: {"path": <rel parquet of deleted keys>, "n": int}
+    #: or None. Carried forward by every commit (incl. merge) — deletes
+    #: are business-key tombstones, so no ord remap is ever needed.
+    tombstones: dict[str, Any] | None = None
 
     @property
     def manifest_dir(self) -> str:
@@ -67,6 +71,7 @@ class Manifest:
             "segments": self.segments,
             "lineage": self.lineage,
             "global": {"n_docs": self.n_docs, "sum_dl": self.sum_dl},
+            "tombstones": self.tombstones,
         }
         final = os.path.join(self.manifest_dir, f"{SNAPSHOT_PREFIX}{self.snapshot_id}.json")
         fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
@@ -103,4 +108,5 @@ class Manifest:
             m.segments = payload["segments"]
             m.lineage = payload.get("lineage", [])
             m.analyzer_version = payload.get("analyzer_version", m.analyzer_version)
+            m.tombstones = payload.get("tombstones")
         return m

@@ -49,6 +49,22 @@ def filter_cols(spec: BooleanSpec, base: list[str]) -> list[str]:
     return list(base) + sorted(want - set(base))
 
 
+def apply_deletes(allowed, dm, deleted: frozenset):
+    """AND the liveDocs mask (NOT tombstoned) into ``allowed``.
+
+    ``deleted`` holds business keys (conv_id, turn_idx); the membership
+    test is a vectorized MultiIndex hash probe, not per-row Python.
+    No-op (returns ``allowed`` unchanged) when there are no deletes."""
+    if not deleted:
+        return allowed
+    import pandas as pd
+
+    live = ~pd.MultiIndex.from_arrays(
+        [dm["conv_id"], dm["turn_idx"]]
+    ).isin(deleted)
+    return live if allowed is None else (allowed & live)
+
+
 def filter_mask(dm, spec: BooleanSpec):
     """FILTER/NOT-FILTER doc mask over a docmap pandas frame, or None.
 
@@ -109,6 +125,19 @@ class IndexSearcher:
         self._dicts_df = self.spark.read.parquet(*self._dict_files)
         #: term → global df cache (SolrIndexSearcher filterCache spirit)
         self._df_cache: dict[str, int] = {}
+        #: liveDocs analog: tombstoned (conv_id, turn_idx) keys
+        self.deleted_keys: frozenset = frozenset()
+        tb = self.manifest.tombstones
+        if tb:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(os.path.join(index_root, tb["path"]))
+            self.deleted_keys = frozenset(
+                zip(
+                    t.column("conv_id").to_pylist(),
+                    t.column("turn_idx").to_pylist(),
+                )
+            )
 
     def persist(self) -> "IndexSearcher":
         """Serving mode: pin the postings table in executor memory
@@ -124,7 +153,17 @@ class IndexSearcher:
         return self._postings_df
 
     def docmap(self) -> DataFrame:
-        return self._docmap_df
+        """Docvalues view — with liveDocs applied (Lucene docvalues
+        iteration honors deletes), via a broadcast anti-join only when
+        tombstones exist (zero plan change otherwise)."""
+        if not self.deleted_keys:
+            return self._docmap_df
+        dead = self.spark.createDataFrame(
+            sorted(self.deleted_keys), "conv_id string, turn_idx int"
+        )
+        return self._docmap_df.join(
+            F.broadcast(dead), ["conv_id", "turn_idx"], "left_anti"
+        )
 
     def dicts(self) -> DataFrame:
         return self._dicts_df
@@ -182,6 +221,7 @@ class IndexSearcher:
         seg_dirs = self.seg_dir_by_id
         dm_cols = filter_cols(spec, _BASE_COLS)
         seg_k = (1 << 62) if k is None else k
+        deleted = self.deleted_keys
 
         post = self.postings().filter(F.col("term").isin(all_terms))
 
@@ -195,7 +235,7 @@ class IndexSearcher:
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()  # written sorted by doc_ord
             doc_len = dm["doc_len"].to_numpy("int64")
-            allowed = filter_mask(dm, spec)
+            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
             term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             docs, scores = score_segment(
                 spec, term_rows, idf, avgdl, doc_len, allowed, seg_k
@@ -326,6 +366,7 @@ class IndexSearcher:
         dm_cols = filter_cols(spec, _BASE_COLS)
         pure_negative = not spec.scoring_terms
         lookup = list(spec.lookup_terms)
+        deleted = self.deleted_keys
 
         def run_seg(pdf):
             import pandas as pd
@@ -335,7 +376,7 @@ class IndexSearcher:
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            allowed = filter_mask(dm, spec)
+            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
             if pure_negative:
                 term_rows = {}
                 if lookup:  # filter-only specs never touch postings

@@ -84,6 +84,7 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
     ord_col = f"{req.field}_ord"
     seg_dirs = searcher.seg_dir_by_id
     want_missing = req.missing
+    deleted = searcher.deleted_keys  # liveDocs mask (empty = no-op)
 
     def _count_ords(seg_id: int, hits: np.ndarray | None, ords: np.ndarray) -> pd.DataFrame:
         if hits is not None:
@@ -109,22 +110,27 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
         def count_all(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
 
+            from lucene_solr_spark.query.executor import apply_deletes
+
             seg_id = int(pdf["seg_id"].iloc[0])
-            ords = (
-                pq.read_table(f"{seg_dirs[seg_id]}/docmap.parquet", columns=[ord_col])
-                .column(ord_col)
-                .to_numpy()
-                .astype(np.int64)
-            )
-            return _count_ords(seg_id, None, ords)
+            cols = [ord_col] + (["conv_id", "turn_idx"] if deleted else [])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
+            ).to_pandas()
+            ords = dm[ord_col].to_numpy().astype(np.int64)
+            live = apply_deletes(None, dm, deleted)
+            hits = None if live is None else np.flatnonzero(live)
+            return _count_ords(seg_id, hits, ords)
 
         return seg_df.groupBy("seg_id").applyInPandas(count_all, PARTIAL_SCHEMA)
 
-    from lucene_solr_spark.query.executor import filter_cols, filter_mask
+    from lucene_solr_spark.query.executor import apply_deletes, filter_cols, filter_mask
 
     lookup = list(spec.lookup_terms)
     pure_negative = not spec.scoring_terms
     dm_cols = filter_cols(spec, ["doc_ord", "doc_len", ord_col])
+    if deleted:
+        dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
 
     def count_hits(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -134,7 +140,7 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
             f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
         ).to_pandas()  # written sorted by doc_ord
         n_docs = len(dm)
-        allowed = filter_mask(dm, spec)
+        allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
         if pure_negative:
             term_rows = {}
             if lookup:
@@ -186,6 +192,7 @@ def facet_pivot(
     missing (ord -1) are excluded, Lucene missing semantics."""
     o1, o2 = f"{f1}_ord", f"{f2}_ord"
     seg_dirs = searcher.seg_dir_by_id
+    deleted = searcher.deleted_keys
     pair_schema = "seg_id int, ord1 int, ord2 int, cnt long"
 
     def count_pairs(seg_id: int, hits: np.ndarray | None,
@@ -208,21 +215,30 @@ def facet_pivot(
         def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
 
+            from lucene_solr_spark.query.executor import apply_deletes
+
             seg_id = int(pdf["seg_id"].iloc[0])
-            t = pq.read_table(f"{seg_dirs[seg_id]}/docmap.parquet", columns=[o1, o2])
+            cols = [o1, o2] + (["conv_id", "turn_idx"] if deleted else [])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
+            ).to_pandas()
+            live = apply_deletes(None, dm, deleted)
+            hits = None if live is None else np.flatnonzero(live)
             return count_pairs(
-                seg_id, None,
-                t.column(o1).to_numpy().astype(np.int64),
-                t.column(o2).to_numpy().astype(np.int64),
+                seg_id, hits,
+                dm[o1].to_numpy().astype(np.int64),
+                dm[o2].to_numpy().astype(np.int64),
             )
 
         pairs = seg_df.groupBy("seg_id").applyInPandas(run_all, pair_schema)
     else:
-        from lucene_solr_spark.query.executor import filter_cols, filter_mask
+        from lucene_solr_spark.query.executor import apply_deletes, filter_cols, filter_mask
 
         lookup = list(spec.lookup_terms)
         pure_negative = not spec.scoring_terms
         dm_cols = filter_cols(spec, ["doc_ord", "doc_len", o1, o2])
+        if deleted:
+            dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
 
         def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
@@ -231,7 +247,7 @@ def facet_pivot(
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            allowed = filter_mask(dm, spec)  # fq domain, like count_hits
+            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)  # fq domain
             if pure_negative:
                 term_rows = {}
                 if lookup:
@@ -334,9 +350,10 @@ def facet_nested(
             "sum_dl": sums.astype(np.int64),
         })
 
-    from lucene_solr_spark.query.executor import filter_cols, filter_mask
+    from lucene_solr_spark.query.executor import apply_deletes, filter_cols, filter_mask
 
     dm_base = ["doc_ord", "doc_len", o1, o2]
+    deleted = searcher.deleted_keys
 
     if spec is None:
         seg_df = searcher.seg_driver()
@@ -345,15 +362,19 @@ def facet_nested(
             import pyarrow.parquet as pq
 
             seg_id = int(pdf["seg_id"].iloc[0])
-            t = pq.read_table(
-                f"{seg_dirs[seg_id]}/docmap.parquet",
-                columns=["doc_len", o1, o2],
+            cols = ["doc_len", o1, o2] + (
+                ["conv_id", "turn_idx"] if deleted else []
             )
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
+            ).to_pandas()
+            live = apply_deletes(None, dm, deleted)
+            hits = None if live is None else np.flatnonzero(live)
             return count_pairs(
-                seg_id, None,
-                t.column(o1).to_numpy().astype(np.int64),
-                t.column(o2).to_numpy().astype(np.int64),
-                t.column("doc_len").to_numpy().astype(np.int64),
+                seg_id, hits,
+                dm[o1].to_numpy().astype(np.int64),
+                dm[o2].to_numpy().astype(np.int64),
+                dm["doc_len"].to_numpy().astype(np.int64),
             )
 
         pairs = seg_df.groupBy("seg_id").applyInPandas(run_all, pair_schema)
@@ -361,6 +382,8 @@ def facet_nested(
         lookup = list(spec.lookup_terms)
         pure_negative = not spec.scoring_terms
         dm_cols = filter_cols(spec, dm_base)
+        if deleted:
+            dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
 
         def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
@@ -369,7 +392,7 @@ def facet_nested(
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            allowed = filter_mask(dm, spec)
+            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
             if pure_negative:
                 term_rows = {}
                 if lookup:

@@ -1123,6 +1123,44 @@ GROUP BY 1 ORDER BY hour""",
 )
 
 
+_DEL_SEARCH = BooleanSpec(must=("data",), k=15)
+
+
+def _idx_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deleteByQuery through the index (liveDocs tombstones): tool_7
+    docs are deleted, then a plain 'data' search runs. The oracle is
+    the UNDELETED corpus searched with a NOT-filter — equal results
+    prove both halves of the pinned Lucene contract at once: deleted
+    docs vanish from results AND still count in the BM25 statistics
+    (scores computed over the full corpus)."""
+    import tempfile
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.index.deletes import delete_by_query
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = sf_dir + "#deltest"
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_idx_del_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+        delete_by_query(
+            spark, root, BooleanSpec(filters=(("tool", "tool_7"),))
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root).search(_DEL_SEARCH, round_to=ROUND)
+
+
+register(
+    "q_idx_delete_by_query",
+    _idx_delete_by_query,
+    bm25_oracle_sql(
+        BooleanSpec(must=("data",), not_filters=(("tool", "tool_7"),), k=15)
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is
@@ -1175,9 +1213,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_xml_roundtrip",    # S4 (XML update format)
     "q_javabin_roundtrip",  # S5 (javabin wire codec)
     "q_geo_dist",         # §2.7 geo (geodist + bbox prune)
-    # LLM-pipeline dedup/near-dup/ANN (fixed paths this round)
+    # deleteByQuery (liveDocs) — masked results + unchanged stats
+    "q_idx_delete_by_query",
+    # LLM-pipeline dedup/near-dup/ANN (q_dedup_simhash stays in the
+    # full battery below the window)
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
-    "q_dedup_simhash", "q_neardup_cosine", "q_ann_ivf",
+    "q_neardup_cosine", "q_ann_ivf",
 )
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
