@@ -944,3 +944,121 @@ def q_fingerprint(spark, sf_dir):
         .filter(F.col("cnt") > 1)
         .orderBy("keep_id")
     )
+
+
+# ===========================================================================
+# 7. pipeline hygiene: benchmark decontamination + PII redaction
+# ===========================================================================
+
+
+@op(
+    "q_decontaminate",
+    f"""WITH {SHINGLE_CTE},
+bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT s.doc_id, count(DISTINCT s.sh) AS n_overlap
+  FROM shingles s JOIN bench b ON s.sh = b.sh
+  WHERE s.doc_id % 17 <> 0
+  GROUP BY s.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_overlap AS BIGINT) AS n_overlap
+FROM hits ORDER BY doc_id""",
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the C4/GPT-style eval-overlap scrub):
+    docs sharing any trigram shingle with the held-out set (doc_id %
+    17 == 0 plays the benchmark) are flagged with their overlap count.
+    Scale shape: the benchmark's distinct-shingle set is the SMALL side
+    by construction (eval suites are tiny next to a training corpus),
+    so it broadcasts into a semi-style hash join against the training
+    shingles — no shuffle of the corpus, no cartesian; a hot shingle
+    costs a wide probe, never a blowup (the benchmark side is distinct)."""
+    sh = shingles_df(spark, sf_dir)
+    is_bench = F.col("doc_id") % 17 == 0
+    bench = sh.filter(is_bench).select("sh").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").cast("long").alias("n_overlap"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_overlap")
+        .orderBy("doc_id")
+    )
+
+
+# Deterministically planted PII (the corpus itself is synthetic clean
+# text): every 11th doc gets an email, every 13th a phone — both
+# engines derive the same plant, then redact with the same regexes
+# (kept to the RE2 ∩ java.util.regex common dialect).
+_PII_EMAIL = "[a-z0-9.]+@[a-z0-9.]+"
+_PII_PHONE = "555-[0-9]{4}"
+
+
+@op(
+    "q_pii_redact",
+    f"""WITH {CORPUS_CTE},
+planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM corpus),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM planted)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(strlen(clean) AS BIGINT) AS clean_len
+FROM red WHERE n_emails > 0 OR n_phones > 0
+ORDER BY doc_id""",
+)
+def q_pii_redact(spark, sf_dir):
+    """PII redaction pass (pipeline hygiene stage): regex scrub of
+    emails/phones with per-doc redaction counts — pure Catalyst
+    (regexp_extract_all + regexp_replace), narrow, no shuffle."""
+    c = corpus_df(spark, sf_dir)
+    planted = c.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" contact doc"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" call 555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    red = planted.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+        .cast("long").alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE}', 0)"))
+        .cast("long").alias("n_phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE, "<PHONE>",
+            )
+        ).cast("long").alias("clean_len"),
+    )
+    return (
+        red.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                "n_emails", "n_phones", "clean_len")
+        .orderBy("doc_id")
+    )
