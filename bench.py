@@ -188,6 +188,20 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
             out["queries"] = q_secs
             out["query_total_sec"] = round(sum(q_secs.values()), 3)
 
+            # round-2 surfaces, timed OUTSIDE the headline sum:
+            # deleteByQuery commit + a search through the tombstone mask
+            from lucene_solr_spark.index.deletes import delete_by_query
+
+            td = time.perf_counter()
+            delete_by_query(
+                spark, idx_root, BooleanSpec(filters=(("role", "tool"),))
+            )
+            out["delete_commit_sec"] = round(time.perf_counter() - td, 3)
+            sd = IndexSearcher(spark, idx_root).persist()
+            td = time.perf_counter()
+            sd.search(next(iter(BM25_SPECS.values()))).collect()
+            out["post_delete_search_sec"] = round(time.perf_counter() - td, 3)
+
             # LLM-pipeline ops over the SF_DIR documents/embeddings
             # tables (LSH-blocked paths rewritten in round 2); timed
             # once — candidate generation dominates, warm runs would
@@ -196,10 +210,14 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                 from lucene_solr_spark.operators import textpipe
 
                 p_secs: dict[str, float] = {}
+                from lucene_solr_spark.operators import graph
+
                 for name, fn in (
                     ("dedup_minhash_lsh", textpipe.q_dedup_minhash_lsh),
                     ("dedup_ngram_jaccard", textpipe.q_dedup_ngram_jaccard),
                     ("neardup_cosine", textpipe.q_neardup_cosine),
+                    ("decontaminate", textpipe.q_decontaminate),
+                    ("graph_traversal", graph.q_graph_traversal),
                 ):
                     tq = time.perf_counter()
                     fn(spark, SF_DIR).collect()
@@ -355,6 +373,10 @@ def main() -> None:
         "unit": "sec",
         "queries": r.get("queries", {}),
         "pipeline": r.get("pipeline", {}),
+        "deletes": {
+            "commit_sec": r.get("delete_commit_sec"),
+            "post_delete_search_sec": r.get("post_delete_search_sec"),
+        },
         "sf": sf,
         "build": {
             "turns": r["turns"],

@@ -49,19 +49,33 @@ def filter_cols(spec: BooleanSpec, base: list[str]) -> list[str]:
     return list(base) + sorted(want - set(base))
 
 
-def apply_deletes(allowed, dm, deleted: frozenset):
+def apply_deletes(allowed, dm, deleted):
     """AND the liveDocs mask (NOT tombstoned) into ``allowed``.
 
-    ``deleted`` holds business keys (conv_id, turn_idx); the membership
-    test is a vectorized MultiIndex hash probe, not per-row Python.
-    No-op (returns ``allowed`` unchanged) when there are no deletes."""
-    if not deleted:
+    ``deleted`` is a SORTED numpy bytes array of ``conv_id|turn_idx``
+    keys (built once at searcher init): the membership test is one
+    vectorized encode + ``searchsorted`` probe — numpy end to end, no
+    per-row Python, near-free (de)serialization when the mask ships to
+    tasks. No-op (returns ``allowed`` unchanged) when empty/None."""
+    if deleted is None or not len(deleted):
         return allowed
-    import pandas as pd
+    import numpy as np
 
-    live = ~pd.MultiIndex.from_arrays(
-        [dm["conv_id"], dm["turn_idx"]]
-    ).isin(deleted)
+    keys = np.char.add(
+        np.char.add(dm["conv_id"].to_numpy(dtype="U"), "|"),
+        dm["turn_idx"].to_numpy(dtype="U"),
+    ).astype("S")
+    # widen both sides to a common byte width (S-compare null-pads, so
+    # widening preserves order and equality; plain astype would
+    # TRUNCATE longer probe keys into false matches)
+    w = max(deleted.dtype.itemsize, keys.dtype.itemsize)
+    if keys.dtype.itemsize != w:
+        keys = keys.astype(f"S{w}")
+    if deleted.dtype.itemsize != w:
+        deleted = deleted.astype(f"S{w}")
+    idx = np.searchsorted(deleted, keys)
+    idx[idx == len(deleted)] = 0
+    live = deleted[idx] != keys
     return live if allowed is None else (allowed & live)
 
 
@@ -125,19 +139,26 @@ class IndexSearcher:
         self._dicts_df = self.spark.read.parquet(*self._dict_files)
         #: term → global df cache (SolrIndexSearcher filterCache spirit)
         self._df_cache: dict[str, int] = {}
-        #: liveDocs analog: tombstoned (conv_id, turn_idx) keys
+        #: liveDocs analog: tombstoned (conv_id, turn_idx) keys.
+        #: Shipped to tasks via a Spark BROADCAST (serialized once,
+        #: cached per executor/worker) — capturing the raw set in UDF
+        #: closures re-pickles it into every stage of every query
+        #: (~2s/query at 50k tombstones; measured).
         self.deleted_keys: frozenset = frozenset()
+        self._deleted_bc = None
         tb = self.manifest.tombstones
         if tb:
+            import numpy as np
             import pyarrow.parquet as pq
 
             t = pq.read_table(os.path.join(index_root, tb["path"]))
-            self.deleted_keys = frozenset(
-                zip(
-                    t.column("conv_id").to_pylist(),
-                    t.column("turn_idx").to_pylist(),
-                )
+            convs = t.column("conv_id").to_pylist()
+            turns = t.column("turn_idx").to_pylist()
+            self.deleted_keys = frozenset(zip(convs, turns))
+            arr = np.sort(
+                np.array([f"{c}|{i}".encode() for c, i in zip(convs, turns)])
             )
+            self._deleted_bc = spark.sparkContext.broadcast(arr)
 
     def persist(self) -> "IndexSearcher":
         """Serving mode: pin the postings table in executor memory
@@ -221,7 +242,7 @@ class IndexSearcher:
         seg_dirs = self.seg_dir_by_id
         dm_cols = filter_cols(spec, _BASE_COLS)
         seg_k = (1 << 62) if k is None else k
-        deleted = self.deleted_keys
+        deleted_bc = self._deleted_bc
 
         post = self.postings().filter(F.col("term").isin(all_terms))
 
@@ -235,7 +256,10 @@ class IndexSearcher:
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()  # written sorted by doc_ord
             doc_len = dm["doc_len"].to_numpy("int64")
-            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
+            allowed = apply_deletes(
+                filter_mask(dm, spec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
             term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             docs, scores = score_segment(
                 spec, term_rows, idf, avgdl, doc_len, allowed, seg_k
@@ -366,7 +390,7 @@ class IndexSearcher:
         dm_cols = filter_cols(spec, _BASE_COLS)
         pure_negative = not spec.scoring_terms
         lookup = list(spec.lookup_terms)
-        deleted = self.deleted_keys
+        deleted_bc = self._deleted_bc
 
         def run_seg(pdf):
             import pandas as pd
@@ -376,7 +400,10 @@ class IndexSearcher:
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
+            allowed = apply_deletes(
+                filter_mask(dm, spec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
             if pure_negative:
                 term_rows = {}
                 if lookup:  # filter-only specs never touch postings

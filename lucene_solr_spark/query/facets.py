@@ -84,7 +84,8 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
     ord_col = f"{req.field}_ord"
     seg_dirs = searcher.seg_dir_by_id
     want_missing = req.missing
-    deleted = searcher.deleted_keys  # liveDocs mask (empty = no-op)
+    has_deletes = bool(searcher.deleted_keys)  # drives column reads
+    deleted_bc = searcher._deleted_bc  # broadcast mask (None = no-op)
 
     def _count_ords(seg_id: int, hits: np.ndarray | None, ords: np.ndarray) -> pd.DataFrame:
         if hits is not None:
@@ -113,12 +114,12 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
             from lucene_solr_spark.query.executor import apply_deletes
 
             seg_id = int(pdf["seg_id"].iloc[0])
-            cols = [ord_col] + (["conv_id", "turn_idx"] if deleted else [])
+            cols = [ord_col] + (["conv_id", "turn_idx"] if has_deletes else [])
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
             ).to_pandas()
             ords = dm[ord_col].to_numpy().astype(np.int64)
-            live = apply_deletes(None, dm, deleted)
+            live = apply_deletes(None, dm, deleted_bc.value if deleted_bc else None)
             hits = None if live is None else np.flatnonzero(live)
             return _count_ords(seg_id, hits, ords)
 
@@ -129,7 +130,7 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
     lookup = list(spec.lookup_terms)
     pure_negative = not spec.scoring_terms
     dm_cols = filter_cols(spec, ["doc_ord", "doc_len", ord_col])
-    if deleted:
+    if has_deletes:
         dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
 
     def count_hits(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -140,7 +141,9 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
             f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
         ).to_pandas()  # written sorted by doc_ord
         n_docs = len(dm)
-        allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
+        allowed = apply_deletes(
+            filter_mask(dm, spec), dm, deleted_bc.value if deleted_bc else None
+        )
         if pure_negative:
             term_rows = {}
             if lookup:
@@ -192,7 +195,8 @@ def facet_pivot(
     missing (ord -1) are excluded, Lucene missing semantics."""
     o1, o2 = f"{f1}_ord", f"{f2}_ord"
     seg_dirs = searcher.seg_dir_by_id
-    deleted = searcher.deleted_keys
+    has_deletes = bool(searcher.deleted_keys)
+    deleted_bc = searcher._deleted_bc
     pair_schema = "seg_id int, ord1 int, ord2 int, cnt long"
 
     def count_pairs(seg_id: int, hits: np.ndarray | None,
@@ -218,11 +222,11 @@ def facet_pivot(
             from lucene_solr_spark.query.executor import apply_deletes
 
             seg_id = int(pdf["seg_id"].iloc[0])
-            cols = [o1, o2] + (["conv_id", "turn_idx"] if deleted else [])
+            cols = [o1, o2] + (["conv_id", "turn_idx"] if has_deletes else [])
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
             ).to_pandas()
-            live = apply_deletes(None, dm, deleted)
+            live = apply_deletes(None, dm, deleted_bc.value if deleted_bc else None)
             hits = None if live is None else np.flatnonzero(live)
             return count_pairs(
                 seg_id, hits,
@@ -237,7 +241,7 @@ def facet_pivot(
         lookup = list(spec.lookup_terms)
         pure_negative = not spec.scoring_terms
         dm_cols = filter_cols(spec, ["doc_ord", "doc_len", o1, o2])
-        if deleted:
+        if has_deletes:
             dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
 
         def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +251,10 @@ def facet_pivot(
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)  # fq domain
+            allowed = apply_deletes(  # fq domain
+                filter_mask(dm, spec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
             if pure_negative:
                 term_rows = {}
                 if lookup:
@@ -353,7 +360,8 @@ def facet_nested(
     from lucene_solr_spark.query.executor import apply_deletes, filter_cols, filter_mask
 
     dm_base = ["doc_ord", "doc_len", o1, o2]
-    deleted = searcher.deleted_keys
+    has_deletes = bool(searcher.deleted_keys)
+    deleted_bc = searcher._deleted_bc
 
     if spec is None:
         seg_df = searcher.seg_driver()
@@ -363,12 +371,12 @@ def facet_nested(
 
             seg_id = int(pdf["seg_id"].iloc[0])
             cols = ["doc_len", o1, o2] + (
-                ["conv_id", "turn_idx"] if deleted else []
+                ["conv_id", "turn_idx"] if has_deletes else []
             )
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
             ).to_pandas()
-            live = apply_deletes(None, dm, deleted)
+            live = apply_deletes(None, dm, deleted_bc.value if deleted_bc else None)
             hits = None if live is None else np.flatnonzero(live)
             return count_pairs(
                 seg_id, hits,
@@ -382,7 +390,7 @@ def facet_nested(
         lookup = list(spec.lookup_terms)
         pure_negative = not spec.scoring_terms
         dm_cols = filter_cols(spec, dm_base)
-        if deleted:
+        if has_deletes:
             dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
 
         def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -392,7 +400,10 @@ def facet_nested(
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            allowed = apply_deletes(filter_mask(dm, spec), dm, deleted)
+            allowed = apply_deletes(
+                filter_mask(dm, spec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
             if pure_negative:
                 term_rows = {}
                 if lookup:

@@ -176,3 +176,14 @@ def test_geo_bbox_prune_precedes_haversine(spark, sf_dir):
         .select("conv_id", F.round("dist", 4).alias("dist_km"))
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The eval-set shingle join must be a broadcast hash join (the
+    benchmark side is small by construction) — never a shuffle of the
+    training shingles on the shingle key, never a cartesian."""
+    from lucene_solr_spark.operators.textpipe import q_decontaminate
+
+    plan = _physical(q_decontaminate(spark, sf_dir), finalize=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
