@@ -1161,6 +1161,139 @@ register(
 )
 
 
+def _idx_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spellcheck.collate: substitute every misspelled term with its
+    best suggestion (rank-1 from the dictionary scan) and report the
+    rewritten query plus its hit count — Solr's SpellCheckCollator
+    re-running the collation against the index. The 2-row suggestion
+    set collects to the driver (a /select-sized decision, like
+    Solr's), the hit count runs through the index DocSet path.
+
+    ref: solr/core/src/java/org/apache/solr/spelling/
+         SpellCheckCollator.java"""
+    rows = _idx_spellcheck(spark, sf_dir).collect()  # ordered (q, rank)
+    inputs = ["mrege", "tabel"]
+    terms = []
+    for q in inputs:
+        cand = [r["suggestion"] for r in rows if r["q"] == q]
+        if cand:  # inputs with no dictionary candidate drop out of the
+            terms.append(cand[0])  # collation (oracle spells it the same)
+    s = cached_searcher(spark, sf_dir)
+    hits = s.docset(BooleanSpec(must=tuple(terms))).count()
+    return spark.createDataFrame(
+        [(" ".join(terms), int(hits))], "collation string, hits long"
+    )
+
+
+register(
+    "q_idx_spellcheck_collate",
+    _idx_spellcheck_collate,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(ord, q) AS (VALUES (1, 'mrege'), (2, 'tabel')),
+ranked AS (
+  SELECT q.ord, q.q, d.term AS suggestion,
+         row_number() OVER (
+           PARTITION BY q.q
+           ORDER BY levenshtein(q.q, d.term), d.df DESC, d.term) AS rn
+  FROM q, dfreq d
+  WHERE levenshtein(q.q, d.term) <= 2 AND d.term <> q.q
+        AND len(d.term) >= 3),
+best AS (SELECT ord, suggestion FROM ranked WHERE rn = 1),
+coll AS (SELECT string_agg(suggestion, ' ' ORDER BY ord) AS collation
+         FROM best)
+SELECT coll.collation,
+       (SELECT CAST(count(*) AS BIGINT) FROM docs d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM best b
+          WHERE NOT list_contains(d.toks, b.suggestion))) AS hits
+FROM coll""",
+)
+
+
+_LTR_SPEC = BooleanSpec(must=("data",), k=10)
+_LTR_DOCS = 100  # reRankDocs
+#: LinearModel weights over (bm25, doc_len, recency_hours)
+_LTR_W = (0.7, 0.002, 0.05)
+
+
+def _idx_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR rerank (Solr LTR contrib, LinearModel): first-pass BM25
+    top-100 (rounded-score boundary + pinned tiebreak so the cut is
+    engine-independent), then re-score with a linear model over
+    (bm25_score, doc_len, hours-since-epoch0) features and return the
+    top-10. Features come from a broadcast join of the 100-row
+    candidate set back to the stored fields — the feature-extraction
+    phase touches reRankDocs rows, never the corpus.
+
+    ref: solr/contrib/ltr/src/java/org/apache/solr/ltr/model/
+         LinearModel.java + search/LTRQParserPlugin.java (reRankDocs)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokens_col
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_LTR_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    top = hits.orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    ).limit(_LTR_DOCS)
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.size(tokens_col("text")).cast("double").alias("doc_len"),
+        ((F.unix_timestamp("ts")
+          - F.unix_timestamp(F.lit("2024-01-01 00:00:00"))) / 3600.0
+         ).alias("rec_h"),
+    )
+    w1, w2, w3 = _LTR_W
+    feats = t.join(F.broadcast(top), ["conv_id", "turn_idx"])
+    return (
+        feats.withColumn(
+            "ltr",
+            F.round(w1 * F.col("score") + w2 * F.col("doc_len")
+                    + w3 * F.col("rec_h"), ROUND),
+        )
+        .select("conv_id", "turn_idx", "ltr")
+        .orderBy(F.desc("ltr"), "conv_id", "turn_idx")
+        .limit(_LTR_SPEC.k)
+    )
+
+
+_ltr_body = bm25_oracle_sql(
+    BooleanSpec(must=_LTR_SPEC.must, k=_LTR_DOCS)
+).split("\nSELECT conv_id, turn_idx, round(score")[0]
+register(
+    "q_idx_ltr_rerank",
+    _idx_ltr_rerank,
+    _ltr_body
+    + f""",
+top AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+  FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {_LTR_DOCS}),
+feats AS (
+  SELECT t.conv_id, t.turn_idx, top.score,
+         CAST(len(regexp_extract_all(lower(t.text), '[a-z0-9]+')) AS DOUBLE)
+           AS doc_len,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', t.ts) / 3600.0
+           AS rec_h
+  FROM transcripts t JOIN top ON t.conv_id = top.conv_id
+                             AND t.turn_idx = top.turn_idx)
+SELECT conv_id, turn_idx,
+       round({_LTR_W[0]} * score + {_LTR_W[1]} * doc_len
+             + {_LTR_W[2]} * rec_h, {ROUND}) AS ltr
+FROM feats
+ORDER BY ltr DESC, conv_id, turn_idx
+LIMIT {_LTR_SPEC.k}""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is

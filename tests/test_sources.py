@@ -27,6 +27,15 @@ from lucene_solr_spark.sources.javabin import (
 from lucene_solr_spark.sources.xml_source import decoded, encode_xml
 from lucene_solr_spark.transcripts import transcripts_from_documents
 
+_SPARK: list = []
+
+
+@pytest.fixture(autouse=True)
+def _grab_spark(spark):
+    if not _SPARK:
+        _SPARK.append(spark)
+    yield
+
 # ---------------------------------------------------------------------------
 # javabin — golden vectors (format version 2 wire layout)
 # ---------------------------------------------------------------------------
@@ -157,3 +166,24 @@ def test_javabin_distributed_roundtrip(spark, sf_dir):
         (f.name, f.dataType) for f in sub.schema.fields
     ]
     assert _sorted_rows(back, cols) == _sorted_rows(sub, cols)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_xml_roundtrip_random_text(texts):
+    """Any XML-legal text survives encode→parse byte-identically
+    (control chars are not XML-representable — excluded, as Solr's
+    XMLLoader would reject them too)."""
+    spark = _SPARK[0]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    back = decoded(encode_xml(df), df.schema)
+    assert sorted(r.text or "" for r in back.collect()) == sorted(texts)
