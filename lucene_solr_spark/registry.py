@@ -1294,6 +1294,105 @@ LIMIT {_LTR_SPEC.k}""",
 )
 
 
+def _idx_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermVectorComponent (tv=true): per-doc term vectors (term, tf)
+    for the top-3 'merge' hits — the engine's term-vector source is
+    the pinned analyzer over stored text (SURVEY §1.1: the ``tokens``
+    column IS the term-vector store), so highlighting/MLT/tv all read
+    one representation. Doc selection uses the rounded-score boundary
+    + pinned tiebreak; only terms with tf >= 2 return (tv.tf shape).
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+         TermVectorComponent.java"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokens_col
+
+    s = cached_searcher(spark, sf_dir)
+    top = (
+        s.score_hits(BooleanSpec(must=("merge",), k=3), k=3)
+        .withColumn("score", F.round("score", ROUND))
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(3)
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    docs = t.join(F.broadcast(top.select("conv_id", "turn_idx")),
+                  ["conv_id", "turn_idx"], "left_semi")
+    return (
+        docs.select("conv_id", "turn_idx",
+                    F.explode(tokens_col("text")).alias("term"))
+        .groupBy("conv_id", "turn_idx", "term")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("tf") >= 2)
+        .orderBy("conv_id", "turn_idx", F.desc("tf"), "term")
+    )
+
+
+register(
+    "q_idx_term_vectors",
+    _idx_term_vectors,
+    bm25_oracle_sql(BooleanSpec(must=("merge",), k=3)).split(
+        "\nSELECT conv_id, turn_idx, round(score"
+    )[0]
+    + f""",
+top AS (
+  SELECT conv_id, turn_idx FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx LIMIT 3)
+SELECT d.conv_id, d.turn_idx, u.term, count(*) AS tf
+FROM docs2 d
+JOIN top USING (conv_id, turn_idx),
+UNNEST(d.toks) AS u(term)
+GROUP BY d.conv_id, d.turn_idx, u.term
+HAVING count(*) >= 2
+ORDER BY conv_id, turn_idx, tf DESC, term""",
+)
+
+
+def _idx_luke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luke admin handler: index-wide stats — numDocs, distinct term
+    count, total postings, and the highest-df term — straight off the
+    index structures (manifest global + the term dictionary), oracled
+    against recomputing the same from raw text.
+
+    ref: solr/core/src/java/org/apache/solr/handler/admin/
+         LukeRequestHandler.java"""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    agg = s.postings().groupBy("term").agg(F.sum("df").alias("df"))
+    stats = agg.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+    )
+    top = agg.orderBy(F.desc("df"), "term").limit(1).select(
+        F.col("term").alias("top_term"), F.col("df").cast("long").alias("top_df")
+    )
+    return (
+        stats.crossJoin(top)
+        .withColumn("n_docs", F.lit(s.manifest.n_docs).cast("long"))
+        .select("n_docs", "n_terms", "n_postings", "top_term", "top_df")
+    )
+
+
+register(
+    "q_idx_luke",
+    _idx_luke,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+top AS (SELECT term AS top_term, CAST(df AS BIGINT) AS top_df
+        FROM dfreq ORDER BY df DESC, term LIMIT 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM dfreq) AS n_terms,
+       (SELECT CAST(sum(df) AS BIGINT) FROM dfreq) AS n_postings,
+       top.top_term, top.top_df
+FROM top""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is
