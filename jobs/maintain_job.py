@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""spark-submit entry point for index maintenance — the ops-plane
+counterpart of build_job.py (DirectUpdateHandler2 / ReplicationHandler
+admin surface).
+
+Usage (after `python jobs/package.py`):
+
+    spark-submit --py-files dist/lucene_solr_spark.zip jobs/maintain_job.py \\
+        merge     --index /path/idx [--merge-factor 8]
+    ... delete    --index /path/idx --query 'role:assistant AND merge'
+    ... replicate --src /leader/idx --dst /follower/idx
+    ... clear-tombstones --index /path/idx
+
+`delete` parses the query with the engine's parser (same syntax as
+/select q=), resolves the DocSet through the index, and commits the
+tombstone snapshot. Each subcommand prints one JSON status line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("merge")
+    p.add_argument("--index", required=True)
+    p.add_argument("--merge-factor", type=int, default=8)
+
+    p = sub.add_parser("delete")
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+
+    p = sub.add_parser("replicate")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--no-clean", action="store_true")
+
+    p = sub.add_parser("clear-tombstones")
+    p.add_argument("--index", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "replicate":  # file-level; no Spark session needed
+        from lucene_solr_spark.index.replication import replicate
+
+        st = replicate(args.src, args.dst, clean=not args.no_clean)
+        print(json.dumps({"cmd": "replicate", **st}))
+        return st
+
+    if args.cmd == "clear-tombstones":
+        from lucene_solr_spark.index.deletes import clear_tombstones
+
+        clear_tombstones(args.index)
+        st = {"cmd": "clear-tombstones", "index": args.index, "ok": True}
+        print(json.dumps(st))
+        return st
+
+    # reuse an already-active session (in-process tests); only stop a
+    # session this job itself created
+    active = SparkSession.getActiveSession()
+    spark = active or SparkSession.builder.appName(f"lss-{args.cmd}").getOrCreate()
+    try:
+        if args.cmd == "merge":
+            from lucene_solr_spark.index.merge import merge_segments
+
+            m = merge_segments(spark, args.index, merge_factor=args.merge_factor)
+            st = {
+                "cmd": "merge",
+                "snapshot_id": m.snapshot_id,
+                "n_segments": len(m.segments),
+            }
+        else:  # delete
+            from lucene_solr_spark.index.deletes import delete_by_query
+            from lucene_solr_spark.query.parser import parse
+
+            spec = parse(args.query)
+            n = delete_by_query(spark, args.index, spec)
+            st = {"cmd": "delete", "tombstones_total": n}
+        print(json.dumps(st))
+        return st
+    finally:
+        if active is None:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

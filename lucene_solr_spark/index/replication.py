@@ -65,6 +65,21 @@ def replicate(src_root: str, dst_root: str, clean: bool = True) -> dict:
         os.rename(tmp, dst)
         copied += 1
 
+    # tombstone file travels with the snapshot (IndexFetcher treats it
+    # as just another commit-referenced file)
+    if leader.tombstones:
+        rel = leader.tombstones["path"]
+        dst = os.path.join(dst_root, rel)
+        if not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            tmp = dst + ".fetch"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+            src = os.path.join(src_root, rel)
+            (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, tmp)
+            os.rename(tmp, dst)
+            copied += 1
+
     # atomic install: publish the leader's snapshot json verbatim
     src_snap = os.path.join(
         src_root, "manifest", f"{SNAPSHOT_PREFIX}{leader.snapshot_id}.json"
