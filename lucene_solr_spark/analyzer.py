@@ -139,3 +139,24 @@ def chain(*filters):
         return toks
 
     return run
+
+
+def analyze_stages(text: str, *filters) -> list[tuple[str, list[str]]]:
+    """/analysis/field debug surface: the token stream AFTER each stage
+    of the chain — (stage_name, tokens) per stage, starting with the
+    tokenizer. Driver-side by design (it's a one-string admin/debug
+    call, like Solr's FieldAnalysisRequestHandler).
+
+    ref: solr/core/src/java/org/apache/solr/handler/
+         FieldAnalysisRequestHandler.java (per-stage token listing)"""
+    import pandas as pd
+
+    toks = tokenize_pandas(pd.Series([text]))
+    out = [("tokenizer", list(toks.iloc[0]))]
+    for f in filters:
+        toks = f(toks)
+        name = getattr(f, "__name__", None) or type(f).__name__
+        if name == "<lambda>":
+            name = f"stage_{len(out)}"
+        out.append((name, list(toks.iloc[0])))
+    return out

@@ -69,3 +69,19 @@ def test_edge_ngram():
 def test_shingles():
     out = shingle_filter(pd.Series([["a", "b", "c"]]), 2).tolist()
     assert out == [["a b", "b c"]]
+
+
+def test_analyze_stages_lists_each_stage():
+    from lucene_solr_spark.analyzer import (
+        analyze_stages,
+        s_stem_filter,
+        stop_filter,
+    )
+
+    stages = analyze_stages("The Merges and the Tables!", stop_filter, s_stem_filter)
+    assert [name for name, _ in stages] == [
+        "tokenizer", "stop_filter", "s_stem_filter"
+    ]
+    assert stages[0][1] == ["the", "merges", "and", "the", "tables"]
+    assert stages[1][1] == ["merges", "tables"]  # stops removed
+    assert stages[2][1] == ["merge", "table"]  # s-stemmed
