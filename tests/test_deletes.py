@@ -153,3 +153,23 @@ def test_random_duel_with_deletes(del_env, seed):
         zip(brute.conv_id, brute.turn_idx)
     ), spec
     assert np.allclose(a.score.to_numpy(), brute.score.to_numpy(), atol=1e-9), spec
+
+
+def test_query_domain_facet_honors_deletes(spark, idx):
+    """facet.field over a query domain (not just MatchAll) must count
+    only live docs — duel vs a brute recount on the surviving corpus."""
+    delete_by_query(spark, idx, BooleanSpec(filters=(("role", "user"),)))
+    s = IndexSearcher(spark, idx)
+    spec = BooleanSpec(must=("merge",))
+    got = {
+        r["facet_value"]: r["cnt"]
+        for r in facet_field(s, FacetRequest("role", limit=10), spec=spec).collect()
+    }
+    assert "user" not in got
+    hits = {(r.conv_id, r.turn_idx) for r in s.docset(spec).collect()}
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001").collect()
+    want: dict = {}
+    for r in t:
+        if (r.conv_id, r.turn_idx) in hits:
+            want[r.role] = want.get(r.role, 0) + 1
+    assert got == want
