@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--merge-factor", type=int, default=0,
                     help="if >0, run tiered compaction after the build")
     ap.add_argument("--salt-span", type=int, default=2)
+    ap.add_argument("--dedupe-signature", action="store_true",
+                    help="SignatureUpdateProcessor (overwriteDupes): "
+                         "drop exact text duplicates before indexing")
     args = ap.parse_args()
 
     # On a cluster, master/executors come from spark-submit; builder
@@ -61,6 +64,10 @@ def main() -> None:
     )
 
     t = spark.read.parquet(args.input)
+    if args.dedupe_signature:
+        from lucene_solr_spark.index.urp import signature_dedupe
+
+        t = signature_dedupe(t)
     if args.mode == "prepartitioned":
         manifest = build_index_prepartitioned(
             spark, t, args.output,

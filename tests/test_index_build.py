@@ -132,3 +132,31 @@ def test_build_segment_empty_and_null_text():
     assert seg["metrics"]["n_docs"] == 2
     assert seg["metrics"]["n_terms"] == 0
     assert len(seg["postings"]) == 0
+
+
+def test_signature_dedupe_build(spark, sf_dir, tmp_path):
+    """SignatureUpdateProcessor (overwriteDupes): duplicated texts are
+    indexed once; the kept doc is the minimum business key, so replays
+    and partitioning changes cannot flip the winner."""
+    from lucene_solr_spark.index.urp import signature_dedupe
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    t = transcripts_from_documents(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    dup = t.withColumn("conv_id", F.concat(F.lit("dup_"), "conv_id"))
+    both = t.unionByName(dup)
+    deduped = signature_dedupe(both)
+    n_uniq_text = both.select("text").distinct().count()
+    assert deduped.count() == n_uniq_text
+    # deterministic winner: min key → never the dup_ copy when the
+    # original exists
+    assert deduped.filter(F.col("conv_id").startswith("dup_")).count() == 0
+
+    root = str(tmp_path / "idx")
+    build_index(spark, deduped, root, num_parts=2, lineage_source="d")
+    s = IndexSearcher(spark, root)
+    assert s.manifest.n_docs == n_uniq_text
+    hits = s.search(BooleanSpec(must=("merge",), k=50), round_to=4)
+    assert hits.filter(F.col("conv_id").startswith("dup_")).count() == 0
