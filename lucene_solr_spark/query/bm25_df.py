@@ -116,6 +116,18 @@ def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
     return F.array_contains(grams, target)
 
 
+def _range_lit(v: str):
+    """Range bound → typed Catalyst literal (int/float if parseable,
+    else string — which Spark casts to timestamp against a ts column)."""
+    try:
+        return F.lit(int(v))
+    except ValueError:
+        try:
+            return F.lit(float(v))
+        except ValueError:
+            return F.lit(v)
+
+
 def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
     """UNSORTED scored hits (conv_id, turn_idx, score) — every matching
     doc, no top-k. The composable core: :func:`search` adds the pinned
@@ -132,6 +144,13 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
         # Negated filter: differs-or-missing matches (MUST_NOT TermQuery
         # semantics) — null-safe inequality, not `!=` (null != v is null).
         docs = docs.filter(~F.col(fld).eqNullSafe(F.lit(val)))
+    for fld, lo, hi in spec.range_filters:
+        # Inclusive range fq (TermRangeQuery); numeric bounds coerce so
+        # Catalyst compares natively, ts bounds cast string→timestamp.
+        if lo is not None:
+            docs = docs.filter(F.col(fld) >= _range_lit(lo))
+        if hi is not None:
+            docs = docs.filter(F.col(fld) <= _range_lit(hi))
     for ph in spec.phrases:
         docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
     for ph in spec.must_not_phrases:

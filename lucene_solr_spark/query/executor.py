@@ -44,8 +44,9 @@ _BASE_COLS = ["doc_ord", "doc_len", "conv_id", "turn_idx"]
 
 
 def filter_cols(spec: BooleanSpec, base: list[str]) -> list[str]:
-    """docmap columns needed beyond `base` for fq / negated fq."""
+    """docmap columns needed beyond `base` for fq / negated / range fq."""
     want = {f for f, _ in spec.filters} | {f for f, _ in spec.not_filters}
+    want |= {f for f, _, _ in spec.range_filters}
     return list(base) + sorted(want - set(base))
 
 
@@ -84,7 +85,7 @@ def filter_mask(dm, spec: BooleanSpec):
 
     Negated filters use differs-or-missing semantics (pandas ``==``
     is False on NaN, so ``~`` correctly admits missing values)."""
-    if not spec.filters and not spec.not_filters:
+    if not spec.filters and not spec.not_filters and not spec.range_filters:
         return None
     mask = None
     for fld, val in spec.filters:
@@ -93,7 +94,33 @@ def filter_mask(dm, spec: BooleanSpec):
     for fld, val in spec.not_filters:
         m = ~(dm[fld] == val).to_numpy(bool)
         mask = m if mask is None else (mask & m)
+    for fld, lo, hi in spec.range_filters:
+        col = dm[fld]
+        for bound, is_lo in ((lo, True), (hi, False)):
+            if bound is None:
+                continue
+            m = _range_cmp(col, bound, is_lo)
+            mask = m if mask is None else (mask & m)
     return mask
+
+
+def _range_cmp(col, bound: str, is_lo: bool):
+    """Vectorized inclusive bound compare in the column's native type
+    (missing values never match, TermRangeQuery semantics)."""
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(col):
+        v = pd.Timestamp(bound)
+    elif pd.api.types.is_integer_dtype(col):
+        v = int(bound)
+    elif pd.api.types.is_float_dtype(col):
+        v = float(bound)
+    else:  # object strings (may hold None): NA-safe string compare
+        cs = col.astype("string")
+        m = (cs >= bound) if is_lo else (cs <= bound)
+        return m.fillna(False).to_numpy(bool)
+    m = (col >= v) if is_lo else (col <= v)
+    return m.fillna(False).to_numpy(bool) if m.isna().any() else m.to_numpy(bool)
 
 
 class IndexSearcher:

@@ -56,6 +56,11 @@ class BooleanSpec:
     #: BoostQuery (P14) / edismax qf weights: per-term score multiplier
     #: applied to that term's BM25 contribution (absent term → 1.0).
     boosts: tuple[tuple[str, float], ...] = ()
+    #: Inclusive range filters (TermRangeQuery / PointRangeQuery as a
+    #: non-scoring fq, ``field:[lo TO hi]``): (field, lo, hi) with
+    #: None = open end; bounds compare in the field's native type
+    #: (ts → timestamp, turn_idx → int, strings lexicographic).
+    range_filters: tuple[tuple[str, str | None, str | None], ...] = ()
 
     def __post_init__(self) -> None:
         # Lucene rejects boost < 0 (BoostQuery ctor): negative idf

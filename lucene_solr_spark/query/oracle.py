@@ -53,6 +53,22 @@ def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     )
 
 
+def _range_sql(fld: str, v: str) -> str:
+    """Range bound → typed DuckDB literal matching the Spark coercion
+    (ts → TIMESTAMP, numeric bare, else quoted string)."""
+    if fld == "ts":
+        return f"TIMESTAMP '{v}'"
+    try:
+        int(v)
+        return v
+    except ValueError:
+        try:
+            float(v)
+            return v
+        except ValueError:
+            return "'" + v.replace("'", "''") + "'"
+
+
 #: default DuckDB spelling of the pinned analyzer
 DEFAULT_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -65,6 +81,11 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
         doc_filters.append(f"{fld} = '{val}'")
     for fld, val in spec.not_filters:
         doc_filters.append(f"({fld} IS DISTINCT FROM '{val}')")
+    for fld, lo, hi in spec.range_filters:
+        if lo is not None:
+            doc_filters.append(f"{fld} >= {_range_sql(fld, lo)}")
+        if hi is not None:
+            doc_filters.append(f"{fld} <= {_range_sql(fld, hi)}")
     for ph in spec.phrases:
         doc_filters.append(_phrase_clause(ph, spec.phrase_slop))
     for ph in spec.must_not_phrases:

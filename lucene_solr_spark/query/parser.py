@@ -33,15 +33,21 @@ from lucene_solr_spark.query.model import BooleanSpec
 #: fields that parse as non-scoring filters (our StrField schema)
 FILTER_FIELDS = ("role", "tool")
 
+#: fields rangeable via ``field:[lo TO hi]`` (native-typed compare)
+RANGE_FIELDS = ("role", "tool", "ts", "turn_idx")
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<phrase>[+-]?"[^"]*")
+  | (?P<range>[+-]?[A-Za-z_][A-Za-z0-9_]*:[\[{][^\]}]*[\]}])
   | (?P<field>[+-]?[A-Za-z_][A-Za-z0-9_]*:[^\s]+)
   | (?P<op>AND|OR|NOT)(?=\s|$)
   | (?P<term>[+-]?[^\s]+)
     """,
     re.VERBOSE,
 )
+
+_RANGE_BODY = re.compile(r"^\[(.*?)\s+TO\s+(.*?)\]$", re.IGNORECASE)
 
 
 def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
@@ -59,6 +65,7 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     filters: list[tuple[str, str]] = []
     not_filters: list[tuple[str, str]] = []
     boosts: list[tuple[str, float]] = []
+    range_filters: list[tuple[str, str | None, str | None]] = []
 
     pending_op: str | None = None
     prev_bare: str | None = None  # last bare SHOULD term (for AND join)
@@ -80,7 +87,28 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         if negate_next:
             occur, negate_next = "-", False
 
-        if kind == "phrase":
+        if kind == "range":
+            # field:[lo TO hi] — unsupported range shapes RAISE (the
+            # accept-and-invert trap: silently tokenizing '[a TO b]'
+            # as OR terms answered the opposite question).
+            fld, _, body = tok.partition(":")
+            if occur == "-":
+                raise ValueError(f"negated range not supported: {tok!r}")
+            if body.startswith("{") or body.endswith("}"):
+                raise ValueError(
+                    f"exclusive range bounds not supported: {tok!r}"
+                )
+            mb = _RANGE_BODY.match(body)
+            if not mb:
+                raise ValueError(f"malformed range: {tok!r}")
+            if fld not in RANGE_FIELDS:
+                raise ValueError(f"field {fld!r} is not rangeable")
+            lo, hi = (
+                None if v.strip() == "*" else v.strip() for v in mb.groups()
+            )
+            range_filters.append((fld, lo, hi))
+            prev_bare = None
+        elif kind == "phrase":
             words = tuple(
                 w for part in tok.strip('"').split() for w in tokenize_one(part)
             )
@@ -141,4 +169,5 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         not_filters=tuple(not_filters),
         k=k,
         boosts=tuple(boosts),
+        range_filters=tuple(range_filters),
     )

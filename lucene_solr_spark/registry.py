@@ -558,6 +558,18 @@ _NEG_PHRASE = BooleanSpec(
 register("q_bm25_neg_phrase", _mk_bm25(_NEG_PHRASE), bm25_oracle_sql(_NEG_PHRASE))
 register("q_idx_bm25_neg_phrase", _mk_idx_bm25(_NEG_PHRASE), bm25_oracle_sql(_NEG_PHRASE))
 
+# Range fq (P12/P13 as a FILTER clause through BOTH executors):
+# `data ts:[2024-01-01T02:00:00 TO 2024-01-01T09:30:00]` — typed
+# timestamp bounds, docmap-mask on the index side, Catalyst filter on
+# the oracle side, same BM25 scores (fq never scores).
+_RANGE_FQ = BooleanSpec(
+    must=("data",),
+    range_filters=(("ts", "2024-01-01T02:00:00", "2024-01-01T09:30:00"),),
+    k=12,
+)
+register("q_bm25_range_fq", _mk_bm25(_RANGE_FQ), bm25_oracle_sql(_RANGE_FQ))
+register("q_idx_bm25_range_fq", _mk_idx_bm25(_RANGE_FQ), bm25_oracle_sql(_RANGE_FQ))
+
 _NEG_FILTER = BooleanSpec(
     must=("query",), not_filters=(("role", "assistant"),), k=12
 )

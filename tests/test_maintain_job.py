@@ -41,3 +41,21 @@ def test_maintain_cli_roundtrip(spark, sf_dir, tmp_path):
     st = main(["clear-tombstones", "--index", root])
     assert st["ok"]
     assert not Manifest.load(root).tombstones
+
+
+def test_ttl_delete_via_range_query(spark, sf_dir, tmp_path):
+    """DocExpirationUpdateProcessor shape: expire everything before a
+    cutoff with one CLI delete — `ts:[* TO cutoff]`."""
+    root = str(tmp_path / "ttl")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source="t")
+
+    cutoff = "2024-01-01T03:00:00"
+    st = main(["delete", "--index", root, "--query", f"ts:[* TO {cutoff}]"])
+    assert st["tombstones_total"] > 0
+    s = IndexSearcher(spark, root)
+    import pyspark.sql.functions as F
+
+    live = s.docmap()
+    assert live.filter(F.col("ts") <= cutoff).count() == 0
+    assert live.count() > 0  # newer docs survive

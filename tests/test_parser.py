@@ -80,3 +80,33 @@ def test_parse_end_to_end(spark, sf_dir, tmp_path_factory):
     a = s.search(parse("+sort +window", k=10)).toPandas()
     b = s.search(BooleanSpec(must=("sort", "window"), k=10)).toPandas()
     assert a.equals(b)
+
+
+def test_range_filter_parses():
+    spec = parse("data ts:[2024-01-01T02:00:00 TO 2024-01-01T09:30:00]")
+    assert spec.range_filters == (
+        ("ts", "2024-01-01T02:00:00", "2024-01-01T09:30:00"),
+    )
+    assert spec.should == ("data",)
+
+
+def test_range_open_ends_and_fields():
+    assert parse("turn_idx:[* TO 3]").range_filters == (("turn_idx", None, "3"),)
+    assert parse("role:[assistant TO user]").range_filters == (
+        ("role", "assistant", "user"),
+    )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "ts:{2024-01-01 TO 2024-01-02}",  # exclusive bounds
+        "-ts:[* TO 2024-01-01]",          # negated range
+        "NOT ts:[* TO 2024-01-01]",
+        "score:[1 TO 2]",                 # non-rangeable field
+        "ts:[broken]",                    # no TO
+    ],
+)
+def test_range_rejects_never_inverts(bad):
+    with pytest.raises(ValueError):
+        parse(bad)
