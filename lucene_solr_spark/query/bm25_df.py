@@ -116,6 +116,22 @@ def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
     return F.array_contains(grams, target)
 
 
+def _span_pred(group: tuple[str, ...], slop: int):
+    """Unordered span-near containment, Catalyst spelling: some window
+    of ``len(group)+slop`` consecutive tokens holds every group term
+    (window anchored at each start s; the trailing starts are covered
+    because a window whose minimum sits later would also be found
+    anchored at that minimum)."""
+    n = len(group)
+    w = n + slop
+    terms = ", ".join("'" + t.replace("'", "\\'") + "'" for t in group)
+    return F.expr(
+        f"exists(sequence(1, greatest(size(toks) - {w} + 1, 1)), s -> "
+        f"size(array_intersect(array_distinct(slice(toks, s, {w})), "
+        f"array({terms}))) = {n})"
+    )
+
+
 def _range_lit(v: str):
     """Range bound → typed Catalyst literal (int/float if parseable,
     else string — which Spark casts to timestamp against a ts column)."""
@@ -153,6 +169,8 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
             docs = docs.filter(F.col(fld) <= _range_lit(hi))
     for ph in spec.phrases:
         docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
+    for grp in spec.span_near:
+        docs = docs.filter(_span_pred(grp, spec.span_slop))
     for ph in spec.must_not_phrases:
         docs = docs.filter(~_phrase_pred(ph, spec.phrase_slop))
     if spec.must_not:

@@ -61,6 +61,16 @@ class BooleanSpec:
     #: None = open end; bounds compare in the field's native type
     #: (ts → timestamp, turn_idx → int, strings lexicographic).
     range_filters: tuple[tuple[str, str | None, str | None], ...] = ()
+    #: SpanNearQuery(inOrder=false) — pinned UNORDERED window contract:
+    #: each group of DISTINCT terms must co-occur within some window of
+    #: ``len(group) + span_slop`` consecutive tokens (equivalently
+    #: ∃ one position per term with max−min ≤ len+slop−1), any order.
+    #: Like phrases, group terms also contribute MUST scoring; the
+    #: containment is a two-phase filter. Lucene's wider span algebra
+    #: (span_or/span_not, payloads, ordered-with-transpositions) stays
+    #: out of scope.
+    span_near: tuple[tuple[str, ...], ...] = ()
+    span_slop: int = 0
 
     def __post_init__(self) -> None:
         # Lucene rejects boost < 0 (BoostQuery ctor): negative idf
@@ -69,6 +79,9 @@ class BooleanSpec:
         for t, b in self.boosts:
             if b < 0:
                 raise ValueError(f"negative boost {b} for term {t!r}")
+        for grp in self.span_near:
+            if len(set(grp)) != len(grp):
+                raise ValueError(f"span_near group has duplicate terms: {grp}")
 
     @property
     def boost_map(self) -> dict[str, float]:
@@ -96,7 +109,7 @@ class BooleanSpec:
         seen: dict[str, None] = {}
         for t in self.must + self.should:
             seen.setdefault(t, None)
-        for p in self.phrases:
+        for p in self.phrases + self.span_near:
             for t in p:
                 seen.setdefault(t, None)
         return tuple(seen)
@@ -106,7 +119,7 @@ class BooleanSpec:
         seen: dict[str, None] = {}
         for t in self.must:
             seen.setdefault(t, None)
-        for p in self.phrases:
+        for p in self.phrases + self.span_near:
             for t in p:
                 seen.setdefault(t, None)
         return tuple(seen)

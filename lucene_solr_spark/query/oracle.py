@@ -53,6 +53,18 @@ def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     )
 
 
+def _span_clause(group: tuple[str, ...], slop: int) -> str:
+    """Unordered span-near (window containment), DuckDB spelling —
+    same anchored-window enumeration as the Spark predicate (DuckDB
+    list slices are 1-based inclusive)."""
+    w = len(group) + slop
+    return (
+        f"len(list_filter(range(1, greatest(len(toks) - {w} + 1, 1) + 1), "
+        f"s -> list_has_all(toks[s : s + {w} - 1], "
+        f"[{_sql_list(group)}]))) > 0"
+    )
+
+
 def _range_sql(fld: str, v: str) -> str:
     """Range bound → typed DuckDB literal matching the Spark coercion
     (ts → TIMESTAMP, numeric bare, else quoted string)."""
@@ -88,6 +100,8 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
             doc_filters.append(f"{fld} <= {_range_sql(fld, hi)}")
     for ph in spec.phrases:
         doc_filters.append(_phrase_clause(ph, spec.phrase_slop))
+    for grp in spec.span_near:
+        doc_filters.append(_span_clause(grp, spec.span_slop))
     for ph in spec.must_not_phrases:
         doc_filters.append(f"NOT ({_phrase_clause(ph, spec.phrase_slop)})")
     if spec.must_not:

@@ -149,6 +149,43 @@ def _sloppy_chain_docs(
     return np.unique(keyed[n - 1][ok] // stride)
 
 
+def _span_docs(
+    tps: list[TermPostings], cand: np.ndarray, stride: int, window: int,
+) -> np.ndarray:
+    """Docs matching an UNORDERED span-near group — pinned contract:
+    one occurrence per term with max−min ≤ window−1 (SpanNearQuery
+    inOrder=false re-expressed as window containment).
+
+    Vectorized anchor sweep: a satisfying window can be anchored at
+    its minimum position, which is SOME term's occurrence — so every
+    occurrence of every term is a candidate anchor q, and the group
+    matches iff each term has an occurrence in [q, q+window−1] within
+    the same doc. One searchsorted per term over the anchor vector,
+    O(n · A log P), no per-row Python."""
+    keyed: list[np.ndarray] = []
+    for tp in tps:
+        d, t, p = tp.positions(tp.blocks_for_docs(cand))
+        m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        k = np.repeat(d, t)[m] * stride + p[m]
+        if len(k) == 0:
+            return np.empty(0, np.int64)
+        keyed.append(k)  # sorted (doc asc, pos asc)
+    anchors = np.unique(np.concatenate(keyed))
+    ok = np.ones(len(anchors), bool)
+    for k in keyed:
+        idx = np.searchsorted(k, anchors, side="left")
+        idx_c = np.clip(idx, 0, len(k) - 1)
+        hit = (
+            (idx < len(k))
+            & (k[idx_c] <= anchors + window - 1)
+            & (k[idx_c] // stride == anchors // stride)
+        )
+        ok &= hit
+        if not ok.any():
+            return np.empty(0, np.int64)
+    return np.unique(anchors[ok] // stride)
+
+
 def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
     """Docs containing the phrase (terms adjacent, in order).
 
@@ -228,6 +265,20 @@ def _candidates(
         else:
             pdocs = _phrase_docs(ptps, max_doclen)
         cand = pdocs if cand is None else cand[np.isin(cand, pdocs, assume_unique=True)]
+    for grp in spec.span_near:
+        gtps = [tp.get(t) for t in grp]
+        if any(p is None for p in gtps):
+            sdocs = np.empty(0, np.int64)
+        else:
+            base = cand
+            if base is None:
+                base, _ = min(gtps, key=lambda p: p.n_blocks).decode_all()
+            sdocs = _span_docs(
+                gtps, base, max_doclen + 2, len(grp) + spec.span_slop
+            )
+        cand = sdocs if cand is None else cand[
+            np.isin(cand, sdocs, assume_unique=True)
+        ]
     excl: list[np.ndarray] = []
     for t in spec.must_not:
         if t in tp:

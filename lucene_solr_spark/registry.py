@@ -558,6 +558,14 @@ _NEG_PHRASE = BooleanSpec(
 register("q_bm25_neg_phrase", _mk_bm25(_NEG_PHRASE), bm25_oracle_sql(_NEG_PHRASE))
 register("q_idx_bm25_neg_phrase", _mk_idx_bm25(_NEG_PHRASE), bm25_oracle_sql(_NEG_PHRASE))
 
+# Unordered span-near (SpanNearQuery inOrder=false): 'merge' and
+# 'scan' co-occurring in ANY order within a 4-token window (326 docs
+# contain both at sf0.01; the window narrows that to true near-spans,
+# incl. reversed "scan … merge" that an ordered sloppy phrase misses).
+_SPAN = BooleanSpec(span_near=(("merge", "scan"),), span_slop=2, k=15)
+register("q_bm25_span_near", _mk_bm25(_SPAN), bm25_oracle_sql(_SPAN))
+register("q_idx_bm25_span_near", _mk_idx_bm25(_SPAN), bm25_oracle_sql(_SPAN))
+
 # Range fq (P12/P13 as a FILTER clause through BOTH executors):
 # `data ts:[2024-01-01T02:00:00 TO 2024-01-01T09:30:00]` — typed
 # timestamp bounds, docmap-mask on the index side, Catalyst filter on

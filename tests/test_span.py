@@ -1,0 +1,130 @@
+"""Unordered span-near (SpanNearQuery inOrder=false): pinned window
+contract — ∃ one occurrence per distinct group term with max−min ≤
+len(group)+slop−1, any order. 3-way duel: index path vs Catalyst vs a
+brute python reference, random groups drawn from real docs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.analyzer import tokenize_one
+from lucene_solr_spark.index.build import build_index
+from lucene_solr_spark.query import bm25_df
+from lucene_solr_spark.query.executor import IndexSearcher
+from lucene_solr_spark.query.model import BooleanSpec
+from lucene_solr_spark.transcripts import transcripts_from_documents
+
+SEEDS = list(range(10))
+
+
+def ref_span_match(toks: list[str], group: tuple[str, ...], slop: int) -> bool:
+    w = len(group) + slop
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in group}
+    if any(not p for p in pos.values()):
+        return False
+    # anchor at every occurrence of every term
+    for plist in pos.values():
+        for q in plist:
+            if all(any(q <= p <= q + w - 1 for p in pos[t]) for t in group):
+                return True
+    return False
+
+
+@pytest.fixture(scope="module")
+def env(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("span"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+    s = IndexSearcher(spark, root)
+    pdf = t.toPandas()
+    pdf["toks"] = [tokenize_one(x) for x in pdf["text"]]
+    return s, t, pdf
+
+
+def rand_group(rng: np.random.Generator, pdf):
+    """Sample distinct terms from a real window, SHUFFLED — so the
+    group order differs from document order and the duel exercises
+    the unordered semantics, not a disguised phrase."""
+    n = int(rng.integers(2, 4))
+    slop = int(rng.integers(0, 4))
+    w = n + slop
+    for _ in range(80):
+        row = pdf.iloc[int(rng.integers(0, len(pdf)))]
+        toks = row["toks"]
+        if len(toks) < w:
+            continue
+        start = int(rng.integers(0, len(toks) - w + 1))
+        window = list(dict.fromkeys(toks[start : start + w]))
+        if len(window) < n:
+            continue
+        grp = list(rng.choice(window, n, replace=False))
+        rng.shuffle(grp)
+        return tuple(grp), slop
+    return ("merge", "scan"), 2
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_span_duel(env, seed):
+    s, t, pdf, = env
+    rng = np.random.default_rng(seed)
+    group, slop = rand_group(rng, pdf)
+    spec = BooleanSpec(span_near=(group,), span_slop=slop)
+
+    expect = {
+        (r.conv_id, int(r.turn_idx))
+        for r in pdf.itertuples()
+        if ref_span_match(r.toks, group, slop)
+    }
+    assert expect, (group, slop)  # construction guarantees >= 1 match
+
+    got_idx = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    assert got_idx == expect, (group, slop)
+
+    got_df = {
+        (r.conv_id, int(r.turn_idx))
+        for r in bm25_df.doc_tokens(t)
+        .filter(bm25_df._span_pred(group, slop))
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert got_df == expect, (group, slop)
+
+
+def test_span_unordered_catches_reversal(spark):
+    """An ordered sloppy phrase misses 'b … a'; span-near must not."""
+    import datetime
+
+    from lucene_solr_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+    rows = [
+        ("c1", 0, "user", "beta junk alpha end", None,
+         datetime.datetime(2024, 1, 1)),
+        ("c2", 0, "user", "alpha junk junk junk junk beta", None,
+         datetime.datetime(2024, 1, 1)),
+    ]
+    t = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    got = (
+        bm25_df.doc_tokens(t)
+        .filter(bm25_df._span_pred(("alpha", "beta"), 1))
+        .select("conv_id")
+        .collect()
+    )
+    # window 3: c1 matches reversed within 3; c2's span is 6 → no
+    assert {r.conv_id for r in got} == {"c1"}
+
+
+def test_span_scores_match_term_and(env):
+    """Span terms contribute MUST scoring — scores equal the plain
+    AND query's scores on the surviving docs (filter never rescores)."""
+    s, t, _ = env
+    spec = BooleanSpec(span_near=(("merge", "scan"),), span_slop=3, k=10)
+    got = {(r.conv_id, r.turn_idx): round(r.score, 4)
+           for r in s.search(spec, round_to=4).collect()}
+    assert got
+    base = {(r.conv_id, r.turn_idx): round(r.score, 4)
+            for r in s.search(
+                BooleanSpec(must=("merge", "scan"), k=1000), round_to=4
+            ).collect()}
+    for k, v in got.items():
+        assert base[k] == v
