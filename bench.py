@@ -171,6 +171,9 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                 "bm25_neg_phrase": BooleanSpec(
                     must=("table",), must_not_phrases=(("table", "scan"),), k=12
                 ),
+                "bm25_span_near": BooleanSpec(
+                    span_near=(("merge", "scan"),), span_slop=2, k=15
+                ),
             }
             for name, spec in extra_specs.items():
                 timed(name, lambda s=spec: searcher.search(s).collect())
