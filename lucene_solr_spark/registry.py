@@ -1447,9 +1447,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # below the window)
     "q_lang_id",          # text analysis (pipeline)
     "q_dismax",           # P15
-    "q_export_sorted",    # S10
-    "q_join_semi",        # J2
-    "q_hash_join",        # J7
+    "q_idx_bm25_span_near",  # P9 unordered span (new shape this round;
+    "q_idx_bm25_range_fq",   # P12 range fq — S10/J2 reps move below
+    "q_hash_join",        # J7    the window, still in the full battery)
     "q_json_facet_aggs",  # A8
     "q_multimodal_features_check",  # multimodal plumbing (pipeline)
     "q_rerank",           # W5 (fixed path this round)
