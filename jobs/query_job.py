@@ -84,7 +84,10 @@ def main() -> None:
         ]
 
     if args.facet:
-        rows = s.facet(args.facet, spec=spec if spec.scoring_terms else None,
+        # always over the q+fq domain (Solr semantics): segment_partials
+        # handles term-free specs via the seg-id driver, so filter-only /
+        # pure-negative queries facet over their filtered domain too
+        rows = s.facet(args.facet, spec=spec,
                        limit=args.facet_limit).collect()
         out["facets"] = {args.facet: [
             {"value": r.facet_value, "count": r.cnt} for r in rows

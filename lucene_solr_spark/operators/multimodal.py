@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lucene_solr_spark.session import cpu_scaled
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 OPS: list[tuple[str, QueryFn, str | None]] = []
@@ -120,8 +122,7 @@ def q_multimodal_features(spark, sf_dir):
             )
 
     return (
-        media_df(spark, sf_dir)
-        .repartition(8, "doc_id")  # payload-balanced partitions
+        cpu_scaled(media_df(spark, sf_dir), "doc_id")
         .mapInPandas(extract, schema)
         .orderBy("doc_id")
     )
@@ -172,8 +173,7 @@ def q_multimodal_features_check(spark, sf_dir):
             )
 
     return (
-        media_df(spark, sf_dir)
-        .repartition(8, "doc_id")
+        cpu_scaled(media_df(spark, sf_dir), "doc_id")
         .mapInPandas(extract, schema)
         .orderBy("doc_id")
     )

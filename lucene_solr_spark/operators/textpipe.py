@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lucene_solr_spark.session import cpu_scaled
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 OPS: list[tuple[str, QueryFn, str | None]] = []
@@ -281,7 +283,7 @@ def _minhash_bands_from(corpus: DataFrame) -> DataFrame:
                 }
             )
 
-    return corpus.repartition(8).mapInPandas(
+    return cpu_scaled(corpus).mapInPandas(
         sig, "doc_id long, band int, bhash long"
     )
 

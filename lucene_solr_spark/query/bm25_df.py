@@ -132,16 +132,20 @@ def _span_pred(group: tuple[str, ...], slop: int):
     )
 
 
-def _range_lit(v: str):
-    """Range bound → typed Catalyst literal (int/float if parseable,
-    else string — which Spark casts to timestamp against a ts column)."""
-    try:
+def _range_lit(v: str, dtype):
+    """Range bound → Catalyst literal typed by the TARGET COLUMN
+    (ADVICE r2): bound parseability must not pick the comparison
+    semantics — ``role:[1 TO 5]`` on a string field is lexicographic
+    in the index executor (dtype-driven ``_range_cmp``) and in the
+    DuckDB oracle, so it must be here too. A string literal against a
+    timestamp column is cast by Spark (same as before)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return F.lit(int(v))
-    except ValueError:
-        try:
-            return F.lit(float(v))
-        except ValueError:
-            return F.lit(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.lit(float(v))
+    return F.lit(v)
 
 
 def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
@@ -160,13 +164,15 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
         # Negated filter: differs-or-missing matches (MUST_NOT TermQuery
         # semantics) — null-safe inequality, not `!=` (null != v is null).
         docs = docs.filter(~F.col(fld).eqNullSafe(F.lit(val)))
+    if spec.range_filters:
+        dtypes = {f.name: f.dataType for f in docs.schema.fields}
     for fld, lo, hi in spec.range_filters:
-        # Inclusive range fq (TermRangeQuery); numeric bounds coerce so
-        # Catalyst compares natively, ts bounds cast string→timestamp.
+        # Inclusive range fq (TermRangeQuery); bounds typed by the
+        # target column so all three engines compare identically.
         if lo is not None:
-            docs = docs.filter(F.col(fld) >= _range_lit(lo))
+            docs = docs.filter(F.col(fld) >= _range_lit(lo, dtypes[fld]))
         if hi is not None:
-            docs = docs.filter(F.col(fld) <= _range_lit(hi))
+            docs = docs.filter(F.col(fld) <= _range_lit(hi, dtypes[fld]))
     for ph in spec.phrases:
         docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
     for grp in spec.span_near:

@@ -470,8 +470,11 @@ def facet_field(
 
     refine=True runs the reference's two-phase merge-and-refine (A3);
     refine=False is the exact single-shuffle groupBy (the control both
-    the tests and the DuckDB oracle compare against — in Spark both are
-    exact; two-phase exists to bound shuffle width at high cardinality).
+    the tests and the DuckDB oracle compare against). For mincount<=1
+    both paths are exact; with mincount>1 phase-1's per-segment
+    ranking could let sub-mincount singletons crowd qualifying buckets
+    out of the over-request window (ADVICE r2), so mincount>1 requests
+    are routed through the exact single-shuffle path.
 
     facet.sort honors count (default) vs index order — phase-1
     over-request ranks per segment in the SAME order, Solr's refine
@@ -479,8 +482,10 @@ def facet_field(
     appends a trailing NULL bucket (never subject to limit/sort).
     """
     raw = segment_partials(searcher, req, spec)
+    cached: list[DataFrame] = []  # persisted frames to free on exit
     if req.missing:
         raw = raw.persist()  # consumed by both the buckets and the miss row
+        cached.append(raw)
     # ord -1 (missing) partials have no dictionary row → inner join
     # keeps them out of the term buckets automatically
     parts = _with_terms(searcher, raw, req.field)
@@ -490,6 +495,8 @@ def facet_field(
         [F.desc("cnt"), F.asc("term")] if req.sort == "count" else [F.asc("term")]
     )
 
+    if refine and req.mincount > 1:
+        refine = False  # exactness: see docstring (ADVICE r2)
     if refine:
         # phase 1 (per-segment top ranking) and phase 2 (exact counts
         # for candidates) both consume the partials; persisting them
@@ -497,6 +504,7 @@ def facet_field(
         # off MatchAll high-cardinality facet latency). The cached
         # rows are tiny — (seg_id, term_ord, cnt) partials only.
         parts = parts.persist()
+        cached.append(parts)
         over = _overrequest(req.limit)
         w = Window.partitionBy("seg_id").orderBy(*rank_order)
         cands = (
@@ -528,4 +536,13 @@ def facet_field(
             .select(F.lit(None).cast("string").alias("facet_value"), "cnt")
         )
         out = out.unionByName(miss)
+    if cached:
+        # The facet result is bounded (<= limit+1 rows); materialize it
+        # now so the persisted partials can be freed immediately — a
+        # long-lived serving searcher must not accumulate cached
+        # partial frames across facet calls (ADVICE r2).
+        rows = out.collect()
+        for df in cached:
+            df.unpersist()
+        out = searcher.spark.createDataFrame(rows, out.schema)
     return out

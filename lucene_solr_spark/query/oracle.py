@@ -65,20 +65,21 @@ def _span_clause(group: tuple[str, ...], slop: int) -> str:
     )
 
 
+#: transcripts column types (transcripts.py TRANSCRIPT_SCHEMA) — range
+#: literals are typed by the TARGET FIELD, never by bound parseability
+#: (ADVICE r2: role:[1 TO 5] must be lexicographic in all three engines)
+_NUMERIC_RANGE_FIELDS = frozenset({"turn_idx", "doc_id", "n_chars"})
+
+
 def _range_sql(fld: str, v: str) -> str:
     """Range bound → typed DuckDB literal matching the Spark coercion
-    (ts → TIMESTAMP, numeric bare, else quoted string)."""
+    (ts → TIMESTAMP, numeric COLUMN bare, else quoted string)."""
     if fld == "ts":
         return f"TIMESTAMP '{v}'"
-    try:
-        int(v)
+    if fld in _NUMERIC_RANGE_FIELDS:
+        float(v)  # validate: numeric field needs a numeric bound
         return v
-    except ValueError:
-        try:
-            float(v)
-            return v
-        except ValueError:
-            return "'" + v.replace("'", "''") + "'"
+    return "'" + v.replace("'", "''") + "'"
 
 
 #: default DuckDB spelling of the pinned analyzer

@@ -12,7 +12,30 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def cpu_scaled(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition for a CPU-bound ``mapInPandas`` stage (signature
+    building, media decode) so task count scales with BOTH the input
+    and the cluster — never an absolute constant (a hardcoded
+    ``repartition(8)`` funnels a 100 TB stage through 8 tasks).
+
+    Target = max(input partitions, ``sc.defaultParallelism``): on a
+    1000-executor cluster defaultParallelism is the total core count,
+    and an input that is already wider than the cluster keeps its
+    width. When the input is already wide enough and no balancing
+    columns are requested, the frame is returned untouched (no
+    shuffle at all).
+    """
+    sc = df.sparkSession.sparkContext
+    n_in = df.rdd.getNumPartitions()
+    target = max(n_in, sc.defaultParallelism)
+    if cols:
+        return df.repartition(target, *cols)
+    if n_in >= target:
+        return df
+    return df.repartition(target)
 
 
 def get_spark(

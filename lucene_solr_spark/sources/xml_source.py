@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,9 +43,9 @@ def encode_xml(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
         if c in fields and t != "string":
             src = src.withColumn(
                 c,
-                F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                F.date_format(src[c], "yyyy-MM-dd HH:mm:ss.SSSSSS")
                 if t.startswith("timestamp")
-                else F.col(c).cast("string"),
+                else src[c].cast("string"),
             )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -56,8 +56,12 @@ def encode_xml(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
                 for name, val in zip(fields, row):
                     if val is None or pd.isna(val):
                         continue
+                    # quoteattr: attribute position needs '"' escaped
+                    # too (plain escape() leaves it, yielding malformed
+                    # XML for a field name containing a quote)
                     parts.append(
-                        f'<field name="{escape(name)}">{escape(str(val))}</field>'
+                        f"<field name={quoteattr(name)}>"
+                        f"{escape(str(val))}</field>"
                     )
                 parts.append("</doc>")
             parts.append("</add>")
@@ -99,11 +103,16 @@ def decoded(payloads: DataFrame, schema: StructType) -> DataFrame:
     types are plain casts."""
     raw = decode_xml(payloads, [f.name for f in schema.fields])
     cols = []
+    # raw[name] indexing, not F.col(name): field names are arbitrary
+    # XML-side (may hold quotes/angle brackets the column-name parser
+    # would choke on)
     for f in schema.fields:
         if isinstance(f.dataType, TimestampType):
             cols.append(
-                F.to_timestamp(f.name, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f.name)
+                F.to_timestamp(
+                    raw[f.name], "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias(f.name)
             )
         else:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            cols.append(raw[f.name].cast(f.dataType).alias(f.name))
     return raw.select(*cols)

@@ -124,3 +124,40 @@ def test_nested_and_pivot_merge_invariant(spark, sf_dir, tmp_path_factory):
     c = facet_pivot(s, "role", "tool", spec=spec, limit1=3, limit2=2).toPandas()
     d = facet_pivot(sm, "role", "tool", spec=spec, limit1=3, limit2=2).toPandas()
     assert c.equals(d), (c, d)
+
+
+def test_refine_mincount_routes_exact(searcher):
+    """ADVICE r2: mincount>1 must be exact even under refine=True
+    (routed through the single-shuffle path — phase-1 over-request has
+    no mincount awareness). sort=index is the adversarial order."""
+    s, _ = searcher
+    for sort in ("count", "index"):
+        ref = s.facet("ftok", limit=15, mincount=3, refine=True,
+                      sort=sort).toPandas()
+        ex = s.facet("ftok", limit=15, mincount=3, refine=False,
+                     sort=sort).toPandas()
+        assert ref.values.tolist() == ex.values.tolist()
+
+
+def test_facet_unpersists_cached_partials(searcher, spark):
+    """ADVICE r2: a long-lived searcher must not accumulate persisted
+    partial frames across facet calls."""
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    s, _ = searcher
+    s.facet("role", spec=BooleanSpec(must=("merge",)), limit=5,
+            missing=True).collect()
+    s.facet("ftok", limit=10, refine=True).collect()
+    assert sc._jsc.getPersistentRDDs().size() == before
+
+
+def test_filter_only_spec_facets_over_fq_domain(searcher):
+    """ADVICE r2 (query_job guard): faceting with a term-free spec must
+    count over the fq domain, not MatchAll."""
+    s, t = searcher
+    spec = BooleanSpec(filters=(("role", "assistant"),))
+    got = s.facet("tool", spec=spec, limit=10).toPandas()
+    want = control_counts(
+        t, F.col("tool"), F.col("role") == "assistant", 10
+    )
+    assert got.values.tolist() == want.values.tolist()

@@ -78,3 +78,34 @@ def test_expand_terms_bounded(searcher):
         post.sort_values(["df", "term"], ascending=[False, True]).head(5).term
     )
     assert set(capped) == top5
+
+
+def test_string_range_fq_is_lexicographic_in_both_engines(searcher):
+    """ADVICE r2: a numeric-parseable bound on a STRING field must
+    compare lexicographically in the Catalyst executor too (literal
+    typed by the target column, not by bound parseability) — all
+    engines must agree."""
+    s, t = searcher
+    # lexicographic window catching 'assistant' but not 'user'/'tool'
+    spec = BooleanSpec(
+        must=("merge",), range_filters=(("role", "a", "s"),), k=50
+    )
+    a = s.search(spec).toPandas()
+    b = bm25_df.search(t, spec).toPandas()
+    assert list(zip(a.conv_id, a.turn_idx)) == list(zip(b.conv_id, b.turn_idx))
+    assert len(a) > 0 and set(["assistant"]) >= set(
+        t.filter(t.role >= "a").filter(t.role <= "s")
+        .select("role").distinct().toPandas()["role"]
+    )
+    # numeric-looking bounds on a string field: lexicographic → no role
+    # matches; the old parseability coercion made Catalyst compare
+    # numerically (NULL-casting every row) while the index engine and
+    # oracle compared as strings
+    spec2 = BooleanSpec(
+        must=("merge",), range_filters=(("role", "1", "5"),), k=50
+    )
+    a2 = s.search(spec2).toPandas()
+    b2 = bm25_df.search(t, spec2).toPandas()
+    assert list(zip(a2.conv_id, a2.turn_idx)) == list(
+        zip(b2.conv_id, b2.turn_idx)
+    )

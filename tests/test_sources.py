@@ -157,6 +157,15 @@ def test_xml_escapes_markup(spark):
     assert back.tool is None  # omitted element → null
 
 
+def test_xml_quotes_in_field_names(spark):
+    """ADVICE r2: a '"' inside a FIELD NAME sits in attribute position
+    and must be quoted with quoteattr, else the payload is malformed."""
+    df = spark.createDataFrame([("v1", "v2")], ['a"b', "c<d&e"])
+    back = decoded(encode_xml(df), df.schema).collect()[0]
+    assert back['a"b'] == "v1"
+    assert back["c<d&e"] == "v2"
+
+
 def test_javabin_distributed_roundtrip(spark, sf_dir):
     t = transcripts_from_documents(spark, sf_dir)
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
