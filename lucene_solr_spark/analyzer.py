@@ -128,6 +128,42 @@ def s_stem_filter(toks: pd.Series) -> pd.Series:
     return toks.map(lambda ts: [stem(t) for t in ts])
 
 
+def synonym_filter(mapping: dict[str, object], expand: bool = False):
+    """SynonymGraphFilter analog, single-token rules (VERDICT r2 item
+    3 — the most common analyzer customization in real Solr).
+
+    Two Solr modes:
+
+    - ``expand=False`` (contraction, ``foo => bar``): each token maps
+      to its canonical form — ``mapping[tok] -> str``. doc_len is
+      unchanged; distinct surface forms merge into one posting.
+    - ``expand=True`` (``foo, bar`` with expand=true): each token
+      emits itself plus its synonyms — ``mapping[tok] -> list[str]``
+      appended in rule order. doc_len grows, exactly like Lucene's
+      index-time expansion (stacked tokens share a position in real
+      Lucene; our flat token stream appends instead, a documented
+      simplification that keeps BM25 length normalization honest).
+
+    Multi-word (graph) rules are out of scope — they need the full
+    token-graph machinery; single-token rules cover the dominant use.
+
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         synonym/SynonymGraphFilter.java, SolrSynonymParser.java
+    """
+    m = dict(mapping)
+    if expand:
+        def run(toks: pd.Series) -> pd.Series:
+            return toks.map(
+                lambda ts: [x for t in ts for x in (t, *m.get(t, ()))]
+            )
+    else:
+        def run(toks: pd.Series) -> pd.Series:
+            return toks.map(lambda ts: [m.get(t, t) for t in ts])
+
+    run.__name__ = "synonym_filter"
+    return run
+
+
 def chain(*filters):
     """Compose token filters into one analyzer stage: tokenize →
     filter_1 → ... → filter_n (Analyzer/TokenStream pipeline)."""

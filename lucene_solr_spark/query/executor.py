@@ -482,6 +482,57 @@ class IndexSearcher:
         )
         return sorted(r.term for r in rows)
 
+    @staticmethod
+    def wildcard_predicate(pattern: str):
+        """Lucene wildcard pattern → Column predicate over ``term``
+        (``*`` any sequence, ``?`` one char, ``\\`` escapes), compiled
+        to SQL LIKE so the dictionary scan stays JVM-side with the
+        leading-literal prefix still pushable to the Parquet reader.
+
+        ref: lucene/core/src/java/org/apache/lucene/search/WildcardQuery.java
+        """
+        out: list[str] = []
+        i, n = 0, len(pattern)
+        while i < n:
+            c = pattern[i]
+            if c == "\\" and i + 1 < n:  # escaped wildcard char
+                i += 1
+                c = pattern[i]
+                out.append("\\" + c if c in "%_\\" else c)
+            elif c == "*":
+                out.append("%")
+            elif c == "?":
+                out.append("_")
+            elif c in "%_\\":  # literal LIKE metachar
+                out.append("\\" + c)
+            else:
+                out.append(c)
+            i += 1
+        return F.col("term").like("".join(out))
+
+    @staticmethod
+    def regexp_predicate(pattern: str):
+        """Lucene RegexpQuery semantics: the pattern must match the
+        WHOLE term (the automaton is anchored), so wrap with ^(?:...)$
+        before handing to Java regex.
+
+        ref: lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java,
+             lucene/core/src/java/org/apache/lucene/util/automaton/RegExp.java
+        """
+        return F.col("term").rlike(f"^(?:{pattern})$")
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 1024):
+        """WildcardQuery rewrite: dictionary scan → bounded term set."""
+        return self.expand_terms(
+            self.wildcard_predicate(pattern), max_expansions
+        )
+
+    def expand_regexp(self, pattern: str, max_expansions: int = 1024):
+        """RegexpQuery rewrite: dictionary scan → bounded term set."""
+        return self.expand_terms(
+            self.regexp_predicate(pattern), max_expansions
+        )
+
     # -- faceting ------------------------------------------------------
     def facet(
         self,

@@ -211,10 +211,12 @@ def _idx_prefix_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from lucene_solr_spark.query.model import B as _B, K1 as _K1  # noqa: E402
 
-register(
-    "q_idx_prefix_scored",
-    _idx_prefix_scored,
-    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+
+def _scored_expand_oracle(pterms_where: str, limit: int) -> str:
+    """BM25 oracle for a scored MultiTermQuery rewrite: every term the
+    dictionary predicate matches becomes a SHOULD TermQuery with its
+    own idf (SCORING_BOOLEAN_QUERY_REWRITE)."""
+    return f"""WITH {TRANSCRIPTS_ORACLE_CTE},
 docs AS (
   SELECT conv_id, turn_idx,
          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -225,7 +227,7 @@ stats AS (
          CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl FROM docs2),
 tokens AS (
   SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
-pterms AS (SELECT DISTINCT term FROM tokens WHERE term LIKE 'mer%'),
+pterms AS (SELECT DISTINCT term FROM tokens WHERE {pterms_where}),
 tf AS (
   SELECT conv_id, turn_idx, term, count(*) AS tf,
          any_value(doc_len) AS doc_len
@@ -243,7 +245,68 @@ scored AS (
 SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
 FROM scored
 ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
-LIMIT 15""",
+LIMIT {limit}"""
+
+
+register(
+    "q_idx_prefix_scored",
+    _idx_prefix_scored,
+    _scored_expand_oracle("term LIKE 'mer%'", 15),
+)
+
+
+def _idx_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORED WildcardQuery through the REAL index (VERDICT r2 item 2):
+    the dictionary scan expands ``s?a*`` (LIKE-compiled, bounded
+    TopTermsRewrite-style), each match becomes a SHOULD TermQuery with
+    its own idf (scoring boolean rewrite).
+
+    ref: lucene/core/src/java/org/apache/lucene/search/WildcardQuery.java
+    """
+    s = cached_searcher(spark, sf_dir)
+    terms = s.expand_wildcard("s?a*")
+    if not terms:
+        return spark.createDataFrame([], "conv_id string, turn_idx int, score double")
+    return s.search(
+        BooleanSpec(should=tuple(terms), min_should_match=1, k=15),
+        round_to=ROUND,
+    )
+
+
+register(
+    "q_idx_wildcard",
+    _idx_wildcard,
+    _scored_expand_oracle("term LIKE 's_a%'", 15),
+)
+
+
+def _idx_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery through the REAL index with Lucene's default
+    CONSTANT_SCORE rewrite: whole-term-anchored dictionary scan →
+    constant-score DocSet of the OR over matched terms.
+
+    ref: lucene/core/src/java/org/apache/lucene/search/RegexpQuery.java
+    """
+    s = cached_searcher(spark, sf_dir)
+    terms = s.expand_regexp("s(can|ort|low)")
+    if not terms:
+        return spark.createDataFrame([], "conv_id string, turn_idx int")
+    return s.docset(
+        BooleanSpec(should=tuple(terms), min_should_match=1)
+    ).orderBy("conv_id", "turn_idx")
+
+
+register(
+    "q_idx_regexp",
+    _idx_regexp,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts)
+SELECT conv_id, turn_idx FROM docs
+WHERE len(list_filter(toks, t -> regexp_full_match(t, 's(can|ort|low)'))) > 0
+ORDER BY conv_id, turn_idx""",
 )
 
 
@@ -759,6 +822,65 @@ register(
     "q_idx_stemmed_search",
     _mk_stemmed_bm25(_STEMMED_SPEC),
     bm25_oracle_sql(_STEMMED_SPEC, toks_sql=_stem_toks_sql()),
+)
+
+
+# --- Synonym chain (SynonymGraphFilter analog, VERDICT r2 item 3) ---
+# Contraction rules `scan, query => lookup`: two surface forms merge
+# into one posting list; searching the canonical term matches docs
+# containing either. Same wiring as the stem chain: analyzer_version
+# pinned in the manifest, query-time chain must match.
+SYN_RULES = {"scan": "lookup", "query": "lookup"}
+SYN_CHAIN_VERSION = "syn-v1"
+
+
+def cached_synonym_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "syn")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_syn_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(an.synonym_filter(SYN_RULES)),
+            analyzer_version=SYN_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=SYN_CHAIN_VERSION)
+
+
+def _syn_toks_sql() -> str:
+    """DuckDB spelling of chain(synonym_filter(SYN_RULES)) — the CASE
+    mapping must match the rules exactly."""
+    cases = " ".join(
+        f"WHEN t = '{src}' THEN '{dst}'" for src, dst in sorted(SYN_RULES.items())
+    )
+    return (
+        "list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+        f"t -> CASE {cases} ELSE t END)"
+    )
+
+
+def _mk_syn_bm25(spec: BooleanSpec) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return cached_synonym_searcher(spark, sf_dir).search(spec, round_to=ROUND)
+
+    return run
+
+
+# 'lookup' (the canonical form) matches docs whose surface form was
+# 'scan' OR 'query'; df/idf reflect the merged posting list.
+_SYN_SPEC = BooleanSpec(must=("lookup",), k=12)
+register(
+    "q_idx_synonym_search",
+    _mk_syn_bm25(_SYN_SPEC),
+    bm25_oracle_sql(_SYN_SPEC, toks_sql=_syn_toks_sql()),
 )
 
 

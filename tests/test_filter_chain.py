@@ -98,3 +98,76 @@ def test_stemming_broadens_match_set(stemmed_root, spark, sf_dir):
         for r, m in zip(t.itertuples(), has_merges_only) if m
     }
     assert want <= hits
+
+
+# --- synonym filter (VERDICT r2 item 3) ------------------------------
+
+SYN = {"scan": "lookup", "query": "lookup"}
+
+
+def test_synonym_contraction_maps_tokens():
+    import pandas as pd
+
+    f = an.synonym_filter(SYN)
+    out = f(pd.Series([["scan", "the", "query", "plan"]]))
+    assert list(out.iloc[0]) == ["lookup", "the", "lookup", "plan"]
+
+
+def test_synonym_expansion_appends_in_rule_order():
+    import pandas as pd
+
+    f = an.synonym_filter({"fast": ["quick", "rapid"]}, expand=True)
+    out = f(pd.Series([["fast", "scan"]]))
+    assert list(out.iloc[0]) == ["fast", "quick", "rapid", "scan"]
+
+
+@pytest.fixture(scope="module")
+def syn_root(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synidx"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(
+        spark, t, root, num_parts=4, lineage_source=sf_dir,
+        analyzer=an.chain(an.synonym_filter(SYN)),
+        analyzer_version="syn-v1",
+    )
+    return root
+
+
+def test_synonym_chain_mismatch_raises(syn_root, spark):
+    with pytest.raises(ValueError, match="analyzer"):
+        IndexSearcher(spark, syn_root, analyzer_version="stop+sstem-v1")
+
+
+def test_synonym_search_merges_surface_forms(syn_root, spark, sf_dir):
+    """Searching the canonical term through the synonym index matches
+    the union of the raw-surface-form matches, rank-identical to a
+    brute Catalyst pass over the mapped token stream."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query import bm25_df
+
+    s = IndexSearcher(spark, syn_root, analyzer_version="syn-v1")
+    spec = BooleanSpec(must=("lookup",), k=25)
+    got = s.search(spec).toPandas()
+
+    t = transcripts_from_documents(spark, sf_dir)
+    mapped = t.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"\bscan\b", "lookup"),
+            r"\bquery\b", "lookup",
+        ),
+    )
+    want = bm25_df.search(mapped, spec).toPandas()
+    assert list(zip(got.conv_id, got.turn_idx)) == list(
+        zip(want.conv_id, want.turn_idx)
+    )
+    assert np.allclose(got.score.to_numpy(), want.score.to_numpy(), atol=1e-9)
+    # and the merge is real: canonical-term hits strictly exceed
+    # either surface form alone in the raw corpus
+    raw_scan = t.filter(
+        F.array_contains(an.tokens_col("text"), "scan")
+    ).count()
+    assert len(got) > 0 and s.docset(
+        BooleanSpec(must=("lookup",))
+    ).count() > raw_scan

@@ -109,3 +109,27 @@ def test_string_range_fq_is_lexicographic_in_both_engines(searcher):
     assert list(zip(a2.conv_id, a2.turn_idx)) == list(
         zip(b2.conv_id, b2.turn_idx)
     )
+
+
+def test_wildcard_and_regexp_predicates(spark):
+    """Wildcard LIKE compilation (escapes, ? and *) and regexp
+    whole-term anchoring, on a constructed dictionary."""
+    df = spark.createDataFrame(
+        [("scan",), ("scans",), ("sort",), ("s_a%",), ("a*b",), ("small",)],
+        "term string",
+    )
+
+    def terms(pred):
+        return sorted(r.term for r in df.filter(pred).collect())
+
+    assert terms(IndexSearcher.wildcard_predicate("s?a*")) == [
+        "s_a%", "scan", "scans", "small",
+    ]
+    # escaped wildcard chars are literals
+    assert terms(IndexSearcher.wildcard_predicate("a\\*b")) == ["a*b"]
+    # literal LIKE metachars in the pattern are escaped, not wild
+    assert terms(IndexSearcher.wildcard_predicate("s_a%")) == ["s_a%"]
+    # regexp is whole-term anchored: no substring match on 'scans'
+    assert terms(IndexSearcher.regexp_predicate("s(can|ort)")) == [
+        "scan", "sort",
+    ]
