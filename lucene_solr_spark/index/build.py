@@ -30,7 +30,6 @@ explode → factorize → lexsort → run-length tf → one-shot varint pack
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -53,17 +52,41 @@ METRICS_SCHEMA = (
 FACET_FIELDS = ("role", "tool", "ftok")
 
 
+# FNV-1a 64-bit (format v2, VERDICT r2 item 6: the crc32 generator was
+# the last non-vectorized loop in the build hot path)
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
 def term_bucket(term: str) -> int:
-    """Deterministic, process-stable term→bucket hash (crc32)."""
-    return zlib.crc32(term.encode("utf-8")) % NUM_BUCKETS
+    """Deterministic, process-stable term→bucket hash (FNV-1a 64,
+    format v2) — scalar spelling of :func:`_bucket_array`."""
+    h = _FNV_OFFSET
+    for byte in term.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h % NUM_BUCKETS
 
 
 def _bucket_array(terms: np.ndarray) -> np.ndarray:
-    return np.fromiter(
-        (zlib.crc32(t.encode("utf-8")) % NUM_BUCKETS for t in terms),
-        dtype=np.int32,
-        count=len(terms),
-    )
+    """Vectorized FNV-1a over a fixed-width byte matrix: the Python
+    loop runs over byte COLUMNS (bounded by the longest term), never
+    over terms. NUL padding from the fixed-width encode is treated as
+    end-of-string (tokens are [a-z0-9 ]+, never contain NUL)."""
+    if len(terms) == 0:
+        return np.empty(0, np.int32)
+    enc = np.char.encode(np.asarray(terms, dtype="U"), "utf-8")
+    width = enc.dtype.itemsize
+    mat = np.frombuffer(enc.tobytes(), np.uint8).reshape(len(terms), width)
+    h = np.full(len(terms), _FNV_OFFSET, np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = mat[:, j]
+            live = col != 0
+            if not live.any():
+                break
+            h = np.where(live, (h ^ col.astype(np.uint64)) * prime, h)
+    return (h % np.uint64(NUM_BUCKETS)).astype(np.int32)
 
 
 def _list_arr_from(arrs) -> pa.Array:
@@ -255,6 +278,20 @@ def write_segment(seg: dict, seg_dir: str) -> None:
     os.rename(tmp, seg_dir)
 
 
+def _check_append_format(manifest: Manifest, out_root: str) -> None:
+    """Appends must not mix bucket layouts within one index: a
+    committed index on an older format stays readable, but new
+    segments would cluster terms differently — rebuild instead."""
+    from lucene_solr_spark.index.manifest import CURRENT_FORMAT
+
+    if manifest.segments and manifest.format_version != CURRENT_FORMAT:
+        raise ValueError(
+            f"index at {out_root} is format v{manifest.format_version}; "
+            f"this writer emits v{CURRENT_FORMAT} — rebuild the index "
+            "instead of appending"
+        )
+
+
 #: chunked part-id space: part = partition_id * CHUNK_STRIDE + chunk
 CHUNK_STRIDE = 4096
 
@@ -283,6 +320,7 @@ def build_index_prepartitioned(
     lineage, which the manifest records for the Iceberg case).
     """
     manifest = Manifest.load(out_root)
+    _check_append_format(manifest, out_root)
     done = manifest.committed_parts() if resume else set()
     # resume granularity = whole input partition: a job's manifest
     # commit is atomic, so a partition's chunks are all-or-nothing
@@ -387,6 +425,7 @@ def build_index(
             f"{manifest.analyzer_version!r}; cannot append with {version!r}"
         )
     manifest.analyzer_version = version
+    _check_append_format(manifest, out_root)
     done = manifest.committed_parts() if resume else set()
 
     with_part = transcripts.withColumn(

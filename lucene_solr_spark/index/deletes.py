@@ -41,9 +41,25 @@ from lucene_solr_spark.index.manifest import Manifest
 from lucene_solr_spark.query.model import BooleanSpec
 
 
-def delete_by_query(spark: SparkSession, index_root: str, spec: BooleanSpec) -> int:
+#: Hard ceiling on cumulative tombstones (VERDICT r2 item 8). The mask
+#: is driver-held + broadcast ('conv|turn' sorted numpy bytes, ~24 B/
+#: key → ~120 MB at the cap); past this a runaway deleteByQuery would
+#: OOM the driver, and the index wants a physical rebuild anyway —
+#: the same point Lucene would schedule a merge to reclaim deletes.
+MAX_TOMBSTONES = 5_000_000
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_root: str,
+    spec: BooleanSpec,
+    max_tombstones: int = MAX_TOMBSTONES,
+) -> int:
     """Tombstone every doc matching ``spec``; returns the TOTAL
-    tombstone count after the commit (cumulative, deduped)."""
+    tombstone count after the commit (cumulative, deduped). Raises
+    (without committing) when the cumulative count would exceed
+    ``max_tombstones`` — rebuild the index from the source of truth
+    instead (then :func:`clear_tombstones`)."""
     from lucene_solr_spark.query.executor import IndexSearcher
 
     s = IndexSearcher(spark, index_root)
@@ -54,12 +70,19 @@ def delete_by_query(spark: SparkSession, index_root: str, spec: BooleanSpec) -> 
         )
         keys = keys.unionByName(prev)
     keys = keys.distinct()
+    n = keys.count()
+    if n > max_tombstones:
+        raise ValueError(
+            f"deleteByQuery would leave {n} tombstones "
+            f"(cap {max_tombstones}): the driver-held liveDocs mask "
+            "would not be safe to broadcast — rebuild the index from "
+            "the source table and clear_tombstones() instead"
+        )
 
     m = Manifest.load(index_root)
     rel = f"deletes/del-{m.snapshot_id + 1}.parquet"
     out = os.path.join(index_root, rel)
     keys.coalesce(1).write.mode("overwrite").parquet(out)
-    n = keys.count()
     m.tombstones = {"path": rel, "n": int(n)}
     m.commit({}, {"op": "delete_by_query", "spec": repr(spec), "n_total": int(n)})
     return int(n)

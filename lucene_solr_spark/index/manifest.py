@@ -20,6 +20,13 @@ from typing import Any
 
 SNAPSHOT_PREFIX = "snapshot-"
 
+#: Index format versions (Codec name analog). 1 = crc32 term-bucket
+#: clustering; 2 = vectorized FNV-1a buckets (build.py). The bucket
+#: column is physical clustering only (readers push `term` predicates,
+#: never recompute buckets), so v1 indexes stay READABLE; appends and
+#: merges must not mix layouts within one index.
+CURRENT_FORMAT = 2
+
 
 @dataclass
 class Manifest:
@@ -28,6 +35,7 @@ class Manifest:
     segments: dict[str, dict[str, Any]] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
     analyzer_version: str = "ascii-word-lower-v1"
+    format_version: int = CURRENT_FORMAT
     #: liveDocs analog: {"path": <rel parquet of deleted keys>, "n": int}
     #: or None. Carried forward by every commit (incl. merge) — deletes
     #: are business-key tombstones, so no ord remap is ever needed.
@@ -67,6 +75,7 @@ class Manifest:
         os.makedirs(self.manifest_dir, exist_ok=True)
         payload = {
             "snapshot_id": self.snapshot_id,
+            "format_version": self.format_version,
             "analyzer_version": self.analyzer_version,
             "segments": self.segments,
             "lineage": self.lineage,
@@ -108,5 +117,6 @@ class Manifest:
             m.segments = payload["segments"]
             m.lineage = payload.get("lineage", [])
             m.analyzer_version = payload.get("analyzer_version", m.analyzer_version)
+            m.format_version = payload.get("format_version", 1)  # legacy
             m.tombstones = payload.get("tombstones")
         return m

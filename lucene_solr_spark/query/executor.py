@@ -142,6 +142,16 @@ class IndexSearcher:
         self.manifest = Manifest.load(index_root)
         if not self.manifest.segments:
             raise ValueError(f"no committed snapshot under {index_root}")
+        from lucene_solr_spark.index.manifest import CURRENT_FORMAT
+
+        if self.manifest.format_version > CURRENT_FORMAT:
+            # forward-compat guard (Codec name check analog): v1/v2
+            # both read fine (buckets are clustering only), a FUTURE
+            # format may not
+            raise ValueError(
+                f"index format v{self.manifest.format_version} is newer "
+                f"than this reader (v{CURRENT_FORMAT})"
+            )
         if (
             analyzer_version is not None
             and analyzer_version != self.manifest.analyzer_version
@@ -309,6 +319,52 @@ class IndexSearcher:
         if round_to is not None:
             hits = hits.withColumn("score", F.round("score", round_to))
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(spec.k)
+
+    def cursor_page(
+        self,
+        spec: BooleanSpec,
+        k: int | None = None,
+        cursor: tuple[float, str, int] | None = None,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Deep paging through the index engine (W4, VERDICT r2 item
+        5): keyset predicate on the pinned total order (score desc,
+        conv_id asc, turn_idx asc) instead of offset paging.
+
+        ``cursor`` is None for the first page, else the (score,
+        conv_id, turn_idx) of the LAST row of the previous page — the
+        serialized totalOrder mark. The page is the top-k of the hit
+        set strictly AFTER the mark. Like the reference, page cost
+        does not grow with depth: no k+offset heap, no global sort of
+        skipped rows — each page is one distributed TakeOrdered of k
+        rows over the keyset-filtered hits. When round_to is given the
+        keyset compares ROUNDED scores (the values the client saw), so
+        marks round-trip exactly.
+
+        ref: solr/core/src/java/org/apache/solr/search/CursorMark.java,
+             solr/core/src/java/org/apache/solr/handler/component/
+             QueryComponent.java (cursorMark path)
+        """
+        k = spec.k if k is None else k
+        # per-segment top-k would be unsound under a cursor: a page-N
+        # row may rank below a segment's first k. Score all matches
+        # (unsorted), filter, TakeOrdered.
+        hits = self.score_hits(spec, k=None)
+        if round_to is not None:
+            hits = hits.withColumn("score", F.round("score", round_to))
+        if cursor is not None:
+            s0, c0, t0 = cursor
+            after_mark = (
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("conv_id") > c0))
+                | (
+                    (F.col("score") == s0)
+                    & (F.col("conv_id") == c0)
+                    & (F.col("turn_idx") > t0)
+                )
+            )
+            hits = hits.filter(after_mark)
+        return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
 
     # -- MoreLikeThis --------------------------------------------------
     def interesting_terms(

@@ -884,6 +884,29 @@ register(
 )
 
 
+# --- cursorMark deep paging through the index engine (W4, VERDICT r2
+# item 5): page 3 reached by two keyset hops; the oracle is plain
+# offset paging over the same pinned total order.
+_CURSOR_SPEC = BooleanSpec(should=("batch", "agg"), min_should_match=1, k=10)
+
+
+def _idx_cursor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = cached_searcher(spark, sf_dir)
+    cursor = None
+    for _ in range(2):  # hop past pages 1 and 2
+        page = s.cursor_page(_CURSOR_SPEC, cursor=cursor, round_to=ROUND).collect()
+        last = page[-1]
+        cursor = (last.score, last.conv_id, last.turn_idx)
+    return s.cursor_page(_CURSOR_SPEC, cursor=cursor, round_to=ROUND)
+
+
+register(
+    "q_idx_cursor_mark",
+    _idx_cursor_mark,
+    bm25_oracle_sql(_CURSOR_SPEC) + " OFFSET 20",
+)
+
+
 # BoostQuery / edismax qf weights (P14): per-term boosted disjunction.
 _BOOSTED = BooleanSpec(should=("fast", "slow", "vector"), min_should_match=1,
                        boosts=(("fast", 2.5), ("vector", 0.5)), k=15)

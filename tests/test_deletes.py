@@ -173,3 +173,24 @@ def test_query_domain_facet_honors_deletes(spark, idx):
         if (r.conv_id, r.turn_idx) in hits:
             want[r.role] = want.get(r.role, 0) + 1
     assert got == want
+
+
+def test_tombstone_cap_refuses_without_committing(spark, idx):
+    """VERDICT r2 item 8: a delete that would exceed the driver-mask
+    cap raises BEFORE committing anything — snapshot id and tombstone
+    set are untouched, and the clear message points at rebuild."""
+    from lucene_solr_spark.index.manifest import Manifest
+
+    before = Manifest.load(idx).snapshot_id
+    with pytest.raises(ValueError, match="rebuild"):
+        delete_by_query(
+            spark, idx, BooleanSpec(filters=(("role", "assistant"),)),
+            max_tombstones=1,
+        )
+    m = Manifest.load(idx)
+    assert m.snapshot_id == before and m.tombstones is None
+    # under the cap the same delete commits fine
+    n = delete_by_query(
+        spark, idx, BooleanSpec(filters=(("role", "assistant"),))
+    )
+    assert n > 1

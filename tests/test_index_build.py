@@ -160,3 +160,69 @@ def test_signature_dedupe_build(spark, sf_dir, tmp_path):
     assert s.manifest.n_docs == n_uniq_text
     hits = s.search(BooleanSpec(must=("merge",), k=50), round_to=4)
     assert hits.filter(F.col("conv_id").startswith("dup_")).count() == 0
+
+
+def test_bucket_array_matches_scalar_and_is_stable():
+    """Format-v2 FNV-1a buckets: vectorized == scalar spelling on
+    ASCII, multi-byte UTF-8, and shingle (space-bearing) terms; plus
+    two pinned golden values so the on-disk layout contract can't
+    drift silently."""
+    import numpy as np
+
+    from lucene_solr_spark.index.build import _bucket_array, term_bucket
+
+    terms = np.array(
+        ["merge", "scan", "a", "0", "table scan", "naïve", "日本語", ""],
+        dtype=object,
+    )
+    got = _bucket_array(terms)
+    assert got.tolist() == [term_bucket(t) for t in terms]
+    # pinned FNV-1a 64 golden values (offset 0xCBF29CE484222325,
+    # prime 0x100000001B3, mod 1024)
+    assert term_bucket("") == (0xCBF29CE484222325 % 1024)
+    h = 0xCBF29CE484222325
+    for b_ in b"merge":
+        h = ((h ^ b_) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    assert term_bucket("merge") == h % 1024
+
+
+def test_format_version_round_trip_and_append_guard(spark, sf_dir, tmp_path):
+    """New builds commit format_version=2; a legacy v1 manifest stays
+    readable but rejects appends (no mixed bucket layouts)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.index.manifest import CURRENT_FORMAT, Manifest
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path / "fmtidx")
+    t = transcripts_from_documents(spark, sf_dir).limit(50)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    m = Manifest.load(root)
+    assert m.format_version == CURRENT_FORMAT == 2
+
+    # rewrite the snapshot as legacy v1: still searchable…
+    mdir = os.path.join(root, "manifest")
+    snap = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, snap)) as f:
+        payload = json.load(f)
+    del payload["format_version"]
+    with open(os.path.join(mdir, snap), "w") as f:
+        json.dump(payload, f)
+    assert Manifest.load(root).format_version == 1
+    IndexSearcher(spark, root)  # readable
+    # …but appending would mix layouts → refused
+    with _pytest.raises(ValueError, match="format"):
+        build_index(spark, t, root, num_parts=2, part_offset=100,
+                    lineage_source=sf_dir)
+
+    # a FUTURE format is unreadable
+    payload["format_version"] = 99
+    with open(os.path.join(mdir, snap), "w") as f:
+        json.dump(payload, f)
+    with _pytest.raises(ValueError, match="newer"):
+        IndexSearcher(spark, root)

@@ -133,3 +133,26 @@ def test_wildcard_and_regexp_predicates(spark):
     assert terms(IndexSearcher.regexp_predicate("s(can|ort)")) == [
         "scan", "sort",
     ]
+
+
+def test_cursor_paging_equals_offset_paging(searcher):
+    """cursorMark keyset pages (3 x 10) must reproduce the offset
+    top-30 exactly — disjoint, ordered, complete (W4 through the
+    index engine)."""
+    s, _ = searcher
+    spec = BooleanSpec(should=("batch", "agg"), min_should_match=1, k=10)
+    want = s.search(
+        BooleanSpec(should=("batch", "agg"), min_should_match=1, k=30),
+        round_to=4,
+    ).collect()
+    got, cursor = [], None
+    for _ in range(3):
+        page = s.cursor_page(spec, cursor=cursor, round_to=4).collect()
+        assert len(page) == 10
+        last = page[-1]
+        cursor = (last.score, last.conv_id, last.turn_idx)
+        got.extend(page)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # marks are strictly advancing: pages disjoint
+    keys = [(r.conv_id, r.turn_idx) for r in got]
+    assert len(set(keys)) == len(keys)
