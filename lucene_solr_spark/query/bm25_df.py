@@ -132,6 +132,40 @@ def _span_pred(group: tuple[str, ...], slop: int):
     )
 
 
+def _span_not_pred(inc: tuple[str, ...], exc: tuple[str, ...], slop: int):
+    """SpanNotQuery containment, Catalyst spelling (same pinned
+    contract as scorer._span_not_docs): anchored sweep over all start
+    positions s; per include term the FIRST occurrence in
+    [s, s+w-1]; exclusion over [s, max(firsts)] — exact per the
+    anchor-sweep argument in the scorer docstring."""
+    w = len(inc) + slop
+
+    def first_pos(t: str) -> str:
+        lit = t.replace("'", "\\'")
+        return (
+            f"array_min(filter(sequence(s, least(s + {w} - 1, size(toks))), "
+            f"i -> element_at(toks, i) = '{lit}'))"
+        )
+
+    firsts = [first_pos(t) for t in inc]
+    not_null = " AND ".join(f"({e}) IS NOT NULL" for e in firsts)
+    span_end = (
+        f"greatest({', '.join(firsts)})" if len(firsts) > 1 else firsts[0]
+    )
+    excl_list = ", ".join("'" + t.replace("'", "\\'") + "'" for t in exc)
+    no_excl = (
+        f"NOT exists(sequence(s, {span_end}), "
+        f"j -> element_at(toks, j) IN ({excl_list}))"
+        if exc
+        else "true"
+    )
+    return F.expr(
+        f"size(toks) >= {len(inc)} AND "
+        f"exists(sequence(1, size(toks)), s -> "
+        f"CASE WHEN {not_null} THEN {no_excl} ELSE false END)"
+    )
+
+
 def _range_lit(v: str, dtype):
     """Range bound → Catalyst literal typed by the TARGET COLUMN
     (ADVICE r2): bound parseability must not pick the comparison
@@ -177,6 +211,14 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
         docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
     for grp in spec.span_near:
         docs = docs.filter(_span_pred(grp, spec.span_slop))
+    if spec.span_or:
+        # SpanOrQuery: one disjunction over span_near alternatives
+        pred = _span_pred(spec.span_or[0], spec.span_slop)
+        for grp in spec.span_or[1:]:
+            pred = pred | _span_pred(grp, spec.span_slop)
+        docs = docs.filter(pred)
+    for inc, exc in spec.span_not:
+        docs = docs.filter(_span_not_pred(inc, exc, spec.span_slop))
     for ph in spec.must_not_phrases:
         docs = docs.filter(~_phrase_pred(ph, spec.phrase_slop))
     if spec.must_not:

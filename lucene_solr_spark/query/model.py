@@ -66,11 +66,27 @@ class BooleanSpec:
     #: ``len(group) + span_slop`` consecutive tokens (equivalently
     #: ∃ one position per term with max−min ≤ len+slop−1), any order.
     #: Like phrases, group terms also contribute MUST scoring; the
-    #: containment is a two-phase filter. Lucene's wider span algebra
-    #: (span_or/span_not, payloads, ordered-with-transpositions) stays
-    #: out of scope.
+    #: containment is a two-phase filter. Lucene's payloads and
+    #: ordered-with-transpositions stay out of scope.
     span_near: tuple[tuple[str, ...], ...] = ()
     span_slop: int = 0
+    #: SpanOrQuery over SpanNearQuery(inOrder=false) clauses: ONE
+    #: disjunction — the doc matches when ANY listed group satisfies
+    #: the span_near window contract (window = len(group)+span_slop).
+    #: Terms of every alternative contribute OPTIONAL (SHOULD-like)
+    #: scoring: present terms score, absent ones don't — no alternative
+    #: is required, so none of its terms can be MUST.
+    #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanOrQuery.java
+    span_or: tuple[tuple[str, ...], ...] = ()
+    #: SpanNotQuery: (include_group, exclude_terms) pairs — pinned
+    #: contract: ∃ one position per include term with max−min ≤
+    #: len(include)+span_slop−1 such that NO exclude-term occurrence
+    #: lies within [min, max] of those positions (span-overlap
+    #: exclusion, SpanNotQuery pre=post=0). Include terms contribute
+    #: MUST scoring (like span_near); exclude terms never score but
+    #: their postings must be fetched (lookup_terms).
+    #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanNotQuery.java
+    span_not: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = ()
 
     def __post_init__(self) -> None:
         # Lucene rejects boost < 0 (BoostQuery ctor): negative idf
@@ -79,9 +95,16 @@ class BooleanSpec:
         for t, b in self.boosts:
             if b < 0:
                 raise ValueError(f"negative boost {b} for term {t!r}")
-        for grp in self.span_near:
+        for grp in self.span_near + self.span_or:
             if len(set(grp)) != len(grp):
-                raise ValueError(f"span_near group has duplicate terms: {grp}")
+                raise ValueError(f"span group has duplicate terms: {grp}")
+        for inc, exc in self.span_not:
+            if len(set(inc)) != len(inc):
+                raise ValueError(f"span_not include has duplicates: {inc}")
+            if set(inc) & set(exc):
+                raise ValueError(
+                    f"span_not include/exclude overlap: {set(inc) & set(exc)}"
+                )
 
     @property
     def boost_map(self) -> dict[str, float]:
@@ -96,6 +119,9 @@ class BooleanSpec:
             seen.setdefault(t, None)
         for p in self.must_not_phrases:
             for t in p:
+                seen.setdefault(t, None)
+        for _inc, exc in self.span_not:
+            for t in exc:  # exclusion needs positions, never scores
                 seen.setdefault(t, None)
         return tuple(seen)
 
@@ -112,6 +138,12 @@ class BooleanSpec:
         for p in self.phrases + self.span_near:
             for t in p:
                 seen.setdefault(t, None)
+        for inc, _exc in self.span_not:
+            for t in inc:
+                seen.setdefault(t, None)
+        for g in self.span_or:  # optional alternatives score if present
+            for t in g:
+                seen.setdefault(t, None)
         return tuple(seen)
 
     @property
@@ -121,5 +153,8 @@ class BooleanSpec:
             seen.setdefault(t, None)
         for p in self.phrases + self.span_near:
             for t in p:
+                seen.setdefault(t, None)
+        for inc, _exc in self.span_not:
+            for t in inc:
                 seen.setdefault(t, None)
         return tuple(seen)

@@ -65,6 +65,32 @@ def _span_clause(group: tuple[str, ...], slop: int) -> str:
     )
 
 
+def _span_not_clause(
+    inc: tuple[str, ...], exc: tuple[str, ...], slop: int
+) -> str:
+    """SpanNotQuery, DuckDB spelling — same anchored sweep + span-end
+    exclusion as scorer._span_not_docs / bm25_df._span_not_pred."""
+    w = len(inc) + slop
+    firsts = [
+        f"list_min(list_filter(range(s, least(s + {w} - 1, len(toks)) + 1), "
+        f"i -> toks[i] = '{t}'))"
+        for t in inc
+    ]
+    not_null = " AND ".join(f"({e}) IS NOT NULL" for e in firsts)
+    span_end = f"greatest({', '.join(firsts)})" if len(firsts) > 1 else firsts[0]
+    no_excl = (
+        f"len(list_filter(range(s, ({span_end}) + 1), "
+        f"j -> list_contains([{_sql_list(exc)}], toks[j]))) = 0"
+        if exc
+        else "true"
+    )
+    return (
+        f"len(toks) >= {len(inc)} AND "
+        f"len(list_filter(range(1, len(toks) + 1), "
+        f"s -> CASE WHEN {not_null} THEN {no_excl} ELSE false END)) > 0"
+    )
+
+
 #: transcripts column types (transcripts.py TRANSCRIPT_SCHEMA) — range
 #: literals are typed by the TARGET FIELD, never by bound parseability
 #: (ADVICE r2: role:[1 TO 5] must be lexicographic in all three engines)
@@ -103,6 +129,13 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
         doc_filters.append(_phrase_clause(ph, spec.phrase_slop))
     for grp in spec.span_near:
         doc_filters.append(_span_clause(grp, spec.span_slop))
+    if spec.span_or:
+        ors = " OR ".join(
+            f"({_span_clause(g, spec.span_slop)})" for g in spec.span_or
+        )
+        doc_filters.append(f"({ors})")
+    for inc, exc in spec.span_not:
+        doc_filters.append(_span_not_clause(inc, exc, spec.span_slop))
     for ph in spec.must_not_phrases:
         doc_filters.append(f"NOT ({_phrase_clause(ph, spec.phrase_slop)})")
     if spec.must_not:

@@ -186,6 +186,66 @@ def _span_docs(
     return np.unique(anchors[ok] // stride)
 
 
+def _span_not_docs(
+    itps: list[TermPostings],
+    etps: list[TermPostings],
+    cand: np.ndarray,
+    stride: int,
+    window: int,
+) -> np.ndarray:
+    """Docs matching SpanNotQuery — pinned contract: ∃ one position
+    per include term with max−min ≤ window−1 whose [min, max] interval
+    contains NO exclude-term occurrence.
+
+    Anchor-sweep exactness: the optimal include set's minimum is an
+    occurrence of some include term — anchor q. The nearest-≥q
+    occurrence per include term fits in [q, q+window−1] whenever the
+    optimal choice does, and minimizes M = max chosen position, so its
+    span [q, M] ⊆ the optimal span — if that is exclude-free, so is
+    [q, M]. Conversely a passing anchor IS a valid include set.
+
+    ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanNotQuery.java
+    """
+    keyed: list[np.ndarray] = []
+    for tp in itps:
+        d, t, p = tp.positions(tp.blocks_for_docs(cand))
+        m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        k = np.repeat(d, t)[m] * stride + p[m]
+        if len(k) == 0:
+            return np.empty(0, np.int64)
+        keyed.append(k)  # sorted (doc asc, pos asc)
+    anchors = np.unique(np.concatenate(keyed))
+    ok = np.ones(len(anchors), bool)
+    span_end = anchors.copy()  # M: max nearest-occurrence key
+    for k in keyed:
+        idx = np.searchsorted(k, anchors, side="left")
+        idx_c = np.clip(idx, 0, len(k) - 1)
+        hit = (
+            (idx < len(k))
+            & (k[idx_c] <= anchors + window - 1)
+            & (k[idx_c] // stride == anchors // stride)
+        )
+        ok &= hit
+        span_end = np.maximum(span_end, np.where(hit, k[idx_c], span_end))
+        if not ok.any():
+            return np.empty(0, np.int64)
+    for tp in etps:
+        d, t, p = tp.positions(tp.blocks_for_docs(cand))
+        m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        ke = np.repeat(d, t)[m] * stride + p[m]
+        if len(ke) == 0:
+            continue
+        idx = np.searchsorted(ke, anchors, side="left")
+        idx_c = np.clip(idx, 0, len(ke) - 1)
+        # first exclude key ≥ anchor inside [anchor, M] → overlap
+        # (same doc is implied: M shares the anchor's doc)
+        overlap = (idx < len(ke)) & (ke[idx_c] <= span_end)
+        ok &= ~overlap
+        if not ok.any():
+            return np.empty(0, np.int64)
+    return np.unique(anchors[ok] // stride)
+
+
 def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
     """Docs containing the phrase (terms adjacent, in order).
 
@@ -278,6 +338,41 @@ def _candidates(
             )
         cand = sdocs if cand is None else cand[
             np.isin(cand, sdocs, assume_unique=True)
+        ]
+    if spec.span_or:
+        # SpanOrQuery: union of the alternatives' span_near doc sets
+        union: list[np.ndarray] = []
+        for grp in spec.span_or:
+            gtps = [tp.get(t) for t in grp]
+            if any(p is None for p in gtps):
+                continue  # an absent term kills only this alternative
+            base = cand
+            if base is None:
+                base, _ = min(gtps, key=lambda p: p.n_blocks).decode_all()
+            union.append(
+                _span_docs(gtps, base, max_doclen + 2, len(grp) + spec.span_slop)
+            )
+        odocs = (
+            np.unique(np.concatenate(union)) if union
+            else np.empty(0, np.int64)
+        )
+        cand = odocs if cand is None else cand[
+            np.isin(cand, odocs, assume_unique=True)
+        ]
+    for inc, exc in spec.span_not:
+        itps = [tp.get(t) for t in inc]
+        if any(p is None for p in itps):
+            ndocs_ = np.empty(0, np.int64)
+        else:
+            base = cand
+            if base is None:
+                base, _ = min(itps, key=lambda p: p.n_blocks).decode_all()
+            ndocs_ = _span_not_docs(
+                itps, [tp[t] for t in exc if t in tp], base,
+                max_doclen + 2, len(inc) + spec.span_slop,
+            )
+        cand = ndocs_ if cand is None else cand[
+            np.isin(cand, ndocs_, assume_unique=True)
         ]
     excl: list[np.ndarray] = []
     for t in spec.must_not:

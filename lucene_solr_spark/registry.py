@@ -629,6 +629,26 @@ _SPAN = BooleanSpec(span_near=(("merge", "scan"),), span_slop=2, k=15)
 register("q_bm25_span_near", _mk_bm25(_SPAN), bm25_oracle_sql(_SPAN))
 register("q_idx_bm25_span_near", _mk_idx_bm25(_SPAN), bm25_oracle_sql(_SPAN))
 
+# SpanOrQuery over span-near clauses (VERDICT r2 item 10): docs where
+# "table scan" OR "hash join" co-occur (any order) in a 3-token
+# window; present alternative terms score, none are required.
+_SPAN_OR = BooleanSpec(
+    span_or=(("table", "scan"), ("hash", "join")), span_slop=1, k=15
+)
+register("q_bm25_span_or", _mk_bm25(_SPAN_OR), bm25_oracle_sql(_SPAN_OR))
+register("q_idx_bm25_span_or", _mk_idx_bm25(_SPAN_OR), bm25_oracle_sql(_SPAN_OR))
+
+# SpanNotQuery: a table…merge span (window 6, any order) whose [min,
+# max] interval contains NO 'scan' — positional exclusion, stricter
+# than -scan (8 docs differ from the plain span at sf0.01).
+_SPAN_NOT = BooleanSpec(
+    span_not=((("table", "merge"), ("scan",)),), span_slop=4, k=15
+)
+register("q_bm25_span_not", _mk_bm25(_SPAN_NOT), bm25_oracle_sql(_SPAN_NOT))
+register(
+    "q_idx_bm25_span_not", _mk_idx_bm25(_SPAN_NOT), bm25_oracle_sql(_SPAN_NOT)
+)
+
 # Range fq (P12/P13 as a FILTER clause through BOTH executors):
 # `data ts:[2024-01-01T02:00:00 TO 2024-01-01T09:30:00]` — typed
 # timestamp bounds, docmap-mask on the index side, Catalyst filter on

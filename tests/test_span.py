@@ -128,3 +128,113 @@ def test_span_scores_match_term_and(env):
             ).collect()}
     for k, v in got.items():
         assert base[k] == v
+
+
+# --- span_or / span_not (VERDICT r2 item 10) --------------------------
+
+
+def ref_span_not_match(
+    toks: list[str], inc: tuple[str, ...], exc: tuple[str, ...], slop: int
+) -> bool:
+    """Brute reference: ∃ one position per include term, max−min ≤
+    len(inc)+slop−1, with no exclude occurrence in [min, max]."""
+    import itertools
+
+    w = len(inc) + slop
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in inc}
+    if any(not p for p in pos.values()):
+        return False
+    epos = [i for i, x in enumerate(toks) if x in set(exc)]
+    for combo in itertools.product(*(pos[t] for t in inc)):
+        lo, hi = min(combo), max(combo)
+        if hi - lo <= w - 1 and not any(lo <= e <= hi for e in epos):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_span_not_duel(env, seed):
+    """3-way duel for SpanNotQuery on random include groups + a real
+    exclude term drawn from the corpus."""
+    s, t, pdf = env
+    rng = np.random.default_rng(1000 + seed)
+    inc, slop = rand_group(rng, pdf)
+    vocab = sorted({x for ts in pdf["toks"] for x in ts} - set(inc))
+    exc = (str(rng.choice(vocab)),)
+    spec = BooleanSpec(span_not=((inc, exc),), span_slop=slop)
+
+    expect = {
+        (r.conv_id, int(r.turn_idx))
+        for r in pdf.itertuples()
+        if ref_span_not_match(r.toks, inc, exc, slop)
+    }
+
+    got_idx = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    assert got_idx == expect, (inc, exc, slop)
+
+    got_df = {
+        (r.conv_id, int(r.turn_idx))
+        for r in bm25_df.doc_tokens(t)
+        .filter(bm25_df._span_not_pred(inc, exc, slop))
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert got_df == expect, (inc, exc, slop)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:5])
+def test_span_or_duel(env, seed):
+    """3-way duel for SpanOrQuery: two random span-near alternatives,
+    expectation = union of the per-group brute matches."""
+    s, t, pdf = env
+    rng = np.random.default_rng(2000 + seed)
+    g1, slop = rand_group(rng, pdf)
+    g2, _ = rand_group(rng, pdf)
+    if set(g1) == set(g2):
+        g2 = ("merge", "scan")
+    spec = BooleanSpec(span_or=(g1, g2), span_slop=slop)
+
+    expect = {
+        (r.conv_id, int(r.turn_idx))
+        for r in pdf.itertuples()
+        if ref_span_match(r.toks, g1, slop) or ref_span_match(r.toks, g2, slop)
+    }
+    got_idx = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    assert got_idx == expect, (g1, g2, slop)
+
+    pred = bm25_df._span_pred(g1, slop) | bm25_df._span_pred(g2, slop)
+    got_df = {
+        (r.conv_id, int(r.turn_idx))
+        for r in bm25_df.doc_tokens(t).filter(pred)
+        .select("conv_id", "turn_idx").collect()
+    }
+    assert got_df == expect, (g1, g2, slop)
+
+
+def test_span_not_positional_vs_boolean_not(spark):
+    """The exclusion is POSITIONAL: a doc with the exclude term outside
+    the include span must survive (where -term would kill it)."""
+    import datetime
+
+    from lucene_solr_spark.transcripts import TRANSCRIPTS_SCHEMA
+
+    rows = [
+        # scan BETWEEN table..merge → excluded
+        ("c1", 0, "user", "table scan merge end", None,
+         datetime.datetime(2024, 1, 1)),
+        # scan AFTER the span → survives
+        ("c2", 0, "user", "table merge junk scan", None,
+         datetime.datetime(2024, 1, 1)),
+        # no scan at all → survives
+        ("c3", 0, "user", "junk table merge", None,
+         datetime.datetime(2024, 1, 1)),
+    ]
+    t = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+    got = {
+        r.conv_id
+        for r in bm25_df.doc_tokens(t)
+        .filter(bm25_df._span_not_pred(("table", "merge"), ("scan",), 1))
+        .select("conv_id")
+        .collect()
+    }
+    assert got == {"c2", "c3"}
