@@ -1589,53 +1589,56 @@ FROM top""",
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # CORE BM25 — Catalyst oracle path (M1) + the full index engine
-    # (one twin per SHAPE; sloppy3 supersedes sloppy, neg_filter +
-    # pure_negative cover the NOT shapes — dropped twins still run in
-    # the full check_oracle battery)
-    "q_bm25_term", "q_bm25_neg_phrase", "q_bm25_sloppy3",
+    # ROUND-3 ROTATION (VERDICT r2 item 9): ~15 slots swapped so
+    # attestation cycles through the full battery across rounds —
+    # twins already driver-attested twice (q_bm25_term/neg_phrase/
+    # sloppy3, docset_filter_only, fetch_text, facet_or_domain,
+    # range_facet, dismax, hash_join, session_window, versioned_upsert,
+    # highlight, xml/javabin roundtrips, geo_dist) move below the
+    # window (still green in check_oracle) in favor of the round-3
+    # surfaces and previously-unattested battery shapes.
+    # CORE BM25 through the index engine (one per shape)
     "q_idx_bm25_term", "q_idx_bm25_and", "q_idx_bm25_or_mm",
     "q_idx_bm25_phrase", "q_idx_bm25_filtered",
     "q_idx_bm25_sloppy3",
     "q_idx_bm25_neg_filter",
-    # negation / domain fallbacks (round-2 fixes)
-    "q_idx_docset_pure_negative", "q_idx_docset_filter_only",
-    # MultiTermQuery rewrites + block join + MLT + stored fields + chain
+    # negation / domain fallbacks
+    "q_idx_docset_pure_negative",
+    # MultiTermQuery rewrites (prefix/fuzzy + NEW wildcard/regexp)
     "q_idx_prefix_scored", "q_idx_fuzzy_terms",
-    "q_idx_conv_search_max",
-    "q_idx_more_like_this", "q_idx_fetch_text", "q_idx_stemmed_search",
-    # SOLR-5894 faceting family
-    "q_facet_role", "q_facet_ftok_hc", "q_facet_or_domain",
-    "q_facet_neg_domain", "q_idx_facet_pivot", "q_idx_range_facet",
-    "q_json_facet_nested",
-    # one per remaining SURVEY §2 family (rest stay oracle-checked
-    # below the window)
-    "q_lang_id",          # text analysis (pipeline)
-    "q_dismax",           # P15
-    "q_idx_bm25_span_near",  # P9 unordered span (new shape this round;
-    "q_idx_bm25_range_fq",   # P12 range fq — S10/J2 reps move below
-    "q_hash_join",        # J7    the window, still in the full battery)
-    "q_json_facet_aggs",  # A8
+    "q_idx_wildcard", "q_idx_regexp",
+    # block join + MLT + analysis chains (stem + NEW synonym)
+    "q_idx_conv_search_max", "q_idx_more_like_this",
+    "q_idx_stemmed_search", "q_idx_synonym_search",
+    # SOLR-5894 faceting family (+ NEW approx aggs)
+    "q_facet_role", "q_facet_ftok_hc", "q_facet_neg_domain",
+    "q_idx_facet_pivot", "q_json_facet_nested", "q_json_facet_aggs",
+    "q_json_facet_approx",
+    # spans: unordered near + NEW or/not through the index engine
+    "q_idx_bm25_span_near", "q_idx_bm25_span_or", "q_idx_bm25_span_not",
+    # range fq + NEW index-engine cursorMark (W4)
+    "q_idx_bm25_range_fq", "q_idx_cursor_mark",
+    # one per remaining SURVEY §2 family
+    "q_lang_id",            # text analysis (pipeline)
     "q_multimodal_features_check",  # multimodal plumbing (pipeline)
-    "q_rerank",           # W5 (fixed path this round)
-    "q_ann_lsh_check",    # ANN-LSH attestation
-    "q_set_intersect",    # T3
-    "q_session_window",   # §2.8 windows
-    "q_versioned_upsert", # N3
-    "q_highlight",        # highlighter
-    # the six ex-SKIP families closed this round
-    "q_graph_traversal",  # J5 (BFS, WITH RECURSIVE oracle)
-    "q_realtime_get",     # P18 (tlog-first /get)
-    "q_xcoll_join",       # J9 (cross-collection join)
-    "q_xml_roundtrip",    # S4 (XML update format)
-    "q_javabin_roundtrip",  # S5 (javabin wire codec)
-    "q_geo_dist",         # §2.7 geo (geodist + bbox prune)
+    "q_rerank",             # W5
+    "q_idx_ltr_rerank",     # W5 LTR LinearModel (rotated in)
+    "q_ann_lsh_check",      # ANN-LSH attestation
+    "q_set_intersect",      # T3
+    "q_stats_percentiles",  # A9 (rotated in)
+    "q_idx_spellcheck",     # spellcheck+collate (rotated in)
+    "q_idx_elevate",        # query elevation (rotated in)
+    "q_graph_traversal",    # J5 BFS
+    "q_shortest_path",      # J5 shortest paths (rotated in)
+    "q_realtime_get",       # P18
+    "q_xcoll_join",         # J9
     # deleteByQuery (liveDocs) — masked results + unchanged stats
     "q_idx_delete_by_query",
-    # LLM-pipeline dedup/near-dup/ANN (q_dedup_simhash stays in the
-    # full battery below the window)
+    # LLM-pipeline dedup/near-dup/ANN + hygiene (simhash/pii/decontam
+    # rotated in)
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
-    "q_neardup_cosine", "q_ann_ivf",
+    "q_dedup_simhash", "q_neardup_cosine", "q_ann_ivf",
+    "q_pii_redact", "q_decontaminate",
 )
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
