@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--facet-limit", type=int, default=10)
     ap.add_argument("--conversations", choices=["max", "total", "avg"],
                     default=None, help="rank parent conversations instead")
+    ap.add_argument("--cursor", default=None, metavar="SCORE,CONV,TURN",
+                    help="cursorMark deep paging: the nextCursorMark "
+                         "printed by the previous page")
     ap.add_argument("--analyzer-version", default=None,
                     help="query-time chain version (must match the index)")
     args = ap.parse_args()
@@ -69,12 +72,27 @@ def main() -> None:
             {"conv_id": r.conv_id, "score": r.score, "n_turns": r.n_turns}
             for r in rows
         ]
-    elif spec.scoring_terms:
+    elif args.cursor:
+        sc, cid, tix = args.cursor.split(",")
+        rows = s.cursor_page(
+            spec, k=args.k, cursor=(float(sc), cid, int(tix)), round_to=4
+        ).collect()
+        out["hits"] = [
+            {"conv_id": r.conv_id, "turn_idx": r.turn_idx, "score": r.score}
+            for r in rows
+        ]
+        if rows:
+            last = rows[-1]
+            out["nextCursorMark"] = f"{last.score},{last.conv_id},{last.turn_idx}"
+    elif spec.scoring_terms or spec.needs_rewrite:
         rows = s.search(spec, round_to=4).collect()
         out["hits"] = [
             {"conv_id": r.conv_id, "turn_idx": r.turn_idx, "score": r.score}
             for r in rows
         ]
+        if rows:
+            last = rows[-1]
+            out["nextCursorMark"] = f"{last.score},{last.conv_id},{last.turn_idx}"
     else:  # pure-negative / filter-only → DocSet page
         rows = (
             s.docset(spec).orderBy("conv_id", "turn_idx").limit(args.k).collect()

@@ -182,6 +182,48 @@ def _range_lit(v: str, dtype):
     return F.lit(v)
 
 
+def rewrite_multiterm(
+    transcripts: DataFrame, spec: BooleanSpec, max_expansions: int = 1024
+) -> BooleanSpec:
+    """Catalyst-side MultiTermQuery rewrite: expand wildcard/regexp
+    nodes against the CORPUS vocabulary (distinct tokens) — the brute
+    twin of ``IndexSearcher.rewrite``'s dictionary scan, same bounded
+    (df desc, term asc) TopTermsRewrite ranking and the same LIKE /
+    anchored-rlike predicate compilers, so both engines expand to the
+    identical term set."""
+    if not spec.needs_rewrite:
+        return spec
+    from dataclasses import replace
+
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    vocab = (
+        doc_tokens(transcripts)
+        .select("conv_id", "turn_idx", F.explode("toks").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    extra: list[str] = []
+    for pat in spec.wildcards:
+        rows = (
+            vocab.filter(IndexSearcher.wildcard_predicate(pat))
+            .orderBy(F.desc("df"), "term").limit(max_expansions).collect()
+        )
+        extra.extend(sorted(r.term for r in rows))
+    for pat in spec.regexps:
+        rows = (
+            vocab.filter(IndexSearcher.regexp_predicate(pat))
+            .orderBy(F.desc("df"), "term").limit(max_expansions).collect()
+        )
+        extra.extend(sorted(r.term for r in rows))
+    seen = set(spec.should)
+    extra_t = tuple(t for t in dict.fromkeys(extra) if t not in seen)
+    return replace(
+        spec, wildcards=(), regexps=(), should=spec.should + extra_t
+    )
+
+
 def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
     """UNSORTED scored hits (conv_id, turn_idx, score) — every matching
     doc, no top-k. The composable core: :func:`search` adds the pinned
@@ -190,6 +232,14 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
     hit set below an aggregation (the round-1 ``k=1<<30`` anti-pattern:
     a global single-task sort whose order the next groupBy discarded).
     """
+    if spec.needs_rewrite:
+        spec = rewrite_multiterm(transcripts, spec)
+    if spec.min_should_match > len(spec.should):
+        # unsatisfiable mm (e.g. a wildcard that matched nothing —
+        # Lucene's empty rewrite): zero hits, not an error
+        return transcripts.sparkSession.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
     docs = transcripts_docs = doc_tokens(transcripts)
     for fld, val in spec.filters:
         # FILTER occur / Solr fq: non-scoring constraint (BooleanClause.Occur#FILTER).

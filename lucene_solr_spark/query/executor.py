@@ -262,6 +262,13 @@ class IndexSearcher:
         (:meth:`search_conversations`) and rerank consume it directly,
         avoiding a degenerate single-task sort of the full hit set
         that a giant-k ``orderBy().limit()`` would plan."""
+        if spec.needs_rewrite:
+            spec = self.rewrite(spec)
+        if spec.min_should_match > len(spec.should):
+            # unsatisfiable mm — e.g. a multiterm pattern that matched
+            # NOTHING in the dictionary (Lucene's empty rewrite with
+            # mm=1): zero hits, not an error
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
         if not spec.scoring_terms:
             # Lucene rejects pure-negative scored queries (QueryUtils
             # .makeQueryable wraps them for filters, not scoring) — and
@@ -469,6 +476,14 @@ class IndexSearcher:
         each task then reads its own segment's postings for the
         excluded terms straight from Parquet (term-pruned by row-group
         stats) — no corpus shuffle either way."""
+        if spec.needs_rewrite:
+            spec = self.rewrite(spec)
+        if spec.min_should_match > len(spec.should):
+            # unsatisfiable mm (e.g. empty multiterm rewrite): zero
+            # docs — NOT MatchAll, and NOT the filter-only fallback
+            return self.spark.createDataFrame(
+                [], "conv_id string, turn_idx int"
+            )
         seg_dirs = self.seg_dir_by_id
         dm_cols = filter_cols(spec, _BASE_COLS)
         pure_negative = not spec.scoring_terms
@@ -589,6 +604,29 @@ class IndexSearcher:
             self.regexp_predicate(pattern), max_expansions
         )
 
+    def rewrite(self, spec: BooleanSpec, max_expansions: int = 1024) -> BooleanSpec:
+        """MultiTermQuery rewrite phase (``IndexSearcher#rewrite``):
+        expand the parser's wildcard/regexp nodes against the term
+        dictionary into SHOULD TermQuery clauses (scoring boolean
+        rewrite; each expanded term scores with its own idf). The
+        search/docset/facet entry points call this automatically, so
+        ``search(parse("data s?a*"))`` just works; a pattern matching
+        nothing contributes no clauses (Lucene: empty rewrite)."""
+        if not spec.needs_rewrite:
+            return spec
+        from dataclasses import replace
+
+        extra: list[str] = []
+        for pat in spec.wildcards:
+            extra.extend(self.expand_wildcard(pat, max_expansions))
+        for pat in spec.regexps:
+            extra.extend(self.expand_regexp(pat, max_expansions))
+        seen = set(spec.should)
+        extra = tuple(t for t in dict.fromkeys(extra) if t not in seen)
+        return replace(
+            spec, wildcards=(), regexps=(), should=spec.should + extra
+        )
+
     # -- faceting ------------------------------------------------------
     def facet(
         self,
@@ -606,6 +644,9 @@ class IndexSearcher:
         prefix / missing mirror facet.sort / facet.prefix /
         facet.missing."""
         from lucene_solr_spark.query.facets import FacetRequest, facet_field
+
+        if spec is not None and spec.needs_rewrite:
+            spec = self.rewrite(spec)
 
         return facet_field(
             self,

@@ -87,6 +87,15 @@ class BooleanSpec:
     #: their postings must be fetched (lookup_terms).
     #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanNotQuery.java
     span_not: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = ()
+    #: UNREWRITTEN MultiTermQuery nodes from the parser (WildcardQuery
+    #: ``te?t*`` / RegexpQuery ``/re/``). Executors NEVER see these:
+    #: ``IndexSearcher.rewrite`` (dictionary scan) or
+    #: ``bm25_df.rewrite_multiterm`` (corpus scan) must expand them
+    #: into SHOULD TermQuery clauses first — scoring with them present
+    #: raises. Negated multiterm is rejected at parse time (the
+    #: accept-and-invert trap).
+    wildcards: tuple[str, ...] = ()
+    regexps: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         # Lucene rejects boost < 0 (BoostQuery ctor): negative idf
@@ -105,6 +114,11 @@ class BooleanSpec:
                 raise ValueError(
                     f"span_not include/exclude overlap: {set(inc) & set(exc)}"
                 )
+
+    @property
+    def needs_rewrite(self) -> bool:
+        """True while unexpanded MultiTermQuery nodes remain."""
+        return bool(self.wildcards or self.regexps)
 
     @property
     def boost_map(self) -> dict[str, float]:

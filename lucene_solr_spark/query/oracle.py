@@ -113,6 +113,12 @@ DEFAULT_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
 def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
+    if spec.needs_rewrite:
+        raise ValueError(
+            "spec holds unrewritten multiterm nodes — expand via "
+            "IndexSearcher.rewrite / bm25_df.rewrite_multiterm first "
+            "(the oracle needs concrete terms)"
+        )
     terms = spec.scoring_terms
     must = spec.required_terms
     doc_filters = []

@@ -16,6 +16,9 @@ Solr's ``QParser``/``ExtendedDismaxQParser`` front door:
     merge OR sort          explicit OR
     fast^2                 per-term boost (boost < 0 → ValueError,
                            BoostQuery/WAND soundness)
+    s?a*                   WildcardQuery (unrewritten; the searcher's
+                           dictionary-scan rewrite expands it)
+    /s(can|ort)/           RegexpQuery (whole-term anchored, ditto)
 
 Query-time text analysis uses the SAME pinned analyzer as indexing
 (``Analyzer`` invariant): every bare term and phrase word passes
@@ -66,6 +69,8 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     not_filters: list[tuple[str, str]] = []
     boosts: list[tuple[str, float]] = []
     range_filters: list[tuple[str, str | None, str | None]] = []
+    wildcards: list[str] = []
+    regexps: list[str] = []
 
     pending_op: str | None = None
     prev_bare: str | None = None  # last bare SHOULD term (for AND join)
@@ -126,6 +131,19 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
                 for w in tokenize_one(val):
                     (must_not if occur == "-" else should).append(w)
             prev_bare = None
+        elif kind == "term" and len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
+            # /regex/ — RegexpQuery (whole-term anchored at rewrite)
+            if occur == "-":
+                raise ValueError(f"negated regexp not supported: {tok!r}")
+            regexps.append(tok[1:-1].lower())
+            prev_bare = None
+        elif kind == "term" and ("*" in tok or "?" in tok):
+            # WildcardQuery — lowercased like Lucene's
+            # lowercase_expanded_terms (the index terms are lowercase)
+            if occur == "-":
+                raise ValueError(f"negated wildcard not supported: {tok!r}")
+            wildcards.append(tok.lower())
+            prev_bare = None
         else:  # bare term (with optional ^boost, BoostQuery syntax)
             boost = None
             if "^" in tok:
@@ -157,7 +175,9 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
             prev_bare = words[-1] if occur == "" else None
         pending_op = None
 
-    mm = 1 if (should and not must and not phrases) else 0
+    # multiterm expansions are SHOULD clauses post-rewrite, so they
+    # count toward "has optional clauses" for the mm default
+    mm = 1 if ((should or wildcards or regexps) and not must and not phrases) else 0
     return BooleanSpec(
         must=tuple(dict.fromkeys(must)),
         should=tuple(dict.fromkeys(should)),
@@ -170,4 +190,6 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         k=k,
         boosts=tuple(boosts),
         range_filters=tuple(range_filters),
+        wildcards=tuple(dict.fromkeys(wildcards)),
+        regexps=tuple(dict.fromkeys(regexps)),
     )

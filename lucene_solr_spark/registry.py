@@ -296,6 +296,32 @@ def _idx_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def _idx_query_multiterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end /select analog for MultiTermQuery SYNTAX: the classic
+    query string ``data s?a* /w.*w/`` goes parse → BooleanSpec with
+    unrewritten wildcard+regexp nodes → ``IndexSearcher.rewrite``
+    (dictionary scan, auto-invoked by search) → scored boolean OR.
+
+    ref: lucene/queryparser/classic/QueryParser.jj (WILDTERM/REGEXPTERM
+    productions) + lucene/core .../search/MultiTermQuery.java
+    """
+    from lucene_solr_spark.query.parser import parse as parse_q
+
+    s = cached_searcher(spark, sf_dir)
+    return s.search(parse_q("data s?a* /w.*w/", k=15), round_to=ROUND)
+
+
+register(
+    "q_idx_query_multiterm",
+    _idx_query_multiterm,
+    _scored_expand_oracle(
+        "term = 'data' OR term LIKE 's_a%' "
+        "OR regexp_full_match(term, 'w.*w')",
+        15,
+    ),
+)
+
+
 register(
     "q_idx_regexp",
     _idx_regexp,

@@ -110,3 +110,24 @@ def test_range_open_ends_and_fields():
 def test_range_rejects_never_inverts(bad):
     with pytest.raises(ValueError):
         parse(bad)
+
+
+def test_wildcard_and_regexp_parse_to_multiterm_nodes():
+    spec = parse("data s?a* /s(can|ort)/")
+    assert spec.should == ("data",)
+    assert spec.wildcards == ("s?a*",)
+    assert spec.regexps == ("s(can|ort)",)
+    assert spec.needs_rewrite
+    # pure-multiterm query still gets mm=1 (disjunction semantics)
+    assert parse("te*t").min_should_match == 1
+    # Lucene lowercase_expanded_terms: pattern lowercased at parse
+    assert parse("TE*T").wildcards == ("te*t",)
+
+
+def test_negated_multiterm_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wildcard"):
+        parse("-te*t")
+    with _pytest.raises(ValueError, match="regexp"):
+        parse("NOT /abc/")

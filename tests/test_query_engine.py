@@ -156,3 +156,39 @@ def test_cursor_paging_equals_offset_paging(searcher):
     # marks are strictly advancing: pages disjoint
     keys = [(r.conv_id, r.turn_idx) for r in got]
     assert len(set(keys)) == len(keys)
+
+
+def test_query_string_multiterm_rank_identical(searcher):
+    """parse('data s?a* /w.*w/') through BOTH engines: the index path
+    auto-rewrites via the dictionary scan, the Catalyst path via the
+    corpus-vocabulary scan — identical expansion, identical ranks."""
+    from lucene_solr_spark.query.parser import parse
+
+    s, t = searcher
+    spec = parse("data s?a* /w.*w/", k=20)
+    a = s.search(spec).toPandas()
+    b = bm25_df.search(t, spec).toPandas()
+    assert len(a) > 0
+    assert list(zip(a.conv_id, a.turn_idx)) == list(zip(b.conv_id, b.turn_idx))
+    assert np.allclose(a.score.to_numpy(), b.score.to_numpy(), atol=1e-9)
+    # the two rewrites expand to the same term set
+    rw_idx = s.rewrite(spec)
+    rw_df = bm25_df.rewrite_multiterm(t, spec)
+    assert rw_idx.should == rw_df.should
+    assert not rw_idx.needs_rewrite
+
+
+def test_empty_multiterm_rewrite_yields_zero_hits(searcher):
+    """A wildcard matching nothing = Lucene's empty rewrite: zero
+    hits (never an error, never MatchAll), in BOTH engines, for both
+    search and docset."""
+    from lucene_solr_spark.query.parser import parse
+
+    s, t = searcher
+    spec = parse("zzz*", k=5)
+    assert s.search(spec).count() == 0
+    assert bm25_df.search(t, spec).count() == 0
+    assert s.docset(spec).count() == 0
+    # with another positive clause the query degrades gracefully to it
+    spec2 = parse("+merge zzz*", k=5)
+    assert s.search(spec2).count() == 5
