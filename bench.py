@@ -218,6 +218,7 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                 for name, fn in (
                     ("dedup_minhash_lsh", textpipe.q_dedup_minhash_lsh),
                     ("dedup_ngram_jaccard", textpipe.q_dedup_ngram_jaccard),
+                    ("dedup_clusters", textpipe.q_dedup_clusters),
                     ("neardup_cosine", textpipe.q_neardup_cosine),
                     ("decontaminate", textpipe.q_decontaminate),
                     ("graph_traversal", graph.q_graph_traversal),

@@ -144,6 +144,68 @@ def shortest_paths(
     )
 
 
+def connected_components(
+    edges: DataFrame, u: str = "u", v: str = "v", max_iter: int = 25
+) -> DataFrame:
+    """Undirected connected components: (node, comp) where ``comp`` is
+    the minimum node id reachable from ``node`` — the clustering stage
+    a dedup pipeline runs over its near-dup pair set (Solr's analog is
+    the SignatureUpdateProcessor's dedup grouping; pairwise similarity
+    output alone can't answer "which docs form one duplicate group").
+
+    Algorithm: hash-to-min label propagation — each round every node
+    adopts min(own label, neighbors' labels). One shuffle join + one
+    key-only groupBy per round, lineage truncated per round with
+    ``localCheckpoint``; converges in O(component diameter) rounds and
+    early-exits on a fixed point. Near-dup clusters are stars/cliques
+    around a source document (diameter ≤ ~3 by construction), so the
+    round count stays tiny at any corpus size; only (node, comp) long
+    pairs ever shuffle. For adversarial long-path graphs the
+    large-star/small-star O(log n) variant would replace the inner
+    step — same join machinery, not needed for dedup workloads.
+    Raises after ``max_iter`` rounds rather than returning a partial
+    (wrong) clustering.
+    """
+    sym = (
+        edges.select(F.col(u).alias("n"), F.col(v).alias("m"))
+        .unionByName(edges.select(F.col(v).alias("n"), F.col(u).alias("m")))
+        .distinct()
+        .persist()
+    )
+    comp = (
+        sym.select(F.col("n").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(comp.withColumnRenamed("node", "m"), "m")
+            .groupBy(F.col("n").alias("node"))
+            .agg(F.min("comp").alias("nc"))
+        )
+        nxt = (
+            comp.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nc", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.withColumnRenamed("comp", "c2")
+            .join(comp, "node")
+            .filter(F.col("c2") != F.col("comp"))
+            .take(1)
+        )
+        comp = nxt
+        if not changed:
+            sym.unpersist()
+            return comp
+    sym.unpersist()
+    raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+
+
 # The transcripts corpus carries an implicit conversation tree:
 # parent(conv n) = conv (n div 4) — derivable identically in DuckDB,
 # which is what makes J5 fully oracle-checkable (WITH RECURSIVE).

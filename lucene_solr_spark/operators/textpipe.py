@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lucene_solr_spark.operators.graph import connected_components
 from lucene_solr_spark.session import cpu_scaled
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -385,6 +386,82 @@ def ngram_jaccard_pairs(
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         spark, corpus_df(spark, sf_dir), shingles_df(spark, sf_dir), 0.7
+    )
+
+
+# ===========================================================================
+# 3b. duplicate-cluster assignment — connected components over the
+#     near-dup pair set (pairs alone can't answer "which docs form ONE
+#     duplicate group"; transitive closure does)
+# ===========================================================================
+
+#: DuckDB twin: same pair set (exact-hash star edges ∪ trigram-Jaccard
+#: >= 0.7 pairs), components via recursive reachability + min label.
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM shingles s1 JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2),
+jpairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+  WHERE round(CAST(i AS DOUBLE) / (za.n + zb.n - i), 4) >= 0.7),
+eh AS (SELECT md5(text) AS h, doc_id FROM corpus),
+em AS (SELECT h, min(doc_id) AS m FROM eh GROUP BY h HAVING count(*) > 1),
+epairs AS (
+  SELECT em.m AS a, eh.doc_id AS b FROM em JOIN eh ON em.h = eh.h
+  WHERE eh.doc_id <> em.m),
+pairs AS (SELECT a, b FROM jpairs UNION SELECT a, b FROM epairs),
+edges AS (SELECT a AS un, b AS vn FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+  SELECT un, un FROM edges
+  UNION
+  SELECT e.un, r.lbl FROM edges e JOIN reach r ON r.node = e.vn
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+""".strip()
+
+
+@op("q_dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster the duplicate graph: every doc that participates in any
+    exact- or near-dup pair gets a ``cluster_id`` = min doc_id of its
+    connected component — the assignment a pipeline's keep-one stage
+    consumes (keep ``doc_id == cluster_id``, drop the rest).
+
+    Edges: exact dups as STAR edges to the group-min (linear in group
+    size — never pairwise within a hash group, so a million-way exact
+    dup costs 1M edges, not 10^12) ∪ verified trigram-Jaccard >= 0.7
+    pairs (df-capped + LSH candidate generation, no all-pairs). The
+    component pass is `graph.connected_components` — O(diameter)
+    rounds of (node, comp) joins, nothing else shuffles.
+    """
+    corpus = corpus_df(spark, sf_dir)
+    near = ngram_jaccard_pairs(
+        spark, corpus, shingles_df(spark, sf_dir), 0.7
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    eh = corpus.select(F.md5("text").alias("h"), "doc_id")
+    em = (
+        eh.groupBy("h")
+        .agg(F.min("doc_id").alias("m"), F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h", "m")
+    )
+    exact = (
+        eh.join(em, "h")
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("doc_id").alias("v"))
+    )
+    cc = connected_components(near.unionByName(exact))
+    return (
+        cc.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("comp").cast("long").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
     )
 
 

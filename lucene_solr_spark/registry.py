@@ -1661,8 +1661,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # deleteByQuery (liveDocs) — masked results + unchanged stats
     "q_idx_delete_by_query",
     # LLM-pipeline dedup/near-dup/ANN + hygiene (simhash/pii/decontam
-    # rotated in)
-    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard",
+    # rotated in; q_dedup_clusters deliberately displaces
+    # q_dedup_ngram_jaccard — the clusters op runs the same verified
+    # pair generation and adds the connected-components stage on top)
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_clusters",
     "q_dedup_simhash", "q_neardup_cosine", "q_ann_ivf",
     "q_pii_redact", "q_decontaminate",
 )

@@ -165,3 +165,67 @@ def test_shortest_paths_matches_brute_on_random_graphs(spark):
         want = _brute_shortest_paths(edges, 0, target, 4)
         got = _run_sp(spark, edges, 0, target, 4)
         assert got == want, (seed, target)
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup clustering stage)
+# ---------------------------------------------------------------------------
+
+
+def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run_cc(spark, edges, **kw):
+    from lucene_solr_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = connected_components(e, **kw)
+    return {row["node"]: row["comp"] for row in got.collect()}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    import random
+
+    for seed in range(6):
+        rng = random.Random(200 + seed)
+        n = 50
+        edges = list(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(rng.randrange(10, 60))
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        assert _run_cc(spark, edges) == _brute_components(edges), seed
+
+
+def test_components_path_graph_converges(spark):
+    # worst-case diameter for min-propagation: a single path 0-1-...-9
+    edges = [(i, i + 1) for i in range(9)]
+    got = _run_cc(spark, edges)
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_components_max_iter_raises(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(9)]
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        _run_cc(spark, edges, max_iter=2)

@@ -145,3 +145,23 @@ def test_multimodal_meta_prunes_media(spark, sf_dir):
     optimized = q._jdf.queryExecution().optimizedPlan().toString()
     assert "text#" not in optimized.split("Relation")[0], optimized
     _ = plan
+
+def test_dedup_clusters_planted_components(spark, sf_dir):
+    """Docs divisible by 77 have BOTH planted dups (exact at +100000,
+    near at +200000): all three must land in one cluster labeled by
+    the base doc_id. Plan hygiene: no cartesian anywhere."""
+    q = textpipe.q_dedup_clusters(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = {r["doc_id"]: r["cluster_id"] for r in q.collect()}
+    base77 = sorted(
+        d for d, c in got.items() if d % 77 == 0 and d < 100000
+    )
+    assert base77, "expected at least one doc divisible by 77"
+    for d in base77:
+        assert got[d] == d
+        assert got.get(d + 100000) == d
+        assert got.get(d + 200000) == d
+    # keep-one stage invariant: every cluster label is a member of it
+    assert all(got[c] == c for c in set(got.values()))
