@@ -1214,6 +1214,64 @@ ORDER BY q, dist, df DESC, suggestion""",
 )
 
 
+def _idx_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester (SuggestComponent / AnalyzingInfixSuggester analog):
+    top-5 completion candidates per typed prefix from the index term
+    dictionary, weighted by collection frequency (``cf`` — the index
+    already carries Solr's DocumentDictionary weight analog, no extra
+    scan). Solr builds a dedicated FST at suggester-build time; the
+    Spark analog is the per-segment dictionary aggregated once (a
+    narrow columnar pass over (term, cf) only — doc/tf/pos payload
+    columns are pruned), with the 3-row prefix table broadcast into
+    the probe exactly like the spellchecker's FST walk.
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+         SuggestComponent.java, lucene/suggest/src/java/org/apache/
+         lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    # "s" matches 6 dictionary terms — exercises the top-5 truncation
+    prefixes = ["s", "c", "qu"]
+    q = spark.createDataFrame([(p,) for p in prefixes], "prefix string")
+    dicts = s.postings().groupBy("term").agg(
+        F.sum("cf").cast("long").alias("weight")
+    )
+    cand = dicts.join(
+        F.broadcast(q), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("weight"), F.col("term"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("prefix", F.col("term").alias("suggestion"), "weight")
+        .orderBy("prefix", F.desc("weight"), "suggestion")
+    )
+
+
+register(
+    "q_idx_suggest",
+    _idx_suggest,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+         FROM tok GROUP BY term),
+q(prefix) AS (VALUES ('s'), ('c'), ('qu')),
+cand AS (
+  SELECT q.prefix, d.term AS suggestion, d.weight
+  FROM q JOIN dict d ON d.term LIKE q.prefix || '%'),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY prefix ORDER BY weight DESC, suggestion) AS rn
+  FROM cand)
+SELECT prefix, suggestion, weight FROM ranked WHERE rn <= 5
+ORDER BY prefix, weight DESC, suggestion""",
+)
+
+
 _ELEV_SPEC = BooleanSpec(must=("merge",), k=10)
 #: (conv_id, turn_idx, slot) — the elevate.xml entries, in order
 _ELEV_IDS = [("conv00000007", 3, 1), ("conv00000012", 0, 2)]
