@@ -118,7 +118,9 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(cand: DataFrame, sh: DataFrame, thresh: float) -> DataFrame:
+def _pair_jaccard(
+    cand: DataFrame, sh: DataFrame, thresh: float, ordered: bool = True
+) -> DataFrame:
     """Exact Jaccard for candidate (a, b) pairs via relational
     shingle-intersection (never materializes all pairs). The shingle
     frame feeds three branches (sizes + both join sides) — persisted
@@ -135,7 +137,7 @@ def _pair_jaccard(cand: DataFrame, sh: DataFrame, thresh: float) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    return (
+    out = (
         inter.join(na, "a").join(nb, "b")
         .withColumn(
             "jac",
@@ -145,8 +147,10 @@ def _pair_jaccard(cand: DataFrame, sh: DataFrame, thresh: float) -> DataFrame:
         )
         .filter(F.col("jac") >= thresh)
         .select("a", "b", "jac")
-        .orderBy("a", "b")
     )
+    # the global sort exists for the oracle compare; consumers that
+    # feed the pairs onward (clustering) skip it
+    return out.orderBy("a", "b") if ordered else out
 
 
 #: DuckDB twin of the exact pair-Jaccard over ALL pairs (oracle).
@@ -325,7 +329,7 @@ NGRAM_DF_CAP = 64
 
 def ngram_jaccard_pairs(
     spark: SparkSession, corpus: DataFrame, sh: DataFrame,
-    thresh: float, df_cap: int = NGRAM_DF_CAP,
+    thresh: float, df_cap: int = NGRAM_DF_CAP, ordered: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a, b, jac >= thresh): candidates = rare-shingle
     inverted join ∪ minhash-LSH buckets, then exact relational
@@ -379,7 +383,7 @@ def ngram_jaccard_pairs(
     )
     cand_mh = _lsh_band_candidates(_minhash_bands_from(corpus))
     cand = cand_rare.unionByName(cand_mh).distinct()
-    return _pair_jaccard(cand, sh, thresh)
+    return _pair_jaccard(cand, sh, thresh, ordered=ordered)
 
 
 @op("q_dedup_ngram_jaccard", _jaccard_oracle(0.7))
@@ -441,7 +445,7 @@ def q_dedup_clusters(spark, sf_dir):
     """
     corpus = corpus_df(spark, sf_dir)
     near = ngram_jaccard_pairs(
-        spark, corpus, shingles_df(spark, sf_dir), 0.7
+        spark, corpus, shingles_df(spark, sf_dir), 0.7, ordered=False
     ).select(F.col("a").alias("u"), F.col("b").alias("v"))
     eh = corpus.select(F.md5("text").alias("h"), "doc_id")
     em = (
