@@ -74,3 +74,70 @@ def realtime_get(
     # returns the delete marker, and /get omits the doc).
     from_committed = base.join(latest.select(*KEY), KEY, "left_anti")
     return from_tlog.unionByName(from_committed)
+
+
+def atomic_update(
+    committed: DataFrame, ops: DataFrame, fields: list[str]
+) -> DataFrame:
+    """Solr atomic updates: merge per-field op documents onto the
+    previous doc state, in ``_version_`` order — set replaces the
+    current value (wiping earlier appends), append concatenates onto
+    whatever the value is AT that point in the sequence.
+
+    ref: solr/core/src/java/org/apache/solr/update/processor/
+         AtomicUpdateDocumentMerger.java (set/add handling; the merger
+         resolves the previous doc tlog-first exactly like /get) and
+         solr/core/src/java/org/apache/solr/update/UpdateLog.java.
+
+    ``ops`` columns: KEY + ``_version_`` (long) + ``field`` (string,
+    one of ``fields``) + ``kind`` ('set' | 'append') + ``value``
+    (string). Output: the post-merge state of the AFFECTED keys only —
+    KEY + ``fields`` + ``_version_`` (highest op version applied).
+
+    Scale shape: one groupBy on (key, field) collects each doc's op
+    list (bounded by one commit window, like the tlog itself), the
+    fold over the sorted list is a pure Catalyst array expression
+    (no UDF), and the committed side is probed with a semi-join the
+    scan can prune against — the corpus never shuffles.
+    """
+    per_field = ops.groupBy(*KEY, "field").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_version_", "kind", "value"))
+        ).alias("oplist")
+    )
+    # last 'set' wins as the base (committed value when none); only
+    # appends AFTER that set survive, in version order
+    vset = "array_max(transform(filter(oplist, x -> x.kind = 'set'), x -> x._version_))"
+    folded = per_field.select(
+        *KEY,
+        "field",
+        F.expr(f"""try_element_at(
+            transform(filter(oplist, x -> x.kind = 'set' AND x._version_ = {vset}),
+                      x -> x.value), 1)""").alias("setval"),
+        F.expr(f"""array_join(
+            transform(filter(oplist,
+                             x -> x.kind = 'append'
+                                  AND x._version_ > coalesce({vset}, -1L)),
+                      x -> x.value), '')""").alias("appends"),
+        F.expr("array_max(transform(oplist, x -> x._version_))").alias("vmax"),
+    )
+    wide = folded.groupBy(*KEY).pivot("field", fields).agg(
+        F.first(F.struct("setval", "appends")).alias("m")
+    )
+    for f in fields:  # dodge the committed columns' names
+        wide = wide.withColumnRenamed(f, f"_m_{f}")
+    wide = wide.join(
+        folded.groupBy(*KEY).agg(F.max("vmax").alias("_version_")), KEY
+    )
+    base = committed.join(F.broadcast(wide.select(*KEY)), KEY, "left_semi")
+    merged = base.join(wide, KEY)
+    out_cols = [
+        F.concat(
+            F.coalesce(F.col(f"_m_{f}.setval"), F.col(f)),
+            F.coalesce(F.col(f"_m_{f}.appends"), F.lit("")),
+        ).alias(f)
+        for f in fields
+    ]
+    return merged.select(
+        *KEY, *out_cols, F.col("_version_").cast("long").alias("_version_")
+    )

@@ -1032,6 +1032,110 @@ ORDER BY i.conv_id, i.turn_idx""",
 )
 
 
+def _atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic updates (AtomicUpdateDocumentMerger): per-field op docs
+    (set / append) merged onto the previous doc state in version
+    order. The synthesized sequence pins the ordering contract: a
+    later `set` WIPES earlier appends (v4 'redacted' over v3's
+    ' amended'), and appends after it stick (v5) — plus an untouched
+    field (tool) passing through.
+
+    ref: solr/core/src/java/org/apache/solr/update/processor/
+         AtomicUpdateDocumentMerger.java"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    t = transcripts_from_documents(spark, sf_dir)
+    tgt = (
+        t.filter(F.col("turn_idx") == 0)
+        .withColumn("n", F.substring("conv_id", 5, 8).cast("long"))
+        .filter(F.col("n") % 5 == 0)
+    )
+
+    def mk(cond, v: int, field: str, kind: str, value: str) -> DataFrame:
+        return tgt.filter(cond).select(
+            "conv_id", "turn_idx",
+            F.lit(v).cast("long").alias("_version_"),
+            F.lit(field).alias("field"),
+            F.lit(kind).alias("kind"),
+            F.lit(value).alias("value"),
+        )
+
+    ops = (
+        mk(F.lit(True), 2, "role", "set", "editor")
+        .unionByName(mk(F.col("n") % 10 == 0, 3, "text", "append", " amended"))
+        .unionByName(mk(F.col("n") % 20 == 0, 4, "text", "set", "redacted"))
+        .unionByName(mk(F.col("n") % 20 == 0, 5, "text", "append", " v5"))
+    )
+    return (
+        atomic_update(t, ops, fields=["role", "tool", "text"])
+        .select("conv_id", "turn_idx", "role", "tool", "text", "_version_")
+        .orderBy("conv_id")
+    )
+
+
+register(
+    "q_atomic_update",
+    _atomic_update,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+keyed AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+tgt AS (SELECT * FROM keyed WHERE turn_idx = 0 AND n % 5 = 0),
+ops AS (
+  SELECT conv_id, turn_idx, 2 AS v, 'role' AS field, 'set' AS kind,
+         'editor' AS value FROM tgt
+  UNION ALL
+  SELECT conv_id, turn_idx, 3, 'text', 'append', ' amended'
+  FROM tgt WHERE n % 10 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, 4, 'text', 'set', 'redacted'
+  FROM tgt WHERE n % 20 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, 5, 'text', 'append', ' v5'
+  FROM tgt WHERE n % 20 = 0),
+g AS (SELECT conv_id, turn_idx, field,
+             max(CASE WHEN kind = 'set' THEN v END) AS vset,
+             max(v) AS vmax
+      FROM ops GROUP BY 1, 2, 3),
+setv AS (
+  SELECT o.conv_id, o.turn_idx, o.field, o.value AS setval
+  FROM ops o JOIN g ON o.conv_id = g.conv_id AND o.turn_idx = g.turn_idx
+                    AND o.field = g.field
+  WHERE o.kind = 'set' AND o.v = g.vset),
+app AS (
+  SELECT o.conv_id, o.turn_idx, o.field,
+         string_agg(o.value, '' ORDER BY o.v) AS appends
+  FROM ops o JOIN g ON o.conv_id = g.conv_id AND o.turn_idx = g.turn_idx
+                    AND o.field = g.field
+  WHERE o.kind = 'append' AND o.v > coalesce(g.vset, -1)
+  GROUP BY 1, 2, 3),
+fieldstate AS (
+  SELECT g.conv_id, g.turn_idx, g.field, s.setval, a.appends, g.vmax
+  FROM g
+  LEFT JOIN setv s ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx
+                   AND s.field = g.field
+  LEFT JOIN app a ON a.conv_id = g.conv_id AND a.turn_idx = g.turn_idx
+                  AND a.field = g.field),
+wide AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN field = 'role' THEN setval END) AS role_set,
+         max(CASE WHEN field = 'role' THEN appends END) AS role_app,
+         max(CASE WHEN field = 'tool' THEN setval END) AS tool_set,
+         max(CASE WHEN field = 'tool' THEN appends END) AS tool_app,
+         max(CASE WHEN field = 'text' THEN setval END) AS text_set,
+         max(CASE WHEN field = 'text' THEN appends END) AS text_app,
+         max(vmax) AS vmax
+  FROM fieldstate GROUP BY 1, 2)
+SELECT t.conv_id, t.turn_idx,
+       coalesce(w.role_set, t.role) || coalesce(w.role_app, '') AS role,
+       coalesce(w.tool_set, t.tool) || coalesce(w.tool_app, '') AS tool,
+       coalesce(w.text_set, t.text) || coalesce(w.text_app, '') AS text,
+       CAST(w.vmax AS BIGINT) AS _version_
+FROM wide w JOIN keyed t ON w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx
+ORDER BY t.conv_id""",
+)
+
+
 _XCOLL_SPEC = BooleanSpec(must=("data",), k=15)
 
 

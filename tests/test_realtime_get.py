@@ -124,3 +124,69 @@ def test_rtg_before_and_after_commit(spark, committed, tmp_path):
     committed2 = committed.unionByName(batch2)
     row = realtime_get(ids, committed2, tlog.limit(0)).collect()[0]
     assert row.text == "zulu yankee"
+
+
+# ---------------------------------------------------------------------------
+# atomic updates (AtomicUpdateDocumentMerger)
+# ---------------------------------------------------------------------------
+
+
+def _atomic(spark, committed_rows, op_rows, fields):
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    committed = spark.createDataFrame(
+        committed_rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    ops = spark.createDataFrame(
+        op_rows,
+        "conv_id string, turn_idx int, _version_ long, field string,"
+        " kind string, value string",
+    )
+    got = atomic_update(committed, ops, fields=fields)
+    return {
+        (r["conv_id"], r["turn_idx"]): (
+            tuple(r[f] for f in fields), r["_version_"]
+        )
+        for r in got.collect()
+    }
+
+
+def test_atomic_set_wipes_earlier_appends(spark):
+    got = _atomic(
+        spark,
+        [("c1", 0, "user", "orig")],
+        [
+            ("c1", 0, 2, "text", "append", " a2"),
+            ("c1", 0, 3, "text", "set", "reset"),
+            ("c1", 0, 4, "text", "append", " a4"),
+        ],
+        ["role", "text"],
+    )
+    # v3 set wipes v2's append; v4 appends onto the set value; role
+    # untouched passes through; version = highest op applied
+    assert got == {("c1", 0): (("user", "reset a4"), 4)}
+
+
+def test_atomic_appends_fold_in_version_order(spark):
+    got = _atomic(
+        spark,
+        [("c1", 0, "user", "x")],
+        [
+            ("c1", 0, 4, "text", "append", " late"),
+            ("c1", 0, 2, "text", "append", " early"),
+            ("c1", 0, 3, "role", "set", "editor"),
+        ],
+        ["role", "text"],
+    )
+    assert got == {("c1", 0): (("editor", "x early late"), 4)}
+
+
+def test_atomic_only_affected_keys_emitted(spark):
+    got = _atomic(
+        spark,
+        [("c1", 0, "user", "x"), ("c2", 0, "user", "y")],
+        [("c1", 0, 2, "role", "set", "editor")],
+        ["role", "text"],
+    )
+    assert set(got) == {("c1", 0)}
+    assert got[("c1", 0)] == (("editor", "x"), 2)
