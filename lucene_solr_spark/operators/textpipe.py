@@ -1145,3 +1145,131 @@ def q_pii_redact(spark, sf_dir):
                 "n_emails", "n_phones", "clean_len")
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# 11. reproducible stratified sampling — per-stratum rates via a
+#     content-hash cutoff; zero shuffle, identical at any cluster size
+# ===========================================================================
+
+#: stratum -> keep rate, materialized as 4-hex-digit md5 cutoffs
+#: (resolution 1/65536). The hash IS the seed: re-running the job, at
+#: any parallelism, on any engine, keeps exactly the same rows —
+#: which is what makes dataset ablations reproducible.
+_SAMPLE_CUTOFFS = {"src0": "8000", "src1": "4000"}  # 0.5, 0.25
+_SAMPLE_DEFAULT = "1999"  # 0.1 (floor(0.1 * 65536) = 0x1999)
+
+
+@op(
+    "q_sample_stratified",
+    f"""SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+      ELSE '1999' END
+ORDER BY doc_id""",
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (the training-mix stage: keep
+    50% of src0, 25% of src1, 10% of the rest): a doc survives iff the
+    first 4 hex digits of md5(doc_id) fall under its stratum's cutoff.
+    Pure narrow Catalyst filter — no shuffle, no RNG state, no
+    sampleBy seed drift across retries/partitionings; row-level
+    identical in both engines by construction."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cutoff = F.when(F.col("source") == "src0", _SAMPLE_CUTOFFS["src0"]) \
+        .when(F.col("source") == "src1", _SAMPLE_CUTOFFS["src1"]) \
+        .otherwise(_SAMPLE_DEFAULT)
+    return (
+        d.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < cutoff
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# 12. sequence packing — concat-and-chunk documents into fixed token
+#     budgets via a DISTRIBUTED prefix sum (no single-partition window)
+# ===========================================================================
+
+_PACK_BUDGET = 512
+
+
+@op(
+    "q_pack_sequences",
+    f"""WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+  FROM toks)
+SELECT CAST(start_tok // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM cum GROUP BY 1 ORDER BY bin_id""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (pretraining batch prep): concatenate docs in
+    doc_id order and chunk at a fixed token budget; a doc's bin is
+    the bin its FIRST token lands in. The global running total is a
+    distributed prefix sum — per-range-partition windows (parallel)
+    plus a driver-side fold of the P per-partition totals (P rows,
+    trivially small at any scale) broadcast back as offsets. No
+    single-partition Window.orderBy anywhere, so the op scales with
+    the cluster instead of funnelling 100 TB through one task."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").alias("n_tok"),
+    )
+    nparts = max(
+        d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
+    part = d.repartitionByRange(nparts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    totals = {
+        r["pid"]: r["s"]
+        for r in part.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("pid")]
+    w = Window.partitionBy("pid").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = part.withColumn(
+        "start_tok", off + F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    out = (
+        cum.groupBy(
+            F.floor(F.col("start_tok") / _PACK_BUDGET).alias("bin_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("first_doc").cast("long").alias("first_doc"),
+            F.col("last_doc").cast("long").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+    result = out.localCheckpoint()
+    part.unpersist()
+    return result

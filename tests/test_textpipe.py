@@ -165,3 +165,55 @@ def test_dedup_clusters_planted_components(spark, sf_dir):
         assert got.get(d + 200000) == d
     # keep-one stage invariant: every cluster label is a member of it
     assert all(got[c] == c for c in set(got.values()))
+
+
+def test_pack_sequences_matches_driver_cumsum(spark, sf_dir):
+    """Distributed prefix-sum packing vs a single-threaded pandas
+    cumsum of the same corpus — bin boundaries must agree exactly
+    (partition-count independence is the whole point of the op)."""
+    import pandas as pd
+
+    got = textpipe.q_pack_sequences(spark, sf_dir).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("n_tok"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs["start"] = docs.n_tok.cumsum() - docs.n_tok
+    docs["bin_id"] = docs.start // textpipe._PACK_BUDGET
+    want = (
+        docs.groupby("bin_id")
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("n_tok", "sum"),
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+        )
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_like=True
+    )
+
+
+def test_sample_stratified_is_shuffle_free(spark, sf_dir):
+    """The sampling filter itself is a narrow pass: the only exchange
+    in the plan is the presentation orderBy for the oracle compare."""
+    q = textpipe.q_sample_stratified(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # per-stratum keep rates land near the configured targets
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tot = {r["source"]: r["n"] for r in
+           d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r["source"]: r["n"] for r in
+            q.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 0.3 < kept.get("src0", 0) / tot["src0"] < 0.7
+    assert kept.get("src1", 0) / tot["src1"] < 0.45
