@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the training-data pipeline ops —
+the batch hygiene counterpart of build_job.py. Runs one pipeline
+stage over a documents-shaped parquet directory, writes the result
+as parquet, and prints ONE JSON metrics line (rows in/out + stage
+specifics) for the orchestrator to record as per-run lineage.
+
+Usage (after `python jobs/package.py`):
+
+    spark-submit --py-files dist/lucene_solr_spark.zip jobs/pipeline_job.py \\
+        dedup    --sf-dir /data/sf --out /data/keep        # exact keep-one
+    ... clusters --sf-dir /data/sf --out /data/clusters    # CC over near-dup graph
+    ... sample   --sf-dir /data/sf --out /data/sampled     # stratified, reproducible
+    ... pack     --sf-dir /data/sf --out /data/bins        # token-budget packing
+
+Every stage is deterministic (hash-seeded sampling, pinned Jaccard
+thresholds), so re-running a failed stage is a safe resume — the
+output parquet is only moved into place after the write completes
+(Spark's committer), matching the index build's nothing-is-real-
+until-committed contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("dedup", "clusters", "sample", "pack"):
+        p = sub.add_parser(name)
+        p.add_argument("--sf-dir", required=True)
+        p.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators import textpipe
+
+    spark = SparkSession.builder.appName(
+        f"lucene_solr_spark-pipeline-{args.cmd}"
+    ).getOrCreate()
+    t0 = time.perf_counter()
+    n_in = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
+
+    if args.cmd == "dedup":
+        # exact keep-one: lowest doc_id per content hash survives
+        c = textpipe.corpus_df(spark, args.sf_dir)
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        out = (
+            c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    elif args.cmd == "clusters":
+        out = textpipe.q_dedup_clusters(spark, args.sf_dir)
+    elif args.cmd == "sample":
+        out = textpipe.q_sample_stratified(spark, args.sf_dir)
+    else:  # pack
+        out = textpipe.q_pack_sequences(spark, args.sf_dir)
+
+    out.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    st = {
+        "cmd": args.cmd,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "out": args.out,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    print(json.dumps(st))
+    return st
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,25 @@ def test_ttl_delete_via_range_query(spark, sf_dir, tmp_path):
     live = s.docmap()
     assert live.filter(F.col("ts") <= cutoff).count() == 0
     assert live.count() > 0  # newer docs survive
+
+
+def test_pipeline_cli_stages(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_job import main as pmain
+
+    st = pmain(["sample", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "sampled")])
+    assert 0 < st["rows_out"] < st["rows_in"]
+    got = spark.read.parquet(str(tmp_path / "sampled"))
+    assert set(got.columns) == {"doc_id", "lang", "source"}
+
+    st = pmain(["pack", "--sf-dir", sf_dir, "--out", str(tmp_path / "bins")])
+    assert st["rows_out"] > 0
+    bins = spark.read.parquet(str(tmp_path / "bins"))
+    assert set(bins.columns) == {
+        "bin_id", "n_docs", "n_tokens", "first_doc", "last_doc"
+    }
+
+    st = pmain(["dedup", "--sf-dir", sf_dir, "--out", str(tmp_path / "keep")])
+    # planted corpus: every %7 doc has an exact dup that must drop
+    assert st["rows_out"] < st["rows_in"] * 1.25  # corpus adds ~23% dups
