@@ -116,18 +116,23 @@ def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
     return F.array_contains(grams, target)
 
 
-def _span_pred(group: tuple[str, ...], slop: int):
+def _span_pred(group: tuple[str, ...], slop: int, prefix_end: int | None = None):
     """Unordered span-near containment, Catalyst spelling: some window
     of ``len(group)+slop`` consecutive tokens holds every group term
     (window anchored at each start s; the trailing starts are covered
     because a window whose minimum sits later would also be found
-    anchored at that minimum)."""
+    anchored at that minimum).
+
+    ``prefix_end``: SpanFirstQuery — the match must live entirely in
+    the first ``prefix_end`` tokens, spelled as the SAME predicate
+    over the truncated token prefix."""
     n = len(group)
     w = n + slop
+    toks = "toks" if prefix_end is None else f"slice(toks, 1, {prefix_end})"
     terms = ", ".join("'" + t.replace("'", "\\'") + "'" for t in group)
     return F.expr(
-        f"exists(sequence(1, greatest(size(toks) - {w} + 1, 1)), s -> "
-        f"size(array_intersect(array_distinct(slice(toks, s, {w})), "
+        f"exists(sequence(1, greatest(size({toks}) - {w} + 1, 1)), s -> "
+        f"size(array_intersect(array_distinct(slice({toks}, s, {w})), "
         f"array({terms}))) = {n})"
     )
 
@@ -261,6 +266,10 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
         docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
     for grp in spec.span_near:
         docs = docs.filter(_span_pred(grp, spec.span_slop))
+    for grp in spec.span_first:
+        docs = docs.filter(
+            _span_pred(grp, spec.span_slop, prefix_end=spec.span_first_end)
+        )
     if spec.span_or:
         # SpanOrQuery: one disjunction over span_near alternatives
         pred = _span_pred(spec.span_or[0], spec.span_slop)

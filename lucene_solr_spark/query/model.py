@@ -87,6 +87,16 @@ class BooleanSpec:
     #: their postings must be fetched (lookup_terms).
     #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanNotQuery.java
     span_not: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = ()
+    #: SpanFirstQuery: the group must satisfy the UNORDERED span_near
+    #: window contract with every matched position inside the first
+    #: ``span_first_end`` tokens of the doc (Lucene: spans.endPosition()
+    #: ≤ end). Equivalent to running the span_near match on the
+    #: truncated token prefix — which is exactly how all three
+    #: executors spell it. Group terms contribute MUST scoring (like
+    #: span_near); the containment is a two-phase filter.
+    #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java
+    span_first: tuple[tuple[str, ...], ...] = ()
+    span_first_end: int = 0
     #: UNREWRITTEN MultiTermQuery nodes from the parser (WildcardQuery
     #: ``te?t*`` / RegexpQuery ``/re/``). Executors NEVER see these:
     #: ``IndexSearcher.rewrite`` (dictionary scan) or
@@ -104,9 +114,11 @@ class BooleanSpec:
         for t, b in self.boosts:
             if b < 0:
                 raise ValueError(f"negative boost {b} for term {t!r}")
-        for grp in self.span_near + self.span_or:
+        for grp in self.span_near + self.span_or + self.span_first:
             if len(set(grp)) != len(grp):
                 raise ValueError(f"span group has duplicate terms: {grp}")
+        if self.span_first and self.span_first_end < 1:
+            raise ValueError("span_first requires span_first_end >= 1")
         for inc, exc in self.span_not:
             if len(set(inc)) != len(inc):
                 raise ValueError(f"span_not include has duplicates: {inc}")
@@ -149,7 +161,7 @@ class BooleanSpec:
         seen: dict[str, None] = {}
         for t in self.must + self.should:
             seen.setdefault(t, None)
-        for p in self.phrases + self.span_near:
+        for p in self.phrases + self.span_near + self.span_first:
             for t in p:
                 seen.setdefault(t, None)
         for inc, _exc in self.span_not:
@@ -165,7 +177,7 @@ class BooleanSpec:
         seen: dict[str, None] = {}
         for t in self.must:
             seen.setdefault(t, None)
-        for p in self.phrases + self.span_near:
+        for p in self.phrases + self.span_near + self.span_first:
             for t in p:
                 seen.setdefault(t, None)
         for inc, _exc in self.span_not:

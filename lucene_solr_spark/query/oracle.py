@@ -53,14 +53,18 @@ def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     )
 
 
-def _span_clause(group: tuple[str, ...], slop: int) -> str:
+def _span_clause(
+    group: tuple[str, ...], slop: int, prefix_end: int | None = None
+) -> str:
     """Unordered span-near (window containment), DuckDB spelling —
     same anchored-window enumeration as the Spark predicate (DuckDB
-    list slices are 1-based inclusive)."""
+    list slices are 1-based inclusive). ``prefix_end``: SpanFirstQuery
+    — the same predicate over the truncated token prefix."""
     w = len(group) + slop
+    toks = "toks" if prefix_end is None else f"(toks[1 : {prefix_end}])"
     return (
-        f"len(list_filter(range(1, greatest(len(toks) - {w} + 1, 1) + 1), "
-        f"s -> list_has_all(toks[s : s + {w} - 1], "
+        f"len(list_filter(range(1, greatest(len({toks}) - {w} + 1, 1) + 1), "
+        f"s -> list_has_all({toks}[s : s + {w} - 1], "
         f"[{_sql_list(group)}]))) > 0"
     )
 
@@ -135,6 +139,10 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
         doc_filters.append(_phrase_clause(ph, spec.phrase_slop))
     for grp in spec.span_near:
         doc_filters.append(_span_clause(grp, spec.span_slop))
+    for grp in spec.span_first:
+        doc_filters.append(
+            _span_clause(grp, spec.span_slop, prefix_end=spec.span_first_end)
+        )
     if spec.span_or:
         ors = " OR ".join(
             f"({_span_clause(g, spec.span_slop)})" for g in spec.span_or

@@ -151,6 +151,7 @@ def _sloppy_chain_docs(
 
 def _span_docs(
     tps: list[TermPostings], cand: np.ndarray, stride: int, window: int,
+    pos_cap: int | None = None,
 ) -> np.ndarray:
     """Docs matching an UNORDERED span-near group — pinned contract:
     one occurrence per term with max−min ≤ window−1 (SpanNearQuery
@@ -161,11 +162,17 @@ def _span_docs(
     occurrence of every term is a candidate anchor q, and the group
     matches iff each term has an occurrence in [q, q+window−1] within
     the same doc. One searchsorted per term over the anchor vector,
-    O(n · A log P), no per-row Python."""
+    O(n · A log P), no per-row Python.
+
+    ``pos_cap``: SpanFirstQuery — only occurrences in the first
+    ``pos_cap`` tokens (0-based position < pos_cap) participate,
+    which is exactly the truncated-prefix equivalence."""
     keyed: list[np.ndarray] = []
     for tp in tps:
         d, t, p = tp.positions(tp.blocks_for_docs(cand))
         m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        if pos_cap is not None:
+            m &= p < pos_cap
         k = np.repeat(d, t)[m] * stride + p[m]
         if len(k) == 0:
             return np.empty(0, np.int64)
@@ -338,6 +345,21 @@ def _candidates(
             )
         cand = sdocs if cand is None else cand[
             np.isin(cand, sdocs, assume_unique=True)
+        ]
+    for grp in spec.span_first:
+        gtps = [tp.get(t) for t in grp]
+        if any(p is None for p in gtps):
+            fdocs = np.empty(0, np.int64)
+        else:
+            base = cand
+            if base is None:
+                base, _ = min(gtps, key=lambda p: p.n_blocks).decode_all()
+            fdocs = _span_docs(
+                gtps, base, max_doclen + 2, len(grp) + spec.span_slop,
+                pos_cap=spec.span_first_end,
+            )
+        cand = fdocs if cand is None else cand[
+            np.isin(cand, fdocs, assume_unique=True)
         ]
     if spec.span_or:
         # SpanOrQuery: union of the alternatives' span_near doc sets

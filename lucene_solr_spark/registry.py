@@ -675,6 +675,18 @@ register(
     "q_idx_bm25_span_not", _mk_idx_bm25(_SPAN_NOT), bm25_oracle_sql(_SPAN_NOT)
 )
 
+# SpanFirstQuery: the merge/scan near-span (window 4, any order) must
+# sit entirely within the FIRST 12 tokens of the turn — position-
+# anchored matching, spelled as the span_near contract over the
+# truncated token prefix in all three engines.
+_SPAN_FIRST = BooleanSpec(
+    span_first=(("merge", "scan"),), span_slop=2, span_first_end=12, k=15
+)
+register("q_bm25_span_first", _mk_bm25(_SPAN_FIRST), bm25_oracle_sql(_SPAN_FIRST))
+register(
+    "q_idx_bm25_span_first", _mk_idx_bm25(_SPAN_FIRST), bm25_oracle_sql(_SPAN_FIRST)
+)
+
 # Range fq (P12/P13 as a FILTER clause through BOTH executors):
 # `data ts:[2024-01-01T02:00:00 TO 2024-01-01T09:30:00]` — typed
 # timestamp bounds, docmap-mask on the index side, Catalyst filter on

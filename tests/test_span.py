@@ -238,3 +238,53 @@ def test_span_not_positional_vs_boolean_not(spark):
         .collect()
     }
     assert got == {"c2", "c3"}
+
+
+# --- span_first (SpanFirstQuery) --------------------------------------
+
+
+def ref_span_first_match(
+    toks: list[str], group: tuple[str, ...], slop: int, end: int
+) -> bool:
+    # truncated-prefix equivalence: the whole match lives in toks[:end]
+    return ref_span_match(toks[:end], group, slop)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_span_first_duel(env, seed):
+    s, t, pdf = env
+    rng = np.random.default_rng(3000 + seed)
+    group, slop = rand_group(rng, pdf)
+    end = int(rng.integers(len(group) + slop, 25))
+    spec = BooleanSpec(span_first=(group,), span_slop=slop,
+                       span_first_end=end)
+
+    expect = {
+        (r.conv_id, int(r.turn_idx))
+        for r in pdf.itertuples()
+        if ref_span_first_match(r.toks, group, slop, end)
+    }
+
+    got_idx = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    assert got_idx == expect, (group, slop, end)
+
+    got_df = {
+        (r.conv_id, int(r.turn_idx))
+        for r in bm25_df.doc_tokens(t)
+        .filter(bm25_df._span_pred(group, slop, prefix_end=end))
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert got_df == expect, (group, slop, end)
+
+
+def test_span_first_is_stricter_than_near(env):
+    """Same group, capped to the doc head: span_first hits must be a
+    strict subset of the span_near hits on this corpus."""
+    s, _t, _pdf = env
+    near = BooleanSpec(span_near=(("merge", "scan"),), span_slop=2)
+    first = BooleanSpec(span_first=(("merge", "scan"),), span_slop=2,
+                        span_first_end=12)
+    n = {(r.conv_id, int(r.turn_idx)) for r in s.docset(near).collect()}
+    f = {(r.conv_id, int(r.turn_idx)) for r in s.docset(first).collect()}
+    assert f and f < n
