@@ -1814,8 +1814,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_facet_role", "q_facet_ftok_hc", "q_facet_neg_domain",
     "q_idx_facet_pivot", "q_json_facet_nested", "q_json_facet_aggs",
     "q_json_facet_approx",
-    # spans: unordered near + NEW or/not through the index engine
-    "q_idx_bm25_span_near", "q_idx_bm25_span_or", "q_idx_bm25_span_not",
+    # spans: NEW or/not/first through the index engine (span_near,
+    # attested r2, rotates down to the full battery)
+    "q_idx_bm25_span_first", "q_idx_bm25_span_or", "q_idx_bm25_span_not",
     # range fq + NEW index-engine cursorMark (W4)
     "q_idx_bm25_range_fq", "q_idx_cursor_mark",
     # one per remaining SURVEY §2 family
