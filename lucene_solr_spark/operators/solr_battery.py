@@ -1394,3 +1394,70 @@ def q_ingest_csv(spark, sf_dir):
 @op("q_ingest_json", _INGEST_ORACLE)
 def q_ingest_json(spark, sf_dir):
     return _ingest_roundtrip(spark, sf_dir, "json")
+
+
+# ---------------------------------------------------------------------------
+# ClusteringComponent (search-result clustering) — Carrot2 analog with a
+# deterministic labeling rule: each hit in the query domain is assigned
+# to its RAREST non-query term (min corpus df, ties lexicographic — the
+# max-idf token, i.e. the most distinctive label), clusters reported by
+# size. ref: solr/contrib/clustering/src/java/org/apache/solr/handler/
+# clustering/ClusteringComponent.java (result-list clustering contract;
+# the Carrot2 algorithms themselves are replaced by a pinned
+# deterministic rule so the oracle can replicate it exactly).
+# ---------------------------------------------------------------------------
+
+@op(
+    "q_result_clustering",
+    f"""{DOCS_CTE},
+hits AS (SELECT conv_id, turn_idx, toks FROM docs
+         WHERE list_contains(toks, 'merge')),
+dfreq AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs)
+  GROUP BY term),
+cand AS (
+  SELECT h.conv_id, h.turn_idx, t.term, d.df,
+         row_number() OVER (PARTITION BY h.conv_id, h.turn_idx
+                            ORDER BY d.df, t.term) AS rn
+  FROM hits h, UNNEST(list_distinct(h.toks)) AS t(term)
+  JOIN dfreq d ON d.term = t.term
+  WHERE t.term <> 'merge')
+SELECT term AS label, CAST(count(*) AS BIGINT) AS n_docs
+FROM cand WHERE rn = 1
+GROUP BY term ORDER BY n_docs DESC, label""",
+)
+def q_result_clustering(spark, sf_dir):
+    """Cluster the result list of q='merge': label = the doc's rarest
+    non-query term (min global df, tie lexicographic = max idf). One
+    df aggregation over the corpus (shared with what an index build
+    already computes), one explode bounded by the HIT list's tokens,
+    one min-struct per hit — no all-pairs similarity, no iteration;
+    at 100 TB the explode is proportional to the result set, not the
+    corpus."""
+    d = _docs(spark, sf_dir)
+    dfreq = (
+        d.select(
+            "conv_id", "turn_idx",
+            F.explode(F.array_distinct("toks")).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    hits = d.filter(F.array_contains("toks", "merge"))
+    cand = (
+        hits.select(
+            "conv_id", "turn_idx",
+            F.explode(F.array_distinct("toks")).alias("term"),
+        )
+        .filter(F.col("term") != "merge")
+        .join(dfreq, "term")
+    )
+    lab = cand.groupBy("conv_id", "turn_idx").agg(
+        F.min(F.struct("df", "term")).alias("m")
+    )
+    return (
+        lab.groupBy(F.col("m.term").alias("label"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "label")
+    )
