@@ -1273,3 +1273,54 @@ def q_pack_sequences(spark, sf_dir):
     result = out.localCheckpoint()
     part.unpersist()
     return result
+
+
+# ===========================================================================
+# 13. batched exact kNN join — hard-negative mining for a bounded
+#     query batch (broadcast batch × streamed corpus, per-query top-k)
+# ===========================================================================
+
+_KNN_K = 5
+
+
+@op(
+    "q_knn_join",
+    f"""WITH {EMB_CTE},
+q AS (SELECT vec_id AS qid, e AS qe FROM emb
+      WHERE vec_id % 50 = 0 AND vec_id < 100000),
+scored AS (
+  SELECT q.qid, emb.vec_id,
+         round(list_cosine_similarity(e, qe), 4) AS cos,
+         row_number() OVER (PARTITION BY q.qid
+           ORDER BY round(list_cosine_similarity(e, qe), 4) DESC,
+                    emb.vec_id) AS rn
+  FROM emb, q WHERE emb.vec_id <> q.qid)
+SELECT qid, vec_id, cos FROM scored WHERE rn <= {_KNN_K}
+ORDER BY qid, cos DESC, vec_id""",
+)
+def q_knn_join(spark, sf_dir):
+    """Batched exact kNN join — the hard-negative-mining shape: for
+    every query in a BOUNDED batch (here a deterministic 2% stand-in;
+    in production the training batch being mined), its top-k cosine
+    neighbors across the whole corpus. The batch broadcasts and the
+    corpus streams past it once (|corpus| × |batch| JVM-side dot
+    products via ``F.aggregate(zip_with(...))``, no Python, no corpus
+    self-join); per-query top-k is a Window partitioned BY QUERY, so
+    the reduction parallelizes across the batch. Scale contract: the
+    batch must stay broadcastable — corpus-scale query sets belong to
+    the LSH/IVF ANN ops above, not this exact path."""
+    e = emb_df(spark, sf_dir)
+    q = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000)
+    ).select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_cos("e", "qe"), 4).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("qid", "vec_id", "cos")
+        .orderBy("qid", F.desc("cos"), "vec_id")
+    )
