@@ -174,6 +174,10 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                 "bm25_span_near": BooleanSpec(
                     span_near=(("merge", "scan"),), span_slop=2, k=15
                 ),
+                "bm25_span_first": BooleanSpec(
+                    span_first=(("merge", "scan"),), span_slop=2,
+                    span_first_end=12, k=15
+                ),
             }
             for name, spec in extra_specs.items():
                 timed(name, lambda s=spec: searcher.search(s).collect())

@@ -178,7 +178,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             sym.join(comp.withColumnRenamed("node", "m"), "m")
             .groupBy(F.col("n").alias("node"))
@@ -192,6 +192,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        if it == 0 and max_iter > 1:
+            # round 1 always changes something when any edge exists
+            # (the edge's larger endpoint adopts the smaller label) —
+            # skip the convergence job
+            comp = nxt
+            continue
         changed = (
             nxt.withColumnRenamed("comp", "c2")
             .join(comp, "node")
