@@ -489,6 +489,55 @@ def q_json_facet_aggs(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/search/facet/FacetField.java
+# (allBuckets / numBuckets / missing special buckets of the JSON Facet
+# API terms facet — reported alongside the limited bucket list)
+@op(
+    "q_json_facet_allbuckets",
+    f"""{DOCS_CTE},
+top AS (
+  SELECT tool AS bucket, count(*) AS cnt FROM docs
+  WHERE tool IS NOT NULL
+  GROUP BY 1 ORDER BY cnt DESC, bucket LIMIT 5
+),
+spec AS (
+  SELECT CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS all_cnt,
+         CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS miss_cnt,
+         CAST(count(DISTINCT tool) AS BIGINT) AS nb
+  FROM docs
+)
+SELECT bucket, cnt FROM top
+UNION ALL SELECT '_allBuckets', all_cnt FROM spec
+UNION ALL SELECT '_missing', miss_cnt FROM spec
+UNION ALL SELECT '_numBuckets', nb FROM spec
+ORDER BY bucket""",
+)
+def q_json_facet_allbuckets(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    top = (
+        d.filter(F.col("tool").isNotNull())
+        .groupBy(F.col("tool").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bucket"))
+        .limit(5)
+    )
+    # one pass over the domain for all three special buckets, then
+    # pivot the single row into (bucket, cnt) rows — no extra scans
+    spec = d.agg(
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("_allBuckets"),
+        F.sum(F.col("tool").isNull().cast("long")).alias("_missing"),
+        F.countDistinct("tool").alias("_numBuckets"),
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(n) for n in ("_allBuckets", "_missing", "_numBuckets")]),
+                F.array("_allBuckets", "_missing", "_numBuckets"),
+            )
+        ).alias("bucket", "cnt")
+    )
+    return top.unionByName(spec).orderBy("bucket")
+
+
 # ref: solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java,
 # StatsValuesFactory.java (global field stats incl. missing)
 @op(

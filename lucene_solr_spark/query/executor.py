@@ -43,6 +43,35 @@ RESULT_SCHEMA = "conv_id string, turn_idx int, score double"
 _BASE_COLS = ["doc_ord", "doc_len", "conv_id", "turn_idx"]
 
 
+def _exclude_filter_fields(
+    spec: BooleanSpec, exclude_fields: tuple[str, ...]
+) -> BooleanSpec | None:
+    """Multi-select faceting domain (``{!ex=tag}``): drop every
+    fq-side constraint whose field is excluded. Returns None
+    (MatchAllDocs) when nothing constrains the domain afterwards —
+    the fq-only multi-select case, where unchecking the one filter
+    widens the facet back to the whole collection."""
+    from dataclasses import replace
+
+    out = replace(
+        spec,
+        filters=tuple(f for f in spec.filters if f[0] not in exclude_fields),
+        not_filters=tuple(
+            f for f in spec.not_filters if f[0] not in exclude_fields
+        ),
+        range_filters=tuple(
+            f for f in spec.range_filters if f[0] not in exclude_fields
+        ),
+    )
+    constrains = (
+        out.must or out.should or out.phrases or out.must_not
+        or out.must_not_phrases or out.filters or out.not_filters
+        or out.range_filters or out.span_near or out.span_or
+        or out.span_not or out.span_first or out.wildcards or out.regexps
+    )
+    return out if constrains else None
+
+
 def filter_cols(spec: BooleanSpec, base: list[str]) -> list[str]:
     """docmap columns needed beyond `base` for fq / negated / range fq."""
     want = {f for f, _ in spec.filters} | {f for f, _ in spec.not_filters}
@@ -638,15 +667,28 @@ class IndexSearcher:
         sort: str = "count",
         prefix: str | None = None,
         missing: bool = False,
+        exclude_fields: tuple[str, ...] = (),
     ) -> DataFrame:
         """SOLR-5894-style facet counts over the query domain
         (two-phase merge-and-refine; see query/facets.py). sort /
         prefix / missing mirror facet.sort / facet.prefix /
-        facet.missing."""
+        facet.missing.
+
+        ``exclude_fields`` is the multi-select faceting analog of
+        Solr's ``fq={!tag=t}f:v`` + ``facet.field={!ex=t}f``
+        (ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+        computeDocSet / QueryParsing `ex` local param): every fq-side
+        constraint on a listed field (`filters`, `not_filters`,
+        `range_filters`) is dropped from THIS facet's domain, while
+        the hit list and every other facet keep honoring it. Tags are
+        request-plumbing in Solr; field names are the natural handle
+        in this API."""
         from lucene_solr_spark.query.facets import FacetRequest, facet_field
 
         if spec is not None and spec.needs_rewrite:
             spec = self.rewrite(spec)
+        if spec is not None and exclude_fields:
+            spec = _exclude_filter_fields(spec, exclude_fields)
 
         return facet_field(
             self,

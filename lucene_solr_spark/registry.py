@@ -176,6 +176,56 @@ register(
 )
 
 
+def _idx_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting (``fq={!tag=r}role:user`` +
+    ``facet.field={!ex=r}role``): the role facet EXCLUDES the role fq
+    from its domain (q-only counts — the unchecked alternatives stay
+    visible), while the tool facet — same request, no exclusion —
+    keeps honoring it. ref: solr/core/src/java/org/apache/solr/request/
+    SimpleFacets.java (`ex` local param via QueryParsing)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    spec = BooleanSpec(must=("data",), filters=(("role", "user"),))
+    roles = s.facet(
+        "role", spec=spec, limit=10, exclude_fields=("role",)
+    ).withColumn("facet_field", F.lit("role"))
+    tools = s.facet("tool", spec=spec, limit=10).withColumn(
+        "facet_field", F.lit("tool")
+    )
+    return roles.unionByName(tools).orderBy(
+        "facet_field", F.desc("cnt"), "facet_value"
+    )
+
+
+register(
+    "q_idx_facet_multiselect",
+    _idx_facet_multiselect,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+r AS (
+  SELECT 'role' AS facet_field, role AS facet_value, count(*) AS cnt
+  FROM docs WHERE list_contains(toks, 'data')
+  GROUP BY 2 ORDER BY cnt DESC, facet_value LIMIT 10
+),
+t AS (
+  SELECT 'tool' AS facet_field, tool AS facet_value, count(*) AS cnt
+  FROM docs
+  WHERE list_contains(toks, 'data') AND role = 'user' AND tool IS NOT NULL
+  GROUP BY 2 ORDER BY cnt DESC, facet_value LIMIT 10
+)
+SELECT * FROM r
+UNION ALL
+SELECT * FROM t
+ORDER BY facet_field, cnt DESC, facet_value
+""".strip(),
+)
+
+
 # ---------------------------------------------------------------------------
 # SQL-CHECK battery (SURVEY §2): the wider Solr operator surface.
 # ---------------------------------------------------------------------------

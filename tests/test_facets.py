@@ -95,6 +95,44 @@ def test_filtered_domain(searcher):
     assert list(zip(got.facet_value, got.cnt)) == list(zip(want.facet_value, want.cnt))
 
 
+def test_multiselect_exclusion(searcher):
+    """Multi-select faceting ({!tag}/{!ex} analog): excluding the
+    role fq from the role facet's domain yields the UNfiltered q-only
+    counts; a facet on another field keeps honoring the fq."""
+    s, t = searcher
+    spec = BooleanSpec(must=("query",), filters=(("role", "assistant"),))
+    got = s.facet(
+        "role", spec=spec, limit=10, exclude_fields=("role",)
+    ).toPandas()
+    want = control_counts(
+        t, F.col("role"), F.array_contains(F.col("toks"), "query"), 10
+    )
+    assert list(zip(got.facet_value, got.cnt)) == list(zip(want.facet_value, want.cnt))
+    assert len(got) > 1  # the excluded filter really widened the domain
+    # non-excluded facet on the same request still sees the fq domain
+    tool = s.facet("tool", spec=spec, limit=10).toPandas()
+    want_tool = control_counts(
+        t, F.col("tool"),
+        F.array_contains(F.col("toks"), "query") & (F.col("role") == "assistant"),
+        10,
+    )
+    assert list(zip(tool.facet_value, tool.cnt)) == list(
+        zip(want_tool.facet_value, want_tool.cnt)
+    )
+
+
+def test_multiselect_fq_only_widens_to_matchall(searcher):
+    """Filter-only request + exclusion of its only filter ==
+    MatchAllDocs facet (unchecking the single active checkbox)."""
+    s, t = searcher
+    spec = BooleanSpec(filters=(("role", "user"),))
+    got = s.facet(
+        "role", spec=spec, limit=10, exclude_fields=("role",)
+    ).toPandas()
+    want = control_counts(t, F.col("role"), F.lit(True), 10)
+    assert list(zip(got.facet_value, got.cnt)) == list(zip(want.facet_value, want.cnt))
+
+
 def test_nested_and_pivot_merge_invariant(spark, sf_dir, tmp_path_factory):
     """facet_nested + facet_pivot are segment-layout-invariant: a
     merged (compacted) index — new seg ids, re-derived ordinal
