@@ -116,6 +116,22 @@ def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
     return F.array_contains(grams, target)
 
 
+def _phrase_count_col(phrase: tuple[str, ...]):
+    """Exact phrase OCCURRENCE COUNT (PhraseQuery freq) as a Column:
+    the n-gram spelling of :func:`_phrase_pred`'s slop=0 branch with
+    array_contains swapped for a filter+size — one occurrence per
+    matching start position. Stays JVM-side."""
+    n = len(phrase)
+    target = " ".join(phrase)
+    grams = (
+        f"filter(transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n}))), g -> g = '{target}')"
+    )
+    return F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN size({grams}) ELSE 0 END"
+    )
+
+
 def _span_pred(group: tuple[str, ...], slop: int, prefix_end: int | None = None):
     """Unordered span-near containment, Catalyst spelling: some window
     of ``len(group)+slop`` consecutive tokens holds every group term
@@ -293,10 +309,13 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
 
     # Weight phase (IndexSearcher#createWeight): global stats bound once.
     # df is computed over the UNFILTERED corpus — Lucene's IDF uses index
-    # stats, not the filtered doc set.
+    # stats, not the filtered doc set. pf-phrase terms need df for the
+    # phrase idf sum even when they aren't scoring terms.
+    pf_terms = [t for ph in spec.pf_phrases for t in ph]
+    stat_terms = list(dict.fromkeys(terms + pf_terms))
     stats = corpus_stats(transcripts_docs)
     dfs = (
-        _term_postings(transcripts_docs, terms)
+        _term_postings(transcripts_docs, stat_terms)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -348,6 +367,64 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
             .select(*DOC_KEY)
         )
         agg = agg.join(mm_hits, DOC_KEY, "left_semi")
+
+    if spec.pf_phrases:
+        # edismax pf (PhraseQuery scoring — see model.pf_phrases):
+        # matched docs gain pf_boost × Σidf(phrase terms) ×
+        # tf·(k1+1)/(tf+k1·norm) with tf = exact occurrence count.
+        # idf sums stay declarative: (ph_id, term) pairs joined to the
+        # corpus dfs; per-doc phrase tf is a Column expression over
+        # toks — everything broadcast except the matched-doc pass.
+        spark = transcripts.sparkSession
+        pairs = spark.createDataFrame(
+            [(i, t) for i, ph in enumerate(spec.pf_phrases) for t in ph],
+            "ph_id int, term string",
+        )
+        boost_col = F.lit(1.0)
+        for t, b in spec.boosts:  # BoostQuery folds into pf idf too
+            boost_col = F.when(F.col("term") == t, F.lit(float(b))).otherwise(boost_col)
+        idf_sums = (
+            pairs.join(F.broadcast(dfs), "term", "left")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("df", F.coalesce("df", F.lit(0)))
+            .withColumn(
+                "idf",
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * boost_col,
+            )
+            .groupBy("ph_id")
+            .agg(F.sum("idf").alias("idf_sum"))
+        )
+        tf_cols = [
+            _phrase_count_col(ph).cast("double") for ph in spec.pf_phrases
+        ]
+        bonus = (
+            docs.select(
+                *DOC_KEY, "doc_len",
+                F.posexplode(F.array(*tf_cols)).alias("ph_id", "pftf"),
+            )
+            .filter(F.col("pftf") > 0)
+            .join(F.broadcast(idf_sums), "ph_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "b",
+                F.lit(float(spec.pf_boost))
+                * F.col("idf_sum")
+                * (F.col("pftf") * (K1 + 1))
+                / (
+                    F.col("pftf")
+                    + K1 * (1 - B + B * F.col("doc_len") / F.col("avgdl"))
+                ),
+            )
+            .groupBy(*DOC_KEY)
+            .agg(F.sum("b").alias("pf_bonus"))
+        )
+        agg = agg.join(bonus, DOC_KEY, "left").withColumn(
+            "score", F.col("score") + F.coalesce("pf_bonus", F.lit(0.0))
+        )
 
     return agg.select(*DOC_KEY, "score")
 

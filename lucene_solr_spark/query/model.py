@@ -106,6 +106,19 @@ class BooleanSpec:
     #: accept-and-invert trap).
     wildcards: tuple[str, ...] = ()
     regexps: tuple[str, ...] = ()
+    #: edismax ``pf`` (phrase-boost) clauses — OPTIONAL exact-adjacency
+    #: phrase queries added on the SHOULD side: they never constrain
+    #: matching; a matching doc gains ``pf_boost × (Σ idf(term_i)) ×
+    #: tf·(k1+1)/(tf+k1·norm)`` with tf = the doc's exact phrase
+    #: occurrence count — Lucene's PhraseQuery scoring (PhraseWeight:
+    #: idf = sum over the phrase's term stats, duplicates counted; tf =
+    #: phrase freq), no phrase-level df needed. Pinned: ps(slop)=0
+    #: (exact adjacency only) and per-term BoostQuery multipliers fold
+    #: into the pf idf sum exactly as they fold into term scoring.
+    #: ref: solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java
+    #: (pf/pf2/pf3), lucene/core/src/java/org/apache/lucene/search/PhraseQuery.java
+    pf_phrases: tuple[tuple[str, ...], ...] = ()
+    pf_boost: float = 1.0
 
     def __post_init__(self) -> None:
         # Lucene rejects boost < 0 (BoostQuery ctor): negative idf
@@ -119,6 +132,11 @@ class BooleanSpec:
                 raise ValueError(f"span group has duplicate terms: {grp}")
         if self.span_first and self.span_first_end < 1:
             raise ValueError("span_first requires span_first_end >= 1")
+        if self.pf_boost < 0:
+            raise ValueError(f"negative pf_boost {self.pf_boost}")
+        for ph in self.pf_phrases:
+            if len(ph) < 2:
+                raise ValueError(f"pf phrase needs >= 2 terms: {ph}")
         for inc, exc in self.span_not:
             if len(set(inc)) != len(inc):
                 raise ValueError(f"span_not include has duplicates: {inc}")
@@ -148,6 +166,9 @@ class BooleanSpec:
                 seen.setdefault(t, None)
         for _inc, exc in self.span_not:
             for t in exc:  # exclusion needs positions, never scores
+                seen.setdefault(t, None)
+        for p in self.pf_phrases:
+            for t in p:  # pf needs positions + idf, not term scoring
                 seen.setdefault(t, None)
         return tuple(seen)
 

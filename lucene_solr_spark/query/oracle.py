@@ -53,6 +53,18 @@ def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     )
 
 
+def _phrase_count_sql(phrase: tuple[str, ...]) -> str:
+    """Exact phrase OCCURRENCE COUNT (PhraseQuery freq for pf) —
+    the exact-adjacency branch of :func:`_phrase_clause` counting
+    matching start positions instead of testing existence."""
+    n = len(phrase)
+    conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    return (
+        f"len(list_filter(range(1, greatest(len(toks) - {n} + 2, 1)), "
+        f"i -> {conds}))"
+    )
+
+
 def _span_clause(
     group: tuple[str, ...], slop: int, prefix_end: int | None = None
 ) -> str:
@@ -216,6 +228,55 @@ scored AS (
         {mm_join}
   GROUP BY tf.conv_id, tf.turn_idx
   {must_filter}
+)
+"""
+    if spec.pf_phrases:
+        # edismax pf twin (see model.pf_phrases): phrase idf sums from
+        # VALUES-joined per-term dfs (duplicates counted, BoostQuery
+        # folded), per-doc exact occurrence counts, bonus LEFT-joined
+        # onto the base boolean score.
+        bm = spec.boost_map
+        pairs = ", ".join(
+            f"({i}, '{t}', {float(bm.get(t, 1.0))})"
+            for i, ph in enumerate(spec.pf_phrases)
+            for t in ph
+        )
+        pf_terms = sorted({t for ph in spec.pf_phrases for t in ph})
+        cnt_rows = "\n  UNION ALL\n".join(
+            f"  SELECT conv_id, turn_idx, {i} AS ph_id, "
+            f"{_phrase_count_sql(ph)} AS pftf, doc_len FROM docs2"
+            for i, ph in enumerate(spec.pf_phrases)
+        )
+        body = body.replace("\nscored AS (", "\nscored_base AS (")
+        body = body.rstrip("\n") + f""",
+pfstats AS (
+  SELECT term, count(DISTINCT (conv_id, turn_idx)) AS df FROM tokens
+  WHERE term IN ({_sql_list(pf_terms)}) GROUP BY term
+),
+pfpairs AS (SELECT * FROM (VALUES {pairs}) AS t(ph_id, term, tboost)),
+pfidf AS (
+  SELECT ph_id,
+         sum(tboost * ln(1.0 + (stats.n_docs - coalesce(pfstats.df, 0) + 0.5)
+                               / (coalesce(pfstats.df, 0) + 0.5))) AS idf_sum
+  FROM pfpairs LEFT JOIN pfstats USING (term) CROSS JOIN stats
+  GROUP BY ph_id
+),
+pfcnt AS (
+{cnt_rows}
+),
+pfbonus AS (
+  SELECT conv_id, turn_idx,
+         sum({float(spec.pf_boost)} * pfidf.idf_sum
+             * (pfcnt.pftf * ({K1} + 1))
+             / (pfcnt.pftf + {K1} * (1 - {B} + {B} * pfcnt.doc_len / stats.avgdl))
+         ) AS bonus
+  FROM pfcnt JOIN pfidf USING (ph_id) CROSS JOIN stats
+  WHERE pfcnt.pftf > 0
+  GROUP BY conv_id, turn_idx
+),
+scored AS (
+  SELECT sb.conv_id, sb.turn_idx, sb.score + coalesce(pb.bonus, 0.0) AS score
+  FROM scored_base sb LEFT JOIN pfbonus pb USING (conv_id, turn_idx)
 )
 """
     return (body + f"""

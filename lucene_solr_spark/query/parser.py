@@ -193,3 +193,55 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         wildcards=tuple(dict.fromkeys(wildcards)),
         regexps=tuple(dict.fromkeys(regexps)),
     )
+
+
+def _calc_mm(mm: int | str, n_optional: int) -> int:
+    """Solr mm spec subset: an int, or a percentage string like
+    '75%' (floor of n×pct, SolrPluginUtils#calculateMinShouldMatch)."""
+    if isinstance(mm, str) and mm.endswith("%"):
+        return int(n_optional * float(mm[:-1]) // 100)
+    return int(mm)
+
+
+def edismax(
+    query: str,
+    k: int = 10,
+    mm: int | str = 1,
+    pf: bool = True,
+    pf2: bool = False,
+    pf3: bool = False,
+    pf_boost: float = 1.0,
+) -> BooleanSpec:
+    """edismax front door (single-field subset): the analyzed query
+    terms become a SHOULD disjunction under ``mm`` (int or 'N%'), and
+    — like Solr's ``pf`` — the WHOLE query, as one exact phrase, is
+    added as an optional phrase-boost clause (docs where the terms
+    appear contiguously in query order rank higher; matching is
+    unchanged). ``pf2``/``pf3`` add the query's consecutive bigram/
+    trigram shingles as additional optional phrases (edismax
+    addShingledPhraseQueries). Multi-field qf/tie lives in the
+    relational battery (q_dismax); this engine indexes one text field.
+
+    ref: solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java
+    (pf/pf2/pf3 handling: U.parseFieldBoosts + addShingledPhraseQueries),
+    solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java
+    (calculateMinShouldMatch)."""
+    terms = tuple(tokenize_one(query))
+    if not terms:
+        raise ValueError("edismax query analyzed to zero terms")
+    should = tuple(dict.fromkeys(terms))
+    pf_phrases: list[tuple[str, ...]] = []
+    if pf and len(terms) >= 2:
+        pf_phrases.append(terms)
+    for flag, n in ((pf2, 2), (pf3, 3)):
+        if flag and len(terms) > n:  # == n would duplicate the pf phrase
+            pf_phrases.extend(
+                terms[i : i + n] for i in range(len(terms) - n + 1)
+            )
+    return BooleanSpec(
+        should=should,
+        min_should_match=max(1, _calc_mm(mm, len(should))),
+        pf_phrases=tuple(dict.fromkeys(pf_phrases)),
+        pf_boost=pf_boost,
+        k=k,
+    )

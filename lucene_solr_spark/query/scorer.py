@@ -254,26 +254,38 @@ def _span_not_docs(
 
 
 def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
-    """Docs containing the phrase (terms adjacent, in order).
+    """Docs containing the phrase (terms adjacent, in order)."""
+    return _phrase_freqs(tps, seg_max_pos)[0]
+
+
+def _phrase_freqs(
+    tps: list[TermPostings], seg_max_pos: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, exact phrase occurrence counts) — the phrase DocSet plus
+    PhraseQuery freq (tf for pf scoring).
 
     Two-phase (TwoPhaseIterator): phase 1 intersects the doc streams
     in ascending-df order with block skipping — cheap, no position
     bytes touched; phase 2 decodes POSITIONS only for the blocks that
     contain surviving candidate docs and verifies adjacency via
-    (doc, pos-offset) key intersection."""
+    (doc, pos-offset) key intersection. Each surviving (doc,
+    start-pos) key is one occurrence, so the per-doc key count IS the
+    phrase tf (keys are unique within a term's stream, and intersect1d
+    keeps them unique)."""
+    empty = np.empty(0, np.int64), np.empty(0, np.int64)
     if any(tp is None for tp in tps):
-        return np.empty(0, np.int64)
+        return empty
     # phase 1: doc-level conjunction (leapfrog, ascending df)
     by_df = sorted(tps, key=lambda tp: tp.n_blocks)
     cand, _ = by_df[0].decode_all()
     for tp in by_df[1:]:
         if len(cand) == 0:
-            return np.empty(0, np.int64)
+            return empty
         blocks = tp.blocks_for_docs(cand)
         d, _t = tp.decode_blocks(blocks)
         cand = cand[np.isin(cand, d, assume_unique=True)]
     if len(cand) == 0:
-        return np.empty(0, np.int64)
+        return empty
     # phase 2: adjacency check over candidate docs only
     stride = seg_max_pos + 2
     keys_acc: np.ndarray | None = None
@@ -290,8 +302,8 @@ def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
             else np.intersect1d(keys_acc, keys, assume_unique=False)
         )
         if len(keys_acc) == 0:
-            return np.empty(0, np.int64)
-    return np.unique(keys_acc // stride)
+            return empty
+    return np.unique(keys_acc // stride, return_counts=True)
 
 
 def _candidates(
@@ -491,7 +503,13 @@ def score_segment(
     )
 
     mm = spec.min_should_match
-    pure_or = cand is None and not must and (not spec.should or mm <= 1)
+    # pf adds positive score AFTER term accumulation, so WAND's
+    # term-only upper bounds would under-estimate and prune true
+    # top-k docs — pf queries take the exact path.
+    pure_or = (
+        cand is None and not must and (not spec.should or mm <= 1)
+        and not spec.pf_phrases
+    )
 
     if pure_or and len(terms) > 1 and k < n_docs:
         # WAND only when the heap can actually prune: with k >= n_docs
@@ -535,6 +553,29 @@ def score_segment(
     if cand is not None:
         m = np.isin(uniq, cand, assume_unique=True)
         uniq, sums = uniq[m], sums[m]
+
+    if spec.pf_phrases and len(uniq):
+        # edismax pf: optional PhraseQuery clauses — matched docs gain
+        # pf_boost × Σidf(phrase terms) × sat(phrase tf). Added after
+        # the fixed-order term sum (deterministic: phrases in spec
+        # order), only to docs already in the match set.
+        max_dl = int(doc_len.max()) if n_docs else 0
+        for ph in spec.pf_phrases:
+            idf_sum = sum(idf.get(t, 0.0) for t in ph)
+            if idf_sum == 0.0:
+                continue
+            pdocs, ptf = _phrase_freqs([tp.get(t) for t in ph], max_dl)
+            if len(pdocs) == 0:
+                continue
+            m = np.isin(pdocs, uniq, assume_unique=True)
+            pdocs, ptf = pdocs[m], ptf[m]
+            if len(pdocs) == 0:
+                continue
+            bonus = _contrib(
+                spec.pf_boost * idf_sum, ptf,
+                doc_len[pdocs].astype(np.float64), avgdl,
+            )
+            sums[np.searchsorted(uniq, pdocs)] += bonus
 
     return _topk(uniq, sums, k)
 

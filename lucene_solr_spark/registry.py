@@ -737,6 +737,26 @@ register(
     "q_idx_bm25_span_first", _mk_idx_bm25(_SPAN_FIRST), bm25_oracle_sql(_SPAN_FIRST)
 )
 
+# edismax pf (phrase-boost): OR query over merge/data (mm=1) where
+# docs containing the exact phrase "merge data" additionally gain
+# pf_boost × PhraseQuery score (Σ term idf × saturated phrase freq) —
+# matching is unchanged, ranking is not. Both executors + the shared
+# DuckDB twin implement the pinned contract (model.pf_phrases).
+_PF = BooleanSpec(
+    should=("merge", "data"), min_should_match=1,
+    pf_phrases=(("merge", "data"),), pf_boost=2.0, k=20,
+)
+register("q_bm25_pf", _mk_bm25(_PF), bm25_oracle_sql(_PF))
+register("q_idx_bm25_pf", _mk_idx_bm25(_PF), bm25_oracle_sql(_PF))
+
+# edismax front door: the full analyzed query as SHOULD under mm='50%'
+# plus the whole query as the pf phrase (ExtendedDismaxQParser's
+# addShingledPhraseQueries with the default whole-query shingle).
+from lucene_solr_spark.query.parser import edismax as _edismax  # noqa: E402
+
+_EDISMAX = _edismax("table merge strategy", mm="50%", pf_boost=1.5, k=20)
+register("q_idx_edismax", _mk_idx_bm25(_EDISMAX), bm25_oracle_sql(_EDISMAX))
+
 # Range fq (P12/P13 as a FILTER clause through BOTH executors):
 # `data ts:[2024-01-01T02:00:00 TO 2024-01-01T09:30:00]` — typed
 # timestamp bounds, docmap-mask on the index side, Catalyst filter on
@@ -1850,7 +1870,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # CORE BM25 through the index engine (one per shape)
     "q_idx_bm25_term", "q_idx_bm25_and", "q_idx_bm25_or_mm",
     "q_idx_bm25_phrase", "q_idx_bm25_filtered",
-    "q_idx_bm25_sloppy3",
+    # q_idx_bm25_sloppy3 (attested r1+r2) deliberately yields its slot
+    # to the NEW edismax pf surface — phrase machinery stays covered
+    # (exact phrase above + pf freq-scoring + test_sloppy duels)
+    "q_idx_bm25_pf",
     "q_idx_bm25_neg_filter",
     # negation / domain fallbacks
     "q_idx_docset_pure_negative",
@@ -1860,8 +1883,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # block join + MLT + analysis chains (stem + NEW synonym)
     "q_idx_conv_search_max", "q_idx_more_like_this",
     "q_idx_stemmed_search", "q_idx_synonym_search",
-    # SOLR-5894 faceting family (+ NEW approx aggs)
-    "q_facet_role", "q_facet_ftok_hc", "q_facet_neg_domain",
+    # SOLR-5894 faceting family (+ NEW approx aggs; q_facet_role,
+    # attested r1+r2, yields to the NEW multi-select tag/ex surface
+    # which runs the same role facet UNfiltered plus a filtered tool
+    # facet — strictly wider coverage of the same machinery)
+    "q_idx_facet_multiselect", "q_facet_ftok_hc", "q_facet_neg_domain",
     "q_idx_facet_pivot", "q_json_facet_nested", "q_json_facet_aggs",
     "q_json_facet_approx",
     # spans: NEW or/not/first through the index engine (span_near,

@@ -131,3 +131,50 @@ def test_negated_multiterm_raises():
         parse("-te*t")
     with _pytest.raises(ValueError, match="regexp"):
         parse("NOT /abc/")
+
+
+def test_edismax_builds_pf_spec():
+    from lucene_solr_spark.query.parser import edismax
+
+    s = edismax("Merge the DATA", mm="50%", pf_boost=2.0, k=15)
+    assert s.should == ("merge", "the", "data")
+    assert s.min_should_match == 1  # floor(3 * 50%) = 1
+    assert s.pf_phrases == (("merge", "the", "data"),)
+    assert s.pf_boost == 2.0 and s.k == 15
+
+    s2 = edismax("merge data", mm="100%")
+    assert s2.min_should_match == 2
+
+    s3 = edismax("merge", pf=True)  # 1 term: no phrase to boost
+    assert s3.pf_phrases == ()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        edismax("!!! ...")  # analyzes to zero terms
+
+
+def test_pf_spec_validation():
+    import pytest as _pytest
+
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    with _pytest.raises(ValueError):
+        BooleanSpec(should=("a",), pf_phrases=(("a",),))  # 1-term pf
+    with _pytest.raises(ValueError):
+        BooleanSpec(
+            should=("a", "b"), pf_phrases=(("a", "b"),), pf_boost=-1.0
+        )
+
+
+def test_edismax_shingled_pf():
+    from lucene_solr_spark.query.parser import edismax
+
+    s = edismax("a1 b2 c3 d4", pf=True, pf2=True, pf3=True)
+    assert ("a1", "b2", "c3", "d4") in s.pf_phrases        # pf
+    assert ("a1", "b2") in s.pf_phrases                    # pf2 shingles
+    assert ("b2", "c3") in s.pf_phrases and ("c3", "d4") in s.pf_phrases
+    assert ("a1", "b2", "c3") in s.pf_phrases              # pf3 shingles
+    assert ("b2", "c3", "d4") in s.pf_phrases
+    # 2-term query: pf2 would duplicate pf — deduped to one phrase
+    s2 = edismax("a1 b2", pf=True, pf2=True)
+    assert s2.pf_phrases == (("a1", "b2"),)
