@@ -178,6 +178,12 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                     span_first=(("merge", "scan"),), span_slop=2,
                     span_first_end=12, k=15
                 ),
+                # round-3: edismax pf (exact path — WAND disabled, plus
+                # the phrase-freq position pass over OR-matched docs)
+                "bm25_pf": BooleanSpec(
+                    should=("merge", "data"), min_should_match=1,
+                    pf_phrases=(("merge", "data"),), pf_boost=2.0, k=20
+                ),
             }
             for name, spec in extra_specs.items():
                 timed(name, lambda s=spec: searcher.search(s).collect())

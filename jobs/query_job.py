@@ -11,6 +11,8 @@ Usage:
         --index /path/to/index_root \\
         --q '+merge "table scan" -role:assistant' \\
         [--k 10] [--facet role] [--facet-limit 10]
+        [--facet-exclude role,tool]       # multi-select {!ex} analog
+        [--edismax] [--mm 50%] [--pf2] [--pf3] [--pf-boost 1.0]
         [--conversations max|total|avg]   # parent block-join ranking
 
 Prints one JSON line: top-k hits (conv_id, turn_idx, score), plus
@@ -34,6 +36,16 @@ def main() -> None:
     ap.add_argument("--facet", default=None,
                     help="facet field (role/tool/ftok)")
     ap.add_argument("--facet-limit", type=int, default=10)
+    ap.add_argument("--facet-exclude", default=None, metavar="F1,F2",
+                    help="multi-select faceting: drop fq constraints on "
+                         "these fields from the facet domain ({!ex} analog)")
+    ap.add_argument("--edismax", action="store_true",
+                    help="parse --q with the edismax front door "
+                         "(SHOULD under --mm + whole-query pf boost)")
+    ap.add_argument("--mm", default="1", help="edismax mm: int or 'N%%'")
+    ap.add_argument("--pf2", action="store_true", help="bigram shingle pf")
+    ap.add_argument("--pf3", action="store_true", help="trigram shingle pf")
+    ap.add_argument("--pf-boost", type=float, default=1.0)
     ap.add_argument("--conversations", choices=["max", "total", "avg"],
                     default=None, help="rank parent conversations instead")
     ap.add_argument("--cursor", default=None, metavar="SCORE,CONV,TURN",
@@ -52,11 +64,15 @@ def main() -> None:
     )
 
     from lucene_solr_spark.query.executor import IndexSearcher
-    from lucene_solr_spark.query.parser import parse
+    from lucene_solr_spark.query.parser import edismax, parse
 
     s = IndexSearcher(spark, args.index,
                       analyzer_version=args.analyzer_version)
-    spec = parse(args.q, k=args.k, default_op=args.default_op)
+    if args.edismax:
+        spec = edismax(args.q, k=args.k, mm=args.mm, pf2=args.pf2,
+                       pf3=args.pf3, pf_boost=args.pf_boost)
+    else:
+        spec = parse(args.q, k=args.k, default_op=args.default_op)
     out: dict = {"query": args.q, "spec": {
         "must": spec.must, "should": spec.should, "must_not": spec.must_not,
         "phrases": spec.phrases, "must_not_phrases": spec.must_not_phrases,
@@ -105,8 +121,11 @@ def main() -> None:
         # always over the q+fq domain (Solr semantics): segment_partials
         # handles term-free specs via the seg-id driver, so filter-only /
         # pure-negative queries facet over their filtered domain too
-        rows = s.facet(args.facet, spec=spec,
-                       limit=args.facet_limit).collect()
+        exclude = tuple(
+            f for f in (args.facet_exclude or "").split(",") if f
+        )
+        rows = s.facet(args.facet, spec=spec, limit=args.facet_limit,
+                       exclude_fields=exclude).collect()
         out["facets"] = {args.facet: [
             {"value": r.facet_value, "count": r.cnt} for r in rows
         ]}

@@ -102,3 +102,51 @@ def test_spark_submit_query(spark, sf_dir, tmp_path):
     assert [(h["conv_id"], h["turn_idx"]) for h in out["hits"]] == [
         (r.conv_id, r.turn_idx) for r in mine
     ]
+
+
+@pytest.mark.skipif(
+    not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+    reason="spark-submit not on PATH",
+)
+def test_spark_submit_edismax_multiselect(spark, sf_dir, tmp_path):
+    """edismax front door + multi-select facet exclusion through the
+    serving CLI: role facet with the role fq excluded must show >1
+    bucket while hits honor the filter."""
+    from lucene_solr_spark.index.build import build_index
+
+    root = str(tmp_path / "eidx")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    zip_path = make_zip(str(tmp_path / "engine.zip"))
+    env = os.environ.copy()
+    env.pop("SPARK_GRAFT_CPUS", None)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(os.path.dirname(__file__), "..", "jobs", "query_job.py"),
+            "--index", root,
+            "--q", "merge data", "--edismax", "--mm", "50%",
+            "--pf-boost", "2.0",
+            "--k", "5", "--facet", "role", "--facet-exclude", "role",
+        ],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert out["spec"]["should"] == ["merge", "data"]
+    assert len(out["hits"]) == 5
+    # exclusion: no fq in this query, so the facet is the q-domain one
+    assert len(out["facets"]["role"]) > 1
+    # in-process edismax agrees with the submitted job
+    from lucene_solr_spark.query.parser import edismax
+
+    s = IndexSearcher(spark, root)
+    mine = s.search(edismax("merge data", mm="50%", pf_boost=2.0, k=5),
+                    round_to=4).collect()
+    assert [(h["conv_id"], h["turn_idx"]) for h in out["hits"]] == [
+        (r.conv_id, r.turn_idx) for r in mine
+    ]
