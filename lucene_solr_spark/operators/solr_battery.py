@@ -771,6 +771,53 @@ def q_rollup_stream(spark, sf_dir):
     )
 
 
+# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+# HavingStream.java (boolean evaluator over a wrapped rollup: and/gt/lt)
+@op(
+    "q_having_stream",
+    """SELECT user_id, count(*) AS cnt, round(avg(value), 4) AS a
+FROM events GROUP BY user_id
+HAVING count(*) >= 70 AND avg(value) > 0
+ORDER BY user_id""",
+)
+def q_having_stream(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("value"), 4).alias("a"))
+        .filter((F.col("cnt") >= 70) & (F.col("a") > 0))
+        .orderBy("user_id")
+    )
+
+
+# ref: io/stream/ReducerStream.java (group a sorted stream by key, fold
+# each group with a GroupOperation — here: the first-5-by-time event
+# sequence per user). Spelled WITHOUT a window: collect_list + one
+# expression-side sort_array/slice, so the shuffle is the groupBy only
+# and group size never creates a single-partition sort.
+@op(
+    "q_reduce_stream",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+       array_to_string((list(event_type ORDER BY ts, event_id))[1:5], ',')
+         AS first_events
+FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def q_reduce_stream(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.expr(
+                "concat_ws(',', slice(transform("
+                "sort_array(collect_list(struct(ts, event_id, event_type))), "
+                "s -> s.event_type), 1, 5))"
+            ).alias("first_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ref: io/stream/TimeseriesStream.java (fixed time buckets ≡ tumbling window)
 @op(
     "q_timeseries",

@@ -978,6 +978,84 @@ def q_quality_score(spark, sf_dir):
     )
 
 
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1, public): a
+# doc is repetitious when one n-gram covers too much of it or its
+# type-token ratio collapses. Token-level analog (the corpus has no
+# line structure): top-bigram coverage + distinct-token fraction.
+@op(
+    "q_quality_repetition",
+    """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS d, toks
+  FROM docs WHERE len(toks) >= 2
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM base
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(c) AS mc FROM gc GROUP BY 1)
+SELECT b.doc_id,
+       round(2.0 * mx.mc / b.n, 4) AS top_bigram_frac,
+       round(CAST(b.d AS DOUBLE) / b.n, 4) AS distinct_frac,
+       (2.0 * mx.mc / b.n <= 0.12 AND CAST(b.d AS DOUBLE) / b.n >= 0.35)
+         AS keep
+FROM base b JOIN mx USING (doc_id)
+ORDER BY doc_id
+""".strip(),
+)
+def q_quality_repetition(spark, sf_dir):
+    """Repetition filters: fraction of tokens covered by the single
+    most frequent bigram + type-token ratio, thresholded into the keep
+    flag a pipeline's hygiene stage consumes. Plan: explode bigrams →
+    two partial-aggregated groupBys keyed by (doc, gram) then doc —
+    map-side combine keeps the shuffle proportional to DISTINCT grams
+    per doc, never corpus token count; no driver-side loops."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    )
+    base = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("d"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i], toks[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    mx = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    top_frac = 2.0 * F.col("mc") / F.col("n")
+    dist_frac = F.col("d").cast("double") / F.col("n")
+    return (
+        base.join(mx, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            F.round(dist_frac, 4).alias("distinct_frac"),
+            ((top_frac <= 0.12) & (dist_frac >= 0.35)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @op(
     "q_token_count",
     """SELECT source,
