@@ -302,3 +302,23 @@ FROM scored GROUP BY conv_id
 ORDER BY round({agg}, {ROUND}) DESC, conv_id
 LIMIT {k}
 """).strip()
+
+
+def bm25_collapse_oracle_sql(spec: BooleanSpec, k: int) -> str:
+    """Field-collapsing twin (CollapsingQParserPlugin analog through
+    the index engine): keep each conversation's best-scoring turn
+    (rounded score desc, turn_idx asc — an engine-independent
+    boundary), then the pinned top-k total order over the survivors."""
+    per_turn = bm25_oracle_sql(spec)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f"""
+SELECT conv_id, turn_idx, score FROM (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score,
+         row_number() OVER (
+           PARTITION BY conv_id
+           ORDER BY round(score, {ROUND}) DESC, turn_idx) AS rn
+  FROM scored)
+WHERE rn = 1
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT {k}
+""").strip()

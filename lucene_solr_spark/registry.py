@@ -1676,6 +1676,48 @@ _LTR_DOCS = 100  # reRankDocs
 _LTR_W = (0.7, 0.002, 0.05)
 
 
+_COLLAPSE_SPEC = BooleanSpec(must=("merge",), k=15)
+
+
+def _idx_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing THROUGH the index engine (A11 depth — the
+    battery's `q_collapse` is Catalyst-side): keep each conversation's
+    best-scoring matching turn (rounded score desc, turn_idx asc — an
+    engine-independent boundary), then the pinned top-k over the
+    survivors. Physical: per-segment scored hits (no global sort) →
+    window partitioned BY COLLAPSE KEY (parallel over conversations,
+    never a single-partition frame) → TakeOrdered k.
+
+    ref: solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_COLLAPSE_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("score"), F.asc("turn_idx")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "turn_idx", "score")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_COLLAPSE_SPEC.k)
+    )
+
+
+from lucene_solr_spark.query.oracle import bm25_collapse_oracle_sql  # noqa: E402
+
+register(
+    "q_idx_collapse",
+    _idx_collapse,
+    bm25_collapse_oracle_sql(_COLLAPSE_SPEC, _COLLAPSE_SPEC.k),
+)
+
+
 def _idx_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTR rerank (Solr LTR contrib, LinearModel): first-pass BM25
     top-100 (rounded-score boundary + pinned tiebreak so the cut is
