@@ -538,6 +538,26 @@ def q_json_facet_allbuckets(spark, sf_dir):
     return top.unionByName(spec).orderBy("bucket")
 
 
+# ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+# getGroupedCounts (group.facet=true: each GROUP counts once per bucket,
+# not each doc — the grouped-result analog of field faceting)
+@op(
+    "q_grouped_facet",
+    f"""{DOCS_CTE}
+SELECT role, CAST(count(DISTINCT conv_id) AS BIGINT) AS gcnt
+FROM docs WHERE list_contains(toks, 'merge')
+GROUP BY role ORDER BY gcnt DESC, role""",
+)
+def q_grouped_facet(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(F.array_contains("toks", "merge"))
+        .groupBy("role")
+        .agg(F.countDistinct("conv_id").alias("gcnt"))
+        .orderBy(F.desc("gcnt"), "role")
+    )
+
+
 # ref: solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java,
 # StatsValuesFactory.java (global field stats incl. missing)
 @op(

@@ -322,3 +322,28 @@ WHERE rn = 1
 ORDER BY score DESC, conv_id, turn_idx
 LIMIT {k}
 """).strip()
+
+
+def bm25_expand_oracle_sql(spec: BooleanSpec, k: int, rows_per: int) -> str:
+    """ExpandComponent twin: for the top-k collapsed conversation heads
+    (same boundary as :func:`bm25_collapse_oracle_sql`), the next
+    ``rows_per`` best matching turns of each conversation (the head
+    itself excluded), ordered (conv_id, rank)."""
+    per_turn = bm25_oracle_sql(spec)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f""",
+ranked AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score,
+         row_number() OVER (
+           PARTITION BY conv_id
+           ORDER BY round(score, {ROUND}) DESC, turn_idx) AS rn
+  FROM scored),
+heads AS (
+  SELECT conv_id FROM ranked WHERE rn = 1
+  ORDER BY score DESC, conv_id, turn_idx LIMIT {k})
+SELECT conv_id, turn_idx, score, CAST(rn - 1 AS BIGINT) AS expand_rank
+FROM ranked
+WHERE conv_id IN (SELECT conv_id FROM heads)
+  AND rn > 1 AND rn <= {rows_per} + 1
+ORDER BY conv_id, expand_rank
+""").strip()

@@ -1709,12 +1709,65 @@ def _idx_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from lucene_solr_spark.query.oracle import bm25_collapse_oracle_sql  # noqa: E402
+from lucene_solr_spark.query.oracle import (  # noqa: E402
+    bm25_collapse_oracle_sql,
+    bm25_expand_oracle_sql,
+)
 
 register(
     "q_idx_collapse",
     _idx_collapse,
     bm25_collapse_oracle_sql(_COLLAPSE_SPEC, _COLLAPSE_SPEC.k),
+)
+
+_EXPAND_ROWS = 2
+
+
+def _idx_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpandComponent through the index engine: for the collapsed
+    heads' conversations, surface the next ``expand.rows`` best
+    matching turns per group (head excluded). One windowed rank pass
+    over the scored hits serves BOTH the head selection and the
+    expansion — no second query, and the window is partitioned by the
+    collapse key (parallel across conversations).
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/ExpandComponent.java
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_COLLAPSE_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("score"), F.asc("turn_idx")
+    )
+    ranked = hits.withColumn("rn", F.row_number().over(w)).persist()
+    heads = (
+        ranked.filter(F.col("rn") == 1)
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_COLLAPSE_SPEC.k)
+        .select("conv_id")
+    )
+    out = (
+        ranked.join(F.broadcast(heads), "conv_id", "left_semi")
+        .filter((F.col("rn") > 1) & (F.col("rn") <= _EXPAND_ROWS + 1))
+        .select(
+            "conv_id", "turn_idx", "score",
+            (F.col("rn") - 1).cast("long").alias("expand_rank"),
+        )
+        .orderBy("conv_id", "expand_rank")
+    )
+    out = out.localCheckpoint()  # materialize before freeing the rank pass
+    ranked.unpersist()
+    return out
+
+
+register(
+    "q_idx_expand",
+    _idx_expand,
+    bm25_expand_oracle_sql(_COLLAPSE_SPEC, _COLLAPSE_SPEC.k, _EXPAND_ROWS),
 )
 
 
