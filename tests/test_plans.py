@@ -213,3 +213,43 @@ def test_cpu_scaled_stage_width_tracks_cluster_and_input(spark, sf_dir):
 
     # end-to-end: the minhash signature stage inherits the scaled width
     assert _minhash_bands_from(narrow).rdd.getNumPartitions() == dp
+
+
+def test_collapse_expand_windows_are_key_partitioned(spark, sf_dir):
+    """q_idx_collapse / q_idx_expand rank inside a window PARTITIONED
+    BY the collapse key — never a single-partition (empty partition
+    spec) window, which would serialize the corpus through one task.
+    The expand head-join must broadcast the tiny head list."""
+    from lucene_solr_spark.registry import QUERIES
+
+    for name in ("q_idx_collapse", "q_idx_expand"):
+        plan = _physical(QUERIES[name](spark, sf_dir))
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "conv_id" in line, (name, line)
+        assert "CartesianProduct" not in plan, name
+    expand_plan = _physical(QUERIES["q_idx_expand"](spark, sf_dir))
+    # localCheckpoint truncates lineage; the broadcast shows pre-collect
+    # in the un-checkpointed collapse plan instead
+    collapse_plan = _physical(QUERIES["q_idx_collapse"](spark, sf_dir))
+    assert "CartesianProduct" not in expand_plan
+    assert "SinglePartition" not in collapse_plan.split("TakeOrdered")[0].split(
+        "Window"
+    )[0], "no single-partition exchange below the rank window"
+
+
+def test_pf_query_no_cartesian_and_broadcast_weights(spark, sf_dir):
+    """The pf Catalyst path: idf-sum and stats joins broadcast; no
+    cartesian anywhere; the only non-broadcast join is the final
+    doc-keyed bonus merge."""
+    from lucene_solr_spark.query import bm25_df
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    t = transcripts_from_documents(spark, sf_dir)
+    spec = BooleanSpec(
+        should=("merge", "data"), min_should_match=1,
+        pf_phrases=(("merge", "data"),), pf_boost=2.0, k=20,
+    )
+    plan = _physical(bm25_df.search(t, spec, round_to=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
