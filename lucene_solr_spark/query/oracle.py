@@ -347,3 +347,25 @@ WHERE conv_id IN (SELECT conv_id FROM heads)
   AND rn > 1 AND rn <= {rows_per} + 1
 ORDER BY conv_id, expand_rank
 """).strip()
+
+
+def bm25_highlight_oracle_sql(spec: BooleanSpec, terms: tuple[str, ...]) -> str:
+    """Index-path highlighter twin: the pinned top-k, joined back to
+    the stored token stream, every query-term occurrence wrapped in
+    <em> (token-level marking — agrees with the analyzer by
+    construction, the UnifiedHighlighter approach)."""
+    per_turn = bm25_oracle_sql(spec)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f""",
+topk AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+  FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {spec.k})
+SELECT t.conv_id, t.turn_idx, t.score,
+  array_to_string(list_transform(d.toks, tk ->
+    CASE WHEN tk IN ({_sql_list(terms)})
+         THEN '<em>' || tk || '</em>' ELSE tk END), ' ') AS snippet
+FROM topk t JOIN docs2 d USING (conv_id, turn_idx)
+ORDER BY t.score DESC, t.conv_id, t.turn_idx
+""").strip()

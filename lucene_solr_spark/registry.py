@@ -610,6 +610,56 @@ def _idx_fetch_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HL_SPEC = BooleanSpec(must=("table", "scan"), k=10)
+_HL_TERMS = ("table", "scan")
+
+
+def _idx_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting through the index engine — the real /select flow:
+    rank top-k (rounded boundary + pinned tiebreak), broadcast the k
+    hits back to the stored fields, mark every query-term occurrence
+    token-level (UnifiedHighlighter approach: the snippet is rebuilt
+    from the SAME analyzer stream, so marking can't disagree with
+    matching). Only k stored rows are ever touched post-search.
+
+    ref: lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
+         UnifiedHighlighter.java, solr/core/src/java/org/apache/solr/
+         highlight/DefaultSolrHighlighter.java"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokens_col
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.search(_HL_SPEC, round_to=ROUND)
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text")
+    )
+    mark = F.transform(
+        "toks",
+        lambda tk: F.when(
+            tk.isin(*_HL_TERMS),
+            F.concat(F.lit("<em>"), tk, F.lit("</em>")),
+        ).otherwise(tk),
+    )
+    return (
+        t.join(F.broadcast(hits), ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx", "score",
+            F.array_join(mark, " ").alias("snippet"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+    )
+
+
+from lucene_solr_spark.query.oracle import bm25_highlight_oracle_sql  # noqa: E402
+
+register(
+    "q_idx_highlight",
+    _idx_highlight,
+    bm25_highlight_oracle_sql(_HL_SPEC, _HL_TERMS),
+)
+
+
 def _idx_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot facet (A7) through the REAL index docvalues: top-3 roles
     by pair count, top-2 tools within each (nulls excluded)."""
