@@ -668,6 +668,7 @@ class IndexSearcher:
         prefix: str | None = None,
         missing: bool = False,
         exclude_fields: tuple[str, ...] = (),
+        group_by: str | None = None,
     ) -> DataFrame:
         """SOLR-5894-style facet counts over the query domain
         (two-phase merge-and-refine; see query/facets.py). sort /
@@ -695,6 +696,7 @@ class IndexSearcher:
             FacetRequest(
                 field=field, limit=limit, mincount=mincount,
                 sort=sort, prefix=prefix, missing=missing,
+                group_by=group_by,
             ),
             spec=spec, refine=refine,
         )

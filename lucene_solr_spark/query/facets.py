@@ -64,6 +64,13 @@ class FacetRequest:
     #: facet.missing: append a NULL-valued row counting domain docs
     #: with no value for the field (ord == -1)
     missing: bool = False
+    #: group.facet=true analog (SimpleFacets#getGroupedCounts): count
+    #: each GROUP once per bucket instead of each doc. Only the
+    #: segment-local block key (conv_id) is supported — conversations
+    #: never span segments (hash-partitioned build), so per-segment
+    #: distinct-group counts SUM to the exact global distinct count
+    #: with no extra shuffle (the same locality block joins rely on).
+    group_by: str | None = None
 
 
 def _overrequest(limit: int) -> int:
@@ -86,13 +93,43 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
     want_missing = req.missing
     has_deletes = bool(searcher.deleted_keys)  # drives column reads
     deleted_bc = searcher._deleted_bc  # broadcast mask (None = no-op)
+    if req.group_by not in (None, "conv_id"):
+        # only the segment-local block key sums correctly (see
+        # FacetRequest.group_by); anything else would need a global
+        # distinct shuffle — refuse rather than silently overcount.
+        raise ValueError(f"group_by={req.group_by!r}: only conv_id is "
+                         "segment-local")
+    grouped = req.group_by is not None
 
-    def _count_ords(seg_id: int, hits: np.ndarray | None, ords: np.ndarray) -> pd.DataFrame:
+    def _count_ords(
+        seg_id: int,
+        hits: np.ndarray | None,
+        ords: np.ndarray,
+        groups: np.ndarray | None = None,
+    ) -> pd.DataFrame:
         if hits is not None:
             ords = ords[hits]
-        n_missing = int((ords < 0).sum())
-        ords = ords[ords >= 0]  # drop missing (-1), Lucene semantics
-        uniq, cnt = np.unique(ords, return_counts=True)  # sparse counter
+            if groups is not None:
+                groups = groups[hits]
+        neg = ords < 0
+        if groups is None:
+            n_missing = int(neg.sum())
+            uniq, cnt = np.unique(ords[~neg], return_counts=True)  # sparse
+        else:
+            # group.facet: one count per DISTINCT (ord, group) pair —
+            # factorize group ids once, dedupe composite keys, count
+            # per ord. Segment-local groups make the cross-segment sum
+            # exact (FacetRequest.group_by).
+            codes = pd.factorize(groups)[0].astype(np.int64)
+            n_missing = int(len(np.unique(codes[neg]))) if neg.any() else 0
+            vals, gcodes = ords[~neg].astype(np.int64), codes[~neg]
+            if len(vals):
+                stride = int(codes.max()) + 1
+                uk = np.unique(vals * stride + gcodes)
+                uniq, cnt = np.unique(uk // stride, return_counts=True)
+            else:
+                uniq = np.empty(0, np.int64)
+                cnt = np.empty(0, np.int64)
         if want_missing and n_missing:
             # facet.missing: one extra partial per segment, ord -1
             uniq = np.append(uniq, -1)
@@ -115,13 +152,16 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
 
             seg_id = int(pdf["seg_id"].iloc[0])
             cols = [ord_col] + (["conv_id", "turn_idx"] if has_deletes else [])
+            if grouped and "conv_id" not in cols:
+                cols.append("conv_id")
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
             ).to_pandas()
             ords = dm[ord_col].to_numpy().astype(np.int64)
             live = apply_deletes(None, dm, deleted_bc.value if deleted_bc else None)
             hits = None if live is None else np.flatnonzero(live)
-            return _count_ords(seg_id, hits, ords)
+            groups = dm["conv_id"].to_numpy() if grouped else None
+            return _count_ords(seg_id, hits, ords, groups)
 
         return seg_df.groupBy("seg_id").applyInPandas(count_all, PARTIAL_SCHEMA)
 
@@ -132,6 +172,8 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
     dm_cols = filter_cols(spec, ["doc_ord", "doc_len", ord_col])
     if has_deletes:
         dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
+    if grouped and "conv_id" not in dm_cols:
+        dm_cols.append("conv_id")
 
     def count_hits(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -156,7 +198,10 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
             term_rows = {r["term"]: r for _, r in pdf.iterrows()}
         max_dl = int(dm["doc_len"].max()) if n_docs else 0
         hits = match_segment(spec, term_rows, n_docs, allowed, max_dl)
-        return _count_ords(seg_id, hits, dm[ord_col].to_numpy(np.int64))
+        groups = dm["conv_id"].to_numpy() if grouped else None
+        return _count_ords(
+            seg_id, hits, dm[ord_col].to_numpy(np.int64), groups
+        )
 
     # pure-negative / filter-only domains must visit EVERY segment
     # (term-pruned postings would silently drop term-free segments);

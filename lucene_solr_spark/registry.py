@@ -176,6 +176,40 @@ register(
 )
 
 
+def _idx_grouped_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.facet=true THROUGH the index engine: each conversation
+    counts once per role bucket over the 'merge' domain. Per-segment
+    distinct-(ord, conv) counting sums to the exact global distinct
+    because conversations never span segments (hash-partitioned
+    build) — no extra shuffle vs the plain facet.
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    getGroupedCounts."""
+    s = cached_searcher(spark, sf_dir)
+    return s.facet(
+        "role", spec=BooleanSpec(must=("merge",)), limit=10,
+        group_by="conv_id",
+    )
+
+
+register(
+    "q_idx_grouped_facet",
+    _idx_grouped_facet,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, conv_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS cnt
+FROM docs WHERE list_contains(toks, 'merge')
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-select faceting (``fq={!tag=r}role:user`` +
     ``facet.field={!ex=r}role``): the role facet EXCLUDES the role fq

@@ -133,6 +133,38 @@ def test_multiselect_fq_only_widens_to_matchall(searcher):
     assert list(zip(got.facet_value, got.cnt)) == list(zip(want.facet_value, want.cnt))
 
 
+def test_grouped_facet_counts_each_conv_once(searcher):
+    """group.facet analog: per-bucket counts equal COUNT(DISTINCT
+    conv_id) over the domain (each conversation once per bucket, no
+    matter how many matching turns it has)."""
+    s, t = searcher
+    spec = BooleanSpec(must=("merge",))
+    got = s.facet("role", spec=spec, limit=10, group_by="conv_id").toPandas()
+    want = (
+        t.withColumn("toks", tokens_col("text"))
+        .filter(F.array_contains(F.col("toks"), "merge"))
+        .groupBy(F.col("role").alias("facet_value"))
+        .agg(F.countDistinct("conv_id").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("facet_value"))
+        .limit(10)
+        .toPandas()
+    )
+    assert list(zip(got.facet_value, got.cnt)) == list(
+        zip(want.facet_value, want.cnt)
+    )
+    # grouped counts must be strictly below doc counts somewhere
+    # (conversations have several matching turns) — the discriminator
+    plain = s.facet("role", spec=spec, limit=10).toPandas()
+    plain_map = dict(zip(plain.facet_value, plain.cnt))
+    assert any(plain_map[v] > c for v, c in zip(got.facet_value, got.cnt))
+
+
+def test_grouped_facet_rejects_non_segment_local_key(searcher):
+    s, _t = searcher
+    with pytest.raises(ValueError):
+        s.facet("role", spec=None, group_by="tool").collect()
+
+
 def test_nested_and_pivot_merge_invariant(spark, sf_dir, tmp_path_factory):
     """facet_nested + facet_pivot are segment-layout-invariant: a
     merged (compacted) index — new seg ids, re-derived ordinal
