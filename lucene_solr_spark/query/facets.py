@@ -221,6 +221,121 @@ def _with_terms(searcher, partials: DataFrame, field: str) -> DataFrame:
     return partials.join(dicts, ["seg_id", "term_ord"], "inner")
 
 
+METRIC_PARTIAL_SCHEMA = "seg_id int, term_ord int, cnt long, s double"
+
+
+def facet_metrics(
+    searcher,
+    field: str,
+    metric: str = "doc_len",
+    spec: BooleanSpec | None = None,
+    limit: int = 10,
+) -> DataFrame:
+    """JSON-Facet bucket METRICS through the index engine (FacetModule
+    SumAgg/AvgAgg riding the terms facet): per bucket of ``field``,
+    count + sum/avg of a numeric docvalues column over the query
+    domain — computed inside the SAME per-segment sparse pass as the
+    counts (np.unique inverse + weighted bincount over hit ordinals
+    only), merged as algebraic partials (Σcnt, Σsum → avg). Only
+    (seg_id, term_ord, cnt, sum) rows ever shuffle.
+
+    ref: solr/core/src/java/org/apache/solr/search/facet/SumAgg.java,
+         AvgAgg.java, FacetFieldProcessor (metrics-per-bucket).
+    """
+    ord_col = f"{field}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    deleted_bc = searcher._deleted_bc
+    has_deletes = bool(searcher.deleted_keys)
+
+    from lucene_solr_spark.query.executor import (
+        apply_deletes,
+        filter_cols,
+        filter_mask,
+    )
+
+    if spec is not None and spec.needs_rewrite:
+        spec = searcher.rewrite(spec)
+    lookup = list(spec.lookup_terms) if spec is not None else []
+    pure_negative = spec is not None and not spec.scoring_terms
+    base_cols = ["doc_ord", "doc_len", ord_col]
+    if metric not in base_cols:
+        base_cols.append(metric)
+    dm_cols = (
+        filter_cols(spec, base_cols) if spec is not None else list(base_cols)
+    )
+    if has_deletes:
+        dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
+
+    def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        seg_id = int(pdf["seg_id"].iloc[0])
+        dm = pq.read_table(
+            f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+        ).to_pandas()
+        n_docs = len(dm)
+        ords = dm[ord_col].to_numpy(np.int64)
+        vals = dm[metric].to_numpy(np.float64)
+        if spec is None:
+            live = apply_deletes(
+                None, dm, deleted_bc.value if deleted_bc else None
+            )
+            hits = None if live is None else np.flatnonzero(live)
+        else:
+            allowed = apply_deletes(
+                filter_mask(dm, spec),
+                dm,
+                deleted_bc.value if deleted_bc else None,
+            )
+            if pure_negative:
+                term_rows = {}
+                if lookup:
+                    post_tbl = pq.read_table(
+                        f"{seg_dirs[seg_id]}/postings.parquet",
+                        filters=[("term", "in", lookup)],
+                    ).to_pandas()
+                    term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+            else:
+                term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            max_dl = int(dm["doc_len"].max()) if n_docs else 0
+            hits = match_segment(spec, term_rows, n_docs, allowed, max_dl)
+        if hits is not None:
+            ords, vals = ords[hits], vals[hits]
+        keep = ords >= 0
+        ords, vals = ords[keep], vals[keep]
+        uniq, inv = np.unique(ords, return_inverse=True)
+        cnt = np.bincount(inv)
+        s = np.bincount(inv, weights=vals)
+        return pd.DataFrame(
+            {
+                "seg_id": np.full(len(uniq), seg_id, np.int32),
+                "term_ord": uniq.astype(np.int32),
+                "cnt": cnt.astype(np.int64),
+                "s": s.astype(np.float64),
+            }
+        )
+
+    if spec is None or pure_negative:
+        driver = searcher.seg_driver()
+    else:
+        driver = searcher.postings().filter(F.col("term").isin(lookup))
+    partials = driver.groupBy("seg_id").applyInPandas(
+        run_seg, METRIC_PARTIAL_SCHEMA
+    )
+    parts = _with_terms(searcher, partials, field)
+    return (
+        parts.groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
+        .select(
+            F.col("term").alias("facet_value"),
+            "cnt",
+            F.round(F.col("s") / F.col("cnt"), 4).alias(f"avg_{metric}"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("facet_value"))
+        .limit(limit)
+    )
+
+
 def facet_pivot(
     searcher,
     f1: str,

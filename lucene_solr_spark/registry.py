@@ -176,6 +176,38 @@ register(
 )
 
 
+def _idx_json_facet_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Facet bucket metrics (SumAgg/AvgAgg) through the index
+    engine: per role over the 'merge' domain, count + avg doc length
+    computed in the SAME sparse per-segment pass as the counts
+    (weighted bincount over hit ordinals); algebraic partial merge."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_metrics(
+        s, "role", metric="doc_len", spec=BooleanSpec(must=("merge",)),
+        limit=10,
+    )
+
+
+register(
+    "q_idx_json_facet_metrics",
+    _idx_json_facet_metrics,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value, count(*) AS cnt,
+       round(avg(len(toks)), 4) AS avg_doc_len
+FROM docs WHERE list_contains(toks, 'merge')
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_grouped_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group.facet=true THROUGH the index engine: each conversation
     counts once per role bucket over the 'merge' domain. Per-segment

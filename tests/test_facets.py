@@ -159,6 +159,32 @@ def test_grouped_facet_counts_each_conv_once(searcher):
     assert any(plain_map[v] > c for v, c in zip(got.facet_value, got.cnt))
 
 
+def test_facet_metrics_match_control(searcher):
+    """Bucket metrics (cnt + avg doc_len) from the sparse segment pass
+    equal a plain Catalyst GROUP BY over the same domain — for a
+    filtered domain too."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s, t = searcher
+    spec = BooleanSpec(must=("query",), filters=(("role", "assistant"),))
+    got = facet_metrics(s, "role", metric="doc_len", spec=spec).toPandas()
+    want = (
+        t.withColumn("toks", tokens_col("text"))
+        .filter(
+            F.array_contains(F.col("toks"), "query")
+            & (F.col("role") == "assistant")
+        )
+        .groupBy(F.col("role").alias("facet_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg(F.size("toks")), 4).alias("avg_doc_len"),
+        )
+        .orderBy(F.desc("cnt"), "facet_value")
+        .toPandas()
+    )
+    assert list(map(tuple, got.values)) == list(map(tuple, want.values))
+
+
 def test_grouped_facet_rejects_non_segment_local_key(searcher):
     s, _t = searcher
     with pytest.raises(ValueError):
