@@ -2099,7 +2099,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # which runs the same role facet UNfiltered plus a filtered tool
     # facet — strictly wider coverage of the same machinery)
     "q_idx_facet_multiselect", "q_facet_ftok_hc", "q_facet_neg_domain",
-    "q_idx_facet_pivot", "q_json_facet_nested", "q_json_facet_aggs",
+    # q_idx_facet_pivot / q_json_facet_aggs (attested r2) yield to the
+    # NEW grouped facet and index-pass bucket metrics
+    "q_idx_grouped_facet", "q_json_facet_nested", "q_idx_json_facet_metrics",
     "q_json_facet_approx",
     # spans: NEW or/not/first through the index engine (span_near,
     # attested r2, rotates down to the full battery)
@@ -2109,7 +2111,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # one per remaining SURVEY §2 family
     "q_lang_id",            # text analysis (pipeline)
     "q_multimodal_features_check",  # multimodal plumbing (pipeline)
-    "q_rerank",             # W5
+    "q_idx_collapse",       # A11 through the index engine (NEW r3,
+                            # displaces q_rerank — attested r1+r2)
     "q_idx_ltr_rerank",     # W5 LTR LinearModel (rotated in)
     "q_ann_lsh_check",      # ANN-LSH attestation
     "q_set_intersect",      # T3
