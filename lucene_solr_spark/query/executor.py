@@ -683,7 +683,11 @@ class IndexSearcher:
         `range_filters`) is dropped from THIS facet's domain, while
         the hit list and every other facet keep honoring it. Tags are
         request-plumbing in Solr; field names are the natural handle
-        in this API."""
+        in this API.
+
+        ``group_by="conv_id"`` is group.facet=true (each conversation
+        counts once per bucket — see FacetRequest.group_by for why
+        only the segment-local block key is allowed)."""
         from lucene_solr_spark.query.facets import FacetRequest, facet_field
 
         if spec is not None and spec.needs_rewrite:
