@@ -221,6 +221,18 @@ def test_nested_and_pivot_merge_invariant(spark, sf_dir, tmp_path_factory):
     d = facet_pivot(sm, "role", "tool", spec=spec, limit1=3, limit2=2).toPandas()
     assert c.equals(d), (c, d)
 
+    # grouped facet + bucket metrics: merging unions disjoint conv
+    # sets, so segment-local distinct counting and algebraic metric
+    # partials must survive compaction unchanged
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    e = s.facet("role", spec=spec, group_by="conv_id").toPandas()
+    f = sm.facet("role", spec=spec, group_by="conv_id").toPandas()
+    assert e.equals(f), (e, f)
+    g = facet_metrics(s, "role", metric="doc_len", spec=spec).toPandas()
+    h = facet_metrics(sm, "role", metric="doc_len", spec=spec).toPandas()
+    assert g.equals(h), (g, h)
+
 
 def test_refine_mincount_routes_exact(searcher):
     """ADVICE r2: mincount>1 must be exact even under refine=True
