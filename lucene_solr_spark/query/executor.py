@@ -451,6 +451,91 @@ class IndexSearcher:
             .limit(k)
         )
 
+    # -- significant terms ---------------------------------------------
+    def significant_terms(
+        self,
+        spec: BooleanSpec,
+        min_fg: int = 5,
+        limit: int = 20,
+    ) -> DataFrame:
+        """significantTerms THROUGH the index (SignificantTermsQParserPlugin):
+        terms over-represented in the query's hit set vs the corpus,
+        scored fg_df²/bg_df (the battery op's pinned formula).
+
+        Physical — zero shuffle until the tiny term aggregation: the
+        seg-id driver fans out one task per segment; each task reads
+        its OWN postings file, computes the segment's hit DocSet once
+        (match_segment), then counts |postings(term) ∩ hits| per term
+        with doc-level decodes only (no position bytes). Per-segment
+        (term, fg, df) partials sum exactly (a doc lives in one
+        segment). At real scale the candidate enumeration would be
+        bounded by a field/prefix or df band exactly like Solr's term
+        enum — the per-task loop is vocabulary-bounded, never
+        corpus-bounded.
+
+        ref: solr/core/src/java/org/apache/solr/search/
+             SignificantTermsQParserPlugin.java"""
+        import numpy as np
+
+        from lucene_solr_spark.query.scorer import TermPostings, match_segment
+
+        if spec.needs_rewrite:
+            spec = self.rewrite(spec)
+        seg_dirs = self.seg_dir_by_id
+        dm_cols = filter_cols(spec, _BASE_COLS)
+        deleted_bc = self._deleted_bc
+        lspec = spec
+
+        def run_seg(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            post = pq.read_table(
+                f"{seg_dirs[seg_id]}/postings.parquet"
+            ).to_pandas()
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            allowed = apply_deletes(
+                filter_mask(dm, lspec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
+            term_rows = {r["term"]: r for _, r in post.iterrows()}
+            max_dl = int(dm["doc_len"].max()) if len(dm) else 0
+            hits = match_segment(lspec, term_rows, len(dm), allowed, max_dl)
+            if len(hits) == 0:
+                return pd.DataFrame(columns=["term", "fg", "df"])
+            out_t, out_f, out_d = [], [], []
+            for t, row in term_rows.items():
+                d = TermPostings(row, 0.0).decode_all()[0]
+                fg = int(np.isin(d, hits, assume_unique=True).sum())
+                if fg or row["df"]:
+                    out_t.append(t)
+                    out_f.append(fg)
+                    out_d.append(int(row["df"]))
+            return pd.DataFrame({"term": out_t, "fg": out_f, "df": out_d})
+
+        partials = self.seg_driver().groupBy("seg_id").applyInPandas(
+            run_seg, "term string, fg long, df long"
+        )
+        agg = partials.groupBy("term").agg(
+            F.sum("fg").alias("fg_df"), F.sum("df").alias("bg_df")
+        )
+        return (
+            agg.filter(F.col("fg_df") >= min_fg)
+            .select(
+                "term", "fg_df", "bg_df",
+                F.round(
+                    F.col("fg_df").cast("double")
+                    * F.col("fg_df") / F.col("bg_df"),
+                    4,
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "term")
+            .limit(limit)
+        )
+
     # -- block join: conversation-level search -------------------------
     def search_conversations(
         self,

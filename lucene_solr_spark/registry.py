@@ -176,6 +176,42 @@ register(
 )
 
 
+def _idx_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significantTerms over a QUERY domain through the index engine
+    (seg-driver fan-out, postings-only fg counting — see
+    IndexSearcher.significant_terms)."""
+    s = cached_searcher(spark, sf_dir)
+    return s.significant_terms(
+        BooleanSpec(must=("merge",)), min_fg=5, limit=20
+    )
+
+
+register(
+    "q_idx_significant_terms",
+    _idx_significant_terms,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+per_doc AS (
+  SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term,
+         list_contains(toks, 'merge') AS fgd
+  FROM docs
+),
+bg AS (SELECT term, count(*) AS bg_df FROM per_doc GROUP BY term),
+fg AS (SELECT term, count(*) AS fg_df FROM per_doc WHERE fgd GROUP BY term)
+SELECT fg.term, fg_df, bg_df,
+       round(CAST(fg_df AS DOUBLE) * fg_df / bg_df, 4) AS score
+FROM fg JOIN bg USING (term)
+WHERE fg_df >= 5
+ORDER BY score DESC, fg.term LIMIT 20
+""".strip(),
+)
+
+
 def _idx_json_facet_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-Facet bucket metrics (SumAgg/AvgAgg) through the index
     engine: per role over the 'merge' domain, count + avg doc length
