@@ -32,7 +32,7 @@ from pyspark.sql import SparkSession
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("dedup", "clusters", "sample", "pack"):
+    for name in ("dedup", "clusters", "sample", "pack", "filter"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -62,6 +62,19 @@ def main(argv: list[str] | None = None) -> dict:
         out = textpipe.q_dedup_clusters(spark, args.sf_dir)
     elif args.cmd == "sample":
         out = textpipe.q_sample_stratified(spark, args.sf_dir)
+    elif args.cmd == "filter":
+        # hygiene stage: drop repetitious / degenerate docs (Gopher-style
+        # keep flags from q_quality_repetition; <2-token docs have no
+        # flag row and drop too)
+        c = textpipe.corpus_df(spark, args.sf_dir)
+        rep = textpipe.q_quality_repetition(spark, args.sf_dir).select(
+            "doc_id", "keep"
+        )
+        out = (
+            c.join(rep, "doc_id", "left")
+            .filter(F.coalesce("keep", F.lit(False)))
+            .drop("keep")
+        )
     else:  # pack
         out = textpipe.q_pack_sequences(spark, args.sf_dir)
 

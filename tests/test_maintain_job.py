@@ -81,3 +81,20 @@ def test_pipeline_cli_stages(spark, sf_dir, tmp_path):
     st = pmain(["dedup", "--sf-dir", sf_dir, "--out", str(tmp_path / "keep")])
     # planted corpus: every %7 doc has an exact dup that must drop
     assert st["rows_out"] < st["rows_in"] * 1.25  # corpus adds ~23% dups
+
+
+def test_pipeline_cli_filter_stage(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_job import main as pmain
+
+    st = pmain(["filter", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "clean")])
+    assert 0 < st["rows_out"] < st["rows_in"]  # flags discriminate
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert "keep" not in clean.columns  # flag consumed, not emitted
+    # every surviving doc really passes the repetition keep rule
+    from lucene_solr_spark.operators.textpipe import q_quality_repetition
+
+    rep = q_quality_repetition(spark, sf_dir)
+    joined = clean.join(rep, "doc_id", "left")
+    assert joined.filter(~joined.keep).count() == 0
