@@ -451,6 +451,95 @@ class IndexSearcher:
             .limit(k)
         )
 
+    # -- debugQuery explain --------------------------------------------
+    def explain(
+        self,
+        spec: BooleanSpec,
+        conv_id: str,
+        turn_idx: int,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """debugQuery Explanation analog: the per-term BM25 breakdown
+        (tf, df, idf, contrib) for ONE doc — the row-level audit trail
+        behind a score. Physical: one pruned docmap probe locates the
+        doc's (segment, ord, norm); one task decodes ONLY the query
+        terms' postings blocks of THAT segment for that single ord
+        (block skip list → one block per term). Nothing corpus-sized
+        moves. Matching clauses only (Lucene explain omits absent
+        terms); per-term boosts fold into contrib like scoring.
+
+        ref: lucene/core/src/java/org/apache/lucene/search/
+             IndexSearcher.java#explain, BM25Similarity.java#explain"""
+        import numpy as np
+
+        from lucene_solr_spark.query.model import B, K1
+        from lucene_solr_spark.query.scorer import TermPostings
+
+        if spec.needs_rewrite:
+            spec = self.rewrite(spec)
+        terms = list(spec.scoring_terms)
+        schema = "term string, tf long, df long, idf double, contrib double"
+        loc = (
+            self.docmap()
+            .filter(
+                (F.col("conv_id") == conv_id)
+                & (F.col("turn_idx") == turn_idx)
+            )
+            .select("seg_id", "doc_ord", "doc_len")
+            .collect()
+        )
+        if not loc or not terms:
+            return self.spark.createDataFrame([], schema)
+        seg_id, doc_ord, doc_len = (
+            int(loc[0].seg_id), int(loc[0].doc_ord), float(loc[0].doc_len)
+        )
+        dfs = self.global_df(terms)
+        n, avgdl = self.manifest.n_docs, self.manifest.avgdl
+        bm = spec.boost_map
+
+        def run(pdf):
+            import pandas as pd
+
+            rows = []
+            for _, r in pdf.iterrows():
+                p = TermPostings(r, 0.0)
+                blocks = p.blocks_for_docs(np.array([doc_ord]))
+                d, tf = p.decode_blocks(blocks)
+                m = d == doc_ord
+                if m.any():
+                    rows.append((r["term"], int(tf[m][0])))
+            return pd.DataFrame(rows, columns=["term", "tf"])
+
+        tfdf = (
+            self.postings()
+            .filter(
+                (F.col("seg_id") == seg_id) & F.col("term").isin(terms)
+            )
+            .groupBy("seg_id")
+            .applyInPandas(run, "term string, tf long")
+        )
+        meta = self.spark.createDataFrame(
+            [(t, dfs[t], float(bm.get(t, 1.0))) for t in terms],
+            "term string, df long, boost double",
+        )
+        idf = F.log(1.0 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        norm = K1 * (1 - B + B * doc_len / avgdl)
+        contrib = (
+            F.col("boost") * F.col("idf")
+            * (F.col("tf") * (K1 + 1)) / (F.col("tf") + norm)
+        )
+        out = (
+            tfdf.join(F.broadcast(meta), "term")
+            .withColumn("idf", idf)
+            .withColumn("contrib", contrib)
+            .select("term", "tf", "df", "idf", "contrib")
+        )
+        if round_to is not None:
+            out = out.withColumn("idf", F.round("idf", round_to)).withColumn(
+                "contrib", F.round("contrib", round_to)
+            )
+        return out.orderBy("term")
+
     # -- significant terms ---------------------------------------------
     def significant_terms(
         self,

@@ -369,3 +369,28 @@ SELECT t.conv_id, t.turn_idx, t.score,
 FROM topk t JOIN docs2 d USING (conv_id, turn_idx)
 ORDER BY t.score DESC, t.conv_id, t.turn_idx
 """).strip()
+
+
+def bm25_explain_oracle_sql(spec: BooleanSpec) -> str:
+    """debugQuery twin: per-term (tf, df, idf, contrib) breakdown for
+    the query's TOP-1 doc (the pinned total order makes the chosen doc
+    engine-independent). Matching clauses only, ordered by term."""
+    per_turn = bm25_oracle_sql(spec)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f""",
+top1 AS (
+  SELECT conv_id, turn_idx FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx LIMIT 1)
+SELECT tf.term, tf.tf, dfreq.df,
+       round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)),
+             {ROUND}) AS idf,
+       round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({K1} + 1))
+             / (tf.tf + {K1} * (1 - {B} + {B} * tf.doc_len / stats.avgdl)),
+             {ROUND}) AS contrib
+FROM tf
+JOIN top1 USING (conv_id, turn_idx)
+JOIN dfreq USING (term)
+CROSS JOIN stats
+ORDER BY tf.term
+""").strip()

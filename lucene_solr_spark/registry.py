@@ -176,6 +176,30 @@ register(
 )
 
 
+_EXPLAIN_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1, k=1)
+
+
+def _idx_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """debugQuery explain through the index engine: rank the query,
+    take the pinned top-1 doc, return its per-term BM25 breakdown
+    (IndexSearcher.explain — one docmap probe + one segment's pruned
+    postings blocks; nothing corpus-sized moves)."""
+    s = cached_searcher(spark, sf_dir)
+    top = s.search(_EXPLAIN_SPEC, round_to=ROUND).collect()
+    if not top:
+        return spark.createDataFrame(
+            [], "term string, tf long, df long, idf double, contrib double"
+        )
+    return s.explain(
+        _EXPLAIN_SPEC, top[0].conv_id, int(top[0].turn_idx), round_to=ROUND
+    )
+
+
+from lucene_solr_spark.query.oracle import bm25_explain_oracle_sql  # noqa: E402
+
+register("q_idx_explain", _idx_explain, bm25_explain_oracle_sql(_EXPLAIN_SPEC))
+
+
 def _idx_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significantTerms over a QUERY domain through the index engine
     (seg-driver fan-out, postings-only fg counting — see

@@ -192,3 +192,24 @@ def test_empty_multiterm_rewrite_yields_zero_hits(searcher):
     # with another positive clause the query degrades gracefully to it
     spec2 = parse("+merge zzz*", k=5)
     assert s.search(spec2).count() == 5
+
+
+def test_explain_breakdown_sums_to_score(searcher):
+    """debugQuery invariant: the per-term explain contribs of a doc
+    sum to exactly the score the ranker gave it (raw float64)."""
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    s, _t = searcher
+    spec = BooleanSpec(should=("merge", "data"), min_should_match=1, k=3)
+    top = s.search(spec).collect()
+    assert top
+    for r in top:
+        br = s.explain(spec, r.conv_id, int(r.turn_idx)).toPandas()
+        assert len(br) >= 1
+        assert abs(br.contrib.sum() - r.score) < 1e-9
+        assert (br.tf > 0).all()  # matching clauses only
+    # absent doc → empty breakdown, stable schema
+    empty = s.explain(spec, "conv_does_not_exist", 0).toPandas()
+    assert len(empty) == 0 and list(empty.columns) == [
+        "term", "tf", "df", "idf", "contrib"
+    ]
