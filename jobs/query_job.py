@@ -51,6 +51,9 @@ def main() -> None:
     ap.add_argument("--cursor", default=None, metavar="SCORE,CONV,TURN",
                     help="cursorMark deep paging: the nextCursorMark "
                          "printed by the previous page")
+    ap.add_argument("--explain", action="store_true",
+                    help="debugQuery analog: include the top hit's "
+                         "per-term BM25 breakdown")
     ap.add_argument("--analyzer-version", default=None,
                     help="query-time chain version (must match the index)")
     args = ap.parse_args()
@@ -116,6 +119,17 @@ def main() -> None:
         out["hits"] = [
             {"conv_id": r.conv_id, "turn_idx": r.turn_idx} for r in rows
         ]
+
+    if args.explain and out.get("hits"):
+        h0 = out["hits"][0]
+        br = s.explain(spec, h0["conv_id"], h0["turn_idx"], round_to=4)
+        out["explain"] = {
+            f'{h0["conv_id"]}/{h0["turn_idx"]}': [
+                {"term": r.term, "tf": r.tf, "df": r.df,
+                 "idf": r.idf, "contrib": r.contrib}
+                for r in br.collect()
+            ]
+        }
 
     if args.facet:
         # always over the q+fq domain (Solr semantics): segment_partials

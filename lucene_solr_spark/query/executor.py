@@ -473,11 +473,13 @@ class IndexSearcher:
         import numpy as np
 
         from lucene_solr_spark.query.model import B, K1
-        from lucene_solr_spark.query.scorer import TermPostings
+        from lucene_solr_spark.query.scorer import TermPostings, _phrase_freqs
 
         if spec.needs_rewrite:
             spec = self.rewrite(spec)
         terms = list(spec.scoring_terms)
+        pf_terms = [t for ph in spec.pf_phrases for t in ph]
+        scan_terms = list(dict.fromkeys(terms + pf_terms))
         schema = "term string, tf long, df long, idf double, contrib double"
         loc = (
             self.docmap()
@@ -493,36 +495,77 @@ class IndexSearcher:
         seg_id, doc_ord, doc_len = (
             int(loc[0].seg_id), int(loc[0].doc_ord), float(loc[0].doc_len)
         )
-        dfs = self.global_df(terms)
+        dfs = self.global_df(scan_terms)
         n, avgdl = self.manifest.n_docs, self.manifest.avgdl
         bm = spec.boost_map
+        pf_phrases, pf_boost = spec.pf_phrases, spec.pf_boost
+        # stride for the phrase matcher: positions are < the doc's own
+        # length; other candidate docs are pruned before key-building,
+        # but their positions flow through — bound by the segment max
+        seg_max_dl = int(doc_len)
+        if pf_phrases:
+            seg_max_dl = int(
+                self.docmap()
+                .filter(F.col("seg_id") == seg_id)
+                .agg(F.max("doc_len"))
+                .collect()[0][0]
+            )
 
         def run(pdf):
             import pandas as pd
 
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             rows = []
-            for _, r in pdf.iterrows():
-                p = TermPostings(r, 0.0)
+            for t in term_rows:
+                if t not in terms:
+                    continue  # pf-only terms never score alone
+                p = TermPostings(term_rows[t], 0.0)
                 blocks = p.blocks_for_docs(np.array([doc_ord]))
                 d, tf = p.decode_blocks(blocks)
                 m = d == doc_ord
                 if m.any():
-                    rows.append((r["term"], int(tf[m][0])))
+                    rows.append((t, int(tf[m][0])))
+            for ph in pf_phrases:
+                # optional PhraseQuery clause (edismax pf): explain it
+                # like Lucene does — label, phrase freq
+                tps = [
+                    TermPostings(term_rows[t], 0.0)
+                    if t in term_rows else None
+                    for t in ph
+                ]
+                pdocs, ptf = _phrase_freqs(tps, seg_max_dl)
+                m = pdocs == doc_ord
+                if m.any():
+                    rows.append(('"' + " ".join(ph) + '"', int(ptf[m][0])))
             return pd.DataFrame(rows, columns=["term", "tf"])
 
         tfdf = (
             self.postings()
             .filter(
-                (F.col("seg_id") == seg_id) & F.col("term").isin(terms)
+                (F.col("seg_id") == seg_id) & F.col("term").isin(scan_terms)
             )
             .groupBy("seg_id")
             .applyInPandas(run, "term string, tf long")
         )
+
+        def _idf(t: str) -> float:
+            return math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+
+        meta_rows = [
+            (t, dfs[t], float(bm.get(t, 1.0)), _idf(t)) for t in terms
+        ]
+        for ph in pf_phrases:
+            # phrase idf = Σ term idfs (duplicates counted, boosts
+            # folded), weighted by pf_boost; df column carries 0 (the
+            # phrase has no dictionary df — Lucene explain shows the
+            # per-term stats inside the nested explanation instead)
+            isum = sum(_idf(t) * float(bm.get(t, 1.0)) for t in ph)
+            meta_rows.append(
+                ('"' + " ".join(ph) + '"', 0, float(pf_boost), isum)
+            )
         meta = self.spark.createDataFrame(
-            [(t, dfs[t], float(bm.get(t, 1.0))) for t in terms],
-            "term string, df long, boost double",
+            meta_rows, "term string, df long, boost double, idf double"
         )
-        idf = F.log(1.0 + (n - F.col("df") + 0.5) / (F.col("df") + 0.5))
         norm = K1 * (1 - B + B * doc_len / avgdl)
         contrib = (
             F.col("boost") * F.col("idf")
@@ -530,7 +573,6 @@ class IndexSearcher:
         )
         out = (
             tfdf.join(F.broadcast(meta), "term")
-            .withColumn("idf", idf)
             .withColumn("contrib", contrib)
             .select("term", "tf", "df", "idf", "contrib")
         )

@@ -176,6 +176,65 @@ register(
 )
 
 
+def _idx_bf_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax ``bf`` (additive boost function) through the index
+    engine: score = BM25 + recip(hours-since-epoch0) — the classic
+    recency boost. Physical: UNSORTED per-segment hits (score_hits,
+    no global sort) joined to the docvalues column on the business
+    key, function added, then ONE pinned TakeOrdered — the bf touches
+    matching docs only, never the corpus.
+
+    ref: solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java
+    (bf param → additive FunctionQuery),
+    solr/core/src/java/org/apache/solr/search/function/ — recip."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    spec = BooleanSpec(should=("merge", "data"), min_should_match=1, k=15)
+    hits = s.score_hits(spec, k=None)
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        ((F.unix_timestamp("ts")
+          - F.unix_timestamp(F.lit("2024-01-01 00:00:00"))) / 3600.0
+         ).alias("age_h"),
+    )
+    # recip(age, 1, 24, 24): 24/(age+24) — 1.0 at epoch0, halves daily
+    boosted = (
+        hits.join(t, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx",
+            F.round(
+                F.col("score") + 24.0 / (F.col("age_h") + 24.0), ROUND
+            ).alias("score"),
+        )
+    )
+    return boosted.orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    ).limit(spec.k)
+
+
+_BF_ORACLE_BASE = BooleanSpec(should=("merge", "data"), min_should_match=1, k=15)
+
+
+def _bf_oracle() -> str:
+    from lucene_solr_spark.query.oracle import bm25_oracle_sql
+
+    per_turn = bm25_oracle_sql(_BF_ORACLE_BASE)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f"""
+SELECT s.conv_id, s.turn_idx,
+       round(s.score + 24.0 / (date_diff('second',
+             TIMESTAMP '2024-01-01 00:00:00', d.ts) / 3600.0 + 24.0),
+             {ROUND}) AS score
+FROM scored s JOIN docs d USING (conv_id, turn_idx)
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 15
+""").strip()
+
+
+register("q_idx_bf_boost", _idx_bf_boost, _bf_oracle())
+
+
 _EXPLAIN_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1, k=1)
 
 

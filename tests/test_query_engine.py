@@ -208,6 +208,13 @@ def test_explain_breakdown_sums_to_score(searcher):
         assert len(br) >= 1
         assert abs(br.contrib.sum() - r.score) < 1e-9
         assert (br.tf > 0).all()  # matching clauses only
+    # pf query: the phrase clause appears as its own '"a b"' row and
+    # the identity still holds (bonus included)
+    pf = BooleanSpec(should=("merge", "data"), min_should_match=1,
+                     pf_phrases=(("merge", "data"),), pf_boost=2.0, k=3)
+    for r in s.search(pf).collect():
+        br = s.explain(pf, r.conv_id, int(r.turn_idx)).toPandas()
+        assert abs(br.contrib.sum() - r.score) < 1e-9
     # absent doc → empty breakdown, stable schema
     empty = s.explain(spec, "conv_does_not_exist", 0).toPandas()
     assert len(empty) == 0 and list(empty.columns) == [

@@ -128,7 +128,7 @@ def test_spark_submit_edismax_multiselect(spark, sf_dir, tmp_path):
             os.path.join(os.path.dirname(__file__), "..", "jobs", "query_job.py"),
             "--index", root,
             "--q", "merge data", "--edismax", "--mm", "50%",
-            "--pf-boost", "2.0",
+            "--pf-boost", "2.0", "--explain",
             "--k", "5", "--facet", "role", "--facet-exclude", "role",
         ],
         capture_output=True, text=True, timeout=300, env=env,
@@ -141,6 +141,10 @@ def test_spark_submit_edismax_multiselect(spark, sf_dir, tmp_path):
     assert len(out["hits"]) == 5
     # exclusion: no fq in this query, so the facet is the q-domain one
     assert len(out["facets"]["role"]) > 1
+    # debugQuery breakdown of the top hit sums to its score
+    (key, br), = out["explain"].items()
+    assert key == f'{out["hits"][0]["conv_id"]}/{out["hits"][0]["turn_idx"]}'
+    assert abs(sum(r["contrib"] for r in br) - out["hits"][0]["score"]) < 2e-3
     # in-process edismax agrees with the submitted job
     from lucene_solr_spark.query.parser import edismax
 
