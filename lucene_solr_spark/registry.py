@@ -2207,8 +2207,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idx_bm25_neg_filter",
     # negation / domain fallbacks
     "q_idx_docset_pure_negative",
-    # MultiTermQuery rewrites (prefix/fuzzy + NEW wildcard/regexp)
-    "q_idx_prefix_scored", "q_idx_fuzzy_terms",
+    # MultiTermQuery rewrites (wildcard/regexp carry the scored-rewrite
+    # shape; prefix_scored/fuzzy — attested r1+r2 — yield to the NEW
+    # debugQuery explain and index-path significant terms)
+    "q_idx_explain", "q_idx_significant_terms",
     "q_idx_wildcard", "q_idx_regexp",
     # block join + MLT + analysis chains (stem + NEW synonym)
     "q_idx_conv_search_max", "q_idx_more_like_this",
