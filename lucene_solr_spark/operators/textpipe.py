@@ -1266,6 +1266,108 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+# Domain-mixture reweighting: aim a TARGET token mix (50% src0 /
+# 30% src1 / 20% everything else) within a global budget of half the
+# corpus tokens. Rates are DERIVED from corpus stats inside the query
+# (rate_s = min(1, budget×share_s / stratum_tokens)) — an undersupplied
+# stratum saturates at rate 1 (full take), the standard mixture-
+# weighting behavior when the corpus can't meet the target. Applied as
+# a deterministic md5-hex cutoff — same no-RNG resume-safe contract as
+# stratified sampling. Cutoffs are fixed-width lowercase hex (inclusive
+# compare on floor(rate·2^24)−1), so the string compare IS the numeric
+# compare in both engines.
+_MIX_SHARES = {"src0": 0.5, "src1": 0.3}
+_MIX_REST = 0.2
+_MIX_BUDGET_FRAC = 0.5
+
+
+@op(
+    "q_domain_mix",
+    f"""WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN source
+              ELSE '_rest' END AS stratum,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+  FROM documents),
+st AS (SELECT stratum, sum(n_tok) AS s_tok FROM t GROUP BY stratum),
+tot AS (SELECT sum(n_tok) AS all_tok FROM t),
+rates AS (
+  -- inclusive cutoff = floor(rate*2^24)-1 as FIXED-WIDTH hex (a
+  -- rate of 1.0 must keep every hash; '1000000' is 7 chars and
+  -- breaks the lexicographic compare), clamped so rate~0 keeps
+  -- at most the '000000' hash bucket
+  SELECT stratum,
+         printf('%06x', greatest(1, least(16777216,
+           CAST(floor(round(least(1.0,
+           {_MIX_BUDGET_FRAC} * tot.all_tok *
+           CASE stratum WHEN 'src0' THEN {_MIX_SHARES['src0']}
+                        WHEN 'src1' THEN {_MIX_SHARES['src1']}
+                        ELSE {_MIX_REST} END / st.s_tok), 6)
+           * 16777216) AS BIGINT))) - 1) AS cutoff
+  FROM st CROSS JOIN tot)
+SELECT t.doc_id, t.source
+FROM t JOIN rates USING (stratum)
+WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6) <= rates.cutoff
+ORDER BY t.doc_id""",
+)
+def q_domain_mix(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.when(F.col("source").isin("src0", "src1"), F.col("source"))
+        .otherwise("_rest")
+        .alias("stratum"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).cast("long").alias("n_tok"),
+    )
+    share = (
+        F.when(F.col("stratum") == "src0", F.lit(_MIX_SHARES["src0"]))
+        .when(F.col("stratum") == "src1", F.lit(_MIX_SHARES["src1"]))
+        .otherwise(F.lit(_MIX_REST))
+    )
+    st = d.groupBy("stratum").agg(F.sum("n_tok").alias("s_tok"))
+    tot = d.agg(F.sum("n_tok").alias("all_tok"))
+    rates = (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.format_string(
+                "%06x",
+                (
+                    F.greatest(
+                        F.lit(1),
+                        F.least(
+                            F.lit(16777216),
+                            F.floor(
+                                F.round(
+                                    F.least(
+                                        F.lit(1.0),
+                                        _MIX_BUDGET_FRAC * F.col("all_tok")
+                                        * share / F.col("s_tok"),
+                                    ),
+                                    6,
+                                )
+                                * 16777216
+                            ).cast("int"),
+                        ),
+                    )
+                    - 1
+                ),
+            ).alias("cutoff"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "stratum")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+            <= F.col("cutoff")
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # 12. sequence packing — concat-and-chunk documents into fixed token
 #     budgets via a DISTRIBUTED prefix sum (no single-partition window)
