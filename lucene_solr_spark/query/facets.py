@@ -230,6 +230,7 @@ def facet_metrics(
     metric: str = "doc_len",
     spec: BooleanSpec | None = None,
     limit: int = 10,
+    sort: str = "count",
 ) -> DataFrame:
     """JSON-Facet bucket METRICS through the index engine (FacetModule
     SumAgg/AvgAgg riding the terms facet): per bucket of ``field``,
@@ -323,7 +324,7 @@ def facet_metrics(
         run_seg, METRIC_PARTIAL_SCHEMA
     )
     parts = _with_terms(searcher, partials, field)
-    return (
+    out = (
         parts.groupBy("term")
         .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
         .select(
@@ -331,9 +332,16 @@ def facet_metrics(
             "cnt",
             F.round(F.col("s") / F.col("cnt"), 4).alias(f"avg_{metric}"),
         )
-        .orderBy(F.desc("cnt"), F.asc("facet_value"))
-        .limit(limit)
     )
+    # JSON Facet `sort` by a bucket metric (FacetFieldProcessor
+    # sortVariable): rank on the ROUNDED avg so the limit boundary is
+    # engine-independent, facet_value tiebreak
+    order = (
+        [F.desc(f"avg_{metric}"), F.asc("facet_value")]
+        if sort == "metric"
+        else [F.desc("cnt"), F.asc("facet_value")]
+    )
+    return out.orderBy(*order).limit(limit)
 
 
 def facet_pivot(

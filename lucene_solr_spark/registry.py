@@ -327,6 +327,40 @@ LIMIT 10
 )
 
 
+def _idx_facet_sort_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet bucket sort by a METRIC (sort: 'avg_doc_len desc'
+    instead of count — FacetFieldProcessor sortVariable), through the
+    index engine's sparse metric pass; ranked on the rounded avg so
+    the limit boundary is engine-independent."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_metrics(
+        s, "ftok", metric="doc_len", spec=BooleanSpec(must=("data",)),
+        limit=8, sort="metric",
+    )
+
+
+register(
+    "q_idx_facet_sort_metric",
+    _idx_facet_sort_metric,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt,
+       round(avg(len(toks)), 4) AS avg_doc_len
+FROM docs
+WHERE list_contains(toks, 'data') AND len(toks) > 0
+GROUP BY 1
+ORDER BY avg_doc_len DESC, facet_value
+LIMIT 8
+""".strip(),
+)
+
+
 def _idx_grouped_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group.facet=true THROUGH the index engine: each conversation
     counts once per role bucket over the 'merge' domain. Per-segment
