@@ -638,6 +638,82 @@ def _idx_terms_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idx_terms_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent terms.regex: whole-term-anchored regex scan over
+    the index dictionary (the same dictionary seek the regexp query
+    rewrite uses), terms + global df ordered by df.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    TermsComponent.java (terms.regex)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.postings()
+        .filter(F.col("term").rlike("^s(can|ort|low)$"))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+register(
+    "q_idx_terms_regex",
+    _idx_terms_regex,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+per_doc AS (
+  SELECT DISTINCT conv_id, turn_idx, unnest(
+    regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts
+)
+SELECT term, count(*) AS df FROM per_doc
+WHERE regexp_matches(term, '^s(can|ort|low)$')
+GROUP BY term ORDER BY df DESC, term LIMIT 20
+""".strip(),
+)
+
+
+def _idx_sort_by_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-function (W3 by a ValueSource instead of a field):
+    docs ordered by recip(doc_len, 1, 100, 100) = 100/(doc_len+100)
+    over the role=user fq domain — straight off the index docvalues
+    (docmap scan, no corpus re-tokenization), pinned tiebreaks.
+    ref: solr/core/src/java/org/apache/solr/search/SortSpecParsing.java
+    (sort=recip(...) desc), function/ReciprocalFloatFunction.java."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.docmap()
+        .filter(F.col("role") == "user")
+        .select(
+            "conv_id", "turn_idx",
+            F.round(100.0 / (F.col("doc_len") + 100.0), 4).alias("r"),
+        )
+        .orderBy(F.desc("r"), "conv_id", "turn_idx")
+        .limit(25)
+    )
+
+
+register(
+    "q_idx_sort_by_function",
+    _idx_sort_by_function,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx, role,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, round(100.0 / (dl + 100.0), 4) AS r
+FROM docs WHERE role = 'user'
+ORDER BY r DESC, conv_id, turn_idx
+LIMIT 25
+""".strip(),
+)
+
+
 register("q_idx_fuzzy_terms", _idx_fuzzy_terms, ORACLES["q_fuzzy_query"])
 register("q_idx_terms_component", _idx_terms_component, ORACLES["q_terms_component"])
 
