@@ -882,6 +882,7 @@ class IndexSearcher:
         refine: bool = True,
         sort: str = "count",
         prefix: str | None = None,
+        contains: str | None = None,
         missing: bool = False,
         exclude_fields: tuple[str, ...] = (),
         group_by: str | None = None,
@@ -915,8 +916,8 @@ class IndexSearcher:
             self,
             FacetRequest(
                 field=field, limit=limit, mincount=mincount,
-                sort=sort, prefix=prefix, missing=missing,
-                group_by=group_by,
+                sort=sort, prefix=prefix, contains=contains,
+                missing=missing, group_by=group_by,
             ),
             spec=spec, refine=refine,
         )

@@ -61,6 +61,9 @@ class FacetRequest:
     sort: str = "count"
     #: facet.prefix: only values starting with this prefix
     prefix: str | None = None
+    #: facet.contains: only values containing this substring
+    #: (case-sensitive, like the reference default)
+    contains: str | None = None
     #: facet.missing: append a NULL-valued row counting domain docs
     #: with no value for the field (ord == -1)
     missing: bool = False
@@ -659,6 +662,8 @@ def facet_field(
     parts = _with_terms(searcher, raw, req.field)
     if req.prefix is not None:
         parts = parts.filter(F.col("term").startswith(req.prefix))
+    if req.contains is not None:
+        parts = parts.filter(F.col("term").contains(req.contains))
     rank_order = (
         [F.desc("cnt"), F.asc("term")] if req.sort == "count" else [F.asc("term")]
     )

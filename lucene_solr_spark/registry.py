@@ -1227,6 +1227,20 @@ register(
 )
 
 
+def _facet_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.contains (SimpleFacets substring narrowing — the prefix
+    param's case-sensitive contains sibling)."""
+    s = cached_searcher(spark, sf_dir)
+    return s.facet("ftok", spec=None, limit=10, contains="er")
+
+
+register(
+    "q_facet_contains",
+    _facet_contains,
+    _facet_oracle("len(toks) > 0 AND toks[1] LIKE '%er%'", "toks[1]", 10),
+)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end filter-chain index (SURVEY §2.7 analysis-chain extension
 # points): an index built through chain(stop_filter, s_stem_filter),
