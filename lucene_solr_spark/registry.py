@@ -888,6 +888,54 @@ FROM transcripts GROUP BY 1 ORDER BY day""",
 )
 
 
+def _idx_range_facet_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.other=all (RangeFacetProcessor): explicit
+    start/end/gap buckets over the turn_idx docvalues PLUS the
+    before / after / between special counts — start=2 end=8 gap=2.
+    One docvalues pass for the buckets, one bounded agg for between.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    RangeFacetProcessor.java (FacetRangeOther)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    dm = s.docmap().select("turn_idx")
+    bucket = (
+        F.when(F.col("turn_idx") < 2, "_before")
+        .when(F.col("turn_idx") >= 8, "_after")
+        .otherwise(
+            (2 + F.floor((F.col("turn_idx") - 2) / 2) * 2).cast("string")
+        )
+    )
+    counts = dm.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    between = (
+        dm.filter((F.col("turn_idx") >= 2) & (F.col("turn_idx") < 8))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("_between").alias("bucket"), "cnt")
+    )
+    return counts.unionByName(between).orderBy("bucket")
+
+
+register(
+    "q_idx_range_facet_other",
+    _idx_range_facet_other,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+b AS (
+  SELECT CASE WHEN turn_idx < 2 THEN '_before'
+              WHEN turn_idx >= 8 THEN '_after'
+              ELSE CAST(2 + (turn_idx - 2) // 2 * 2 AS VARCHAR) END AS bucket,
+         count(*) AS cnt
+  FROM transcripts GROUP BY 1
+),
+btw AS (
+  SELECT '_between' AS bucket, count(*) AS cnt FROM transcripts
+  WHERE turn_idx >= 2 AND turn_idx < 8
+)
+SELECT * FROM b UNION ALL SELECT * FROM btw ORDER BY bucket""",
+)
+
+
 def _idx_fetch_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-fields fetch phase (SURVEY §3.2 step 5 / §1.1 stored
     fields row): the index resolves the DocSet, then the original
