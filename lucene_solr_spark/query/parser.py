@@ -196,10 +196,32 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
 
 
 def _calc_mm(mm: int | str, n_optional: int) -> int:
-    """Solr mm spec subset: an int, or a percentage string like
-    '75%' (floor of n×pct, SolrPluginUtils#calculateMinShouldMatch)."""
-    if isinstance(mm, str) and mm.endswith("%"):
-        return int(n_optional * float(mm[:-1]) // 100)
+    """Solr mm spec (SolrPluginUtils#calculateMinShouldMatch): an int,
+    a negative int (n_optional − |mm|), a percentage ('75%', floor of
+    n×pct; negative per spec = all-but-floor), or the CONDITIONAL
+    grammar 'N<val N<val …' — each clause applies its val when
+    n_optional > N; the clause with the LARGEST applicable N wins;
+    with no applicable clause all optionals are required."""
+    if isinstance(mm, str):
+        mm = mm.strip()
+        if "<" in mm:
+            best_n, best_val = -1, None
+            for clause in mm.split():
+                cond, val = clause.split("<", 1)
+                n = int(cond)
+                if n_optional > n and n > best_n:
+                    best_n, best_val = n, val
+            if best_val is None:
+                return n_optional  # below every threshold: require all
+            return _calc_mm(best_val, n_optional)
+        if mm.endswith("%"):
+            pct = float(mm[:-1])
+            if pct < 0:  # '-25%': all but floor(n*|pct|)
+                return n_optional - int(n_optional * -pct // 100)
+            return int(n_optional * pct // 100)
+        mm = int(mm)
+    if mm < 0:  # '-2': all but 2
+        return max(0, n_optional + mm)
     return int(mm)
 
 
@@ -240,7 +262,9 @@ def edismax(
             )
     return BooleanSpec(
         should=should,
-        min_should_match=max(1, _calc_mm(mm, len(should))),
+        # Solr clamps the computed mm into [1, #optional clauses]
+        # (SolrPluginUtils: result > optionalClauseCount ? count : result)
+        min_should_match=max(1, min(len(should), _calc_mm(mm, len(should)))),
         pf_phrases=tuple(dict.fromkeys(pf_phrases)),
         pf_boost=pf_boost,
         k=k,

@@ -178,3 +178,27 @@ def test_edismax_shingled_pf():
     # 2-term query: pf2 would duplicate pf — deduped to one phrase
     s2 = edismax("a1 b2", pf=True, pf2=True)
     assert s2.pf_phrases == (("a1", "b2"),)
+
+
+def test_mm_conditional_grammar():
+    """SolrPluginUtils#calculateMinShouldMatch parity: ints, negatives,
+    percentages, and the conditional 'N<val' grammar."""
+    from lucene_solr_spark.query.parser import _calc_mm
+
+    assert _calc_mm(2, 5) == 2
+    assert _calc_mm("-2", 5) == 3          # all but two
+    assert _calc_mm(-2, 5) == 3
+    assert _calc_mm("75%", 4) == 3         # floor
+    assert _calc_mm("-25%", 4) == 3        # all but floor(25% of 4)
+    # conditional: below every threshold -> require all
+    assert _calc_mm("3<90%", 2) == 2
+    # above the threshold -> apply the val
+    assert _calc_mm("3<90%", 10) == 9
+    # multiple clauses: LARGEST applicable condition wins
+    assert _calc_mm("2<-25% 9<-3", 8) == 6   # 2<-25%: 8 - 2 = 6
+    assert _calc_mm("2<-25% 9<-3", 12) == 9  # 9<-3:  12 - 3 = 9
+    # edismax clamps into [1, n]
+    from lucene_solr_spark.query.parser import edismax
+
+    assert edismax("merge data", mm="200%").min_should_match == 2
+    assert edismax("merge data", mm="-5").min_should_match == 1
