@@ -128,6 +128,175 @@ def s_stem_filter(toks: pd.Series) -> pd.Series:
     return toks.map(lambda ts: [stem(t) for t in ts])
 
 
+# ---------------------------------------------------------------------------
+# Porter stemmer (PorterStemFilter analog): the original 1980 algorithm
+# ("An algorithm for suffix stripping", M.F. Porter, Program 14(3)),
+# which is what the reference's English chain applies by default.
+# ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/en/
+#      PorterStemFilter.java (wraps PorterStemmer.java, the original
+#      algorithm — including abli→able, not the later bli→ble revision)
+# ---------------------------------------------------------------------------
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m in C?(VC){m}V? — the count of vowel→consonant transitions."""
+    m, prev_cons = 0, None
+    for i in range(len(w)):
+        cons = _is_cons(w, i)
+        if prev_cons is False and cons:
+            m += 1
+        prev_cons = cons
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_cvc(w: str) -> bool:
+    """*o: stem ends cons-vowel-cons, final cons not w/x/y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+    ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+    ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def porter_stem(w: str) -> str:
+    """One token through the original Porter algorithm (steps 1a-5b)."""
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stem = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            stem = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            stem = w[:-3]
+        if stem is not None:
+            w = stem
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif (
+                len(w) >= 2
+                and w[-1] == w[-2]
+                and _is_cons(w, len(w) - 1)
+                and w[-1] not in "lsz"
+            ):
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue  # (*S or *T) ION only
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if w.endswith("ll") and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def porter_filter(toks: pd.Series) -> pd.Series:
+    """PorterStemFilter: full Porter stemming per token (memoized per
+    batch — vocabulary is tiny relative to token volume)."""
+    cache: dict[str, str] = {}
+
+    def stem(t: str) -> str:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = porter_stem(t)
+        return s
+
+    return toks.map(lambda ts: [stem(t) for t in ts])
+
+
+# ---------------------------------------------------------------------------
+# ASCII folding (ASCIIFoldingFilter analog) — a CHAR filter here: the
+# pinned tokenizer splits on [^a-z0-9], so accented letters must fold
+# BEFORE tokenization to join their tokens (Lucene folds after its
+# Unicode-aware tokenizer; same net tokens for Latin-1 input).
+# ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+#      miscellaneous/ASCIIFoldingFilter.java
+# ---------------------------------------------------------------------------
+
+_COMBINING = re.compile("[̀-ͯ]")
+
+
+def ascii_fold(text: pd.Series) -> pd.Series:
+    """Fold accented Latin chars to ASCII (NFKD + strip combining
+    marks) — the DuckDB twin is ``strip_accents()``."""
+    return text.fillna("").str.normalize("NFKD").str.replace(
+        _COMBINING, "", regex=True
+    )
+
+
 def synonym_filter(mapping: dict[str, object], expand: bool = False):
     """SynonymGraphFilter analog, single-token rules (VERDICT r2 item
     3 — the most common analyzer customization in real Solr).
@@ -164,11 +333,15 @@ def synonym_filter(mapping: dict[str, object], expand: bool = False):
     return run
 
 
-def chain(*filters):
-    """Compose token filters into one analyzer stage: tokenize →
-    filter_1 → ... → filter_n (Analyzer/TokenStream pipeline)."""
+def chain(*filters, char_filters=()):
+    """Compose an analyzer stage: char_filter_1 → ... → tokenize →
+    filter_1 → ... → filter_n (Analyzer/TokenStream pipeline;
+    ``char_filters`` are CharFilter analogs running on the raw text
+    before the tokenizer, e.g. :func:`ascii_fold`)."""
 
     def run(text: pd.Series) -> pd.Series:
+        for cf in char_filters:
+            text = cf(text)
         toks = tokenize_pandas(text)
         for f in filters:
             toks = f(toks)

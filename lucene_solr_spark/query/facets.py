@@ -719,3 +719,259 @@ def facet_field(
             df.unpersist()
         out = searcher.spark.createDataFrame(rows, out.schema)
     return out
+
+
+RELATEDNESS_PARTIAL_SCHEMA = "seg_id int, term_ord int, fg long, bg long"
+
+
+def facet_relatedness(
+    searcher,
+    field: str,
+    fg_spec: BooleanSpec,
+    limit: int = 10,
+    min_fg: int = 0,
+) -> DataFrame:
+    """JSON Facet ``relatedness()`` — the Semantic Knowledge Graph
+    aggregate: per bucket of ``field``, how related the bucket is to a
+    FOREGROUND query domain vs the BACKGROUND corpus.
+
+    Pinned formula (the fork's z-approximation; both popularities are
+    normalized by the BACKGROUND size, which is intentional there)::
+
+        fg_pop      = fg_count / bg_size
+        bg_pop      = bg_count / bg_size
+        relatedness = (fg_pop - bg_pop) / sqrt(fg_pop + bg_pop)
+                      (0.0 when fg_pop + bg_pop == 0)
+
+    The score is bounded in [-1, 1]. Buckets rank by the ROUNDED
+    relatedness (engine-independent limit boundary), bucket value
+    tiebreak.
+
+    Physical — ONE seg-driver fan-out, like significant_terms: every
+    segment task reads its OWN docmap (and only the fg spec's
+    term-pruned postings rows via a parquet predicate), computes the
+    fg hit DocSet once, then counts bucket ordinals over BOTH domains
+    in the same vectorized pass. Only (seg_id, term_ord, fg, bg)
+    partials plus one sizes row per segment ever shuffle — bucket
+    cardinality bounds the shuffle, never corpus size. The seg driver
+    (not the postings groupBy) is load-bearing: segments with zero fg
+    matches still contribute background counts.
+
+    ref: solr/core/src/java/org/apache/solr/search/facet/RelatednessAgg.java
+         (computeRelatedness; fg/bg set comparison per bucket)
+    """
+    from lucene_solr_spark.query.executor import (
+        apply_deletes,
+        filter_cols,
+        filter_mask,
+    )
+
+    if fg_spec.needs_rewrite:
+        fg_spec = searcher.rewrite(fg_spec)
+    ord_col = f"{field}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    deleted_bc = searcher._deleted_bc
+    has_deletes = bool(searcher.deleted_keys)
+    lookup = list(fg_spec.lookup_terms)
+    dm_cols = filter_cols(fg_spec, ["doc_ord", "doc_len", ord_col])
+    if has_deletes:
+        dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
+    lspec = fg_spec
+
+    def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        seg_id = int(pdf["seg_id"].iloc[0])
+        dm = pq.read_table(
+            f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+        ).to_pandas()
+        n_docs = len(dm)
+        ords = dm[ord_col].to_numpy(np.int64)
+        live = apply_deletes(None, dm, deleted_bc.value if deleted_bc else None)
+        if live is None:
+            bg_ords, bg_size = ords, n_docs
+        else:
+            bg_ords, bg_size = ords[live], int(live.sum())
+        allowed = apply_deletes(
+            filter_mask(dm, lspec), dm,
+            deleted_bc.value if deleted_bc else None,
+        )
+        term_rows = {}
+        if lookup:
+            post_tbl = pq.read_table(
+                f"{seg_dirs[seg_id]}/postings.parquet",
+                filters=[("term", "in", lookup)],
+            ).to_pandas()
+            term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+        max_dl = int(dm["doc_len"].max()) if n_docs else 0
+        hits = match_segment(lspec, term_rows, n_docs, allowed, max_dl)
+        fg_ords = ords[hits]
+        fg_size = int(len(hits))
+        # one sparse pass over each domain's touched ordinals
+        bg_u, bg_c = np.unique(bg_ords[bg_ords >= 0], return_counts=True)
+        fg_u, fg_c = np.unique(fg_ords[fg_ords >= 0], return_counts=True)
+        fg_map = dict(zip(fg_u.tolist(), fg_c.tolist()))
+        fg_col = np.array([fg_map.get(o, 0) for o in bg_u.tolist()], np.int64)
+        # sizes row: term_ord -2 carries (fg_size, bg_size)
+        uniq = np.append(bg_u, -2)
+        fg_out = np.append(fg_col, fg_size)
+        bg_out = np.append(bg_c, bg_size)
+        return pd.DataFrame(
+            {
+                "seg_id": np.full(len(uniq), seg_id, np.int32),
+                "term_ord": uniq.astype(np.int32),
+                "fg": fg_out.astype(np.int64),
+                "bg": bg_out.astype(np.int64),
+            }
+        )
+
+    partials = searcher.seg_driver().groupBy("seg_id").applyInPandas(
+        run_seg, RELATEDNESS_PARTIAL_SCHEMA
+    )
+    partials = partials.persist()
+    sizes = (
+        partials.filter(F.col("term_ord") == -2)
+        .agg(F.sum("bg").alias("bg_size"))
+    )
+    named = _with_terms(
+        searcher, partials.filter(F.col("term_ord") >= 0), field
+    )
+    agg = named.groupBy("term").agg(
+        F.sum("fg").alias("fg_count"), F.sum("bg").alias("bg_count")
+    )
+    fg_pop = F.col("fg_count") / F.col("bg_size")
+    bg_pop = F.col("bg_count") / F.col("bg_size")
+    rel = F.when(
+        F.col("fg_count") + F.col("bg_count") == 0, F.lit(0.0)
+    ).otherwise((fg_pop - bg_pop) / F.sqrt(fg_pop + bg_pop))
+    out = (
+        agg.join(F.broadcast(sizes))
+        .filter(F.col("fg_count") >= min_fg)
+        .select(
+            F.col("term").alias("facet_value"),
+            "fg_count",
+            "bg_count",
+            F.round(rel, 4).alias("relatedness"),
+        )
+        .orderBy(F.desc("relatedness"), F.asc("facet_value"))
+        .limit(limit)
+    )
+    # bounded result (<= limit rows): materialize so the persisted
+    # partials free immediately (same discipline as facet_field)
+    rows = out.collect()
+    partials.unpersist()
+    return searcher.spark.createDataFrame(rows, out.schema)
+
+
+UNIQUE_BLOCK_PARTIAL_SCHEMA = "seg_id int, term_ord int, cnt long, uniq long"
+
+
+def facet_unique_block(
+    searcher,
+    field: str,
+    spec: BooleanSpec | None = None,
+    limit: int = 10,
+) -> DataFrame:
+    """JSON Facet ``uniqueBlock(_root_)`` — child-domain buckets each
+    carrying the number of DISTINCT PARENT blocks (conversations)
+    alongside the child doc count.
+
+    Exactness without a distinct shuffle: conversations never span
+    segments (hash-partitioned build), so per-segment distinct-conv
+    counts SUM to the exact global distinct — the same block locality
+    `q_idx_grouped_facet` and the conv block joins rely on. Each
+    segment's pass counts docs AND unique conv blocks per bucket
+    ordinal in one vectorized composite-key np.unique; only
+    (seg_id, term_ord, cnt, uniq) rows shuffle.
+
+    ref: solr/core/src/java/org/apache/solr/search/facet/UniqueBlockAgg.java
+         (unique parent counting riding the child-domain terms facet)
+    """
+    from lucene_solr_spark.query.executor import (
+        apply_deletes,
+        filter_cols,
+        filter_mask,
+    )
+
+    if spec is not None and spec.needs_rewrite:
+        spec = searcher.rewrite(spec)
+    ord_col = f"{field}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    deleted_bc = searcher._deleted_bc
+    lookup = list(spec.lookup_terms) if spec is not None else []
+    pure_negative = spec is not None and not spec.scoring_terms
+    base = ["doc_ord", "doc_len", ord_col, "conv_id"]
+    dm_cols = filter_cols(spec, base) if spec is not None else list(base)
+    if "turn_idx" not in dm_cols and bool(searcher.deleted_keys):
+        dm_cols.append("turn_idx")
+    lspec = spec
+
+    def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        seg_id = int(pdf["seg_id"].iloc[0])
+        dm = pq.read_table(
+            f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+        ).to_pandas()
+        n_docs = len(dm)
+        ords = dm[ord_col].to_numpy(np.int64)
+        convs = dm["conv_id"].to_numpy()
+        if lspec is None:
+            live = apply_deletes(
+                None, dm, deleted_bc.value if deleted_bc else None
+            )
+            hits = None if live is None else np.flatnonzero(live)
+        else:
+            allowed = apply_deletes(
+                filter_mask(dm, lspec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
+            if pure_negative:
+                term_rows = {}
+                if lookup:
+                    post_tbl = pq.read_table(
+                        f"{seg_dirs[seg_id]}/postings.parquet",
+                        filters=[("term", "in", lookup)],
+                    ).to_pandas()
+                    term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+            else:
+                term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            max_dl = int(dm["doc_len"].max()) if n_docs else 0
+            hits = match_segment(lspec, term_rows, n_docs, allowed, max_dl)
+        if hits is not None:
+            ords, convs = ords[hits], convs[hits]
+        keep = ords >= 0
+        ords, convs = ords[keep], convs[keep]
+        uniq_o, inv = np.unique(ords, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq_o))
+        # distinct (ord, conv) pairs -> per-ord unique block count
+        codes = pd.factorize(convs)[0].astype(np.int64)
+        stride = int(codes.max()) + 1 if len(codes) else 1
+        pair_ords = np.unique(ords * stride + codes) // stride
+        ub = np.bincount(
+            np.searchsorted(uniq_o, pair_ords), minlength=len(uniq_o)
+        )
+        return pd.DataFrame(
+            {
+                "seg_id": np.full(len(uniq_o), seg_id, np.int32),
+                "term_ord": uniq_o.astype(np.int32),
+                "cnt": cnt.astype(np.int64),
+                "uniq": ub.astype(np.int64),
+            }
+        )
+
+    driver = (
+        searcher.seg_driver() if (spec is None or pure_negative)
+        else searcher.postings().filter(F.col("term").isin(lookup))
+    )
+    partials = driver.groupBy("seg_id").applyInPandas(
+        run_seg, UNIQUE_BLOCK_PARTIAL_SCHEMA
+    )
+    named = _with_terms(searcher, partials, field)
+    return (
+        named.groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("uniq").alias("unique_convs"))
+        .select(F.col("term").alias("facet_value"), "cnt", "unique_convs")
+        .orderBy(F.desc("cnt"), F.asc("facet_value"))
+        .limit(limit)
+    )

@@ -395,6 +395,84 @@ LIMIT 10
 )
 
 
+def _idx_facet_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet relatedness() (Semantic Knowledge Graph) through the
+    index engine: per tool bucket, the SKG z-approximation of how
+    related the bucket is to the 'merge' foreground domain vs the
+    whole corpus (see facets.facet_relatedness for the pinned
+    formula). One seg-driver fan-out counts fg+bg ordinals per
+    segment; only bucket-cardinality partials shuffle."""
+    from lucene_solr_spark.query.facets import facet_relatedness
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_relatedness(
+        s, "tool", fg_spec=BooleanSpec(must=("merge",)), limit=10
+    )
+
+
+register(
+    "q_idx_facet_relatedness",
+    _idx_facet_relatedness,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+sizes AS (SELECT CAST(count(*) AS DOUBLE) AS bg_size FROM docs),
+bg AS (SELECT tool, count(*) AS bg_count FROM docs
+       WHERE tool IS NOT NULL GROUP BY tool),
+fg AS (SELECT tool, count(*) AS fg_count FROM docs
+       WHERE tool IS NOT NULL AND list_contains(toks, 'merge')
+       GROUP BY tool)
+SELECT bg.tool AS facet_value,
+       CAST(coalesce(fg_count, 0) AS BIGINT) AS fg_count,
+       CAST(bg_count AS BIGINT) AS bg_count,
+       round(CASE WHEN coalesce(fg_count, 0) + bg_count = 0 THEN 0.0
+             ELSE (coalesce(fg_count, 0) / bg_size - bg_count / bg_size)
+                  / sqrt(coalesce(fg_count, 0) / bg_size
+                         + bg_count / bg_size) END, 4) AS relatedness
+FROM bg LEFT JOIN fg USING (tool), sizes
+ORDER BY relatedness DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
+def _idx_facet_unique_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueBlock(_root_) through the index engine: tool buckets over
+    the 'data' child domain, each carrying the child doc count AND the
+    exact number of distinct parent conversations — per-segment
+    distinct-conv counts sum exactly because conversations never span
+    segments (see facets.facet_unique_block)."""
+    from lucene_solr_spark.query.facets import facet_unique_block
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_unique_block(
+        s, "tool", spec=BooleanSpec(must=("data",)), limit=10
+    )
+
+
+register(
+    "q_idx_facet_unique_block",
+    _idx_facet_unique_block,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, conv_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT tool AS facet_value, count(*) AS cnt,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS unique_convs
+FROM docs
+WHERE list_contains(toks, 'data') AND tool IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-select faceting (``fq={!tag=r}role:user`` +
     ``facet.field={!ex=r}role``): the role facet EXCLUDES the role fq
@@ -1357,6 +1435,91 @@ register(
     "q_idx_stemmed_search",
     _mk_stemmed_bm25(_STEMMED_SPEC),
     bm25_oracle_sql(_STEMMED_SPEC, toks_sql=_stem_toks_sql()),
+)
+
+
+# --- Porter + ASCII-folding chain (VERDICT r3 item 3) ---------------
+# Full Porter stemming (the original 1980 algorithm, what
+# PorterStemFilter applies) behind an ascii_fold char filter and the
+# stop filter, wired through the same analyzer_version manifest gate
+# as the s-stem/synonym chains. The oracle replays the identical
+# chain in SQL: strip_accents ≡ ascii_fold, and — because the
+# synthetic corpus vocabulary is a FIXED 31-token list
+# (PORTER_VOCAB, subset-guarded by tests/test_analyzer.py) — the
+# Porter map is embedded as a generated CASE over that vocabulary.
+PORTER_CHAIN_VERSION = "ascii+stop+porter-v1"
+
+#: The full corpus vocabulary across every sf dir (fixed synthetic
+#: wordlist; tests assert each sf's actual vocab ⊆ this).
+PORTER_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash "
+    "join key line merge order part query row scan slow small sort "
+    "spark stream table the value vector window"
+).split()
+
+
+def cached_porter_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "porter")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_porter_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(
+                an.stop_filter, an.porter_filter,
+                char_filters=(an.ascii_fold,),
+            ),
+            analyzer_version=PORTER_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=PORTER_CHAIN_VERSION)
+
+
+def _porter_toks_sql() -> str:
+    """DuckDB spelling of chain(stop, porter, char=(ascii_fold,)):
+    strip_accents + stop removal + the Porter map generated from the
+    pinned vocabulary (identity for unmapped tokens — guarded by the
+    vocab-subset test)."""
+    from lucene_solr_spark.analyzer import ENGLISH_STOP_WORDS, porter_stem
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN '{porter_stem(w)}'"
+        for w in PORTER_VOCAB if porter_stem(w) != w
+    )
+    return (
+        "list_transform(list_filter("
+        "regexp_extract_all(strip_accents(lower(text)), '[a-z0-9]+'), "
+        f"t -> t NOT IN ({stops})), t -> CASE {cases} ELSE t END)"
+    )
+
+
+def _idx_porter_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the Porter-chained index: the query text runs the
+    SAME chain (porter_stem('merging') == 'merg'), matching docs whose
+    surface form was 'merge'; doc_len/idf reflect the post-chain
+    stream on both sides."""
+    from lucene_solr_spark.analyzer import porter_stem
+
+    s = cached_porter_searcher(spark, sf_dir)
+    return s.search(
+        BooleanSpec(must=(porter_stem("merging"),), k=12), round_to=ROUND
+    )
+
+
+register(
+    "q_idx_porter_search",
+    _idx_porter_search,
+    bm25_oracle_sql(
+        BooleanSpec(must=("merg",), k=12), toks_sql=_porter_toks_sql()
+    ),
 )
 
 

@@ -85,3 +85,104 @@ def test_analyze_stages_lists_each_stage():
     assert stages[0][1] == ["the", "merges", "and", "the", "tables"]
     assert stages[1][1] == ["merges", "tables"]  # stops removed
     assert stages[2][1] == ["merge", "table"]  # s-stemmed
+
+
+# --- Porter stemmer + ASCII folding (r4: VERDICT item 3) ------------
+
+from lucene_solr_spark.analyzer import (  # noqa: E402
+    ascii_fold,
+    porter_filter,
+    porter_stem,
+)
+
+#: Classic Porter vectors (the 1980 paper's step examples traced
+#: through the FULL algorithm, plus repo-vocabulary words).
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti",
+    "caress": "caress", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file",
+    "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit",
+    "rational": "ration", "meetings": "meet",
+    "electricity": "electr", "electrical": "electr",
+    "generalization": "gener", "oscillators": "oscil",
+    "controlling": "control", "roll": "roll",
+    "adoption": "adopt", "adjustment": "adjust",
+    "dependent": "depend", "formalize": "formal",
+    # repo vocabulary (drives the oracle CASE map)
+    "customer": "custom", "merge": "merg", "query": "queri",
+    "table": "tabl", "value": "valu", "key": "kei",
+    "filter": "filter", "order": "order", "vector": "vector",
+    "window": "window", "line": "line",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(PORTER_VECTORS.items()))
+def test_porter_vectors(word, want):
+    assert porter_stem(word) == want
+
+
+def test_porter_filter_vectorized():
+    toks = pd.Series([["merges", "running", "tables"], []])
+    out = porter_filter(toks)
+    assert out.iloc[0] == ["merg", "run", "tabl"]
+    assert out.iloc[1] == []
+
+
+def test_porter_vocab_covers_testdata():
+    """The oracle's CASE map is generated from PORTER_VOCAB; every
+    token actually present in any sf dir must be in that list (else
+    the oracle's ELSE-identity branch could silently diverge)."""
+    import os
+
+    import duckdb
+
+    from lucene_solr_spark.registry import PORTER_VOCAB
+
+    vocab = set(PORTER_VOCAB)
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        con = duckdb.connect()
+        toks = {
+            r[0]
+            for r in con.execute(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+                f"'[a-z0-9]+')) FROM parquet_scan('{path}')"
+            ).fetchall()
+        }
+        assert toks <= vocab, sorted(toks - vocab)
+
+
+def test_ascii_fold_matches_duckdb():
+    """ascii_fold (NFKD + strip combining) must agree with the oracle
+    spelling strip_accents() on Latin input — the dueling-spellings
+    invariant extended to the char-filter stage."""
+    import duckdb
+
+    cases = [
+        "café naïve señor Über fiancée",
+        "déjà vu — à côté",
+        "plain ascii stays",
+        "ångström øre",  # ø is NOT a combining-mark accent: both keep or both fold
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        duck = con.execute("SELECT strip_accents(?)", [s]).fetchone()[0]
+        ours = ascii_fold(pd.Series([s])).iloc[0]
+        assert ours == duck, (s, ours, duck)
+
+
+def test_chain_char_filter_order():
+    """char filters run BEFORE the tokenizer: accented letters fold
+    into their token instead of splitting it."""
+    got = chain(char_filters=(ascii_fold,))(pd.Series(["café x"])).iloc[0]
+    assert got == ["cafe", "x"]
+    # without the fold the accent splits the token
+    assert chain()(pd.Series(["café x"])).iloc[0] == ["caf", "x"]

@@ -90,3 +90,44 @@ def test_merge_then_search_filtered(pair):
     spec = BooleanSpec(must=("query",), filters=(("role", "assistant"),), k=10)
     r = b.search(spec).toPandas()
     assert len(r) > 0
+
+
+def test_merged_unique_block_identical(pair):
+    """uniqueBlock exactness survives merges: whole segments merge, so
+    conversation blocks never split and per-segment distinct-conv sums
+    stay exact (UniqueBlockAgg contract)."""
+    from lucene_solr_spark.query.facets import facet_unique_block
+
+    a, b = pair
+    fa = facet_unique_block(
+        a, "tool", spec=BooleanSpec(must=("data",)), limit=15
+    ).toPandas()
+    fb = facet_unique_block(
+        b, "tool", spec=BooleanSpec(must=("data",)), limit=15
+    ).toPandas()
+    assert list(zip(fa.facet_value, fa.cnt, fa.unique_convs)) == list(
+        zip(fb.facet_value, fb.cnt, fb.unique_convs)
+    )
+    # structural sanity: a bucket never has more distinct parents than docs
+    assert (fa.unique_convs <= fa.cnt).all()
+    assert (fa.unique_convs >= 1).all()
+
+
+def test_merged_relatedness_identical(pair):
+    """relatedness() partials are algebraic (fg/bg counts + sizes), so
+    the merged index must produce the identical bucket ranking and
+    scores; scores stay inside the formula's [-1, 1] bound."""
+    from lucene_solr_spark.query.facets import facet_relatedness
+
+    a, b = pair
+    fa = facet_relatedness(
+        a, "tool", fg_spec=BooleanSpec(must=("merge",)), limit=15
+    ).toPandas()
+    fb = facet_relatedness(
+        b, "tool", fg_spec=BooleanSpec(must=("merge",)), limit=15
+    ).toPandas()
+    assert list(zip(fa.facet_value, fa.fg_count, fa.bg_count)) == list(
+        zip(fb.facet_value, fb.fg_count, fb.bg_count)
+    )
+    assert np.allclose(fa.relatedness.to_numpy(), fb.relatedness.to_numpy())
+    assert (fa.relatedness.abs() <= 1.0).all()
