@@ -712,6 +712,161 @@ def q_grouping(spark, sf_dir):
     )
 
 
+# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+#      FetchStream.java (fetch(collection, stream, on=key, fl=fields,
+#      batchSize=N): enrich stream tuples with fields looked up from a
+#      collection by key)
+@op(
+    "q_fetch_stream",
+    f"""{DOCS_CTE},
+stream AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(toks, t -> t = 'merge')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'merge')
+  ORDER BY score DESC, conv_id, turn_idx LIMIT 20)
+SELECT s.conv_id, s.turn_idx, s.score, d.role, d.tool,
+       CAST(len(d.toks) AS BIGINT) AS text_len
+FROM stream s JOIN docs d USING (conv_id, turn_idx)
+ORDER BY s.score DESC, s.conv_id, s.turn_idx""",
+)
+def q_fetch_stream(spark, sf_dir):
+    """FetchStream (J8): a bounded tuple stream enriched with fields
+    fetched from a collection by key. The stream side is k rows by
+    contract (Solr fetches in batchSize batches), so it BROADCASTS
+    and the lookup collection streams past it unshuffled — the plan
+    test pins the broadcast. fl= fields: role, tool, text length."""
+    d = _docs(spark, sf_dir)
+    stream = (
+        d.filter(F.array_contains("toks", "merge"))
+        .select(
+            "conv_id", "turn_idx",
+            F.size(F.filter("toks", lambda t: t == "merge"))
+            .cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(20)
+    )
+    fetched = F.broadcast(stream).join(
+        d.select(
+            "conv_id", "turn_idx", "role", "tool",
+            F.size("toks").cast("long").alias("text_len"),
+        ),
+        ["conv_id", "turn_idx"],
+    )
+    return fetched.select(
+        "conv_id", "turn_idx", "score", "role", "tool", "text_len"
+    ).orderBy(F.desc("score"), "conv_id", "turn_idx")
+
+
+# ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+#      (Command subclass CommandQuery: group.query=... — one doclist
+#      per query, overlap allowed, each independently ranked)
+@op(
+    "q_grouping_query",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx, role, toks,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data')),
+g AS (
+  SELECT 'role_assistant' AS group_key, conv_id, turn_idx, score
+  FROM scored WHERE role = 'assistant'
+  UNION ALL
+  SELECT 'with_merge', conv_id, turn_idx, score
+  FROM scored WHERE list_contains(toks, 'merge'))
+SELECT group_key, conv_id, turn_idx, score, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY group_key
+        ORDER BY score DESC, conv_id, turn_idx) AS rk FROM g)
+WHERE rk <= 2 ORDER BY group_key, rk""",
+)
+def q_grouping_query(spark, sf_dir):
+    """group.query: groups are defined by QUERIES, not field values —
+    each group query carves its own doclist out of the main result
+    set and ranks it independently (docs may appear in several
+    groups). One explode over a constant group array + one window by
+    group key — the main domain is scored ONCE, never re-queried per
+    group."""
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx", "role", "toks",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    groups = F.array(
+        F.struct(
+            F.lit("role_assistant").alias("g"),
+            (F.col("role") == "assistant").alias("m"),
+        ),
+        F.struct(
+            F.lit("with_merge").alias("g"),
+            F.array_contains("toks", "merge").alias("m"),
+        ),
+    )
+    w = Window.partitionBy("group_key").orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    )
+    return (
+        scored.withColumn("gs", F.explode(groups))
+        .filter(F.col("gs.m"))
+        .select(
+            F.col("gs.g").alias("group_key"), "conv_id", "turn_idx", "score"
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .orderBy("group_key", "rk")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+#      (Command subclass CommandFunc: group.func=... — groups keyed by
+#      a ValueSource evaluated per doc)
+@op(
+    "q_grouping_func",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx, len(toks) // 32 AS bucket,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data')),
+topg AS (
+  SELECT bucket, max(score) AS gscore FROM scored
+  GROUP BY bucket ORDER BY gscore DESC, bucket LIMIT 4)
+SELECT CAST(s.bucket AS BIGINT) AS bucket, conv_id, turn_idx, score,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY bucket
+        ORDER BY score DESC, conv_id, turn_idx) AS rk FROM scored) s
+JOIN topg USING (bucket)
+WHERE rk <= 2 ORDER BY bucket, rk""",
+)
+def q_grouping_func(spark, sf_dir):
+    """group.func: groups keyed by a function of the doc (here the
+    doc-length bucket floor(len/32), a ValueSource analog). Same
+    two-pass shape as field grouping — group heads pick the top
+    groups, a key-partitioned window ranks within each; the function
+    is computed once in the scan projection."""
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx",
+        F.floor(F.size("toks") / 32).cast("long").alias("bucket"),
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    topg = (
+        scored.groupBy("bucket")
+        .agg(F.max("score").alias("gscore"))
+        .orderBy(F.desc("gscore"), "bucket")
+        .limit(4)
+        .select("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    )
+    return (
+        scored.join(F.broadcast(topg), "bucket", "left_semi")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("bucket", "conv_id", "turn_idx", "score", "rk")
+        .orderBy("bucket", "rk")
+    )
+
+
 # ref: solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java
 @op(
     "q_collapse",

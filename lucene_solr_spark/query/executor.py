@@ -698,6 +698,68 @@ class IndexSearcher:
             out = out.withColumn("score", F.round("score", round_to))
         return out.orderBy(F.desc("score"), "conv_id").limit(k)
 
+    # -- early-terminating sorted collection (W6) -----------------------
+    def early_topk(self, k: int = 10, fields: tuple[str, ...] = ("role",)) -> DataFrame:
+        """Early-terminating collection when the request sort MATCHES
+        the index sort (conv_id, turn_idx): each segment task streams
+        its docmap Parquet in batches and STOPS after k live rows —
+        the Lucene ``EarlyTerminatingSortingCollector`` /
+        index-time-sort contract (W6). Only n_segments × k candidate
+        rows reach the final TakeOrdered merge; a segment never
+        materializes more than ceil(k / batch) batches regardless of
+        its size, which is what makes a sorted first-page query O(k)
+        per segment at any corpus scale.
+
+        ref: lucene/core/src/java/org/apache/lucene/search/
+             EarlyTerminatingSortingCollector.java (pre-8.x; folded
+             into TopFieldCollector when the index sort matches),
+             lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java
+             (setIndexSort)"""
+        import pandas as pd
+
+        seg_dirs = self.seg_dir_by_id
+        deleted_bc = self._deleted_bc
+        has_deletes = bool(self.deleted_keys)
+        cols = ["conv_id", "turn_idx", *fields]
+        schema = ", ".join(
+            ["conv_id string", "turn_idx int"]
+            + [f"{f} string" for f in fields]
+        )
+        kk = int(k)
+
+        def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            pf = pq.ParquetFile(f"{seg_dirs[seg_id]}/docmap.parquet")
+            got: list[pd.DataFrame] = []
+            n = 0
+            # docmap is written in index-sort order, so streaming the
+            # head IS the segment's sorted top-k; deletes are masked
+            # batch-by-batch before counting toward k.
+            for batch in pf.iter_batches(
+                batch_size=max(kk, 1024), columns=cols
+            ):
+                dm = batch.to_pandas()
+                if has_deletes:
+                    live = apply_deletes(
+                        None, dm, deleted_bc.value if deleted_bc else None
+                    )
+                    if live is not None:
+                        dm = dm[live]
+                got.append(dm.head(kk - n))
+                n += len(got[-1])
+                if n >= kk:
+                    break
+            if not got:
+                return pd.DataFrame(columns=cols)
+            return pd.concat(got, ignore_index=True)[cols]
+
+        cands = self.seg_driver().groupBy("seg_id").applyInPandas(
+            run_seg, schema
+        )
+        return cands.orderBy("conv_id", "turn_idx").limit(kk)
+
     # -- segment-driver helper -----------------------------------------
     def seg_driver(self) -> DataFrame:
         """One row per committed segment — the MatchAllDocs-style plan

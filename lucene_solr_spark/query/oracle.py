@@ -371,6 +371,54 @@ ORDER BY t.score DESC, t.conv_id, t.turn_idx
 """).strip()
 
 
+def bm25_passages_oracle_sql(
+    spec: BooleanSpec,
+    terms: tuple[str, ...],
+    frag_tokens: int,
+    snippets: int,
+) -> str:
+    """Multi-snippet highlighter twin (hl.snippets>1 + fragsize): the
+    pinned top-k docs, token stream cut into fixed ``frag_tokens``
+    passages, each passage scored by query-term occurrence count,
+    top ``snippets`` non-empty passages per doc (score desc, passage
+    index tiebreak) — the deterministic passage-selection contract
+    both engines pin."""
+    per_turn = bm25_oracle_sql(spec)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    ft = frag_tokens
+    return (body + f""",
+topk AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+  FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {spec.k}),
+passes AS (
+  SELECT t.conv_id, t.turn_idx, t.score, d.toks,
+         unnest(range(0, CAST(ceil(len(d.toks) / {ft}.0) AS BIGINT))) AS p
+  FROM topk t JOIN docs2 d USING (conv_id, turn_idx)),
+pscored AS (
+  SELECT conv_id, turn_idx, score, p,
+         list_slice(toks, p * {ft} + 1,
+                    least((p + 1) * {ft}, len(toks))) AS ptoks
+  FROM passes),
+ranked AS (
+  SELECT conv_id, turn_idx, score, CAST(p AS BIGINT) AS passage,
+         CAST(len(list_filter(ptoks, tk ->
+              tk IN ({_sql_list(terms)}))) AS BIGINT) AS pscore,
+         array_to_string(list_transform(ptoks, tk ->
+           CASE WHEN tk IN ({_sql_list(terms)})
+                THEN '<em>' || tk || '</em>' ELSE tk END), ' ') AS snippet,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY len(list_filter(ptoks, tk ->
+                    tk IN ({_sql_list(terms)}))) DESC, p) AS rn
+  FROM pscored)
+SELECT conv_id, turn_idx, score, passage, pscore, snippet
+FROM ranked WHERE rn <= {snippets} AND pscore > 0
+ORDER BY score DESC, conv_id, turn_idx, passage
+""").strip()
+
+
 def bm25_explain_oracle_sql(spec: BooleanSpec) -> str:
     """debugQuery twin: per-term (tf, df, idf, contrib) breakdown for
     the query's TOP-1 doc (the pinned total order makes the chosen doc

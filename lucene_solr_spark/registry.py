@@ -1074,6 +1074,71 @@ def _idx_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from lucene_solr_spark.query.oracle import bm25_highlight_oracle_sql  # noqa: E402
 
+_FRAG_TOKENS = 10  # hl.fragsize analog, in tokens
+_HL_SNIPPETS = 2  # hl.snippets
+
+
+def _idx_highlight_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-snippet highlighting (hl.snippets=2 + fragsize): the
+    token stream of each pinned top-k doc is cut into fixed 10-token
+    passages; passages score by query-term occurrence count (the
+    deterministic stand-in for UnifiedHighlighter's passage scorer);
+    the top 2 non-empty passages per doc are returned marked. All
+    passage work happens on the k stored rows only — one broadcast
+    join, no corpus-wide pass.
+
+    ref: lucene/highlighter/src/java/org/apache/lucene/search/
+         uhighlight/UnifiedHighlighter.java (passage formation +
+         scoring), FieldHighlighter.java"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokens_col
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.search(_HL_SPEC, round_to=ROUND)
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text")
+    )
+    ft = _FRAG_TOKENS
+    n_pass = F.ceil(F.size("toks") / F.lit(float(ft))).cast("int")
+    exploded = (
+        t.join(F.broadcast(hits), ["conv_id", "turn_idx"])
+        .withColumn("p", F.explode(F.sequence(F.lit(0), n_pass - 1)))
+        .withColumn("ptoks", F.slice("toks", F.col("p") * ft + 1, ft))
+    )
+    is_hit = lambda tk: tk.isin(*_HL_TERMS)  # noqa: E731
+    mark = F.transform(
+        "ptoks",
+        lambda tk: F.when(
+            is_hit(tk), F.concat(F.lit("<em>"), tk, F.lit("</em>"))
+        ).otherwise(tk),
+    )
+    scored = exploded.select(
+        "conv_id", "turn_idx", "score",
+        F.col("p").cast("long").alias("passage"),
+        F.size(F.filter("ptoks", is_hit)).cast("long").alias("pscore"),
+        F.array_join(mark, " ").alias("snippet"),
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.desc("pscore"), F.asc("passage")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= _HL_SNIPPETS) & (F.col("pscore") > 0))
+        .select("conv_id", "turn_idx", "score", "passage", "pscore", "snippet")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx", "passage")
+    )
+
+
+from lucene_solr_spark.query.oracle import bm25_passages_oracle_sql  # noqa: E402
+
+register(
+    "q_idx_highlight_passages",
+    _idx_highlight_passages,
+    bm25_passages_oracle_sql(_HL_SPEC, _HL_TERMS, _FRAG_TOKENS, _HL_SNIPPETS),
+)
+
 register(
     "q_idx_highlight",
     _idx_highlight,
@@ -1435,6 +1500,61 @@ register(
     "q_idx_stemmed_search",
     _mk_stemmed_bm25(_STEMMED_SPEC),
     bm25_oracle_sql(_STEMMED_SPEC, toks_sql=_stem_toks_sql()),
+)
+
+
+# --- W6: early-terminating sorted collection -------------------------
+def _idx_early_terminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted first page when the request sort == index sort: each
+    segment streams only its docmap HEAD (k live rows) and stops —
+    see IndexSearcher.early_topk (EarlyTerminatingSortingCollector
+    analog); the merge sees n_segments × k candidate rows only."""
+    s = cached_searcher(spark, sf_dir)
+    return s.early_topk(10, fields=("role",))
+
+
+register(
+    "q_idx_early_terminate",
+    _idx_early_terminate,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx, role FROM transcripts
+ORDER BY conv_id, turn_idx LIMIT 10
+""".strip(),
+)
+
+
+# --- N4: TopicStream checkpointed pull --------------------------------
+def _topic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One TopicStream pull from a fresh subscription seeded at
+    00:30: new docs matching 'merge' with version (ts) past the
+    checkpoint, ordered by version; the pull also persists the
+    advanced checkpoint (the second-pull-returns-nothing contract is
+    pinned in tests/test_streaming.py)."""
+    import tempfile
+
+    from lucene_solr_spark.streaming.topic import TopicStream
+
+    ckpt = tempfile.mktemp(prefix="lss_topic_", suffix=".json")
+    topic = TopicStream(
+        spark, sf_dir, ckpt, query_term="merge",
+        initial_checkpoint="2024-01-01 00:30:00",
+    )
+    return topic.pull()
+
+
+register(
+    "q_topic_stream",
+    _topic_stream,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM transcripts
+WHERE ts > TIMESTAMP '2024-01-01 00:30:00'
+  AND list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'merge')
+ORDER BY ts_s, conv_id, turn_idx
+""".strip(),
 )
 
 

@@ -253,3 +253,43 @@ def test_pf_query_no_cartesian_and_broadcast_weights(spark, sf_dir):
     plan = _physical(bm25_df.search(t, spec, round_to=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fetch_stream_broadcasts_stream_side(spark, sf_dir):
+    """FetchStream's bounded tuple stream must broadcast; the lookup
+    collection streams past it with no shuffle on the join key."""
+    from lucene_solr_spark.operators.solr_battery import q_fetch_stream
+
+    plan = _physical(q_fetch_stream(spark, sf_dir), finalize=True)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_early_topk_matches_full_sort(spark, sf_dir):
+    """W6 early termination is an OPTIMIZATION, never a different
+    answer: per-segment head-k + merge must equal the full sorted
+    scan's first page exactly."""
+    from lucene_solr_spark.registry import cached_searcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_searcher(spark, sf_dir)
+    fast = s.early_topk(10, fields=("role",)).collect()
+    slow = (
+        transcripts_from_documents(spark, sf_dir)
+        .select("conv_id", "turn_idx", "role")
+        .orderBy("conv_id", "turn_idx")
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_ivf_assignment_no_window_exchange(spark, sf_dir):
+    """Centroid assignment must be a partial-aggregating groupBy
+    (max_by), never a row_number Window over the corpus×16 inflated
+    frame (VERDICT r3 item 7)."""
+    from lucene_solr_spark.operators.textpipe import q_ann_ivf
+
+    plan = _physical(q_ann_ivf(spark, sf_dir), finalize=True)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -91,3 +91,44 @@ def test_compaction_after_streaming(spark, streamed):
     for spec, want in zip(SPECS, answers):
         got = after.search(spec).toPandas()
         assert list(zip(got.conv_id, got.turn_idx)) == list(zip(want.conv_id, want.turn_idx))
+
+
+# --- TopicStream (N4): checkpointed pub-sub pulls --------------------
+
+def test_topic_stream_pull_advances_checkpoint(spark, sf_dir, tmp_path):
+    """Pull 1 delivers everything past the initial checkpoint; pull 2
+    delivers NOTHING new (checkpoint advanced + persisted); a fresh
+    TopicStream over the same checkpoint file resumes, not restarts."""
+    from lucene_solr_spark.streaming.topic import TopicStream
+
+    ckpt = str(tmp_path / "topic.json")
+    topic = TopicStream(
+        spark, sf_dir, ckpt, query_term="merge",
+        initial_checkpoint="2024-01-01 00:30:00",
+    )
+    first = topic.pull().collect()
+    assert len(first) > 0
+    assert topic.pull().count() == 0  # nothing new since pull 1
+    # a NEW consumer instance on the same checkpoint file resumes
+    topic2 = TopicStream(
+        spark, sf_dir, ckpt, query_term="merge",
+        initial_checkpoint="2024-01-01 00:30:00",
+    )
+    assert topic2.pull().count() == 0
+
+
+def test_topic_stream_fresh_subscription_redelivers(spark, sf_dir, tmp_path):
+    """A different checkpoint file = a different subscription: it gets
+    the full backlog again (pub-sub, not a queue)."""
+    from lucene_solr_spark.streaming.topic import TopicStream
+
+    a = TopicStream(
+        spark, sf_dir, str(tmp_path / "a.json"), query_term="merge",
+        initial_checkpoint="2024-01-01 00:30:00",
+    )
+    n1 = a.pull().count()
+    b = TopicStream(
+        spark, sf_dir, str(tmp_path / "b.json"), query_term="merge",
+        initial_checkpoint="2024-01-01 00:30:00",
+    )
+    assert b.pull().count() == n1
