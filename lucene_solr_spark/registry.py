@@ -2644,70 +2644,53 @@ FROM top""",
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND-3 ROTATION (VERDICT r2 item 9): ~15 slots swapped so
-    # attestation cycles through the full battery across rounds —
-    # twins already driver-attested twice (q_bm25_term/neg_phrase/
-    # sloppy3, docset_filter_only, fetch_text, facet_or_domain,
-    # range_facet, dismax, hash_join, session_window, versioned_upsert,
-    # highlight, xml/javabin roundtrips, geo_dist) move below the
-    # window (still green in check_oracle) in favor of the round-3
-    # surfaces and previously-unattested battery shapes.
-    # CORE BM25 through the index engine (one per shape)
-    "q_idx_bm25_term", "q_idx_bm25_and", "q_idx_bm25_or_mm",
-    "q_idx_bm25_phrase", "q_idx_bm25_filtered",
-    # q_idx_bm25_sloppy3 (attested r1+r2) deliberately yields its slot
-    # to the NEW edismax pf surface — phrase machinery stays covered
-    # (exact phrase above + pf freq-scoring + test_sloppy duels)
-    "q_idx_bm25_pf",
-    "q_idx_bm25_neg_filter",
-    # negation / domain fallbacks
-    "q_idx_docset_pure_negative",
-    # MultiTermQuery rewrites (wildcard/regexp carry the scored-rewrite
-    # shape; prefix_scored/fuzzy — attested r1+r2 — yield to the NEW
-    # debugQuery explain and index-path significant terms)
-    "q_idx_explain", "q_idx_significant_terms",
-    "q_idx_wildcard", "q_idx_regexp",
-    # block join + MLT + analysis chains (stem + NEW synonym)
-    "q_idx_conv_search_max", "q_idx_more_like_this",
-    "q_idx_stemmed_search", "q_idx_synonym_search",
-    # SOLR-5894 faceting family (+ NEW approx aggs; q_facet_role,
-    # attested r1+r2, yields to the NEW multi-select tag/ex surface
-    # which runs the same role facet UNfiltered plus a filtered tool
-    # facet — strictly wider coverage of the same machinery)
-    "q_idx_facet_multiselect", "q_facet_ftok_hc", "q_facet_neg_domain",
-    # q_idx_facet_pivot / q_json_facet_aggs (attested r2) yield to the
-    # NEW grouped facet and index-pass bucket metrics
-    "q_idx_grouped_facet", "q_json_facet_nested", "q_idx_json_facet_metrics",
-    "q_json_facet_approx",
-    # spans: NEW or/not/first through the index engine (span_near,
-    # attested r2, rotates down to the full battery)
-    "q_idx_bm25_span_first", "q_idx_bm25_span_or", "q_idx_bm25_span_not",
-    # range fq + NEW index-engine cursorMark (W4)
-    "q_idx_bm25_range_fq", "q_idx_cursor_mark",
-    # one per remaining SURVEY §2 family
-    "q_lang_id",            # text analysis (pipeline)
-    "q_multimodal_features_check",  # multimodal plumbing (pipeline)
-    "q_idx_collapse",       # A11 through the index engine (NEW r3,
-                            # displaces q_rerank — attested r1+r2)
-    "q_idx_ltr_rerank",     # W5 LTR LinearModel (rotated in)
-    "q_ann_lsh_check",      # ANN-LSH attestation
-    "q_set_intersect",      # T3
-    "q_stats_percentiles",  # A9 (rotated in)
-    "q_idx_spellcheck",     # spellcheck+collate (rotated in)
-    "q_idx_elevate",        # query elevation (rotated in)
-    "q_graph_traversal",    # J5 BFS
-    "q_shortest_path",      # J5 shortest paths (rotated in)
-    "q_realtime_get",       # P18
-    "q_xcoll_join",         # J9
-    # deleteByQuery (liveDocs) — masked results + unchanged stats
-    "q_idx_delete_by_query",
-    # LLM-pipeline dedup/near-dup/ANN + hygiene (simhash/pii/decontam
-    # rotated in; q_dedup_clusters deliberately displaces
-    # q_dedup_ngram_jaccard — the clusters op runs the same verified
-    # pair generation and adds the connected-components stage on top)
-    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_clusters",
-    "q_dedup_simhash", "q_neardup_cosine", "q_ann_ivf",
-    "q_pii_redact", "q_decontaminate",
+    # ROUND-4 ROTATION (VERDICT r3 item 10): the never-attested locals
+    # named by the verdict (atomic_update, suggest, term_vectors,
+    # spellcheck_collate, result_clustering, quality_repetition,
+    # domain_mix, pack_sequences, sample_stratified, knn_join) and the
+    # nine NEW round-4 surfaces rotate IN; twice-plus-attested twins
+    # (bm25 and/or_mm/filtered/neg_filter, docset_pure_negative,
+    # conv_search_max, more_like_this, stemmed_search, facet_ftok_hc,
+    # facet_neg_domain, json_facet_nested, range_fq, lang_id,
+    # set_intersect, graph_traversal, realtime_get, xcoll_join,
+    # dedup_exact, dedup_minhash_lsh, neardup_cosine, pii_redact,
+    # decontaminate) move below the window — all still green in the
+    # full check_oracle battery. q_ann_ivf and q_knn_join changed this
+    # round (shuffle cuts), so both sit inside the window.
+    # CORE BM25 flagships (term = the headline shape, phrase = the
+    # position machinery; the boolean family is further covered by pf
+    # and the span rows below)
+    "q_idx_bm25_term", "q_idx_bm25_phrase", "q_idx_bm25_pf",
+    # spans through the index engine (attested once, r3)
+    "q_idx_bm25_span_or", "q_idx_bm25_span_not", "q_idx_bm25_span_first",
+    # MultiTermQuery rewrites + debug surfaces (attested once, r3)
+    "q_idx_wildcard", "q_idx_regexp", "q_idx_explain",
+    "q_idx_significant_terms", "q_idx_cursor_mark",
+    # ranking / collapse / rerank / spellcheck / elevate (r3)
+    "q_idx_collapse", "q_idx_ltr_rerank", "q_idx_spellcheck",
+    "q_idx_elevate",
+    # faceting family (r3 once) + NEW r4 SKG + uniqueBlock
+    "q_idx_grouped_facet", "q_idx_facet_multiselect",
+    "q_idx_json_facet_metrics", "q_json_facet_approx",
+    "q_idx_facet_relatedness", "q_idx_facet_unique_block",
+    # NEW r4: grouping variants, passages highlighter, fetch, W6, N4
+    "q_grouping_query", "q_grouping_func", "q_idx_highlight_passages",
+    "q_fetch_stream", "q_idx_early_terminate", "q_topic_stream",
+    # NEW r4: Porter chain; synonym chain keeps its slot (r3 once)
+    "q_idx_porter_search", "q_idx_synonym_search",
+    # stats / graph / deletes (r3 once or contract-critical)
+    "q_stats_percentiles", "q_shortest_path", "q_idx_delete_by_query",
+    # never-attested locals rotated in (VERDICT r3 item 10 list)
+    "q_atomic_update", "q_idx_suggest", "q_idx_term_vectors",
+    "q_idx_spellcheck_collate", "q_result_clustering",
+    # never-attested index-engine locals (r3-new, driver-first here)
+    "q_idx_mlt_terms", "q_idx_range_facet_other", "q_idx_sort_by_function",
+    # LLM-pipeline: changed-this-round ANN paths + clusters + simhash
+    "q_ann_ivf", "q_knn_join", "q_ann_lsh_check", "q_dedup_clusters",
+    "q_dedup_simhash", "q_multimodal_features_check",
+    # never-attested pipeline hygiene ops (VERDICT r3 item 10 list)
+    "q_quality_repetition", "q_domain_mix", "q_pack_sequences",
+    "q_sample_stratified",
 )
 assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
 _missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
