@@ -863,6 +863,101 @@ def facet_relatedness(
     return searcher.spark.createDataFrame(rows, out.schema)
 
 
+def facet_block_domain(
+    searcher,
+    field: str,
+    spec: BooleanSpec,
+    limit: int = 10,
+) -> DataFrame:
+    """JSON Facet ``domain: {blockChildren: ...}`` widening: facet over
+    ALL turns of every conversation that contains a matching turn —
+    the child-domain broadening of the block-join domain changes.
+
+    Segment-local exactness: conversations never span segments
+    (hash-partitioned build), so each segment task widens its OWN hit
+    set to full conv blocks with one vectorized isin — no cross-segment
+    conv-id shuffle, no join. Only bucket-count partials leave the
+    executor.
+
+    ref: solr/core/src/java/org/apache/solr/search/facet/FacetRequest.java
+         (Domain.toChildren / BlockJoinChildQParser domain changes)
+    """
+    from lucene_solr_spark.query.executor import (
+        apply_deletes,
+        filter_cols,
+        filter_mask,
+    )
+
+    if spec.needs_rewrite:
+        spec = searcher.rewrite(spec)
+    ord_col = f"{field}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    deleted_bc = searcher._deleted_bc
+    lookup = list(spec.lookup_terms)
+    pure_negative = not spec.scoring_terms
+    base = ["doc_ord", "doc_len", ord_col, "conv_id"]
+    dm_cols = filter_cols(spec, base)
+    if "turn_idx" not in dm_cols and bool(searcher.deleted_keys):
+        dm_cols.append("turn_idx")
+    lspec = spec
+
+    def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        seg_id = int(pdf["seg_id"].iloc[0])
+        dm = pq.read_table(
+            f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+        ).to_pandas()
+        n_docs = len(dm)
+        allowed = apply_deletes(
+            filter_mask(dm, lspec), dm,
+            deleted_bc.value if deleted_bc else None,
+        )
+        if pure_negative:
+            term_rows = {}
+            if lookup:
+                post_tbl = pq.read_table(
+                    f"{seg_dirs[seg_id]}/postings.parquet",
+                    filters=[("term", "in", lookup)],
+                ).to_pandas()
+                term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+        else:
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+        max_dl = int(dm["doc_len"].max()) if n_docs else 0
+        hits = match_segment(lspec, term_rows, n_docs, allowed, max_dl)
+        convs = dm["conv_id"].to_numpy()
+        # widen: every live doc whose conversation contains a hit
+        in_block = np.isin(convs, np.unique(convs[hits]))
+        live = apply_deletes(None, dm, deleted_bc.value if deleted_bc else None)
+        if live is not None:
+            in_block &= live
+        ords = dm[ord_col].to_numpy(np.int64)[in_block]
+        uniq, cnt = np.unique(ords[ords >= 0], return_counts=True)
+        return pd.DataFrame(
+            {
+                "seg_id": np.full(len(uniq), seg_id, np.int32),
+                "term_ord": uniq.astype(np.int32),
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    driver = (
+        searcher.seg_driver() if pure_negative
+        else searcher.postings().filter(F.col("term").isin(lookup))
+    )
+    partials = driver.groupBy("seg_id").applyInPandas(
+        run_seg, PARTIAL_SCHEMA
+    )
+    named = _with_terms(searcher, partials, field)
+    return (
+        named.groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.col("term").alias("facet_value"), "cnt")
+        .orderBy(F.desc("cnt"), F.asc("facet_value"))
+        .limit(limit)
+    )
+
+
 UNIQUE_BLOCK_PARTIAL_SCHEMA = "seg_id int, term_ord int, cnt long, uniq long"
 
 

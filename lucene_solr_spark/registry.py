@@ -473,6 +473,39 @@ LIMIT 10
 )
 
 
+def _idx_facet_child_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet blockChildren domain widening: role counts over ALL
+    turns of every conversation containing a 'merge' hit. Widening is
+    a per-segment vectorized isin because conversations are
+    segment-local (see facets.facet_block_domain) — no conv shuffle."""
+    from lucene_solr_spark.query.facets import facet_block_domain
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_block_domain(
+        s, "role", spec=BooleanSpec(must=("merge",)), limit=10
+    )
+
+
+register(
+    "q_idx_facet_child_domain",
+    _idx_facet_child_domain,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, conv_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value, count(*) AS cnt
+FROM docs
+WHERE conv_id IN (
+  SELECT DISTINCT conv_id FROM docs WHERE list_contains(toks, 'merge'))
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-select faceting (``fq={!tag=r}role:user`` +
     ``facet.field={!ex=r}role``): the role facet EXCLUDES the role fq

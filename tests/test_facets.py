@@ -269,3 +269,34 @@ def test_filter_only_spec_facets_over_fq_domain(searcher):
         t, F.col("tool"), F.col("role") == "assistant", 10
     )
     assert got.values.tolist() == want.values.tolist()
+
+
+# --- blockChildren domain widening (r4) -------------------------------
+
+def test_block_domain_widens_counts(searcher):
+    """The blockChildren-widened domain is a SUPERSET of the plain
+    query domain: every bucket count must be >= the plain facet's, and
+    the widened total equals the turn count of matching conversations."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.facets import facet_block_domain
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    searcher, _t = searcher
+    spec = BooleanSpec(must=("merge",))
+    plain = {
+        r.facet_value: r.cnt
+        for r in searcher.facet("role", spec=spec, limit=20).collect()
+    }
+    wide = {
+        r.facet_value: r.cnt
+        for r in facet_block_domain(searcher, "role", spec, limit=20).collect()
+    }
+    assert all(wide.get(k, 0) >= v for k, v in plain.items())
+    convs = searcher.docset(spec).select("conv_id").distinct()
+    total = (
+        searcher.docmap()
+        .join(F.broadcast(convs), "conv_id", "left_semi")
+        .count()
+    )
+    assert sum(wide.values()) == total

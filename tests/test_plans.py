@@ -293,3 +293,16 @@ def test_ivf_assignment_no_window_exchange(spark, sf_dir):
     plan = _physical(q_ann_ivf(spark, sf_dir), finalize=True)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_join_window_has_partial_group_limit(spark, sf_dir):
+    """The per-query top-k must pre-reduce map-side: Catalyst's
+    rank-limit pushdown inserts a PARTIAL WindowGroupLimit before the
+    qid exchange, bounding the shuffle to n_map_tasks × |batch| × k
+    rows (VERDICT r3 item 8). Pin the node so an optimizer-shape or
+    query-shape regression (e.g. losing the rank filter) surfaces."""
+    from lucene_solr_spark.operators.textpipe import q_knn_join
+
+    plan = _physical(q_knn_join(spark, sf_dir), finalize=True)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

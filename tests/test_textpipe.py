@@ -217,3 +217,38 @@ def test_sample_stratified_is_shuffle_free(spark, sf_dir):
             q.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert 0.3 < kept.get("src0", 0) / tot["src0"] < 0.7
     assert kept.get("src1", 0) / tot["src1"] < 0.45
+
+
+# --- exact-substring window dedup (r4) --------------------------------
+
+def test_substring_dedup_catches_planted_pairs(spark, sf_dir):
+    """Every planted duplicate long enough to contain a full window
+    must surface: exact dups (doc, doc+100000) share ALL windows;
+    near dups (doc, doc+200000, 3 extra tail tokens) share the prefix
+    windows. The strided-window guarantee: any shared verbatim span of
+    >= W + S - 1 tokens aligns on at least one window."""
+    from lucene_solr_spark.operators.textpipe import (
+        _SUB_S,
+        _SUB_W,
+        q_dedup_substring,
+    )
+
+    rows = q_dedup_substring(spark, sf_dir).collect()
+    pairs = {(r.a, r.b): r.n_shared for r in rows}
+    docs = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n",
+        )
+        .collect()
+    }
+    for d, n in docs.items():
+        n_wins = (n - _SUB_W) // _SUB_S + 1 if n >= _SUB_W else 0
+        if d % 7 == 0 and n_wins > 0:
+            assert pairs.get((d, d + 100000)) == n_wins, (d, n)
+        if d % 11 == 0 and n_wins > 0:
+            assert (d, d + 200000) in pairs, (d, n)
+    # no self-pairs, ordered keys
+    assert all(a < b for (a, b) in pairs)
