@@ -56,6 +56,18 @@ def main() -> None:
                          "per-term BM25 breakdown")
     ap.add_argument("--analyzer-version", default=None,
                     help="query-time chain version (must match the index)")
+    ap.add_argument("--facet-relatedness", action="store_true",
+                    help="score --facet buckets by SKG relatedness() "
+                         "against the query as foreground instead of "
+                         "counting")
+    ap.add_argument("--facet-unique-block", action="store_true",
+                    help="add uniqueBlock(_root_) distinct-conversation "
+                         "counts to the --facet buckets")
+    ap.add_argument("--facet-domain", choices=["query", "blockChildren"],
+                    default="query",
+                    help="facet domain: the q+fq hit set (default) or "
+                         "its blockChildren widening (all turns of "
+                         "matching conversations)")
     args = ap.parse_args()
 
     spark = (
@@ -138,11 +150,42 @@ def main() -> None:
         exclude = tuple(
             f for f in (args.facet_exclude or "").split(",") if f
         )
-        rows = s.facet(args.facet, spec=spec, limit=args.facet_limit,
-                       exclude_fields=exclude).collect()
-        out["facets"] = {args.facet: [
-            {"value": r.facet_value, "count": r.cnt} for r in rows
-        ]}
+        if args.facet_relatedness:
+            from lucene_solr_spark.query.facets import facet_relatedness
+
+            rows = facet_relatedness(
+                s, args.facet, fg_spec=spec, limit=args.facet_limit
+            ).collect()
+            out["facets"] = {args.facet: [
+                {"value": r.facet_value, "fg_count": r.fg_count,
+                 "bg_count": r.bg_count, "relatedness": r.relatedness}
+                for r in rows
+            ]}
+        elif args.facet_unique_block:
+            from lucene_solr_spark.query.facets import facet_unique_block
+
+            rows = facet_unique_block(
+                s, args.facet, spec=spec, limit=args.facet_limit
+            ).collect()
+            out["facets"] = {args.facet: [
+                {"value": r.facet_value, "count": r.cnt,
+                 "uniqueBlock": r.unique_convs} for r in rows
+            ]}
+        elif args.facet_domain == "blockChildren":
+            from lucene_solr_spark.query.facets import facet_block_domain
+
+            rows = facet_block_domain(
+                s, args.facet, spec=spec, limit=args.facet_limit
+            ).collect()
+            out["facets"] = {args.facet: [
+                {"value": r.facet_value, "count": r.cnt} for r in rows
+            ]}
+        else:
+            rows = s.facet(args.facet, spec=spec, limit=args.facet_limit,
+                           exclude_fields=exclude).collect()
+            out["facets"] = {args.facet: [
+                {"value": r.facet_value, "count": r.cnt} for r in rows
+            ]}
 
     print(json.dumps(out))
     spark.stop()

@@ -66,3 +66,60 @@ def test_random_facet_duel(env, seed):
     assert list(zip(got.facet_value, got.cnt)) == list(
         zip(want.facet_value, want.cnt)
     ), (seed, field, spec)
+
+
+# --- relatedness() duel (r4): index SKG path vs Catalyst control -----
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_random_relatedness_duel(env, seed):
+    """Random foreground domains × facet fields: the per-segment fg/bg
+    sparse pass + pinned z-formula must equal a plain two-GROUP-BY
+    Catalyst control on every seed (counts exact, scores to 1e-9
+    before the 4dp round)."""
+    from lucene_solr_spark.query.facets import facet_relatedness
+
+    s, t, vocab = env
+    rng = np.random.default_rng(1000 + seed)
+    field = FIELDS[int(rng.integers(0, len(FIELDS)))]
+    limit = int(rng.integers(5, 20))
+    term = vocab[int(rng.integers(0, max(1, len(vocab) // 2)))]
+    fg_spec = BooleanSpec(must=(term,))
+
+    got = facet_relatedness(s, field, fg_spec=fg_spec, limit=limit).toPandas()
+
+    docs = t.withColumn("toks", tokens_col("text")).withColumn(
+        "facet_value", _field_col(field)
+    )
+    bg_size = float(docs.count())
+    bg = (
+        docs.filter(F.col("facet_value").isNotNull())
+        .groupBy("facet_value").agg(F.count("*").alias("bg_count"))
+    )
+    fg = (
+        docs.filter(
+            F.col("facet_value").isNotNull()
+            & F.array_contains("toks", term)
+        )
+        .groupBy("facet_value").agg(F.count("*").alias("fg_count"))
+    )
+    joined = bg.join(fg, "facet_value", "left").fillna(0, ["fg_count"])
+    fg_pop = F.col("fg_count") / F.lit(bg_size)
+    bg_pop = F.col("bg_count") / F.lit(bg_size)
+    rel = F.when(
+        F.col("fg_count") + F.col("bg_count") == 0, F.lit(0.0)
+    ).otherwise((fg_pop - bg_pop) / F.sqrt(fg_pop + bg_pop))
+    want = (
+        joined.select(
+            "facet_value", "fg_count", "bg_count",
+            F.round(rel, 4).alias("relatedness"),
+        )
+        .orderBy(F.desc("relatedness"), F.asc("facet_value"))
+        .limit(limit)
+        .toPandas()
+    )
+    assert list(zip(got.facet_value, got.fg_count, got.bg_count)) == list(
+        zip(want.facet_value, want.fg_count, want.bg_count)
+    ), (field, term)
+    assert np.allclose(
+        got.relatedness.to_numpy(), want.relatedness.to_numpy()
+    ), (field, term)

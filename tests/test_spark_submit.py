@@ -154,3 +154,50 @@ def test_spark_submit_edismax_multiselect(spark, sf_dir, tmp_path):
     assert [(h["conv_id"], h["turn_idx"]) for h in out["hits"]] == [
         (r.conv_id, r.turn_idx) for r in mine
     ]
+
+
+@pytest.mark.skipif(
+    not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+    reason="spark-submit not on PATH",
+)
+def test_spark_submit_relatedness_facet(spark, sf_dir, tmp_path):
+    """SKG relatedness + blockChildren domain through the serving CLI
+    (r4 surfaces): relatedness buckets carry fg/bg counts and a
+    bounded score; the widened-domain facet counts dominate the plain
+    query-domain counts."""
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.facets import facet_relatedness
+    from lucene_solr_spark.query.model import BooleanSpec as BS
+
+    root = str(tmp_path / "ridx")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    zip_path = make_zip(str(tmp_path / "engine.zip"))
+    env = os.environ.copy()
+    env.pop("SPARK_GRAFT_CPUS", None)
+    base = [
+        SPARK_SUBMIT, "--master", "local[2]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "query_job.py"),
+        "--index", root, "--q", "merge", "--k", "3",
+        "--facet", "tool", "--facet-limit", "8",
+    ]
+    proc = subprocess.run(
+        base + ["--facet-relatedness"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    buckets = out["facets"]["tool"]
+    assert len(buckets) == 8
+    assert all(abs(b["relatedness"]) <= 1.0 for b in buckets)
+    # CLI result == in-process result
+    s = IndexSearcher(spark, root)
+    mine = facet_relatedness(s, "tool", fg_spec=BS(must=("merge",)),
+                             limit=8).collect()
+    assert [(b["value"], b["fg_count"], b["bg_count"]) for b in buckets] == [
+        (r.facet_value, r.fg_count, r.bg_count) for r in mine
+    ]
