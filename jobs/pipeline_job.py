@@ -32,7 +32,8 @@ from pyspark.sql import SparkSession
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("dedup", "clusters", "sample", "pack", "filter"):
+    for name in ("dedup", "clusters", "sample", "pack", "filter",
+                 "substring"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -75,6 +76,17 @@ def main(argv: list[str] | None = None) -> dict:
             .filter(F.coalesce("keep", F.lit(False)))
             .drop("keep")
         )
+    elif args.cmd == "substring":
+        # span-dedup KEEP stage: drop every doc that shares a verbatim
+        # 20-token window with a LOWER-id doc (the Lee-et-al contract:
+        # repeated spans are removed once, first occurrence survives)
+        c = textpipe.corpus_df(spark, args.sf_dir)
+        drops = (
+            textpipe.q_dedup_substring(spark, args.sf_dir)
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+        )
+        out = c.join(drops, "doc_id", "left_anti")
     else:  # pack
         out = textpipe.q_pack_sequences(spark, args.sf_dir)
 

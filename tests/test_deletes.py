@@ -194,3 +194,55 @@ def test_tombstone_cap_refuses_without_committing(spark, idx):
         spark, idx, BooleanSpec(filters=(("role", "assistant"),))
     )
     assert n > 1
+
+
+def test_r4_read_paths_honor_tombstones(spark, idx):
+    """Every round-4 docmap read path applies the liveDocs mask
+    (CLAUDE invariant: any NEW docmap read site must): early_topk,
+    relatedness (fg AND bg domains), uniqueBlock, blockChildren
+    widening."""
+    from lucene_solr_spark.query.facets import (
+        facet_block_domain,
+        facet_relatedness,
+        facet_unique_block,
+    )
+
+    before = IndexSearcher(spark, idx)
+    et_pre = [tuple(r)[:2] for r in before.early_topk(10).collect()]
+    rel_pre = {r.facet_value: (r.fg_count, r.bg_count)
+               for r in facet_relatedness(
+                   before, "role", BooleanSpec(must=("merge",)), limit=20
+               ).collect()}
+    ub_pre = {r.facet_value: (r.cnt, r.unique_convs)
+              for r in facet_unique_block(
+                  before, "role", BooleanSpec(must=("merge",)), limit=20
+              ).collect()}
+
+    # delete the first early_topk doc's whole neighborhood: all turns
+    # of user role (broad enough to hit every path's domain)
+    delete_by_query(spark, idx, BooleanSpec(filters=(("role", "user"),)))
+    after = IndexSearcher(spark, idx)
+
+    et_post = after.early_topk(10, fields=("role",)).collect()
+    assert len(et_post) == 10
+    assert all(r.role != "user" for r in et_post)
+    assert [tuple(r)[:2] for r in et_post] != et_pre
+
+    rel_post = {r.facet_value: (r.fg_count, r.bg_count)
+                for r in facet_relatedness(
+                    after, "role", BooleanSpec(must=("merge",)), limit=20
+                ).collect()}
+    assert "user" not in rel_post  # bg domain masked too
+    assert rel_post != rel_pre
+
+    ub_post = {r.facet_value: (r.cnt, r.unique_convs)
+               for r in facet_unique_block(
+                   after, "role", BooleanSpec(must=("merge",)), limit=20
+               ).collect()}
+    assert "user" not in ub_post
+    assert ub_pre["assistant"] == ub_post["assistant"]  # untouched bucket
+
+    wide = facet_block_domain(
+        after, "role", BooleanSpec(must=("merge",)), limit=20
+    ).collect()
+    assert all(r.facet_value != "user" for r in wide)

@@ -98,3 +98,21 @@ def test_pipeline_cli_filter_stage(spark, sf_dir, tmp_path):
     rep = q_quality_repetition(spark, sf_dir)
     joined = clean.join(rep, "doc_id", "left")
     assert joined.filter(~joined.keep).count() == 0
+
+
+def test_pipeline_cli_substring_stage(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_job import main as pmain
+
+    st = pmain(["substring", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "spandedup")])
+    assert 0 < st["rows_out"] < st["rows_in"] * 1.25  # planted dups drop
+    kept = spark.read.parquet(str(tmp_path / "spandedup"))
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # first occurrence survives, the higher-id verbatim copy drops
+    from lucene_solr_spark.operators.textpipe import q_dedup_substring
+
+    pairs = q_dedup_substring(spark, sf_dir).collect()
+    assert pairs
+    for r in pairs:
+        assert r.b not in ids, (r.a, r.b)
