@@ -2699,9 +2699,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # MultiTermQuery rewrites + debug surfaces (attested once, r3)
     "q_idx_wildcard", "q_idx_regexp", "q_idx_explain",
     "q_idx_significant_terms", "q_idx_cursor_mark",
-    # ranking / collapse / rerank / spellcheck / elevate (r3)
-    "q_idx_collapse", "q_idx_ltr_rerank", "q_idx_spellcheck",
-    "q_idx_elevate",
+    # ranking / collapse / rerank (r3); spellcheck/elevate — attested
+    # r3 — yield to the NEW blockChildren domain facet and substring
+    # dedup (collate keeps the spellcheck family attested below)
+    "q_idx_collapse", "q_idx_ltr_rerank",
+    "q_idx_facet_child_domain", "q_dedup_substring",
     # faceting family (r3 once) + NEW r4 SKG + uniqueBlock
     "q_idx_grouped_facet", "q_idx_facet_multiselect",
     "q_idx_json_facet_metrics", "q_json_facet_approx",
