@@ -205,6 +205,7 @@ class IndexSearcher:
         self._dicts_df = self.spark.read.parquet(*self._dict_files)
         #: term → global df cache (SolrIndexSearcher filterCache spirit)
         self._df_cache: dict[str, int] = {}
+        self._field_card_cache: dict[str, int] = {}
         #: liveDocs analog: tombstoned (conv_id, turn_idx) keys.
         #: Shipped to tasks via a Spark BROADCAST (serialized once,
         #: cached per executor/worker) — capturing the raw set in UDF
@@ -254,6 +255,22 @@ class IndexSearcher:
 
     def dicts(self) -> DataFrame:
         return self._dicts_df
+
+    def field_cardinality(self, field: str) -> int:
+        """Global distinct-term count of a docvalues field (cached —
+        one tiny dictionary aggregation on first use). Drives the
+        facet method choice, the Solr ``facet.method`` heuristic:
+        SimpleFacets picks enum/fc by field term count vs request
+        size; we pick exact-single-shuffle vs two-phase refine the
+        same way (see facets.facet_field)."""
+        card = self._field_card_cache.get(field)
+        if card is None:
+            card = (
+                self._dicts_df.filter(F.col("field") == field)
+                .select("term").distinct().count()
+            )
+            self._field_card_cache[field] = card
+        return card
 
     # -- Weight binding ------------------------------------------------
     def global_df(self, terms: list[str]) -> dict[str, int]:
@@ -948,6 +965,7 @@ class IndexSearcher:
         missing: bool = False,
         exclude_fields: tuple[str, ...] = (),
         group_by: str | None = None,
+        method: str = "auto",
     ) -> DataFrame:
         """SOLR-5894-style facet counts over the query domain
         (two-phase merge-and-refine; see query/facets.py). sort /
@@ -981,5 +999,5 @@ class IndexSearcher:
                 sort=sort, prefix=prefix, contains=contains,
                 missing=missing, group_by=group_by,
             ),
-            spec=spec, refine=refine,
+            spec=spec, refine=refine, method=method,
         )

@@ -631,11 +631,29 @@ def facet_nested(
     )
 
 
+def use_refine(searcher, req: FacetRequest, refine: bool, method: str) -> bool:
+    """The facet method choice (SimpleFacets' enum/fc heuristic
+    analog). refine=False or mincount>1 always means the exact
+    single-shuffle path (mincount exactness: ADVICE r2). Under
+    method='auto', low-cardinality fields also route exact: when the
+    field's whole dictionary fits in HALF the phase-1 over-request
+    window, every term is a phase-1 candidate anyway, so the persist +
+    per-segment ranking is pure overhead (measured 1.30 s → 0.73 s on
+    the role facet at sf0.1). method='refine' forces the two-phase
+    path (tests pin refine ≡ exact on every field with it)."""
+    if not refine or req.mincount > 1:
+        return False
+    if method == "refine":
+        return True
+    return searcher.field_cardinality(req.field) * 2 > _overrequest(req.limit)
+
+
 def facet_field(
     searcher,
     req: FacetRequest,
     spec: BooleanSpec | None = None,
     refine: bool = True,
+    method: str = "auto",
 ) -> DataFrame:
     """Distributed facet counts: (facet_value, cnt), top `limit`.
 
@@ -668,8 +686,7 @@ def facet_field(
         [F.desc("cnt"), F.asc("term")] if req.sort == "count" else [F.asc("term")]
     )
 
-    if refine and req.mincount > 1:
-        refine = False  # exactness: see docstring (ADVICE r2)
+    refine = use_refine(searcher, req, refine, method)
     if refine:
         # phase 1 (per-segment top ranking) and phase 2 (exact counts
         # for candidates) both consume the partials; persisting them

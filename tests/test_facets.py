@@ -68,11 +68,35 @@ def test_facet_matches_control(searcher, field, fcol, spec, dfilter, limit):
 ], ids=["role", "ftok-hc"])
 def test_refine_equals_exact(searcher, field, spec):
     """Two-phase merge-and-refine must equal the exact aggregation
-    (the fork's sparse-vs-stock regression invariant)."""
+    (the fork's sparse-vs-stock regression invariant). method='refine'
+    FORCES the two-phase path — without it the auto facet.method
+    heuristic would route low-cardinality fields exact and this duel
+    would compare exact against itself."""
     s, _ = searcher
-    a = s.facet(field, spec=spec, limit=15, refine=True).toPandas()
+    a = s.facet(field, spec=spec, limit=15, method="refine").toPandas()
     b = s.facet(field, spec=spec, limit=15, refine=False).toPandas()
     assert list(zip(a.facet_value, a.cnt)) == list(zip(b.facet_value, b.cnt))
+
+
+def test_facet_method_routing(searcher):
+    """The auto method heuristic (SimpleFacets enum/fc analog): a
+    4-value field whose dictionary fits in half the over-request
+    window routes exact; a dictionary wider than the window keeps the
+    SOLR-5894 two-phase refine; mincount>1 and refine=False are
+    always exact; method='refine' overrides the heuristic."""
+    from lucene_solr_spark.query.facets import FacetRequest, use_refine
+
+    s, _ = searcher
+    role = FacetRequest(field="role", limit=15)
+    ftok = FacetRequest(field="ftok", limit=15)
+    assert not use_refine(s, role, refine=True, method="auto")
+    assert use_refine(s, ftok, refine=True, method="auto")
+    assert use_refine(s, role, refine=True, method="refine")
+    assert not use_refine(s, ftok, refine=False, method="auto")
+    assert not use_refine(
+        s, FacetRequest(field="ftok", limit=15, mincount=3),
+        refine=True, method="auto",
+    )
 
 
 def test_mincount_filters(searcher):
