@@ -44,6 +44,14 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("clear-tombstones")
     p.add_argument("--index", required=True)
 
+    p = sub.add_parser("backup")
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("restore")
+    p.add_argument("--backup", required=True)
+    p.add_argument("--index", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "replicate":  # file-level; no Spark session needed
@@ -51,6 +59,20 @@ def main(argv: list[str] | None = None) -> dict:
 
         st = replicate(args.src, args.dst, clean=not args.no_clean)
         print(json.dumps({"cmd": "replicate", **st}))
+        return st
+
+    if args.cmd == "backup":
+        from lucene_solr_spark.index.replication import backup
+
+        st = backup(args.index, args.out)
+        print(json.dumps({"cmd": "backup", **st}))
+        return st
+
+    if args.cmd == "restore":
+        from lucene_solr_spark.index.replication import restore
+
+        st = restore(args.backup, args.index)
+        print(json.dumps({"cmd": "restore", **st}))
         return st
 
     if args.cmd == "clear-tombstones":

@@ -110,3 +110,52 @@ def replicate(src_root: str, dst_root: str, clean: bool = True) -> dict:
         "skipped": skipped,
         "removed": removed,
     }
+
+
+def backup(index_root: str, backup_root: str) -> dict:
+    """Point-in-time backup (ReplicationHandler ``command=backup``):
+    copy exactly the files the CURRENT snapshot references — segment
+    dirs are immutable, so an incremental re-backup into the same
+    location copies only what changed — plus a ``backup.json`` marker
+    (the backup.properties analog). The backup is itself a valid
+    read-only index root.
+
+    ref: solr/core/src/java/org/apache/solr/handler/SnapShooter.java"""
+    st = replicate(index_root, backup_root, clean=True)
+    m = Manifest.load(backup_root)
+    marker = {
+        "snapshot_id": m.snapshot_id,
+        "n_docs": m.n_docs,
+        "n_segments": len(m.segments),
+        "source": os.path.abspath(index_root),
+    }
+    fd, tmp = tempfile.mkstemp(dir=backup_root, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(marker, f, indent=1, sort_keys=True)
+    os.rename(tmp, os.path.join(backup_root, "backup.json"))
+    return {**st, **marker}
+
+
+def restore(backup_root: str, index_root: str) -> dict:
+    """Restore an index root from a backup (``command=restore``):
+    snapshots NEWER than the backup's are dropped first — they
+    reference segment files the backup does not carry — then the
+    backup's snapshot installs atomically via the replication path
+    (readers on the root keep serving their old snapshot until the
+    rename lands; unreferenced segment dirs are cleaned after).
+
+    ref: solr/core/src/java/org/apache/solr/handler/RestoreCore.java"""
+    b = Manifest.load(backup_root)
+    if b.snapshot_id == 0:
+        raise ValueError(f"no backup snapshot under {backup_root}")
+    mdir = os.path.join(index_root, "manifest")
+    dropped = 0
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith(SNAPSHOT_PREFIX) and name.endswith(".json"):
+                sid = int(name[len(SNAPSHOT_PREFIX):-len(".json")])
+                if sid > b.snapshot_id:
+                    os.remove(os.path.join(mdir, name))
+                    dropped += 1
+    st = replicate(backup_root, index_root, clean=True)
+    return {**st, "snapshots_dropped": dropped}

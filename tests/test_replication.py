@@ -85,3 +85,68 @@ def test_sync_after_compaction_cleans_obsolete(spark, leader, tmp_path_factory):
 def test_replicate_requires_committed_leader(tmp_path):
     with pytest.raises(ValueError):
         replicate(str(tmp_path / "empty"), str(tmp_path / "f"))
+
+
+# --- backup / restore (r4: SnapShooter / RestoreCore analogs) ---------
+
+def test_backup_restore_roundtrip(spark, sf_dir, tmp_path):
+    """Backup at snapshot N, mutate the source (delete + merge →
+    snapshots N+1, N+2), restore into BOTH a fresh root and the
+    mutated root: each must answer exactly as the index did at backup
+    time, and the mutated root's newer snapshots must be dropped."""
+    from lucene_solr_spark.index.deletes import delete_by_query
+    from lucene_solr_spark.index.replication import backup, restore
+
+    src = str(tmp_path / "src")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, src, num_parts=3, lineage_source=sf_dir)
+    q = BooleanSpec(must=("merge",), k=20)
+    at_backup = [tuple(r) for r in
+                 IndexSearcher(spark, src).search(q, round_to=4).collect()]
+
+    bdir = str(tmp_path / "bak")
+    st = backup(src, bdir)
+    assert st["n_segments"] == 3 and st["snapshot_id"] >= 1
+    # the backup is itself a readable index root
+    assert [tuple(r) for r in
+            IndexSearcher(spark, bdir).search(q, round_to=4).collect()
+            ] == at_backup
+
+    # mutate the source past the backup point
+    delete_by_query(spark, src, BooleanSpec(filters=(("role", "user"),)))
+    merge_segments(spark, src, merge_factor=3)
+    mutated = [tuple(r) for r in
+               IndexSearcher(spark, src).search(q, round_to=4).collect()]
+    assert mutated != at_backup
+
+    # restore into a FRESH root
+    fresh = str(tmp_path / "fresh")
+    restore(bdir, fresh)
+    assert [tuple(r) for r in
+            IndexSearcher(spark, fresh).search(q, round_to=4).collect()
+            ] == at_backup
+
+    # restore OVER the mutated root: newer snapshots drop, answers revert
+    st2 = restore(bdir, src)
+    assert st2["snapshots_dropped"] >= 2  # delete + merge snapshots
+    assert [tuple(r) for r in
+            IndexSearcher(spark, src).search(q, round_to=4).collect()
+            ] == at_backup
+
+
+def test_backup_is_incremental(spark, sf_dir, tmp_path):
+    """Re-backup after an append copies only the NEW segments
+    (immutable files skip), like IndexFetcher."""
+    from lucene_solr_spark.index.replication import backup
+
+    src = str(tmp_path / "src2")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, src, num_parts=2, lineage_source=sf_dir)
+    bdir = str(tmp_path / "bak2")
+    st1 = backup(src, bdir)
+    assert st1["copied"] >= 2
+    # append two more segments, re-backup
+    build_index(spark, t.limit(500), src, num_parts=2, resume=False,
+                lineage_source=sf_dir, part_offset=100, seg_prefix="app_")
+    st2 = backup(src, bdir)
+    assert st2["copied"] == 2 and st2["skipped"] == 2
