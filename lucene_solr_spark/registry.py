@@ -1536,6 +1536,63 @@ register(
 )
 
 
+# --- [child] DocTransformer over the conv/turn block model -----------
+_CHILD_SPEC = BooleanSpec(must=("merge",))
+
+
+def _idx_child_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl=*,[child limit=3] over a block-join conversation search: the
+    top-3 conversations by max-turn BM25, each hydrated with its first
+    3 child turns (ALL children of the block, matching or not — the
+    ChildDocTransformer contract). Physical: the 3-row parent list
+    broadcasts into the stored-fields scan; only children of ranked
+    parents move.
+
+    ref: solr/core/src/java/org/apache/solr/response/transform/
+         ChildDocTransformerFactory.java"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    parents = s.search_conversations(
+        _CHILD_SPEC, k=3, score_mode="max", round_to=ROUND
+    ).select("conv_id", F.col("score").alias("cscore"))
+    t = transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.join(F.broadcast(parents), "conv_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("conv_id", "cscore", "turn_idx", "role")
+        .orderBy(F.desc("cscore"), "conv_id", "turn_idx")
+    )
+
+
+def _child_transformer_oracle() -> str:
+    per_turn = bm25_oracle_sql(_CHILD_SPEC)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f""",
+conv AS (
+  SELECT conv_id, round(max(score), {ROUND}) AS cscore
+  FROM scored GROUP BY conv_id
+  ORDER BY cscore DESC, conv_id LIMIT 3)
+SELECT c.conv_id, c.cscore, d.turn_idx, d.role
+FROM conv c JOIN (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM docs) d USING (conv_id)
+WHERE d.rn <= 3
+ORDER BY c.cscore DESC, c.conv_id, d.turn_idx
+""").strip()
+
+
+register(
+    "q_idx_child_transformer",
+    _idx_child_transformer,
+    _child_transformer_oracle(),
+)
+
+
 # --- W6: early-terminating sorted collection -------------------------
 def _idx_early_terminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted first page when the request sort == index sort: each
@@ -2698,7 +2755,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idx_bm25_span_or", "q_idx_bm25_span_not", "q_idx_bm25_span_first",
     # MultiTermQuery rewrites + debug surfaces (attested once, r3)
     "q_idx_wildcard", "q_idx_regexp", "q_idx_explain",
-    "q_idx_significant_terms", "q_idx_cursor_mark",
+    # cursor_mark (attested r3) yields to the NEW [child] transformer
+    "q_idx_significant_terms", "q_idx_child_transformer",
     # ranking / collapse / rerank (r3); spellcheck/elevate — attested
     # r3 — yield to the NEW blockChildren domain facet and substring
     # dedup (collate keeps the spellcheck family attested below)

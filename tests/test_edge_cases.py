@@ -64,3 +64,45 @@ def test_scored_search_rejects_pure_negative(spark, sf_dir, tmp_path_factory):
     assert s.docset(
         BooleanSpec(filters=(("role", "nosuchrole"),))
     ).count() == 0
+
+
+def test_r4_ops_empty_and_boundary_domains(spark, sf_dir, tmp_path_factory):
+    """Round-4 surfaces on hostile inputs: a zero-match foreground
+    still yields full background relatedness rows (all scores
+    negative), blockChildren/uniqueBlock over a no-hit domain are
+    empty, early_topk with k > corpus returns every live row in index
+    order."""
+    from lucene_solr_spark.query.facets import (
+        facet_block_domain,
+        facet_relatedness,
+        facet_unique_block,
+    )
+
+    root = str(tmp_path_factory.mktemp("edge4"))
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    s = IndexSearcher(spark, root)
+
+    rel = facet_relatedness(
+        s, "role", BooleanSpec(must=("zzznope",)), limit=20
+    ).toPandas()
+    assert len(rel) == 4  # every role bucket exists in the background
+    assert (rel.fg_count == 0).all()
+    assert (rel.relatedness < 0).all()  # -sqrt(bg_pop), never NaN
+
+    assert facet_unique_block(
+        s, "role", BooleanSpec(must=("zzznope",)), limit=20
+    ).count() == 0
+    assert facet_block_domain(
+        s, "role", BooleanSpec(must=("zzznope",)), limit=20
+    ).count() == 0
+
+    n = t.count()
+    head = s.early_topk(n + 50, fields=("role",))
+    assert head.count() == n
+    first = head.limit(3).collect()
+    want = (
+        t.select("conv_id", "turn_idx", "role")
+        .orderBy("conv_id", "turn_idx").limit(3).collect()
+    )
+    assert [tuple(r) for r in first] == [tuple(r) for r in want]
