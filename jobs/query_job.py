@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--pf2", action="store_true", help="bigram shingle pf")
     ap.add_argument("--pf3", action="store_true", help="trigram shingle pf")
     ap.add_argument("--pf-boost", type=float, default=1.0)
+    ap.add_argument("--ps", type=int, default=0,
+                    help="edismax ps: slop for the pf boost phrases")
     ap.add_argument("--conversations", choices=["max", "total", "avg"],
                     default=None, help="rank parent conversations instead")
     ap.add_argument("--cursor", default=None, metavar="SCORE,CONV,TURN",
@@ -85,7 +87,7 @@ def main() -> None:
                       analyzer_version=args.analyzer_version)
     if args.edismax:
         spec = edismax(args.q, k=args.k, mm=args.mm, pf2=args.pf2,
-                       pf3=args.pf3, pf_boost=args.pf_boost)
+                       pf3=args.pf3, pf_boost=args.pf_boost, ps=args.ps)
     else:
         spec = parse(args.q, k=args.k, default_op=args.default_op)
     out: dict = {"query": args.q, "spec": {

@@ -116,12 +116,30 @@ def _phrase_pred(phrase: tuple[str, ...], slop: int = 0):
     return F.array_contains(grams, target)
 
 
-def _phrase_count_col(phrase: tuple[str, ...]):
-    """Exact phrase OCCURRENCE COUNT (PhraseQuery freq) as a Column:
-    the n-gram spelling of :func:`_phrase_pred`'s slop=0 branch with
+def _phrase_count_col(phrase: tuple[str, ...], slop: int = 0):
+    """Phrase OCCURRENCE COUNT (PhraseQuery freq) as a Column. slop=0:
+    the n-gram spelling of :func:`_phrase_pred`'s exact branch with
     array_contains swapped for a filter+size — one occurrence per
-    matching start position. Stays JVM-side."""
+    matching start position. slop>0 (edismax ps, model.pf_slop): the
+    count version of the sloppy branch — valid START anchors i1 with
+    an in-order chain in the window (equals the n-gram count at
+    slop=0, one pinned counting family). Stays JVM-side."""
     n = len(phrase)
+    if slop > 0 and n > 1:
+        w = slop + n - 1
+        expr = f"toks[i{n} - 1] = '{phrase[n - 1]}'"
+        for j in range(n - 1, 0, -1):
+            hi = f"least(size(toks), i1 + {w})"
+            inner = (
+                f"i{j} + 1 <= {hi} AND "
+                f"exists(sequence(i{j} + 1, {hi}), i{j + 1} -> {expr})"
+            )
+            expr = f"toks[i{j} - 1] = '{phrase[j - 1]}' AND ({inner})"
+        return F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"size(filter(sequence(1, size(toks) - {n - 1}), i1 -> {expr})) "
+            f"ELSE 0 END"
+        )
     target = " ".join(phrase)
     grams = (
         f"filter(transform(sequence(0, size(toks) - {n}), "
@@ -399,7 +417,8 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
             .agg(F.sum("idf").alias("idf_sum"))
         )
         tf_cols = [
-            _phrase_count_col(ph).cast("double") for ph in spec.pf_phrases
+            _phrase_count_col(ph, spec.pf_slop).cast("double")
+            for ph in spec.pf_phrases
         ]
         bonus = (
             docs.select(

@@ -112,13 +112,18 @@ class BooleanSpec:
     #: tf·(k1+1)/(tf+k1·norm)`` with tf = the doc's exact phrase
     #: occurrence count — Lucene's PhraseQuery scoring (PhraseWeight:
     #: idf = sum over the phrase's term stats, duplicates counted; tf =
-    #: phrase freq), no phrase-level df needed. Pinned: ps(slop)=0
-    #: (exact adjacency only) and per-term BoostQuery multipliers fold
-    #: into the pf idf sum exactly as they fold into term scoring.
+    #: phrase freq), no phrase-level df needed. Per-term BoostQuery
+    #: multipliers fold into the pf idf sum exactly as they fold into
+    #: term scoring. ``pf_slop`` is edismax ``ps``: with slop > 0 the
+    #: phrase freq counts START anchors p1 with toks[p1]=term_1 and an
+    #: in-order chain p1<…<pn, pn−p1 ≤ slop+n−1 (at slop=0 this IS the
+    #: exact n-gram occurrence count — one pinned counting family in
+    #: all three engines).
     #: ref: solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java
-    #: (pf/pf2/pf3), lucene/core/src/java/org/apache/lucene/search/PhraseQuery.java
+    #: (pf/pf2/pf3/ps), lucene/core/src/java/org/apache/lucene/search/PhraseQuery.java
     pf_phrases: tuple[tuple[str, ...], ...] = ()
     pf_boost: float = 1.0
+    pf_slop: int = 0
 
     def __post_init__(self) -> None:
         # Lucene rejects boost < 0 (BoostQuery ctor): negative idf
@@ -134,6 +139,8 @@ class BooleanSpec:
             raise ValueError("span_first requires span_first_end >= 1")
         if self.pf_boost < 0:
             raise ValueError(f"negative pf_boost {self.pf_boost}")
+        if self.pf_slop < 0:
+            raise ValueError(f"negative pf_slop {self.pf_slop}")
         for ph in self.pf_phrases:
             if len(ph) < 2:
                 raise ValueError(f"pf phrase needs >= 2 terms: {ph}")

@@ -53,11 +53,27 @@ def _phrase_clause(phrase: tuple[str, ...], slop: int = 0) -> str:
     )
 
 
-def _phrase_count_sql(phrase: tuple[str, ...]) -> str:
-    """Exact phrase OCCURRENCE COUNT (PhraseQuery freq for pf) —
-    the exact-adjacency branch of :func:`_phrase_clause` counting
-    matching start positions instead of testing existence."""
+def _phrase_count_sql(phrase: tuple[str, ...], slop: int = 0) -> str:
+    """Phrase OCCURRENCE COUNT (PhraseQuery freq for pf) — the
+    matching branch of :func:`_phrase_clause` counting start positions
+    instead of testing existence. slop>0 is edismax ps (model.pf_slop:
+    valid start anchors, equal to the exact count at slop=0)."""
     n = len(phrase)
+    if slop > 0 and n > 1:
+        w = slop + n - 1
+        expr = f"toks[i{n}] = '{phrase[n - 1]}'"
+        for j in range(n - 1, 0, -1):
+            hi = f"least(len(toks), i1 + {w})"
+            inner = (
+                f"len(list_filter(range(i{j} + 1, {hi} + 1), "
+                f"i{j + 1} -> {expr})) > 0"
+            )
+            expr = f"toks[i{j}] = '{phrase[j - 1]}' AND {inner}"
+        return (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"len(list_filter(range(1, len(toks) - {n - 1} + 1), "
+            f"i1 -> {expr})) ELSE 0 END"
+        )
     conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
     return (
         f"len(list_filter(range(1, greatest(len(toks) - {n} + 2, 1)), "
@@ -244,7 +260,7 @@ scored AS (
         pf_terms = sorted({t for ph in spec.pf_phrases for t in ph})
         cnt_rows = "\n  UNION ALL\n".join(
             f"  SELECT conv_id, turn_idx, {i} AS ph_id, "
-            f"{_phrase_count_sql(ph)} AS pftf, doc_len FROM docs2"
+            f"{_phrase_count_sql(ph, spec.pf_slop)} AS pftf, doc_len FROM docs2"
             for i, ph in enumerate(spec.pf_phrases)
         )
         body = body.replace("\nscored AS (", "\nscored_base AS (")

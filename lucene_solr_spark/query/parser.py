@@ -233,6 +233,7 @@ def edismax(
     pf2: bool = False,
     pf3: bool = False,
     pf_boost: float = 1.0,
+    ps: int = 0,
 ) -> BooleanSpec:
     """edismax front door (single-field subset): the analyzed query
     terms become a SHOULD disjunction under ``mm`` (int or 'N%'), and
@@ -267,5 +268,6 @@ def edismax(
         min_should_match=max(1, min(len(should), _calc_mm(mm, len(should)))),
         pf_phrases=tuple(dict.fromkeys(pf_phrases)),
         pf_boost=pf_boost,
+        pf_slop=ps,  # edismax ps: phrase-boost slop
         k=k,
     )

@@ -149,6 +149,41 @@ def _sloppy_chain_docs(
     return np.unique(keyed[n - 1][ok] // stride)
 
 
+def _sloppy_start_counts(
+    tps: list["TermPostings"], cand: np.ndarray,
+    stride: int, slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SLOPPY phrase freq for the pf ``ps`` path — counts
+    START anchors p1 with a valid in-order chain (the pinned counting
+    contract, model.pf_slop). Mirror of :func:`_sloppy_chain_docs`
+    run backwards: b_i(q) = the MINIMAL chain end reachable from
+    occurrence q of term_i = suffix-min of b_{i+1} past q. The same
+    monotone-key argument makes cross-doc suffix-min leakage
+    self-rejecting (a finite same-doc end is always smaller than any
+    later-doc key, and a later-doc minimum fails the same-doc check).
+    A start is valid iff its minimal end fits the window."""
+    keyed: list[np.ndarray] = []
+    for tp in tps:
+        d, t, p = tp.positions(tp.blocks_for_docs(cand))
+        m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        k = np.repeat(d, t)[m] * stride + p[m]
+        if len(k) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        keyed.append(k)  # sorted: doc asc, pos asc
+    n = len(tps)
+    big = np.int64(np.iinfo(np.int64).max)
+    b = keyed[n - 1].copy()  # level n: chain end = own key
+    for i in range(n - 2, -1, -1):
+        nxt_k, cur_k = keyed[i + 1], keyed[i]
+        bmin = np.minimum.accumulate(b[::-1])[::-1]  # suffix-min
+        idx = np.searchsorted(nxt_k, cur_k, side="right")  # strictly after
+        e = np.where(idx < len(nxt_k), bmin[np.clip(idx, 0, len(nxt_k) - 1)], big)
+        valid = (idx < len(nxt_k)) & (e != big) & (e // stride == cur_k // stride)
+        b = np.where(valid, e, big)
+    ok = (b != big) & (b - keyed[0] <= slop + n - 1)
+    return np.unique(keyed[0][ok] // stride, return_counts=True)
+
+
 def _span_docs(
     tps: list[TermPostings], cand: np.ndarray, stride: int, window: int,
     pos_cap: int | None = None,
@@ -564,7 +599,17 @@ def score_segment(
             idf_sum = sum(idf.get(t, 0.0) for t in ph)
             if idf_sum == 0.0:
                 continue
-            pdocs, ptf = _phrase_freqs([tp.get(t) for t in ph], max_dl)
+            ph_tps = [tp.get(t) for t in ph]
+            if spec.pf_slop > 0:
+                # ps: sloppy phrase freq (valid start anchors) over
+                # the docs already in the match set only
+                if any(t is None for t in ph_tps):
+                    continue
+                pdocs, ptf = _sloppy_start_counts(
+                    ph_tps, uniq, max_dl + 2 + spec.pf_slop, spec.pf_slop
+                )
+            else:
+                pdocs, ptf = _phrase_freqs(ph_tps, max_dl)
             if len(pdocs) == 0:
                 continue
             m = np.isin(pdocs, uniq, assume_unique=True)

@@ -1318,6 +1318,17 @@ _PF = BooleanSpec(
 register("q_bm25_pf", _mk_bm25(_PF), bm25_oracle_sql(_PF))
 register("q_idx_bm25_pf", _mk_idx_bm25(_PF), bm25_oracle_sql(_PF))
 
+# edismax ps (sloppy pf): the boost phrase "table merge" matches with
+# up to 2 intervening tokens — in this corpus that includes the
+# injected "table scan merge" spans an exact pf would miss; freq =
+# valid start anchors (model.pf_slop), same saturation as pf.
+_PS = BooleanSpec(
+    should=("table", "merge"), min_should_match=1,
+    pf_phrases=(("table", "merge"),), pf_boost=2.0, pf_slop=2, k=20,
+)
+register("q_bm25_ps", _mk_bm25(_PS), bm25_oracle_sql(_PS))
+register("q_idx_bm25_ps", _mk_idx_bm25(_PS), bm25_oracle_sql(_PS))
+
 # edismax front door: the full analyzed query as SHOULD under mm='50%'
 # plus the whole query as the pf phrase (ExtendedDismaxQParser's
 # addShingledPhraseQueries with the default whole-query shingle).
@@ -2750,7 +2761,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # CORE BM25 flagships (term = the headline shape, phrase = the
     # position machinery; the boolean family is further covered by pf
     # and the span rows below)
+    # json_facet_metrics (attested r3) yields to the NEW edismax ps
     "q_idx_bm25_term", "q_idx_bm25_phrase", "q_idx_bm25_pf",
+    "q_idx_bm25_ps",
     # spans through the index engine (attested once, r3)
     "q_idx_bm25_span_or", "q_idx_bm25_span_not", "q_idx_bm25_span_first",
     # MultiTermQuery rewrites + debug surfaces (attested once, r3)
@@ -2764,7 +2777,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idx_facet_child_domain", "q_dedup_substring",
     # faceting family (r3 once) + NEW r4 SKG + uniqueBlock
     "q_idx_grouped_facet", "q_idx_facet_multiselect",
-    "q_idx_json_facet_metrics", "q_json_facet_approx",
+    "q_json_facet_approx",
     "q_idx_facet_relatedness", "q_idx_facet_unique_block",
     # NEW r4: grouping variants, passages highlighter, fetch, W6, N4
     "q_grouping_query", "q_grouping_func", "q_idx_highlight_passages",

@@ -222,3 +222,140 @@ def test_pf_shingles_duel(env):
         for r in con.execute(bm25_oracle_sql(spec)).fetchall()
     ]
     assert got_duck == want
+
+
+# --- edismax ps (sloppy pf) — r4 ---------------------------------------
+
+def _sloppy_start_count(toks: list[str], phrase: tuple[str, ...],
+                        slop: int) -> int:
+    """Pure-python reference of the pinned ps counting contract:
+    start anchors p1 (toks[p1]=term_1) with an in-order chain
+    p1<…<pn, pn−p1 ≤ slop+n−1."""
+    n = len(phrase)
+    w = slop + n - 1
+    cnt = 0
+    for p1 in range(len(toks)):
+        if toks[p1] != phrase[0]:
+            continue
+        pos = p1
+        ok = True
+        for term in phrase[1:]:
+            nxt = next(
+                (q for q in range(pos + 1, min(len(toks), p1 + w + 1))
+                 if toks[q] == term),
+                None,
+            )
+            if nxt is None:
+                ok = False
+                break
+            pos = nxt
+        if ok:
+            cnt += 1
+    return cnt
+
+
+def brute_ps_topk(pdf, spec: BooleanSpec, k: int):
+    """brute_pf_topk with the sloppy (ps) phrase freq."""
+    n_docs = len(pdf)
+    avgdl = sum(len(t) for t in pdf["toks"]) / n_docs
+    df = Counter()
+    for toks in pdf["toks"]:
+        for t in set(toks):
+            df[t] += 1
+
+    def idf(t):
+        return math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+
+    rows = []
+    for r in pdf.itertuples():
+        toks, dl = r.toks, len(r.toks)
+        tf = Counter(toks)
+        norm = K1 * (1 - B + B * dl / avgdl)
+        if not any(tf[t] > 0 for t in spec.should):
+            continue
+        score = sum(
+            idf(t) * (tf[t] * (K1 + 1)) / (tf[t] + norm)
+            for t in spec.should if tf[t] > 0
+        )
+        for ph in spec.pf_phrases:
+            cnt = _sloppy_start_count(toks, ph, spec.pf_slop)
+            if cnt:
+                isum = sum(idf(t) for t in ph)
+                score += spec.pf_boost * isum * (cnt * (K1 + 1)) / (cnt + norm)
+        rows.append((r.conv_id, int(r.turn_idx), round(score, ROUND)))
+    rows.sort(key=lambda x: (-x[2], x[0], x[1]))
+    return rows[:k]
+
+
+# (The greedy next-occurrence chain in _sloppy_start_count is
+# exhaustive: taking the EARLIEST valid next occurrence at each level
+# never loses a solution when every level is bounded by the same
+# global window p1 + w — a later choice only shrinks what remains.)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_ps_duel(env, seed):
+    """4-way: index scorer / Catalyst brute / DuckDB oracle / pure
+    python — random sloppy boost phrases with random slop."""
+    s, t, pdf, con = env
+    rng = np.random.default_rng(4000 + seed)
+    ph = rand_pf(rng, pdf)
+    slop = int(rng.integers(1, 4))
+    spec = BooleanSpec(
+        should=ph, min_should_match=1,
+        pf_phrases=(ph,), pf_boost=2.0, pf_slop=slop, k=25,
+    )
+    want = brute_ps_topk(pdf, spec, spec.k)
+    got_idx = [
+        (r.conv_id, int(r.turn_idx), float(r.score))
+        for r in s.search(spec, round_to=ROUND).collect()
+    ]
+    assert got_idx == want, (ph, slop)
+    got_df = [
+        (r.conv_id, int(r.turn_idx), float(r.score))
+        for r in bm25_df.search(t, spec, round_to=ROUND).collect()
+    ]
+    assert got_df == want, (ph, slop)
+    got_duck = [
+        (r[0], int(r[1]), float(r[2]))
+        for r in con.execute(bm25_oracle_sql(spec)).fetchall()
+    ]
+    assert got_duck == want, (ph, slop)
+
+
+def test_ps_zero_slop_is_exact_pf(env):
+    """pf_slop=0 must be byte-identical to the exact pf path — one
+    counting family."""
+    s, _t, _pdf, _con = env
+    base = BooleanSpec(
+        should=("merge", "data"), min_should_match=1,
+        pf_phrases=(("merge", "data"),), pf_boost=2.0, k=20,
+    )
+    zs = BooleanSpec(
+        should=("merge", "data"), min_should_match=1,
+        pf_phrases=(("merge", "data"),), pf_boost=2.0, pf_slop=0, k=20,
+    )
+    a = [tuple(r) for r in s.search(base, round_to=ROUND).collect()]
+    b = [tuple(r) for r in s.search(zs, round_to=ROUND).collect()]
+    assert a == b
+
+
+def test_ps_boosts_docs_exact_pf_misses(env):
+    """Discriminator: with phrase (table, merge) and slop 2, docs
+    carrying the injected 'table scan merge' span gain a bonus the
+    exact pf cannot see — the ps ranking must differ from pf's."""
+    s, _t, pdf, _con = env
+    has_gap_span = any(
+        _sloppy_start_count(r.toks, ("table", "merge"), 2)
+        > _phrase_count(r.toks, ("table", "merge"))
+        for r in pdf.itertuples()
+    )
+    if not has_gap_span:
+        pytest.skip("corpus lacks a gapped table..merge span")
+    mk = lambda slop: BooleanSpec(  # noqa: E731
+        should=("table", "merge"), min_should_match=1,
+        pf_phrases=(("table", "merge"),), pf_boost=3.0, pf_slop=slop, k=15,
+    )
+    exact = [tuple(r) for r in s.search(mk(0), round_to=ROUND).collect()]
+    sloppy = [tuple(r) for r in s.search(mk(2), round_to=ROUND).collect()]
+    assert exact != sloppy
