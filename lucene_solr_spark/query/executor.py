@@ -206,6 +206,13 @@ class IndexSearcher:
         #: term → global df cache (SolrIndexSearcher filterCache spirit)
         self._df_cache: dict[str, int] = {}
         self._field_card_cache: dict[str, int] = {}
+        # MatchAll facet partials cache (UnInvertedField / FieldCache
+        # analog): keyed (field, group_by, missing), bounded by the 3
+        # docvalues fields × flags; safe because a searcher is pinned
+        # to ONE snapshot (deletes/merges produce a NEW searcher, so
+        # the cached counts can never go stale). facets.facet_field
+        # owns population; entries persist for the searcher's life.
+        self._facet_cache: dict[tuple, object] = {}
         #: liveDocs analog: tombstoned (conv_id, turn_idx) keys.
         #: Shipped to tasks via a Spark BROADCAST (serialized once,
         #: cached per executor/worker) — capturing the raw set in UDF

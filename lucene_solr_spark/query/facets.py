@@ -670,11 +670,24 @@ def facet_field(
     contract; facet.prefix narrows before ranking; facet.missing
     appends a trailing NULL bucket (never subject to limit/sort).
     """
-    raw = segment_partials(searcher, req, spec)
-    cached: list[DataFrame] = []  # persisted frames to free on exit
-    if req.missing:
-        raw = raw.persist()  # consumed by both the buckets and the miss row
-        cached.append(raw)
+    # MatchAll-domain partials are snapshot-stable → served from the
+    # searcher's UnInvertedField-style cache (one tiny persisted
+    # (seg_id, term_ord, cnt) frame per field; a new snapshot means a
+    # new searcher, so staleness is impossible). Query-domain partials
+    # are computed per call as before.
+    cached: list[DataFrame] = []  # call-owned persisted frames to free
+    cache_key = (
+        (req.field, req.group_by, req.missing) if spec is None else None
+    )
+    raw = searcher._facet_cache.get(cache_key) if cache_key else None
+    if raw is None:
+        raw = segment_partials(searcher, req, spec)
+        if cache_key is not None:
+            raw = raw.persist()  # cache-owned: lives with the searcher
+            searcher._facet_cache[cache_key] = raw
+        elif req.missing:
+            raw = raw.persist()  # both the buckets and the miss row
+            cached.append(raw)
     # ord -1 (missing) partials have no dictionary row → inner join
     # keeps them out of the term buckets automatically
     parts = _with_terms(searcher, raw, req.field)

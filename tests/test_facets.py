@@ -324,3 +324,34 @@ def test_block_domain_widens_counts(searcher):
         .count()
     )
     assert sum(wide.values()) == total
+
+
+def test_matchall_facet_cache_is_snapshot_safe(spark, sf_dir, tmp_path):
+    """UnInvertedField-cache analog: repeated MatchAll facets on one
+    searcher reuse the cached partials and stay identical; a delete
+    produces a NEW searcher whose fresh cache reflects the mask —
+    staleness is structurally impossible (cache lives on the
+    snapshot-pinned instance)."""
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.index.deletes import delete_by_query
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path / "fc")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    s = IndexSearcher(spark, root)
+    a = [tuple(r) for r in s.facet("role", spec=None, limit=10).collect()]
+    assert ("role", None, False) in s._facet_cache  # populated
+    b = [tuple(r) for r in s.facet("role", spec=None, limit=10).collect()]
+    assert a == b
+    # a query-domain facet never touches the MatchAll cache
+    s.facet("role", spec=BooleanSpec(must=("merge",)), limit=10).collect()
+    assert len(s._facet_cache) == 1
+
+    delete_by_query(spark, root, BooleanSpec(filters=(("role", "user"),)))
+    s2 = IndexSearcher(spark, root)  # new snapshot → new cache
+    c = {r.facet_value: r.cnt
+         for r in s2.facet("role", spec=None, limit=10).collect()}
+    assert "user" not in c
+    assert dict((k, v) for k, v in a) != c
