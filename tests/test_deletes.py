@@ -198,7 +198,7 @@ def test_tombstone_cap_refuses_without_committing(spark, idx):
 
 def test_r4_read_paths_honor_tombstones(spark, idx):
     """Every round-4 docmap read path applies the liveDocs mask
-    (CLAUDE invariant: any NEW docmap read site must): early_topk,
+    (pinned invariant in the working notes: any NEW docmap read site must): early_topk,
     relatedness (fg AND bg domains), uniqueBlock, blockChildren
     widening."""
     from lucene_solr_spark.query.facets import (
