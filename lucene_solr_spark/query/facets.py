@@ -840,8 +840,12 @@ def facet_relatedness(
         # one sparse pass over each domain's touched ordinals
         bg_u, bg_c = np.unique(bg_ords[bg_ords >= 0], return_counts=True)
         fg_u, fg_c = np.unique(fg_ords[fg_ords >= 0], return_counts=True)
-        fg_map = dict(zip(fg_u.tolist(), fg_c.tolist()))
-        fg_col = np.array([fg_map.get(o, 0) for o in bg_u.tolist()], np.int64)
+        # fg ords ⊆ bg ords (fg hits are masked to the live domain), so
+        # one searchsorted scatter aligns the columns — vectorized,
+        # never a python loop over bucket cardinality
+        fg_col = np.zeros(len(bg_u), np.int64)
+        if len(fg_u):
+            fg_col[np.searchsorted(bg_u, fg_u)] = fg_c
         # sizes row: term_ord -2 carries (fg_size, bg_size)
         uniq = np.append(bg_u, -2)
         fg_out = np.append(fg_col, fg_size)
