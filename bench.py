@@ -184,6 +184,14 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                     should=("merge", "data"), min_should_match=1,
                     pf_phrases=(("merge", "data"),), pf_boost=2.0, k=20
                 ),
+                # round-4: edismax ps (sloppy pf — backward chain DP
+                # counting start anchors; "table ? merge" catches the
+                # injected gapped span)
+                "bm25_ps": BooleanSpec(
+                    should=("table", "merge"), min_should_match=1,
+                    pf_phrases=(("table", "merge"),), pf_boost=2.0,
+                    pf_slop=2, k=20
+                ),
             }
             for name, spec in extra_specs.items():
                 timed(name, lambda s=spec: searcher.search(s).collect())
@@ -229,6 +237,7 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                     ("dedup_minhash_lsh", textpipe.q_dedup_minhash_lsh),
                     ("dedup_ngram_jaccard", textpipe.q_dedup_ngram_jaccard),
                     ("dedup_clusters", textpipe.q_dedup_clusters),
+                    ("dedup_substring", textpipe.q_dedup_substring),
                     ("neardup_cosine", textpipe.q_neardup_cosine),
                     ("decontaminate", textpipe.q_decontaminate),
                     ("graph_traversal", graph.q_graph_traversal),
