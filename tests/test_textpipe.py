@@ -252,3 +252,45 @@ def test_substring_dedup_catches_planted_pairs(spark, sf_dir):
             assert (d, d + 200000) in pairs, (d, n)
     # no self-pairs, ordered keys
     assert all(a < b for (a, b) in pairs)
+
+
+def test_substring_dedup_duel_vs_python_reference(spark, sf_dir):
+    """Independent duel: the Spark window join must equal a
+    dict-based pure-python implementation of the same pinned contract
+    (stride-5 20-token windows, df-cap 64, distinct windows per doc,
+    pairs a<b with shared-window counts)."""
+    import re
+    from collections import defaultdict
+
+    from lucene_solr_spark.operators.textpipe import (
+        _SUB_DFCAP,
+        _SUB_S,
+        _SUB_W,
+        corpus_df,
+        q_dedup_substring,
+    )
+
+    pdf = corpus_df(spark, sf_dir).toPandas()
+    tok = re.compile(r"[a-z0-9]+")
+    by_win: dict[str, set[int]] = defaultdict(set)
+    for r in pdf.itertuples():
+        toks = tok.findall(r.text.lower())
+        if len(toks) < _SUB_W:
+            continue
+        for p in range((len(toks) - _SUB_W) // _SUB_S + 1):
+            w = " ".join(toks[p * _SUB_S : p * _SUB_S + _SUB_W])
+            by_win[w].add(int(r.doc_id))
+    want: dict[tuple[int, int], int] = defaultdict(int)
+    for w, docs in by_win.items():
+        if len(docs) > _SUB_DFCAP:
+            continue
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                want[(ds[i], ds[j])] += 1
+    got = {
+        (int(r.a), int(r.b)): int(r.n_shared)
+        for r in q_dedup_substring(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert got  # planted dups guarantee pairs exist
