@@ -467,6 +467,9 @@ def q_pivot_facet(spark, sf_dir):
   round(min(value), 2) AS mn,
   round(max(value), 2) AS mx,
   round(stddev_samp(value), 4) AS sd,
+  round(var_samp(value), 4) AS var,
+  round(sum(value * value), 2) AS sumsq,
+  CAST(count(value) AS BIGINT) AS countvals,
   count(DISTINCT user_id) AS uniq,
   round(quantile_cont(value, 0.5), 4) AS p50
 FROM events GROUP BY event_type ORDER BY event_type""",
@@ -482,6 +485,9 @@ def q_json_facet_aggs(spark, sf_dir):
             F.round(F.min("value"), 2).alias("mn"),
             F.round(F.max("value"), 2).alias("mx"),
             F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(F.sum(F.col("value") * F.col("value")), 2).alias("sumsq"),
+            F.count("value").alias("countvals"),
             F.countDistinct("user_id").alias("uniq"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         )
