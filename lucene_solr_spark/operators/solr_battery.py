@@ -1286,6 +1286,48 @@ def q_function_math(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/search/ValueSourceParser.java
+#      ("scale" → ScaleFloatFunction: min-max normalize against GLOBAL
+#      field stats; "map" → RangeMapFloatFunction; "linear" →
+#      LinearFloatFunction)
+@op(
+    "q_function_scale_map",
+    f"""{DOCS_CTE},
+stats AS (SELECT min(len(toks)) AS mn, max(len(toks)) AS mx FROM docs)
+SELECT conv_id, turn_idx,
+  round((len(toks) - mn) / CAST(mx - mn AS DOUBLE), 4) AS scaled,
+  CASE WHEN len(toks) BETWEEN 0 AND 20 THEN -1.0
+       ELSE CAST(len(toks) AS DOUBLE) END AS mapped,
+  round(2.0 * len(toks) + 7.0, 1) AS lin
+FROM docs, stats WHERE turn_idx = 0
+ORDER BY conv_id, turn_idx""",
+)
+def q_function_scale_map(spark, sf_dir):
+    """scale(dl, 0, 1) / map(dl, 0, 20, -1) / linear(dl, 2, 7): scale
+    needs the GLOBAL min/max — one tiny broadcast aggregate, exactly
+    ScaleFloatFunction's createWeight pre-pass; map and linear stay
+    row-local Catalyst expressions."""
+    d = _docs(spark, sf_dir).withColumn("dl", F.size("toks"))
+    stats = d.agg(
+        F.min("dl").alias("mn"), F.max("dl").alias("mx")
+    )
+    return (
+        d.filter(F.col("turn_idx") == 0)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "conv_id", "turn_idx",
+            F.round(
+                (F.col("dl") - F.col("mn"))
+                / (F.col("mx") - F.col("mn")).cast("double"), 4
+            ).alias("scaled"),
+            F.when(F.col("dl").between(0, 20), F.lit(-1.0))
+            .otherwise(F.col("dl").cast("double")).alias("mapped"),
+            F.round(2.0 * F.col("dl") + 7.0, 1).alias("lin"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 # ref: solr/core/src/java/org/apache/solr/search/function/distance/
 # HaversineFunction.java (geodist) + lucene/core .../document/LatLonPoint
 # .java#newDistanceQuery (distance filter with a bounding-box prune).
