@@ -684,7 +684,12 @@ def facet_field(
         raw = segment_partials(searcher, req, spec)
         if cache_key is not None:
             raw = raw.persist()  # cache-owned: lives with the searcher
-            searcher._facet_cache[cache_key] = raw
+            # concurrent serving threads may race the population;
+            # setdefault keeps exactly one persisted frame alive
+            prior = searcher._facet_cache.setdefault(cache_key, raw)
+            if prior is not raw:
+                raw.unpersist()
+                raw = prior
         elif req.missing:
             raw = raw.persist()  # both the buckets and the miss row
             cached.append(raw)
