@@ -99,16 +99,30 @@ class Manifest:
         return self.commit(new_segments, lineage_entry)
 
     @classmethod
-    def load(cls, root: str) -> "Manifest":
-        """Load the latest committed snapshot (empty manifest if none)."""
+    def load(cls, root: str, snapshot_id: int | None = None) -> "Manifest":
+        """Load the latest committed snapshot (empty manifest if none).
+
+        ``snapshot_id`` opens a specific HISTORICAL commit point — the
+        ``DirectoryReader.open(IndexCommit)`` analog (Iceberg
+        time-travel): segment files are immutable and append/merge
+        commits never delete files still referenced by older
+        snapshots, so any retained snapshot json is a complete,
+        consistent view. Raises if that snapshot was never committed."""
         mdir = os.path.join(root, "manifest")
         latest, latest_id = None, 0
         if os.path.isdir(mdir):
             for name in os.listdir(mdir):
                 if name.startswith(SNAPSHOT_PREFIX) and name.endswith(".json"):
                     sid = int(name[len(SNAPSHOT_PREFIX) : -5])
-                    if sid > latest_id:
+                    if snapshot_id is not None:
+                        if sid == snapshot_id:
+                            latest, latest_id = os.path.join(mdir, name), sid
+                    elif sid > latest_id:
                         latest, latest_id = os.path.join(mdir, name), sid
+        if snapshot_id is not None and latest is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found under {root}"
+            )
         m = cls(root=root)
         if latest:
             with open(latest) as f:

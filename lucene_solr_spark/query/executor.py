@@ -160,15 +160,22 @@ class IndexSearcher:
         spark: SparkSession,
         index_root: str,
         analyzer_version: str | None = None,
+        snapshot_id: int | None = None,
     ):
         """`analyzer_version`: the QUERY-TIME analysis chain version.
         When given, it must equal the chain the index was built with
         (manifest-recorded) — querying a stemmed index with unstemmed
         terms (or vice versa) silently misses matches, so the mismatch
         raises instead (the Analyzer invariant, ``Analyzer.java``:
-        one chain at index and query time)."""
+        one chain at index and query time).
+
+        `snapshot_id`: open a HISTORICAL commit point instead of the
+        latest (``DirectoryReader.open(IndexCommit)`` / Iceberg
+        time-travel): immutable segment files make every retained
+        snapshot a complete consistent view, including its own
+        tombstone set and global stats."""
         self.spark = spark
-        self.manifest = Manifest.load(index_root)
+        self.manifest = Manifest.load(index_root, snapshot_id=snapshot_id)
         if not self.manifest.segments:
             raise ValueError(f"no committed snapshot under {index_root}")
         from lucene_solr_spark.index.manifest import CURRENT_FORMAT

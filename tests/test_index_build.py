@@ -226,3 +226,42 @@ def test_format_version_round_trip_and_append_guard(spark, sf_dir, tmp_path):
         json.dump(payload, f)
     with _pytest.raises(ValueError, match="newer"):
         IndexSearcher(spark, root)
+
+
+def test_open_historical_commit_point(spark, sf_dir, tmp_path):
+    """DirectoryReader.open(IndexCommit) analog: a searcher pinned to
+    snapshot 1 keeps answering from the pre-append (and pre-delete)
+    view — immutable segments make old snapshots complete — while the
+    latest searcher sees everything; an unknown snapshot raises."""
+    import pytest as _pytest
+
+    from lucene_solr_spark.index.deletes import delete_by_query
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    root = str(tmp_path / "tt")
+    t = transcripts_from_documents(spark, sf_dir)
+    first = t.filter("turn_idx < 4")
+    build_index(spark, first, root, num_parts=2, lineage_source=sf_dir)
+    q = BooleanSpec(must=("merge",), k=200)
+    s1 = IndexSearcher(spark, root)
+    at_snap1 = [tuple(r) for r in s1.search(q, round_to=4).collect()]
+    n1 = s1.manifest.n_docs
+
+    # append the rest (snapshot 2), then delete (snapshot 3)
+    build_index(spark, t.filter("turn_idx >= 4"), root, num_parts=2,
+                resume=False, lineage_source=sf_dir, part_offset=50,
+                seg_prefix="app_")
+    delete_by_query(spark, root, BooleanSpec(filters=(("role", "user"),)))
+
+    latest = IndexSearcher(spark, root)
+    assert latest.manifest.n_docs > n1
+    assert latest.deleted_keys
+
+    hist = IndexSearcher(spark, root, snapshot_id=1)
+    assert hist.manifest.n_docs == n1
+    assert not hist.deleted_keys  # snapshot 1 predates the tombstones
+    assert [tuple(r) for r in hist.search(q, round_to=4).collect()] == at_snap1
+
+    with _pytest.raises(ValueError, match="snapshot 99"):
+        IndexSearcher(spark, root, snapshot_id=99)
