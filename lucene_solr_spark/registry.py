@@ -1604,6 +1604,41 @@ register(
 )
 
 
+# --- historical commit points (DirectoryReader.open(IndexCommit)) ----
+def _idx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search a PINNED historical snapshot: the index gets two commits
+    (turns 0-3, then an append of turns 4-7); the reader opens
+    snapshot 1 and must answer with snapshot-1 stats and docs only —
+    the IndexCommit / Iceberg time-travel contract."""
+    import tempfile
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "timetravel")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_tt_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, t.filter("turn_idx < 4"), root, num_parts=4,
+                    lineage_source=sf_dir)
+        build_index(spark, t.filter("turn_idx >= 4"), root, num_parts=4,
+                    resume=False, lineage_source=sf_dir, part_offset=50,
+                    seg_prefix="app_")
+        _INDEX_ROOTS[key] = root
+    s = IndexSearcher(spark, root, snapshot_id=1)
+    return s.search(BooleanSpec(must=("merge",), k=12), round_to=ROUND)
+
+
+# The snapshot-1 view is exactly the turn_idx<4 rows, i.e. doc_id%8<4
+# in the deterministic derivation — restrict the oracle's document
+# source to replicate the historical corpus (stats included).
+_TT_ORACLE = bm25_oracle_sql(BooleanSpec(must=("merge",), k=12)).replace(
+    "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 8 < 4)"
+)
+register("q_idx_time_travel", _idx_time_travel, _TT_ORACLE)
+
+
 # --- W6: early-terminating sorted collection -------------------------
 def _idx_early_terminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted first page when the request sort == index sort: each
@@ -2784,8 +2819,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fetch_stream", "q_idx_early_terminate", "q_topic_stream",
     # NEW r4: Porter chain; synonym chain keeps its slot (r3 once)
     "q_idx_porter_search", "q_idx_synonym_search",
-    # stats / graph / deletes (r3 once or contract-critical)
-    "q_stats_percentiles", "q_shortest_path", "q_idx_delete_by_query",
+    # graph / deletes (r3 once or contract-critical); stats_percentiles
+    # (attested r3) yields to the NEW historical-commit reader
+    "q_idx_time_travel", "q_shortest_path", "q_idx_delete_by_query",
     # never-attested locals rotated in (VERDICT r3 item 10 list)
     "q_atomic_update", "q_idx_suggest", "q_idx_term_vectors",
     "q_idx_spellcheck_collate", "q_result_clustering",
