@@ -1022,6 +1022,82 @@ def q_lang_id(spark, sf_dir):
 
 
 @op(
+    "q_quality_lm_perplexity",
+    """WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+uni AS (
+  SELECT u AS w1, count(*) AS c1
+  FROM (SELECT unnest(t[1:len(t)-1]) AS u FROM toks WHERE len(t) >= 2)
+  GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS v
+          FROM (SELECT unnest(t) AS u FROM toks)),
+bi AS (
+  SELECT b1 AS w1, b2 AS w2, count(*) AS c2 FROM (
+    SELECT t[i] AS b1, t[i+1] AS b2
+    FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2)
+  GROUP BY 1, 2),
+doc_bi AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2)
+SELECT d.doc_id,
+       round(-avg(ln((c2 + 1.0) / (c1 + v))), 4) AS nll,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM doc_bi d JOIN bi USING (w1, w2) JOIN uni USING (w1), vocab
+GROUP BY d.doc_id ORDER BY d.doc_id""",
+)
+def q_quality_lm_perplexity(spark, sf_dir):
+    """LM-based quality scoring: per-doc mean negative log-likelihood
+    under an add-one-smoothed bigram model trained on the corpus
+    itself (the KenLM-perplexity filter shape: gibberish and heavy
+    boilerplate both land in the tails). nll = −mean ln((c(w1,w2)+1)/
+    (c(w1)+|V|)) over the doc's bigrams.
+
+    Scale shape: the LM is two aggregations (unigram + bigram counts
+    — map-side partial, shuffle bounded by distinct n-grams, df-style
+    skew handled by the hash agg); scoring is an inverted JOIN of doc
+    bigrams against the model (never a broadcast assumption — at web
+    scale the bigram table outgrows memory), one shuffle each side on
+    the n-gram key. No Python in either pass."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("t"),
+    )
+    big = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = d.select(F.explode("t").alias("u")).agg(
+        F.countDistinct("u").cast("double").alias("v")
+    )
+    return (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.avg(F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))),
+                4,
+            ).alias("nll"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@op(
     "q_quality_score",
     """WITH docs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
