@@ -2724,6 +2724,54 @@ ORDER BY conv_id, turn_idx, tf DESC, term""",
 )
 
 
+def _idx_luke_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luke per-FIELD report: distinct-value cardinality + the top
+    value (by doc count) of every docvalues facet field — the
+    dictionary cardinality probe plus one limit-1 facet per field
+    (both served from the searcher's caches; a 3-row admin call, like
+    Solr's per-field Luke section).
+
+    ref: solr/core/src/java/org/apache/solr/handler/admin/
+         LukeRequestHandler.java (per-field distinct + topTerms)"""
+    s = cached_searcher(spark, sf_dir)
+    rows = []
+    for f_ in sorted(("ftok", "role", "tool")):
+        card = s.field_cardinality(f_)
+        top = s.facet(f_, spec=None, limit=1).collect()[0]
+        rows.append((f_, card, top.facet_value, int(top.cnt)))
+    return spark.createDataFrame(
+        rows, "field string, n_values long, top_value string, top_n long"
+    )
+
+
+register(
+    "q_idx_luke_fields",
+    _idx_luke_fields,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+vals AS (
+  SELECT 'ftok' AS field, toks[1] AS v FROM docs WHERE len(toks) > 0
+  UNION ALL SELECT 'role', role FROM docs
+  UNION ALL SELECT 'tool', tool FROM docs WHERE tool IS NOT NULL
+),
+cnt AS (SELECT field, v, count(*) AS n FROM vals GROUP BY 1, 2),
+ranked AS (
+  SELECT field, v, n,
+         row_number() OVER (PARTITION BY field ORDER BY n DESC, v) AS rk
+  FROM cnt),
+sizes AS (
+  SELECT field, CAST(count(*) AS BIGINT) AS n_values FROM cnt GROUP BY field)
+SELECT field, n_values, v AS top_value, CAST(n AS BIGINT) AS top_n
+FROM ranked JOIN sizes USING (field)
+WHERE rk = 1 ORDER BY field
+""".strip(),
+)
+
+
 def _idx_luke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luke admin handler: index-wide stats — numDocs, distinct term
     count, total postings, and the highest-df term — straight off the

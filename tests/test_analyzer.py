@@ -186,3 +186,23 @@ def test_chain_char_filter_order():
     assert got == ["cafe", "x"]
     # without the fold the accent splits the token
     assert chain()(pd.Series(["café x"])).iloc[0] == ["caf", "x"]
+
+
+def test_porter_fuzz_total_and_shrinking():
+    """Porter must be total over lowercase alphanumeric tokens (never
+    raises, returns a str) and never lengthens its input — fuzzed via
+    hypothesis over the token alphabet."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                   min_size=0, max_size=18))
+    def run(w):
+        out = porter_stem(w)
+        assert isinstance(out, str)
+        assert len(out) <= len(w)
+        if len(w) <= 2:
+            assert out == w  # short-token guard
+
+    run()
