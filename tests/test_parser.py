@@ -202,3 +202,14 @@ def test_mm_conditional_grammar():
 
     assert edismax("merge data", mm="200%").min_should_match == 2
     assert edismax("merge data", mm="-5").min_should_match == 1
+
+
+def test_edismax_ps_sets_pf_slop():
+    from lucene_solr_spark.query.parser import edismax
+
+    spec = edismax("merge data table", mm="2", ps=2, pf_boost=1.5)
+    assert spec.pf_slop == 2
+    assert spec.pf_phrases == (("merge", "data", "table"),)
+    assert spec.pf_boost == 1.5
+    # default stays exact
+    assert edismax("merge data").pf_slop == 0
