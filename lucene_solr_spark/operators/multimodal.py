@@ -2,12 +2,15 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The sandbox has no image/audio libraries, so the actual decoders are
+The sandbox has no image/video codec libraries, so THOSE decoders are
 STUBBED exactly as the brief prescribes: the real-codec path raises
 ``NotImplementedError`` behind an import-try, and a clearly-marked
 deterministic fake (byte statistics) stands in so the Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-is real and tested.
+is real and tested. AUDIO is the exception: WAV (RIFF PCM16) needs
+only the stdlib ``wave`` module, so ``q_multimodal_wav_decode`` is a
+REAL codec round-trip — encode to the binary column, parse the RIFF
+header and PCM frames back, extract integer-exact features.
 
 The media bytes here are derived deterministically from ``documents``
 (utf-8 payload + a modality tag by ``doc_id % 3``), which keeps the
@@ -215,6 +218,120 @@ def q_multimodal_frame_sample(spark, sf_dir):
         .mapInPandas(sample, schema)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: WAV (RIFF PCM16) needs only the stdlib `wave`
+# module — no ffmpeg — so the audio modality gets a genuine
+# encode→binary-column→decode→features pipeline, not a stub. The
+# signal is integer arithmetic (sawtooth) so every feature is
+# integer-exact and the DuckDB twin replicates it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_WAV_SR = 8000
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """A real RIFF/WAVE PCM16 mono file: deterministic integer
+    sawtooth — n = 800 + (id%5)*400 samples, s_i = (i*step + id) %
+    2001 − 1000 with step = 3 + id%7."""
+    import io
+    import wave
+
+    n = 800 + (doc_id % 5) * 400
+    step = 3 + doc_id % 7
+    i = np.arange(n, dtype=np.int64)
+    s = ((i * step + doc_id) % 2001 - 1000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_SR)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+@op(
+    "q_multimodal_wav_decode",
+    """WITH a AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 400 AS n, 3 + doc_id % 7 AS step
+  FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT doc_id, n, i, (i * step + doc_id) % 2001 - 1000 AS v
+  FROM a, unnest(range(0, n)) AS u(i)),
+x AS (
+  SELECT doc_id, n, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+  FROM s)
+SELECT doc_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(any_value(n) AS BIGINT) AS n_samples,
+  CAST(any_value(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(max(abs(v)) AS BIGINT) AS peak,
+  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+  CAST(sum(CASE WHEN nv IS NOT NULL AND ((v >= 0) != (nv >= 0))
+       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM x GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_multimodal_wav_decode(spark, sf_dir):
+    """REAL audio pipeline for the 'audio' modality: synthesize actual
+    RIFF/WAVE PCM16 bytes into the binary column (stdlib `wave`
+    encoder), then DECODE them back in a separate Arrow stage — header
+    parse (rate/frames) + PCM frame read — and extract integer-exact
+    features (duration, peak, sum|s|, zero crossings). Unlike the
+    image/video stubs this is a true codec round-trip; the oracle
+    recomputes the same features from the signal definition."""
+    schema_syn = "doc_id long, wav binary"
+    schema_out = (
+        "doc_id long, sample_rate long, n_samples long, duration_ms long, "
+        "peak long, sum_abs long, zero_crossings long"
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 1)  # the 'audio' docs
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [_synth_wav(int(x)) for x in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(b))) as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                    s = np.frombuffer(
+                        w.readframes(n), np.int16
+                    ).astype(np.int64)
+                zc = int(((s[:-1] >= 0) != (s[1:] >= 0)).sum())
+                rows.append(
+                    (
+                        int(doc_id), sr, n, n * 1000 // sr,
+                        int(np.abs(s).max()), int(np.abs(s).sum()), zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "peak", "sum_abs", "zero_crossings",
+                ],
+            )
+
+    wav = cpu_scaled(d, "doc_id").mapInPandas(synth, schema_syn)
+    return wav.mapInPandas(decode, schema_out).orderBy("doc_id")
 
 
 # metadata-only query: Catalyst must prune the media column entirely

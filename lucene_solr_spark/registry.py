@@ -2876,8 +2876,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # never-attested index-engine locals (r3-new, driver-first here)
     "q_idx_mlt_terms", "q_idx_range_facet_other", "q_idx_sort_by_function",
     # LLM-pipeline: changed-this-round ANN paths + clusters + simhash
+    # simhash (attested r3) yields to the NEW real WAV codec round-trip
     "q_ann_ivf", "q_knn_join", "q_ann_lsh_check", "q_dedup_clusters",
-    "q_dedup_simhash", "q_multimodal_features_check",
+    "q_multimodal_wav_decode", "q_multimodal_features_check",
     # never-attested pipeline hygiene ops (VERDICT r3 item 10 list)
     "q_quality_repetition", "q_domain_mix", "q_pack_sequences",
     "q_sample_stratified",
