@@ -869,6 +869,102 @@ class IndexSearcher:
             run_seg, schema="conv_id string, turn_idx int"
         )
 
+    def payload_score(
+        self,
+        term: str,
+        func: str = "sum",
+        filters: tuple = (),
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """``{!payload_score f=text func=... includeSpanScore=false}``
+        analog: score each matching doc by a PayloadFunction (min / max
+        / sum / average) over the payloads at the term's matched
+        positions, replacing the span score entirely
+        (includeSpanScore=false — the Lucene default).
+
+        Payload encoding is a PINNED position rule, ``pay(p) = 1.0 +
+        (p mod 4)`` — the DelimitedPayloadTokenFilter analog where the
+        per-occurrence payload is derived at analysis time by a
+        deterministic rule all three engines share (a stored-payload
+        variant would add a payload stream to postings and bump
+        ``format_version``; derivation keeps v2 readable). The decode
+        path is the REAL one: per-segment position-stream varint decode
+        (the same stream the phrase scorer reads), per-posting
+        ``reduceat`` aggregation, deletes + filter mask applied before
+        any payload math.
+
+        ref: lucene/queries/src/java/org/apache/lucene/queries/payloads/
+        PayloadScoreQuery.java, MaxPayloadFunction/MinPayloadFunction/
+        SumPayloadFunction/AveragePayloadFunction.java
+        """
+        import numpy as np
+
+        if func not in ("min", "max", "sum", "avg"):
+            raise ValueError(f"unknown payload function: {func}")
+        spec = BooleanSpec(must=(term,), filters=tuple(filters), k=k)
+        seg_dirs = self.seg_dir_by_id
+        dm_cols = filter_cols(spec, _BASE_COLS)
+        deleted_bc = self._deleted_bc
+        lfunc = func
+
+        def run_seg(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from lucene_solr_spark.query.scorer import TermPostings
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            allowed = apply_deletes(
+                filter_mask(dm, spec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
+            row = next(
+                (r for _, r in pdf.iterrows() if r["term"] == term), None
+            )
+            empty = pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
+            if row is None:
+                return empty
+            tp = TermPostings(row, 0.0)
+            d, tf, pos = tp.positions(np.arange(tp.n_blocks))
+            if allowed is not None:
+                keep = allowed[d]
+                occ_keep = np.repeat(keep, tf)
+                d, tf, pos = d[keep], tf[keep], pos[occ_keep]
+            if len(d) == 0:
+                return empty
+            pay = 1.0 + (pos % 4).astype(np.float64)
+            starts = np.cumsum(tf) - tf
+            if lfunc == "sum":
+                s = np.add.reduceat(pay, starts)
+            elif lfunc == "max":
+                s = np.maximum.reduceat(pay, starts)
+            elif lfunc == "min":
+                s = np.minimum.reduceat(pay, starts)
+            else:  # avg
+                s = np.add.reduceat(pay, starts) / tf.astype(np.float64)
+            sel = dm.iloc[d]
+            return pd.DataFrame(
+                {
+                    "conv_id": sel["conv_id"].to_numpy(),
+                    "turn_idx": sel["turn_idx"].to_numpy(),
+                    "score": s,
+                }
+            )
+
+        post = self.postings().filter(F.col("term") == term)
+        hits = post.groupBy("seg_id").applyInPandas(
+            run_seg, schema=RESULT_SCHEMA
+        )
+        if round_to is not None:
+            hits = hits.withColumn("score", F.round("score", round_to))
+        return hits.orderBy(
+            F.desc("score"), "conv_id", "turn_idx"
+        ).limit(k)
+
     # -- MultiTermQuery rewrite (dictionary scan → OR expansion) -------
     def expand_terms(self, predicate, max_expansions: int = 1024) -> list[str]:
         """Dictionary scan: terms of the text field matching a Column

@@ -1109,3 +1109,100 @@ def facet_unique_block(
         .orderBy(F.desc("cnt"), F.asc("facet_value"))
         .limit(limit)
     )
+
+def facet_block_parent(
+    searcher,
+    field: str,
+    spec: BooleanSpec,
+    limit: int = 10,
+) -> DataFrame:
+    """JSON Facet ``domain: {blockParent: ...}`` narrowing: map every
+    CHILD hit to its parent block document and facet the PARENTS — one
+    count per matching conversation, bucketed by the parent row's
+    field value. In the (conv_id, turn_idx)-sorted block model the
+    parent document is the conversation root, ``turn_idx == 0``.
+
+    Segment-local exactness, same invariant as blockChildren /
+    uniqueBlock: conversations never span segments (hash-partitioned
+    build), so each segment task maps its OWN hits to parent rows with
+    one vectorized isin — no conv-id shuffle, no join; only
+    (seg_id, term_ord, cnt) partials leave the executor. A tombstoned
+    parent row drops its conversation from the domain (liveDocs parity
+    with ToParentBlockJoinQuery: deleted parents are never returned).
+
+    ref: solr/core/src/java/org/apache/solr/search/facet/FacetRequest.java
+         (Domain.toParent / BlockJoinParentQParser domain changes)
+    """
+    from lucene_solr_spark.query.executor import (
+        apply_deletes,
+        filter_cols,
+        filter_mask,
+    )
+
+    if spec.needs_rewrite:
+        spec = searcher.rewrite(spec)
+    ord_col = f"{field}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    deleted_bc = searcher._deleted_bc
+    lookup = list(spec.lookup_terms)
+    pure_negative = not spec.scoring_terms
+    base = ["doc_ord", "doc_len", ord_col, "conv_id", "turn_idx"]
+    dm_cols = filter_cols(spec, base)
+    lspec = spec
+
+    def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        seg_id = int(pdf["seg_id"].iloc[0])
+        dm = pq.read_table(
+            f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+        ).to_pandas()
+        n_docs = len(dm)
+        allowed = apply_deletes(
+            filter_mask(dm, lspec), dm,
+            deleted_bc.value if deleted_bc else None,
+        )
+        if pure_negative:
+            term_rows = {}
+            if lookup:
+                post_tbl = pq.read_table(
+                    f"{seg_dirs[seg_id]}/postings.parquet",
+                    filters=[("term", "in", lookup)],
+                ).to_pandas()
+                term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+        else:
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+        max_dl = int(dm["doc_len"].max()) if n_docs else 0
+        hits = match_segment(lspec, term_rows, n_docs, allowed, max_dl)
+        convs = dm["conv_id"].to_numpy()
+        # toParent: parent rows (turn 0, live) of conversations with a hit
+        parents = dm["turn_idx"].to_numpy(np.int64) == 0
+        live = apply_deletes(None, dm, deleted_bc.value if deleted_bc else None)
+        if live is not None:
+            parents &= live
+        parents &= np.isin(convs, np.unique(convs[hits]))
+        ords = dm[ord_col].to_numpy(np.int64)[parents]
+        uniq, cnt = np.unique(ords[ords >= 0], return_counts=True)
+        return pd.DataFrame(
+            {
+                "seg_id": np.full(len(uniq), seg_id, np.int32),
+                "term_ord": uniq.astype(np.int32),
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    driver = (
+        searcher.seg_driver() if pure_negative
+        else searcher.postings().filter(F.col("term").isin(lookup))
+    )
+    partials = driver.groupBy("seg_id").applyInPandas(
+        run_seg, PARTIAL_SCHEMA
+    )
+    named = _with_terms(searcher, partials, field)
+    return (
+        named.groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.col("term").alias("facet_value"), "cnt")
+        .orderBy(F.desc("cnt"), F.asc("facet_value"))
+        .limit(limit)
+    )

@@ -506,6 +506,77 @@ LIMIT 10
 )
 
 
+def _idx_facet_parent_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet blockParent domain narrowing: every 'merge' child hit
+    maps to its conversation's parent document (the turn-0 block root)
+    and the PARENTS are faceted by tool — one count per matching
+    conversation. Per-segment vectorized isin, no conv shuffle (see
+    facets.facet_block_parent). (role is degenerate at turn 0 —
+    (8k*37+11)%4 is constant — so tool is the discriminating parent
+    attribute in this corpus.)"""
+    from lucene_solr_spark.query.facets import facet_block_parent
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_block_parent(
+        s, "tool", spec=BooleanSpec(must=("merge",)), limit=12
+    )
+
+
+register(
+    "q_idx_facet_parent_domain",
+    _idx_facet_parent_domain,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT tool AS facet_value, count(*) AS cnt
+FROM docs
+WHERE turn_idx = 0 AND tool IS NOT NULL AND conv_id IN (
+  SELECT DISTINCT conv_id FROM docs WHERE list_contains(toks, 'merge'))
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 12
+""".strip(),
+)
+
+
+def _idx_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadScoreQuery (includeSpanScore=false): top-10 turns by
+    SUM of per-occurrence payloads at 'merge' positions, payloads from
+    the pinned position rule pay(p)=1.0+(p mod 4). Runs the REAL
+    position-stream decode per segment (see
+    IndexSearcher.payload_score)."""
+    s = cached_searcher(spark, sf_dir)
+    return s.payload_score("merge", func="sum", k=10, round_to=ROUND)
+
+
+register(
+    "q_idx_payload_score",
+    _idx_payload_score,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+occ AS (
+  SELECT conv_id, turn_idx, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM docs
+)
+SELECT conv_id, turn_idx,
+       round(sum(1.0 + (pos % 4)), {ROUND}) AS score
+FROM occ WHERE tok = 'merge'
+GROUP BY conv_id, turn_idx
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-select faceting (``fq={!tag=r}role:user`` +
     ``facet.field={!ex=r}role``): the role facet EXCLUDES the role fq
