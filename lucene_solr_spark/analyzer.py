@@ -278,6 +278,92 @@ def porter_filter(toks: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Word-delimiter splitting (WordDelimiterFilter analog). The pinned
+# tokenizer already splits on punctuation, so the remaining intra-word
+# boundary is the letter↔digit transition: each token splits into its
+# maximal letter / digit runs, emitted in order (generateWordParts +
+# generateNumberParts + splitOnNumerics, preserveOriginal=false; the
+# graph filter's stacked positions flatten to a linear stream here —
+# doc_len and downstream positions count the PARTS).
+# ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+#      miscellaneous/WordDelimiterGraphFilter.java
+# ---------------------------------------------------------------------------
+
+_WD_RUNS = re.compile("[a-z]+|[0-9]+")
+
+
+def word_delimiter_filter(toks: pd.Series) -> pd.Series:
+    """Split every token at letter↔digit transitions ('tool7' →
+    'tool', '7'); all-letter / all-digit tokens pass through as the
+    single run they are."""
+    cache: dict[str, list[str]] = {}
+
+    def split(t: str) -> list[str]:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = _WD_RUNS.findall(t)
+        return s
+
+    return toks.map(lambda ts: [p for t in ts for p in split(t)])
+
+
+# ---------------------------------------------------------------------------
+# Phonetic encoding (PhoneticFilter + commons-codec Soundex analog).
+# American Soundex with the commons-codec refinements: H and W are
+# skipped WITHOUT resetting the previous consonant code (consonants
+# separated by h/w code once), vowels reset it. inject=false (the
+# code REPLACES the token — one posting list per sound class); the
+# one-analyzer-everywhere rule keeps codes lowercase ('m620', not
+# 'M620'). Tokens containing non-letters pass through unchanged (the
+# encoder is letters-only, PhoneticFilter's skip-unencodable path).
+# ref: lucene/analysis/phonetic/src/java/org/apache/lucene/analysis/
+#      phonetic/PhoneticFilter.java (+ commons-codec
+#      org.apache.commons.codec.language.Soundex US_ENGLISH)
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_CODE = {}
+for _chars, _code in (
+    ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+    ("l", "4"), ("mn", "5"), ("r", "6"), ("aeiouy", "0"),
+):
+    for _c in _chars:
+        _SOUNDEX_CODE[_c] = _code
+
+
+def soundex_code(w: str) -> str:
+    """4-char lowercase Soundex code of an all-letters token; tokens
+    with any non-letter are returned unchanged."""
+    if not w or not w.isalpha():
+        return w
+    out = [w[0]]
+    last = _SOUNDEX_CODE.get(w[0], "0")
+    for ch in w[1:]:
+        if ch in "hw":
+            continue  # HW rule: skip, previous code stays live
+        code = _SOUNDEX_CODE.get(ch, "0")
+        if code != "0" and code != last:
+            out.append(code)
+            if len(out) == 4:
+                break
+        last = code  # vowels (code 0) reset the dedupe window
+    return "".join(out).ljust(4, "0")
+
+
+def soundex_filter(toks: pd.Series) -> pd.Series:
+    """PhoneticFilter(Soundex, inject=false): replace each token with
+    its phonetic class code (memoized per batch)."""
+    cache: dict[str, str] = {}
+
+    def enc(t: str) -> str:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = soundex_code(t)
+        return s
+
+    return toks.map(lambda ts: [enc(t) for t in ts])
+
+
+# ---------------------------------------------------------------------------
 # ASCII folding (ASCIIFoldingFilter analog) — a CHAR filter here: the
 # pinned tokenizer splits on [^a-z0-9], so accented letters must fold
 # BEFORE tokenization to join their tokens (Lucene folds after its

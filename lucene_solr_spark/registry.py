@@ -1909,6 +1909,141 @@ register(
 )
 
 
+# --- Phonetic chain (PhoneticFilter + Soundex, inject=false) --------
+# Every token indexes as its lowercase Soundex class code, so a
+# misspelled query matches by sound: the query text runs the SAME
+# chain (soundex_code('marge') == soundex_code('merge') == 'm620').
+# Same analyzer_version manifest gating as the stem/synonym chains;
+# BM25 stats (df/doc_len) reflect the post-chain code stream on both
+# sides — distinct surface forms in one sound class share a posting
+# list, exactly like the synonym contraction.
+SOUNDEX_CHAIN_VERSION = "soundex-v1"
+
+
+def cached_soundex_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "soundex")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_sdx_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(an.soundex_filter),
+            analyzer_version=SOUNDEX_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=SOUNDEX_CHAIN_VERSION)
+
+
+def _soundex_toks_sql() -> str:
+    """DuckDB spelling of chain(soundex_filter): the code map is
+    generated from the pinned corpus vocabulary (identity for
+    unmapped tokens — the vocab-subset test in test_analyzer guards
+    that every corpus token is in PORTER_VOCAB)."""
+    from lucene_solr_spark.analyzer import soundex_code
+
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN '{soundex_code(w)}'"
+        for w in PORTER_VOCAB if soundex_code(w) != w
+    )
+    return (
+        "list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+        f"t -> CASE {cases} ELSE t END)"
+    )
+
+
+def _idx_phonetic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the Soundex-chained index: querying the misspelling
+    'marge' reaches the 'merge' sound class m620."""
+    from lucene_solr_spark.analyzer import soundex_code
+
+    s = cached_soundex_searcher(spark, sf_dir)
+    return s.search(
+        BooleanSpec(must=(soundex_code("marge"),), k=12), round_to=ROUND
+    )
+
+
+register(
+    "q_idx_phonetic_search",
+    _idx_phonetic_search,
+    bm25_oracle_sql(
+        BooleanSpec(must=("m620",), k=12), toks_sql=_soundex_toks_sql()
+    ),
+)
+
+
+# --- Word-delimiter chain (WordDelimiterFilter analog) --------------
+# The corpus text vocabulary is all-alpha, so the index is built over
+# text copyField-enriched with the tool id (underscore stripped:
+# 'tool_17' → the genuinely mixed token 'tool17'); the chain then
+# splits letter↔digit runs, making the number part a first-class
+# searchable term. Querying must=('17','merge') finds merge turns
+# invoked via tool_17 — a field value reached THROUGH text analysis.
+WD_CHAIN_VERSION = "wd-v1"
+
+
+def _wd_enriched(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return t.withColumn(
+        "text",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.translate(F.coalesce(F.col("tool"), F.lit("")), "_", ""),
+        ),
+    )
+
+
+def cached_wd_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "wd")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_wd_idx_")
+        build_index(
+            spark, _wd_enriched(spark, sf_dir), root, num_parts=8,
+            lineage_source=sf_dir,
+            analyzer=an.chain(an.word_delimiter_filter),
+            analyzer_version=WD_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=WD_CHAIN_VERSION)
+
+
+#: DuckDB spelling of the enrichment + chain: tokenize the enriched
+#: text, then flatten each token's letter/digit runs in order.
+_WD_TOKS_SQL = (
+    "flatten(list_transform(regexp_extract_all(lower("
+    "text || ' ' || replace(coalesce(tool, ''), '_', '')"
+    "), '[a-z0-9]+'), t -> regexp_extract_all(t, '[a-z]+|[0-9]+')))"
+)
+
+_WD_SPEC = BooleanSpec(must=("17", "merge"), k=12)
+
+
+def _idx_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cached_wd_searcher(spark, sf_dir).search(_WD_SPEC, round_to=ROUND)
+
+
+register(
+    "q_idx_word_delimiter",
+    _idx_word_delimiter,
+    bm25_oracle_sql(_WD_SPEC, toks_sql=_WD_TOKS_SQL),
+)
+
+
 # --- cursorMark deep paging through the index engine (W4, VERDICT r2
 # item 5): page 3 reached by two keyset hops; the oracle is plain
 # offset paging over the same pinned total order.

@@ -206,3 +206,77 @@ def test_porter_fuzz_total_and_shrinking():
             assert out == w  # short-token guard
 
     run()
+
+
+# --- Soundex (PhoneticFilter analog, r4) ------------------------------
+
+@pytest.mark.parametrize("word,want", [
+    # commons-codec US_ENGLISH reference vectors (lowercased)
+    ("robert", "r163"), ("rupert", "r163"),
+    ("ashcraft", "a261"), ("ashcroft", "a261"),  # HW rule
+    ("tymczak", "t522"),   # vowel resets the dedupe window
+    ("pfister", "p236"),   # first-letter code dedupes the 'f'
+    ("honeyman", "h555"),
+    ("merge", "m620"), ("marge", "m620"), ("march", "m620"),
+    ("a", "a000"),
+    ("tool7", "tool7"), ("42", "42"),  # non-alpha pass through
+    ("", ""),
+])
+def test_soundex_vectors(word, want):
+    from lucene_solr_spark.analyzer import soundex_code
+
+    assert soundex_code(word) == want
+
+
+def test_soundex_filter_vectorized():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import soundex_filter
+
+    out = soundex_filter(pd.Series([["merge", "tool7"], [], ["robert"]]))
+    assert list(out) == [["m620", "tool7"], [], ["r163"]]
+
+
+def test_soundex_oracle_case_map_is_total_over_vocab():
+    """Every vocab word must round-trip through the generated CASE map
+    (same guard philosophy as the Porter oracle: corpus tokens outside
+    PORTER_VOCAB would make the oracle silently wrong — covered by
+    test_porter_vocab_covers_testdata)."""
+    from lucene_solr_spark.analyzer import soundex_code
+    from lucene_solr_spark.registry import PORTER_VOCAB
+
+    for w in PORTER_VOCAB:
+        code = soundex_code(w)
+        assert code != w and len(code) == 4, (w, code)
+
+
+# --- WordDelimiterFilter analog (r4) ----------------------------------
+
+def test_word_delimiter_splits_runs():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import word_delimiter_filter
+
+    out = word_delimiter_filter(
+        pd.Series([["tool7", "merge", "a1b2"], ["42"], []])
+    )
+    assert list(out) == [["tool", "7", "merge", "a", "1", "b", "2"],
+                         ["42"], []]
+
+
+def test_word_delimiter_matches_duckdb_flatten():
+    """The DuckDB spelling (flatten(list_transform(..., regexp runs)))
+    must agree with the pandas filter on arbitrary alnum tokens."""
+    import duckdb
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import word_delimiter_filter
+
+    toks = ["tool7", "a1b2c3", "merge", "0x2f" "99bottles", "q"]
+    got = list(word_delimiter_filter(pd.Series([toks])))[0]
+    want = duckdb.sql(
+        "SELECT flatten(list_transform($1::VARCHAR[], "
+        "t -> regexp_extract_all(t, '[a-z]+|[0-9]+')))",
+        params=[toks],
+    ).fetchone()[0]
+    assert got == want
