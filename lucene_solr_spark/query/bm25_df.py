@@ -287,6 +287,10 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
         # Negated filter: differs-or-missing matches (MUST_NOT TermQuery
         # semantics) — null-safe inequality, not `!=` (null != v is null).
         docs = docs.filter(~F.col(fld).eqNullSafe(F.lit(val)))
+    for fld, vals in spec.in_filters:
+        # TermsQParser fq: set membership (TermInSetQuery; null never
+        # matches — Column.isin is null on null input, filter drops it).
+        docs = docs.filter(F.col(fld).isin(*vals))
     if spec.range_filters:
         dtypes = {f.name: f.dataType for f in docs.schema.fields}
     for fld, lo, hi in spec.range_filters:

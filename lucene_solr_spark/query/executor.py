@@ -62,12 +62,16 @@ def _exclude_filter_fields(
         range_filters=tuple(
             f for f in spec.range_filters if f[0] not in exclude_fields
         ),
+        in_filters=tuple(
+            f for f in spec.in_filters if f[0] not in exclude_fields
+        ),
     )
     constrains = (
         out.must or out.should or out.phrases or out.must_not
         or out.must_not_phrases or out.filters or out.not_filters
-        or out.range_filters or out.span_near or out.span_or
-        or out.span_not or out.span_first or out.wildcards or out.regexps
+        or out.range_filters or out.in_filters or out.span_near
+        or out.span_or or out.span_not or out.span_first or out.wildcards
+        or out.regexps
     )
     return out if constrains else None
 
@@ -76,6 +80,7 @@ def filter_cols(spec: BooleanSpec, base: list[str]) -> list[str]:
     """docmap columns needed beyond `base` for fq / negated / range fq."""
     want = {f for f, _ in spec.filters} | {f for f, _ in spec.not_filters}
     want |= {f for f, _, _ in spec.range_filters}
+    want |= {f for f, _ in spec.in_filters}
     return list(base) + sorted(want - set(base))
 
 
@@ -114,11 +119,17 @@ def filter_mask(dm, spec: BooleanSpec):
 
     Negated filters use differs-or-missing semantics (pandas ``==``
     is False on NaN, so ``~`` correctly admits missing values)."""
-    if not spec.filters and not spec.not_filters and not spec.range_filters:
+    if (not spec.filters and not spec.not_filters
+            and not spec.range_filters and not spec.in_filters):
         return None
     mask = None
     for fld, val in spec.filters:
         m = (dm[fld] == val).to_numpy(bool)
+        mask = m if mask is None else (mask & m)
+    for fld, vals in spec.in_filters:
+        # TermsQParser: set membership (missing field never matches —
+        # pandas isin is False on NaN, TermInSetQuery semantics)
+        m = dm[fld].isin(vals).to_numpy(bool)
         mask = m if mask is None else (mask & m)
     for fld, val in spec.not_filters:
         m = ~(dm[fld] == val).to_numpy(bool)

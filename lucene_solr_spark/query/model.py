@@ -61,6 +61,13 @@ class BooleanSpec:
     #: None = open end; bounds compare in the field's native type
     #: (ts → timestamp, turn_idx → int, strings lexicographic).
     range_filters: tuple[tuple[str, str | None, str | None], ...] = ()
+    #: TermsQParser (``{!terms f=field}v1,v2,...``): non-scoring
+    #: set-membership filter — doc matches when the field equals ANY
+    #: listed value (a constant-score OR of TermQuery filters; Solr
+    #: builds a TermInSetQuery). (field, (values...)) conjunctive with
+    #: the other fq clauses; missing field never matches.
+    #: ref: solr/core/src/java/org/apache/solr/search/TermsQParserPlugin.java
+    in_filters: tuple[tuple[str, tuple[str, ...]], ...] = ()
     #: SpanNearQuery(inOrder=false) — pinned UNORDERED window contract:
     #: each group of DISTINCT terms must co-occur within some window of
     #: ``len(group) + span_slop`` consecutive tokens (equivalently

@@ -158,6 +158,8 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
         doc_filters.append(f"{fld} = '{val}'")
     for fld, val in spec.not_filters:
         doc_filters.append(f"({fld} IS DISTINCT FROM '{val}')")
+    for fld, vals in spec.in_filters:
+        doc_filters.append(f"{fld} IN ({_sql_list(vals)})")
     for fld, lo, hi in spec.range_filters:
         if lo is not None:
             doc_filters.append(f"{fld} >= {_range_sql(fld, lo)}")

@@ -52,6 +52,11 @@ _TOKEN_RE = re.compile(
 
 _RANGE_BODY = re.compile(r"^\[(.*?)\s+TO\s+(.*?)\]$", re.IGNORECASE)
 
+#: ``{!terms f=field}v1,v2,...`` — TermsQParser local-params form: the
+#: ENTIRE remainder is the comma-separated value list (values are raw
+#: field values, NOT analyzed — StrField semantics).
+_TERMS_QPARSER = re.compile(r"^\{!terms\s+f=([A-Za-z_][A-Za-z0-9_]*)\}(.*)$")
+
 
 def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     """Parse a query string into the normalized BooleanSpec IR.
@@ -59,7 +64,23 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     default_op='AND' mirrors Solr's ``q.op=AND`` (all bare terms MUST);
     'OR' leaves bare terms SHOULD with min_should_match=1 when no MUST
     clause exists (Lucene BooleanQuery semantics).
+
+    The TermsQParser local-params form ``{!terms f=field}v1,v2`` parses
+    the whole input as one set-membership filter (TermInSetQuery) —
+    Solr hands the full remainder to the plugin, so no other clauses
+    can follow.
+    ref: solr/core/src/java/org/apache/solr/search/TermsQParserPlugin.java
     """
+    mt = _TERMS_QPARSER.match(query.strip())
+    if mt:
+        fld, body = mt.group(1), mt.group(2)
+        if fld not in FILTER_FIELDS:
+            raise ValueError(f"field {fld!r} is not filterable")
+        vals = tuple(v.strip() for v in body.split(",") if v.strip())
+        if not vals:
+            raise ValueError(f"empty terms list: {query!r}")
+        return BooleanSpec(in_filters=((fld, vals),), k=k)
+
     must: list[str] = []
     should: list[str] = []
     must_not: list[str] = []

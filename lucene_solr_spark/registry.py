@@ -2044,6 +2044,53 @@ register(
 )
 
 
+# --- TermsQParser ({!terms f=field}v1,v2 → TermInSetQuery fq) -------
+def _idx_terms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored search with a set-membership fq: BM25 for 'data' over
+    turns whose role is user OR system — the in_filter rides the same
+    non-scoring mask path as the other fq shapes (constant-score
+    TermInSetQuery, stats untouched)."""
+    s = cached_searcher(spark, sf_dir)
+    spec = BooleanSpec(
+        must=("data",), in_filters=(("role", ("user", "system")),), k=12
+    )
+    return s.search(spec, round_to=ROUND)
+
+
+register(
+    "q_idx_terms_filter",
+    _idx_terms_filter,
+    bm25_oracle_sql(
+        BooleanSpec(
+            must=("data",), in_filters=(("role", ("user", "system")),), k=12
+        )
+    ),
+)
+
+
+def _terms_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The local-params front door: parse('{!terms f=tool}...') →
+    filter-only DocSet. Filter-only domains run on the seg-id driver
+    (postings never touched — no terms to prune by)."""
+    from lucene_solr_spark.query.parser import parse
+
+    s = cached_searcher(spark, sf_dir)
+    spec = parse("{!terms f=tool}tool_3,tool_7,tool_11")
+    return s.docset(spec).orderBy("conv_id", "turn_idx")
+
+
+register(
+    "q_terms_qparser",
+    _terms_qparser,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE tool IN ('tool_3', 'tool_7', 'tool_11')
+ORDER BY conv_id, turn_idx
+""".strip(),
+)
+
+
 # --- cursorMark deep paging through the index engine (W4, VERDICT r2
 # item 5): page 3 reached by two keyset hops; the oracle is plain
 # offset paging over the same pinned total order.

@@ -213,3 +213,43 @@ def test_edismax_ps_sets_pf_slop():
     assert spec.pf_boost == 1.5
     # default stays exact
     assert edismax("merge data").pf_slop == 0
+
+
+def test_terms_qparser_parses_in_filter():
+    from lucene_solr_spark.query.parser import parse
+
+    spec = parse("{!terms f=role}user, system")
+    assert spec.in_filters == (("role", ("user", "system")),)
+    assert not spec.must and not spec.should and not spec.filters
+
+    with pytest.raises(ValueError, match="not filterable"):
+        parse("{!terms f=text}merge")
+    with pytest.raises(ValueError, match="empty terms"):
+        parse("{!terms f=role}")
+
+
+def test_in_filter_three_engine_consistency(spark):
+    """in_filters must agree across the DataFrame engine, the
+    filter_mask path, and a hand filter — incl. null never matching."""
+    import pandas as pd
+
+    from lucene_solr_spark.query.executor import filter_mask
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    spec = BooleanSpec(in_filters=(("tool", ("tool_3", "tool_7")),))
+    dm = pd.DataFrame({"tool": ["tool_3", None, "tool_7", "tool_9"]})
+    assert list(filter_mask(dm, spec)) == [True, False, True, False]
+
+
+def test_in_filter_multiselect_exclusion():
+    from lucene_solr_spark.query.executor import _exclude_filter_fields
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    spec = BooleanSpec(
+        must=("data",), in_filters=(("role", ("user",)),)
+    )
+    out = _exclude_filter_fields(spec, ("role",))
+    assert out is not None and out.in_filters == ()
+    # filter-only spec excluded entirely -> MatchAll domain (None)
+    only = BooleanSpec(in_filters=(("role", ("user",)),))
+    assert _exclude_filter_fields(only, ("role",)) is None
