@@ -279,6 +279,48 @@ def q_join_score(spark, sf_dir):
     )
 
 
+# ref: lucene/join/src/java/org/apache/lucene/search/join/JoinUtil.java,
+# ScoreMode.java — the full score-mode family (Max/Min/Total/Avg) in
+# ONE partial-aggregating shuffle: all four are algebraic, so the
+# map-side combine computes (max, min, sum, count) partials and the
+# to-side join is a plain equi-join on the aggregated frame (None
+# would be the semi-join q_join_semi already covers).
+@op(
+    "q_join_score_modes",
+    """SELECT c.c_custkey,
+       round(a.s_max, 2) AS s_max, round(a.s_min, 2) AS s_min,
+       round(a.s_total, 2) AS s_total, round(a.s_avg, 2) AS s_avg
+FROM customer c
+JOIN (SELECT o_custkey, max(o_totalprice) AS s_max,
+             min(o_totalprice) AS s_min, sum(o_totalprice) AS s_total,
+             avg(o_totalprice) AS s_avg
+      FROM orders GROUP BY o_custkey) a
+  ON c.c_custkey = a.o_custkey
+ORDER BY round(a.s_total, 2) DESC, c.c_custkey LIMIT 20""",
+)
+def q_join_score_modes(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = o.groupBy("o_custkey").agg(
+        F.max("o_totalprice").alias("s_max"),
+        F.min("o_totalprice").alias("s_min"),
+        F.sum("o_totalprice").alias("s_total"),
+        F.avg("o_totalprice").alias("s_avg"),
+    )
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey)
+        .select(
+            "c_custkey",
+            F.round("s_max", 2).alias("s_max"),
+            F.round("s_min", 2).alias("s_min"),
+            F.round("s_total", 2).alias("s_total"),
+            F.round("s_avg", 2).alias("s_avg"),
+        )
+        .orderBy(F.desc("s_total"), "c_custkey")
+        .limit(20)
+    )
+
+
 # ref: lucene/join/src/java/org/apache/lucene/search/join/ToParentBlockJoinQuery.java
 # — our conversation↔turn block model (SURVEY §1.2): parents ranked by
 # aggregated child hits (ScoreMode.Total ≡ sum, Max ≡ max)
@@ -715,6 +757,49 @@ def q_grouping(spark, sf_dir):
         ranked.join(topg, "conv_id", "left_semi")
         .filter(F.col("rk") <= 2)
         .select("conv_id", "turn_idx", "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+# (group.ngroups=true / matches: the grouped-response header carries
+# the TOTAL distinct group count and total hit count alongside the
+# top groups). Spark-first: the header scalars come from ONE partial
+# aggregation broadcast-joined onto the top-group rows — never a
+# driver-side collect.
+@op(
+    "q_grouping_ngroups",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data')),
+groups AS (
+  SELECT conv_id, max(score) AS gscore, count(*) AS group_size
+  FROM scored GROUP BY conv_id),
+hdr AS (
+  SELECT count(*) AS ngroups,
+         CAST(sum(group_size) AS BIGINT) AS matches FROM groups)
+SELECT g.conv_id, g.gscore, g.group_size, h.ngroups, h.matches
+FROM groups g CROSS JOIN hdr h
+ORDER BY g.gscore DESC, g.conv_id LIMIT 5""",
+)
+def q_grouping_ngroups(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    groups = scored.groupBy("conv_id").agg(
+        F.max("score").alias("gscore"), F.count("*").alias("group_size")
+    )
+    hdr = groups.agg(
+        F.count("*").alias("ngroups"),
+        F.sum("group_size").cast("long").alias("matches"),
+    )
+    return (
+        groups.crossJoin(F.broadcast(hdr))
+        .orderBy(F.desc("gscore"), "conv_id")
+        .limit(5)
     )
 
 

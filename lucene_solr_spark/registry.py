@@ -2297,6 +2297,72 @@ ORDER BY t.conv_id""",
 )
 
 
+def _atomic_update_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic updates, the non-string kinds: numeric ``inc`` (counter
+    semantics — a v3 set resets the base, the v4 inc lands on top) and
+    multivalued ``add`` / ``remove`` (remove drops ALL occurrences,
+    here the committed 'user' element on turn-1 rows). The multivalued
+    fold is one Catalyst aggregate in version order.
+
+    ref: solr/core/src/java/org/apache/solr/update/processor/
+         AtomicUpdateDocumentMerger.java (inc / add / remove)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "n", F.substring("conv_id", 5, 8).cast("long")
+    )
+    committed = t.withColumn(
+        "votes", ((F.col("n") + F.col("turn_idx")) % 7).cast("double")
+    ).withColumn(
+        "tags", F.array(F.col("role"), F.coalesce(F.col("tool"), F.lit("none")))
+    )
+    tgt = committed.filter((F.col("turn_idx") <= 1) & (F.col("n") % 5 == 0))
+
+    def mk(cond, v: int, field: str, kind: str, value: str) -> DataFrame:
+        return tgt.filter(cond).select(
+            "conv_id", "turn_idx",
+            F.lit(v).cast("long").alias("_version_"),
+            F.lit(field).alias("field"),
+            F.lit(kind).alias("kind"),
+            F.lit(value).alias("value"),
+        )
+
+    ops = (
+        mk(F.lit(True), 2, "votes", "inc", "2")
+        .unionByName(mk(F.col("n") % 10 == 0, 3, "votes", "set", "10"))
+        .unionByName(mk(F.col("n") % 10 == 0, 4, "votes", "inc", "0.5"))
+        .unionByName(mk(F.lit(True), 2, "tags", "add", "extra"))
+        .unionByName(mk(F.lit(True), 3, "tags", "remove", "user"))
+    )
+    merged = atomic_update(
+        committed.drop("n"), ops, fields=[],
+        num_fields=["votes"], arr_fields=["tags"],
+    )
+    return merged.select(
+        "conv_id", "turn_idx", "votes",
+        F.array_join("tags", "|").alias("tags_s"), "_version_",
+    ).orderBy("conv_id", "turn_idx")
+
+
+register(
+    "q_atomic_update_inc",
+    _atomic_update_inc,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+keyed AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+tgt AS (SELECT * FROM keyed WHERE turn_idx <= 1 AND n % 5 = 0)
+SELECT conv_id, turn_idx,
+       CAST(CASE WHEN n % 10 = 0 THEN 10.5
+                 ELSE (n + turn_idx) % 7 + 2 END AS DOUBLE) AS votes,
+       array_to_string(
+         list_filter([role, coalesce(tool, 'none'), 'extra'],
+                     x -> x <> 'user'), '|') AS tags_s,
+       CAST(CASE WHEN n % 10 = 0 THEN 4 ELSE 3 END AS BIGINT) AS _version_
+FROM tgt ORDER BY conv_id, turn_idx""",
+)
+
+
 _XCOLL_SPEC = BooleanSpec(must=("data",), k=15)
 
 

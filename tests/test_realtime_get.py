@@ -190,3 +190,131 @@ def test_atomic_only_affected_keys_emitted(spark):
     )
     assert set(got) == {("c1", 0)}
     assert got[("c1", 0)] == (("editor", "x"), 2)
+
+
+def _ops(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, _version_ long, "
+        "field string, kind string, value string",
+    )
+
+
+def test_atomic_inc_numeric(spark):
+    """inc adds onto the committed value; a later set resets the base
+    and only incs AFTER it apply (version order)."""
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    committed = spark.createDataFrame(
+        [("c1", 0, 10.0), ("c2", 0, 5.0), ("c3", 0, 1.0)],
+        "conv_id string, turn_idx int, votes double",
+    )
+    ops = _ops(spark, [
+        ("c1", 0, 2, "votes", "inc", "3"),
+        ("c1", 0, 3, "votes", "inc", "-1.5"),
+        # set at v3 wipes the v2 inc; the v4 inc applies on top
+        ("c2", 0, 2, "votes", "inc", "100"),
+        ("c2", 0, 3, "votes", "set", "50"),
+        ("c2", 0, 4, "votes", "inc", "7"),
+    ])
+    out = {
+        (r.conv_id, r.turn_idx): (r.votes, r._version_)
+        for r in atomic_update(
+            committed, ops, fields=[], num_fields=["votes"]
+        ).collect()
+    }
+    assert out == {("c1", 0): (11.5, 3), ("c2", 0): (57.0, 4)}
+
+
+def test_atomic_add_remove_multivalued(spark):
+    """Multivalued add/remove fold in version order: remove drops ALL
+    occurrences as the list stands (incl. committed elements); an
+    interleaved set resets the list."""
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    committed = spark.createDataFrame(
+        [("c1", 0, ["red", "blue", "red"]), ("c2", 0, ["x"]),
+         ("c3", 0, ["keep"])],
+        "conv_id string, turn_idx int, tags array<string>",
+    )
+    ops = _ops(spark, [
+        ("c1", 0, 2, "tags", "remove", "red"),   # drops BOTH reds
+        ("c1", 0, 3, "tags", "add", "green"),
+        ("c1", 0, 4, "tags", "add", "blue"),     # duplicate ok
+        ("c2", 0, 2, "tags", "add", "y"),
+        ("c2", 0, 3, "tags", "set", "z"),        # reset wipes x,y
+        ("c2", 0, 4, "tags", "add", "w"),
+        ("c2", 0, 5, "tags", "remove", "missing"),  # no-op
+    ])
+    out = {
+        (r.conv_id, r.turn_idx): (r.tags, r._version_)
+        for r in atomic_update(
+            committed, ops, fields=[], arr_fields=["tags"]
+        ).collect()
+    }
+    assert out == {
+        ("c1", 0): (["blue", "green", "blue"], 4),
+        ("c2", 0): (["z", "w"], 5),
+    }
+
+
+def test_atomic_mixed_classes_one_batch(spark):
+    """String append + numeric inc + multivalued add on DIFFERENT keys
+    in one batch: absent classes pass committed values through."""
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    committed = spark.createDataFrame(
+        [("c1", 0, "hello", 1.0, ["a"]), ("c2", 0, "bye", 2.0, ["b"])],
+        "conv_id string, turn_idx int, text string, votes double, "
+        "tags array<string>",
+    )
+    ops = _ops(spark, [
+        ("c1", 0, 2, "text", "append", " world"),
+        ("c2", 0, 5, "votes", "inc", "1"),
+        ("c2", 0, 6, "tags", "add", "c"),
+    ])
+    out = {
+        r.conv_id: (r.text, r.votes, r.tags, r._version_)
+        for r in atomic_update(
+            committed, ops, fields=["text"],
+            num_fields=["votes"], arr_fields=["tags"],
+        ).collect()
+    }
+    assert out == {
+        "c1": ("hello world", 1.0, ["a"], 2),
+        "c2": ("bye", 3.0, ["b", "c"], 6),
+    }
+
+
+def test_optimistic_concurrency_contract(spark):
+    """The _version_ request-param sentinels: >1 exact match, 1
+    must-exist, <0 must-not-exist, 0/null no check."""
+    from lucene_solr_spark.query.realtime import (
+        assert_no_conflicts,
+        optimistic_conflicts,
+    )
+
+    current = spark.createDataFrame(
+        [("c1", 0, 7), ("c2", 0, 3)],
+        "conv_id string, turn_idx int, _version_ long",
+    )
+    ops = spark.createDataFrame(
+        [("c1", 0, 7),     # exact match ok
+         ("c2", 0, 4),     # exact MISMATCH
+         ("c3", 0, 1),     # must exist — absent → conflict
+         ("c1", 0, -1),    # must NOT exist — present → conflict
+         ("c9", 0, -1),    # must not exist ok
+         ("c9", 0, 0)],    # no check
+        "conv_id string, turn_idx int, _expected_version_ long",
+    )
+    got = {
+        (r.conv_id, r._expected_version_, r.found_version)
+        for r in optimistic_conflicts(current, ops).collect()
+    }
+    assert got == {("c2", 4, 3), ("c3", 1, None), ("c1", -1, 7)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="version conflict"):
+        assert_no_conflicts(current, ops)
+    ok = ops.filter("_expected_version_ IN (7, 0) OR conv_id = 'c9'")
+    assert_no_conflicts(current, ok)  # no raise
