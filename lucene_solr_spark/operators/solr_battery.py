@@ -1258,6 +1258,38 @@ def q_unique_stream(spark, sf_dir):
     )
 
 
+# ref: io/stream/CartesianProductStream.java (one outgoing tuple per
+# element of a multivalued field, original fields copied — the
+# streaming-expression explode). Spark-first: posexplode IS the
+# operator; the narrow domain is selected before the explode so only
+# matching rows widen.
+@op(
+    "q_cartesian_stream",
+    f"""{DOCS_CTE},
+dom AS (
+  SELECT conv_id, turn_idx, toks FROM docs
+  WHERE list_contains(toks, 'vector') AND role = 'system')
+SELECT conv_id, turn_idx,
+       CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+       unnest(toks) AS tok
+FROM dom
+ORDER BY conv_id, turn_idx, pos""",
+)
+def q_cartesian_stream(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dom = d.filter(
+        F.array_contains("toks", "vector") & (F.col("role") == "system")
+    ).select("conv_id", "turn_idx", "toks")
+    return (
+        dom.select(
+            "conv_id", "turn_idx",
+            F.posexplode("toks").alias("pos", "tok"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .orderBy("conv_id", "turn_idx", "pos")
+    )
+
+
 # ref: SURVEY §2.5 last row — general analytic windows (lag/running agg),
 # exceeding the reference's specialized forms
 @op(
@@ -1480,6 +1512,52 @@ def q_geo_dist(spark, sf_dir):
         .filter(F.col("dist") <= _GEO_D)
         .select("conv_id", F.round("dist", 4).alias("dist_km"))
         .orderBy("dist_km", "conv_id")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/
+#      SpatialHeatmapFacets.java (facet.heatmap: counts_ints2D — a 2D
+#      grid of doc counts over the query domain at a gridLevel-chosen
+#      cell size). Spark-first: the grid cell is two integer
+#      divisions, the heatmap ONE groupBy over narrow rows — cells
+#      with no docs are simply absent (the dense counts_ints2D padding
+#      is a response-writer concern, not an engine one).
+@op(
+    "q_facet_heatmap",
+    f"""{DOCS_CTE},
+locs AS (
+  SELECT DISTINCT conv_id,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 37 % 160) - 80 + 0.5 AS lat,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 91 % 360) - 180 + 0.5 AS lon
+  FROM docs),
+dom AS (
+  SELECT d.conv_id, l.lat, l.lon FROM docs d
+  JOIN locs l ON d.conv_id = l.conv_id
+  WHERE list_contains(d.toks, 'merge'))
+SELECT CAST(floor((lon + 180) / 20) AS INTEGER) AS gridx,
+       CAST(floor((lat + 80) / 20) AS INTEGER) AS gridy,
+       count(*) AS cnt
+FROM dom
+GROUP BY 1, 2 ORDER BY gridy, gridx""",
+)
+def q_facet_heatmap(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = F.substring("conv_id", 5, 8).cast("long")
+    # the location is a derived docvalue of conv_id — computed inline
+    # on the domain rows, so the heatmap is ONE narrow groupBy (no
+    # location join to shuffle at corpus scale)
+    dom = d.filter(F.array_contains("toks", "merge")).select(
+        ((n * 37 % 160) - 80 + 0.5).alias("lat"),
+        ((n * 91 % 360) - 180 + 0.5).alias("lon"),
+    )
+    return (
+        dom.select(
+            F.floor((F.col("lon") + 180) / 20).cast("int").alias("gridx"),
+            F.floor((F.col("lat") + 80) / 20).cast("int").alias("gridy"),
+        )
+        .groupBy("gridx", "gridy")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("gridy", "gridx")
     )
 
 
