@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("dedup", "clusters", "sample", "pack", "filter",
-                 "substring"):
+                 "substring", "semdedup"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -87,6 +87,15 @@ def main(argv: list[str] | None = None) -> dict:
             .distinct()
         )
         out = c.join(drops, "doc_id", "left_anti")
+    elif args.cmd == "semdedup":
+        # SemDeDup KEEP stage over the embedding table: emits the kept
+        # vec_ids (per-cluster greedy at cos >= 0.9, farthest-from-
+        # centroid representative survives)
+        out = (
+            textpipe.q_dedup_semantic(spark, args.sf_dir)
+            .filter("kept")
+            .select("vec_id", "cid")
+        )
     else:  # pack
         out = textpipe.q_pack_sequences(spark, args.sf_dir)
 

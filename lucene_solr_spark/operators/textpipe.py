@@ -1678,3 +1678,95 @@ def q_knn_join(spark, sf_dir):
         .select("qid", "vec_id", "cos")
         .orderBy("qid", F.desc("cos"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding space, then inside each
+# cluster drop every member that is semantically identical (cosine >=
+# tau) to a member ranked before it — rank = ASCENDING similarity to
+# the cluster centroid, the paper's keep-the-farthest-from-centroid
+# criterion (keeps the most diverse representative of each duplicate
+# neighborhood).
+#
+# Scale shape: the clustering reuses the IVF nearest-centroid
+# assignment (broadcast centroids + ONE partial-aggregating max_by
+# shuffle of narrow rows); the within-cluster pair generation is an
+# EQUI-join on cluster id — per the paper the pairwise pass is
+# per-cluster by design, and cluster size is bounded by scaling k with
+# the corpus (k ∝ N), so the join stays quadratic only in the bounded
+# cluster size, never in N. No CartesianProduct node (plan-tested).
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_ORACLE = f"""
+WITH {EMB_CTE},
+cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cid, csim FROM (
+    SELECT emb.vec_id, cent.cid,
+           list_cosine_similarity(e, ce) AS csim,
+           row_number() OVER (PARTITION BY emb.vec_id
+             ORDER BY list_cosine_similarity(e, ce) DESC, cid) AS rn
+    FROM emb, cent) WHERE rn = 1),
+ranked AS (
+  SELECT a.*, e.e,
+         row_number() OVER (PARTITION BY cid ORDER BY csim, vec_id) AS r
+  FROM assign a JOIN emb e USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT v.vec_id FROM ranked v
+  JOIN ranked u ON u.cid = v.cid AND u.r < v.r
+  WHERE list_cosine_similarity(u.e, v.e) >= 0.9)
+SELECT r.vec_id, r.cid, round(r.csim, 4) AS csim,
+       (d.vec_id IS NULL) AS kept
+FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+ORDER BY r.vec_id
+""".strip()
+
+
+@op("q_dedup_semantic", _SEMANTIC_ORACLE)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embedding table: per-vector cluster id,
+    centroid similarity, and the keep/drop verdict at tau=0.9. The
+    planted +0.02-shifted twins (emb_df) land at cos ~1 with their
+    originals, so each twin pair loses exactly its
+    closer-to-centroid member."""
+    e = emb_df(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    assign = (
+        e.join(F.broadcast(cent))
+        .withColumn("csim", _cos("e", "ce"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("csim"), -F.col("cid"))
+            ).alias("cid"),
+            F.max("csim").alias("csim"),
+        )
+    )
+    ranked = assign.join(e, "vec_id").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("cid").orderBy("csim", "vec_id")
+        ),
+    )
+    u = ranked.select(
+        F.col("cid").alias("ucid"), F.col("r").alias("ur"),
+        F.col("e").alias("ue"),
+    )
+    dropped = (
+        ranked.join(u, (F.col("ucid") == F.col("cid")) & (F.col("ur") < F.col("r")))
+        .filter(_cos("ue", "e") >= 0.9)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.round("csim", 4).alias("csim"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -116,3 +116,27 @@ def test_pipeline_cli_substring_stage(spark, sf_dir, tmp_path):
     assert pairs
     for r in pairs:
         assert r.b not in ids, (r.a, r.b)
+
+
+def test_pipeline_cli_semdedup_stage(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_job import main as pmain
+
+    st = pmain(["semdedup", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "semkeep")])
+    kept = spark.read.parquet(str(tmp_path / "semkeep"))
+    assert set(kept.columns) == {"vec_id", "cid"}
+    ids = {r.vec_id for r in kept.collect()}
+    assert ids  # non-degenerate
+    # every planted +0.02 twin pair assigned to the SAME cluster lost
+    # exactly one member (cross-cluster twins may both survive —
+    # SemDeDup's documented leakage mode, the pairwise pass is
+    # per-cluster by design)
+    from lucene_solr_spark.operators.textpipe import q_dedup_semantic
+
+    cid = {r.vec_id: r.cid for r in q_dedup_semantic(spark, sf_dir)
+           .select("vec_id", "cid").collect()}
+    twins = [(v, v + 100000) for v in cid
+             if v + 100000 in cid and cid[v] == cid[v + 100000]]
+    assert twins
+    assert all(not (a in ids and b in ids) for a, b in twins)

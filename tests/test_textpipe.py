@@ -294,3 +294,44 @@ def test_substring_dedup_duel_vs_python_reference(spark, sf_dir):
     }
     assert got == dict(want)
     assert got  # planted dups guarantee pairs exist
+
+
+def test_semantic_dedup_contract(spark, sf_dir):
+    """SemDeDup pinned contract: (1) no CartesianProduct — clustering
+    is an equi-join on cluster id; (2) every planted +0.02 twin pair
+    (vec_id, vec_id+100000) loses EXACTLY its closer-to-centroid
+    member (cos ~1 >= tau); (3) kept set is per-cluster greedy in
+    (csim asc, vec_id) order."""
+    q = textpipe.q_dedup_semantic(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # nested-loop joins may appear ONLY as the bounded 16-row centroid
+    # broadcast (vec_id < 16 build side, one per subtree reuse); the
+    # within-cluster pair generation must be an EQUI-join on cluster id
+    import re
+
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*ucid", plan
+    ), plan
+    # every nested-loop line must be a BuildRight broadcast (the
+    # bounded side) — a streaming-side nested loop would be the
+    # all-pairs scale hole
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line, line
+
+    rows = {r.vec_id: r for r in q.collect()}
+    twins = [(v, v + 100000) for v in rows if v + 100000 in rows]
+    assert twins
+    same_cluster = [p for p in twins if rows[p[0]].cid == rows[p[1]].cid]
+    assert same_cluster  # the shifted twin lands in the same cluster
+    for a, b in same_cluster:
+        ra, rb = rows[a], rows[b]
+        # exactly one survivor per twin pair, and it is the one with
+        # LOWER centroid similarity (kept-farthest-from-centroid),
+        # unless a third neighbor already removed both
+        assert not (ra.kept and rb.kept), (a, b)
+        if ra.kept or rb.kept:
+            keeper = ra if ra.kept else rb
+            loser = rb if ra.kept else ra
+            assert (keeper.csim, keeper.vec_id) <= (loser.csim, loser.vec_id)
