@@ -278,6 +278,38 @@ def porter_filter(toks: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Bounded-stream filters: LengthFilter (drop tokens outside a length
+# band) and LimitTokenCountFilter (truncate the stream after N
+# tokens — consumeAllTokens=false, the Lucene default: nothing past
+# the limit is read). Both parameterized factories like
+# synonym_filter; positions/doc_len downstream count the SURVIVORS.
+# ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+#      miscellaneous/LengthFilter.java, LimitTokenCountFilter.java
+# ---------------------------------------------------------------------------
+
+
+def length_filter(min_len: int = 2, max_len: int = 20):
+    """Keep tokens with min_len <= len <= max_len (both inclusive,
+    LengthFilter contract)."""
+
+    def run(toks: pd.Series) -> pd.Series:
+        return toks.map(
+            lambda ts: [t for t in ts if min_len <= len(t) <= max_len]
+        )
+
+    return run
+
+
+def limit_token_count_filter(max_count: int):
+    """Truncate each doc's token stream after max_count tokens."""
+
+    def run(toks: pd.Series) -> pd.Series:
+        return toks.map(lambda ts: ts[:max_count])
+
+    return run
+
+
+# ---------------------------------------------------------------------------
 # Word-delimiter splitting (WordDelimiterFilter analog). The pinned
 # tokenizer already splits on punctuation, so the remaining intra-word
 # boundary is the letter↔digit transition: each token splits into its

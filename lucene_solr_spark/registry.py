@@ -235,6 +235,74 @@ LIMIT 15
 register("q_idx_bf_boost", _idx_bf_boost, _bf_oracle())
 
 
+# --- ExternalFileField (eff_score sidecar ValueSource) --------------
+# A per-doc float keyed by the unique key, served from a file OUTSIDE
+# the index (re-loadable without reindexing — Solr's rapidly-changing
+# boost pattern, e.g. click rates) and usable only in function
+# queries. Here the sidecar is a real parquet file written once per
+# sf_dir (deterministic synthesis standing in for the operational
+# feed) and read back at query time; it joins the UNSORTED hit set
+# like bf — the sidecar and the hits shuffle, never the corpus.
+# ref: solr/core/src/java/org/apache/solr/schema/ExternalFileField.java,
+#      solr/core/src/java/org/apache/solr/search/function/FileFloatSource.java
+_EFF_ROOTS: dict[str, str] = {}
+_EFF_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1, k=15)
+
+
+def _eff_sidecar(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = _EFF_ROOTS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lss_eff_") + "/eff_score.parquet"
+        t = transcripts_from_documents(spark, sf_dir)
+        n = F.substring("conv_id", 5, 8).cast("long")
+        t.select(
+            "conv_id", "turn_idx",
+            (((n * 13 + F.col("turn_idx") * 5) % 50) / 10.0).alias("eff"),
+        ).write.mode("overwrite").parquet(path)
+        _EFF_ROOTS[sf_dir] = path
+    return path
+
+
+def _idx_external_file_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + the external-file float as an additive function boost:
+    UNSORTED per-segment hits joined to the sidecar on the business
+    key, then ONE pinned TakeOrdered (same shape as bf)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_EFF_SPEC, k=None)
+    eff = spark.read.parquet(_eff_sidecar(spark, sf_dir))
+    return (
+        hits.join(eff, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx",
+            F.round(F.col("score") + F.col("eff"), ROUND).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_EFF_SPEC.k)
+    )
+
+
+def _eff_oracle() -> str:
+    per_turn = bm25_oracle_sql(_EFF_SPEC)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f"""
+SELECT conv_id, turn_idx,
+       round(score + ((CAST(substr(conv_id, 5) AS BIGINT) * 13
+                       + turn_idx * 5) % 50) / 10.0, {ROUND}) AS score
+FROM scored
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT {_EFF_SPEC.k}
+""").strip()
+
+
+register("q_idx_external_file_boost", _idx_external_file_boost, _eff_oracle())
+
+
 _EXPLAIN_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1, k=1)
 
 
@@ -2044,6 +2112,59 @@ register(
 )
 
 
+# --- Length + token-count-limit chain (LengthFilter /
+# LimitTokenCountFilter) -------------------------------------------
+# Tokens outside [4, 6] chars drop, then the stream truncates after
+# 30 tokens (consumeAllTokens=false). BM25 stats reflect the bounded
+# stream: doc_len counts survivors only — short docs and long tails
+# change df/idf on BOTH engines identically.
+LENGTH_CHAIN_VERSION = "len4-6+limit30-v1"
+
+
+def cached_length_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "lenlimit")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_len_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(
+                an.length_filter(4, 6), an.limit_token_count_filter(30)
+            ),
+            analyzer_version=LENGTH_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=LENGTH_CHAIN_VERSION)
+
+
+_LEN_TOKS_SQL = (
+    "list_slice(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+    "t -> len(t) BETWEEN 4 AND 6), 1, 30)"
+)
+
+_LEN_SPEC = BooleanSpec(must=("vector",), k=12)
+
+
+def _idx_length_limit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cached_length_searcher(spark, sf_dir).search(
+        _LEN_SPEC, round_to=ROUND
+    )
+
+
+register(
+    "q_idx_length_limit_search",
+    _idx_length_limit_search,
+    bm25_oracle_sql(_LEN_SPEC, toks_sql=_LEN_TOKS_SQL),
+)
+
+
 # --- TermsQParser ({!terms f=field}v1,v2 → TermInSetQuery fq) -------
 def _idx_terms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scored search with a set-membership fq: BM25 for 'data' over
@@ -2986,6 +3107,114 @@ SELECT conv_id, turn_idx,
 FROM feats
 ORDER BY ltr DESC, conv_id, turn_idx
 LIMIT {_LTR_SPEC.k}""",
+)
+
+
+def _idx_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature logging — the ``[features]`` doc transformer
+    (fl=[features]): emit each reranked doc's EXTRACTED feature vector
+    (named features, the training-data export path for the model),
+    not just the model score. Same bounded feature-extraction shape as
+    the rerank: features touch the reRankDocs candidate rows only.
+
+    ref: solr/contrib/ltr/src/java/org/apache/solr/ltr/response/
+         transform/LTRFeatureLoggerTransformerFactory.java"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokens_col
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_LTR_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    top = hits.orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    ).limit(_LTR_DOCS)
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.size(tokens_col("text")).cast("double").alias("f_doc_len"),
+        F.round(
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lit("2024-01-01 00:00:00"))) / 3600.0,
+            ROUND,
+        ).alias("f_rec_h"),
+    )
+    return (
+        t.join(F.broadcast(top), ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx",
+            F.col("score").alias("f_bm25"), "f_doc_len", "f_rec_h",
+        )
+        .orderBy(F.desc("f_bm25"), "conv_id", "turn_idx")
+        .limit(20)
+    )
+
+
+register(
+    "q_idx_ltr_features",
+    _idx_ltr_features,
+    _ltr_body
+    + f""",
+top AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+  FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {_LTR_DOCS})
+SELECT t.conv_id, t.turn_idx, top.score AS f_bm25,
+       CAST(len(regexp_extract_all(lower(t.text), '[a-z0-9]+')) AS DOUBLE)
+         AS f_doc_len,
+       round(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', t.ts)
+             / 3600.0, {ROUND}) AS f_rec_h
+FROM transcripts t JOIN top ON t.conv_id = top.conv_id
+                           AND t.turn_idx = top.turn_idx
+ORDER BY f_bm25 DESC, t.conv_id, t.turn_idx
+LIMIT 20""",
+)
+
+
+def _sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel SQL handler (/sql): a SQL string executed against the
+    collection — Solr compiles SQL onto facet/rollup streaming
+    expressions; Spark IS that compiler (Catalyst), so the engine
+    exposes its searcher view (docmap = stored fields + docvalues,
+    tombstones masked) as a temp view and hands the string to
+    spark.sql. The aggregation below maps to what Solr would run as a
+    rollup-over-search stream.
+
+    ref: solr/core/src/java/org/apache/solr/handler/SQLHandler.java
+         (Calcite → TupleStream; here Catalyst → DataFrame)"""
+    s = cached_searcher(spark, sf_dir)
+    s.docmap().createOrReplaceTempView("transcripts_coll")
+    return spark.sql("""
+        SELECT role, COUNT(*) AS cnt,
+               CAST(SUM(doc_len) AS BIGINT) AS total_tokens,
+               ROUND(AVG(doc_len), 4) AS avg_tokens
+        FROM transcripts_coll
+        WHERE tool IS NOT NULL
+        GROUP BY role
+        HAVING COUNT(*) > 10
+        ORDER BY cnt DESC, role
+        LIMIT 10
+    """)
+
+
+register(
+    "q_sql_handler",
+    _sql_handler,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+  FROM transcripts)
+SELECT role, count(*) AS cnt,
+       CAST(sum(doc_len) AS BIGINT) AS total_tokens,
+       round(avg(doc_len), 4) AS avg_tokens
+FROM docs WHERE tool IS NOT NULL
+GROUP BY role HAVING count(*) > 10
+ORDER BY cnt DESC, role
+LIMIT 10
+""".strip(),
 )
 
 
