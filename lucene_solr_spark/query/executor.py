@@ -1087,6 +1087,7 @@ class IndexSearcher:
         exclude_fields: tuple[str, ...] = (),
         group_by: str | None = None,
         method: str = "auto",
+        offset: int = 0,
     ) -> DataFrame:
         """SOLR-5894-style facet counts over the query domain
         (two-phase merge-and-refine; see query/facets.py). sort /
@@ -1118,7 +1119,7 @@ class IndexSearcher:
             FacetRequest(
                 field=field, limit=limit, mincount=mincount,
                 sort=sort, prefix=prefix, contains=contains,
-                missing=missing, group_by=group_by,
+                missing=missing, group_by=group_by, offset=offset,
             ),
             spec=spec, refine=refine, method=method,
         )

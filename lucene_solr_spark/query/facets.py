@@ -67,6 +67,10 @@ class FacetRequest:
     #: facet.missing: append a NULL-valued row counting domain docs
     #: with no value for the field (ord == -1)
     missing: bool = False
+    #: facet.offset: skip the first N buckets of the ranked list
+    #: (facet paging); the phase-1 over-request window widens to
+    #: offset+limit so refine stays exact through the skipped head
+    offset: int = 0
     #: group.facet=true analog (SimpleFacets#getGroupedCounts): count
     #: each GROUP once per bucket instead of each doc. Only the
     #: segment-local block key (conv_id) is supported — conversations
@@ -645,7 +649,8 @@ def use_refine(searcher, req: FacetRequest, refine: bool, method: str) -> bool:
         return False
     if method == "refine":
         return True
-    return searcher.field_cardinality(req.field) * 2 > _overrequest(req.limit)
+    return (searcher.field_cardinality(req.field) * 2
+            > _overrequest(req.offset + req.limit))
 
 
 def facet_field(
@@ -713,7 +718,7 @@ def facet_field(
         # rows are tiny — (seg_id, term_ord, cnt) partials only.
         parts = parts.persist()
         cached.append(parts)
-        over = _overrequest(req.limit)
+        over = _overrequest(req.offset + req.limit)
         w = Window.partitionBy("seg_id").orderBy(*rank_order)
         cands = (
             parts.withColumn("rank", F.row_number().over(w))
@@ -731,12 +736,12 @@ def facet_field(
         [F.desc("cnt"), F.asc("facet_value")] if req.sort == "count"
         else [F.asc("facet_value")]
     )
-    out = (
-        agg.filter(F.col("cnt") >= req.mincount)
-        .select(F.col("term").alias("facet_value"), "cnt")
-        .orderBy(*out_order)
-        .limit(req.limit)
-    )
+    out = agg.filter(F.col("cnt") >= req.mincount).select(
+        F.col("term").alias("facet_value"), "cnt"
+    ).orderBy(*out_order)
+    if req.offset:
+        out = out.offset(req.offset)
+    out = out.limit(req.limit)
     if req.missing:
         miss = (
             raw.filter(F.col("term_ord") == -1)

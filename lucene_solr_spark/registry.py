@@ -2112,6 +2112,36 @@ register(
 )
 
 
+# --- facet.offset (facet paging) ------------------------------------
+def _idx_facet_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.offset=5&facet.limit=10 on the high-cardinality ftok
+    field through the TWO-PHASE path (method='refine'): the phase-1
+    over-request window widens to offset+limit so the skipped head
+    cannot push qualifying buckets out of the candidate set.
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (facet.offset), FacetComponent.DistribFieldFacet over-request."""
+    s = cached_searcher(spark, sf_dir)
+    return s.facet("ftok", spec=None, limit=10, offset=5, method="refine")
+
+
+register(
+    "q_idx_facet_offset",
+    _idx_facet_offset,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs WHERE len(toks) > 0
+GROUP BY 1
+ORDER BY cnt DESC, facet_value
+LIMIT 10 OFFSET 5
+""".strip(),
+)
+
+
 # --- Length + token-count-limit chain (LengthFilter /
 # LimitTokenCountFilter) -------------------------------------------
 # Tokens outside [4, 6] chars drop, then the stream truncates after

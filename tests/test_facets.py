@@ -355,3 +355,27 @@ def test_matchall_facet_cache_is_snapshot_safe(spark, sf_dir, tmp_path):
          for r in s2.facet("role", spec=None, limit=10).collect()}
     assert "user" not in c
     assert dict((k, v) for k, v in a) != c
+
+
+# --- facet.offset paging (r4) -----------------------------------------
+
+def test_facet_offset_pages_consistently(searcher):
+    """offset paging invariant: page1(limit 5) + page2(offset 5,
+    limit 10) == the head-15 list, on BOTH the refine and exact
+    paths (the widened over-request keeps refine exact through the
+    skipped head)."""
+    s, _t = searcher
+
+    def rows(**kw):
+        return [(r.facet_value, r.cnt)
+                for r in s.facet("ftok", spec=None, **kw).collect()]
+
+    for kw in ({"method": "refine"}, {"refine": False}):
+        head15 = rows(limit=15, **kw)
+        p1 = rows(limit=5, **kw)
+        p2 = rows(limit=10, offset=5, **kw)
+        assert p1 + p2 == head15, kw
+    # refine path == exact path at every page
+    assert rows(limit=10, offset=5, method="refine") == rows(
+        limit=10, offset=5, refine=False
+    )
