@@ -3425,20 +3425,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # json_facet_metrics (attested r3) yields to the NEW edismax ps
     "q_idx_bm25_term", "q_idx_bm25_phrase", "q_idx_bm25_pf",
     "q_idx_bm25_ps",
-    # spans through the index engine (attested once, r3)
-    "q_idx_bm25_span_or", "q_idx_bm25_span_not", "q_idx_bm25_span_first",
-    # MultiTermQuery rewrites + debug surfaces (attested once, r3)
-    "q_idx_wildcard", "q_idx_regexp", "q_idx_explain",
-    # cursor_mark (attested r3) yields to the NEW [child] transformer
-    "q_idx_significant_terms", "q_idx_child_transformer",
-    # ranking / collapse / rerank (r3); spellcheck/elevate — attested
-    # r3 — yield to the NEW blockChildren domain facet and substring
-    # dedup (collate keeps the spellcheck family attested below)
-    "q_idx_collapse", "q_idx_ltr_rerank",
+    # SECOND r4 ROTATION (this session's new surfaces displace
+    # r3-attested rows — spans or/not/first, wildcard/regexp/explain,
+    # significant_terms, collapse, ltr_rerank, grouped_facet,
+    # multiselect, json_facet_approx — all still green in the full
+    # check_oracle battery):
+    # positions machinery beyond spans: payload-function scoring
+    "q_idx_payload_score",
+    # analysis chains: phonetic, word-delimiter, length/limit
+    "q_idx_phonetic_search", "q_idx_word_delimiter",
+    "q_idx_length_limit_search",
+    # TermsQParser through the IR (scored + parser front door)
+    "q_idx_terms_filter", "q_terms_qparser",
+    # function-query boosts: external-file ValueSource; LTR feature
+    # logging keeps the LTR family attested (rerank moved below 50)
+    "q_idx_external_file_boost", "q_idx_ltr_features",
+    # atomic updates non-string kinds; SQL handler front door
+    "q_atomic_update_inc", "q_sql_handler",
+    "q_idx_child_transformer",
     "q_idx_facet_child_domain", "q_dedup_substring",
-    # faceting family (r3 once) + NEW r4 SKG + uniqueBlock
-    "q_idx_grouped_facet", "q_idx_facet_multiselect",
-    "q_json_facet_approx",
+    # faceting: NEW blockParent + offset paging + r4 SKG + uniqueBlock
+    "q_idx_facet_parent_domain", "q_idx_facet_offset",
     "q_idx_facet_relatedness", "q_idx_facet_unique_block",
     # NEW r4: grouping variants, passages highlighter, fetch, W6, N4
     "q_grouping_query", "q_grouping_func", "q_idx_highlight_passages",
@@ -3455,8 +3462,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idx_mlt_terms", "q_idx_range_facet_other", "q_idx_sort_by_function",
     # LLM-pipeline: changed-this-round ANN paths + clusters + simhash
     # simhash (attested r3) yields to the NEW real WAV codec round-trip
+    # features_check (attested r3) yields to the NEW SemDeDup op; the
+    # r4 WAV codec row keeps the multimodal family attested
     "q_ann_ivf", "q_knn_join", "q_ann_lsh_check", "q_dedup_clusters",
-    "q_multimodal_wav_decode", "q_multimodal_features_check",
+    "q_multimodal_wav_decode", "q_dedup_semantic",
     # never-attested pipeline hygiene ops (VERDICT r3 item 10 list)
     "q_quality_repetition", "q_domain_mix", "q_pack_sequences",
     "q_sample_stratified",
