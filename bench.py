@@ -195,6 +195,11 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
             }
             for name, spec in extra_specs.items():
                 timed(name, lambda s=spec: searcher.search(s).collect())
+            # round-4 session: payload-function scoring (full position
+            # stream decode for one term + per-posting reduceat)
+            timed("payload_sum", lambda: searcher.payload_score(
+                "merge", func="sum", k=10
+            ).collect())
             # non-BM25 headline paths (fixed/changed in round 2 — facet
             # sparse counting, parent block join without a global sort)
             timed("facet_role_merge", lambda: searcher.facet(

@@ -1138,6 +1138,67 @@ FROM transcripts GROUP BY 1 ORDER BY day""",
 )
 
 
+def _idx_date_range_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range over the ts docvalues with a DATEMATH gap
+    (facet.range.gap=+6HOURS, start=2024-01-01T00:00:00): the gap
+    string goes through the same DateMathParser as range queries, the
+    buckets are epoch arithmetic on the docvalues column — one narrow
+    groupBy, labels rebuilt with naive-timestamp math on both sides.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    RangeFacetProcessor.java (DateRangeEndpointCalculator + gap math)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query import datemath
+
+    start = _dt.datetime(2024, 1, 1)
+    gap_s = int((datemath.parse("NOW+6HOURS", start) - start).total_seconds())
+    end = datemath.parse("NOW+2DAYS", start)
+
+    s = cached_searcher(spark, sf_dir)
+    dm = s.docmap().select("ts").filter(
+        (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+    )
+    k = F.floor(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
+        / gap_s
+    ).cast("int")
+    return (
+        dm.groupBy(k.alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(
+                F.expr(
+                    f"timestampadd(SECOND, k * {gap_s}, "
+                    "timestamp'2024-01-01 00:00:00')"
+                ),
+                "yyyy-MM-dd HH:mm",
+            ).alias("bucket_start"),
+            "cnt",
+        )
+        .orderBy("bucket_start")
+    )
+
+
+register(
+    "q_idx_date_range_gap",
+    _idx_date_range_gap,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT CAST(floor(date_diff('second',
+           TIMESTAMP '2024-01-01 00:00:00', ts) / 21600.0) AS INTEGER) AS k,
+         ts
+  FROM transcripts
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-03 00:00:00')
+SELECT strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + to_seconds(k * 21600), '%Y-%m-%d %H:%M') AS bucket_start,
+       count(*) AS cnt
+FROM dom GROUP BY 1 ORDER BY bucket_start""",
+)
+
+
 def _idx_range_facet_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.range.other=all (RangeFacetProcessor): explicit
     start/end/gap buckets over the turn_idx docvalues PLUS the
@@ -2830,6 +2891,80 @@ organic AS (
   FROM scored
   WHERE (conv_id, turn_idx) NOT IN
         (SELECT (conv_id, turn_idx) FROM present)
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {_ELEV_SPEC.k} - (SELECT count(*) FROM present))
+SELECT * FROM elevated UNION ALL SELECT * FROM organic ORDER BY slot""",
+)
+
+
+def _idx_elevate_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent exclude docs: elevate.xml's
+    ``<doc id=... exclude="true"/>`` entries are REMOVED from the
+    result set entirely (they can never rank organically), alongside
+    the pinned elevations. The exclude set here is rule-generated
+    (convs with n % 7 == 0) standing in for the configured id list —
+    the compared behavior is the removal contract.
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+         QueryElevationComponent.java (markExcludes / excluded ids)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    elev = spark.createDataFrame(
+        _ELEV_IDS, "conv_id string, turn_idx int, slot int"
+    )
+    hits = s.score_hits(_ELEV_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    t = transcripts_from_documents(spark, sf_dir).select("conv_id", "turn_idx")
+    elevated = (
+        elev.join(t, ["conv_id", "turn_idx"], "left_semi")
+        .join(hits, ["conv_id", "turn_idx"], "left")
+        .select("conv_id", "turn_idx", "score",
+                F.col("slot").cast("long").alias("slot"))
+    )
+    n_elev = elevated.count()
+    n = F.substring("conv_id", 5, 8).cast("long")
+    organic = (
+        hits.join(F.broadcast(elev.select("conv_id", "turn_idx")),
+                  ["conv_id", "turn_idx"], "left_anti")
+        .filter(~(n % 7 == 0))  # excluded docs drop entirely
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_ELEV_SPEC.k - n_elev)
+    )
+    w = Window.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    organic = organic.select(
+        "conv_id", "turn_idx", "score",
+        (F.row_number().over(w) + n_elev).cast("long").alias("slot"),
+    )
+    return elevated.unionByName(organic).orderBy("slot")
+
+
+register(
+    "q_idx_elevate_exclude",
+    _idx_elevate_exclude,
+    _elev_body
+    + f""",
+elev(conv_id, turn_idx, slot) AS (VALUES {_elev_values}),
+present AS (
+  SELECT e.* FROM elev e
+  WHERE (e.conv_id, e.turn_idx) IN
+        (SELECT (conv_id, turn_idx) FROM transcripts)),
+elevated AS (
+  SELECT p.conv_id, p.turn_idx, round(s.score, {ROUND}) AS score,
+         CAST(p.slot AS BIGINT) AS slot
+  FROM present p LEFT JOIN scored s
+    ON p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx),
+organic AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score,
+         CAST(row_number() OVER (
+           ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx)
+           + (SELECT count(*) FROM present) AS BIGINT) AS slot
+  FROM scored
+  WHERE (conv_id, turn_idx) NOT IN
+        (SELECT (conv_id, turn_idx) FROM present)
+    AND CAST(substr(conv_id, 5) AS BIGINT) % 7 != 0
   ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
   LIMIT {_ELEV_SPEC.k} - (SELECT count(*) FROM present))
 SELECT * FROM elevated UNION ALL SELECT * FROM organic ORDER BY slot""",
