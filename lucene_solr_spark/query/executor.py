@@ -741,7 +741,12 @@ class IndexSearcher:
         return out.orderBy(F.desc("score"), "conv_id").limit(k)
 
     # -- early-terminating sorted collection (W6) -----------------------
-    def early_topk(self, k: int = 10, fields: tuple[str, ...] = ("role",)) -> DataFrame:
+    def early_topk(
+        self,
+        k: int = 10,
+        fields: tuple[str, ...] = ("role",),
+        cursor: tuple[str, int] | None = None,
+    ) -> DataFrame:
         """Early-terminating collection when the request sort MATCHES
         the index sort (conv_id, turn_idx): each segment task streams
         its docmap Parquet in batches and STOPS after k live rows —
@@ -752,11 +757,20 @@ class IndexSearcher:
         its size, which is what makes a sorted first-page query O(k)
         per segment at any corpus scale.
 
+        ``cursor`` is the cursorMark over the INDEX sort: the
+        (conv_id, turn_idx) of the previous page's last row. Each
+        segment SKIPS whole Parquet row groups whose conv_id max
+        statistic sits at or before the mark (the sorted-segment seek),
+        then masks the boundary batch — page cost stays O(k) per
+        segment at any depth, the CursorMark-over-ExportHandler
+        contract.
+
         ref: lucene/core/src/java/org/apache/lucene/search/
              EarlyTerminatingSortingCollector.java (pre-8.x; folded
              into TopFieldCollector when the index sort matches),
              lucene/core/src/java/org/apache/lucene/index/IndexWriterConfig.java
-             (setIndexSort)"""
+             (setIndexSort); solr/core/src/java/org/apache/solr/search/
+             CursorMark.java (keyset paging on the request sort)"""
         import pandas as pd
 
         seg_dirs = self.seg_dir_by_id
@@ -769,20 +783,40 @@ class IndexSearcher:
         )
         kk = int(k)
 
+        lcursor = cursor
+
         def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow.parquet as pq
 
             seg_id = int(pdf["seg_id"].iloc[0])
             pf = pq.ParquetFile(f"{seg_dirs[seg_id]}/docmap.parquet")
+            conv_i = pf.schema_arrow.names.index("conv_id")
+            groups = range(pf.num_row_groups)
+            if lcursor is not None:
+                # sorted-segment seek: drop row groups that END at or
+                # before the mark's conv (conservative — the boundary
+                # group is re-masked row-wise below)
+                groups = [
+                    g for g in groups
+                    if (st := pf.metadata.row_group(g).column(conv_i)
+                        .statistics) is None or st.max >= lcursor[0]
+                ]
             got: list[pd.DataFrame] = []
             n = 0
             # docmap is written in index-sort order, so streaming the
             # head IS the segment's sorted top-k; deletes are masked
             # batch-by-batch before counting toward k.
             for batch in pf.iter_batches(
-                batch_size=max(kk, 1024), columns=cols
+                batch_size=max(kk, 1024), columns=cols,
+                row_groups=list(groups),
             ):
                 dm = batch.to_pandas()
+                if lcursor is not None:
+                    c0, t0 = lcursor
+                    after = (dm["conv_id"] > c0) | (
+                        (dm["conv_id"] == c0) & (dm["turn_idx"] > t0)
+                    )
+                    dm = dm[after]
                 if has_deletes:
                     live = apply_deletes(
                         None, dm, deleted_bc.value if deleted_bc else None

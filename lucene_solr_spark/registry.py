@@ -303,6 +303,65 @@ LIMIT {_EFF_SPEC.k}
 register("q_idx_external_file_boost", _idx_external_file_boost, _eff_oracle())
 
 
+# --- query($qq) ValueSource (nested-query function boost) -----------
+# edismax bf=query($qq): the SCORE OF ANOTHER QUERY as a function
+# value added to the main score — 0 when the doc doesn't match the
+# sub-query (QueryValueSource defVal). Both hit sets come from the
+# same per-segment scorer (unsorted), the combine is one narrow join
+# of hits-to-hits, then the pinned TakeOrdered; component scores are
+# combined ROUNDED (4dp) so the boundary is engine-independent.
+# ref: lucene/queries/src/java/org/apache/lucene/queries/function/
+#      valuesource/QueryValueSource.java, solr ExtendedDismaxQParser bf
+_BFQ_MAIN = BooleanSpec(must=("merge",), k=15)
+_BFQ_SUB = BooleanSpec(should=("data", "table"), min_should_match=1)
+_BFQ_W = 0.5
+
+
+def _idx_bf_query_vs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    main = s.score_hits(_BFQ_MAIN, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    sub = (
+        s.score_hits(_BFQ_SUB, k=None)
+        .withColumn("sub_score", F.round("score", ROUND))
+        .select("conv_id", "turn_idx", "sub_score")
+    )
+    return (
+        main.join(sub, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id", "turn_idx",
+            F.round(
+                F.col("score")
+                + _BFQ_W * F.coalesce(F.col("sub_score"), F.lit(0.0)),
+                ROUND,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_BFQ_MAIN.k)
+    )
+
+
+def _bfq_oracle() -> str:
+    from dataclasses import replace
+
+    main_sql = bm25_oracle_sql(replace(_BFQ_MAIN, k=1_000_000_000))
+    sub_sql = bm25_oracle_sql(replace(_BFQ_SUB, k=1_000_000_000))
+    return f"""
+SELECT m.conv_id, m.turn_idx,
+       round(m.score + {_BFQ_W} * coalesce(s.score, 0), {ROUND}) AS score
+FROM ({main_sql}) m
+LEFT JOIN ({sub_sql}) s USING (conv_id, turn_idx)
+ORDER BY score DESC, m.conv_id, m.turn_idx
+LIMIT {_BFQ_MAIN.k}
+""".strip()
+
+
+register("q_idx_bf_query_vs", _idx_bf_query_vs, _bfq_oracle())
+
+
 _EXPLAIN_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1, k=1)
 
 
@@ -1856,6 +1915,32 @@ register(
 WITH {TRANSCRIPTS_ORACLE_CTE}
 SELECT conv_id, turn_idx, role FROM transcripts
 ORDER BY conv_id, turn_idx LIMIT 10
+""".strip(),
+)
+
+
+def _idx_cursor_index_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cursorMark over the INDEX sort (request sort == (conv_id,
+    turn_idx)): page 3 reached by two keyset hops through the
+    early-terminating collector — each hop streams segment heads past
+    the mark (row groups before it skipped via Parquet statistics),
+    never a growing offset heap."""
+    s = cached_searcher(spark, sf_dir)
+    cursor = None
+    for _ in range(2):
+        page = s.early_topk(10, fields=("role",), cursor=cursor).collect()
+        last = page[-1]
+        cursor = (last.conv_id, last.turn_idx)
+    return s.early_topk(10, fields=("role",), cursor=cursor)
+
+
+register(
+    "q_idx_cursor_index_sort",
+    _idx_cursor_index_sort,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx, role FROM transcripts
+ORDER BY conv_id, turn_idx LIMIT 10 OFFSET 20
 """.strip(),
 )
 

@@ -220,3 +220,21 @@ def test_explain_breakdown_sums_to_score(searcher):
     assert len(empty) == 0 and list(empty.columns) == [
         "term", "tf", "df", "idf", "contrib"
     ]
+
+
+def test_early_topk_cursor_pages_equal_head(searcher):
+    """Index-sort cursorMark: three keyset pages == the head-30 list,
+    and each page never returns rows at or before its mark."""
+    s, _t = searcher
+    head = [(r.conv_id, r.turn_idx)
+            for r in s.early_topk(30, fields=("role",)).collect()]
+    pages, cursor = [], None
+    for _ in range(3):
+        page = s.early_topk(10, fields=("role",), cursor=cursor).collect()
+        assert len(page) == 10
+        if cursor is not None:
+            assert all((r.conv_id, r.turn_idx) > cursor for r in page)
+        pages += [(r.conv_id, r.turn_idx) for r in page]
+        last = page[-1]
+        cursor = (last.conv_id, last.turn_idx)
+    assert pages == head
