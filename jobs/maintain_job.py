@@ -10,6 +10,7 @@ Usage (after `python jobs/package.py`):
     ... delete    --index /path/idx --query 'role:assistant AND merge'
     ... replicate --src /leader/idx --dst /follower/idx
     ... clear-tombstones --index /path/idx
+    ... gc-snapshots --index /path/idx --keep 2
 
 `delete` parses the query with the engine's parser (same syntax as
 /select q=), resolves the DocSet through the index, and commits the
@@ -44,6 +45,10 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("clear-tombstones")
     p.add_argument("--index", required=True)
 
+    p = sub.add_parser("gc-snapshots")
+    p.add_argument("--index", required=True)
+    p.add_argument("--keep", type=int, default=1)
+
     p = sub.add_parser("backup")
     p.add_argument("--index", required=True)
     p.add_argument("--out", required=True)
@@ -73,6 +78,13 @@ def main(argv: list[str] | None = None) -> dict:
 
         st = restore(args.backup, args.index)
         print(json.dumps({"cmd": "restore", **st}))
+        return st
+
+    if args.cmd == "gc-snapshots":
+        from lucene_solr_spark.index.manifest import gc_snapshots
+
+        st = gc_snapshots(args.index, keep_last=args.keep)
+        print(json.dumps({"cmd": "gc-snapshots", **st}))
         return st
 
     if args.cmd == "clear-tombstones":

@@ -134,3 +134,69 @@ class Manifest:
             m.format_version = payload.get("format_version", 1)  # legacy
             m.tombstones = payload.get("tombstones")
         return m
+
+
+def gc_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Commit-point retention — the IndexDeletionPolicy analog
+    (keep_last=1 ≡ KeepOnlyLastCommitDeletionPolicy; higher values are
+    the time-travel retention window). Deletes snapshot manifests
+    older than the newest ``keep_last``, then removes segment dirs and
+    tombstone files referenced by NO retained snapshot (files shared
+    with a retained snapshot survive — segments are immutable and
+    shared across commits, exactly why GC must be reference-based, not
+    age-based).
+
+    Safe ordering: manifests are deleted FIRST, so a crash mid-GC
+    leaves only unreferenced data files behind (re-running completes
+    the sweep); a reader can never load a manifest whose files are
+    gone.
+
+    ref: lucene/core/src/java/org/apache/lucene/index/IndexDeletionPolicy.java,
+         KeepOnlyLastCommitDeletionPolicy.java / IndexFileDeleter
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    mdir = os.path.join(root, "manifest")
+    ids = sorted(
+        int(n[len(SNAPSHOT_PREFIX):-5])
+        for n in os.listdir(mdir)
+        if n.startswith(SNAPSHOT_PREFIX) and n.endswith(".json")
+    ) if os.path.isdir(mdir) else []
+    retained, dropped = ids[-keep_last:], ids[:-keep_last]
+
+    keep_segs: set[str] = set()
+    keep_files: set[str] = set()
+    for sid in retained:
+        m = Manifest.load(root, snapshot_id=sid)
+        keep_segs.update(m.segments)
+        if m.tombstones:
+            keep_files.add(m.tombstones["path"])
+
+    for sid in dropped:  # manifests first (see docstring)
+        os.remove(os.path.join(mdir, f"{SNAPSHOT_PREFIX}{sid}.json"))
+
+    segs_removed = []
+    seg_root = os.path.join(root, "segments")
+    if os.path.isdir(seg_root):
+        for name in sorted(os.listdir(seg_root)):
+            if name not in keep_segs:
+                shutil.rmtree(os.path.join(seg_root, name))
+                segs_removed.append(name)
+
+    tomb_removed = []
+    del_root = os.path.join(root, "deletes")
+    if os.path.isdir(del_root):
+        for name in sorted(os.listdir(del_root)):
+            rel = f"deletes/{name}"
+            if rel not in keep_files:
+                os.remove(os.path.join(del_root, name))
+                tomb_removed.append(rel)
+
+    return {
+        "snapshots_removed": dropped,
+        "snapshots_retained": retained,
+        "segments_removed": segs_removed,
+        "tombstones_removed": tomb_removed,
+    }

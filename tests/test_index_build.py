@@ -265,3 +265,71 @@ def test_open_historical_commit_point(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="snapshot 99"):
         IndexSearcher(spark, root, snapshot_id=99)
+
+
+def test_gc_snapshots_retention(spark, sf_dir, tmp_path):
+    """IndexDeletionPolicy analog: GC keeps the newest N commit
+    points, removes older manifests AND any segment/tombstone file no
+    retained snapshot references; shared immutable segments survive.
+    A dropped commit point stops being openable; retained ones (incl.
+    time-travel) still answer."""
+    import os
+
+    from lucene_solr_spark.index.deletes import delete_by_query
+    from lucene_solr_spark.index.manifest import gc_snapshots
+    from lucene_solr_spark.index.merge import merge_segments
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    def snap_ids(root):
+        return sorted(
+            int(n[9:-5]) for n in os.listdir(f"{root}/manifest")
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+
+    root = str(tmp_path / "gidx")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t.filter("turn_idx < 4"), root, num_parts=3,
+                lineage_source=sf_dir)
+    build_index(spark, t.filter("turn_idx >= 4"), root, num_parts=3,
+                lineage_source=sf_dir, part_offset=3, seg_prefix="b")
+    merge_segments(spark, root, merge_factor=2)
+    pre_delete_sid = snap_ids(root)[-1]
+    delete_by_query(
+        spark, root, BooleanSpec(must=("merge",), filters=(("role", "user"),))
+    )
+    ids = snap_ids(root)
+    assert len(ids) >= 4
+    q = BooleanSpec(must=("merge",), k=12)
+    want = [tuple(r) for r in IndexSearcher(spark, root)
+            .search(q, round_to=4).collect()]
+    seg_count_before = len(os.listdir(f"{root}/segments"))
+
+    st = gc_snapshots(root, keep_last=2)  # keep merge + delete commits
+    assert st["snapshots_removed"] == ids[:-2]
+    assert st["snapshots_retained"] == ids[-2:]
+    # the merge replaced its source segments; GC reclaims them
+    assert len(st["segments_removed"]) > 0
+    assert len(os.listdir(f"{root}/segments")) == (
+        seg_count_before - len(st["segments_removed"])
+    )
+
+    # latest view answers identically after GC
+    got = [tuple(r) for r in IndexSearcher(spark, root)
+           .search(q, round_to=4).collect()]
+    assert got == want
+    # retained historical commit still opens (pre-delete view is wider)
+    pre = IndexSearcher(spark, root, snapshot_id=pre_delete_sid).search(
+        q, round_to=4
+    )
+    assert pre.count() >= len(want)
+    # dropped commit points no longer open
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not found"):
+        IndexSearcher(spark, root, snapshot_id=ids[0])
+    # idempotent re-run: nothing left to sweep
+    st2 = gc_snapshots(root, keep_last=2)
+    assert st2["segments_removed"] == [] and st2["snapshots_removed"] == []
+    # retention floor validated
+    with _pt.raises(ValueError, match="keep_last"):
+        gc_snapshots(root, keep_last=0)
