@@ -278,6 +278,25 @@ def porter_filter(toks: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# HTML stripping (HTMLStripCharFilter analog) — a CHAR filter: tags
+# and character entities are replaced with spaces BEFORE tokenization
+# so markup never becomes terms and adjacent text never fuses across
+# a tag boundary. The pinned subset: <...> tags (incl. attributes)
+# and &name;/&#nn; entities; script/style content removal is out of
+# scope (the corpus enrichment emits none).
+# ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+#      charfilter/HTMLStripCharFilter.java
+# ---------------------------------------------------------------------------
+
+_HTML_MARKUP = re.compile(r"<[^>]*>|&#?[A-Za-z0-9]+;")
+
+
+def html_strip(text: pd.Series) -> pd.Series:
+    """Replace tags/entities with spaces (keeps token boundaries)."""
+    return text.fillna("").str.replace(_HTML_MARKUP, " ", regex=True)
+
+
+# ---------------------------------------------------------------------------
 # Bounded-stream filters: LengthFilter (drop tokens outside a length
 # band) and LimitTokenCountFilter (truncate the stream after N
 # tokens — consumeAllTokens=false, the Lucene default: nothing past

@@ -1515,6 +1515,49 @@ def q_geo_dist(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/schema/CurrencyFieldType.java
+# (currency(field, CUR) conversion + asymmetric range queries via a
+# provider rate table). Spark-first: the rate table is a broadcast
+# dimension; the conversion is arithmetic on the scan, so the range
+# predicate pushes into the same plan shape as any numeric fq.
+@op(
+    "q_currency_range",
+    """WITH rates(cur, usd_per) AS (VALUES ('USD', 1.0), ('EUR', 1.1), ('JPY', 0.007)),
+priced AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE CAST(o_orderkey % 3 AS INTEGER)
+           WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'JPY' END AS cur
+  FROM orders)
+SELECT p.o_orderkey, p.cur,
+       round(p.o_totalprice * r.usd_per, 2) AS usd
+FROM priced p JOIN rates r ON p.cur = r.cur
+WHERE p.o_totalprice * r.usd_per BETWEEN 400000 AND 420000
+ORDER BY usd DESC, p.o_orderkey LIMIT 25""",
+)
+def q_currency_range(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rates = spark.createDataFrame(
+        [("USD", 1.0), ("EUR", 1.1), ("JPY", 0.007)], "cur string, usd_per double"
+    )
+    priced = o.withColumn(
+        "cur",
+        F.element_at(
+            F.array(F.lit("USD"), F.lit("EUR"), F.lit("JPY")),
+            (F.col("o_orderkey") % 3).cast("int") + 1,
+        ),
+    )
+    usd = F.col("o_totalprice") * F.col("usd_per")
+    return (
+        priced.join(F.broadcast(rates), "cur")
+        .filter(usd.between(400000, 420000))
+        .select(
+            "o_orderkey", "cur", F.round(usd, 2).alias("usd"),
+        )
+        .orderBy(F.desc("usd"), "o_orderkey")
+        .limit(25)
+    )
+
+
 # ref: solr/core/src/java/org/apache/solr/handler/component/
 #      SpatialHeatmapFacets.java (facet.heatmap: counts_ints2D — a 2D
 #      grid of doc counts over the query domain at a gridLevel-chosen

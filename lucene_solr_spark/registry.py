@@ -303,6 +303,63 @@ LIMIT {_EFF_SPEC.k}
 register("q_idx_external_file_boost", _idx_external_file_boost, _eff_oracle())
 
 
+# --- edismax boost= (MULTIPLICATIVE function boost) -----------------
+# Unlike additive bf, boost= wraps the query in BoostedQuery: final
+# score = query score × function value. Same physical shape (unsorted
+# hits × docvalues join, one TakeOrdered); rounded-component combine.
+# ref: solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java
+# (boost param → BoostedQuery), lucene/queries/.../function/BoostedQuery.java
+_BOOSTM_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1, k=15)
+
+
+def _idx_boost_multiplicative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_BOOSTM_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        ((F.unix_timestamp("ts")
+          - F.unix_timestamp(F.lit("2024-01-01 00:00:00"))) / 3600.0
+         ).alias("age_h"),
+    )
+    return (
+        hits.join(t, ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx",
+            F.round(
+                F.col("score") * (24.0 / (F.col("age_h") + 24.0)), ROUND
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_BOOSTM_SPEC.k)
+    )
+
+
+def _boostm_oracle() -> str:
+    per_turn = bm25_oracle_sql(_BOOSTM_SPEC)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f"""
+SELECT s.conv_id, s.turn_idx,
+       round(round(s.score, {ROUND})
+             * (24.0 / (date_diff('second',
+                TIMESTAMP '2024-01-01 00:00:00', d.ts) / 3600.0 + 24.0)),
+             {ROUND}) AS score
+FROM scored s JOIN docs d USING (conv_id, turn_idx)
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT {_BOOSTM_SPEC.k}
+""").strip()
+
+
+register(
+    "q_idx_boost_multiplicative",
+    _idx_boost_multiplicative,
+    _boostm_oracle(),
+)
+
+
 # --- query($qq) ValueSource (nested-query function boost) -----------
 # edismax bf=query($qq): the SCORE OF ANOTHER QUERY as a function
 # value added to the main score — 0 when the doc doesn't match the
@@ -2255,6 +2312,69 @@ register(
     "q_idx_word_delimiter",
     _idx_word_delimiter,
     bm25_oracle_sql(_WD_SPEC, toks_sql=_WD_TOKS_SQL),
+)
+
+
+# --- HTML-strip char filter chain (HTMLStripCharFilter) -------------
+# The index is built over text wrapped in synthetic markup
+# ('<p class="doc">…</p> &amp; <br/>'); the char filter strips it
+# BEFORE tokenization, so markup never inflates doc_len/df. A
+# non-stripping engine would tokenize p/class/doc/amp/br into the
+# stream and hash-mismatch the oracle's stripped stats.
+HTML_CHAIN_VERSION = "htmlstrip-v1"
+
+
+def _html_enriched(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return t.withColumn(
+        "text",
+        F.concat(F.lit('<p class="doc">'), F.col("text"),
+                 F.lit("</p> &amp; <br/>")),
+    )
+
+
+def cached_html_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "html")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_html_idx_")
+        build_index(
+            spark, _html_enriched(spark, sf_dir), root, num_parts=8,
+            lineage_source=sf_dir,
+            analyzer=an.chain(char_filters=(an.html_strip,)),
+            analyzer_version=HTML_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=HTML_CHAIN_VERSION)
+
+
+_HTML_TOKS_SQL = (
+    "regexp_extract_all(lower(regexp_replace("
+    "'<p class=\"doc\">' || text || '</p> &amp; <br/>', "
+    "'<[^>]*>|&#?[A-Za-z0-9]+;', ' ', 'g')), '[a-z0-9]+')"
+)
+
+_HTML_SPEC = BooleanSpec(must=("merge",), k=12)
+
+
+def _idx_html_strip_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cached_html_searcher(spark, sf_dir).search(
+        _HTML_SPEC, round_to=ROUND
+    )
+
+
+register(
+    "q_idx_html_strip_search",
+    _idx_html_strip_search,
+    bm25_oracle_sql(_HTML_SPEC, toks_sql=_HTML_TOKS_SQL),
 )
 
 
