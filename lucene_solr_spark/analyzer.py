@@ -278,6 +278,43 @@ def porter_filter(toks: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Multi-word synonym contraction (SynonymGraphFilter's raison d'être:
+# "data base => database"). Leftmost scan over the token stream; an
+# occurrence of the source n-gram collapses to the single target
+# token (consuming its positions — downstream doc_len/phrases count
+# the contracted stream). Source n-grams cannot self-overlap after a
+# match because the match consumes all its tokens.
+# ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+#      synonym/SynonymGraphFilter.java (contraction side)
+# ---------------------------------------------------------------------------
+
+
+def multiword_synonym_filter(rules: dict[tuple[str, ...], str]):
+    """rules: {(src_tok, ...): target}. Longest-rule-first leftmost
+    replacement, single pass."""
+    ordered = sorted(rules.items(), key=lambda kv: -len(kv[0]))
+
+    def run(toks: pd.Series) -> pd.Series:
+        def rewrite(ts: list[str]) -> list[str]:
+            out, i, n = [], 0, len(ts)
+            while i < n:
+                for src, dst in ordered:
+                    m = len(src)
+                    if i + m <= n and tuple(ts[i:i + m]) == src:
+                        out.append(dst)
+                        i += m
+                        break
+                else:
+                    out.append(ts[i])
+                    i += 1
+            return out
+
+        return toks.map(rewrite)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
 # HTML stripping (HTMLStripCharFilter analog) — a CHAR filter: tags
 # and character entities are replaced with spaces BEFORE tokenization
 # so markup never becomes terms and adjacent text never fuses across

@@ -2315,6 +2315,62 @@ register(
 )
 
 
+# --- Multi-word synonym chain (SynonymGraphFilter contraction) ------
+# 'table scan' (adjacent) collapses to the single term 'tablescan' at
+# index AND query time; phrases/doc_len count the contracted stream.
+# The oracle reproduces the positional rewrite with an index-based
+# list rebuild (drop consumed positions, map the start position).
+MWSYN_RULES = {("table", "scan"): "tablescan"}
+MWSYN_CHAIN_VERSION = "mwsyn-v1"
+
+
+def cached_mwsyn_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "mwsyn")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_mws_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(an.multiword_synonym_filter(MWSYN_RULES)),
+            analyzer_version=MWSYN_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=MWSYN_CHAIN_VERSION)
+
+
+_T = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+#: index-based rebuild: drop the consumed second position, contract
+#: the start position to the target term
+_MWSYN_TOKS_SQL = (
+    f"list_transform(list_filter(range(1, len({_T}) + 1), "
+    f"i -> NOT (i > 1 AND {_T}[i-1] = 'table' AND {_T}[i] = 'scan')), "
+    f"i -> CASE WHEN {_T}[i] = 'table' AND i < len({_T}) "
+    f"AND {_T}[i+1] = 'scan' THEN 'tablescan' ELSE {_T}[i] END)"
+)
+
+_MWSYN_SPEC = BooleanSpec(must=("tablescan",), k=12)
+
+
+def _idx_multiword_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cached_mwsyn_searcher(spark, sf_dir).search(
+        _MWSYN_SPEC, round_to=ROUND
+    )
+
+
+register(
+    "q_idx_multiword_synonym",
+    _idx_multiword_synonym,
+    bm25_oracle_sql(_MWSYN_SPEC, toks_sql=_MWSYN_TOKS_SQL),
+)
+
+
 # --- HTML-strip char filter chain (HTMLStripCharFilter) -------------
 # The index is built over text wrapped in synthetic markup
 # ('<p class="doc">…</p> &amp; <br/>'); the char filter strips it

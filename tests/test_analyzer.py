@@ -280,3 +280,50 @@ def test_word_delimiter_matches_duckdb_flatten():
         params=[toks],
     ).fetchone()[0]
     assert got == want
+
+
+# --- HTML strip char filter + multi-word synonyms (r4) ----------------
+
+def test_html_strip_removes_tags_and_entities():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import chain, html_strip
+
+    run = chain(char_filters=(html_strip,))
+    out = list(run(pd.Series(
+        ['<p class="doc">merge sort</p> &amp; <br/> table&#39;s scan',
+         None, "plain"]
+    )))
+    assert out[0] == ["merge", "sort", "table", "s", "scan"]
+    assert out[1] == [] and out[2] == ["plain"]
+
+
+def test_multiword_synonym_contraction_cases():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import multiword_synonym_filter
+
+    f = multiword_synonym_filter({("table", "scan"): "tablescan"})
+    cases = {
+        ("table", "scan"): ["tablescan"],
+        ("table", "table", "scan"): ["table", "tablescan"],
+        ("table", "scan", "scan"): ["tablescan", "scan"],
+        ("table", "scan", "table", "scan"): ["tablescan", "tablescan"],
+        ("scan", "table"): ["scan", "table"],   # order matters
+        (): [],
+    }
+    got = list(f(pd.Series([list(k) for k in cases])))
+    assert got == list(cases.values())
+
+
+def test_multiword_synonym_longest_rule_wins():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import multiword_synonym_filter
+
+    f = multiword_synonym_filter({
+        ("a", "b"): "ab", ("a", "b", "c"): "abc",
+    })
+    assert list(f(pd.Series([["a", "b", "c"], ["a", "b", "d"]]))) == [
+        ["abc"], ["ab", "d"]
+    ]
