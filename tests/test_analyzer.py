@@ -327,3 +327,44 @@ def test_multiword_synonym_longest_rule_wins():
     assert list(f(pd.Series([["a", "b", "c"], ["a", "b", "d"]]))) == [
         ["abc"], ["ab", "d"]
     ]
+
+
+def test_soundex_fuzz_total_and_shape():
+    """Property: soundex_code is total over arbitrary lowercase-alpha
+    tokens — always letter + 3 digits, first char preserved, and
+    doubling a letter never changes the code (adjacent-dedupe)."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.analyzer import soundex_code
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+                   max_size=12))
+    def prop(w):
+        c = soundex_code(w)
+        assert len(c) == 4 and c[0] == w[0] and c[1:].isdigit()
+        # doubling any single letter is code-invariant
+        for i in range(len(w)):
+            assert soundex_code(w[:i] + w[i] + w[i:]) == c
+
+    prop()
+
+
+def test_word_delimiter_fuzz_concat_invariant():
+    """Property: concatenating the split runs reproduces the token,
+    and every run is homogeneous (all-alpha or all-digit)."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import word_delimiter_filter
+
+    @given(st.lists(st.text(alphabet="abc012", min_size=1, max_size=8),
+                    max_size=5))
+    def prop(toks):
+        [parts] = list(word_delimiter_filter(pd.Series([toks])))
+        assert "".join(parts) == "".join(toks)
+        assert all(p.isalpha() or p.isdigit() for p in parts)
+
+    prop()
