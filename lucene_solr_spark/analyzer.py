@@ -395,6 +395,64 @@ def word_delimiter_filter(toks: pd.Series) -> pd.Series:
     return toks.map(lambda ts: [p for t in ts for p in split(t)])
 
 
+def keyword_marker(protected, stem=None):
+    """KeywordMarkerFilter + stemmer in one stage: tokens in the
+    ``protected`` set pass through unstemmed (KeywordAttribute set ⇒
+    downstream stemmers skip); everything else runs the wrapped
+    stemmer (default Porter). Lucene models this as two chained
+    filters sharing a per-token attribute; with vectorized list-map
+    stages the attribute IS the conditional.
+
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         miscellaneous/SetKeywordMarkerFilter.java (+ KeywordAttribute
+         honored by en/PorterStemFilter.java)
+    """
+    prot = frozenset(protected)
+    stem_fn = stem or porter_stem
+    cache: dict[str, str] = {}
+
+    def keyword_marked_stem(toks: pd.Series) -> pd.Series:
+        def enc(t: str) -> str:
+            if t in prot:
+                return t
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = stem_fn(t)
+            return s
+
+        return toks.map(lambda ts: [enc(t) for t in ts])
+
+    return keyword_marked_stem
+
+
+def reverse_filter(toks: pd.Series) -> pd.Series:
+    """ReversedWildcardFilter analog: index every token REVERSED so a
+    leading wildcard (``*ow``) becomes a PREFIX scan (``wo*``) over the
+    reversed term dictionary — prefix predicates prune on the
+    term-sorted dictionary's Parquet row-group min/max stats, where a
+    ``LIKE '%ow'`` suffix scan must read the whole dictionary. Solr
+    stores marker-prefixed reversed duplicates alongside the originals
+    in ONE field; we keep the reversed stream as its own
+    analyzer_version-gated chain index instead (no marker byte, no
+    doubled posting volume — the caller picks the index by query
+    shape). Reversal is a bijection on tokens, so df / tf / doc_len —
+    and therefore BM25 — are identical to the forward index's.
+
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         reverse/ReverseStringFilter.java + solr/core/src/java/org/
+         apache/solr/analysis/ReversedWildcardFilterFactory.java
+    """
+    cache: dict[str, str] = {}
+
+    def rev(t: str) -> str:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = t[::-1]
+        return s
+
+    return toks.map(lambda ts: [rev(t) for t in ts])
+
+
 # ---------------------------------------------------------------------------
 # Phonetic encoding (PhoneticFilter + commons-codec Soundex analog).
 # American Soundex with the commons-codec refinements: H and W are

@@ -1986,3 +1986,70 @@ def q_result_clustering(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "label")
     )
+
+
+# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+#      RandomStream.java (pseudo-random sample of a query's results)
+@op(
+    "q_random_stream",
+    f"""{DOCS_CTE}
+SELECT conv_id, turn_idx,
+       md5(conv_id || '#' || CAST(turn_idx AS VARCHAR) || '#seed42') AS rkey
+FROM docs WHERE list_contains(toks, 'data')
+ORDER BY rkey LIMIT 20""",
+)
+def q_random_stream(spark, sf_dir):
+    """RandomStream: a deterministic pseudo-random sample of 20 docs
+    from the q='data' domain. Solr seeds a RNG per request; here the
+    "random" order is a salted md5 over the doc key — reproducible on
+    any cluster size (the hash is the seed, same trick as the
+    stratified sampler) and rank-stable for the oracle. The sort's
+    TakeOrdered is a per-partition heap of 20, never a full sort."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(F.array_contains("toks", "data"))
+        .select(
+            "conv_id", "turn_idx",
+            F.md5(F.concat_ws(
+                "#", F.col("conv_id"), F.col("turn_idx"), F.lit("seed42")
+            )).alias("rkey"),
+        )
+        .orderBy("rkey")
+        .limit(20)
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/
+#      StatsComponent.java over a function query (stats.field={!func ...},
+#      StatsValuesFactory#createStatsValues on a ValueSource)
+@op(
+    "q_stats_function",
+    f"""{DOCS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(2 * turn_idx + len(toks)) AS BIGINT) AS vmin,
+       CAST(max(2 * turn_idx + len(toks)) AS BIGINT) AS vmax,
+       CAST(sum(2 * turn_idx + len(toks)) AS BIGINT) AS vsum,
+       round(avg(2 * turn_idx + len(toks)), 4) AS vmean,
+       round(stddev_samp(2 * turn_idx + len(toks)), 4) AS vstddev
+FROM docs WHERE list_contains(toks, 'merge')""",
+)
+def q_stats_function(spark, sf_dir):
+    """StatsComponent over a FUNCTION QUERY: stats.field={!func
+    sum(product(2,turn_idx),doc_len)} — the stats engine runs on a
+    computed ValueSource, not a stored field. One partial-aggregating
+    pass over the q='merge' domain; every metric is algebraic, so the
+    map-side combine does the heavy lifting at scale."""
+    d = _docs(spark, sf_dir)
+    v = (2 * F.col("turn_idx") + F.size("toks")).alias("v")
+    return (
+        d.filter(F.array_contains("toks", "merge"))
+        .select(v)
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("v").cast("long").alias("vmin"),
+            F.max("v").cast("long").alias("vmax"),
+            F.sum("v").cast("long").alias("vsum"),
+            F.round(F.avg("v"), 4).alias("vmean"),
+            F.round(F.stddev("v"), 4).alias("vstddev"),
+        )
+    )

@@ -3792,6 +3792,398 @@ FROM top""",
 
 
 # ---------------------------------------------------------------------------
+# ReversedWildcardFilter (leading wildcards) — q=*ow through a
+# reversed-token chain index. A leading wildcard on the forward
+# dictionary is an unprunable full scan (`LIKE '%ow'` matches nothing
+# in sorted-term row-group stats); reversing every token at index
+# time turns it into a PREFIX scan (`wo*`) that the term-sorted
+# dictionary prunes like any PrefixQuery. Reversal is a bijection, so
+# df/tf/doc_len — hence BM25 — match the forward index exactly; the
+# oracle scores the UNREVERSED suffix expansion over the plain corpus.
+# ref: solr/core/src/java/org/apache/solr/analysis/
+#      ReversedWildcardFilterFactory.java
+# ---------------------------------------------------------------------------
+REV_CHAIN_VERSION = "rev-v1"
+
+
+def cached_reversed_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "rev")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_rev_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(an.reverse_filter),
+            analyzer_version=REV_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=REV_CHAIN_VERSION)
+
+
+def _idx_leading_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading wildcard ``*ow`` (row/slow/window) as a scored
+    SCORING_BOOLEAN rewrite: reverse the pattern, prefix-scan the
+    reversed dictionary (bounded TopTermsRewrite via expand_terms),
+    OR the expansions with per-term idf through the reversed index."""
+    from pyspark.sql import functions as F
+
+    s = cached_reversed_searcher(spark, sf_dir)
+    # "*ow" reversed = prefix "wo" over reversed tokens
+    terms = s.expand_terms(F.col("term").startswith("wo"))
+    if not terms:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+    return s.search(
+        BooleanSpec(should=tuple(terms), min_should_match=1, k=15),
+        round_to=ROUND,
+    )
+
+
+register(
+    "q_idx_leading_wildcard",
+    _idx_leading_wildcard,
+    _scored_expand_oracle("term LIKE '%ow'", 15),
+)
+
+
+def _idx_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.query THROUGH the index engine (the battery's
+    `q_facet_query` is Catalyst-side): each facet query's count is the
+    DocSet intersection size |docset(q) ∩ docset(facet.query)| — the
+    `intersectionSize` path SimpleFacets uses, with both DocSets
+    coming off the term-pruned segment scan (tombstones + fq masked at
+    every docmap read). The intersection is a semi-join of two narrow
+    (conv_id, turn_idx) sets — never a corpus shuffle; at 100 TB each
+    side is already the pruned hit list, not the collection.
+
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+         #getFacetQueryCount (DocSet#intersectionSize)"""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    main = s.docset(BooleanSpec(must=("merge",))).persist()
+    facet_queries = (
+        ("fast", BooleanSpec(must=("fast",))),
+        ("role:assistant", BooleanSpec(filters=(("role", "assistant"),))),
+        ("turn_idx:[0 TO 3]",
+         BooleanSpec(range_filters=(("turn_idx", "0", "3"),))),
+    )
+    counts = [
+        main.join(s.docset(sub), ["conv_id", "turn_idx"], "left_semi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("facet_query", F.lit(label))
+        .select("facet_query", "cnt")
+        for label, sub in facet_queries
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), counts).orderBy("facet_query")
+    out = out.localCheckpoint()
+    main.unpersist()
+    return out
+
+
+register(
+    "q_idx_facet_query",
+    _idx_facet_query,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+main AS (SELECT * FROM docs WHERE list_contains(toks, 'merge'))
+SELECT 'fast' AS facet_query,
+       CAST(count(*) FILTER (list_contains(toks, 'fast')) AS BIGINT) AS cnt
+FROM main
+UNION ALL
+SELECT 'role:assistant',
+       CAST(count(*) FILTER (role = 'assistant') AS BIGINT) FROM main
+UNION ALL
+SELECT 'turn_idx:[0 TO 3]',
+       CAST(count(*) FILTER (turn_idx BETWEEN 0 AND 3) AS BIGINT) FROM main
+ORDER BY facet_query""",
+)
+
+
+_FACET_EXCLUDE = ("data", "the")
+
+
+def _idx_facet_exclude_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.excludeTerms over the high-cardinality field: named terms
+    drop out of the ranking BEFORE the limit (the remaining buckets
+    move up — not a post-hoc blank). Exact via over-request: the
+    two-phase facet runs at limit+|excluded| (dropping ≤ |excluded|
+    ranked rows can only promote rows already inside that widened
+    window), then the exclusion filter + re-limit. The widening rides
+    the existing refine machinery, so counts stay exact.
+
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+         (facet.excludeTerms param)"""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    wide = s.facet("ftok", spec=None, limit=10 + len(_FACET_EXCLUDE))
+    return (
+        wide.filter(~F.col("facet_value").isin(*_FACET_EXCLUDE))
+        .orderBy(F.desc("cnt"), "facet_value")
+        .limit(10)
+    )
+
+
+register(
+    "q_idx_facet_exclude_terms",
+    _idx_facet_exclude_terms,
+    _facet_oracle(
+        "len(toks) > 0 AND toks[1] NOT IN ('data', 'the')", "toks[1]", 10
+    ),
+)
+
+
+def _idx_interval_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval facets THROUGH the index engine (the battery's
+    `q_interval_facet` is Catalyst-side): arbitrary, deliberately
+    OVERLAPPING inclusive intervals over the turn_idx docvalues of the
+    query's DocSet — a doc counts in EVERY interval containing it
+    (IntervalFacets semantics; range facets assign each doc to one
+    gap bucket). One pass over the hit list: the three interval
+    predicates are conditional sums in a single partial-aggregating
+    job, no per-interval rescan.
+
+    ref: solr/core/src/java/org/apache/solr/request/IntervalFacets.java"""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.docset(BooleanSpec(must=("data",)))
+    ivals = (("[0,2]", 0, 2), ("[2,5]", 2, 5), ("[4,7]", 4, 7))
+    agg = hits.agg(*[
+        F.sum(F.when(F.col("turn_idx").between(lo, hi), 1).otherwise(0))
+        .cast("long").alias(f"i{n}")
+        for n, (_, lo, hi) in enumerate(ivals)
+    ])
+    stack = ", ".join(
+        f"'{label}', i{n}" for n, (label, _, _) in enumerate(ivals)
+    )
+    return agg.selectExpr(
+        f"stack({len(ivals)}, {stack}) AS (interval, cnt)"
+    ).orderBy("interval")
+
+
+register(
+    "q_idx_interval_facet",
+    _idx_interval_facet,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+main AS (SELECT * FROM docs WHERE list_contains(toks, 'data'))
+SELECT '[0,2]' AS interval,
+       CAST(count(*) FILTER (turn_idx BETWEEN 0 AND 2) AS BIGINT) AS cnt
+FROM main
+UNION ALL
+SELECT '[2,5]',
+       CAST(count(*) FILTER (turn_idx BETWEEN 2 AND 5) AS BIGINT) FROM main
+UNION ALL
+SELECT '[4,7]',
+       CAST(count(*) FILTER (turn_idx BETWEEN 4 AND 7) AS BIGINT) FROM main
+ORDER BY interval""",
+)
+
+
+def _scored_body(spec: BooleanSpec) -> str:
+    """The WITH...scored prefix of the BM25 oracle (everything above
+    the final SELECT) — shared by twins that re-rank the scored set."""
+    return bm25_oracle_sql(spec).split(
+        "\nSELECT conv_id, turn_idx, round(score"
+    )[0]
+
+
+def _idx_collapse_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing with a FIELD selector — `{!collapse
+    field=conv_id max=turn_idx}`: each conversation's surviving turn
+    is the matching one with the LARGEST turn_idx (a docvalues
+    min/max selector, not the score), while the survivors still rank
+    by their BM25 score. Same physical shape as `q_idx_collapse`:
+    per-segment scored hits → window partitioned by the collapse key
+    (turn_idx is unique within a conversation, so the selector needs
+    no tiebreak) → pinned top-k.
+
+    ref: solr/core/src/java/org/apache/solr/search/
+         CollapsingQParserPlugin.java (OrdFieldValueCollector min/max)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_COLLAPSE_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "turn_idx", "score")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_COLLAPSE_SPEC.k)
+    )
+
+
+register(
+    "q_idx_collapse_field",
+    _idx_collapse_field,
+    _scored_body(_COLLAPSE_SPEC) + f"""
+SELECT conv_id, turn_idx, score FROM (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score,
+         row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn
+  FROM scored)
+WHERE rn = 1
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT {_COLLAPSE_SPEC.k}""",
+)
+
+
+_GROUP_TOP, _GROUP_LIMIT = 3, 2
+
+
+def _idx_grouping_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result grouping THROUGH the index engine with group.limit > 1
+    (the battery's `q_grouping` is Catalyst-side): top
+    ``_GROUP_TOP`` conversations ranked by their best turn's rounded
+    score (FirstPassGroupingCollector), each returning its
+    ``_GROUP_LIMIT`` best turns (TopGroupsCollector doclists). ONE
+    collapse-key-partitioned rank pass serves both passes — the
+    second-pass "query" is a broadcast semi-join of the 3 winning
+    group keys, never a rescan.
+
+    ref: lucene/grouping/src/java/org/apache/lucene/search/grouping/
+         FirstPassGroupingCollector.java + TopGroupsCollector.java"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_COLLAPSE_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("score"), F.asc("turn_idx")
+    )
+    ranked = hits.withColumn("rn", F.row_number().over(w)).persist()
+    heads = (
+        ranked.filter(F.col("rn") == 1)
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(_GROUP_TOP)
+        .select("conv_id")
+    )
+    out = (
+        ranked.join(F.broadcast(heads), "conv_id", "left_semi")
+        .filter(F.col("rn") <= _GROUP_LIMIT)
+        .select(
+            "conv_id", "turn_idx", "score",
+            F.col("rn").cast("long").alias("doc_rank"),
+        )
+        .orderBy("conv_id", "doc_rank")
+    )
+    out = out.localCheckpoint()  # materialize before freeing the rank pass
+    ranked.unpersist()
+    return out
+
+
+register(
+    "q_idx_grouping_limit",
+    _idx_grouping_limit,
+    _scored_body(_COLLAPSE_SPEC) + f""",
+ranked AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score,
+         row_number() OVER (
+           PARTITION BY conv_id
+           ORDER BY round(score, {ROUND}) DESC, turn_idx) AS rn
+  FROM scored),
+heads AS (
+  SELECT conv_id FROM ranked WHERE rn = 1
+  ORDER BY score DESC, conv_id, turn_idx LIMIT {_GROUP_TOP})
+SELECT conv_id, turn_idx, score, CAST(rn AS BIGINT) AS doc_rank
+FROM ranked
+WHERE conv_id IN (SELECT conv_id FROM heads) AND rn <= {_GROUP_LIMIT}
+ORDER BY conv_id, doc_rank""",
+)
+
+
+# --- KeywordMarkerFilter chain (protected words skip the stemmer) ---
+# Same ascii+stop+porter chain as `q_idx_porter_search` but with
+# 'merge' and 'value' marked as keywords: they index as their surface
+# forms (no 'merg'/'valu' conflation), every other token still stems.
+# The oracle's generated Porter CASE map simply omits the protected
+# words — same vocab-subset guard as the porter/soundex chains.
+KM_PROTECTED = frozenset({"merge", "value"})
+KM_CHAIN_VERSION = "ascii+stop+porter-km-v1"
+
+
+def cached_km_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "km")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_km_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(
+                an.stop_filter, an.keyword_marker(KM_PROTECTED),
+                char_filters=(an.ascii_fold,),
+            ),
+            analyzer_version=KM_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=KM_CHAIN_VERSION)
+
+
+def _km_toks_sql() -> str:
+    """DuckDB spelling of chain(stop, keyword_marker(porter),
+    char=(ascii_fold,)): the Porter CASE map generated from the pinned
+    vocabulary MINUS the protected keywords."""
+    from lucene_solr_spark.analyzer import ENGLISH_STOP_WORDS, porter_stem
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN '{porter_stem(w)}'"
+        for w in PORTER_VOCAB
+        if w not in KM_PROTECTED and porter_stem(w) != w
+    )
+    return (
+        "list_transform(list_filter("
+        "regexp_extract_all(strip_accents(lower(text)), '[a-z0-9]+'), "
+        f"t -> t NOT IN ({stops})), t -> CASE {cases} ELSE t END)"
+    )
+
+
+def _idx_keyword_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the keyword-marked Porter index: 'merge' is
+    protected, so the query term stays the surface form and its
+    df/idf cover ONLY unstemmed-merge docs — while unprotected words
+    ('sort' → stemmed neighbors) still conflate."""
+    s = cached_km_searcher(spark, sf_dir)
+    return s.search(BooleanSpec(must=("merge",), k=12), round_to=ROUND)
+
+
+register(
+    "q_idx_keyword_marker",
+    _idx_keyword_marker,
+    bm25_oracle_sql(
+        BooleanSpec(must=("merge",), k=12), toks_sql=_km_toks_sql()
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is
 # re-ordered to put one representative of every SURVEY §2 family, the
