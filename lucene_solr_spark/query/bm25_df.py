@@ -205,6 +205,43 @@ def _span_not_pred(inc: tuple[str, ...], exc: tuple[str, ...], slop: int):
     )
 
 
+def _span_within_pred(little: str, big: tuple[str, ...], slop: int):
+    """SpanWithinQuery containment, Catalyst spelling (same pinned
+    per-owner anchor sweep as scorer._span_within_docs): anchors q are
+    the positions holding a big-group term (the owner); per OTHER big
+    term the LAST occurrence in [q, q+w−1], owner pinned at q;
+    feasibility = every such pick exists; the little term must occur
+    in [q, M = greatest(picks)]."""
+    w = len(big) + slop
+
+    def esc(t: str) -> str:
+        return t.replace("'", "\\'")
+
+    def pick(t: str) -> str:
+        lit = esc(t)
+        return (
+            f"CASE WHEN element_at(toks, q) = '{lit}' THEN q "
+            f"ELSE array_max(filter("
+            f"sequence(q, least(q + {w} - 1, size(toks))), "
+            f"i -> element_at(toks, i) = '{lit}')) END"
+        )
+
+    picks = [pick(t) for t in big]
+    not_null = " AND ".join(f"({e}) IS NOT NULL" for e in picks)
+    m_end = f"greatest({', '.join(picks)})" if len(picks) > 1 else picks[0]
+    owners = ", ".join(f"'{esc(t)}'" for t in big)
+    contains = (
+        f"exists(sequence(q, {m_end}), "
+        f"j -> element_at(toks, j) = '{esc(little)}')"
+    )
+    return F.expr(
+        f"size(toks) >= {len(big)} AND "
+        f"exists(sequence(1, size(toks)), q -> "
+        f"element_at(toks, q) IN ({owners}) AND "
+        f"CASE WHEN {not_null} THEN {contains} ELSE false END)"
+    )
+
+
 def _range_lit(v: str, dtype):
     """Range bound → Catalyst literal typed by the TARGET COLUMN
     (ADVICE r2): bound parseability must not pick the comparison
@@ -316,6 +353,8 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
         docs = docs.filter(pred)
     for inc, exc in spec.span_not:
         docs = docs.filter(_span_not_pred(inc, exc, spec.span_slop))
+    for little, big in spec.span_within:
+        docs = docs.filter(_span_within_pred(little, big, spec.span_slop))
     for ph in spec.must_not_phrases:
         docs = docs.filter(~_phrase_pred(ph, spec.phrase_slop))
     if spec.must_not:

@@ -104,6 +104,24 @@ class BooleanSpec:
     #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java
     span_first: tuple[tuple[str, ...], ...] = ()
     span_first_end: int = 0
+    #: SpanWithinQuery: (little_term, big_group) pairs — pinned
+    #: contract: ∃ one position per big-group term with max−min ≤
+    #: len(big)+span_slop−1 (the span_near window) such that SOME
+    #: occurrence of the little term lies within [min, max] of those
+    #: positions. Containment is positional — a doc holding all the
+    #: terms with the little one OUTSIDE every qualifying big span
+    #: does NOT match (the discriminator vs plain conjunction). All
+    #: terms (big ∪ little) contribute MUST scoring; the containment
+    #: is a two-phase filter. Exactness (per-owner anchor sweep): a
+    #: true witness choice C with min=q — an occurrence of owner term
+    #: T — stays a witness after re-choosing T at q and every other
+    #: term at its LATEST in-window occurrence (all picks remain in
+    #: [q, q+w−1], min stays q, max only grows), so sweeping anchors
+    #: per owner with M = max(q, latest-in-window of the others) finds
+    #: every match and invents none ([q, M] is itself a valid span).
+    #: ref: lucene/core/src/java/org/apache/lucene/search/spans/
+    #: SpanWithinQuery.java (little within big; pre=post=0)
+    span_within: tuple[tuple[str, tuple[str, ...]], ...] = ()
     #: UNREWRITTEN MultiTermQuery nodes from the parser (WildcardQuery
     #: ``te?t*`` / RegexpQuery ``/re/``). Executors NEVER see these:
     #: ``IndexSearcher.rewrite`` (dictionary scan) or
@@ -158,6 +176,17 @@ class BooleanSpec:
                 raise ValueError(
                     f"span_not include/exclude overlap: {set(inc) & set(exc)}"
                 )
+        for little, big in self.span_within:
+            if len(set(big)) != len(big):
+                raise ValueError(f"span_within big has duplicates: {big}")
+            if len(big) < 2:
+                # a 1-term big span is a single position — nothing can
+                # lie within it but itself
+                raise ValueError(f"span_within big needs >= 2 terms: {big}")
+            if little in big:
+                raise ValueError(
+                    f"span_within little {little!r} is in the big group"
+                )
 
     @property
     def needs_rewrite(self) -> bool:
@@ -202,6 +231,10 @@ class BooleanSpec:
         for inc, _exc in self.span_not:
             for t in inc:
                 seen.setdefault(t, None)
+        for little, big in self.span_within:
+            seen.setdefault(little, None)
+            for t in big:
+                seen.setdefault(t, None)
         for g in self.span_or:  # optional alternatives score if present
             for t in g:
                 seen.setdefault(t, None)
@@ -217,5 +250,9 @@ class BooleanSpec:
                 seen.setdefault(t, None)
         for inc, _exc in self.span_not:
             for t in inc:
+                seen.setdefault(t, None)
+        for little, big in self.span_within:
+            seen.setdefault(little, None)
+            for t in big:
                 seen.setdefault(t, None)
         return tuple(seen)

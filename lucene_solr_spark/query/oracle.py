@@ -123,6 +123,36 @@ def _span_not_clause(
     )
 
 
+def _span_within_clause(
+    little: str, big: tuple[str, ...], slop: int
+) -> str:
+    """SpanWithinQuery, DuckDB spelling — same per-owner anchor sweep
+    as scorer._span_within_docs / bm25_df._span_within_pred: anchors q
+    hold a big-group term (the owner, pinned at q); every OTHER big
+    term contributes its LAST in-window occurrence; the little term
+    must occur in [q, greatest(picks)]."""
+    w = len(big) + slop
+    picks = [
+        f"CASE WHEN toks[q] = '{t}' THEN q "
+        f"ELSE list_max(list_filter("
+        f"range(q, least(q + {w} - 1, len(toks)) + 1), "
+        f"i -> toks[i] = '{t}')) END"
+        for t in big
+    ]
+    not_null = " AND ".join(f"({e}) IS NOT NULL" for e in picks)
+    m_end = f"greatest({', '.join(picks)})" if len(picks) > 1 else picks[0]
+    contains = (
+        f"len(list_filter(range(q, ({m_end}) + 1), "
+        f"j -> toks[j] = '{little}')) > 0"
+    )
+    return (
+        f"len(toks) >= {len(big)} AND "
+        f"len(list_filter(range(1, len(toks) + 1), "
+        f"q -> list_contains([{_sql_list(big)}], toks[q]) AND "
+        f"CASE WHEN {not_null} THEN {contains} ELSE false END)) > 0"
+    )
+
+
 #: transcripts column types (transcripts.py TRANSCRIPT_SCHEMA) — range
 #: literals are typed by the TARGET FIELD, never by bound parseability
 #: (ADVICE r2: role:[1 TO 5] must be lexicographic in all three engines)
@@ -180,6 +210,8 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
         doc_filters.append(f"({ors})")
     for inc, exc in spec.span_not:
         doc_filters.append(_span_not_clause(inc, exc, spec.span_slop))
+    for little, big in spec.span_within:
+        doc_filters.append(_span_within_clause(little, big, spec.span_slop))
     for ph in spec.must_not_phrases:
         doc_filters.append(f"NOT ({_phrase_clause(ph, spec.phrase_slop)})")
     if spec.must_not:

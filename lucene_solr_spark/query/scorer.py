@@ -288,6 +288,84 @@ def _span_not_docs(
     return np.unique(anchors[ok] // stride)
 
 
+def _span_within_docs(
+    btps: list[TermPostings],
+    ltp: TermPostings,
+    cand: np.ndarray,
+    stride: int,
+    window: int,
+) -> np.ndarray:
+    """Docs matching SpanWithinQuery — pinned contract: ∃ one position
+    per big term with max−min ≤ window−1 whose [min, max] interval
+    contains an occurrence of the little term.
+
+    Per-owner anchor sweep (exactness proof in BooleanSpec.span_within):
+    anchor q runs over each big term T's own occurrences; feasibility
+    = every big term has an occurrence in [q, q+window−1]; the widest
+    reachable span end with T pinned at q is M = max(q, latest
+    in-window occurrence of every OTHER term) — [q, M] is itself a
+    valid big span, and any true witness with min=q is ⊆ [q, M], so
+    testing the little term against [q, M] finds every match and
+    invents none.
+
+    ref: lucene/core/src/java/org/apache/lucene/search/spans/
+         SpanWithinQuery.java
+    """
+    empty = np.empty(0, np.int64)
+    keyed: list[np.ndarray] = []
+    for tp_ in btps:
+        d, t, p = tp_.positions(tp_.blocks_for_docs(cand))
+        m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+        k = np.repeat(d, t)[m] * stride + p[m]
+        if len(k) == 0:
+            return empty
+        keyed.append(k)  # sorted (doc asc, pos asc)
+    dl, tl, pl = ltp.positions(ltp.blocks_for_docs(cand))
+    ml = np.repeat(np.isin(dl, cand, assume_unique=True), tl)
+    kl = np.repeat(dl, tl)[ml] * stride + pl[ml]
+    if len(kl) == 0:
+        return empty
+    out: list[np.ndarray] = []
+    for owner, anchors in enumerate(keyed):
+        ok = np.ones(len(anchors), bool)
+        m_end = anchors.copy()  # M: owner pinned at q
+        for u, k in enumerate(keyed):
+            if u == owner:
+                continue
+            idx = np.searchsorted(k, anchors, side="left")
+            idx_c = np.clip(idx, 0, len(k) - 1)
+            hit = (
+                (idx < len(k))
+                & (k[idx_c] <= anchors + window - 1)
+                & (k[idx_c] // stride == anchors // stride)
+            )
+            ok &= hit
+            if not ok.any():
+                break
+            # latest in-window occurrence: last key < q+window, same doc
+            jdx = np.searchsorted(k, anchors + window, side="left") - 1
+            jdx_c = np.clip(jdx, 0, len(k) - 1)
+            last_ok = (
+                (jdx >= 0)
+                & (k[jdx_c] >= anchors)
+                & (k[jdx_c] // stride == anchors // stride)
+            )
+            m_end = np.maximum(
+                m_end, np.where(hit & last_ok, k[jdx_c], m_end)
+            )
+        if not ok.any():
+            continue
+        # little containment: first little key ≥ q must be ≤ M
+        # (same doc is implied: M shares the anchor's doc)
+        idx = np.searchsorted(kl, anchors, side="left")
+        idx_c = np.clip(idx, 0, len(kl) - 1)
+        inside = (idx < len(kl)) & (kl[idx_c] <= m_end)
+        sel = ok & inside
+        if sel.any():
+            out.append(anchors[sel] // stride)
+    return np.unique(np.concatenate(out)) if out else empty
+
+
 def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
     """Docs containing the phrase (terms adjacent, in order)."""
     return _phrase_freqs(tps, seg_max_pos)[0]
@@ -442,6 +520,24 @@ def _candidates(
             )
         cand = ndocs_ if cand is None else cand[
             np.isin(cand, ndocs_, assume_unique=True)
+        ]
+    for little, big in spec.span_within:
+        btps = [tp.get(t) for t in big]
+        ltp_ = tp.get(little)
+        if any(p is None for p in btps) or ltp_ is None:
+            wdocs = np.empty(0, np.int64)
+        else:
+            base = cand
+            if base is None:
+                base, _ = min(
+                    btps + [ltp_], key=lambda p: p.n_blocks
+                ).decode_all()
+            wdocs = _span_within_docs(
+                btps, ltp_, base, max_doclen + 2,
+                len(big) + spec.span_slop,
+            )
+        cand = wdocs if cand is None else cand[
+            np.isin(cand, wdocs, assume_unique=True)
         ]
     excl: list[np.ndarray] = []
     for t in spec.must_not:

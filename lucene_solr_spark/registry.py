@@ -1495,6 +1495,73 @@ register(
 )
 
 
+_HLP_SPEC = BooleanSpec(phrases=(("table", "scan"),), k=10)
+
+
+def _idx_highlight_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase highlighting (hl.usePhraseHighlighter=true): for the
+    phrase query "table scan", ONLY tokens participating in an actual
+    adjacency occurrence are marked — an isolated 'table' (or 'scan')
+    elsewhere in the doc stays unmarked, where the plain term
+    highlighter (`q_idx_highlight`) would wrap every occurrence. The
+    position test is a pure Catalyst indexed-lambda over the stored
+    token stream of the k hits (same analyzer stream as matching, so
+    marking can't disagree with the phrase scorer).
+
+    ref: lucene/highlighter/src/java/org/apache/lucene/search/
+         uhighlight/PhraseHelper.java (+ DefaultSolrHighlighter
+         usePhraseHighlighter)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokens_col
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.search(_HLP_SPEC, round_to=ROUND)
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text")
+    )
+    mark = F.expr(
+        "transform(toks, (tk, i) -> CASE"
+        " WHEN (tk = 'table' AND i + 1 < size(toks)"
+        "       AND toks[i + 1] = 'scan')"
+        "   OR (tk = 'scan' AND i > 0 AND toks[i - 1] = 'table')"
+        " THEN concat('<em>', tk, '</em>') ELSE tk END)"
+    )
+    return (
+        t.join(F.broadcast(hits), ["conv_id", "turn_idx"])
+        .select(
+            "conv_id", "turn_idx", "score",
+            F.array_join(mark, " ").alias("snippet"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+    )
+
+
+def _hlp_oracle() -> str:
+    body = _scored_body(_HLP_SPEC)
+    return (body + f""",
+topk AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+  FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {_HLP_SPEC.k}),
+tok AS (
+  SELECT t.conv_id, t.turn_idx, t.score, d.toks,
+         unnest(generate_series(1, len(d.toks))) AS i
+  FROM topk t JOIN docs2 d USING (conv_id, turn_idx)),
+marked AS (
+  SELECT conv_id, turn_idx, score, i,
+    CASE WHEN (toks[i] = 'table' AND i < len(toks)
+               AND toks[i + 1] = 'scan')
+           OR (toks[i] = 'scan' AND i > 1 AND toks[i - 1] = 'table')
+      THEN '<em>' || toks[i] || '</em>' ELSE toks[i] END AS mtk
+  FROM tok)
+SELECT conv_id, turn_idx, score,
+       string_agg(mtk, ' ' ORDER BY i) AS snippet
+FROM marked GROUP BY conv_id, turn_idx, score
+ORDER BY score DESC, conv_id, turn_idx""").strip()
+
+
 def _idx_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot facet (A7) through the REAL index docvalues: top-3 roles
     by pair count, top-2 tools within each (nulls excluded)."""
@@ -1608,6 +1675,22 @@ _SPAN_NOT = BooleanSpec(
 register("q_bm25_span_not", _mk_bm25(_SPAN_NOT), bm25_oracle_sql(_SPAN_NOT))
 register(
     "q_idx_bm25_span_not", _mk_idx_bm25(_SPAN_NOT), bm25_oracle_sql(_SPAN_NOT)
+)
+
+# SpanWithinQuery: a 'key' occurrence INSIDE some table…merge span
+# (window 6, any order) — positional containment, stricter than the
+# plain 3-term conjunction (a doc holding 'key' far from every
+# qualifying span does not match). All three terms score as MUST.
+_SPAN_WITHIN = BooleanSpec(
+    span_within=(("key", ("table", "merge")),), span_slop=4, k=15
+)
+register(
+    "q_bm25_span_within", _mk_bm25(_SPAN_WITHIN),
+    bm25_oracle_sql(_SPAN_WITHIN),
+)
+register(
+    "q_idx_bm25_span_within", _mk_idx_bm25(_SPAN_WITHIN),
+    bm25_oracle_sql(_SPAN_WITHIN),
 )
 
 # SpanFirstQuery: the merge/scan near-span (window 4, any order) must
@@ -4030,6 +4113,8 @@ def _idx_collapse_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_COLLAPSE_SPEC.k)
     )
 
+
+register("q_idx_highlight_phrase", _idx_highlight_phrase, _hlp_oracle())
 
 register(
     "q_idx_collapse_field",

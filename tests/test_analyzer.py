@@ -368,3 +368,43 @@ def test_word_delimiter_fuzz_concat_invariant():
         assert all(p.isalpha() or p.isdigit() for p in parts)
 
     prop()
+
+
+# --- round-4 session: reverse_filter + keyword_marker ----------------------
+
+def test_reverse_filter_is_involution_and_matches_plain_chain():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.analyzer import chain, reverse_filter
+
+    rev_chain = chain(reverse_filter)
+    plain = chain()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def run(text):
+        s = pd.Series([text])
+        revd = rev_chain(s).iloc[0]
+        toks = plain(s).iloc[0]
+        # reversed chain == token-wise reversal of the plain chain
+        assert revd == [t[::-1] for t in toks]
+        # involution: reversing the reversed stream restores the plain
+        assert reverse_filter(pd.Series([revd])).iloc[0] == toks
+
+    run()
+
+
+def test_keyword_marker_protects_exactly_the_listed_words():
+    from lucene_solr_spark.analyzer import keyword_marker, porter_stem
+
+    km = keyword_marker({"merge", "value"})
+    toks = pd.Series([["merge", "merging", "value", "tables", "data"]])
+    out = km(toks).iloc[0]
+    assert out[0] == "merge"          # protected: surface form kept
+    assert out[2] == "value"          # protected
+    assert out[1] == porter_stem("merging")  # unprotected: stems
+    assert out[3] == porter_stem("tables")
+    assert out[4] == porter_stem("data")
+    # a protected word whose stem WOULD differ is the discriminator
+    assert porter_stem("merge") != "merge"

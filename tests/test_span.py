@@ -288,3 +288,84 @@ def test_span_first_is_stricter_than_near(env):
     n = {(r.conv_id, int(r.turn_idx)) for r in s.docset(near).collect()}
     f = {(r.conv_id, int(r.turn_idx)) for r in s.docset(first).collect()}
     assert f and f < n
+
+
+# --- SpanWithinQuery (round-4 session) --------------------------------------
+
+def ref_span_within_match(
+    toks: list[str], little: str, big: tuple[str, ...], slop: int
+) -> bool:
+    """Brute reference — the TRUE ∃-choice quantifier: one position per
+    big term, max−min ≤ len(big)+slop−1, with some little occurrence
+    in [min, max]. The engines implement a per-owner anchor sweep; this
+    product enumeration is what the sweep must be exactly equal to."""
+    import itertools
+
+    w = len(big) + slop
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in big}
+    if any(not p for p in pos.values()):
+        return False
+    lpos = [i for i, x in enumerate(toks) if x == little]
+    if not lpos:
+        return False
+    for combo in itertools.product(*(pos[t] for t in big)):
+        lo, hi = min(combo), max(combo)
+        if hi - lo <= w - 1 and any(lo <= p <= hi for p in lpos):
+            return True
+    return False
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_span_within_duel(env, seed):
+    """3-way duel for SpanWithinQuery: random big groups from real
+    windows, little drawn from the same window when possible (so
+    positive matches occur) else from the rest of the vocabulary."""
+    s, t, pdf = env
+    rng = np.random.default_rng(7000 + seed)
+    big, slop = rand_group(rng, pdf)
+    vocab = sorted({x for ts in pdf["toks"] for x in ts} - set(big))
+    little = str(rng.choice(vocab))
+    spec = BooleanSpec(span_within=((little, big),), span_slop=slop)
+
+    expect = {
+        (r.conv_id, int(r.turn_idx))
+        for r in pdf.itertuples()
+        if ref_span_within_match(r.toks, little, big, slop)
+    }
+
+    got_idx = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    assert got_idx == expect, (little, big, slop)
+
+    got_df = {
+        (r.conv_id, int(r.turn_idx))
+        for r in bm25_df.doc_tokens(t)
+        .filter(bm25_df._span_within_pred(little, big, slop))
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert got_df == expect, (little, big, slop)
+
+
+def test_span_within_positional_vs_conjunction(spark):
+    """The discriminator: both docs hold all three terms, but only the
+    one whose 'key' lies INSIDE a table…merge span matches — proving
+    containment is positional, never a boolean +key."""
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, ["table", "key", "merge"]),   # key inside [0,2]
+            ("c1", 1, ["key", "table", "merge"]),   # key outside [1,2]
+        ],
+        "conv_id string, turn_idx int, toks array<string>",
+    )
+    got = {
+        (r.conv_id, int(r.turn_idx))
+        for r in df.filter(
+            bm25_df._span_within_pred("key", ("table", "merge"), 1)
+        ).collect()
+    }
+    assert got == {("c1", 0)}
+    # and the brute reference says the same
+    assert ref_span_within_match(["table", "key", "merge"], "key",
+                                 ("table", "merge"), 1)
+    assert not ref_span_within_match(["key", "table", "merge"], "key",
+                                     ("table", "merge"), 1)
