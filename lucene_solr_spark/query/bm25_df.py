@@ -328,6 +328,12 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
         # TermsQParser fq: set membership (TermInSetQuery; null never
         # matches — Column.isin is null on null input, filter drops it).
         docs = docs.filter(F.col(fld).isin(*vals))
+    for fld in spec.exists_filters:
+        # FieldValueQuery fq (field:*): the field has a value.
+        docs = docs.filter(F.col(fld).isNotNull())
+    for fld in spec.missing_filters:
+        # -field:* : the field is missing.
+        docs = docs.filter(F.col(fld).isNull())
     if spec.range_filters:
         dtypes = {f.name: f.dataType for f in docs.schema.fields}
     for fld, lo, hi in spec.range_filters:

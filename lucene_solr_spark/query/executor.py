@@ -65,12 +65,20 @@ def _exclude_filter_fields(
         in_filters=tuple(
             f for f in spec.in_filters if f[0] not in exclude_fields
         ),
+        exists_filters=tuple(
+            f for f in spec.exists_filters if f not in exclude_fields
+        ),
+        missing_filters=tuple(
+            f for f in spec.missing_filters if f not in exclude_fields
+        ),
     )
     constrains = (
         out.must or out.should or out.phrases or out.must_not
         or out.must_not_phrases or out.filters or out.not_filters
-        or out.range_filters or out.in_filters or out.span_near
-        or out.span_or or out.span_not or out.span_first or out.wildcards
+        or out.range_filters or out.in_filters or out.exists_filters
+        or out.missing_filters or out.span_near
+        or out.span_or or out.span_not or out.span_first
+        or out.span_within or out.wildcards
         or out.regexps
     )
     return out if constrains else None
@@ -81,6 +89,7 @@ def filter_cols(spec: BooleanSpec, base: list[str]) -> list[str]:
     want = {f for f, _ in spec.filters} | {f for f, _ in spec.not_filters}
     want |= {f for f, _, _ in spec.range_filters}
     want |= {f for f, _ in spec.in_filters}
+    want |= set(spec.exists_filters) | set(spec.missing_filters)
     return list(base) + sorted(want - set(base))
 
 
@@ -120,9 +129,18 @@ def filter_mask(dm, spec: BooleanSpec):
     Negated filters use differs-or-missing semantics (pandas ``==``
     is False on NaN, so ``~`` correctly admits missing values)."""
     if (not spec.filters and not spec.not_filters
-            and not spec.range_filters and not spec.in_filters):
+            and not spec.range_filters and not spec.in_filters
+            and not spec.exists_filters and not spec.missing_filters):
         return None
     mask = None
+    for fld in spec.exists_filters:
+        # FieldValueQuery (field:*): the field has a value
+        m = dm[fld].notna().to_numpy(bool)
+        mask = m if mask is None else (mask & m)
+    for fld in spec.missing_filters:
+        # -field:* : the field is missing
+        m = dm[fld].isna().to_numpy(bool)
+        mask = m if mask is None else (mask & m)
     for fld, val in spec.filters:
         m = (dm[fld] == val).to_numpy(bool)
         mask = m if mask is None else (mask & m)

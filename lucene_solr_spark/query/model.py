@@ -68,6 +68,18 @@ class BooleanSpec:
     #: the other fq clauses; missing field never matches.
     #: ref: solr/core/src/java/org/apache/solr/search/TermsQParserPlugin.java
     in_filters: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    #: FieldValueQuery — the ``field:*`` fq idiom (ExistsQuery over
+    #: docvalues): doc matches when the field HAS a value.
+    #: ``missing_filters`` is the negated idiom ``-field:*`` (doc
+    #: matches when the field is missing/null). Both are non-scoring
+    #: fq clauses riding the same mask path as filters/in_filters
+    #: (incl. multi-select exclusion).
+    #: ref: solr/core/src/java/org/apache/solr/search/
+    #: SolrQueryParserBase.java (getWildcardQuery '*' →
+    #: FieldValueQuery), lucene/core/src/java/org/apache/lucene/
+    #: search/DocValuesFieldExistsQuery.java
+    exists_filters: tuple[str, ...] = ()
+    missing_filters: tuple[str, ...] = ()
     #: SpanNearQuery(inOrder=false) — pinned UNORDERED window contract:
     #: each group of DISTINCT terms must co-occur within some window of
     #: ``len(group) + span_slop`` consecutive tokens (equivalently

@@ -190,6 +190,10 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
         doc_filters.append(f"({fld} IS DISTINCT FROM '{val}')")
     for fld, vals in spec.in_filters:
         doc_filters.append(f"{fld} IN ({_sql_list(vals)})")
+    for fld in spec.exists_filters:
+        doc_filters.append(f"{fld} IS NOT NULL")
+    for fld in spec.missing_filters:
+        doc_filters.append(f"{fld} IS NULL")
     for fld, lo, hi in spec.range_filters:
         if lo is not None:
             doc_filters.append(f"{fld} >= {_range_sql(fld, lo)}")

@@ -1808,6 +1808,40 @@ register(
     _facet_oracle("NOT list_contains(toks, 'merge')", "role", 10),
 )
 
+# FieldValueQuery fq (`tool:*` — ExistsQuery over docvalues): scored
+# BM25 restricted to docs WHERE the tool field has a value, through
+# both executors via the shared exists_filters mask path.
+_EXISTS_SPEC = BooleanSpec(must=("data",), exists_filters=("tool",), k=12)
+register(
+    "q_bm25_exists_fq", _mk_bm25(_EXISTS_SPEC), bm25_oracle_sql(_EXISTS_SPEC)
+)
+register(
+    "q_idx_bm25_exists_fq",
+    _mk_idx_bm25(_EXISTS_SPEC),
+    bm25_oracle_sql(_EXISTS_SPEC),
+)
+
+
+def _idx_docset_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`-tool:*` as a filter-only DocSet: docs MISSING the tool field,
+    over every segment via the seg-id driver (a term-free domain —
+    postings never read, tombstones still masked)."""
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.docset(BooleanSpec(missing_filters=("tool",)))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_idx_docset_missing",
+    _idx_docset_missing,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE tool IS NULL
+ORDER BY conv_id, turn_idx""",
+)
+
 
 # SimpleFacets parameter surface: facet.missing / facet.sort=index /
 # facet.prefix (SimpleFacets#getFacetFieldCounts params).

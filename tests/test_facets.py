@@ -379,3 +379,28 @@ def test_facet_offset_pages_consistently(searcher):
     assert rows(limit=10, offset=5, method="refine") == rows(
         limit=10, offset=5, refine=False
     )
+
+
+def test_multiselect_excludes_exists_filter(searcher):
+    """exists/missing fq clauses ride the multi-select exclusion like
+    filters/in_filters (working-notes invariant): excluding 'tool'
+    drops the tool:* constraint from THIS facet's domain; with it as
+    the only constraint the domain widens to MatchAll."""
+    s, t = searcher
+    spec = BooleanSpec(exists_filters=("tool",))
+    # honoring the constraint: only tool-bearing docs counted
+    kept = s.facet("role", spec=spec, limit=10).toPandas()
+    want_kept = control_counts(
+        t, F.col("role"), F.col("tool").isNotNull(), 10
+    )
+    assert list(zip(kept.facet_value, kept.cnt)) == list(
+        zip(want_kept.facet_value, want_kept.cnt)
+    )
+    # excluding it: MatchAll domain
+    got = s.facet(
+        "role", spec=spec, limit=10, exclude_fields=("tool",)
+    ).toPandas()
+    want = control_counts(t, F.col("role"), F.lit(True), 10)
+    assert list(zip(got.facet_value, got.cnt)) == list(
+        zip(want.facet_value, want.cnt)
+    )
