@@ -4326,11 +4326,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # decontaminate) move below the window — all still green in the
     # full check_oracle battery. q_ann_ivf and q_knn_join changed this
     # round (shuffle cuts), so both sit inside the window.
-    # CORE BM25 flagships (term = the headline shape, phrase = the
-    # position machinery; the boolean family is further covered by pf
-    # and the span rows below)
-    # json_facet_metrics (attested r3) yields to the NEW edismax ps
-    "q_idx_bm25_term", "q_idx_bm25_phrase", "q_idx_bm25_pf",
+    # THIRD r4 ROTATION (this session): thrice-attested bm25_term /
+    # bm25_phrase and twice-attested ann_lsh_check / delete_by_query
+    # yield to the session's four deepest new surfaces — span_within
+    # (new positional-containment contract), leading_wildcard
+    # (reversed-dictionary index), facet_query (DocSet
+    # intersectionSize through the index), keyword_marker (protected
+    # stems chain). All displaced rows stay green in the full battery.
+    "q_idx_bm25_span_within", "q_idx_leading_wildcard",
+    "q_idx_facet_query", "q_idx_keyword_marker",
+    "q_idx_bm25_pf",
     "q_idx_bm25_ps",
     # SECOND r4 ROTATION (this session's new surfaces displace
     # r3-attested rows — spans or/not/first, wildcard/regexp/explain,
@@ -4361,7 +4366,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idx_porter_search", "q_idx_synonym_search",
     # graph / deletes (r3 once or contract-critical); stats_percentiles
     # (attested r3) yields to the NEW historical-commit reader
-    "q_idx_time_travel", "q_shortest_path", "q_idx_delete_by_query",
+    "q_idx_time_travel", "q_shortest_path",
     # never-attested locals rotated in (VERDICT r3 item 10 list)
     "q_atomic_update", "q_idx_suggest", "q_idx_term_vectors",
     "q_idx_spellcheck_collate", "q_result_clustering",
@@ -4371,7 +4376,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # simhash (attested r3) yields to the NEW real WAV codec round-trip
     # features_check (attested r3) yields to the NEW SemDeDup op; the
     # r4 WAV codec row keeps the multimodal family attested
-    "q_ann_ivf", "q_knn_join", "q_ann_lsh_check", "q_dedup_clusters",
+    "q_ann_ivf", "q_knn_join", "q_dedup_clusters",
     "q_multimodal_wav_decode", "q_dedup_semantic",
     # never-attested pipeline hygiene ops (VERDICT r3 item 10 list)
     "q_quality_repetition", "q_domain_mix", "q_pack_sequences",
