@@ -306,3 +306,37 @@ def test_knn_join_window_has_partial_group_limit(spark, sf_dir):
     plan = _physical(q_knn_join(spark, sf_dir), finalize=True)
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_grouping_limit_window_shapes(spark, sf_dir):
+    """q_idx_grouping_limit / q_idx_collapse_field keep the
+    row_number()+filter(rn<=k) shape: windows partitioned by the
+    group key (never single-partition), Partial WindowGroupLimit
+    pushdown bounds the rank shuffle, head list broadcasts."""
+    from lucene_solr_spark.registry import QUERIES
+
+    plan = _physical(QUERIES["q_idx_collapse_field"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "conv_id" in line, line
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # grouping_limit localCheckpoints (lineage truncated) — assert on
+    # the pre-checkpoint shape via the shared collapse spec instead:
+    # the checkpointed result must still be key-grouped and bounded
+    out = QUERIES["q_idx_grouping_limit"](spark, sf_dir).toPandas()
+    assert (out.groupby("conv_id").size() <= 2).all()
+    assert out["doc_rank"].max() <= 2
+
+
+def test_idx_facet_query_semi_joins_no_cartesian(spark, sf_dir):
+    """q_idx_facet_query intersects two narrow DocSets per facet query
+    — semi-joins only, no cartesian, no corpus-wide exchange of
+    stored fields."""
+    from lucene_solr_spark.registry import QUERIES
+
+    df = QUERIES["q_idx_facet_query"](spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    # checkpointed result: 3 bounded rows
+    assert df.count() == 3
