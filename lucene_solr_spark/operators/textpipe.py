@@ -1770,3 +1770,68 @@ def q_dedup_semantic(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@op(
+    "q_decontaminate_fuzzy",
+    f"""WITH {SHINGLE_CTE},
+tr AS (SELECT doc_id, sh FROM shingles WHERE doc_id % 17 <> 0),
+be AS (SELECT doc_id AS bid, sh FROM shingles WHERE doc_id % 17 = 0),
+ts AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+bs AS (SELECT bid, count(*) AS n FROM be GROUP BY bid),
+inter AS (
+  SELECT tr.doc_id, be.bid, count(*) AS i
+  FROM tr JOIN be USING (sh) GROUP BY 1, 2),
+jac AS (
+  SELECT doc_id, bid, CAST(i AS DOUBLE) / (ts.n + bs.n - i) AS j
+  FROM inter JOIN ts USING (doc_id) JOIN bs USING (bid))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) FILTER (j >= 0.3) AS BIGINT) AS n_contaminating,
+       round(max(j), 4) AS max_jaccard
+FROM jac GROUP BY doc_id HAVING max(j) >= 0.3
+ORDER BY doc_id""",
+)
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY benchmark decontamination: where `q_decontaminate` flags
+    any shared trigram (high recall, low precision), this scores each
+    (training doc, benchmark doc) pair by exact shingle-set Jaccard
+    and flags training docs with max Jaccard >= 0.3 — near-duplicate
+    eval contamination, not incidental phrase reuse. Scale shape: the
+    benchmark side is tiny by construction, so its shingles BROADCAST;
+    candidate pairs exist only where a shingle is shared (inverted
+    join, never all-pairs); the only shuffle is the (train, bench)
+    partial-aggregated intersection count — bounded by shared-shingle
+    pairs against a tiny bench set, not |corpus|².
+    ref (method): GPT-3 appendix C / PaLM contamination analysis
+    (n-gram overlap dedup against eval sets), arXiv:2005.14165."""
+    sh = shingles_df(spark, sf_dir)
+    is_bench = F.col("doc_id") % 17 == 0
+    train = sh.filter(~is_bench)
+    bench = sh.filter(is_bench).select(F.col("doc_id").alias("bid"), "sh")
+    tsize = train.groupBy("doc_id").agg(F.count("*").alias("na"))
+    bsize = bench.groupBy("bid").agg(F.count("*").alias("nb"))
+    inter = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bid")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = (
+        inter.join(tsize, "doc_id")
+        .join(F.broadcast(bsize), "bid")
+        .withColumn("j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    )
+    return (
+        jac.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("j") >= 0.3, 1).otherwise(0))
+            .cast("long").alias("n_contaminating"),
+            F.max("j").alias("mx"),
+        )
+        .filter(F.col("mx") >= 0.3)  # threshold on the UNROUNDED max,
+        .select(                     # exactly like the oracle's HAVING
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_contaminating",
+            F.round("mx", 4).alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
