@@ -3815,6 +3815,118 @@ ORDER BY conv_id, turn_idx, tf DESC, term""",
 )
 
 
+def _idx_term_vectors_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermVectorComponent with tv.positions=true: the (term, tf) rows
+    of `q_idx_term_vectors` each carry their 0-based position list
+    from the pinned analyzer stream (serialized as a comma string —
+    cross-engine array dtype parity). Same top-3 selection, same
+    tf >= 2 shape; one posexplode bounded by the 3 hit docs.
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+         TermVectorComponent.java (TV_KEY_POSITIONS)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokens_col
+
+    s = cached_searcher(spark, sf_dir)
+    top = (
+        s.score_hits(BooleanSpec(must=("merge",), k=3), k=3)
+        .withColumn("score", F.round("score", ROUND))
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(3)
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    docs = t.join(F.broadcast(top.select("conv_id", "turn_idx")),
+                  ["conv_id", "turn_idx"], "left_semi")
+    return (
+        docs.select(
+            "conv_id", "turn_idx",
+            F.posexplode(tokens_col("text")).alias("pos", "term"),
+        )
+        .groupBy("conv_id", "turn_idx", "term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(pos)), "
+                "x -> cast(x AS string)), ',')"
+            ).alias("positions"),
+        )
+        .filter(F.col("tf") >= 2)
+        .orderBy("conv_id", "turn_idx", F.desc("tf"), "term")
+    )
+
+
+register(
+    "q_idx_term_vectors_positions",
+    _idx_term_vectors_positions,
+    bm25_oracle_sql(BooleanSpec(must=("merge",), k=3)).split(
+        "\nSELECT conv_id, turn_idx, round(score"
+    )[0]
+    + f""",
+top AS (
+  SELECT conv_id, turn_idx FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx LIMIT 3),
+tok AS (
+  SELECT d.conv_id, d.turn_idx, d.toks,
+         unnest(generate_series(1, len(d.toks))) AS i
+  FROM docs2 d JOIN top USING (conv_id, turn_idx))
+SELECT conv_id, turn_idx, toks[i] AS term,
+       CAST(count(*) AS BIGINT) AS tf,
+       string_agg(CAST(i - 1 AS VARCHAR), ',' ORDER BY i) AS positions
+FROM tok GROUP BY conv_id, turn_idx, toks[i]
+HAVING count(*) >= 2
+ORDER BY conv_id, turn_idx, tf DESC, term""",
+)
+
+
+def _idx_facet_mincount_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.mincount=0: buckets with ZERO hits still list, enumerated
+    from the field's term dictionary (SimpleFacets zeros come from the
+    ords array, not the hit set). The zero set = dictionary values
+    anti-joined against the counted buckets — the dictionary is the
+    small side by construction (a docvalues facet field's vocabulary),
+    so this is a broadcast-size union, never a corpus pass.
+
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+         (mincount=0 zero-fill from the ord range)"""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    spec = BooleanSpec(phrases=(("vector", "customer"),))
+    counts = s.facet("tool", spec=spec, limit=1000, mincount=1)
+    vocab = (
+        s.dicts().filter(F.col("field") == "tool")
+        .select(F.col("term").alias("facet_value")).distinct()
+    )
+    zeros = vocab.join(counts, "facet_value", "left_anti").withColumn(
+        "cnt", F.lit(0).cast("long")
+    )
+    return (
+        counts.unionByName(zeros)
+        .orderBy(F.desc("cnt"), "facet_value")
+        .limit(40)
+    )
+
+
+register(
+    "q_idx_facet_mincount_zero",
+    _idx_facet_mincount_zero,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+vocab AS (SELECT DISTINCT tool AS facet_value FROM transcripts
+          WHERE tool IS NOT NULL),
+hits AS (SELECT tool AS facet_value, count(*) AS cnt FROM docs
+         WHERE len(list_filter(range(1, len(toks)),
+                   i -> toks[i] = 'vector' AND toks[i+1] = 'customer')) > 0
+           AND tool IS NOT NULL
+         GROUP BY tool)
+SELECT v.facet_value, CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+FROM vocab v LEFT JOIN hits h USING (facet_value)
+ORDER BY cnt DESC, facet_value LIMIT 40""",
+)
+
+
 def _idx_luke_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luke per-FIELD report: distinct-value cardinality + the top
     value (by doc count) of every docvalues facet field — the
