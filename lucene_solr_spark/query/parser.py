@@ -90,6 +90,8 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     not_filters: list[tuple[str, str]] = []
     boosts: list[tuple[str, float]] = []
     range_filters: list[tuple[str, str | None, str | None]] = []
+    exists_filters: list[str] = []
+    missing_filters: list[str] = []
     wildcards: list[str] = []
     regexps: list[str] = []
 
@@ -145,7 +147,14 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
             prev_bare = None
         elif kind == "field":
             fld, _, val = tok.partition(":")
-            if fld in FILTER_FIELDS:
+            if val == "*" and fld in FILTER_FIELDS:
+                # 'tool:*' → FieldValueQuery (field has a value);
+                # '-tool:*' → missing. NOT an equality with literal
+                # '*' (the accept-and-invert trap this guard closes) —
+                # Solr's getWildcardQuery special-cases the bare star.
+                (missing_filters if occur == "-"
+                 else exists_filters).append(fld)
+            elif fld in FILTER_FIELDS:
                 # '-role:assistant' → negated filter (differs-or-missing)
                 (not_filters if occur == "-" else filters).append((fld, val))
             else:  # unknown field → treat value as a term on the text
@@ -211,6 +220,8 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         k=k,
         boosts=tuple(boosts),
         range_filters=tuple(range_filters),
+        exists_filters=tuple(dict.fromkeys(exists_filters)),
+        missing_filters=tuple(dict.fromkeys(missing_filters)),
         wildcards=tuple(dict.fromkeys(wildcards)),
         regexps=tuple(dict.fromkeys(regexps)),
     )

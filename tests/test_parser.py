@@ -253,3 +253,16 @@ def test_in_filter_multiselect_exclusion():
     # filter-only spec excluded entirely -> MatchAll domain (None)
     only = BooleanSpec(in_filters=(("role", ("user",)),))
     assert _exclude_filter_fields(only, ("role",)) is None
+
+
+def test_field_star_parses_as_exists_filter():
+    """'tool:*' is FieldValueQuery (field has a value), '-tool:*' is
+    the missing idiom — never an equality with the literal '*'."""
+    from lucene_solr_spark.query.parser import parse
+
+    spec = parse("data tool:*")
+    assert spec.exists_filters == ("tool",)
+    assert spec.filters == ()
+    neg = parse("data -tool:*")
+    assert neg.missing_filters == ("tool",)
+    assert neg.not_filters == ()
