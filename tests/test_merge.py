@@ -131,3 +131,19 @@ def test_merged_relatedness_identical(pair):
     )
     assert np.allclose(fa.relatedness.to_numpy(), fb.relatedness.to_numpy())
     assert (fa.relatedness.abs() <= 1.0).all()
+
+
+def test_merged_span_within_and_exists_identical(pair):
+    """Round-4 session surfaces survive compaction: the span_within
+    DocSet and an exists-filtered search are byte-identical on the
+    merged index (positions and docvalues nullness both remap)."""
+    a, b = pair
+    sw = BooleanSpec(span_within=(("key", ("table", "merge")),), span_slop=4)
+    da = a.docset(sw).toPandas().sort_values(["conv_id", "turn_idx"])
+    db = b.docset(sw).toPandas().sort_values(["conv_id", "turn_idx"])
+    assert list(zip(da.conv_id, da.turn_idx)) == list(zip(db.conv_id, db.turn_idx))
+
+    ex = BooleanSpec(must=("data",), exists_filters=("tool",), k=12)
+    ra, rb = a.search(ex).toPandas(), b.search(ex).toPandas()
+    assert list(zip(ra.conv_id, ra.turn_idx)) == list(zip(rb.conv_id, rb.turn_idx))
+    assert np.allclose(ra.score.to_numpy(), rb.score.to_numpy(), atol=1e-9)
