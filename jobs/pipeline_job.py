@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("dedup", "clusters", "sample", "pack", "filter",
-                 "substring", "semdedup"):
+                 "substring", "semdedup", "decontaminate"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -95,6 +95,17 @@ def main(argv: list[str] | None = None) -> dict:
             textpipe.q_dedup_semantic(spark, args.sf_dir)
             .filter("kept")
             .select("vec_id", "cid")
+        )
+    elif args.cmd == "decontaminate":
+        # eval-contamination KEEP stage: drop docs whose max shingle
+        # Jaccard against any benchmark doc reaches 0.3 (fuzzy) OR that
+        # ARE benchmark docs (never train on the eval set itself)
+        c = textpipe.corpus_df(spark, args.sf_dir)
+        dirty = textpipe.q_decontaminate_fuzzy(spark, args.sf_dir).select(
+            "doc_id"
+        )
+        out = c.filter(F.col("doc_id") % 17 != 0).join(
+            dirty, "doc_id", "left_anti"
         )
     else:  # pack
         out = textpipe.q_pack_sequences(spark, args.sf_dir)
