@@ -178,6 +178,13 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                     span_first=(("merge", "scan"),), span_slop=2,
                     span_first_end=12, k=15
                 ),
+                # round-4 session: span_within (per-owner anchor sweep
+                # + little-term containment probe — the newest
+                # position-pass shape)
+                "bm25_span_within": BooleanSpec(
+                    span_within=(("key", ("table", "merge")),),
+                    span_slop=4, k=15
+                ),
                 # round-3: edismax pf (exact path — WAND disabled, plus
                 # the phrase-freq position pass over OR-matched docs)
                 "bm25_pf": BooleanSpec(
