@@ -340,3 +340,15 @@ def test_idx_facet_query_semi_joins_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # checkpointed result: 3 bounded rows
     assert df.count() == 3
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """q_kmeans_train's k×N assignment must be a BROADCAST nested-loop
+    of the k centroids (the deliberate IVF-probe shape), never a
+    shuffled CartesianProduct; the mean update must aggregate, not
+    collect vectors per cluster."""
+    from lucene_solr_spark.operators.textpipe import q_kmeans_train
+
+    plan = _physical(q_kmeans_train(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
