@@ -205,6 +205,24 @@ def _span_not_pred(inc: tuple[str, ...], exc: tuple[str, ...], slop: int):
     )
 
 
+def _multi_phrase_pred(slots: tuple[tuple[str, ...], ...]):
+    """MultiPhraseQuery adjacency, Catalyst spelling: ∃ start s with
+    toks[s+i] ∈ slot_i for every slot (1-based element_at)."""
+    n = len(slots)
+
+    def lits(slot: tuple[str, ...]) -> str:
+        return ", ".join("'" + t.replace("'", "\\'") + "'" for t in slot)
+
+    conds = " AND ".join(
+        f"element_at(toks, s + {j}) IN ({lits(slot)})"
+        for j, slot in enumerate(slots)
+    )
+    return F.expr(
+        f"size(toks) >= {n} AND "
+        f"exists(sequence(1, size(toks) - {n - 1}), s -> {conds})"
+    )
+
+
 def _span_within_pred(little: str, big: tuple[str, ...], slop: int):
     """SpanWithinQuery containment, Catalyst spelling (same pinned
     per-owner anchor sweep as scorer._span_within_docs): anchors q are
@@ -345,6 +363,8 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
             docs = docs.filter(F.col(fld) <= _range_lit(hi, dtypes[fld]))
     for ph in spec.phrases:
         docs = docs.filter(_phrase_pred(ph, spec.phrase_slop))
+    for mp in spec.multi_phrases:
+        docs = docs.filter(_multi_phrase_pred(mp))
     for grp in spec.span_near:
         docs = docs.filter(_span_pred(grp, spec.span_slop))
     for grp in spec.span_first:

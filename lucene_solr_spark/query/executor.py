@@ -76,7 +76,7 @@ def _exclude_filter_fields(
         out.must or out.should or out.phrases or out.must_not
         or out.must_not_phrases or out.filters or out.not_filters
         or out.range_filters or out.in_filters or out.exists_filters
-        or out.missing_filters or out.span_near
+        or out.missing_filters or out.multi_phrases or out.span_near
         or out.span_or or out.span_not or out.span_first
         or out.span_within or out.wildcards
         or out.regexps

@@ -134,6 +134,18 @@ class BooleanSpec:
     #: ref: lucene/core/src/java/org/apache/lucene/search/spans/
     #: SpanWithinQuery.java (little within big; pre=post=0)
     span_within: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    #: MultiPhraseQuery: exact-adjacency phrases where each SLOT
+    #: admits ALTERNATIVE terms — ∃ start s with toks[s+i] ∈ slot_i
+    #: for every slot (the query-time synonym-expansion phrase,
+    #: IndexSearcher "multi-phrase"). Slot terms contribute OPTIONAL
+    #: (SHOULD-like) scoring — present terms score, absent ones don't
+    #: (an alternative is never required, so none of its terms can be
+    #: MUST); the adjacency is a two-phase filter. Slop stays out of
+    #: scope (Lucene's sloppy multi-phrase repositioning rules are a
+    #: separate contract — don't blur it into phrase_slop).
+    #: ref: lucene/core/src/java/org/apache/lucene/search/
+    #: MultiPhraseQuery.java
+    multi_phrases: tuple[tuple[tuple[str, ...], ...], ...] = ()
     #: UNREWRITTEN MultiTermQuery nodes from the parser (WildcardQuery
     #: ``te?t*`` / RegexpQuery ``/re/``). Executors NEVER see these:
     #: ``IndexSearcher.rewrite`` (dictionary scan) or
@@ -188,6 +200,16 @@ class BooleanSpec:
                 raise ValueError(
                     f"span_not include/exclude overlap: {set(inc) & set(exc)}"
                 )
+        for mp in self.multi_phrases:
+            if len(mp) < 2:
+                raise ValueError(f"multi_phrase needs >= 2 slots: {mp}")
+            for slot in mp:
+                if not slot:
+                    raise ValueError(f"multi_phrase has an empty slot: {mp}")
+                if len(set(slot)) != len(slot):
+                    raise ValueError(
+                        f"multi_phrase slot has duplicates: {slot}"
+                    )
         for little, big in self.span_within:
             if len(set(big)) != len(big):
                 raise ValueError(f"span_within big has duplicates: {big}")
@@ -250,6 +272,10 @@ class BooleanSpec:
         for g in self.span_or:  # optional alternatives score if present
             for t in g:
                 seen.setdefault(t, None)
+        for mp in self.multi_phrases:  # slot alternatives: same rule
+            for slot in mp:
+                for t in slot:
+                    seen.setdefault(t, None)
         return tuple(seen)
 
     @property

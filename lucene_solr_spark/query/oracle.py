@@ -123,6 +123,22 @@ def _span_not_clause(
     )
 
 
+def _multi_phrase_clause(slots: tuple[tuple[str, ...], ...]) -> str:
+    """MultiPhraseQuery adjacency, DuckDB spelling (1-based lists) —
+    same contract as bm25_df._multi_phrase_pred /
+    scorer._multi_phrase_docs."""
+    n = len(slots)
+    conds = " AND ".join(
+        f"list_contains([{_sql_list(slot)}], toks[s + {j}])"
+        for j, slot in enumerate(slots)
+    )
+    return (
+        f"len(toks) >= {n} AND "
+        f"len(list_filter(range(1, len(toks) - {n - 1} + 1), "
+        f"s -> {conds})) > 0"
+    )
+
+
 def _span_within_clause(
     little: str, big: tuple[str, ...], slop: int
 ) -> str:
@@ -201,6 +217,8 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
             doc_filters.append(f"{fld} <= {_range_sql(fld, hi)}")
     for ph in spec.phrases:
         doc_filters.append(_phrase_clause(ph, spec.phrase_slop))
+    for mp in spec.multi_phrases:
+        doc_filters.append(_multi_phrase_clause(mp))
     for grp in spec.span_near:
         doc_filters.append(_span_clause(grp, spec.span_slop))
     for grp in spec.span_first:

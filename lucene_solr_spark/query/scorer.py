@@ -288,6 +288,44 @@ def _span_not_docs(
     return np.unique(anchors[ok] // stride)
 
 
+def _multi_phrase_docs(
+    slot_tps: list[list[TermPostings]],
+    cand: np.ndarray,
+    stride: int,
+) -> np.ndarray:
+    """Docs matching MultiPhraseQuery — ∃ start s with toks[s+i] ∈
+    slot_i for every slot i. Same (doc, pos−offset) key-intersection
+    as the exact-phrase matcher, with each slot's key stream the
+    UNION of its alternative terms' streams (which is exactly how
+    MultiPhraseQuery's UnionPostingsEnum reads: one merged postings
+    view per position).
+
+    ref: lucene/core/src/java/org/apache/lucene/search/
+         MultiPhraseQuery.java (UnionPostingsEnum)
+    """
+    empty = np.empty(0, np.int64)
+    keys_acc: np.ndarray | None = None
+    for j, tps in enumerate(slot_tps):
+        slot_keys: list[np.ndarray] = []
+        for tp_ in tps:
+            d, t, p = tp_.positions(tp_.blocks_for_docs(cand))
+            m = np.repeat(np.isin(d, cand, assume_unique=True), t)
+            dp = np.repeat(d, t)[m]
+            pp = p[m]
+            k = dp * stride + (pp - j)  # align slot offsets
+            slot_keys.append(k[pp - j >= 0])
+        if not slot_keys:
+            return empty
+        keys = np.unique(np.concatenate(slot_keys))
+        keys_acc = (
+            keys if keys_acc is None
+            else np.intersect1d(keys_acc, keys, assume_unique=True)
+        )
+        if len(keys_acc) == 0:
+            return empty
+    return np.unique(keys_acc // stride)
+
+
 def _span_within_docs(
     btps: list[TermPostings],
     ltp: TermPostings,
@@ -457,6 +495,26 @@ def _candidates(
         else:
             pdocs = _phrase_docs(ptps, max_doclen)
         cand = pdocs if cand is None else cand[np.isin(cand, pdocs, assume_unique=True)]
+    for mp in spec.multi_phrases:
+        slot_tps = [[tp[t] for t in slot if t in tp] for slot in mp]
+        if any(not tps for tps in slot_tps):
+            mdocs = np.empty(0, np.int64)  # a slot with no present
+        else:  # alternative can never match in this segment
+            base = cand
+            if base is None:
+                # every match holds SOME term of every slot, so one
+                # slot's doc UNION is a valid superset — seed from the
+                # cheapest slot (fewest total blocks)
+                lead = min(
+                    slot_tps, key=lambda tps: sum(p.n_blocks for p in tps)
+                )
+                base = np.unique(np.concatenate(
+                    [p.decode_all()[0] for p in lead]
+                ))
+            mdocs = _multi_phrase_docs(slot_tps, base, max_doclen + 2)
+        cand = mdocs if cand is None else cand[
+            np.isin(cand, mdocs, assume_unique=True)
+        ]
     for grp in spec.span_near:
         gtps = [tp.get(t) for t in grp]
         if any(p is None for p in gtps):

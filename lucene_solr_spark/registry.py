@@ -1677,6 +1677,23 @@ register(
     "q_idx_bm25_span_not", _mk_idx_bm25(_SPAN_NOT), bm25_oracle_sql(_SPAN_NOT)
 )
 
+# MultiPhraseQuery: "table (scan|merge)" — the query-time synonym-
+# expansion phrase: position 2 admits either alternative; slot terms
+# score as SHOULD-if-present (no alternative is required), adjacency
+# filters. Stricter than span_or over the two exact phrases only in
+# scoring (span_or's window-6 co-occurrence vs exact adjacency here).
+_MULTI_PHRASE = BooleanSpec(
+    multi_phrases=((("table",), ("scan", "merge")),), k=15
+)
+register(
+    "q_bm25_multi_phrase", _mk_bm25(_MULTI_PHRASE),
+    bm25_oracle_sql(_MULTI_PHRASE),
+)
+register(
+    "q_idx_multi_phrase", _mk_idx_bm25(_MULTI_PHRASE),
+    bm25_oracle_sql(_MULTI_PHRASE),
+)
+
 # SpanWithinQuery: a 'key' occurrence INSIDE some table…merge span
 # (window 6, any order) — positional containment, stricter than the
 # plain 3-term conjunction (a doc holding 'key' far from every

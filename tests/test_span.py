@@ -369,3 +369,72 @@ def test_span_within_positional_vs_conjunction(spark):
                                  ("table", "merge"), 1)
     assert not ref_span_within_match(["key", "table", "merge"], "key",
                                      ("table", "merge"), 1)
+
+
+# --- MultiPhraseQuery (round-4 session) --------------------------------------
+
+def ref_multi_phrase_match(
+    toks: list[str], slots: tuple[tuple[str, ...], ...]
+) -> bool:
+    n = len(slots)
+    return any(
+        all(toks[s + j] in slots[j] for j in range(n))
+        for s in range(len(toks) - n + 1)
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_multi_phrase_duel(env, seed):
+    """3-way duel for MultiPhraseQuery: slot 1 from a real adjacent
+    pair, slot 2 = the real next token plus a random alternative —
+    so both the matched and unmatched alternative paths exercise."""
+    s, t, pdf = env
+    rng = np.random.default_rng(9000 + seed)
+    vocab = sorted({x for ts in pdf["toks"] for x in ts})
+    for _ in range(80):
+        row = pdf.iloc[int(rng.integers(0, len(pdf)))]
+        toks = row["toks"]
+        if len(toks) >= 2:
+            start = int(rng.integers(0, len(toks) - 1))
+            a, b = toks[start], toks[start + 1]
+            if a != b:
+                break
+    alt = str(rng.choice([v for v in vocab if v not in (a, b)]))
+    slots = ((a,), tuple(sorted({b, alt})))
+    spec = BooleanSpec(multi_phrases=(slots,))
+
+    expect = {
+        (r.conv_id, int(r.turn_idx))
+        for r in pdf.itertuples()
+        if ref_multi_phrase_match(r.toks, slots)
+    }
+
+    got_idx = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    assert got_idx == expect, slots
+
+    got_df = {
+        (r.conv_id, int(r.turn_idx))
+        for r in bm25_df.doc_tokens(t)
+        .filter(bm25_df._multi_phrase_pred(slots))
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert got_df == expect, slots
+
+
+def test_multi_phrase_vs_exact_phrases_union(env):
+    """Pinned identity: multi_phrase("table", {scan, merge}) matches
+    exactly the UNION of the exact phrases "table scan" and
+    "table merge" — and differs from the 3-term conjunction."""
+    s, _, pdf = env
+    slots = (("table",), ("merge", "scan"))
+    spec = BooleanSpec(multi_phrases=(slots,))
+    got = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    u1 = {(r.conv_id, int(r.turn_idx))
+          for r in s.docset(BooleanSpec(phrases=(("table", "scan"),))).collect()}
+    u2 = {(r.conv_id, int(r.turn_idx))
+          for r in s.docset(BooleanSpec(phrases=(("table", "merge"),))).collect()}
+    assert got == (u1 | u2)
+    conj = {(r.conv_id, int(r.turn_idx))
+            for r in s.docset(BooleanSpec(must=("table", "scan", "merge"))).collect()}
+    assert got != conj
