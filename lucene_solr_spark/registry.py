@@ -4491,8 +4491,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # NEW r4: grouping variants, passages highlighter, fetch, W6, N4
     "q_grouping_query", "q_grouping_func", "q_idx_highlight_passages",
     "q_fetch_stream", "q_idx_early_terminate", "q_topic_stream",
-    # NEW r4: Porter chain; synonym chain keeps its slot (r3 once)
-    "q_idx_porter_search", "q_idx_synonym_search",
+    # NEW r4: Porter chain; synonym (attested r3) yields to the NEW
+    # MultiPhraseQuery contract row
+    "q_idx_porter_search", "q_idx_multi_phrase",
     # graph / deletes (r3 once or contract-critical); stats_percentiles
     # (attested r3) yields to the NEW historical-commit reader
     "q_idx_time_travel", "q_shortest_path",
@@ -4505,7 +4506,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # simhash (attested r3) yields to the NEW real WAV codec round-trip
     # features_check (attested r3) yields to the NEW SemDeDup op; the
     # r4 WAV codec row keeps the multimodal family attested
-    "q_ann_ivf", "q_knn_join", "q_dedup_clusters",
+    # dedup_clusters (attested r3) yields to the NEW k-means trainer
+    "q_ann_ivf", "q_knn_join", "q_kmeans_train",
     "q_multimodal_wav_decode", "q_dedup_semantic",
     # never-attested pipeline hygiene ops (VERDICT r3 item 10 list)
     "q_quality_repetition", "q_domain_mix", "q_pack_sequences",
