@@ -2053,3 +2053,41 @@ def q_stats_function(spark, sf_dir):
             F.round(F.stddev("v"), 4).alias("vstddev"),
         )
     )
+
+
+# ref: solr/core/src/java/org/apache/solr/schema/EnumFieldType.java
+# (enumsConfig: symbolic values sort by CONFIGURED ordinal, not
+# lexicographically — 'system' < 'user' < 'assistant' < 'tool' here)
+_ROLE_ENUM = {"system": 0, "user": 1, "assistant": 2, "tool": 3}
+
+
+@op(
+    "q_enum_sort",
+    f"""{DOCS_CTE},
+sev AS (
+  SELECT conv_id, turn_idx, role,
+         CASE role WHEN 'system' THEN 0 WHEN 'user' THEN 1
+                   WHEN 'assistant' THEN 2 ELSE 3 END AS severity
+  FROM docs WHERE list_contains(toks, 'merge'))
+SELECT conv_id, turn_idx, role, CAST(severity AS BIGINT) AS severity
+FROM sev
+ORDER BY severity DESC, conv_id, turn_idx LIMIT 15""",
+)
+def q_enum_sort(spark, sf_dir):
+    """EnumFieldType: the role field as an ORDERED enum — sorting uses
+    the configured ordinal (system < user < assistant < tool), not the
+    string's lexicographic order ('assistant' would wrongly sort first
+    alphabetically — the discriminator). The mapping is a pinned
+    literal CASE on both sides; top-15 by severity desc with the
+    pinned tiebreak."""
+    sev = F.when(F.col("role") == "system", 0)
+    for r_, o_ in list(_ROLE_ENUM.items())[1:]:
+        sev = sev.when(F.col("role") == r_, o_)
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter(F.array_contains("toks", "merge"))
+        .select("conv_id", "turn_idx", "role",
+                sev.cast("long").alias("severity"))
+        .orderBy(F.desc("severity"), "conv_id", "turn_idx")
+        .limit(15)
+    )
