@@ -438,3 +438,54 @@ def test_multi_phrase_vs_exact_phrases_union(env):
     conj = {(r.conv_id, int(r.turn_idx))
             for r in s.docset(BooleanSpec(must=("table", "scan", "merge"))).collect()}
     assert got != conj
+
+
+def test_positional_ops_adversarial_alphabet(spark, tmp_path):
+    """Adversarial duel on a 4-letter alphabet (maximal repetition /
+    overlap density — far nastier for positional logic than corpus
+    text): span_within and multi_phrase through the REAL index vs the
+    brute references, plus hand-built edge docs (empty, 1-token,
+    all-same, alternating)."""
+    rng = np.random.default_rng(4242)
+    alpha = np.array(["a", "b", "c", "d"])
+    rows = [
+        ("c%03d" % (i // 8), i % 8,
+         " ".join(rng.choice(alpha, size=int(rng.integers(1, 15)))))
+        for i in range(320)
+    ]
+    rows += [
+        ("edge", 0, ""), ("edge", 1, "a"), ("edge", 2, "a a a a"),
+        ("edge", 3, "a b a b a b"), ("edge", 4, "c a b c"),
+        ("edge", 5, "b a"), ("edge", 6, "a c b"),
+    ]
+    from pyspark.sql import functions as F
+    t = spark.createDataFrame(
+        [(c, i, "user", tx, None, "2024-01-01 00:00:00") for c, i, tx in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    root = str(tmp_path / "adv_idx")
+    build_index(spark, t, root, num_parts=2, lineage_source="adv")
+    s = IndexSearcher(spark, root)
+    toks = {(c, i): tokenize_one(tx) for c, i, tx in rows}
+
+    cases = [
+        BooleanSpec(span_within=(("c", ("a", "b")),), span_slop=0),
+        BooleanSpec(span_within=(("c", ("a", "b")),), span_slop=2),
+        BooleanSpec(span_within=(("d", ("a", "b", "c")),), span_slop=1),
+        BooleanSpec(multi_phrases=((("a",), ("b", "c")),)),
+        BooleanSpec(multi_phrases=((("a", "b"), ("a", "b")),)),
+        BooleanSpec(multi_phrases=((("c",), ("a",), ("b", "d")),)),
+    ]
+    for spec in cases:
+        if spec.span_within:
+            little, big = spec.span_within[0]
+            expect = {k for k, ts in toks.items()
+                      if ref_span_within_match(ts, little, big, spec.span_slop)}
+        else:
+            slots = spec.multi_phrases[0]
+            expect = {k for k, ts in toks.items()
+                      if ref_multi_phrase_match(ts, slots)}
+        got = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+        assert got == expect, (spec.span_within or spec.multi_phrases,
+                               sorted(got ^ expect)[:5])
