@@ -815,9 +815,9 @@ ORDER BY facet_field, cnt DESC, facet_value
 # SQL-CHECK battery (SURVEY §2): the wider Solr operator surface.
 # ---------------------------------------------------------------------------
 
-from lucene_solr_spark.operators import graph, multimodal, solr_battery, textpipe  # noqa: E402
+from lucene_solr_spark.operators import graph, learning, multimodal, solr_battery, textpipe  # noqa: E402
 
-for _mod in (solr_battery, textpipe, multimodal, graph):
+for _mod in (solr_battery, textpipe, multimodal, graph, learning):
     for _name, _fn, _oracle in _mod.OPS:
         register(_name, _fn, _oracle)
 
@@ -3207,6 +3207,166 @@ ranked AS (
   FROM cand)
 SELECT prefix, suggestion, weight FROM ranked WHERE rn <= 5
 ORDER BY prefix, weight DESC, suggestion""",
+)
+
+
+def _idx_spellcheck_wordbreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSolrSpellChecker: suggestions that BREAK a run-on term
+    into two dictionary words ("mergetable" -> "merge table") and
+    COMBINE an adjacent query-term pair into one dictionary word
+    ("mer ge" -> "merge"). Pinned contract: break fragments must be
+    >= 3 chars (minBreakWordLength analog) and both sides must be
+    dictionary terms; rank per input by (summed df desc, suggestion
+    asc), top 3. Scale shape: the inputs and their generated split
+    points are a tiny BROADCAST side probed against the per-segment
+    term dictionary twice (left, right) — the dictionary never
+    self-joins and never collects.
+
+    ref: solr/core/src/java/org/apache/solr/spelling/
+         WordBreakSolrSpellChecker.java over lucene/suggest/.../
+         WordBreakSpellChecker.java (generateBreakUpSuggestions /
+         generateWordCombinations)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    dicts = s.postings().groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")
+    )
+    breaks = ["mergetable", "scanhash", "joinkey"]
+    combos = [("mer", "ge"), ("ta", "ble"), ("sc", "an")]
+    bq = spark.createDataFrame([(t,) for t in breaks], "q string")
+    # split points i in [3, len-3]: left = q[0:i], right = q[i:]
+    cand = bq.select(
+        "q",
+        F.explode(
+            F.sequence(F.lit(3), F.length("q") - F.lit(3))
+        ).alias("i"),
+    ).select(
+        "q",
+        F.expr("substring(q, 1, i)").alias("lhs"),
+        F.expr("substring(q, i + 1)").alias("rhs"),
+    )
+    dl = dicts.select(F.col("term").alias("lhs"), F.col("df").alias("df_l"))
+    dr = dicts.select(F.col("term").alias("rhs"), F.col("df").alias("df_r"))
+    broken = (
+        dl.join(F.broadcast(cand), "lhs")
+        .join(dr, "rhs")
+        .select(
+            "q",
+            F.lit("break").alias("kind"),
+            F.concat_ws(" ", "lhs", "rhs").alias("suggestion"),
+            (F.col("df_l") + F.col("df_r")).alias("weight"),
+        )
+    )
+    cq = spark.createDataFrame(combos, "t1 string, t2 string")
+    combined = (
+        dicts.join(
+            F.broadcast(cq), F.col("term") == F.concat("t1", "t2")
+        )
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("q"),
+            F.lit("combine").alias("kind"),
+            F.col("term").alias("suggestion"),
+            F.col("df").alias("weight"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("weight"), "suggestion")
+    return (
+        broken.unionByName(combined)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("q", F.desc("weight"), "suggestion")
+    )
+
+
+register(
+    "q_idx_spellcheck_wordbreak",
+    _idx_spellcheck_wordbreak,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+bq(q) AS (VALUES ('mergetable'), ('scanhash'), ('joinkey')),
+cand AS (
+  SELECT q, substr(q, 1, i) AS lhs, substr(q, i + 1) AS rhs
+  FROM bq, UNNEST(range(3, len(q) - 2)) AS u(i)),
+broken AS (
+  SELECT c.q, 'break' AS kind, c.lhs || ' ' || c.rhs AS suggestion,
+         dl.df + dr.df AS weight
+  FROM cand c
+  JOIN dict dl ON dl.term = c.lhs
+  JOIN dict dr ON dr.term = c.rhs),
+cq(t1, t2) AS (VALUES ('mer', 'ge'), ('ta', 'ble'), ('sc', 'an')),
+combined AS (
+  SELECT t1 || ' ' || t2 AS q, 'combine' AS kind, d.term AS suggestion,
+         d.df AS weight
+  FROM cq JOIN dict d ON d.term = t1 || t2),
+unioned AS (SELECT * FROM broken UNION ALL SELECT * FROM combined),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY weight DESC, suggestion) AS rn
+  FROM unioned)
+SELECT q, kind, suggestion, weight FROM ranked WHERE rn <= 3
+ORDER BY q, weight DESC, suggestion""",
+)
+
+
+def _idx_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester: completion candidates matching the
+    typed fragment ANYWHERE in the term (not just as a prefix — the
+    infix behavior that distinguishes this suggester), weighted by
+    collection frequency, top-5 per fragment. Same broadcast-probe
+    shape as `q_idx_suggest`; the contains predicate is a dictionary
+    scan (Solr pays the same: infix queries hit a dedicated sidecar
+    index of term n-grams).
+
+    ref: lucene/suggest/src/java/org/apache/lucene/search/suggest/
+         analyzing/AnalyzingInfixSuggester.java (lookup with
+         allTermsRequired over the suggest sidecar index)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    frags = ["er", "ta", "um"]
+    q = spark.createDataFrame([(p,) for p in frags], "fragment string")
+    dicts = s.postings().groupBy("term").agg(
+        F.sum("cf").cast("long").alias("weight")
+    )
+    cand = dicts.join(
+        F.broadcast(q), F.col("term").contains(F.col("fragment"))
+    )
+    w = Window.partitionBy("fragment").orderBy(F.desc("weight"), "term")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("fragment", F.col("term").alias("suggestion"), "weight")
+        .orderBy("fragment", F.desc("weight"), "suggestion")
+    )
+
+
+register(
+    "q_idx_suggest_infix",
+    _idx_suggest_infix,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+         FROM tok GROUP BY term),
+q(fragment) AS (VALUES ('er'), ('ta'), ('um')),
+cand AS (
+  SELECT q.fragment, d.term AS suggestion, d.weight
+  FROM q JOIN dict d ON contains(d.term, q.fragment)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fragment ORDER BY weight DESC, suggestion) AS rn
+  FROM cand)
+SELECT fragment, suggestion, weight FROM ranked WHERE rn <= 5
+ORDER BY fragment, weight DESC, suggestion""",
 )
 
 
