@@ -320,3 +320,68 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "hops",
     ).orderBy("path_s")
+
+
+# scoreNodes() — tf-idf relevance for gathered nodes: a gatherNodes
+# pass emits each node with the COUNT of hits that gathered it; the
+# scorer then weights that count by the node's rarity in the whole
+# collection. Pinned formula: score = cnt * ln((N + 1) / (df + 1))
+# (N = corpus docs, df = docs carrying the node anywhere). Scale
+# shape: the gather is one partial-combined groupBy of the seed hits;
+# df is one partial-combined groupBy of the corpus; the 1-row N
+# scalar broadcasts — node cardinality (37 tools here, domains/
+# entities at 100 TB) bounds every post-gather frame.
+@op(
+    "q_graph_score_nodes",
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM transcripts),
+gathered AS (
+  SELECT tool AS node, CAST(count(*) AS BIGINT) AS cnt
+  FROM transcripts WHERE role = 'user' AND tool IS NOT NULL
+  GROUP BY tool),
+dfreq AS (
+  SELECT tool AS node, CAST(count(*) AS BIGINT) AS df
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY tool)
+SELECT g.node, g.cnt, d.df,
+       round(g.cnt * ln((tot.n + 1) / (d.df + 1)), 4) AS score
+FROM gathered g JOIN dfreq d USING (node), tot
+ORDER BY round(g.cnt * ln((tot.n + 1) / (d.df + 1)), 4) DESC, g.node
+LIMIT 10""",
+)
+def q_graph_score_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScoreNodesStream over a one-hop gatherNodes: seed docs
+    (role='user') gather their `tool` nodes with counts; each node is
+    scored cnt * ln((N+1)/(df+1)) so rare-but-concentrated tools
+    outrank ubiquitous ones. Rank key is the 4dp round (node asc
+    tiebreak).
+
+    ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+         ScoreNodesStream.java (nodeScore = count * idf from the
+         TermsComponent numDocs/docFreq probe) over
+         GatherNodesStream.java"""
+    t = transcripts_from_documents(spark, sf_dir)
+    tot = t.agg(F.count("*").cast("double").alias("n"))
+    gathered = (
+        t.filter((F.col("role") == "user") & F.col("tool").isNotNull())
+        .groupBy(F.col("tool").alias("node"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    dfreq = (
+        t.filter(F.col("tool").isNotNull())
+        .groupBy(F.col("tool").alias("node"))
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    return (
+        gathered.join(dfreq, "node")
+        .join(F.broadcast(tot))
+        .select(
+            "node",
+            "cnt",
+            "df",
+            F.round(
+                F.col("cnt") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "node")
+        .limit(10)
+    )

@@ -2091,3 +2091,175 @@ def q_enum_sort(spark, sf_dir):
         .orderBy(F.desc("severity"), "conv_id", "turn_idx")
         .limit(15)
     )
+
+
+# ===========================================================================
+# Math streaming expressions (let/col/corr/regress/hist) — Solr's
+# data-science surface: parallel numeric arrays pulled out of a search
+# and fed to statistical evaluators. Re-expressed as algebraic Spark
+# aggregates (one partial-combined pass, never a driver-side array).
+# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+#      CorrelationEvaluator.java, RegressionEvaluator.java,
+#      CovarianceEvaluator.java, HistogramEvaluator.java
+# ===========================================================================
+
+
+@op(
+    "q_math_stream_regress",
+    """WITH pairs AS (
+  SELECT value AS y,
+         CAST(regexp_extract(props, '[0-9]+', 0) AS DOUBLE) AS x
+  FROM events)
+SELECT count(*) AS n,
+       round(corr(y, x), 4) AS r,
+       round(covar_samp(y, x), 4) AS cov,
+       round(regr_slope(y, x), 4) AS slope,
+       round(regr_intercept(y, x), 4) AS intercept
+FROM pairs""",
+)
+def q_math_stream_regress(spark, sf_dir):
+    """corr()/cov()/regress() evaluators: Pearson correlation, sample
+    covariance, and the OLS fit of event value against the numeric
+    JSON prop — all algebraic aggregates (sum/sumsq/sumxy partials),
+    so the whole evaluation is one map-side-combined pass with a
+    1-row result, identical at any parallelism."""
+    e = _events(spark, sf_dir)
+    pairs = e.select(
+        F.col("value").alias("y"),
+        F.regexp_extract("props", "[0-9]+", 0).cast("double").alias("x"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("y", "x"), 4).alias("r"),
+        F.round(F.covar_samp("y", "x"), 4).alias("cov"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+    )
+
+
+@op(
+    "q_math_stream_hist",
+    """WITH ext AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT CAST(least(floor((value - lo) * 8.0 / (hi - lo)), 7) AS BIGINT)
+         AS bin
+  FROM events, ext)
+SELECT bin, count(*) AS cnt FROM binned GROUP BY bin ORDER BY bin""",
+)
+def q_math_stream_hist(spark, sf_dir):
+    """hist() evaluator: equal-width 8-bin histogram of event values.
+    The (min, max) extent is a 1-row broadcast pre-pass; binning is
+    the pinned expression floor((v - lo) * 8.0 / (hi - lo)) clipped
+    to bin 7 — basic IEEE ops only (no libm), so bin edges are
+    bit-identical cross-engine. Scale: two narrow passes over the
+    fact table, counts partial-combined."""
+    e = _events(spark, sf_dir)
+    ext = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (
+        e.join(F.broadcast(ext))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) * 8.0 / (F.col("hi") - F.col("lo"))),
+                F.lit(7),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+# ===========================================================================
+# SynonymQuery — query-time synonym scoring with BLENDED term stats:
+# the terms score as ONE pseudo-term (tf = Σ tf(t), docFreq = max
+# df(t)), which is what keeps a multi-variant word from out-scoring a
+# single-variant one just by firing multiple idf contributions. The
+# discriminator vs a SHOULD-OR of TermQuerys: OR sums per-term
+# idf×saturation; SynonymQuery saturates the SUMMED tf once under one
+# idf.
+# ref: lucene/core/src/java/org/apache/lucene/search/SynonymQuery.java
+#      (docFreq = max, totalTermFreq = sum across the synonym set)
+# ===========================================================================
+
+_SYN_TERMS = ("row", "line")
+
+
+@op(
+    "q_synonym_query",
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl,
+         greatest(
+           sum(CASE WHEN list_contains(toks, 'row') THEN 1 ELSE 0 END),
+           sum(CASE WHEN list_contains(toks, 'line') THEN 1 ELSE 0 END)
+         ) AS df_blend
+  FROM docs2),
+tf AS (
+  SELECT conv_id, turn_idx, doc_len,
+         len(list_filter(toks, t -> t IN ('row', 'line'))) AS tf
+  FROM docs2),
+scored AS (
+  SELECT conv_id, turn_idx,
+         round(
+           ln(1.0 + (stats.n_docs - stats.df_blend + 0.5)
+                    / (stats.df_blend + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.doc_len / stats.avgdl)),
+           4) AS score
+  FROM tf, stats WHERE tf.tf > 0)
+SELECT conv_id, turn_idx, score FROM scored
+ORDER BY score DESC, conv_id, turn_idx LIMIT 12""",
+)
+def q_synonym_query(spark, sf_dir):
+    """SynonymQuery('row', 'line') under the pinned BM25: one blended
+    pseudo-term (see section comment). Stats are a 1-row broadcast
+    (n_docs, avgdl, max-df); per-doc tf is a narrow JVM filter-count;
+    the top-k is a TakeOrdered. The 4dp round is the rank key."""
+    from lucene_solr_spark.query.model import B, K1
+
+    d = _docs(spark, sf_dir).withColumn(
+        "doc_len", F.size("toks").cast("double")
+    )
+    in_list = ", ".join(f"'{t}'" for t in _SYN_TERMS)
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("doc_len") / F.count("*")).alias("avgdl"),
+        F.greatest(
+            *[
+                F.sum(F.array_contains("toks", t).cast("int")).cast("double")
+                for t in _SYN_TERMS
+            ]
+        ).alias("df_blend"),
+    )
+    tf = d.select(
+        "conv_id",
+        "turn_idx",
+        "doc_len",
+        F.expr(f"cast(size(filter(toks, t -> t IN ({in_list}))) as double)").alias("tf"),
+    ).filter(F.col("tf") > 0)
+    c = F.col
+    return (
+        tf.join(F.broadcast(stats))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.round(
+                F.log(
+                    1.0
+                    + (c("n_docs") - c("df_blend") + 0.5) / (c("df_blend") + 0.5)
+                )
+                * (c("tf") * (K1 + 1))
+                / (c("tf") + K1 * (1 - B + B * c("doc_len") / c("avgdl"))),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(12)
+    )

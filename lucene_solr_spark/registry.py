@@ -726,6 +726,55 @@ LIMIT 12
 )
 
 
+def _idx_facet_join_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet ``domain: {join: {from: tool, to: tool}}``: role
+    counts over every doc sharing a tool with a qualifying hit
+    ('merge' turns by users). Two index passes, both segment-local:
+    (1) the from-value gather IS a facet over the hit domain (the
+    existing sparse per-segment pass — only bucket partials leave the
+    executors; the collect is bounded by the field's cardinality, 37
+    tools, exactly Solr's join-term set), (2) the gathered values ride
+    the in_filters (TermInSetQuery) mask path as the new filter-only
+    domain. The docmap never shuffles and no doc-level join runs —
+    at 100 TB the cross-segment traffic is one tiny term set each way.
+
+    ref: solr/core/src/java/org/apache/solr/search/facet/FacetRequest.java
+         (Domain join), solr/core/src/java/org/apache/solr/search/
+         JoinQParserPlugin.java (from/to term-set gather + filter)"""
+    from lucene_solr_spark.query.facets import FacetRequest, facet_field
+
+    s = cached_searcher(spark, sf_dir)
+    hit_spec = BooleanSpec(must=("merge",), filters=(("role", "user"),))
+    gathered = facet_field(
+        s, FacetRequest("tool", limit=100, sort="index"), spec=hit_spec
+    )
+    vals = tuple(sorted(r.facet_value for r in gathered.collect()))
+    dom = BooleanSpec(in_filters=(("tool", vals),))
+    return facet_field(s, FacetRequest("role", limit=10), spec=dom)
+
+
+register(
+    "q_idx_facet_join_domain",
+    _idx_facet_join_domain,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value, count(*) AS cnt
+FROM docs
+WHERE tool IN (
+  SELECT DISTINCT tool FROM docs
+  WHERE list_contains(toks, 'merge') AND role = 'user'
+        AND tool IS NOT NULL)
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PayloadScoreQuery (includeSpanScore=false): top-10 turns by
     SUM of per-occurrence payloads at 'merge' positions, payloads from

@@ -1,0 +1,130 @@
+"""Round-4 session battery additions: discriminators and contracts
+the oracle comparison alone can't pin (SynonymQuery blended stats vs
+a SHOULD-OR, WordBreak fragment bounds, infix-vs-prefix, scoreNodes
+idf monotonicity, histogram completeness)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.solr_battery import (
+    _SYN_TERMS,
+    q_math_stream_hist,
+    q_math_stream_regress,
+    q_synonym_query,
+)
+from lucene_solr_spark.operators.graph import q_graph_score_nodes
+from lucene_solr_spark.registry import QUERIES
+from lucene_solr_spark.transcripts import transcripts_from_documents
+
+
+def test_synonym_query_blends_stats_not_or(spark, sf_dir):
+    """Discriminator: SynonymQuery must NOT equal the SHOULD-OR of its
+    terms. OR sums idf(t)*sat(tf_t) per term; the blend saturates the
+    summed tf once under one idf — on any doc containing BOTH terms
+    with unequal dfs the two scores differ."""
+    from lucene_solr_spark.query.bm25_df import search as rel_search
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    syn = {
+        (r.conv_id, r.turn_idx): r.score
+        for r in q_synonym_query(spark, sf_dir).collect()
+    }
+    t = transcripts_from_documents(spark, sf_dir)
+    or_df = rel_search(t, BooleanSpec(should=_SYN_TERMS, k=12), round_to=4)
+    orr = {(r.conv_id, r.turn_idx): r.score for r in or_df.collect()}
+    assert syn  # non-empty
+    overlap = set(syn) & set(orr)
+    assert overlap
+    assert any(abs(syn[k] - orr[k]) > 1e-4 for k in overlap), (
+        "blend == OR on every overlapping doc; stats not blended?"
+    )
+
+
+def test_synonym_match_set_is_union(spark, sf_dir):
+    """The blend changes scoring, never the match set: every returned
+    doc contains at least one synonym."""
+    rows = q_synonym_query(spark, sf_dir).collect()
+    t = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts_from_documents(spark, sf_dir).collect()
+    }
+    from lucene_solr_spark.analyzer import tokenize_one
+
+    for r in rows:
+        toks = set(tokenize_one(t[(r.conv_id, r.turn_idx)]))
+        assert toks & set(_SYN_TERMS), r
+
+
+def test_wordbreak_fragments_and_dictionary(spark, sf_dir):
+    """Every break suggestion splits into two dictionary terms of
+    length >= 3; every combine suggestion is a dictionary term equal
+    to the concatenated pair."""
+    from lucene_solr_spark.analyzer import tokenize_one
+
+    rows = QUERIES["q_idx_spellcheck_wordbreak"](spark, sf_dir).collect()
+    assert rows
+    vocab = set()
+    for r in transcripts_from_documents(spark, sf_dir).collect():
+        vocab |= set(tokenize_one(r.text))
+    kinds = {r.kind for r in rows}
+    assert kinds == {"break", "combine"}
+    for r in rows:
+        parts = r.suggestion.split(" ")
+        if r.kind == "break":
+            assert len(parts) == 2
+            assert all(len(p) >= 3 and p in vocab for p in parts), r
+            assert "".join(parts) == r.q
+        else:
+            assert len(parts) == 1 and parts[0] in vocab
+            assert parts[0] == r.q.replace(" ", "")
+
+
+def test_infix_suggester_not_prefix_only(spark, sf_dir):
+    """The infix lookup must return at least one NON-prefix match
+    (else it's just the prefix suggester)."""
+    rows = QUERIES["q_idx_suggest_infix"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.fragment in r.suggestion for r in rows)
+    assert any(not r.suggestion.startswith(r.fragment) for r in rows)
+
+
+def test_score_nodes_formula(spark, sf_dir):
+    """score = cnt * ln((N+1)/(df+1)), 4dp-ranked."""
+    t = transcripts_from_documents(spark, sf_dir).collect()
+    n = len(t)
+    rows = q_graph_score_nodes(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = r.cnt * math.log((n + 1) / (r.df + 1))
+        assert abs(r.score - round(expect, 4)) <= 1e-4, r
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hist_bins_partition_the_corpus(spark, sf_dir):
+    """Histogram counts must sum to the event count and bins stay in
+    [0, 7]."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = e.count()
+    rows = q_math_stream_hist(spark, sf_dir).collect()
+    assert sum(r.cnt for r in rows) == total
+    assert all(0 <= r.bin <= 7 for r in rows)
+
+
+def test_regress_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "value", F.regexp_extract("props", "[0-9]+", 0).cast("double").alias("x")
+    )
+    pdf = e.toPandas()
+    y, x = pdf["value"].to_numpy(), pdf["x"].to_numpy()
+    r = q_math_stream_regress(spark, sf_dir).collect()[0]
+    assert r.n == len(pdf)
+    assert abs(r.r - round(float(np.corrcoef(y, x)[0, 1]), 4)) <= 1e-3
+    slope = float(np.cov(y, x, ddof=1)[0, 1] / np.var(x, ddof=1))
+    assert abs(r.slope - round(slope, 4)) <= 1e-3
+    assert abs(r.intercept - round(float(y.mean() - slope * x.mean()), 4)) <= 1e-3
