@@ -45,8 +45,8 @@ from lucene_solr_spark.index.manifest import Manifest
 NUM_BUCKETS = 1024  # term hash buckets (partition-pruning key)
 
 METRICS_SCHEMA = (
-    "part int, seg_name string, n_docs long, sum_dl long, n_terms long, "
-    "n_postings long, n_tokens long, bytes long"
+    "part int, seg_name string, n_docs long, sum_dl long, max_dl long, "
+    "n_terms long, n_postings long, n_tokens long, bytes long"
 )
 
 FACET_FIELDS = ("role", "tool", "ftok")
@@ -255,6 +255,7 @@ def build_segment_pdf(pdf: pd.DataFrame, seg_id: int = 0, analyzer=None) -> dict
     metrics = {
         "n_docs": int(n_docs),
         "sum_dl": int(doc_len.sum()),
+        "max_dl": int(doc_len.max()) if n_docs else 0,
         "n_terms": int(len(terms_sorted)),
         "n_postings": int(len(df_per_term) and int(df_per_term.sum())),
         "n_tokens": int(n_tokens),
@@ -345,6 +346,7 @@ def build_index_prepartitioned(
             return pd.DataFrame([{
                 "part": part, "seg_name": seg_name,
                 "n_docs": m["n_docs"], "sum_dl": m["sum_dl"],
+                "max_dl": m["max_dl"],
                 "n_terms": m["n_terms"], "n_postings": m["n_postings"],
                 "n_tokens": m["n_tokens"], "bytes": m["bytes"],
             }])
@@ -373,6 +375,7 @@ def build_index_prepartitioned(
             "part": r.part,
             "n_docs": r.n_docs,
             "sum_dl": r.sum_dl,
+            "max_dl": r.max_dl,
             "n_terms": r.n_terms,
             "n_postings": r.n_postings,
             "n_tokens": r.n_tokens,
@@ -455,6 +458,7 @@ def build_index(
                     "seg_name": seg_name,
                     "n_docs": m["n_docs"],
                     "sum_dl": m["sum_dl"],
+                    "max_dl": m["max_dl"],
                     "n_terms": m["n_terms"],
                     "n_postings": m["n_postings"],
                     "n_tokens": m["n_tokens"],
@@ -473,6 +477,7 @@ def build_index(
             "part": r.part,
             "n_docs": r.n_docs,
             "sum_dl": r.sum_dl,
+            "max_dl": r.max_dl,
             "n_terms": r.n_terms,
             "n_postings": r.n_postings,
             "n_tokens": r.n_tokens,

@@ -59,6 +59,14 @@ class Manifest:
         n = self.n_docs
         return (self.sum_dl / n) if n else 0.0
 
+    def seg_max_dl(self, part: int) -> int | None:
+        """Per-segment max doc_len from the committed stats (None for
+        pre-max_dl manifests — callers fall back to a docmap scan)."""
+        for s in self.segments.values():
+            if s["part"] == part and "max_dl" in s:
+                return int(s["max_dl"])
+        return None
+
     def seg_dirs(self) -> list[str]:
         return [os.path.join(self.root, "segments", name) for name in sorted(self.segments)]
 

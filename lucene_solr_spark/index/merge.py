@@ -261,6 +261,7 @@ def merge_segments(
             "seg_name": seg_name,
             "n_docs": n_docs,
             "sum_dl": int(dmp["doc_len"].sum()),
+            "max_dl": int(dmp["doc_len"].max()) if n_docs else 0,
             "n_terms": len(pp),
             "n_postings": int(pp["df"].sum()),
             "n_tokens": int(pp["cf"].sum()),
@@ -276,6 +277,7 @@ def merge_segments(
     new_segments = {
         r.seg_name: {
             "part": r.part, "n_docs": r.n_docs, "sum_dl": r.sum_dl,
+            "max_dl": r.max_dl,
             "n_terms": r.n_terms, "n_postings": r.n_postings,
             "n_tokens": r.n_tokens, "bytes": r.bytes,
         }

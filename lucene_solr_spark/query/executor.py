@@ -564,11 +564,19 @@ class IndexSearcher:
         # but their positions flow through — bound by the segment max
         seg_max_dl = int(doc_len)
         if pf_phrases:
-            seg_max_dl = int(
-                self.docmap()
-                .filter(F.col("seg_id") == seg_id)
-                .agg(F.max("doc_len"))
-                .collect()[0][0]
+            # the manifest's committed per-segment stats carry max_dl
+            # (no extra Spark job); pre-max_dl manifests fall back to
+            # the docmap scan
+            mdl = self.manifest.seg_max_dl(seg_id)
+            seg_max_dl = (
+                int(mdl)
+                if mdl is not None
+                else int(
+                    self.docmap()
+                    .filter(F.col("seg_id") == seg_id)
+                    .agg(F.max("doc_len"))
+                    .collect()[0][0]
+                )
             )
 
         def run(pdf):

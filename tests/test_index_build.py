@@ -60,6 +60,9 @@ def test_metrics_match_recount(built):
         p = pd.read_parquet(f"{d}/postings.parquet")
         assert seg["n_docs"] == len(dm)
         assert seg["sum_dl"] == int(dm["doc_len"].sum())
+        # explain() reads this instead of launching a docmap-scan job
+        assert seg["max_dl"] == int(dm["doc_len"].max())
+        assert m.seg_max_dl(seg["part"]) == seg["max_dl"]
         assert seg["n_terms"] == len(p)
         assert seg["n_postings"] == int(p["df"].sum())
 
