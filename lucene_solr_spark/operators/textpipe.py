@@ -33,6 +33,7 @@ Scale notes (100 TB story), per operator:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -1934,4 +1935,175 @@ def q_kmeans_train(spark, sf_dir):
         .select(F.col("cid").cast("long").alias("cid"), "n_members",
                 "mean_csim")
         .orderBy("cid")
+    )
+
+
+# ===========================================================================
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169): importance
+# resampling with hashed-bigram features. Per doc: weight =
+# Σ_b n_b(doc) · (ln p̂_target(b) − ln q̂_raw(b)) over B=256 hash
+# buckets with add-one smoothing — docs whose bigram distribution
+# looks like the TARGET domain rank up. Scale shape: both bucket
+# distributions are partial-combined groupBys; the 256-row
+# weight table and the two 1-row totals BROADCAST into one
+# explode→join→per-doc-sum pass. Nothing corpus-sized shuffles except
+# the final (doc_id, partial-weight) narrow rows.
+# ===========================================================================
+
+_DSIR_B = 256
+
+_DSIR_SQL = f"""
+WITH docs AS (SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))
+              AS BIGINT) % {_DSIR_B} AS b
+  FROM docs, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2),
+raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM bg GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM bg
+        WHERE lang = 'en' GROUP BY b),
+tots AS (SELECT CAST(count(*) AS DOUBLE) AS n_raw,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                AS n_tgt
+         FROM bg),
+w AS (
+  SELECT raw.b,
+         ln((coalesce(tgt.c, 0) + 1) / (tots.n_tgt + {_DSIR_B}))
+         - ln((raw.c + 1) / (tots.n_raw + {_DSIR_B})) AS lw
+  FROM raw LEFT JOIN tgt USING (b), tots),
+scored AS (
+  SELECT bg.doc_id, round(sum(w.lw), 4) AS weight
+  FROM bg JOIN w USING (b) GROUP BY bg.doc_id)
+SELECT doc_id, weight FROM scored
+ORDER BY weight DESC, doc_id LIMIT 20
+""".strip()
+
+
+@op("q_select_dsir", _DSIR_SQL)
+def q_select_dsir(spark, sf_dir):
+    """DSIR selection: top-20 docs by hashed-bigram importance weight
+    toward the lang='en' target domain (see section comment; rank key
+    is the 4dp round, doc_id tiebreak). The hash is the same
+    fixed-width md5 device the sampler ops pin cross-engine."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    )
+    bg = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    raw = bg.groupBy("b").agg(F.count("*").cast("double").alias("c_raw"))
+    tgt = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("double").alias("c_tgt"))
+    )
+    tots = bg.agg(
+        F.count("*").cast("double").alias("n_raw"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("double").alias("n_tgt"),
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .join(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0.0)) + 1)
+                    / (F.col("n_tgt") + _DSIR_B)
+                )
+                - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + _DSIR_B))
+            ).alias("lw"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lw"), 4).alias("weight"))
+        .orderBy(F.desc("weight"), "doc_id")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# {!knn} query parser (Solr 9 DenseVectorField) — the local-params
+# front door for vector search: `{!knn f=field topK=K}[v0, v1, ...]`
+# parses to a brute-force cosine top-K over the named vector field.
+# ref: solr/core/src/java/org/apache/solr/search/neural/
+#      KnnQParserPlugin.java, solr/core/src/java/org/apache/solr/
+#      schema/DenseVectorField.java
+# ===========================================================================
+
+_KNN_QP = re.compile(
+    r"^\{!knn\s+f=([A-Za-z_][A-Za-z0-9_]*)\s+topK=(\d+)\}\s*\[(.*)\]$"
+)
+
+#: pinned query vector (literal on BOTH engines; dim matches the table)
+_KNN_QVEC = [round(((i * 37 + 11) % 64) / 64.0 - 0.5, 4) for i in range(64)]
+
+
+def parse_knn(qs: str) -> tuple[str, int, list[float]]:
+    """Parse the {!knn} local-params form; raises on malformed input
+    or a non-vector field (Solr rejects non-DenseVectorField targets
+    the same way)."""
+    m = _KNN_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!knn}} query: {qs!r}")
+    fld, topk, body = m.group(1), int(m.group(2)), m.group(3)
+    if fld != "embedding":
+        raise ValueError(f"field {fld!r} is not a dense vector field")
+    vec = [float(x) for x in body.split(",")]
+    if topk <= 0:
+        raise ValueError("topK must be positive")
+    return fld, topk, vec
+
+
+@op(
+    "q_knn_qparser",
+    f"""WITH {EMB_CTE}
+SELECT vec_id,
+       round(list_cosine_similarity(e,
+             [{', '.join(str(v) for v in _KNN_QVEC)}]), 4) AS score
+FROM emb
+ORDER BY score DESC, vec_id LIMIT 10""",
+)
+def q_knn_qparser(spark, sf_dir):
+    """`{{!knn f=embedding topK=10}}[...]` end to end: parse the
+    local-params string, then brute-force cosine top-K (TakeOrdered,
+    JVM-side dot products) — the exact-path twin of the IVF/LSH ANN
+    ops, behind the reference's parser syntax. Rank key = 4dp round,
+    vec_id tiebreak."""
+    qs = "{!knn f=embedding topK=10}[%s]" % ", ".join(
+        str(v) for v in _KNN_QVEC
+    )
+    fld, topk, vec = parse_knn(qs)
+    e = emb_df(spark, sf_dir)
+    q = F.array(*[F.lit(float(v)) for v in vec])
+    return (
+        e.withColumn("qe", q)
+        .select("vec_id", F.round(_cos("e", "qe"), 4).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(topk)
     )

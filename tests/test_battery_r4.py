@@ -128,3 +128,81 @@ def test_regress_matches_numpy(spark, sf_dir):
     slope = float(np.cov(y, x, ddof=1)[0, 1] / np.var(x, ddof=1))
     assert abs(r.slope - round(slope, 4)) <= 1e-3
     assert abs(r.intercept - round(float(y.mean() - slope * x.mean()), 4)) <= 1e-3
+
+
+def test_knn_qparser_contract():
+    import pytest as _pt
+
+    from lucene_solr_spark.operators.textpipe import parse_knn
+
+    fld, k, vec = parse_knn("{!knn f=embedding topK=5}[0.1, -0.2, 3]")
+    assert (fld, k, vec) == ("embedding", 5, [0.1, -0.2, 3.0])
+    with _pt.raises(ValueError):
+        parse_knn("{!knn f=text topK=5}[0.1]")  # not a vector field
+    with _pt.raises(ValueError):
+        parse_knn("{!knn f=embedding topK=0}[0.1]")
+    with _pt.raises(ValueError):
+        parse_knn("embedding:[0.1]")
+
+
+def test_knn_qparser_matches_brute(spark, sf_dir):
+    """The parser front door must return exactly the brute-force
+    cosine top-K of its literal vector."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.textpipe import (
+        _KNN_QVEC,
+        emb_df,
+        q_knn_qparser,
+    )
+
+    rows = q_knn_qparser(spark, sf_dir).collect()
+    assert len(rows) == 10
+    e = {r.vec_id: np.array(r.e) for r in emb_df(spark, sf_dir).collect()}
+    q = np.array(_KNN_QVEC)
+    sims = {
+        vid: round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 4)
+        for vid, v in e.items()
+    }
+    expect = sorted(sims.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert [(r.vec_id, r.score) for r in rows] == expect
+
+
+def test_dsir_weights_favor_target_like_docs(spark, sf_dir):
+    """Sanity: DSIR weight = sum over the doc's bigram buckets of the
+    target/raw log-ratio — recompute one selected doc by hand."""
+    import math
+
+    from lucene_solr_spark.operators.textpipe import _DSIR_B, q_select_dsir
+
+    rows = q_select_dsir(spark, sf_dir).collect()
+    assert len(rows) == 20
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    import hashlib
+    import re as _re
+
+    def buckets(text):
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        return [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16) % _DSIR_B
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    from collections import Counter
+
+    raw, tgt = Counter(), Counter()
+    for _, r in d.iterrows():
+        bs = buckets(r.text)
+        raw.update(bs)
+        if r.lang == "en":
+            tgt.update(bs)
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    lw = {
+        b: math.log((tgt.get(b, 0) + 1) / (n_tgt + _DSIR_B))
+        - math.log((c + 1) / (n_raw + _DSIR_B))
+        for b, c in raw.items()
+    }
+    top = rows[0]
+    src = d[d.doc_id == top.doc_id].iloc[0]
+    expect = sum(lw[b] for b in buckets(src.text))
+    assert abs(top.weight - round(expect, 4)) <= 1e-4
