@@ -2263,3 +2263,63 @@ def q_synonym_query(spark, sf_dir):
         .orderBy(F.desc("score"), "conv_id", "turn_idx")
         .limit(12)
     )
+
+
+# ===========================================================================
+# FreeTextSuggester — "what word comes next": an n-gram language model
+# over the corpus token stream serving next-word completion for a
+# context word. Pinned contract: bigram counts, top-5 next words per
+# context by (count desc, word asc).
+# ref: lucene/suggest/src/java/org/apache/lucene/search/suggest/
+#      analyzing/FreeTextSuggester.java (n=2 shape)
+# ===========================================================================
+
+_FREETEXT_CTX = ("table", "merge", "slow")
+
+
+@op(
+    "q_suggest_freetext",
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+bigrams AS (
+  SELECT toks[i] AS ctx, toks[i+1] AS nxt
+  FROM docs, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2),
+cnt AS (
+  SELECT ctx, nxt, CAST(count(*) AS BIGINT) AS weight
+  FROM bigrams WHERE ctx IN {_FREETEXT_CTX}
+  GROUP BY ctx, nxt),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ctx ORDER BY weight DESC, nxt) AS rn
+  FROM cnt)
+SELECT ctx, nxt, weight FROM ranked WHERE rn <= 5
+ORDER BY ctx, weight DESC, nxt""",
+)
+def q_suggest_freetext(spark, sf_dir):
+    """FreeTextSuggester lookup for three context words: the corpus
+    bigram LM (one explode + partial-combined count, filtered to the
+    broadcast-small context set BEFORE the shuffle — only the probed
+    contexts' rows move), top-5 next words each."""
+    d = _docs(spark, sf_dir)
+    bigrams = d.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS ctx, toks[i+1] AS nxt))"
+            )
+        ).alias("bg")
+    ).select("bg.ctx", "bg.nxt")
+    cnt = (
+        bigrams.filter(F.col("ctx").isin(list(_FREETEXT_CTX)))
+        .groupBy("ctx", "nxt")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    w = Window.partitionBy("ctx").orderBy(F.desc("weight"), "nxt")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("ctx", F.desc("weight"), "nxt")
+    )

@@ -11,6 +11,7 @@ both sides to kill cross-engine ulp noise.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3938,6 +3939,197 @@ FROM transcripts t JOIN top ON t.conv_id = top.conv_id
                            AND t.turn_idx = top.turn_idx
 ORDER BY f_bm25 DESC, t.conv_id, t.turn_idx
 LIMIT 20""",
+)
+
+
+_PARENT_QP = re.compile(
+    r"^\{!parent\s+which=turn_idx:0(?:\s+score=(\w+))?\}(.+)$"
+)
+
+
+def parse_parent_qparser(qs: str):
+    """{!parent which=turn_idx:0 score=mode}child-query → (score_mode,
+    child BooleanSpec). The conv/turn block model pins `which` to the
+    turn-0 block roots (any other parent filter is a schema error,
+    mirroring Solr rejecting a non-parent-filter `which`)."""
+    from lucene_solr_spark.query.parser import parse as parse_q
+
+    m = _PARENT_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!parent}} query: {qs!r}")
+    mode = m.group(1) or "max"
+    if mode not in ("max", "total", "avg", "none"):
+        raise ValueError(f"unsupported score mode {mode!r}")
+    return mode, parse_q(m.group(2), default_op="AND")
+
+
+def _parent_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockJoinParentQParser front door: the local-params string
+    parses to (score mode, child query) and dispatches to the
+    block-join parent search — same executor path as
+    q_idx_conv_search_* behind the reference's query syntax.
+
+    ref: solr/core/src/java/org/apache/solr/search/join/
+         BlockJoinParentQParser.java (ToParentBlockJoinQuery)"""
+    s = cached_searcher(spark, sf_dir)
+    mode, spec = parse_parent_qparser(
+        "{!parent which=turn_idx:0 score=total}scan sort"
+    )
+    return s.search_conversations(spec, k=10, score_mode=mode, round_to=ROUND)
+
+
+register(
+    "q_parent_qparser",
+    _parent_qparser,
+    bm25_conv_oracle_sql(
+        BooleanSpec(must=("scan", "sort")), 10, "total"
+    ),
+)
+
+
+#: Tagger input — tagged against the index dictionary
+_TAGGER_TEXT = "please merge the big table scan then sort results fast zz9"
+
+
+def _idx_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Tagger handler (/tag): stream a request BODY through the
+    collection's dictionary and emit every token that IS a dictionary
+    entry, with its offset and the entry's df (the entity-linking
+    lookup). The request text tokenizes driver-side (it's the tiny
+    side by definition); the dictionary probe is an isin-pruned
+    per-segment df aggregation — the corpus-sized side never moves,
+    exactly the FST-walk cost model of the reference.
+
+    ref: solr/core/src/java/org/apache/solr/handler/tagger/
+         TaggerRequestHandler.java (build over lucene FST terms)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analyzer import tokenize_one
+
+    s = cached_searcher(spark, sf_dir)
+    toks = tokenize_one(_TAGGER_TEXT)
+    q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "start_pos int, term string"
+    )
+    dicts = (
+        s.postings()
+        .filter(F.col("term").isin(toks))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    return (
+        dicts.join(F.broadcast(q), "term")
+        .select(
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.col("term").alias("tag"),
+            "df",
+        )
+        .orderBy("start_pos")
+    )
+
+
+register(
+    "q_idx_tagger",
+    _idx_tagger,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+input AS (
+  SELECT CAST(i - 1 AS BIGINT) AS start_pos, q[i] AS tag
+  FROM (SELECT regexp_extract_all(lower('{_TAGGER_TEXT}'),
+                                  '[a-z0-9]+') AS q),
+       UNNEST(range(1, len(q) + 1)) AS u(i))
+SELECT input.start_pos, input.tag, dict.df
+FROM input JOIN dict ON dict.term = input.tag
+ORDER BY input.start_pos
+""".strip(),
+)
+
+
+#: Pinned 2-tree MART ensemble (tree weight, [(feature, threshold,
+#: left-leaf-or-subtree, right)...] encoded directly as expressions
+#: below) — a MultipleAdditiveTreesModel instance small enough to
+#: replicate as a CASE cascade in the oracle.
+_MART_TREES_DOC = """
+tree1 (w=1.0): f_bm25 < 0.45 ? (f_doc_len < 30 ? 0.10 : 0.30)
+                             : (f_rec_h < 3000 ? 0.60 : 0.40)
+tree2 (w=0.5): f_doc_len < 40 ? 0.20 : (f_bm25 < 0.60 ? -0.10 : 0.15)
+"""
+
+
+def _idx_ltr_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR rerank with a MultipleAdditiveTreesModel: the pinned 2-tree
+    ensemble (see _MART_TREES_DOC) rescores the reRankDocs candidates
+    from the same extracted features as the feature logger; final
+    order (mart desc, f_bm25 desc, conv_id, turn_idx), top 10. Trees
+    evaluate as Catalyst CASE cascades over the bounded candidate
+    frame — no Python, nothing corpus-sized (thresholds compare
+    4dp-rounded or integer features, so branch decisions are exact
+    cross-engine).
+
+    ref: solr/contrib/ltr/src/java/org/apache/solr/ltr/model/
+         MultipleAdditiveTreesModel.java"""
+    from pyspark.sql import functions as F
+
+    feats = _idx_ltr_features(spark, sf_dir)
+    c = F.col
+    tree1 = F.when(
+        c("f_bm25") < 0.45,
+        F.when(c("f_doc_len") < 30, 0.10).otherwise(0.30),
+    ).otherwise(F.when(c("f_rec_h") < 3000, 0.60).otherwise(0.40))
+    tree2 = F.when(c("f_doc_len") < 40, 0.20).otherwise(
+        F.when(c("f_bm25") < 0.60, -0.10).otherwise(0.15)
+    )
+    return (
+        feats.withColumn(
+            "mart", F.round(tree1 * 1.0 + tree2 * 0.5, ROUND)
+        )
+        .select("conv_id", "turn_idx", "mart", "f_bm25")
+        .orderBy(F.desc("mart"), F.desc("f_bm25"), "conv_id", "turn_idx")
+        .limit(10)
+    )
+
+
+register(
+    "q_idx_ltr_mart",
+    _idx_ltr_mart,
+    _ltr_body
+    + f""",
+top AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+  FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {_LTR_DOCS}),
+feats AS (
+  SELECT t.conv_id, t.turn_idx, top.score AS f_bm25,
+         CAST(len(regexp_extract_all(lower(t.text), '[a-z0-9]+')) AS DOUBLE)
+           AS f_doc_len,
+         round(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', t.ts)
+               / 3600.0, {ROUND}) AS f_rec_h
+  FROM transcripts t JOIN top ON t.conv_id = top.conv_id
+                             AND t.turn_idx = top.turn_idx
+  ORDER BY f_bm25 DESC, t.conv_id, t.turn_idx
+  LIMIT 20),
+mart AS (
+  SELECT conv_id, turn_idx,
+         round(
+           (CASE WHEN f_bm25 < 0.45
+                 THEN CASE WHEN f_doc_len < 30 THEN 0.10 ELSE 0.30 END
+                 ELSE CASE WHEN f_rec_h < 3000 THEN 0.60 ELSE 0.40 END
+            END) * 1.0
+           + (CASE WHEN f_doc_len < 40 THEN 0.20
+                   ELSE CASE WHEN f_bm25 < 0.60 THEN -0.10 ELSE 0.15 END
+              END) * 0.5,
+           {ROUND}) AS mart,
+         f_bm25
+  FROM feats)
+SELECT conv_id, turn_idx, mart, f_bm25 FROM mart
+ORDER BY mart DESC, f_bm25 DESC, conv_id, turn_idx
+LIMIT 10""",
 )
 
 

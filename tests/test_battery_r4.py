@@ -206,3 +206,64 @@ def test_dsir_weights_favor_target_like_docs(spark, sf_dir):
     src = d[d.doc_id == top.doc_id].iloc[0]
     expect = sum(lw[b] for b in buckets(src.text))
     assert abs(top.weight - round(expect, 4)) <= 1e-4
+
+
+def test_parent_qparser_contract():
+    import pytest as _pt
+
+    from lucene_solr_spark.registry import parse_parent_qparser
+
+    mode, spec = parse_parent_qparser("{!parent which=turn_idx:0}merge")
+    assert mode == "max" and spec.must == ("merge",)
+    mode, spec = parse_parent_qparser(
+        "{!parent which=turn_idx:0 score=total}scan sort"
+    )
+    assert mode == "total" and set(spec.must) == {"scan", "sort"}
+    with _pt.raises(ValueError):
+        parse_parent_qparser("{!parent which=role:user}merge")
+    with _pt.raises(ValueError):
+        parse_parent_qparser("{!parent which=turn_idx:0 score=bogus}x")
+
+
+def test_ltr_mart_is_tree_function_of_features(spark, sf_dir):
+    """Recompute the pinned 2-tree ensemble from the logged features;
+    the rerank must be exactly that function."""
+    from lucene_solr_spark.registry import QUERIES
+
+    feats = {
+        (r.conv_id, r.turn_idx): r
+        for r in QUERIES["q_idx_ltr_features"](spark, sf_dir).collect()
+    }
+
+    def mart(f):
+        t1 = (0.10 if f.f_doc_len < 30 else 0.30) if f.f_bm25 < 0.45 else (
+            0.60 if f.f_rec_h < 3000 else 0.40
+        )
+        t2 = 0.20 if f.f_doc_len < 40 else (
+            -0.10 if f.f_bm25 < 0.60 else 0.15
+        )
+        return round(t1 + 0.5 * t2, 4)
+
+    rows = QUERIES["q_idx_ltr_mart"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.mart == mart(feats[(r.conv_id, r.turn_idx)]), r
+    expect = sorted(
+        ((mart(f), f.f_bm25, k[0], k[1]) for k, f in feats.items()),
+        key=lambda x: (-x[0], -x[1], x[2], x[3]),
+    )[:10]
+    assert [(r.mart, r.f_bm25, r.conv_id, r.turn_idx) for r in rows] == expect
+
+
+def test_tagger_tags_only_dictionary_tokens(spark, sf_dir):
+    from lucene_solr_spark.analyzer import tokenize_one
+    from lucene_solr_spark.registry import _TAGGER_TEXT, QUERIES
+
+    rows = QUERIES["q_idx_tagger"](spark, sf_dir).collect()
+    toks = tokenize_one(_TAGGER_TEXT)
+    vocab = set()
+    for r in transcripts_from_documents(spark, sf_dir).collect():
+        vocab |= set(tokenize_one(r.text))
+    expect = [(i, t) for i, t in enumerate(toks) if t in vocab]
+    assert [(r.start_pos, r.tag) for r in rows] == expect
+    assert "zz9" not in {r.tag for r in rows}
