@@ -4865,7 +4865,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stems chain). All displaced rows stay green in the full battery.
     "q_idx_bm25_span_within", "q_idx_leading_wildcard",
     "q_idx_facet_query", "q_idx_keyword_marker",
-    "q_idx_bm25_pf",
     "q_idx_bm25_ps",
     # SECOND r4 ROTATION (this session's new surfaces displace
     # r3-attested rows — spans or/not/first, wildcard/regexp/explain,
@@ -4874,6 +4873,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # check_oracle battery):
     # positions machinery beyond spans: payload-function scoring
     "q_idx_payload_score",
+    # pf (attested r3) yields to the NEW streaming-ML trainer — the
+    # GD-round oracle replay is the round's most contract-critical
+    # new row; pf keeps its 4-way duel + full-battery coverage
+    "q_train_logit",
     # analysis chains: phonetic, word-delimiter, length/limit
     "q_idx_phonetic_search", "q_idx_word_delimiter",
     "q_idx_length_limit_search",
@@ -4895,9 +4898,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # NEW r4: Porter chain; synonym (attested r3) yields to the NEW
     # MultiPhraseQuery contract row
     "q_idx_porter_search", "q_idx_multi_phrase",
-    # graph / deletes (r3 once or contract-critical); stats_percentiles
-    # (attested r3) yields to the NEW historical-commit reader
-    "q_idx_time_travel", "q_shortest_path",
+    # graph / deletes; stats_percentiles (attested r3) yielded to the
+    # NEW historical-commit reader; shortest_path (attested r3) yields
+    # to the NEW DSIR selection op (first-class pipeline per brief)
+    "q_idx_time_travel", "q_select_dsir",
     # never-attested locals rotated in (VERDICT r3 item 10 list)
     "q_atomic_update", "q_idx_suggest", "q_idx_term_vectors",
     "q_idx_spellcheck_collate", "q_result_clustering",
