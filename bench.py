@@ -244,6 +244,7 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
 
                 p_secs: dict[str, float] = {}
                 from lucene_solr_spark.operators import graph
+                from lucene_solr_spark.operators import learning as _learning
 
                 for name, fn in (
                     ("dedup_minhash_lsh", textpipe.q_dedup_minhash_lsh),
@@ -253,6 +254,12 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                     ("neardup_cosine", textpipe.q_neardup_cosine),
                     ("decontaminate", textpipe.q_decontaminate),
                     ("graph_traversal", graph.q_graph_traversal),
+                    # round-4 session: DSIR selection (hashed-bigram
+                    # explode + broadcast weight join) and the
+                    # streaming-ML trainer (3 GD rounds, broadcast
+                    # model, narrow gradient reduction)
+                    ("select_dsir", textpipe.q_select_dsir),
+                    ("train_logit", _learning.q_train_logit),
                 ):
                     tq = time.perf_counter()
                     fn(spark, SF_DIR).collect()

@@ -2047,6 +2047,106 @@ register(
 )
 
 
+# --- edismax cross-field qf (DisjunctionMax across FIELDS) -----------
+def _idx_cross_field_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax ``qf=text text_stem^0.5`` with tie=0.3: the user query
+    'merges' scores per FIELD under that field's own analysis chain
+    (standard: surface 'merges'; stemmed chain: 'merge', catching all
+    inflections) and per doc combines as DisjunctionMax
+    ``max + tie·(sum − max)`` over the per-field BM25 scores (each
+    4dp-rounded before combining, so the blend is exact cross-engine;
+    absent clauses contribute 0). Physical: two index searches (each
+    segment-local), a key-only outer join of their bounded hit frames,
+    TakeOrdered top-12.
+
+    ref: solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java
+         (qf per-field aliasing + DisjunctionMaxQuery with tiebreaker),
+         lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java"""
+    from pyspark.sql import functions as F
+
+    s_std = cached_searcher(spark, sf_dir)
+    s_stem = cached_stemmed_searcher(spark, sf_dir)
+    h1 = s_std.score_hits(BooleanSpec(must=("merges",)), k=None).select(
+        "conv_id", "turn_idx", F.round("score", ROUND).alias("s1")
+    )
+    h2 = s_stem.score_hits(BooleanSpec(must=("merge",)), k=None).select(
+        "conv_id", "turn_idx", (F.round("score", ROUND) * 0.5).alias("s2")
+    )
+    c = F.col
+    j = (
+        h1.join(h2, ["conv_id", "turn_idx"], "full_outer")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce(c("s1"), F.lit(0.0)).alias("s1"),
+            F.coalesce(c("s2"), F.lit(0.0)).alias("s2"),
+        )
+    )
+    return (
+        j.select(
+            "conv_id",
+            "turn_idx",
+            F.round(
+                F.greatest("s1", "s2")
+                + 0.3 * (c("s1") + c("s2") - F.greatest("s1", "s2")),
+                ROUND,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(12)
+    )
+
+
+def _single_term_bm25_cte(tag: str, term: str, toks_sql: str) -> str:
+    """Single-term BM25 scored CTE over a custom analysis chain."""
+    return f"""
+docs_{tag} AS (
+  SELECT conv_id, turn_idx, {toks_sql} AS toks FROM transcripts),
+dl_{tag} AS (SELECT *, len(toks) AS doc_len FROM docs_{tag}),
+st_{tag} AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN list_contains(toks, '{term}') THEN 1 ELSE 0 END)
+           AS df
+  FROM dl_{tag}),
+sc_{tag} AS (
+  SELECT conv_id, turn_idx,
+         round(
+           ln(1.0 + (st.n_docs - st.df + 0.5) / (st.df + 0.5))
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / st.avgdl)), 4)
+           AS score
+  FROM (SELECT conv_id, turn_idx, doc_len,
+               len(list_filter(toks, t -> t = '{term}')) AS tf
+        FROM dl_{tag}) d, st_{tag} st
+  WHERE tf > 0)
+""".strip()
+
+
+register(
+    "q_idx_cross_field_dismax",
+    _idx_cross_field_dismax,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+{_single_term_bm25_cte('std', 'merges',
+                       "regexp_extract_all(lower(text), '[a-z0-9]+')")},
+{_single_term_bm25_cte('stem', 'merge', _stem_toks_sql())},
+joined AS (
+  SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+         coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+         coalesce(a.score, 0) AS s1, coalesce(b.score * 0.5, 0) AS s2
+  FROM sc_std a FULL OUTER JOIN sc_stem b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx)
+SELECT conv_id, turn_idx,
+       round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 4)
+         AS score
+FROM joined
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 12
+""".strip(),
+)
+
+
 # --- [child] DocTransformer over the conv/turn block model -----------
 _CHILD_SPEC = BooleanSpec(must=("merge",))
 
