@@ -147,3 +147,31 @@ def test_merged_span_within_and_exists_identical(pair):
     ra, rb = a.search(ex).toPandas(), b.search(ex).toPandas()
     assert list(zip(ra.conv_id, ra.turn_idx)) == list(zip(rb.conv_id, rb.turn_idx))
     assert np.allclose(ra.score.to_numpy(), rb.score.to_numpy(), atol=1e-9)
+
+
+def test_merged_dictionary_and_max_dl_identical(pair):
+    """The term dictionary aggregate (term -> df, cf) must survive
+    compaction byte-identically — it is the substrate of every
+    dictionary op added this round (wordbreak/infix/freetext/tagger) —
+    and the merged manifest's per-segment max_dl must re-describe the
+    merged docmaps (explain() reads it instead of scanning)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    a, b = pair
+    def dic(s):
+        return (
+            s.postings()
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .toPandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(dic(a), dic(b))
+
+    for name, seg in b.manifest.segments.items():
+        d = b.seg_dir_by_id[int(seg["part"])]
+        dm = pd.read_parquet(f"{d}/docmap.parquet")
+        assert seg["max_dl"] == int(dm["doc_len"].max()), name
