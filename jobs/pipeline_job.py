@@ -33,7 +33,8 @@ def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("dedup", "clusters", "sample", "pack", "filter",
-                 "substring", "semdedup", "decontaminate"):
+                 "substring", "semdedup", "decontaminate", "dsir",
+                 "classify-filter"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -106,6 +107,45 @@ def main(argv: list[str] | None = None) -> dict:
         )
         out = c.filter(F.col("doc_id") % 17 != 0).join(
             dirty, "doc_id", "left_anti"
+        )
+    elif args.cmd == "dsir":
+        # DSIR KEEP stage: keep the half of the corpus whose
+        # hashed-bigram importance weight toward the target domain is
+        # highest — rates derived from the weight distribution (the
+        # median as an inclusive 4dp cutoff, deterministic), applied as
+        # a narrow filter; <2-token docs carry no weight and drop
+        d = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        wts = textpipe.dsir_weights(spark, args.sf_dir)
+        cut = wts.approxQuantile("weight", [0.5], 0.0)[0]
+        out = d.join(
+            wts.filter(F.col("weight") >= cut).select("doc_id"), "doc_id"
+        )
+    elif args.cmd == "classify-filter":
+        # model-based quality filter: train the pinned logistic model
+        # on the transcripts labels, score every TURN with the
+        # published 4dp weights, keep turns with prob >= 0.5 (the
+        # fasttext-style quality-classifier gate of CCNet/RefinedWeb
+        # pipelines, distributed end to end)
+        from lucene_solr_spark.operators import learning
+
+        feats = learning._labeled(spark, args.sf_dir)
+        model = learning._gd_weights(feats).select(
+            F.transform("ws", lambda v: F.round(v, 4)).alias("ws")
+        )
+        prob = 1.0 / (1.0 + F.exp(-learning._dot("xs", "ws")))
+        scored = feats.join(F.broadcast(model)).withColumn(
+            "prob", F.round(prob, 4)
+        )
+        # gate at the corpus mean score (4dp): with a 25% positive
+        # base rate the absolute-0.5 gate would keep nothing — the
+        # above-average rule is the calibration-free keep criterion
+        cut = F.broadcast(
+            scored.agg(F.round(F.avg("prob"), 4).alias("cut"))
+        )
+        out = (
+            scored.join(cut)
+            .filter(F.col("prob") >= F.col("cut"))
+            .select("conv_id", "turn_idx", "prob")
         )
     else:  # pack
         out = textpipe.q_pack_sequences(spark, args.sf_dir)

@@ -1982,12 +1982,10 @@ ORDER BY weight DESC, doc_id LIMIT 20
 """.strip()
 
 
-@op("q_select_dsir", _DSIR_SQL)
-def q_select_dsir(spark, sf_dir):
-    """DSIR selection: top-20 docs by hashed-bigram importance weight
-    toward the lang='en' target domain (see section comment; rank key
-    is the 4dp round, doc_id tiebreak). The hash is the same
-    fixed-width md5 device the sampler ops pin cross-engine."""
+def dsir_weights(spark, sf_dir) -> DataFrame:
+    """(doc_id, weight): the full DSIR importance-weight frame (see
+    section comment). Docs with <2 tokens carry no bigrams and emit no
+    row. The pipeline `dsir` keep stage consumes this directly."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         "lang",
@@ -2042,6 +2040,17 @@ def q_select_dsir(spark, sf_dir):
         bg.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(F.round(F.sum("lw"), 4).alias("weight"))
+    )
+
+
+@op("q_select_dsir", _DSIR_SQL)
+def q_select_dsir(spark, sf_dir):
+    """DSIR selection: top-20 docs by hashed-bigram importance weight
+    toward the lang='en' target domain (see section comment; rank key
+    is the 4dp round, doc_id tiebreak). The hash is the same
+    fixed-width md5 device the sampler ops pin cross-engine."""
+    return (
+        dsir_weights(spark, sf_dir)
         .orderBy(F.desc("weight"), "doc_id")
         .limit(20)
     )

@@ -140,3 +140,46 @@ def test_pipeline_cli_semdedup_stage(spark, sf_dir, tmp_path):
              if v + 100000 in cid and cid[v] == cid[v + 100000]]
     assert twins
     assert all(not (a in ids and b in ids) for a, b in twins)
+
+
+def test_pipeline_cli_dsir_stage(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_job import main as pmain
+
+    st = pmain(["dsir", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "dsir_keep")])
+    assert 0 < st["rows_out"] < st["rows_in"]
+    kept = spark.read.parquet(str(tmp_path / "dsir_keep"))
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every kept doc's weight >= every dropped doc's weight (median cut)
+    from lucene_solr_spark.operators.textpipe import dsir_weights
+
+    w = {r.doc_id: r.weight for r in dsir_weights(spark, sf_dir).collect()}
+    kept_w = [w[i] for i in ids]
+    drop_w = [v for i, v in w.items() if i not in ids]
+    assert min(kept_w) >= max(drop_w)
+
+
+def test_pipeline_cli_classify_filter_stage(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_job import main as pmain
+
+    st = pmain(["classify-filter", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "clf_keep")])
+    kept = spark.read.parquet(str(tmp_path / "clf_keep"))
+    assert set(kept.columns) == {"conv_id", "turn_idx", "prob"}
+    assert kept.count() == st["rows_out"] > 0
+    assert st["rows_out"] < st["rows_in"]  # the mean gate discriminates
+    # every kept turn scores at or above the corpus mean probability
+    from lucene_solr_spark.operators import learning
+    from pyspark.sql import functions as F
+
+    feats = learning._labeled(spark, sf_dir)
+    model = learning._gd_weights(feats).select(
+        F.transform("ws", lambda v: F.round(v, 4)).alias("ws")
+    )
+    scored = feats.join(F.broadcast(model)).withColumn(
+        "prob", F.round(1.0 / (1.0 + F.exp(-learning._dot("xs", "ws"))), 4)
+    )
+    cut = scored.agg(F.round(F.avg("prob"), 4)).collect()[0][0]
+    assert kept.filter(F.col("prob") < cut).count() == 0
