@@ -2012,26 +2012,24 @@ def dsir_weights(spark, sf_dir) -> DataFrame:
             ).alias("b"),
         )
     )
-    raw = bg.groupBy("b").agg(F.count("*").cast("double").alias("c_raw"))
-    tgt = (
-        bg.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").cast("double").alias("c_tgt"))
+    # ONE corpus stats pass: per-bucket raw AND target counts together
+    # (the target is a flagged subset, not a second scan); the totals
+    # fold from the 256-row bucket frame, not the corpus
+    cnt = bg.groupBy("b").agg(
+        F.count("*").cast("double").alias("c_raw"),
+        F.sum((F.col("lang") == "en").cast("int"))
+        .cast("double")
+        .alias("c_tgt"),
     )
-    tots = bg.agg(
-        F.count("*").cast("double").alias("n_raw"),
-        F.sum((F.col("lang") == "en").cast("int")).cast("double").alias("n_tgt"),
+    tots = cnt.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
     )
     w = (
-        raw.join(tgt, "b", "left")
-        .join(F.broadcast(tots))
+        cnt.join(F.broadcast(tots))
         .select(
             "b",
             (
-                F.log(
-                    (F.coalesce(F.col("c_tgt"), F.lit(0.0)) + 1)
-                    / (F.col("n_tgt") + _DSIR_B)
-                )
+                F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + _DSIR_B))
                 - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + _DSIR_B))
             ).alias("lw"),
         )
