@@ -4087,6 +4087,80 @@ register(
 )
 
 
+_CHILD_QP = re.compile(r"^\{!child\s+of=turn_idx:0\}(.+)$")
+_CHILD_Q_SPEC = BooleanSpec(
+    must=("merge",), range_filters=(("turn_idx", "0", "0"),), k=10
+)
+
+
+def parse_child_qparser(qs: str) -> BooleanSpec:
+    """{!child of=turn_idx:0}parent-query → parent BooleanSpec with the
+    block-root filter folded in (same `which` pinning as {!parent})."""
+    from lucene_solr_spark.query.parser import parse as parse_q
+
+    m = _CHILD_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!child}} query: {qs!r}")
+    from dataclasses import replace
+
+    spec = parse_q(m.group(1), default_op="AND")
+    return replace(
+        spec, range_filters=spec.range_filters + (("turn_idx", "0", "0"),),
+        k=10,
+    )
+
+
+def _child_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToChildBlockJoinQuery ({!child of=...}): rank PARENT (turn-0)
+    docs by the parent query, then emit each top parent's CHILD turns
+    carrying the parent's score — the other direction of the block
+    join from {!parent}. Physical: one index search filtered to block
+    roots, then the bounded (k=10) parent list BROADCASTS into the
+    masked docmap scan — children of ranked parents move, nothing
+    else, and tombstoned children drop (docmap read site).
+
+    ref: solr/core/src/java/org/apache/solr/search/join/
+         BlockJoinChildQParser.java (ToChildBlockJoinQuery)"""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    spec = parse_child_qparser("{!child of=turn_idx:0}merge")
+    assert spec == _CHILD_Q_SPEC
+    parents = s.search(spec, round_to=ROUND).select(
+        "conv_id", F.col("score").alias("score")
+    )
+    return (
+        s.docmap()
+        .select("conv_id", "turn_idx")
+        .join(F.broadcast(parents), "conv_id")
+        .filter(F.col("turn_idx") > 0)
+        .select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+                "score")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+    )
+
+
+_child_body = bm25_oracle_sql(_CHILD_Q_SPEC).split(
+    "\nSELECT conv_id, turn_idx, round(score"
+)[0]
+
+register(
+    "q_child_qparser",
+    _child_qparser,
+    _child_body
+    + f""",
+parents AS (
+  SELECT conv_id, round(score, {ROUND}) AS score
+  FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT 10)
+SELECT t.conv_id, t.turn_idx, p.score
+FROM transcripts t JOIN parents p USING (conv_id)
+WHERE t.turn_idx > 0
+ORDER BY p.score DESC, t.conv_id, t.turn_idx""",
+)
+
+
 #: Tagger input — tagged against the index dictionary
 _TAGGER_TEXT = "please merge the big table scan then sort results fast zz9"
 

@@ -267,3 +267,30 @@ def test_tagger_tags_only_dictionary_tokens(spark, sf_dir):
     expect = [(i, t) for i, t in enumerate(toks) if t in vocab]
     assert [(r.start_pos, r.tag) for r in rows] == expect
     assert "zz9" not in {r.tag for r in rows}
+
+
+def test_child_qparser_contract(spark, sf_dir):
+    """Every emitted row is a CHILD (turn>0) of a top parent, carries
+    its parent's score, and the parent itself never appears."""
+    import pytest as _pt
+
+    from lucene_solr_spark.registry import (
+        QUERIES,
+        _CHILD_Q_SPEC,
+        cached_searcher,
+        parse_child_qparser,
+    )
+
+    with _pt.raises(ValueError):
+        parse_child_qparser("{!child of=role:user}merge")
+    rows = QUERIES["q_child_qparser"](spark, sf_dir).collect()
+    assert rows
+    s = cached_searcher(spark, sf_dir)
+    parents = {
+        r.conv_id: r.score
+        for r in s.search(_CHILD_Q_SPEC, round_to=4).collect()
+    }
+    assert {r.conv_id for r in rows} <= set(parents)
+    for r in rows:
+        assert r.turn_idx > 0
+        assert r.score == parents[r.conv_id]
