@@ -150,7 +150,12 @@ def _phrase_count_col(phrase: tuple[str, ...], slop: int = 0):
     )
 
 
-def _span_pred(group: tuple[str, ...], slop: int, prefix_end: int | None = None):
+def _span_pred(
+    group: tuple[str, ...],
+    slop: int,
+    prefix_end: int | None = None,
+    pos_start: int = 0,
+):
     """Unordered span-near containment, Catalyst spelling: some window
     of ``len(group)+slop`` consecutive tokens holds every group term
     (window anchored at each start s; the trailing starts are covered
@@ -159,10 +164,17 @@ def _span_pred(group: tuple[str, ...], slop: int, prefix_end: int | None = None)
 
     ``prefix_end``: SpanFirstQuery — the match must live entirely in
     the first ``prefix_end`` tokens, spelled as the SAME predicate
-    over the truncated token prefix."""
+    over the truncated token prefix. ``pos_start`` (with
+    ``prefix_end``): SpanPositionRangeQuery — the match lives in the
+    0-based position band ``[pos_start, prefix_end)``, i.e. the SAME
+    predicate over the contiguous token sub-array (window containment
+    depends only on relative distances)."""
     n = len(group)
     w = n + slop
-    toks = "toks" if prefix_end is None else f"slice(toks, 1, {prefix_end})"
+    if prefix_end is None:
+        toks = "toks"
+    else:
+        toks = f"slice(toks, {pos_start + 1}, {prefix_end - pos_start})"
     terms = ", ".join("'" + t.replace("'", "\\'") + "'" for t in group)
     return F.expr(
         f"exists(sequence(1, greatest(size({toks}) - {w} + 1, 1)), s -> "
@@ -370,6 +382,15 @@ def score_all(transcripts: DataFrame, spec: BooleanSpec) -> DataFrame:
     for grp in spec.span_first:
         docs = docs.filter(
             _span_pred(grp, spec.span_slop, prefix_end=spec.span_first_end)
+        )
+    for grp in spec.span_range:
+        docs = docs.filter(
+            _span_pred(
+                grp,
+                spec.span_slop,
+                prefix_end=spec.span_range_end,
+                pos_start=spec.span_range_start,
+            )
         )
     if spec.span_or:
         # SpanOrQuery: one disjunction over span_near alternatives

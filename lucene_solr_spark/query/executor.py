@@ -78,7 +78,7 @@ def _exclude_filter_fields(
         or out.range_filters or out.in_filters or out.exists_filters
         or out.missing_filters or out.multi_phrases or out.span_near
         or out.span_or or out.span_not or out.span_first
-        or out.span_within or out.wildcards
+        or out.span_range or out.span_within or out.wildcards
         or out.regexps
     )
     return out if constrains else None

@@ -116,6 +116,21 @@ class BooleanSpec:
     #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanFirstQuery.java
     span_first: tuple[tuple[str, ...], ...] = ()
     span_first_end: int = 0
+    #: SpanPositionRangeQuery: the group must satisfy the UNORDERED
+    #: span_near window contract with every matched position inside
+    #: ``[span_range_start, span_range_end)`` (0-based; Lucene checks
+    #: spans.startPosition() ≥ start AND spans.endPosition() ≤ end).
+    #: span_first is the ``start=0`` special case. Window containment
+    #: depends only on relative distances, so this is equivalent to
+    #: running the span_near match on the token SUB-ARRAY
+    #: ``toks[start:end]`` — exactly how the Catalyst and DuckDB
+    #: engines spell it; the index scorer filters occurrences to the
+    #: absolute-position band instead (same match set). Group terms
+    #: contribute MUST scoring; the containment is a two-phase filter.
+    #: ref: lucene/core/src/java/org/apache/lucene/search/spans/SpanPositionRangeQuery.java
+    span_range: tuple[tuple[str, ...], ...] = ()
+    span_range_start: int = 0
+    span_range_end: int = 0
     #: SpanWithinQuery: (little_term, big_group) pairs — pinned
     #: contract: ∃ one position per big-group term with max−min ≤
     #: len(big)+span_slop−1 (the span_near window) such that SOME
@@ -181,11 +196,19 @@ class BooleanSpec:
         for t, b in self.boosts:
             if b < 0:
                 raise ValueError(f"negative boost {b} for term {t!r}")
-        for grp in self.span_near + self.span_or + self.span_first:
+        for grp in (
+            self.span_near + self.span_or + self.span_first + self.span_range
+        ):
             if len(set(grp)) != len(grp):
                 raise ValueError(f"span group has duplicate terms: {grp}")
         if self.span_first and self.span_first_end < 1:
             raise ValueError("span_first requires span_first_end >= 1")
+        if self.span_range and not (
+            0 <= self.span_range_start < self.span_range_end
+        ):
+            raise ValueError(
+                "span_range requires 0 <= span_range_start < span_range_end"
+            )
         if self.pf_boost < 0:
             raise ValueError(f"negative pf_boost {self.pf_boost}")
         if self.pf_slop < 0:
@@ -259,7 +282,9 @@ class BooleanSpec:
         seen: dict[str, None] = {}
         for t in self.must + self.should:
             seen.setdefault(t, None)
-        for p in self.phrases + self.span_near + self.span_first:
+        for p in (
+            self.phrases + self.span_near + self.span_first + self.span_range
+        ):
             for t in p:
                 seen.setdefault(t, None)
         for inc, _exc in self.span_not:
@@ -283,7 +308,9 @@ class BooleanSpec:
         seen: dict[str, None] = {}
         for t in self.must:
             seen.setdefault(t, None)
-        for p in self.phrases + self.span_near + self.span_first:
+        for p in (
+            self.phrases + self.span_near + self.span_first + self.span_range
+        ):
             for t in p:
                 seen.setdefault(t, None)
         for inc, _exc in self.span_not:

@@ -82,14 +82,23 @@ def _phrase_count_sql(phrase: tuple[str, ...], slop: int = 0) -> str:
 
 
 def _span_clause(
-    group: tuple[str, ...], slop: int, prefix_end: int | None = None
+    group: tuple[str, ...],
+    slop: int,
+    prefix_end: int | None = None,
+    pos_start: int = 0,
 ) -> str:
     """Unordered span-near (window containment), DuckDB spelling —
     same anchored-window enumeration as the Spark predicate (DuckDB
     list slices are 1-based inclusive). ``prefix_end``: SpanFirstQuery
-    — the same predicate over the truncated token prefix."""
+    — the same predicate over the truncated token prefix. ``pos_start``
+    (with ``prefix_end``): SpanPositionRangeQuery — the same predicate
+    over the 0-based position band [pos_start, prefix_end), i.e. the
+    1-based inclusive slice toks[pos_start+1 : prefix_end]."""
     w = len(group) + slop
-    toks = "toks" if prefix_end is None else f"(toks[1 : {prefix_end}])"
+    if prefix_end is None:
+        toks = "toks"
+    else:
+        toks = f"(toks[{pos_start + 1} : {prefix_end}])"
     return (
         f"len(list_filter(range(1, greatest(len({toks}) - {w} + 1, 1) + 1), "
         f"s -> list_has_all({toks}[s : s + {w} - 1], "
@@ -224,6 +233,15 @@ def bm25_oracle_sql(spec: BooleanSpec, toks_sql: str = DEFAULT_TOKS_SQL) -> str:
     for grp in spec.span_first:
         doc_filters.append(
             _span_clause(grp, spec.span_slop, prefix_end=spec.span_first_end)
+        )
+    for grp in spec.span_range:
+        doc_filters.append(
+            _span_clause(
+                grp,
+                spec.span_slop,
+                prefix_end=spec.span_range_end,
+                pos_start=spec.span_range_start,
+            )
         )
     if spec.span_or:
         ors = " OR ".join(

@@ -186,7 +186,7 @@ def _sloppy_start_counts(
 
 def _span_docs(
     tps: list[TermPostings], cand: np.ndarray, stride: int, window: int,
-    pos_cap: int | None = None,
+    pos_cap: int | None = None, pos_floor: int = 0,
 ) -> np.ndarray:
     """Docs matching an UNORDERED span-near group — pinned contract:
     one occurrence per term with max−min ≤ window−1 (SpanNearQuery
@@ -201,13 +201,19 @@ def _span_docs(
 
     ``pos_cap``: SpanFirstQuery — only occurrences in the first
     ``pos_cap`` tokens (0-based position < pos_cap) participate,
-    which is exactly the truncated-prefix equivalence."""
+    which is exactly the truncated-prefix equivalence. ``pos_floor``
+    (with ``pos_cap``): SpanPositionRangeQuery — occurrences confined
+    to the absolute band [pos_floor, pos_cap); window containment is
+    relative, so this equals the sub-array equivalence the other two
+    engines use."""
     keyed: list[np.ndarray] = []
     for tp in tps:
         d, t, p = tp.positions(tp.blocks_for_docs(cand))
         m = np.repeat(np.isin(d, cand, assume_unique=True), t)
         if pos_cap is not None:
             m &= p < pos_cap
+        if pos_floor:
+            m &= p >= pos_floor
         k = np.repeat(d, t)[m] * stride + p[m]
         if len(k) == 0:
             return np.empty(0, np.int64)
@@ -543,6 +549,22 @@ def _candidates(
             )
         cand = fdocs if cand is None else cand[
             np.isin(cand, fdocs, assume_unique=True)
+        ]
+    for grp in spec.span_range:
+        gtps = [tp.get(t) for t in grp]
+        if any(p is None for p in gtps):
+            rdocs = np.empty(0, np.int64)
+        else:
+            base = cand
+            if base is None:
+                base, _ = min(gtps, key=lambda p: p.n_blocks).decode_all()
+            rdocs = _span_docs(
+                gtps, base, max_doclen + 2, len(grp) + spec.span_slop,
+                pos_cap=spec.span_range_end,
+                pos_floor=spec.span_range_start,
+            )
+        cand = rdocs if cand is None else cand[
+            np.isin(cand, rdocs, assume_unique=True)
         ]
     if spec.span_or:
         # SpanOrQuery: union of the alternatives' span_near doc sets

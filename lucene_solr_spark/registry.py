@@ -1772,6 +1772,23 @@ register(
     "q_idx_bm25_span_first", _mk_idx_bm25(_SPAN_FIRST), bm25_oracle_sql(_SPAN_FIRST)
 )
 
+# SpanPositionRangeQuery: the merge/scan near-span (window 4, any
+# order) must sit entirely within the 0-based position band [4, 16) —
+# span_first's generalization with a non-zero lower bound (positions
+# 0–3 are EXCLUDED, the discriminator vs span_first_end=16). Catalyst
+# and DuckDB run the span_near contract over the contiguous token
+# sub-array; the index scorer bands absolute positions — same match
+# set because window containment is relative.
+_SPAN_RANGE = BooleanSpec(
+    span_range=(("merge", "scan"),), span_slop=2,
+    span_range_start=4, span_range_end=16, k=15,
+)
+register("q_bm25_span_range", _mk_bm25(_SPAN_RANGE), bm25_oracle_sql(_SPAN_RANGE))
+register(
+    "q_idx_span_position_range", _mk_idx_bm25(_SPAN_RANGE),
+    bm25_oracle_sql(_SPAN_RANGE),
+)
+
 # edismax pf (phrase-boost): OR query over merge/data (mm=1) where
 # docs containing the exact phrase "merge data" additionally gain
 # pf_boost × PhraseQuery score (Σ term idf × saturated phrase freq) —

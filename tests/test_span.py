@@ -290,6 +290,78 @@ def test_span_first_is_stricter_than_near(env):
     assert f and f < n
 
 
+# --- span_range (SpanPositionRangeQuery) -------------------------------------
+
+
+def ref_span_range_match(
+    toks: list[str], group: tuple[str, ...], slop: int, start: int, end: int
+) -> bool:
+    # sub-array equivalence: the whole match lives in toks[start:end]
+    return ref_span_match(toks[start:end], group, slop)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_span_range_duel(env, seed):
+    """3-way duel for SpanPositionRangeQuery: the index scorer bands
+    absolute positions, Catalyst/DuckDB run the span_near contract over
+    the token sub-array — both must equal the brute reference."""
+    s, t, pdf = env
+    rng = np.random.default_rng(8000 + seed)
+    group, slop = rand_group(rng, pdf)
+    start = int(rng.integers(0, 8))
+    end = start + int(rng.integers(len(group) + slop, 25))
+    spec = BooleanSpec(
+        span_range=(group,), span_slop=slop,
+        span_range_start=start, span_range_end=end,
+    )
+
+    expect = {
+        (r.conv_id, int(r.turn_idx))
+        for r in pdf.itertuples()
+        if ref_span_range_match(r.toks, group, slop, start, end)
+    }
+
+    got_idx = {(r.conv_id, int(r.turn_idx)) for r in s.docset(spec).collect()}
+    assert got_idx == expect, (group, slop, start, end)
+
+    got_df = {
+        (r.conv_id, int(r.turn_idx))
+        for r in bm25_df.doc_tokens(t)
+        .filter(bm25_df._span_pred(
+            group, slop, prefix_end=end, pos_start=start
+        ))
+        .select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert got_df == expect, (group, slop, start, end)
+
+
+def test_span_range_excludes_head_matches(env):
+    """Discriminator vs span_first: with start=4, docs whose ONLY
+    qualifying window touches positions 0–3 drop out — span_range(4,16)
+    must be a strict subset of span_first(16) on this corpus."""
+    s, _t, _pdf = env
+    first = BooleanSpec(span_first=(("merge", "scan"),), span_slop=2,
+                        span_first_end=16)
+    rng_ = BooleanSpec(span_range=(("merge", "scan"),), span_slop=2,
+                       span_range_start=4, span_range_end=16)
+    f = {(r.conv_id, int(r.turn_idx)) for r in s.docset(first).collect()}
+    r = {(r.conv_id, int(r.turn_idx)) for r in s.docset(rng_).collect()}
+    assert r and r < f
+
+
+def test_span_range_start_zero_equals_span_first(env):
+    """start=0 degenerates to SpanFirstQuery — same DocSet."""
+    s, _t, _pdf = env
+    first = BooleanSpec(span_first=(("merge", "scan"),), span_slop=2,
+                        span_first_end=12)
+    rng_ = BooleanSpec(span_range=(("merge", "scan"),), span_slop=2,
+                       span_range_start=0, span_range_end=12)
+    f = {(r.conv_id, int(r.turn_idx)) for r in s.docset(first).collect()}
+    r = {(r.conv_id, int(r.turn_idx)) for r in s.docset(rng_).collect()}
+    assert f == r
+
+
 # --- SpanWithinQuery (round-4 session) --------------------------------------
 
 def ref_span_within_match(
