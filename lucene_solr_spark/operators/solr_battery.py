@@ -803,6 +803,61 @@ def q_grouping_ngroups(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+# (groupSort vs withinGroupSort: `sort` ranks GROUPS by their top doc,
+# `group.sort` orders the docs INSIDE each group independently). Here
+# groups rank by gscore=max(score) desc but each group's doclist is the
+# first 2 turns by turn_idx asc — a doc that heads its group under
+# `sort` may not appear at all under `group.sort` (the discriminator vs
+# q_grouping, whose within-group order is score desc). Spark-first: the
+# within-group rank is ONE key-partitioned window (WindowGroupLimit
+# pushes the rk<=2 cut into the shuffle); group selection is the same
+# bounded partial-agg top-5 as q_grouping.
+@op(
+    "q_grouping_sort",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+             ORDER BY turn_idx) AS rk
+  FROM scored),
+topg AS (
+  SELECT conv_id FROM (
+    SELECT conv_id, max(score) AS gscore FROM scored GROUP BY conv_id
+    ORDER BY gscore DESC, conv_id LIMIT 5))
+SELECT r.conv_id, r.turn_idx, r.score, r.rk
+FROM ranked r JOIN topg USING (conv_id)
+WHERE r.rk <= 2""",
+)
+def q_grouping_sort(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("conv_id").orderBy(F.asc("turn_idx"))
+        ),
+    )
+    topg = (
+        scored.groupBy("conv_id")
+        .agg(F.max("score").alias("gscore"))
+        .orderBy(F.desc("gscore"), "conv_id")
+        .limit(5)
+        .select("conv_id")
+    )
+    return (
+        ranked.join(topg, "conv_id", "left_semi")
+        .filter(F.col("rk") <= 2)
+        .select("conv_id", "turn_idx", "score", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 # ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
 #      FetchStream.java (fetch(collection, stream, on=key, fl=fields,
 #      batchSize=N): enrich stream tuples with fields looked up from a

@@ -1130,6 +1130,50 @@ LIMIT 25
 )
 
 
+def _idx_terms_ttf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent terms.ttf: docFreq AND totalTermFreq straight off
+    the index dictionary — df and cf (collection frequency) are both
+    per-(segment, term) dictionary stats, so the whole response is one
+    bounded aggregation over dictionary rows; no posting block is ever
+    decoded. ref: solr/core/src/java/org/apache/solr/handler/component/
+    TermsComponent.java (terms.ttf=true → term, docFreq, totalTermFreq),
+    lucene/core/src/java/org/apache/lucene/index/TermsEnum.java
+    (docFreq/totalTermFreq)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    return (
+        s.postings()
+        .filter(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("ttf"),
+        )
+        .orderBy(F.desc("ttf"), "term")
+        .limit(20)
+    )
+
+
+register(
+    "q_idx_terms_ttf",
+    _idx_terms_ttf,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+occ AS (
+  SELECT conv_id, turn_idx, unnest(
+    regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts
+)
+SELECT term,
+       CAST(count(DISTINCT conv_id || '#' || turn_idx) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM occ WHERE term LIKE 's%'
+GROUP BY term ORDER BY ttf DESC, term LIMIT 20
+""".strip(),
+)
+
+
 register("q_idx_fuzzy_terms", _idx_fuzzy_terms, ORACLES["q_fuzzy_query"])
 register("q_idx_terms_component", _idx_terms_component, ORACLES["q_terms_component"])
 
@@ -1410,6 +1454,51 @@ btw AS (
   WHERE turn_idx >= 2 AND turn_idx < 8
 )
 SELECT * FROM b UNION ALL SELECT * FROM btw ORDER BY bucket""",
+)
+
+
+def _idx_range_facet_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.include=upper + facet.range.hardend=true over the
+    doc_len docvalues: buckets are LOWER-exclusive / UPPER-inclusive
+    (lo, hi] — the mirror of the default [lo, hi) — so a value sitting
+    exactly on an interior edge counts in the bucket BELOW it, and
+    v == start falls into `before`. hardend=true clips the LAST bucket
+    at end=75 even though start + 4·gap = 80: values in (75, 80] go to
+    `after`, where hardend=false would have stretched the final bucket
+    to a full gap. start=20 gap=15 end=75; labels are bucket lower
+    bounds (Solr's convention) plus the before/after specials.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    RangeFacetProcessor.java (FacetRangeInclude.UPPER, hardend)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    v = F.col("doc_len")
+    bucket = (
+        F.when(v <= 20, "_before")
+        .when(v > 75, "_after")
+        .otherwise((20 + F.floor((v - 21) / 15) * 15).cast("string"))
+    )
+    return (
+        s.docmap().select("doc_len")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+register(
+    "q_idx_range_facet_include",
+    _idx_range_facet_include,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM transcripts
+)
+SELECT CASE WHEN dl <= 20 THEN '_before'
+            WHEN dl > 75 THEN '_after'
+            ELSE CAST(20 + (dl - 21) // 15 * 15 AS VARCHAR) END AS bucket,
+       count(*) AS cnt
+FROM docs GROUP BY 1 ORDER BY bucket""",
 )
 
 
