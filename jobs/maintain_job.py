@@ -7,6 +7,7 @@ Usage (after `python jobs/package.py`):
 
     spark-submit --py-files dist/lucene_solr_spark.zip jobs/maintain_job.py \\
         merge     --index /path/idx [--merge-factor 8]
+    ... split     --index /path/idx --segment part_00000 [--children 2]
     ... delete    --index /path/idx --query 'role:assistant AND merge'
     ... replicate --src /leader/idx --dst /follower/idx
     ... clear-tombstones --index /path/idx
@@ -32,6 +33,11 @@ def main(argv: list[str] | None = None) -> dict:
     p = sub.add_parser("merge")
     p.add_argument("--index", required=True)
     p.add_argument("--merge-factor", type=int, default=8)
+
+    p = sub.add_parser("split")
+    p.add_argument("--index", required=True)
+    p.add_argument("--segment", required=True)
+    p.add_argument("--children", type=int, default=2)
 
     p = sub.add_parser("delete")
     p.add_argument("--index", required=True)
@@ -106,6 +112,17 @@ def main(argv: list[str] | None = None) -> dict:
             m = merge_segments(spark, args.index, merge_factor=args.merge_factor)
             st = {
                 "cmd": "merge",
+                "snapshot_id": m.snapshot_id,
+                "n_segments": len(m.segments),
+            }
+        elif args.cmd == "split":
+            from lucene_solr_spark.index.split import split_segment
+
+            m = split_segment(
+                spark, args.index, args.segment, n_children=args.children
+            )
+            st = {
+                "cmd": "split",
                 "snapshot_id": m.snapshot_id,
                 "n_segments": len(m.segments),
             }

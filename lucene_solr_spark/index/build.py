@@ -67,17 +67,19 @@ def term_bucket(term: str) -> int:
     return h % NUM_BUCKETS
 
 
-def _bucket_array(terms: np.ndarray) -> np.ndarray:
-    """Vectorized FNV-1a over a fixed-width byte matrix: the Python
-    loop runs over byte COLUMNS (bounded by the longest term), never
-    over terms. NUL padding from the fixed-width encode is treated as
-    end-of-string (tokens are [a-z0-9 ]+, never contain NUL)."""
-    if len(terms) == 0:
-        return np.empty(0, np.int32)
-    enc = np.char.encode(np.asarray(terms, dtype="U"), "utf-8")
+def _fnv64_array(values: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a fixed-width byte matrix: the Python
+    loop runs over byte COLUMNS (bounded by the longest string), never
+    over rows. NUL padding from the fixed-width encode is treated as
+    end-of-string (tokens and conv ids never contain NUL). Returns the
+    raw uint64 hashes — term buckets and the split router both reduce
+    them with their own modulus."""
+    if len(values) == 0:
+        return np.empty(0, np.uint64)
+    enc = np.char.encode(np.asarray(values, dtype="U"), "utf-8")
     width = enc.dtype.itemsize
-    mat = np.frombuffer(enc.tobytes(), np.uint8).reshape(len(terms), width)
-    h = np.full(len(terms), _FNV_OFFSET, np.uint64)
+    mat = np.frombuffer(enc.tobytes(), np.uint8).reshape(len(values), width)
+    h = np.full(len(values), _FNV_OFFSET, np.uint64)
     prime = np.uint64(_FNV_PRIME)
     with np.errstate(over="ignore"):
         for j in range(width):
@@ -86,7 +88,15 @@ def _bucket_array(terms: np.ndarray) -> np.ndarray:
             if not live.any():
                 break
             h = np.where(live, (h ^ col.astype(np.uint64)) * prime, h)
-    return (h % np.uint64(NUM_BUCKETS)).astype(np.int32)
+    return h
+
+
+def _bucket_array(terms: np.ndarray) -> np.ndarray:
+    """Deterministic term→bucket hashes (FNV-1a 64 mod NUM_BUCKETS,
+    format v2) — vectorized spelling of :func:`term_bucket`."""
+    if len(terms) == 0:
+        return np.empty(0, np.int32)
+    return (_fnv64_array(terms) % np.uint64(NUM_BUCKETS)).astype(np.int32)
 
 
 def _list_arr_from(arrs) -> pa.Array:
