@@ -1069,6 +1069,93 @@ def q_expand(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/search/CollapsingQParserPlugin.java
+# (nullPolicy: NULL_IGNORE drops null-key docs, NULL_EXPAND lets every
+# null-key doc through as its own group, NULL_COLLAPSE makes one null
+# group). Here nullPolicy=expand on the NULLABLE tool field: non-null
+# tool groups collapse to their score head, the ~20% null-tool docs all
+# survive individually — the discriminator vs nullPolicy=collapse
+# (which would keep exactly ONE null-tool doc).
+@op(
+    "q_collapse_null_expand",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx, tool,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data')),
+heads AS (
+  SELECT conv_id, turn_idx, tool, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY tool
+              ORDER BY score DESC, conv_id, turn_idx) AS rk
+    FROM scored WHERE tool IS NOT NULL)
+  WHERE rk = 1),
+nulls AS (
+  SELECT conv_id, turn_idx, tool, score FROM scored WHERE tool IS NULL)
+SELECT * FROM heads UNION ALL SELECT * FROM nulls
+ORDER BY conv_id, turn_idx""",
+)
+def q_collapse_null_expand(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx", "tool",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("tool").orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    )
+    heads = (
+        scored.filter(F.col("tool").isNotNull())
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    nulls = scored.filter(F.col("tool").isNull())
+    return heads.unionByName(nulls).orderBy("conv_id", "turn_idx")
+
+
+# ref: solr/core/src/java/org/apache/solr/handler/component/ExpandComponent.java
+# (expand.sort + expand.rows: the expanded section re-sorts each
+# collapsed group's REMAINING docs by its own sort — independent of the
+# main sort that chose the head — and truncates to expand.rows). Here
+# heads stay score-ranked but the expansion returns each group's first
+# 2 leftover docs by turn_idx ASC: a doc ranked 4th by score can appear
+# (early turn) while the 2nd-by-score doc does not — the discriminator
+# vs q_expand (score-ordered expansion).
+@op(
+    "q_expand_sort",
+    f"""{DOCS_CTE},
+scored AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS score
+  FROM docs WHERE list_contains(toks, 'data')),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+            ORDER BY score DESC, turn_idx) AS rk FROM scored),
+exp AS (
+  SELECT conv_id, turn_idx, score, row_number() OVER (
+    PARTITION BY conv_id ORDER BY turn_idx) AS er
+  FROM ranked WHERE rk > 1)
+SELECT conv_id, turn_idx, score, er FROM exp
+WHERE er <= 2 ORDER BY conv_id, er""",
+)
+def q_expand_sort(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scored = d.filter(F.array_contains("toks", "data")).select(
+        "conv_id", "turn_idx",
+        F.size(F.filter("toks", lambda t: t == "data")).cast("long").alias("score"),
+    )
+    wmain = Window.partitionBy("conv_id").orderBy(F.desc("score"), "turn_idx")
+    wexp = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        scored.withColumn("rk", F.row_number().over(wmain))
+        .filter(F.col("rk") > 1)
+        .withColumn("er", F.row_number().over(wexp).cast("long"))
+        .filter(F.col("er") <= 2)
+        .select("conv_id", "turn_idx", "score", "er")
+        .orderBy("conv_id", "er")
+    )
+
+
 # ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/RollupStream.java
 @op(
     "q_rollup_stream",
