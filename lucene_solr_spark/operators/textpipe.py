@@ -956,6 +956,82 @@ def q_ann_lsh_check(spark, sf_dir):
     )
 
 
+_SQ8_REFINE = 50  # quantized-scan candidates kept for exact re-rank
+
+
+@op(
+    "q_ann_sq8",
+    f"""WITH {EMB_CTE},
+quant AS (
+  SELECT vec_id, e,
+         list_transform(e, x -> floor((x * 127.0) / greatest(
+           list_max(list_transform(e, y -> abs(y))), 1e-12) + 0.5)) AS qv
+  FROM emb),
+q AS (SELECT qv AS qq, e AS qe FROM quant WHERE vec_id = 1),
+approx AS (
+  SELECT vec_id, e,
+         list_dot_product(qv, qq)
+           / sqrt(list_dot_product(qv, qv) * list_dot_product(qq, qq))
+           AS acos_
+  FROM quant, q WHERE vec_id != 1),
+cand AS (
+  SELECT vec_id, e FROM (
+    SELECT *, row_number() OVER (ORDER BY acos_ DESC, vec_id) AS rn
+    FROM approx) WHERE rn <= {_SQ8_REFINE})
+SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos
+FROM cand, q
+ORDER BY round(list_cosine_similarity(e, qe), 4) DESC, vec_id LIMIT 10""",
+)
+def q_ann_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN — the memory-bandwidth scale path
+    (FAISS ScalarQuantizer QT_8bit shape): each vector is stored as
+    int8 codes q_i = floor(x_i*127/max|x| + 0.5) (4x fewer scan bytes
+    than float32 — at 100 TB the quantized scan IS the working set),
+    the full corpus is scanned with INTEGER dot products only (exact
+    in doubles, so candidate ranking is bit-identical across engines
+    — no fp-summation-order hazard), the top-{_SQ8_REFINE} quantized
+    candidates are re-ranked with the exact float cosine, and the
+    final top-10 ranks on the 4dp round like every ANN op here.
+    Cosine needs NO dequantization scale: per-vector scales cancel.
+    All JVM-side Catalyst lambdas, zero Python.
+    ref: lucene/core/src/java/org/apache/lucene/util/quantization/
+    ScalarQuantizer.java (Lucene 9.9 int8 HNSW quantization; same
+    quantize-scan-then-rerank contract)."""
+    e = emb_df(spark, sf_dir)
+    quant = e.withColumn(
+        "mx",
+        F.expr("greatest(aggregate(e, 0d, (s, x) -> greatest(s, abs(x))), 1e-12d)"),
+    ).withColumn(
+        "qv", F.expr("transform(e, x -> floor((x * 127.0d) / mx + 0.5d))")
+    ).drop("mx")
+    q = quant.filter(F.col("vec_id") == 1).select(
+        F.col("qv").alias("qq"), F.col("e").alias("qe")
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (s, x) -> s + x)"
+    approx = (
+        quant.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "e",
+            "qe",
+            (
+                F.expr(dot.format(a="qv", b="qq"))
+                / F.sqrt(
+                    F.expr(dot.format(a="qv", b="qv"))
+                    * F.expr(dot.format(a="qq", b="qq"))
+                )
+            ).alias("acos_"),
+        )
+    )
+    cand = approx.orderBy(F.desc("acos_"), "vec_id").limit(_SQ8_REFINE)
+    return (
+        cand.select("vec_id", F.round(_cos("e", "qe"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
 # ===========================================================================
 # 6. text analysis: language-ID, quality, token counts, fingerprints
 # ===========================================================================

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lucene_solr_spark.query import bm25_df
 from lucene_solr_spark.query.model import BooleanSpec
-from lucene_solr_spark.query.oracle import ROUND, bm25_oracle_sql
+from lucene_solr_spark.query.oracle import ROUND, _sql_list, bm25_oracle_sql
 from lucene_solr_spark.transcripts import transcripts_from_documents
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -3626,6 +3626,72 @@ ORDER BY fragment, weight DESC, suggestion""",
 )
 
 
+def _idx_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester: typo-tolerant prefix completion over the REAL
+    index dictionary — a dictionary term is a candidate when its
+    length-of-input PREFIX is within maxEdits=2 classic Levenshtein
+    edits of the typed input (so the suggestion can be longer than the
+    typo: "scann" completes to anything prefixed "scann…"-ish), with
+    nonFuzzyPrefix=1 (the first character must match exactly — Lucene's
+    cheap automaton truncation, and what keeps the dictionary scan
+    selective). Pinned to classic Levenshtein (transpositions=false:
+    both engines lack Damerau, so a swap costs 2 edits). Ranked weight
+    (collection frequency) desc, top-5 per input — completion over the
+    WEIGHTED dictionary is what separates this from DirectSpellChecker
+    (whole-term distance, ranked by df).
+    ref: lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/FuzzySuggester.java (DEFAULT_NON_FUZZY_PREFIX,
+    maxEdits, the LevenshteinAutomata intersection)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    q = spark.createDataFrame(
+        [("mrege",), ("scann",), ("qery",)], "input string"
+    )
+    dicts = s.postings().groupBy("term").agg(
+        F.sum("cf").cast("long").alias("weight")
+    )
+    cand = dicts.join(
+        F.broadcast(q),
+        F.expr(
+            "substring(term, 1, 1) = substring(input, 1, 1) AND "
+            "levenshtein(substring(term, 1, length(input)), input) <= 2"
+        ),
+    )
+    w = Window.partitionBy("input").orderBy(F.desc("weight"), "term")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("input", F.col("term").alias("suggestion"), "weight")
+        .orderBy("input", F.desc("weight"), "suggestion")
+    )
+
+
+register(
+    "q_idx_suggest_fuzzy",
+    _idx_suggest_fuzzy,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+         FROM tok GROUP BY term),
+q(input) AS (VALUES ('mrege'), ('scann'), ('qery')),
+cand AS (
+  SELECT q.input, d.term AS suggestion, d.weight
+  FROM q JOIN dict d
+    ON substr(d.term, 1, 1) = substr(q.input, 1, 1)
+   AND levenshtein(substr(d.term, 1, length(q.input)), q.input) <= 2),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY input ORDER BY weight DESC, suggestion) AS rn
+  FROM cand)
+SELECT input, suggestion, weight FROM ranked WHERE rn <= 5
+ORDER BY input, weight DESC, suggestion""",
+)
+
+
 _ELEV_SPEC = BooleanSpec(must=("merge",), k=10)
 #: (conv_id, turn_idx, slot) — the elevate.xml entries, in order
 _ELEV_IDS = [("conv00000007", 3, 1), ("conv00000012", 0, 2)]
@@ -5109,6 +5175,90 @@ register(
     bm25_oracle_sql(
         BooleanSpec(must=("merge",), k=12), toks_sql=_km_toks_sql()
     ),
+)
+
+
+_CTQ_TERMS = ("dup", "merge", "scan")  # one rare term, two stopword-ish
+_CTQ_MAX_TF = 0.5  # maxTermFrequency: df/N above this = high-freq
+
+
+def _idx_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonTermsQuery through the REAL index: query terms are split
+    at query time by their DICTIONARY docFreq against
+    maxTermFrequency={_CTQ_MAX_TF} — low-freq terms become REQUIRED
+    (lowFreqOccur=MUST, the stopword-robust config) and high-freq
+    terms become OPTIONAL scoring-only SHOULD clauses (mm=0; Lucene
+    adds the high-freq subquery as SHOULD next to the MUST low-freq
+    one). The scale point is candidate generation: only the RARE
+    term's postings seed candidates — the ~78%-df stopword postings
+    are decoded solely on those candidates' blocks, never scanned as
+    a driver (exactly why CommonTermsQuery exists). The df lookup is
+    a term-pruned dictionary read (≤ |query terms| rows collected).
+    ref: lucene/queries/src/java/org/apache/lucene/queries/
+    CommonTermsQuery.java (maxTermFrequency split, buildQuery's
+    MUST(lowFreq)+SHOULD(highFreq) combination).
+    """
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    df_rows = (
+        s.postings()
+        .filter(F.col("term").isin(list(_CTQ_TERMS)))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    dfs = {r["term"]: int(r["df"]) for r in df_rows}
+    n = s.manifest.n_docs
+    low = tuple(t for t in _CTQ_TERMS if dfs.get(t, 0) <= _CTQ_MAX_TF * n)
+    high = tuple(t for t in _CTQ_TERMS if t not in low)
+    spec = BooleanSpec(must=low, should=high, min_should_match=0, k=10)
+    return s.search(spec, round_to=ROUND)
+
+
+register(
+    "q_idx_common_terms",
+    _idx_common_terms,
+    # Dynamic-split twin: the low/high classification is DERIVED from
+    # dfreq inside the SQL (same df ≤ maxTermFrequency·N predicate the
+    # engine evaluates), so the oracle holds at every sf even if the
+    # corpus df profile shifts a term across the cutoff.
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM docs2),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
+tf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN ({_sql_list(_CTQ_TERMS)})
+  GROUP BY conv_id, turn_idx, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+lowset AS (
+  SELECT term FROM dfreq CROSS JOIN stats
+  WHERE df <= {_CTQ_MAX_TF} * n_docs),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({_K1} + 1))
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.doc_len / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.conv_id, tf.turn_idx
+  HAVING sum(CASE WHEN term IN (SELECT term FROM lowset)
+             THEN 1 ELSE 0 END) = (SELECT count(*) FROM lowset))
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT 10""",
 )
 
 

@@ -294,3 +294,64 @@ def test_child_qparser_contract(spark, sf_dir):
     for r in rows:
         assert r.turn_idx > 0
         assert r.score == parents[r.conv_id]
+
+
+def test_common_terms_split_and_optional_scoring(spark, sf_dir):
+    """CommonTermsQuery contract: (1) every hit contains the low-freq
+    term 'dup' (lowFreqOccur=MUST — the ~78%-df terms never widen the
+    match set); (2) the high-freq SHOULD terms DO score — on a hit
+    containing 'merge' or 'scan' the score strictly exceeds the
+    must-only dup query's score (the discriminator vs dropping the
+    stopwords instead of demoting them to scoring-only)."""
+    from lucene_solr_spark.analyzer import tokenize_one
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import QUERIES, cached_searcher
+
+    rows = QUERIES["q_idx_common_terms"](spark, sf_dir).collect()
+    assert rows
+    txt = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts_from_documents(spark, sf_dir).collect()
+    }
+    s = cached_searcher(spark, sf_dir)
+    base = {
+        (r.conv_id, r.turn_idx): r.score
+        for r in s.search(
+            BooleanSpec(must=("dup",), k=10_000), round_to=4
+        ).collect()
+    }
+    boosted = 0
+    for r in rows:
+        toks = set(tokenize_one(txt[(r.conv_id, r.turn_idx)]))
+        assert "dup" in toks, r
+        if toks & {"merge", "scan"}:
+            assert r.score > base[(r.conv_id, r.turn_idx)], r
+            boosted += 1
+    assert boosted, "no hit exercised the high-freq scoring path"
+
+
+def test_fuzzy_suggester_completion_contract(spark, sf_dir):
+    """FuzzySuggester: every suggestion's length-of-input prefix is
+    within 2 classic-Levenshtein edits of the input, first chars
+    match (nonFuzzyPrefix=1), and per-input results are weight-sorted."""
+    from lucene_solr_spark.registry import QUERIES
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = QUERIES["q_idx_suggest_fuzzy"](spark, sf_dir).collect()
+    assert rows
+    seen_weights: dict[str, list[int]] = {}
+    for r in rows:
+        assert r.suggestion[0] == r.input[0], r
+        assert lev(r.suggestion[: len(r.input)], r.input) <= 2, r
+        seen_weights.setdefault(r.input, []).append(r.weight)
+    for w in seen_weights.values():
+        assert w == sorted(w, reverse=True)

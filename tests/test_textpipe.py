@@ -121,6 +121,28 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert 100000 in set(ivf.vec_id)
 
 
+def test_ann_sq8_recall(spark, sf_dir):
+    """SQ8 quantized scan + exact re-rank must reproduce the exact
+    brute-force top-10 for its query (vec_id=1): int8 rank order is a
+    tight cosine approximation and the 50-candidate refine absorbs any
+    quantization inversions near the boundary."""
+    from pyspark.sql import functions as F
+
+    e = textpipe.emb_df(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 1).select(F.col("e").alias("qe"))
+    brute = (
+        e.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(textpipe._cos("e", "qe"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .toPandas()
+    )
+    sq8 = textpipe.q_ann_sq8(spark, sf_dir).toPandas()
+    assert list(sq8.vec_id) == list(brute.vec_id)
+    assert list(sq8.cos) == list(brute.cos)
+
+
 def test_multimodal_features_schema_and_determinism(spark, sf_dir):
     a = multimodal.q_multimodal_features(spark, sf_dir).toPandas()
     b = multimodal.q_multimodal_features(spark, sf_dir).toPandas()
