@@ -5262,6 +5262,111 @@ LIMIT 10""",
 )
 
 
+_COMPLEX_PHRASE_RE = re.compile(r'^\{!complexphrase(?:\s+inOrder=true)?\}"([^"]+)"$')
+
+
+def parse_complex_phrase(qs: str) -> tuple[str, ...]:
+    """{!complexphrase}"tok1 tok2 ..." → the phrase's slot patterns.
+    Wildcards are allowed INSIDE the quoted phrase (the whole point of
+    the parser — the classic parser can't nest a MultiTermQuery in a
+    PhraseQuery). Validation mirrors Solr: at least two slots (a
+    1-slot "phrase" is just a term/wildcard query — reject it like
+    ComplexPhraseQParserPlugin's checkPhraseClauseIsForSameField
+    insists on a real phrase), and LEADING wildcards raise (no
+    ReversedWildcardFilter chain is declared on this field).
+    ref: solr/core/src/java/org/apache/solr/search/
+    ComplexPhraseQParserPlugin.java,
+    lucene/queryparser/src/java/org/apache/lucene/queryparser/
+    complexPhrase/ComplexPhraseQueryParser.java"""
+    m = _COMPLEX_PHRASE_RE.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!complexphrase}} query: {qs!r}")
+    slots = tuple(m.group(1).split())
+    if len(slots) < 2:
+        raise ValueError(f"complexphrase needs >= 2 slots: {qs!r}")
+    for p in slots:
+        if p.startswith("*") or p.startswith("?"):
+            raise ValueError(f"leading wildcard in phrase slot: {p!r}")
+        if not re.fullmatch(r"[a-z0-9?*]+", p):
+            raise ValueError(f"bad phrase slot {p!r}")
+    return slots
+
+
+def _idx_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQueryParser through the REAL index: each wildcard
+    slot of {!complexphrase}"s* join" is expanded against the term
+    DICTIONARY (the same bounded TopTermsRewrite scan the standalone
+    wildcard query uses), and the expanded slots fold into the
+    engine's MultiPhraseQuery contract (∃ adjacency with toks[s+i] ∈
+    slot_i; slot terms score SHOULD-if-present). The dictionary scan
+    is term-pruned and bounded; candidates seed from a SLOT's doc
+    union, never the full corpus. An empty expansion empties the
+    match set (Lucene: a phrase position with no terms cannot match).
+    """
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    slots = []
+    for pat in parse_complex_phrase('{!complexphrase inOrder=true}"s* join"'):
+        if "*" in pat or "?" in pat:
+            like = pat.replace("*", "%").replace("?", "_")
+            terms = tuple(sorted(s.expand_terms(F.col("term").like(like))))
+        else:
+            terms = (pat,)
+        if not terms:
+            return spark.createDataFrame(
+                [], "conv_id string, turn_idx int, score double"
+            )
+        slots.append(terms)
+    spec = BooleanSpec(multi_phrases=(tuple(slots),), k=12)
+    return s.search(spec, round_to=ROUND)
+
+
+register(
+    "q_idx_complex_phrase",
+    _idx_complex_phrase,
+    # Dynamic twin: the slot expansion is replayed as a LIKE predicate
+    # over the SAME corpus the dictionary is built from, so the oracle
+    # tracks the dictionary at every sf.
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM docs2),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
+tf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term LIKE 's%' OR term = 'join'
+  GROUP BY conv_id, turn_idx, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+hits AS (
+  SELECT conv_id, turn_idx FROM docs2
+  WHERE len(list_filter(range(1, len(toks)),
+        i -> toks[i] LIKE 's%' AND toks[i + 1] = 'join')) > 0),
+scored AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({_K1} + 1))
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.doc_len / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE (tf.conv_id, tf.turn_idx) IN (SELECT (conv_id, turn_idx) FROM hits)
+  GROUP BY tf.conv_id, tf.turn_idx)
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT 12""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is

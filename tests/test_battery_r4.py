@@ -355,3 +355,42 @@ def test_fuzzy_suggester_completion_contract(spark, sf_dir):
         seen_weights.setdefault(r.input, []).append(r.weight)
     for w in seen_weights.values():
         assert w == sorted(w, reverse=True)
+
+
+def test_complex_phrase_parser_and_expansion(spark, sf_dir):
+    """ComplexPhrase front door: local-params validation raises like
+    Solr (no phrase, 1-slot phrase, leading wildcard); the query's
+    hits all contain an s*→join adjacency; and the wildcard slot
+    really expanded (hits exist whose s-word differs)."""
+    import pytest as _pt
+
+    from lucene_solr_spark.analyzer import tokenize_one
+    from lucene_solr_spark.registry import QUERIES, parse_complex_phrase
+
+    for bad in (
+        "{!complexphrase}s* join",          # unquoted
+        '{!complexphrase}"solo"',           # 1 slot
+        '{!complexphrase}"*ow join"',       # leading wildcard
+        '{!complexphrase}"a b!c"',          # bad slot chars
+    ):
+        with _pt.raises(ValueError):
+            parse_complex_phrase(bad)
+    assert parse_complex_phrase('{!complexphrase}"s* join"') == ("s*", "join")
+
+    rows = QUERIES["q_idx_complex_phrase"](spark, sf_dir).collect()
+    assert rows
+    txt = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts_from_documents(spark, sf_dir).collect()
+    }
+    s_words = set()
+    for r in rows:
+        toks = tokenize_one(txt[(r.conv_id, r.turn_idx)])
+        adj = [
+            toks[i]
+            for i in range(len(toks) - 1)
+            if toks[i].startswith("s") and toks[i + 1] == "join"
+        ]
+        assert adj, r
+        s_words.update(adj)
+    assert len(s_words) > 1, f"wildcard slot never varied: {s_words}"
