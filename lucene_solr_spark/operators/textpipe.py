@@ -1032,6 +1032,136 @@ def q_ann_sq8(spark, sf_dir):
     )
 
 
+_PQ_M, _PQ_D, _PQ_K = 8, 8, 16  # subspaces × dims-each, centroids/subspace
+_PQ_REFINE = 50
+
+
+@op(
+    "q_ann_pq",
+    f"""WITH {EMB_CTE},
+ms AS (SELECT unnest(range({_PQ_M})) AS m),
+sub AS (
+  SELECT vec_id, ms.m AS m,
+         e[ms.m * {_PQ_D} + 1 : ms.m * {_PQ_D} + {_PQ_D}] AS sv
+  FROM emb CROSS JOIN ms),
+cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, c.cv)
+               + list_dot_product(c.cv, c.cv), c.cid) AS rn
+    FROM sub s JOIN cent c USING (m))
+  WHERE rn = 1),
+q AS (SELECT e AS qe FROM emb WHERE vec_id = 2),
+qsub AS (
+  SELECT ms.m AS m, qe[ms.m * {_PQ_D} + 1 : ms.m * {_PQ_D} + {_PQ_D}] AS qv
+  FROM q CROSS JOIN ms),
+lut AS (
+  SELECT c.m, c.cid, list_dot_product(qs.qv, c.cv) AS qdot,
+         list_dot_product(c.cv, c.cv) AS cn2
+  FROM cent c JOIN qsub qs USING (m)),
+approx AS (
+  SELECT codes.vec_id,
+         round(sum(lut.qdot)
+               / (sqrt((SELECT list_dot_product(qe, qe) FROM q))
+                  * sqrt(sum(lut.cn2))), 6) AS acos_
+  FROM codes JOIN lut USING (m, cid)
+  WHERE codes.vec_id != 2
+  GROUP BY codes.vec_id),
+cand AS (
+  SELECT a.vec_id, emb.e FROM (
+    SELECT *, row_number() OVER (ORDER BY acos_ DESC, vec_id) AS rn
+    FROM approx) a JOIN emb USING (vec_id)
+  WHERE rn <= {_PQ_REFINE})
+SELECT cand.vec_id, round(list_cosine_similarity(cand.e, q.qe), 4) AS cos
+FROM cand, q
+ORDER BY round(list_cosine_similarity(cand.e, q.qe), 4) DESC, cand.vec_id
+LIMIT 10""",
+)
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC scan) — the deepest compression
+    scale path: each 64-dim vector is {_PQ_M} subspace codes of 4 bits
+    ({_PQ_K} centroids/subspace) = 8 BYTES per vector, a 32× cut vs
+    float32 — at 100 TB of embeddings the PQ code table fits where the
+    raw vectors never could, and the scan reads codes only. Query
+    time: one {_PQ_M}×{_PQ_K}-entry lookup table (query-subvector ·
+    centroid dots) broadcasts; approximate cosine is a code-indexed
+    LUT sum (asymmetric distance computation), top-{_PQ_REFINE}
+    candidates re-rank on the exact float cosine. 'Training' is the
+    deterministic first-{_PQ_K}-vectors codebook (the oracle must
+    replay it; real codebooks come from q_kmeans_train per subspace).
+    Approx scores round to 6dp in BOTH engines before ranking so the
+    8-term LUT-sum's summation order can never flip a candidate
+    boundary (same cross-engine precedent as SemDeDup/k-means raw
+    csim). Shuffles: codes = one (vec_id, m)-narrow partial-agg
+    groupBy; everything else broadcasts — the corpus never self-joins.
+    ref: Jegou, Douze, Schmid, "Product Quantization for Nearest
+    Neighbor Search" (TPAMI 2011); lucene/core/src/java/org/apache/
+    lucene/codecs/lucene99/Lucene99HnswScalarQuantizedVectorsFormat.java
+    (the quantize-then-rerank serving contract)."""
+    e = emb_df(spark, sf_dir)
+    ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = e.join(F.broadcast(ms)).select(
+        "vec_id", "m",
+        F.expr(f"slice(e, m * {_PQ_D} + 1, {_PQ_D})").alias("sv"),
+    )
+    cent = (
+        sub.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cv"))
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (s, x) -> s + x)"
+    dist = (
+        F.expr(dot.format(a="sv", b="sv"))
+        - 2 * F.expr(dot.format(a="sv", b="cv"))
+        + F.expr(dot.format(a="cv", b="cv"))
+    )
+    codes = (
+        sub.join(F.broadcast(cent), "m")
+        .withColumn("d", dist)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cid"))
+    )
+    q = e.filter(F.col("vec_id") == 2).select(F.col("e").alias("qe"))
+    qsub = q.join(F.broadcast(ms)).select(
+        "m", F.expr(f"slice(qe, m * {_PQ_D} + 1, {_PQ_D})").alias("qv")
+    )
+    lut = (
+        cent.join(F.broadcast(qsub), "m")
+        .select(
+            "m", "cid",
+            F.expr(dot.format(a="qv", b="cv")).alias("qdot"),
+            F.expr(dot.format(a="cv", b="cv")).alias("cn2"),
+        )
+    )
+    qn = q.select(F.sqrt(F.expr(dot.format(a="qe", b="qe"))).alias("qn"))
+    approx = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != 2)
+        .groupBy("vec_id")
+        .agg(F.sum("qdot").alias("adot"), F.sum("cn2").alias("an2"))
+        .join(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(
+                F.col("adot") / (F.col("qn") * F.sqrt(F.col("an2"))), 6
+            ).alias("acos_"),
+        )
+    )
+    cand = (
+        approx.orderBy(F.desc("acos_"), "vec_id")
+        .limit(_PQ_REFINE)
+        .join(e, "vec_id")
+    )
+    return (
+        cand.join(F.broadcast(q))
+        .select("vec_id", F.round(_cos("e", "qe"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
 # ===========================================================================
 # 6. text analysis: language-ID, quality, token counts, fingerprints
 # ===========================================================================

@@ -121,6 +121,33 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert 100000 in set(ivf.vec_id)
 
 
+def test_ann_pq_recall(spark, sf_dir):
+    """PQ ADC scan + exact re-rank clears the same recall floor as the
+    LSH/IVF paths (measured 0.5 at sf0.001/0.01 with the deterministic
+    first-16 codebooks), and every returned cos is the EXACT rounded
+    cosine (the re-rank contract: approximation chooses candidates,
+    never the published score)."""
+    from pyspark.sql import functions as F
+
+    e = textpipe.emb_df(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 2).select(F.col("e").alias("qe"))
+    brute = (
+        e.filter(F.col("vec_id") != 2)
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(textpipe._cos("e", "qe"), 4).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .toPandas()
+    )
+    pq = textpipe.q_ann_pq(spark, sf_dir).toPandas()
+    recall = len(set(pq.vec_id) & set(brute.vec_id)) / len(brute)
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall}"
+    exact = dict(zip(brute.vec_id, brute.cos))
+    for vid, c in zip(pq.vec_id, pq.cos):
+        if vid in exact:
+            assert c == exact[vid], (vid, c, exact[vid])
+
+
 def test_ann_sq8_recall(spark, sf_dir):
     """SQ8 quantized scan + exact re-rank must reproduce the exact
     brute-force top-10 for its query (vec_id=1): int8 rank order is a
