@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> dict:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("dedup", "clusters", "sample", "pack", "filter",
                  "substring", "semdedup", "decontaminate", "dsir",
-                 "classify-filter"):
+                 "classify-filter", "ppl-filter"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -147,6 +147,18 @@ def main(argv: list[str] | None = None) -> dict:
             .filter(F.col("prob") >= F.col("cut"))
             .select("conv_id", "turn_idx", "prob")
         )
+    elif args.cmd == "ppl-filter":
+        # CCNet perplexity KEEP stage: drop the worst (tail) tercile of
+        # the self-LM NLL distribution — the paper keeps head+middle;
+        # boundaries broadcast, assignment narrow; <2-token docs carry
+        # no nll row and drop
+        d = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        keep = (
+            textpipe.q_quality_ppl_buckets(spark, args.sf_dir)
+            .filter(F.col("bucket") != "tail")
+            .select("doc_id")
+        )
+        out = d.join(keep, "doc_id")
     else:  # pack
         out = textpipe.q_pack_sequences(spark, args.sf_dir)
 

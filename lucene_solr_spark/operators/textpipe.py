@@ -1305,6 +1305,74 @@ def q_quality_lm_perplexity(spark, sf_dir):
 
 
 @op(
+    "q_quality_ppl_buckets",
+    """WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+uni AS (
+  SELECT u AS w1, count(*) AS c1
+  FROM (SELECT unnest(t[1:len(t)-1]) AS u FROM toks WHERE len(t) >= 2)
+  GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS v
+          FROM (SELECT unnest(t) AS u FROM toks)),
+bi AS (
+  SELECT b1 AS w1, b2 AS w2, count(*) AS c2 FROM (
+    SELECT t[i] AS b1, t[i+1] AS b2
+    FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2)
+  GROUP BY 1, 2),
+doc_bi AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+nll AS (
+  SELECT d.doc_id, round(-avg(ln((c2 + 1.0) / (c1 + v))), 4) AS nll
+  FROM doc_bi d JOIN bi USING (w1, w2) JOIN uni USING (w1), vocab
+  GROUP BY d.doc_id),
+b AS (
+  SELECT round(quantile_cont(nll, 1.0/3), 4) AS b1,
+         round(quantile_cont(nll, 2.0/3), 4) AS b2
+  FROM nll)
+SELECT doc_id, nll,
+       CASE WHEN nll <= b1 THEN 'head'
+            WHEN nll <= b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nll, b ORDER BY doc_id""",
+)
+def q_quality_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: docs split into head / middle
+    / tail TERCILES of the self-LM mean-NLL distribution (CCNet trains
+    KenLM on Wikipedia and keeps the low-perplexity head/middle as the
+    quality cut; the bucketing mechanics are identical with the
+    corpus-self bigram LM from q_quality_lm_perplexity). Boundaries
+    are exact interpolated terciles of the 4dp-ROUNDED nll, themselves
+    rounded to 4dp in BOTH engines, so bucket membership (<=) is
+    engine-independent. Scale shape: the boundary pass is ONE scalar
+    aggregate broadcast back — the corpus is never globally sorted and
+    never ntile-shuffled; bucket assignment is a narrow pass. At 100
+    TB the exact percentile swaps for percentile_approx with the same
+    broadcast shape.
+    ref: Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data" (LREC 2020), §4.3 perplexity
+    buckets."""
+    nll = q_quality_lm_perplexity(spark, sf_dir).select("doc_id", "nll")
+    b = nll.agg(
+        F.round(F.expr("percentile(nll, 1.0D/3)"), 4).alias("b1"),
+        F.round(F.expr("percentile(nll, 2.0D/3)"), 4).alias("b2"),
+    )
+    return (
+        nll.join(F.broadcast(b))
+        .select(
+            "doc_id",
+            "nll",
+            F.when(F.col("nll") <= F.col("b1"), "head")
+            .when(F.col("nll") <= F.col("b2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@op(
     "q_quality_score",
     """WITH docs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

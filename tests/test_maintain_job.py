@@ -183,3 +183,25 @@ def test_pipeline_cli_classify_filter_stage(spark, sf_dir, tmp_path):
     )
     cut = scored.agg(F.round(F.avg("prob"), 4)).collect()[0][0]
     assert kept.filter(F.col("prob") < cut).count() == 0
+
+
+def test_pipeline_cli_ppl_filter_stage(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    from pipeline_job import main as pmain
+
+    st = pmain(["ppl-filter", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "ppl_keep")])
+    assert 0 < st["rows_out"] < st["rows_in"]
+    kept = spark.read.parquet(str(tmp_path / "ppl_keep"))
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # kept set == exactly the head+middle buckets; every kept doc's
+    # nll <= every dropped (tail) doc's nll
+    from lucene_solr_spark.operators.textpipe import q_quality_ppl_buckets
+
+    b = {r.doc_id: (r.bucket, r.nll)
+         for r in q_quality_ppl_buckets(spark, sf_dir).collect()}
+    want = {d for d, (bk, _) in b.items() if bk != "tail"}
+    assert ids == want
+    kept_nll = [n for d, (bk, n) in b.items() if d in ids]
+    tail_nll = [n for d, (bk, n) in b.items() if d not in ids]
+    assert tail_nll and max(kept_nll) <= min(tail_nll)
