@@ -498,6 +498,79 @@ def q_pivot_facet(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/handler/component/
+# PivotFacetProcessor.java (stats decoration: facet.pivot={!stats=tag}a,b
+# attaches the tagged stats.field computations to EVERY pivot leaf —
+# counts alone become count+metrics per (a,b) bucket). Here the leaf
+# metrics are sum(value)/avg(value) per (event_type, hod) pivot cell.
+@op(
+    "q_pivot_stats",
+    """SELECT event_type, hod, cnt, sv, av FROM (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+         count(*) AS cnt,
+         round(sum(value), 2) AS sv, round(avg(value), 4) AS av,
+         row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC,
+                            CAST(extract(hour FROM ts) AS INTEGER)) AS rk
+  FROM events GROUP BY 1, 2)
+WHERE rk <= 3 ORDER BY event_type, cnt DESC, hod""",
+)
+def q_pivot_stats(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    counts = e.groupBy("event_type", F.hour("ts").alias("hod")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sv"),
+        F.round(F.avg("value"), 4).alias("av"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("hod"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "hod", "cnt", "sv", "av")
+        .orderBy("event_type", F.desc("cnt"), "hod")
+    )
+
+
+# ref: lucene/suggest/src/java/org/apache/lucene/search/suggest/document/
+# ContextQuery.java (ContextSuggestField: completions filtered AND
+# weighted within a context) — the suggestion dictionary is built from
+# the assistant-role turns ONLY: terms living solely in other contexts
+# cannot be suggested, and weights are the IN-CONTEXT collection
+# frequencies (≠ whole-corpus cf — the discriminator vs q_idx_suggest).
+@op(
+    "q_suggest_context",
+    f"""{DOCS_CTE},
+ctx AS (
+  SELECT unnest(toks) AS term FROM docs WHERE role = 'assistant'),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+         FROM ctx GROUP BY term),
+pre(prefix) AS (VALUES ('me'), ('sc'), ('qu')),
+ranked AS (
+  SELECT pre.prefix, d.term AS suggestion, d.weight,
+         row_number() OVER (PARTITION BY pre.prefix
+           ORDER BY d.weight DESC, d.term) AS rn
+  FROM pre JOIN dict d ON d.term LIKE pre.prefix || '%')
+SELECT prefix, suggestion, weight FROM ranked WHERE rn <= 5
+ORDER BY prefix, weight DESC, suggestion""",
+)
+def q_suggest_context(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dicts = (
+        d.filter(F.col("role") == "assistant")
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    pre = spark.createDataFrame([("me",), ("sc",), ("qu",)], "prefix string")
+    w = Window.partitionBy("prefix").orderBy(F.desc("weight"), "term")
+    return (
+        dicts.join(F.broadcast(pre), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("prefix", F.col("term").alias("suggestion"), "weight")
+        .orderBy("prefix", F.desc("weight"), "suggestion")
+    )
+
+
 # ref: solr/core/src/java/org/apache/solr/search/facet/ — SumAgg, AvgAgg,
 # MinMaxAgg, StddevAgg, UniqueAgg, PercentileAgg (JSON Facet API metrics)
 @op(

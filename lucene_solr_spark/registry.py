@@ -4333,6 +4333,71 @@ ORDER BY p.score DESC, t.conv_id, t.turn_idx""",
 )
 
 
+_BOOL_QP_PARAM = re.compile(r"(\w+)='([^']*)'")
+_BOOL_QP_SPEC = BooleanSpec(
+    must=("merge",), should=("scan",), must_not=("dup",),
+    filters=(("role", "assistant"),), k=10,
+)
+
+
+def parse_bool_qparser(qs: str) -> BooleanSpec:
+    """{!bool must='...' should='...' must_not='...' filter='...'} →
+    BooleanSpec. Each occur param is repeatable and holds either a
+    bare term (scoring clauses) or field:value (filter). Unknown occur
+    keys raise like BoolQParser's strict param handling; `filter`
+    values must be field:value (a non-scoring fq — a bare term there
+    would silently change scoring semantics, so it's rejected).
+    SHOULD next to MUST stays optional-scoring (mm=0), the Lucene
+    BooleanQuery contract.
+    ref: solr/core/src/java/org/apache/solr/search/BoolQParserPlugin.java"""
+    qs = qs.strip()
+    if not (qs.startswith("{!bool ") and qs.endswith("}")):
+        raise ValueError(f"not a {{!bool}} query: {qs!r}")
+    body = qs[len("{!bool ") : -1]
+    parsed = _BOOL_QP_PARAM.findall(body)
+    if not parsed or _BOOL_QP_PARAM.sub("", body).strip():
+        raise ValueError(f"malformed {{!bool}} params: {qs!r}")
+    buckets: dict[str, list] = {
+        "must": [], "should": [], "must_not": [], "filter": []
+    }
+    for key, val in parsed:
+        if key not in buckets:
+            raise ValueError(f"unknown {{!bool}} occur param {key!r}")
+        if key == "filter":
+            if ":" not in val:
+                raise ValueError(f"{{!bool}} filter needs field:value: {val!r}")
+            buckets[key].append(tuple(val.split(":", 1)))
+        else:
+            if not re.fullmatch(r"[a-z0-9]+", val):
+                raise ValueError(f"{{!bool}} {key} needs a bare term: {val!r}")
+            buckets[key].append(val)
+    return BooleanSpec(
+        must=tuple(buckets["must"]),
+        should=tuple(buckets["should"]),
+        must_not=tuple(buckets["must_not"]),
+        filters=tuple(buckets["filter"]),
+        min_should_match=0,
+        k=10,
+    )
+
+
+def _bool_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoolQParser front door: the four-occur local-params string
+    parses to one BooleanSpec and dispatches to the index engine —
+    MUST drives candidates, SHOULD scores optionally (mm=0), MUST_NOT
+    anti-joins, filter rides the non-scoring fq mask."""
+    s = cached_searcher(spark, sf_dir)
+    spec = parse_bool_qparser(
+        "{!bool must='merge' should='scan' must_not='dup' "
+        "filter='role:assistant'}"
+    )
+    assert spec == _BOOL_QP_SPEC
+    return s.search(spec, round_to=ROUND)
+
+
+register("q_bool_qparser", _bool_qparser, bm25_oracle_sql(_BOOL_QP_SPEC))
+
+
 #: Tagger input — tagged against the index dictionary
 _TAGGER_TEXT = "please merge the big table scan then sort results fast zz9"
 

@@ -394,3 +394,51 @@ def test_complex_phrase_parser_and_expansion(spark, sf_dir):
         assert adj, r
         s_words.update(adj)
     assert len(s_words) > 1, f"wildcard slot never varied: {s_words}"
+
+
+def test_bool_qparser_validation_and_dispatch(spark, sf_dir):
+    """BoolQParser front door: strict occur params (unknown key, bare
+    filter, junk) raise; parsed spec carries all four occur buckets."""
+    import pytest as _pt
+
+    from lucene_solr_spark.registry import parse_bool_qparser
+
+    for bad in (
+        "merge",                                   # no local params
+        "{!bool boost='2'}",                       # unknown occur key
+        "{!bool filter='assistant'}",              # filter w/o field:
+        "{!bool must='merge' junk}",               # trailing junk
+        "{!bool must='a b'}",                      # not a bare term
+    ):
+        with _pt.raises(ValueError):
+            parse_bool_qparser(bad)
+    spec = parse_bool_qparser(
+        "{!bool must='merge' should='scan' must_not='dup' "
+        "filter='role:assistant'}"
+    )
+    assert spec.must == ("merge",) and spec.should == ("scan",)
+    assert spec.must_not == ("dup",)
+    assert spec.filters == (("role", "assistant"),)
+    assert spec.min_should_match == 0
+
+
+def test_suggest_context_weights_are_in_context(spark, sf_dir):
+    """Context suggester discriminator: the suggestion weight is the
+    ASSISTANT-context collection frequency — strictly below the
+    whole-corpus cf for every suggested term (every term also occurs
+    in non-assistant turns on this corpus)."""
+    from lucene_solr_spark.analyzer import tokenize_one
+    from lucene_solr_spark.operators.solr_battery import q_suggest_context
+
+    rows = q_suggest_context(spark, sf_dir).collect()
+    assert rows
+    corpus_cf: dict[str, int] = {}
+    ctx_cf: dict[str, int] = {}
+    for r in transcripts_from_documents(spark, sf_dir).collect():
+        for t in tokenize_one(r.text):
+            corpus_cf[t] = corpus_cf.get(t, 0) + 1
+            if r.role == "assistant":
+                ctx_cf[t] = ctx_cf.get(t, 0) + 1
+    for r in rows:
+        assert r.weight == ctx_cf[r.suggestion], r
+        assert r.weight < corpus_cf[r.suggestion], r
