@@ -334,6 +334,145 @@ def q_multimodal_wav_decode(spark, sf_dir):
     return wav.mapInPandas(decode, schema_out).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# REAL image decode: BMP (Windows V3, 24-bit uncompressed) needs only
+# struct/numpy — no PIL — so the image modality also gets a genuine
+# encode→binary-column→decode→features pipeline. The decoder must
+# honor the format's two traps: 4-byte row padding (widths are chosen
+# so pad ∈ {0,1,2,3} all occur) and BOTTOM-UP row order (the top_left
+# feature is wrong unless rows are flipped). All features are integer
+# arithmetic, so the DuckDB twin replicates them bit-for-bit from the
+# pixel definition.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 7 + (doc_id % 5) * 3, 5 + (doc_id % 4) * 3  # (w, h)
+
+
+def _bmp_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 RGB, row 0 = TOP row: deterministic integer
+    field r=(x*7+y*3+id)%256, g=(x*11+y+id*5)%256, b=(x+y*13+id*9)%256."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 7 + y * 3 + doc_id) % 256
+    g = (x * 11 + y + doc_id * 5) % 256
+    b = (x + y * 13 + doc_id * 9) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _synth_bmp(doc_id: int) -> bytes:
+    """A real BMP file: BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+    bottom-up BGR rows."""
+    import struct
+
+    w, h = _bmp_dims(doc_id)
+    px = _bmp_pixels(doc_id, w, h)
+    pad = (-w * 3) % 4
+    stride = w * 3 + pad
+    body = bytearray()
+    for row in px[::-1]:  # BMP stores rows bottom-up
+        body += row[:, ::-1].tobytes()  # ...and channels as BGR
+        body += b"\x00" * pad
+    size = 14 + 40 + h * stride
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride,
+                       2835, 2835, 0, 0)
+    return bytes(hdr + info + body)
+
+
+@op(
+    "q_multimodal_bmp_decode",
+    """WITH img AS (
+  SELECT doc_id, 7 + (doc_id % 5) * 3 AS w, 5 + (doc_id % 4) * 3 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT doc_id, w, h, x, y,
+         (x * 7 + y * 3 + doc_id) % 256 AS r,
+         (x * 11 + y + doc_id * 5) % 256 AS g,
+         (x + y * 13 + doc_id * 9) % 256 AS b
+  FROM img, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y))
+SELECT doc_id,
+  CAST(any_value(w) AS BIGINT) AS width,
+  CAST(any_value(h) AS BIGINT) AS height,
+  CAST(count(*) AS BIGINT) AS n_pixels,
+  CAST(sum(r) AS BIGINT) AS sum_r,
+  CAST(sum(g) AS BIGINT) AS sum_g,
+  CAST(sum(b) AS BIGINT) AS sum_b,
+  CAST(sum(CASE WHEN r + g + b >= 384 THEN 1 ELSE 0 END) AS BIGINT)
+    AS bright,
+  CAST(max(CASE WHEN x = 0 AND y = 0
+           THEN r * 65536 + g * 256 + b END) AS BIGINT) AS top_left
+FROM px GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_multimodal_bmp_decode(spark, sf_dir):
+    """REAL image pipeline for the 'image' modality: synthesize actual
+    24-bit BMP bytes into the binary column, then DECODE them back in
+    a separate Arrow stage — header parse (magic/offset/bpp/
+    compression validated), 4-byte row-padding strip, bottom-up row
+    flip, BGR→RGB — and extract integer-exact features. top_left is
+    the orientation witness: a decoder that ignores BMP's bottom-up
+    storage reports the wrong pixel. The oracle recomputes every
+    feature from the pixel definition."""
+    schema_syn = "doc_id long, img binary"
+    schema_out = (
+        "doc_id long, width long, height long, n_pixels long, sum_r long, "
+        "sum_g long, sum_b long, bright long, top_left long"
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 0)  # the 'image' docs
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "img": [_synth_bmp(int(x)) for x in pdf["doc_id"]],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["img"]):
+                raw = bytes(raw)
+                magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", raw, 0)
+                assert magic == b"BM"
+                (_hsz, w, h, _pl, bpp, comp) = struct.unpack_from(
+                    "<IiiHHI", raw, 14
+                )
+                assert bpp == 24 and comp == 0 and h > 0
+                pad = (-w * 3) % 4
+                stride = w * 3 + pad
+                rows_bgr = np.frombuffer(
+                    raw, np.uint8, count=h * stride, offset=off
+                ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                px = rows_bgr[::-1, :, ::-1].astype(np.int64)  # top-down RGB
+                r, g, b = px[..., 0], px[..., 1], px[..., 2]
+                rows.append(
+                    (
+                        int(doc_id), w, h, w * h,
+                        int(r.sum()), int(g.sum()), int(b.sum()),
+                        int(((r + g + b) >= 384).sum()),
+                        int(r[0, 0]) * 65536 + int(g[0, 0]) * 256 + int(b[0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels", "sum_r",
+                    "sum_g", "sum_b", "bright", "top_left",
+                ],
+            )
+
+    img = cpu_scaled(d, "doc_id").mapInPandas(synth, schema_syn)
+    return img.mapInPandas(decode, schema_out).orderBy("doc_id")
+
+
 # metadata-only query: Catalyst must prune the media column entirely
 # (checked in tests via the optimized plan) — the 100 TB win.
 @op(

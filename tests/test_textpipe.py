@@ -185,6 +185,34 @@ def test_multimodal_frame_sample_shapes(spark, sf_dir):
     assert (f.frame_bytes.between(1, 64)).all()
 
 
+def test_bmp_synth_decode_roundtrip():
+    """The two BMP format traps, pinned without Spark: 4-byte row
+    padding (doc ids below cover pad 0,1,2,3) and bottom-up row
+    storage (top-left pixel must survive the flip)."""
+    import struct
+
+    for doc_id in (0, 3, 6, 9, 12):  # w = 7,16,13,10,19 → pad 3,0,1,2,3
+        raw = multimodal._synth_bmp(doc_id)
+        w, h = multimodal._bmp_dims(doc_id)
+        want = multimodal._bmp_pixels(doc_id, w, h)
+        magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", raw, 0)
+        assert magic == b"BM" and off == 54
+        pad = (-w * 3) % 4
+        stride = w * 3 + pad
+        import numpy as np
+
+        body = np.frombuffer(raw, np.uint8, count=h * stride, offset=off)
+        got = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        got = got[::-1, :, ::-1]  # bottom-up rows, BGR channels
+        assert (got == want).all()
+        # orientation witness: the FIRST stored row is the image's
+        # BOTTOM row — a decoder that skips the flip reads the wrong
+        # top-left pixel (pixel fields vary with y, so rows differ)
+        first_stored = body.reshape(h, stride)[0, : w * 3].reshape(w, 3)[:, ::-1]
+        assert (first_stored == want[h - 1]).all()
+        assert not (first_stored == want[0]).all()
+
+
 def test_multimodal_meta_prunes_media(spark, sf_dir):
     """Metadata-only aggregate over n_chars must not read the media
     payload column from parquet (column pruning at 100 TB)."""
