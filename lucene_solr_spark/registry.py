@@ -4214,6 +4214,122 @@ LIMIT 20""",
 )
 
 
+# --- Hybrid search: Reciprocal Rank Fusion (lexical ⊕ vector) -------
+# Solr 9.8's combiner (CombinedQuery / RRF) fuses a BM25 ranking and a
+# kNN vector ranking by reciprocal rank: rrf(d) = Σ_legs 1/(k + rank_d)
+# with k = 60 (Cormack et al. 2009), over each leg's top-N pool. Docs
+# in only one pool contribute that leg alone; the fused top-k re-sorts
+# on the rrf score. Embeddings key by vec_id = doc_id, so the vector
+# leg maps onto (conv_id, turn_idx) with the same arithmetic as the
+# transcripts derivation.
+_RRF_POOL, _RRF_K, _RRF_C = 20, 10, 60
+_RRF_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1,
+                        k=_RRF_POOL)
+
+
+def _idx_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector search fused by RRF. Physical shape:
+    each leg is its own bounded top-N (lexical: per-segment scorer +
+    one TakeOrdered; vector: broadcast query vector × JVM-side cosine
+    + one TakeOrdered); ranks are a row_number over the ALREADY
+    LIMITED N-row frame (single-partition window over ≤ N rows, never
+    the corpus), and the fusion is a full-outer join of two ≤ N-row
+    frames. Both pool boundaries cut on the ROUNDED key with pinned
+    tiebreaks so the cut is engine-independent.
+
+    ref: solr/core/src/java/org/apache/solr/search/combining/
+         ReciprocalRankFusion.java (Solr 9.8 combiner)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.textpipe import _cos
+
+    s = cached_searcher(spark, sf_dir)
+    hits = s.score_hits(_RRF_SPEC, k=None).withColumn(
+        "score", F.round("score", ROUND)
+    )
+    lex_order = [F.desc("score"), F.col("conv_id"), F.col("turn_idx")]
+    lex = (
+        hits.orderBy(*lex_order)
+        .limit(_RRF_POOL)
+        .withColumn("lr", F.row_number().over(Window.orderBy(*lex_order)))
+        .select("conv_id", "turn_idx", "lr")
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    vec_order = [F.desc("cos"), F.col("vec_id")]
+    vec = (
+        e.join(F.broadcast(q))
+        .select("vec_id", F.round(_cos("e", "qe"), ROUND).alias("cos"))
+        .orderBy(*vec_order)
+        .limit(_RRF_POOL)
+        .withColumn("vr", F.row_number().over(Window.orderBy(*vec_order)))
+        .select(
+            F.concat(
+                F.lit("conv"),
+                F.lpad(
+                    F.floor(F.col("vec_id") / 8).cast("long").cast("string"),
+                    8, "0",
+                ),
+            ).alias("conv_id"),
+            (F.col("vec_id") % 8).cast("int").alias("turn_idx"),
+            "vr",
+        )
+    )
+    leg = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), 1.0 / (F.lit(_RRF_C) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        lex.join(vec, ["conv_id", "turn_idx"], "full_outer")
+        .select(
+            "conv_id", "turn_idx",
+            F.round(leg("lr") + leg("vr"), ROUND).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "conv_id", "turn_idx")
+        .limit(_RRF_K)
+    )
+
+
+_rrf_body = bm25_oracle_sql(_RRF_SPEC).split(
+    "\nSELECT conv_id, turn_idx, round(score"
+)[0]
+register(
+    "q_idx_hybrid_rrf",
+    _idx_hybrid_rrf,
+    _rrf_body
+    + f""",
+lex AS (
+  SELECT conv_id, turn_idx,
+         row_number() OVER (ORDER BY round(score, {ROUND}) DESC,
+                            conv_id, turn_idx) AS lr
+  FROM scored
+  QUALIFY lr <= {_RRF_POOL}),
+vq AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT 'conv' || lpad(CAST((vec_id // 8) AS VARCHAR), 8, '0') AS conv_id,
+         CAST(vec_id % 8 AS INTEGER) AS turn_idx,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), qe),
+             {ROUND}) DESC, vec_id) AS vr
+  FROM embeddings, vq
+  QUALIFY vr <= {_RRF_POOL})
+SELECT coalesce(l.conv_id, v.conv_id) AS conv_id,
+       coalesce(l.turn_idx, v.turn_idx) AS turn_idx,
+       round(coalesce(1.0 / ({_RRF_C} + l.lr), 0)
+             + coalesce(1.0 / ({_RRF_C} + v.vr), 0), {ROUND}) AS rrf
+FROM lex l FULL OUTER JOIN vec v
+  ON l.conv_id = v.conv_id AND l.turn_idx = v.turn_idx
+ORDER BY rrf DESC, conv_id, turn_idx
+LIMIT {_RRF_K}""",
+)
+
+
 _PARENT_QP = re.compile(
     r"^\{!parent\s+which=turn_idx:0(?:\s+score=(\w+))?\}(.+)$"
 )
