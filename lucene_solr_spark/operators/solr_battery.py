@@ -1730,6 +1730,63 @@ def q_geo_dist(spark, sf_dir):
     )
 
 
+# ref: solr/core/src/java/org/apache/solr/handler/component/
+# SpatialHeatmapFacets.java + lucene/spatial-extras/.../prefix/
+# HeatmapFacetCounter.java (facet.heatmap: counts per grid cell of a
+# bbox at a chosen grid level; rows index from the box TOP down, cols
+# from the left). Spark-first: cell assignment is scan-side integer
+# arithmetic, the count is ONE partial-aggregating groupBy over a
+# KEY SPACE BOUNDED BY THE GRID (≤ rows×cols cells regardless of
+# corpus size), and the bbox restriction is a pushable range filter —
+# at 100 TB the shuffle carries at most one row per cell per task.
+# Sparse cells (count 0) are omitted (Solr emits null rows; the
+# nonzero cell set plus the fixed grid reconstructs them).
+@op(
+    "q_facet_heatmap",
+    f"""{DOCS_CTE},
+dom AS (
+  SELECT DISTINCT conv_id FROM docs WHERE list_contains(toks, 'scan')),
+locs AS (
+  SELECT DISTINCT conv_id,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 37 % 160) - 80 + 0.5 AS lat,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 91 % 360) - 180 + 0.5 AS lon
+  FROM docs),
+cells AS (
+  SELECT CAST(floor((40 - lat) / 10) AS BIGINT) AS grid_row,
+         CAST(floor((lon + 90) / 10) AS BIGINT) AS grid_col
+  FROM locs JOIN dom USING (conv_id)
+  WHERE lat BETWEEN -40 AND 40 AND lon BETWEEN -90 AND 90)
+SELECT grid_row, grid_col, count(*) AS cnt
+FROM cells GROUP BY grid_row, grid_col
+ORDER BY grid_row, grid_col""",
+)
+def q_facet_heatmap(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dom = (
+        d.filter(F.array_contains("toks", "scan"))
+        .select("conv_id")
+        .distinct()
+    )
+    n = F.substring("conv_id", 5, 8).cast("long")
+    locs = d.select(
+        "conv_id",
+        ((n * 37 % 160) - 80 + 0.5).alias("lat"),
+        ((n * 91 % 360) - 180 + 0.5).alias("lon"),
+    ).distinct()
+    # heatmap bbox [-90,90]x[-40,40], 10-degree cells: row 0 = top
+    return (
+        locs.join(dom, "conv_id", "left_semi")
+        .filter(F.col("lat").between(-40, 40) & F.col("lon").between(-90, 90))
+        .select(
+            F.floor((40 - F.col("lat")) / 10).alias("grid_row"),
+            F.floor((F.col("lon") + 90) / 10).alias("grid_col"),
+        )
+        .groupBy("grid_row", "grid_col")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("grid_row", "grid_col")
+    )
+
+
 # ref: solr/core/src/java/org/apache/solr/schema/CurrencyFieldType.java
 # (currency(field, CUR) conversion + asymmetric range queries via a
 # provider rate table). Spark-first: the rate table is a broadcast

@@ -668,6 +668,94 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# TextProfileSignature (Solr's Nutch-derived fuzzy signature):
+# per-doc term counts, quantized by quant = max(round(maxFreq *
+# quantRate), 2 if maxFreq > 1 else 1); terms under quant DROP, the
+# rest round down to a multiple of quant; the signature is a digest of
+# the (count desc, term asc)-ordered quantized profile. Docs differing
+# only in low-frequency tokens (the planted ' zq extra tail' near-dups
+# here, when the base doc has any repeated term) collapse to one
+# signature — fuzzier than exact md5, cheaper than MinHash.
+#
+# Scale shape: the ENTIRE profile is computed scan-side with
+# higher-order array functions (distinct terms × their counts inside
+# one row, no explode) — the only shuffle is the final groupBy on the
+# 16-byte signature, identical cost to exact dedup. quantRate = 0.01
+# (the Solr default).
+#
+# ref: solr/core/src/java/org/apache/solr/update/processor/
+#      TextProfileSignature.java (getSignature: QUANT_RATE, quantized
+#      profile, (cnt desc, term) sort order)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "q_dedup_textprofile",
+    f"""WITH {CORPUS_CTE},
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM corpus)
+  GROUP BY doc_id, t),
+q AS (
+  SELECT doc_id,
+         CASE WHEN round(max(cnt) * 0.01) >= 2
+              THEN CAST(round(max(cnt) * 0.01) AS BIGINT)
+              WHEN max(cnt) > 1 THEN 2 ELSE 1 END AS quant
+  FROM tf GROUP BY doc_id),
+prof AS (
+  SELECT tf.doc_id, term, (cnt // quant) * quant AS qcnt
+  FROM tf JOIN q USING (doc_id) WHERE cnt >= quant),
+sigs AS (
+  SELECT doc_id,
+         md5(string_agg(term || ':' || qcnt, ' '
+             ORDER BY qcnt DESC, term)) AS sig
+  FROM prof GROUP BY doc_id)
+SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM sigs GROUP BY sig HAVING count(*) >= 2
+ORDER BY sig""",
+)
+def q_dedup_textprofile(spark, sf_dir):
+    """Fuzzy-signature dup groups (size ≥ 2) with the pinned keeper
+    (min doc_id, same winner rule as the exact-signature URP)."""
+    c = corpus_df(spark, sf_dir).withColumn(
+        "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    c = c.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(toks), "
+            "t -> struct(size(filter(toks, x -> x = t)) AS cnt, t AS term))"
+        ).alias("tf"),
+    ).withColumn("maxfreq", F.expr("array_max(transform(tf, p -> p.cnt))"))
+    c = c.withColumn(
+        "quant",
+        F.expr(
+            "CASE WHEN round(maxfreq * 0.01) >= 2 "
+            "THEN CAST(round(maxfreq * 0.01) AS BIGINT) "
+            "WHEN maxfreq > 1 THEN CAST(2 AS BIGINT) "
+            "ELSE CAST(1 AS BIGINT) END"
+        ),
+    )
+    prof = F.expr(
+        "array_sort(transform(filter(tf, p -> p.cnt >= quant), "
+        "p -> struct(-((p.cnt div quant) * quant) AS negq, p.term AS term, "
+        "(p.cnt div quant) * quant AS qcnt)))"
+    )
+    sig = F.md5(
+        F.expr("array_join(transform(prof, s -> concat(s.term, ':', s.qcnt)), ' ')")
+    )
+    return (
+        c.withColumn("prof", prof)
+        .withColumn("sig", sig)
+        .groupBy("sig")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("sig")
+    )
+
+
 # ===========================================================================
 # 5. embedding near-dup + ANN (cosine, JVM-side vector math)
 # ===========================================================================
