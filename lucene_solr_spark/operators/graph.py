@@ -251,7 +251,7 @@ def q_graph_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _traverse(spark, t, convs)
 
 
-def _traverse(spark, t, convs):
+def _traverse(spark, t, convs, tool: str = "tool_3", max_depth: int = 2):
     # Directed edge relation parent -> child, built once from the node
     # set (no self-loop at the root node 0).
     edges = (
@@ -260,18 +260,100 @@ def _traverse(spark, t, convs):
         .filter(F.col("src") != F.col("dst"))
     )
     roots = (
-        t.filter(F.col("tool") == "tool_3")
+        t.filter(F.col("tool") == tool)
         .select(F.col("conv_id"))
         .distinct()
         .select(F.substring("conv_id", 5, 8).cast("long").alias("id"))
     )
-    reach = bfs(edges, roots, max_depth=2)
+    reach = bfs(edges, roots, max_depth=max_depth)
     return (
         reach.withColumnRenamed("id", "n")
         .join(convs, "n")
         .select("conv_id", "depth", F.col("n_turns").cast("long").alias("n_turns"))
         .orderBy("depth", "conv_id")
     )
+
+
+# --- {!graph} qparser front door -------------------------------------
+# ref: solr/core/src/java/org/apache/solr/search/join/
+#      GraphQueryParser.java (from/to local params name the edge
+#      relation's key fields, maxDepth bounds the hop count,
+#      returnRoot keeps/drops the depth-0 seed set; the trailing query
+#      selects the roots). Like Solr, unknown fields and malformed
+#      params are rejected with an error, never silently defaulted.
+
+import re as _re
+
+_GRAPH_QP = _re.compile(
+    r"^\{!graph\s+from=(\w+)\s+to=(\w+)"
+    r"(?:\s+maxDepth=(-?\d+))?(?:\s+returnRoot=(\w+))?\}"
+    r"tool:(\w+)$"
+)
+
+
+def parse_graph_qparser(qs: str) -> tuple[int, bool, str]:
+    """{!graph from=parent_n to=n maxDepth=N returnRoot=bool}tool:X →
+    (max_depth, return_root, tool). The conv graph's edge relation is
+    (parent_n = n // 4) → n, so from/to are pinned to those two field
+    names — any other pair is a schema error (Solr: undefined field)."""
+    m = _GRAPH_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!graph}} query: {qs!r}")
+    frm, to, depth_s, root_s, tool = m.groups()
+    if (frm, to) != ("parent_n", "n"):
+        raise ValueError(f"undefined graph fields: from={frm} to={to}")
+    depth = int(depth_s) if depth_s is not None else 10
+    if depth < 1:
+        raise ValueError(f"maxDepth must be >= 1: {depth}")
+    if root_s is not None and root_s not in ("true", "false"):
+        raise ValueError(f"returnRoot must be true|false: {root_s!r}")
+    return depth, root_s != "false", tool
+
+
+@op(
+    "q_graph_qparser",
+    f"""WITH RECURSIVE {TRANSCRIPTS_ORACLE_CTE},
+convs AS (
+  SELECT conv_id, CAST(substr(conv_id, 5) AS BIGINT) AS n,
+         count(*) AS n_turns
+  FROM transcripts GROUP BY conv_id
+),
+roots AS (
+  SELECT DISTINCT CAST(substr(conv_id, 5) AS BIGINT) AS n
+  FROM transcripts WHERE tool = 'tool_5'
+),
+r(n, depth) AS (
+  SELECT n, 0 FROM roots
+  UNION
+  SELECT c.n, r.depth + 1
+  FROM r JOIN convs c ON c.n // 4 = r.n AND c.n <> r.n
+  WHERE r.depth < 3
+),
+reach AS (SELECT n, min(depth) AS depth FROM r GROUP BY n)
+SELECT c.conv_id, CAST(reach.depth AS BIGINT) AS depth,
+       CAST(c.n_turns AS BIGINT) AS n_turns
+FROM reach JOIN convs c USING (n)
+WHERE reach.depth > 0
+ORDER BY depth, conv_id""",
+)
+def q_graph_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQuery behind the reference's local-params syntax:
+    maxDepth=3 (one hop deeper than q_graph_traversal) and
+    returnRoot=false (depth-0 seeds dropped) attest that the parsed
+    params actually steer the traversal."""
+    depth, return_root, tool = parse_graph_qparser(
+        "{!graph from=parent_n to=n maxDepth=3 returnRoot=false}tool:tool_5"
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    convs = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .withColumn("n", F.substring("conv_id", 5, 8).cast("long"))
+    )
+    out = _traverse(spark, t, convs, tool=tool, max_depth=depth)
+    if not return_root:
+        out = out.filter(F.col("depth") > 0)
+    return out.orderBy("depth", "conv_id")
 
 
 # shortestPath() over the conv graph: tree edges (parent n//4 → n)

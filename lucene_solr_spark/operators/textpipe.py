@@ -1613,6 +1613,140 @@ def q_token_count(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich, Haddow & Birch 2016, arXiv:1508.07909
+# §3.2 learn_bpe, public): iterate — count adjacent symbol pairs over
+# WORD TYPES weighted by word frequency, merge the most frequent pair
+# everywhere, repeat. Tiebreak pinned (count desc, lhs asc, rhs asc).
+#
+# Scale shape: the corpus collapses to the word-type frequency frame
+# in ONE partial-aggregated groupBy (vocabulary ≪ corpus at 100 TB);
+# each round is one bounded-key pair-count groupBy + a ONE-ROW argmax
+# collect (the kmeans-round precedent) + a narrow map applying the
+# merge — never a corpus rescan, never a wide collect.
+#
+# The merge application is pure Catalyst string work: symbol lists
+# encode as DOUBLE-SPACE-joined strings with single-space padding
+# (' a  b  </w> '), under which greedy leftmost BPE merging of pair
+# (a, b) is EXACTLY the engine's non-overlapping replace(' a  b ',
+# ' ab ') — interior substring matches are impossible (an interior
+# char is never space-preceded) and runs like 'a a a' resolve
+# leftmost-first, the reference semantics. The DuckDB oracle unrolls
+# the same rounds with the same encoding.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_oracle(n: int) -> str:
+    parts = [
+        """WITH w AS (
+  SELECT t AS word, count(*) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents)
+  GROUP BY t),
+s0 AS (
+  SELECT ' ' || array_to_string(
+           list_append(list_transform(range(1, length(word) + 1),
+                                      i -> word[i]), '</w>'),
+           '  ') || ' ' AS s, freq
+  FROM w)"""
+    ]
+    for r in range(1, n + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, sum(freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS sym, freq FROM s{r - 1}),
+       unnest(range(1, len(sym))) AS u(i)
+  GROUP BY 1, 2),
+b{r} AS (SELECT lhs, rhs, c FROM p{r} ORDER BY c DESC, lhs, rhs LIMIT 1)""")
+        if r < n:
+            parts.append(f""",
+s{r} AS (
+  SELECT replace(s, ' ' || lhs || '  ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS s, freq
+  FROM s{r - 1}, b{r})""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, "
+        f"lhs || rhs AS merged, CAST(c AS BIGINT) AS cnt FROM b{r}"
+        for r in range(1, n + 1)
+    )
+    parts.append("\n" + sel + "\nORDER BY step")
+    return "".join(parts)
+
+
+def bpe_train(docs: DataFrame, n_merges: int) -> list[tuple]:
+    """Learn ``n_merges`` BPE merges; returns [(step, lhs, rhs,
+    merged, cnt)] in merge order. ``docs`` needs a ``text`` column."""
+    w = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    s_df = w.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.concat(F.split("word", ""), F.array(F.lit("</w>"))), "  "
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    )
+    base = s_df.persist()
+    merges: list[tuple] = []
+    try:
+        for step in range(1, n_merges + 1):
+            # fully-merged single-symbol words carry no pairs (and
+            # sequence(0, -1) would DESCEND) — guard on symbol count
+            pairs = s_df.filter(
+                F.expr("size(split(trim(s), '  ')) >= 2")
+            ).select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(split(trim(s), '  ')) - 2), "
+                        "i -> struct(split(trim(s), '  ')[i] AS lhs, "
+                        "split(trim(s), '  ')[i + 1] AS rhs))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            best = (
+                pairs.groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), "lhs", "rhs")
+                .first()  # ONE bounded row per round (kmeans precedent)
+            )
+            merges.append(
+                (step, best["lhs"], best["rhs"],
+                 best["lhs"] + best["rhs"], int(best["c"]))
+            )
+            pat = f" {best['lhs']}  {best['rhs']} "
+            rep = f" {best['lhs']}{best['rhs']} "
+            s_df = s_df.select(
+                F.expr(f"replace(s, '{pat}', '{rep}')").alias("s"), "freq"
+            )
+    finally:
+        base.unpersist()
+    return merges
+
+
+@op("q_bpe_train", _bpe_oracle(_BPE_MERGES))
+def q_bpe_train(spark, sf_dir):
+    """The learned merge table for {_BPE_MERGES} BPE rounds over the
+    corpus vocabulary — the tokenizer-training stage of a data
+    pipeline, attested round-for-round against the unrolled oracle."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    merges = bpe_train(d, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, merged string, cnt long"
+    ).orderBy("step")
+
+
 @op(
     "q_fingerprint",
     f"""WITH {SHINGLE_CTE},

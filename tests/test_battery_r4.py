@@ -145,6 +145,28 @@ def test_knn_qparser_contract():
         parse_knn("embedding:[0.1]")
 
 
+def test_graph_qparser_contract():
+    import pytest as _pt
+
+    from lucene_solr_spark.operators.graph import parse_graph_qparser
+
+    assert parse_graph_qparser(
+        "{!graph from=parent_n to=n maxDepth=3 returnRoot=false}tool:tool_5"
+    ) == (3, False, "tool_5")
+    # defaults: maxDepth=10, returnRoot=true (Solr's GraphQueryParser)
+    assert parse_graph_qparser(
+        "{!graph from=parent_n to=n}tool:tool_1"
+    ) == (10, True, "tool_1")
+    with _pt.raises(ValueError):  # undefined edge fields
+        parse_graph_qparser("{!graph from=x to=n maxDepth=2}tool:tool_1")
+    with _pt.raises(ValueError):  # non-positive depth
+        parse_graph_qparser(
+            "{!graph from=parent_n to=n maxDepth=0}tool:tool_1"
+        )
+    with _pt.raises(ValueError):  # not a graph query at all
+        parse_graph_qparser("tool:tool_1")
+
+
 def test_knn_qparser_matches_brute(spark, sf_dir):
     """The parser front door must return exactly the brute-force
     cosine top-K of its literal vector."""

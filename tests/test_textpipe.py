@@ -170,6 +170,20 @@ def test_ann_sq8_recall(spark, sf_dir):
     assert list(sq8.cos) == list(brute.cos)
 
 
+def test_bpe_train_hand_example(spark):
+    """Three merge rounds over a 2-doc corpus, fully hand-computed:
+    word freqs aa:3 ab:1 b:1; round-1 pairs (a,a):3 (a,</w>):3
+    (a,b):1 (b,</w>):2 — tie broken on rhs asc ('<' sorts before
+    'a'), so (a,</w>) merges first; round 2 merges (a, a</w>); round
+    3's only repeated pair left is (b, </w>)."""
+    d = spark.createDataFrame([("aa ab",), ("aa aa b",)], "text string")
+    assert textpipe.bpe_train(d, 3) == [
+        (1, "a", "</w>", "a</w>", 3),
+        (2, "a", "a</w>", "aa</w>", 3),
+        (3, "b", "</w>", "b</w>", 2),
+    ]
+
+
 def test_multimodal_features_schema_and_determinism(spark, sf_dir):
     a = multimodal.q_multimodal_features(spark, sf_dir).toPandas()
     b = multimodal.q_multimodal_features(spark, sf_dir).toPandas()
