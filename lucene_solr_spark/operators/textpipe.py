@@ -1747,6 +1747,71 @@ def q_bpe_train(spark, sf_dir):
     ).orderBy("step")
 
 
+def _bpe_encode_oracle(n: int) -> str:
+    """Unroll ALL n merge applications (incl. the last) and count the
+    resulting subword vocabulary, corpus-weighted."""
+    body = _bpe_oracle(n).split("\nSELECT CAST(1")[0]
+    return (
+        body
+        + f""",
+s{n} AS (
+  SELECT replace(s, ' ' || lhs || '  ' || rhs || ' ',
+                 ' ' || lhs || rhs || ' ') AS s, freq
+  FROM s{n - 1}, b{n})
+SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(trim(s), '  ')) AS sym, freq FROM s{n})
+GROUP BY sym ORDER BY cnt DESC, token LIMIT 20"""
+    )
+
+
+@op("q_bpe_encode", _bpe_encode_oracle(_BPE_MERGES))
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLY stage: encode the corpus with the learned merge
+    table and report the top-20 subword tokens by corpus-weighted
+    count (sanity surface a tokenizer-training pipeline inspects).
+
+    The merge table is a bounded driver-side list (one row per learned
+    merge — the kmeans-centroid precedent), applied in learned order
+    as the same double-space Catalyst replaces the trainer used; the
+    corpus only ever appears as the word-type frequency frame, so the
+    encode pass is vocabulary-sized, never corpus-sized."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    merges = bpe_train(d, _BPE_MERGES)
+    w = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    s_df = w.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.concat(F.split("word", ""), F.array(F.lit("</w>"))), "  "
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    )
+    for _, lhs, rhs, _, _ in merges:
+        s_df = s_df.select(
+            F.expr(f"replace(s, ' {lhs}  {rhs} ', ' {lhs}{rhs} ')").alias("s"),
+            "freq",
+        )
+    return (
+        s_df.select(
+            F.explode(F.expr("split(trim(s), '  ')")).alias("token"), "freq"
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
 @op(
     "q_fingerprint",
     f"""WITH {SHINGLE_CTE},

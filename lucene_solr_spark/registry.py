@@ -4514,6 +4514,84 @@ def _bool_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q_bool_qparser", _bool_qparser, bm25_oracle_sql(_BOOL_QP_SPEC))
 
 
+_SURROUND_QP = re.compile(
+    r"^\{!surround\}(\d*)([WN])\(([a-z0-9]+),\s*([a-z0-9]+)\)$",
+    re.IGNORECASE,
+)
+
+
+def parse_surround_qparser(qs: str) -> BooleanSpec:
+    """``{!surround}NW(a, b)`` / ``{!surround}NN(a, b)`` → BooleanSpec.
+
+    The surround grammar's distance operators map onto the two pinned
+    proximity contracts: ``NW`` (ordered, within N positions) is the
+    sloppy phrase with ``phrase_slop = N-1`` (window p2-p1 ≤ slop+1 =
+    N, in order), ``NN`` (unordered) is ``span_near`` with
+    ``span_slop = N-1`` (window ≤ len(group)+slop = N+1 ⇒ max-min ≤
+    N). Bare ``W``/``N`` default to distance 1 (exact adjacency /
+    immediate neighbours), matching the surround parser's default
+    opDistance. Distance 0, non-bare-term operands, and anything that
+    isn't a surround query raise like the reference's QueryParser
+    rejecting malformed syntax.
+
+    ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
+    surround/query/DistanceQuery.java (getSpanNearQuery: slop =
+    opDistance - 1, inOrder = W), solr/core/src/java/org/apache/solr/
+    search/SurroundQParserPlugin.java
+    """
+    m = _SURROUND_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!surround}} query: {qs!r}")
+    dist_s, op_c, t1, t2 = m.groups()
+    dist = int(dist_s) if dist_s else 1
+    if dist < 1:
+        raise ValueError(f"surround distance must be >= 1: {dist}")
+    if op_c.upper() == "W":
+        return BooleanSpec(phrases=((t1, t2),), phrase_slop=dist - 1, k=15)
+    return BooleanSpec(span_near=((t1, t2),), span_slop=dist - 1, k=15)
+
+
+#: 3W = ordered within 3 → the sloppy-phrase contract at slop 2
+_SURROUND_W_SPEC = BooleanSpec(
+    phrases=(("table", "merge"),), phrase_slop=2, k=15
+)
+#: 3N = unordered within 3 → the span_near contract at slop 2
+_SURROUND_N_SPEC = BooleanSpec(
+    span_near=(("merge", "scan"),), span_slop=2, k=15
+)
+
+
+def _surround_w_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SurroundQParser front door, ordered leg: ``3W(table, merge)``
+    parses to the sloppy-phrase spec and dispatches to the index
+    engine — same scorer path as q_idx_bm25_sloppy behind the
+    reference's distance-operator syntax."""
+    s = cached_searcher(spark, sf_dir)
+    spec = parse_surround_qparser("{!surround}3W(table, merge)")
+    assert spec == _SURROUND_W_SPEC
+    return s.search(spec, round_to=ROUND)
+
+
+def _surround_n_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SurroundQParser front door, unordered leg: ``3N(merge, scan)``
+    parses to the span_near spec (any-order co-occurrence in the
+    banded window)."""
+    s = cached_searcher(spark, sf_dir)
+    spec = parse_surround_qparser("{!surround}3N(merge, scan)")
+    assert spec == _SURROUND_N_SPEC
+    return s.search(spec, round_to=ROUND)
+
+
+register(
+    "q_surround_w_qparser", _surround_w_qparser,
+    bm25_oracle_sql(_SURROUND_W_SPEC),
+)
+register(
+    "q_surround_n_qparser", _surround_n_qparser,
+    bm25_oracle_sql(_SURROUND_N_SPEC),
+)
+
+
 #: Tagger input — tagged against the index dictionary
 _TAGGER_TEXT = "please merge the big table scan then sort results fast zz9"
 

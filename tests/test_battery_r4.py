@@ -464,3 +464,28 @@ def test_suggest_context_weights_are_in_context(spark, sf_dir):
     for r in rows:
         assert r.weight == ctx_cf[r.suggestion], r
         assert r.weight < corpus_cf[r.suggestion], r
+
+
+def test_surround_qparser_contract():
+    import pytest as _pt
+
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import parse_surround_qparser
+
+    assert parse_surround_qparser(
+        "{!surround}3W(table, merge)"
+    ) == BooleanSpec(phrases=(("table", "merge"),), phrase_slop=2, k=15)
+    assert parse_surround_qparser(
+        "{!surround}2N(scan, merge)"
+    ) == BooleanSpec(span_near=(("scan", "merge"),), span_slop=1, k=15)
+    # bare W/N default to distance 1: exact adjacency / slop-0 window
+    assert parse_surround_qparser(
+        "{!surround}W(table, scan)"
+    ).phrase_slop == 0
+    assert parse_surround_qparser(
+        "{!surround}n(table, scan)"
+    ).span_slop == 0
+    with _pt.raises(ValueError):  # distance 0 is malformed
+        parse_surround_qparser("{!surround}0W(a, b)")
+    with _pt.raises(ValueError):  # not a surround query
+        parse_surround_qparser("table 3w merge")
