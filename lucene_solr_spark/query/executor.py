@@ -1036,6 +1036,120 @@ class IndexSearcher:
             F.desc("score"), "conv_id", "turn_idx"
         ).limit(k)
 
+    def payload_check(
+        self,
+        terms: tuple[str, ...],
+        payloads: tuple[float, ...],
+        k: int = 10,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """``SpanPayloadCheckQuery`` analog: exact-adjacency phrase
+        occurrences whose per-position payloads equal ``payloads``
+        slot-for-slot, payloads from the pinned derivation rule
+        ``pay(p) = 1.0 + (p mod 4)``. The check is POSITIONAL — it
+        narrows which occurrences count, so the matched DocSet can be
+        a strict subset of the plain phrase's (a doc whose only
+        occurrence starts at the wrong residue drops out entirely).
+        Score = the count of payload-valid occurrences (span freq;
+        the spans themselves carry no BM25 weight here, mirroring the
+        payload_score family replacing the span score). An
+        unsatisfiable payload sequence (one that contradicts the
+        derivation rule) matches nothing rather than erroring —
+        Lucene's behavior for a payload no indexed span carries.
+
+        Physical: per-segment position-stream decode (the phrase
+        scorer's two-phase matcher), residue mask over the surviving
+        start keys, deletes + docmap mask applied before counting —
+        a docmap read site like every other.
+
+        ref: lucene/queries/src/java/org/apache/lucene/queries/
+        payloads/SpanPayloadCheckQuery.java
+        """
+        import numpy as np
+
+        if len(payloads) != len(terms):
+            raise ValueError(
+                f"payloads/terms length mismatch: {len(payloads)} vs "
+                f"{len(terms)}"
+            )
+        if any(p not in (1.0, 2.0, 3.0, 4.0) for p in payloads):
+            raise ValueError(f"payloads outside pay(p) range: {payloads}")
+        spec = BooleanSpec(phrases=(tuple(terms),), k=k)
+        seg_dirs = self.seg_dir_by_id
+        dm_cols = filter_cols(spec, _BASE_COLS)
+        deleted_bc = self._deleted_bc
+        max_dl = {
+            sid: self.manifest.seg_max_dl(sid) for sid in seg_dirs
+        }
+        if any(v is None for v in max_dl.values()):
+            max_dl = {
+                int(r["seg_id"]): int(r["mdl"])
+                for r in self.docmap()
+                .groupBy("seg_id")
+                .agg(F.max("doc_len").alias("mdl"))
+                .collect()
+            }
+        terms_t, pays = tuple(terms), tuple(payloads)
+
+        def run_seg(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from lucene_solr_spark.query.scorer import (
+                TermPostings,
+                _phrase_start_keys,
+            )
+
+            empty = pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
+            seg_id = int(pdf["seg_id"].iloc[0])
+            term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            tps = [
+                TermPostings(term_rows[t], 0.0) if t in term_rows else None
+                for t in terms_t
+            ]
+            seg_max = int(max_dl[seg_id])
+            keys = _phrase_start_keys(tps, seg_max)
+            if len(keys) == 0:
+                return empty
+            stride = seg_max + 2
+            p = keys % stride
+            m = np.ones(len(keys), bool)
+            for i, pv in enumerate(pays):
+                m &= (1.0 + ((p + i) % 4).astype(np.float64)) == pv
+            docs = keys[m] // stride
+            if len(docs) == 0:
+                return empty
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            allowed = apply_deletes(
+                filter_mask(dm, spec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
+            if allowed is not None:
+                docs = docs[allowed[docs]]
+                if len(docs) == 0:
+                    return empty
+            d, c = np.unique(docs, return_counts=True)
+            sel = dm.iloc[d]
+            return pd.DataFrame(
+                {
+                    "conv_id": sel["conv_id"].to_numpy(),
+                    "turn_idx": sel["turn_idx"].to_numpy(),
+                    "score": c.astype(np.float64),
+                }
+            )
+
+        post = self.postings().filter(F.col("term").isin(list(terms_t)))
+        hits = post.groupBy("seg_id").applyInPandas(
+            run_seg, schema=RESULT_SCHEMA
+        )
+        if round_to is not None:
+            hits = hits.withColumn("score", F.round("score", round_to))
+        return hits.orderBy(
+            F.desc("score"), "conv_id", "turn_idx"
+        ).limit(k)
+
     # -- MultiTermQuery rewrite (dictionary scan → OR expansion) -------
     def expand_terms(self, predicate, max_expansions: int = 1024) -> list[str]:
         """Dictionary scan: terms of the text field matching a Column

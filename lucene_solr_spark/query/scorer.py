@@ -415,21 +415,20 @@ def _phrase_docs(tps: list[TermPostings], seg_max_pos: int) -> np.ndarray:
     return _phrase_freqs(tps, seg_max_pos)[0]
 
 
-def _phrase_freqs(
+def _phrase_start_keys(
     tps: list[TermPostings], seg_max_pos: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """(docs, exact phrase occurrence counts) — the phrase DocSet plus
-    PhraseQuery freq (tf for pf scoring).
+) -> np.ndarray:
+    """``doc * stride + start_pos`` key of EVERY exact-adjacency
+    phrase occurrence (stride = seg_max_pos + 2 — the caller recovers
+    doc/position with the same stride).
 
     Two-phase (TwoPhaseIterator): phase 1 intersects the doc streams
     in ascending-df order with block skipping — cheap, no position
     bytes touched; phase 2 decodes POSITIONS only for the blocks that
     contain surviving candidate docs and verifies adjacency via
-    (doc, pos-offset) key intersection. Each surviving (doc,
-    start-pos) key is one occurrence, so the per-doc key count IS the
-    phrase tf (keys are unique within a term's stream, and intersect1d
-    keeps them unique)."""
-    empty = np.empty(0, np.int64), np.empty(0, np.int64)
+    (doc, pos-offset) key intersection. Keys are unique within a
+    term's stream and intersect1d keeps them unique."""
+    empty = np.empty(0, np.int64)
     if any(tp is None for tp in tps):
         return empty
     # phase 1: doc-level conjunction (leapfrog, ascending df)
@@ -460,7 +459,20 @@ def _phrase_freqs(
         )
         if len(keys_acc) == 0:
             return empty
-    return np.unique(keys_acc // stride, return_counts=True)
+    return keys_acc
+
+
+def _phrase_freqs(
+    tps: list[TermPostings], seg_max_pos: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(docs, exact phrase occurrence counts) — the phrase DocSet plus
+    PhraseQuery freq (tf for pf scoring). Each surviving (doc,
+    start-pos) key from :func:`_phrase_start_keys` is one occurrence,
+    so the per-doc key count IS the phrase tf."""
+    keys = _phrase_start_keys(tps, seg_max_pos)
+    if len(keys) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.unique(keys // (seg_max_pos + 2), return_counts=True)
 
 
 def _candidates(

@@ -811,6 +811,45 @@ LIMIT 10
 )
 
 
+def _idx_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPayloadCheckQuery: "table scan" occurrences whose payloads
+    are exactly (2.0, 3.0) under the pinned rule pay(p)=1.0+(p mod 4)
+    — i.e. only spans STARTING at positions ≡ 1 (mod 4) count. The
+    check narrows occurrences positionally (a doc whose only phrase
+    occurrence starts at the wrong residue drops out); score = valid
+    span count. See IndexSearcher.payload_check."""
+    s = cached_searcher(spark, sf_dir)
+    return s.payload_check(
+        ("table", "scan"), (2.0, 3.0), k=10, round_to=ROUND
+    )
+
+
+register(
+    "q_idx_payload_check",
+    _idx_payload_check,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+spans AS (
+  SELECT conv_id, turn_idx, i - 1 AS pos
+  FROM docs, unnest(range(1, len(toks))) AS u(i)
+  WHERE toks[i] = 'table' AND toks[i + 1] = 'scan'
+    AND 1.0 + ((i - 1) % 4) = 2.0 AND 1.0 + (i % 4) = 3.0
+)
+SELECT conv_id, turn_idx,
+       round(CAST(count(*) AS DOUBLE), {ROUND}) AS score
+FROM spans
+GROUP BY conv_id, turn_idx
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-select faceting (``fq={!tag=r}role:user`` +
     ``facet.field={!ex=r}role``): the role facet EXCLUDES the role fq
@@ -4589,6 +4628,141 @@ register(
 register(
     "q_surround_n_qparser", _surround_n_qparser,
     bm25_oracle_sql(_SURROUND_N_SPEC),
+)
+
+
+# --- {!minhash} qparser ------------------------------------------------
+# ref: solr/core/src/java/org/apache/solr/search/MinHashQParser.java
+# (analyze the query text through the MinHash filter, build a query
+# over the hash tokens, score ≈ fraction of matching hashes — an
+# estimated-Jaccard similarity search surface); lucene/analysis/
+# common/src/java/org/apache/lucene/analysis/minhash/MinHashFilter.java.
+#
+# Hash family: slot i's hash of a term is the fixed-width 15-hex-digit
+# md5 of "i:term" — the repo's pinned cross-engine hash device (DSIR /
+# sampler precedent) extended to K independent families by key
+# prefixing, which avoids the (a*h+b) mod p arithmetic that would
+# overflow DuckDB's checked BIGINT multiply. K=16 slots → similarity
+# resolves in 1/16 steps, enough to rank near-duplicates first.
+
+_MINHASH_K = 16
+_MINHASH_QP = re.compile(r"^\{!min_?hash(?:\s+sim=([0-9.]+))?\}(.+)$")
+
+
+def _minhash_slot_int(i: int, term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{i}:{term}".encode()).hexdigest()[:15], 16)
+
+
+def parse_minhash_qparser(qs: str) -> tuple[float, list[str]]:
+    """{!minhash sim=T}query text → (min similarity, distinct query
+    terms in first-seen order). sim outside (0, 1] is rejected like
+    the reference validating its similarity parameter; empty analyzed
+    query text is rejected (no hashes to match)."""
+    m = _MINHASH_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!minhash}} query: {qs!r}")
+    sim = float(m.group(1)) if m.group(1) else 0.0
+    if m.group(1) and not 0.0 < sim <= 1.0:
+        raise ValueError(f"minhash sim must be in (0, 1]: {sim}")
+    terms = list(dict.fromkeys(re.findall(r"[a-z0-9]+", m.group(2).lower())))
+    if not terms:
+        raise ValueError(f"empty {{!minhash}} query text: {qs!r}")
+    return sim, terms
+
+
+_MINHASH_QTEXT = "table scan merge policy batch stream window hash join"
+
+
+def _minhash_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashQParser front door: estimated-Jaccard similarity of every
+    document to the query text, ranked desc.
+
+    Physical shape: the query signature is K=16 integers computed
+    driver-side (the tagger's tiny-side precedent) and folded into the
+    plan as literals; the corpus collapses to one partial-aggregating
+    groupBy(doc_id) with 16 min columns (narrow rows — the text never
+    shuffles), and the match count is a literal comparison per slot.
+    At 100 TB that is one map-side-combining pass; no join, no window."""
+    from pyspark.sql import functions as F
+
+    sim, terms = parse_minhash_qparser(
+        f"{{!minhash sim=0.1}}{_MINHASH_QTEXT}"
+    )
+    qmins = [
+        min(_minhash_slot_int(i, t) for t in terms)
+        for i in range(_MINHASH_K)
+    ]
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            )
+        ).alias("term"),
+    )
+    mins = d.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("term"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"m{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    matches = sum(
+        F.when(F.col(f"m{i}") == F.lit(qmins[i]), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    return (
+        mins.select(
+            "doc_id",
+            matches.cast("long").alias("matches"),
+            F.round(matches / float(_MINHASH_K), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= sim)
+        .orderBy(F.desc("matches"), "doc_id")
+        .limit(10)
+    )
+
+
+register(
+    "q_minhash_qparser",
+    _minhash_qparser,
+    f"""WITH qt AS (
+  SELECT DISTINCT t
+  FROM unnest(regexp_extract_all(lower('{_MINHASH_QTEXT}'), '[a-z0-9]+'))
+       AS u(t)),
+slots AS (SELECT CAST(i AS INTEGER) AS i FROM range(0, {_MINHASH_K}) AS r(i)),
+qm AS (
+  SELECT i, min(CAST(concat('0x',
+           substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT))
+         AS qmin
+  FROM slots, qt GROUP BY i),
+dt AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents)),
+dm AS (
+  SELECT doc_id, i, min(CAST(concat('0x',
+           substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15)) AS BIGINT))
+         AS dmin
+  FROM slots, dt GROUP BY doc_id, i),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN dmin = qmin THEN 1 ELSE 0 END) AS matches
+  FROM dm JOIN qm USING (i) GROUP BY doc_id)
+SELECT doc_id, CAST(matches AS BIGINT) AS matches,
+       round(matches / {float(_MINHASH_K)}, 4) AS sim
+FROM sim WHERE matches / {float(_MINHASH_K)} >= 0.1
+ORDER BY matches DESC, doc_id LIMIT 10""",
 )
 
 

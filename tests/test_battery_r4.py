@@ -489,3 +489,66 @@ def test_surround_qparser_contract():
         parse_surround_qparser("{!surround}0W(a, b)")
     with _pt.raises(ValueError):  # not a surround query
         parse_surround_qparser("table 3w merge")
+
+
+def test_minhash_qparser_contract():
+    import pytest as _pt
+
+    from lucene_solr_spark.registry import parse_minhash_qparser
+
+    assert parse_minhash_qparser("{!minhash sim=0.5}Table scan TABLE") == (
+        0.5, ["table", "scan"]
+    )
+    # sim optional (defaults to 0 = no floor); minhash/min_hash both spell it
+    assert parse_minhash_qparser("{!min_hash}merge join")[0] == 0.0
+    with _pt.raises(ValueError):  # sim out of (0, 1]
+        parse_minhash_qparser("{!minhash sim=1.5}scan")
+    with _pt.raises(ValueError):  # no analyzable terms
+        parse_minhash_qparser("{!minhash}!!!")
+    with _pt.raises(ValueError):  # not a minhash query
+        parse_minhash_qparser("scan merge")
+
+
+def test_payload_check_narrows_positionally(spark, sf_dir):
+    """Discriminator: the payload check must be a positional filter on
+    OCCURRENCES, not a boolean re-filter of phrase docs — per-doc span
+    counts are <= the plain phrase tf, strictly < somewhere, and every
+    returned span count must equal the hand-count of residue-valid
+    starts. An unsatisfiable payload sequence matches nothing."""
+    from lucene_solr_spark.analyzer import tokenize_one
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    rows = s.payload_check(("table", "scan"), (2.0, 3.0), k=10000).collect()
+    assert rows
+    t = {
+        (r.conv_id, r.turn_idx): tokenize_one(r.text)
+        for r in __import__(
+            "lucene_solr_spark.transcripts", fromlist=["x"]
+        ).transcripts_from_documents(spark, sf_dir).collect()
+    }
+    got = {(r.conv_id, r.turn_idx): r.score for r in rows}
+    n_phrase_docs = 0
+    for key, toks in t.items():
+        starts = [
+            p for p in range(len(toks) - 1)
+            if toks[p] == "table" and toks[p + 1] == "scan"
+        ]
+        valid = [p for p in starts if p % 4 == 1]
+        if starts:
+            n_phrase_docs += 1
+        if valid:
+            assert got.get(key) == float(len(valid)), (key, starts, valid)
+        else:
+            assert key not in got, (key, starts)
+    assert len(got) < n_phrase_docs, (
+        "payload residue rejected no phrase doc — positional narrowing "
+        "not exercised by this corpus"
+    )
+    # payloads that contradict pay(p)=1+(p mod 4) chain: 2.0 then 2.0
+    # is impossible for adjacent positions -> empty, never an error
+    assert s.payload_check(("table", "scan"), (2.0, 2.0), k=10).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):  # payload outside the derivation range
+        s.payload_check(("table", "scan"), (5.0, 1.0))
