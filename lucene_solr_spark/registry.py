@@ -850,6 +850,78 @@ LIMIT 10
 )
 
 
+_PAYLOAD_CHECK_QP = re.compile(
+    r"^\{!payload_check\s+f=(\w+)\s+payloads='([^']*)'\}(.+)$"
+)
+
+
+def parse_payload_check_qparser(qs: str) -> tuple[tuple, tuple]:
+    """``{!payload_check f=text payloads='2.0 3.0'}table scan`` →
+    (terms, payloads). Field is pinned to the analyzed text field
+    (payloads derive from its position stream); a payload count that
+    doesn't match the analyzed term count is rejected exactly like
+    PayloadCheckQParserPlugin ("wrong number of payloads").
+    ref: solr/core/src/java/org/apache/solr/search/
+    PayloadCheckQParserPlugin.java"""
+    m = _PAYLOAD_CHECK_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!payload_check}} query: {qs!r}")
+    fld, pays_s, qtext = m.groups()
+    if fld != "text":
+        raise ValueError(f"undefined payload field: {fld}")
+    terms = tuple(re.findall(r"[a-z0-9]+", qtext.lower()))
+    try:
+        payloads = tuple(float(p) for p in pays_s.split())
+    except ValueError:
+        raise ValueError(f"malformed payloads: {pays_s!r}") from None
+    if not terms:
+        raise ValueError(f"empty {{!payload_check}} query text: {qs!r}")
+    if len(payloads) != len(terms):
+        raise ValueError(
+            f"wrong number of payloads: {len(payloads)} for "
+            f"{len(terms)} terms"
+        )
+    return terms, payloads
+
+
+def _payload_check_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadCheckQParser front door: local-params syntax parsed and
+    dispatched to IndexSearcher.payload_check — a DIFFERENT residue
+    band than q_idx_payload_check (payloads 4.0 1.0 ⇒ starts ≡ 3 mod
+    4) so the parsed payloads demonstrably steer the span filter."""
+    s = cached_searcher(spark, sf_dir)
+    terms, payloads = parse_payload_check_qparser(
+        "{!payload_check f=text payloads='4.0 1.0'}table scan"
+    )
+    return s.payload_check(terms, payloads, k=10, round_to=ROUND)
+
+
+register(
+    "q_payload_check_qparser",
+    _payload_check_qparser,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+spans AS (
+  SELECT conv_id, turn_idx, i - 1 AS pos
+  FROM docs, unnest(range(1, len(toks))) AS u(i)
+  WHERE toks[i] = 'table' AND toks[i + 1] = 'scan'
+    AND 1.0 + ((i - 1) % 4) = 4.0 AND 1.0 + (i % 4) = 1.0
+)
+SELECT conv_id, turn_idx,
+       round(CAST(count(*) AS DOUBLE), {ROUND}) AS score
+FROM spans
+GROUP BY conv_id, turn_idx
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-select faceting (``fq={!tag=r}role:user`` +
     ``facet.field={!ex=r}role``): the role facet EXCLUDES the role fq

@@ -552,3 +552,27 @@ def test_payload_check_narrows_positionally(spark, sf_dir):
 
     with _pt.raises(ValueError):  # payload outside the derivation range
         s.payload_check(("table", "scan"), (5.0, 1.0))
+
+
+def test_payload_check_qparser_contract():
+    import pytest as _pt
+
+    from lucene_solr_spark.registry import parse_payload_check_qparser
+
+    assert parse_payload_check_qparser(
+        "{!payload_check f=text payloads='2.0 3.0'}table scan"
+    ) == (("table", "scan"), (2.0, 3.0))
+    with _pt.raises(ValueError):  # wrong number of payloads
+        parse_payload_check_qparser(
+            "{!payload_check f=text payloads='2.0'}table scan"
+        )
+    with _pt.raises(ValueError):  # undefined field
+        parse_payload_check_qparser(
+            "{!payload_check f=role payloads='1.0'}user"
+        )
+    with _pt.raises(ValueError):  # malformed payload literal
+        parse_payload_check_qparser(
+            "{!payload_check f=text payloads='x y'}table scan"
+        )
+    with _pt.raises(ValueError):  # not a payload_check query
+        parse_payload_check_qparser("table scan")
