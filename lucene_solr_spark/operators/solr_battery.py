@@ -2596,50 +2596,3 @@ def q_suggest_freetext(spark, sf_dir):
         .orderBy("ctx", F.desc("weight"), "nxt")
     )
 
-
-# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
-#      CartesianProductStream.java (emit the incoming tuple once per
-#      value of a multivalued field, other fields carried through,
-#      productSort ordering the expansion)
-@op(
-    "q_cartesian_stream",
-    f"""{DOCS_CTE},
-stream AS (
-  SELECT conv_id, turn_idx,
-         CAST(len(list_filter(toks, t -> t = 'merge')) AS BIGINT) AS score,
-         toks
-  FROM docs WHERE list_contains(toks, 'merge')
-  ORDER BY score DESC, conv_id, turn_idx LIMIT 10)
-SELECT conv_id, turn_idx, score,
-       CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
-       unnest(toks) AS tok
-FROM stream
-ORDER BY conv_id, turn_idx, pos""",
-)
-def q_cartesian_stream(spark, sf_dir):
-    """cartesianProduct(): each tuple of a bounded stream re-emitted
-    once per value of its multivalued ``toks`` field, scalar fields
-    carried through, expansion ordered by productSort=position. The
-    stream side is k tuples by contract so the explode is bounded;
-    over an unbounded stream the explode is a narrow per-row map —
-    no shuffle either way."""
-    d = _docs(spark, sf_dir)
-    stream = (
-        d.filter(F.array_contains("toks", "merge"))
-        .select(
-            "conv_id", "turn_idx",
-            F.size(F.filter("toks", lambda t: t == "merge"))
-            .cast("long").alias("score"),
-            "toks",
-        )
-        .orderBy(F.desc("score"), "conv_id", "turn_idx")
-        .limit(10)
-    )
-    return (
-        stream.select(
-            "conv_id", "turn_idx", "score",
-            F.posexplode("toks").alias("pos", "tok"),
-        )
-        .withColumn("pos", F.col("pos").cast("long"))
-        .orderBy("conv_id", "turn_idx", "pos")
-    )

@@ -5920,13 +5920,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # analysis chains: phonetic, word-delimiter, length/limit
     "q_idx_phonetic_search", "q_idx_word_delimiter",
     "q_idx_length_limit_search",
-    # TermsQParser through the IR (scored + parser front door)
-    "q_idx_terms_filter", "q_terms_qparser",
-    # function-query boosts: external-file ValueSource; LTR feature
-    # logging keeps the LTR family attested (rerank moved below 50)
-    "q_idx_external_file_boost", "q_idx_ltr_features",
-    # atomic updates non-string kinds; SQL handler front door
-    "q_atomic_update_inc", "q_sql_handler",
+    # FOURTH r4 ROTATION (this session): three family-redundant rows
+    # yield to the session's three deepest new contracts —
+    # q_terms_qparser (front-door family stays attested via the new
+    # qparser rows; the scored index path q_idx_terms_filter stays),
+    # q_idx_ltr_features (LTR rerank was driver-green r3), and
+    # q_atomic_update_inc (q_atomic_update stays in-window). In:
+    # BPE merge training (round-for-round oracle replay), MinHash
+    # similarity qparser, SpanPayloadCheckQuery positional narrowing.
+    # All displaced rows stay green in the full battery.
+    "q_bpe_train", "q_minhash_qparser", "q_idx_payload_check",
+    # TermsQParser through the IR (scored index path)
+    "q_idx_terms_filter",
+    # function-query boosts: external-file ValueSource
+    "q_idx_external_file_boost",
+    # SQL handler front door
+    "q_sql_handler",
     "q_idx_child_transformer",
     "q_idx_facet_child_domain", "q_dedup_substring",
     # faceting: NEW blockParent + offset paging + r4 SKG + uniqueBlock
