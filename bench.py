@@ -207,6 +207,11 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
             timed("payload_sum", lambda: searcher.payload_score(
                 "merge", func="sum", k=10
             ).collect())
+            # round-4 session: payload CHECK (phrase start-key pass +
+            # residue mask — the positional-narrowing span path)
+            timed("payload_check", lambda: searcher.payload_check(
+                ("table", "scan"), (2.0, 3.0), k=10
+            ).collect())
             # non-BM25 headline paths (fixed/changed in round 2 — facet
             # sparse counting, parent block join without a global sort)
             timed("facet_role_merge", lambda: searcher.facet(
@@ -260,6 +265,9 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                     # model, narrow gradient reduction)
                     ("select_dsir", textpipe.q_select_dsir),
                     ("train_logit", _learning.q_train_logit),
+                    # round-4 session: BPE merge learning (3 bounded
+                    # pair-count rounds over the word-type frame)
+                    ("bpe_train", textpipe.q_bpe_train),
                 ):
                     tq = time.perf_counter()
                     fn(spark, SF_DIR).collect()

@@ -103,3 +103,51 @@ def test_payload_respects_tombstones(spark, sf_dir, tmp_path):
     want = _brute(t, "merge", "sum")
     dropped = pre - post
     assert dropped and post == set(want) - dropped
+
+
+def _brute_check(t, terms, payloads, role=None):
+    """Independent payload-check span counting over the raw text."""
+    out = {}
+    n = len(terms)
+    for r in t.collect():
+        if role is not None and r.role != role:
+            continue
+        toks = tokenize_one(r.text)
+        c = 0
+        for p in range(len(toks) - n + 1):
+            if all(toks[p + i] == terms[i] for i in range(n)) and all(
+                1.0 + ((p + i) % 4) == payloads[i] for i in range(n)
+            ):
+                c += 1
+        if c:
+            out[(r.conv_id, r.turn_idx)] = float(c)
+    return out
+
+
+def test_payload_check_duels_brute_force(searcher):
+    s, t, _ = searcher
+    got = s.payload_check(("table", "scan"), (2.0, 3.0), k=10_000).collect()
+    want = _brute_check(t, ("table", "scan"), (2.0, 3.0))
+    assert want  # non-degenerate corpus
+    assert {(r.conv_id, r.turn_idx): r.score for r in got} == want
+
+
+def test_payload_check_respects_tombstones(spark, sf_dir, tmp_path):
+    """payload_check is a docmap read path → the liveDocs mask applies
+    (pinned invariant: every new read site masks)."""
+    root = str(tmp_path / "pcidx")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=3, lineage_source=sf_dir)
+    pre = {(r.conv_id, r.turn_idx)
+           for r in IndexSearcher(spark, root)
+           .payload_check(("table", "scan"), (2.0, 3.0), k=10_000).collect()}
+    delete_by_query(
+        spark, root, BooleanSpec(must=("table",), filters=(("role", "user"),))
+    )
+    post = {(r.conv_id, r.turn_idx)
+            for r in IndexSearcher(spark, root)
+            .payload_check(("table", "scan"), (2.0, 3.0), k=10_000).collect()}
+    assert post < pre
+    want = _brute_check(t, ("table", "scan"), (2.0, 3.0))
+    dropped = pre - post
+    assert dropped and post == set(want) - dropped
