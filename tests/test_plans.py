@@ -352,3 +352,51 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
     plan = _physical(q_kmeans_train(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing (the 100 TB fact-to-fact path —
+    broadcast covers small dims, bucketing covers big-big): two tables
+    bucketed by the join key into the same bucket count must
+    SortMergeJoin with ZERO Exchange — each task reads matching
+    buckets. The same join over plain parquet shuffles BOTH sides, so
+    the assert would fail without the bucket layout; results must be
+    identical either way."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/wh'"
+    )
+    # the sf0.001 tables are broadcast-small, which would hide the
+    # bucket layout behind a BroadcastHashJoin — force the big-big
+    # planning the test is about
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        m = d.select(
+            "doc_id", F.length("text").cast("long").alias("text_len")
+        )
+        for name, df in (("docs_b", d), ("meta_b", m)):
+            (
+                df.write.bucketBy(8, "doc_id").sortBy("doc_id")
+                .mode("overwrite").saveAsTable(f"bktdb.{name}")
+            )
+        j = (
+            spark.table("bktdb.docs_b")
+            .join(spark.table("bktdb.meta_b"), "doc_id")
+            .select("doc_id", "text_len")
+        )
+        plan = _physical(j, finalize=True)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        got = sorted((r.doc_id, r.text_len) for r in j.collect())
+        want = sorted(
+            (r.doc_id, r.text_len)
+            for r in d.join(m, "doc_id").select("doc_id", "text_len").collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
