@@ -175,3 +175,16 @@ def test_merged_dictionary_and_max_dl_identical(pair):
         d = b.seg_dir_by_id[int(seg["part"])]
         dm = pd.read_parquet(f"{d}/docmap.parquet")
         assert seg["max_dl"] == int(dm["doc_len"].max()), name
+
+
+def test_merged_payload_check_identical(pair):
+    """Payload-residue spans survive compaction byte-identically —
+    merge rewrites segments but must preserve every doc's position
+    stream, and pay(p)=1+(p mod 4) derives from exactly those
+    positions (this session's payload_check read path)."""
+    a, b = pair
+    pa = a.payload_check(("table", "scan"), (2.0, 3.0), k=10_000).toPandas()
+    pb = b.payload_check(("table", "scan"), (2.0, 3.0), k=10_000).toPandas()
+    ka = sorted(zip(pa.conv_id, pa.turn_idx, pa.score))
+    kb = sorted(zip(pb.conv_id, pb.turn_idx, pb.score))
+    assert ka and ka == kb
