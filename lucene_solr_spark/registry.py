@@ -4703,6 +4703,96 @@ register(
 )
 
 
+# --- SimpleQueryParser ({!simple}) ------------------------------------
+# ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
+# simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,
+# "..."~N phrase-with-slop; the defining contract is GRACEFUL
+# DEGRADATION — "will never throw an exception" — malformed syntax is
+# treated as text or dropped, never an error). Subset here: flat
+# clauses over the analyzed text field (no parenthesized nesting —
+# the BooleanSpec model is flat), AND default; a top-level | with no
+# + switches the positive terms to OR (mm=1).
+
+
+def parse_simple_qparser(qs: str) -> BooleanSpec:
+    """SimpleQueryParser subset → BooleanSpec, never raises.
+
+    ``-`` before a clause negates it; ``"a b"~N`` is a sloppy phrase
+    (slop defaults 0; a malformed ``~x`` suffix is dropped — graceful);
+    an unbalanced quote is stripped and its content parsed as terms;
+    dangling ``+``/``|`` operators are ignored. ``|`` between positive
+    terms (and no ``+`` anywhere) scores them as SHOULD with mm=1;
+    otherwise positive terms are MUST (the AND default operator)."""
+    qs = qs.strip()
+    if qs.startswith("{!simple}"):
+        qs = qs[len("{!simple}") :]
+    must: list[str] = []
+    must_not: list[str] = []
+    phrases: list[tuple] = []
+    slop = 0
+    neg_phrases: list[tuple] = []
+    # pull quoted phrases (with optional ~N) out first
+    def grab_phrase(m: re.Match) -> str:
+        nonlocal slop
+        toks = tuple(re.findall(r"[a-z0-9]+", m.group(2).lower()))
+        if toks:
+            if m.group(1):
+                neg_phrases.append(toks)
+            else:
+                phrases.append(toks)
+            if m.group(3):
+                slop = max(slop, int(m.group(3)))
+        return " "
+
+    rest = re.sub(r'(-?)"([^"]*)"(?:~(\d+))?', grab_phrase, qs)
+    rest = rest.replace('"', " ")  # unbalanced quote: strip, keep text
+    has_or = False
+    has_and = "+" in rest
+    for raw in rest.split():
+        if raw == "+":
+            continue
+        if raw == "|":
+            has_or = True
+            continue
+        neg = raw.startswith("-")
+        toks = re.findall(r"[a-z0-9]+", raw.lower())
+        if not toks:
+            continue  # a bare operator / punctuation clause: dropped
+        (must_not if neg else must).extend(toks)
+    if has_or and not has_and and must:
+        return BooleanSpec(
+            should=tuple(must), min_should_match=1,
+            must_not=tuple(must_not), phrases=tuple(phrases),
+            must_not_phrases=tuple(neg_phrases), phrase_slop=slop, k=12,
+        )
+    return BooleanSpec(
+        must=tuple(must), must_not=tuple(must_not),
+        phrases=tuple(phrases), must_not_phrases=tuple(neg_phrases),
+        phrase_slop=slop, k=12,
+    )
+
+
+_SIMPLE_QP_SPEC = BooleanSpec(
+    must=("merge",), must_not=("dup",),
+    phrases=(("table", "scan"),), phrase_slop=1, k=12,
+)
+
+
+def _simple_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleQueryParser front door: '"table scan"~1 + merge -dup'
+    parses to sloppy-phrase MUST + term MUST + NOT and dispatches to
+    the index engine."""
+    s = cached_searcher(spark, sf_dir)
+    spec = parse_simple_qparser('{!simple}"table scan"~1 + merge -dup')
+    assert spec == _SIMPLE_QP_SPEC
+    return s.search(spec, round_to=ROUND)
+
+
+register(
+    "q_simple_qparser", _simple_qparser, bm25_oracle_sql(_SIMPLE_QP_SPEC)
+)
+
+
 # --- {!minhash} qparser ------------------------------------------------
 # ref: solr/core/src/java/org/apache/solr/search/MinHashQParser.java
 # (analyze the query text through the MinHash filter, build a query

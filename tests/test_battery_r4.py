@@ -576,3 +576,28 @@ def test_payload_check_qparser_contract():
         )
     with _pt.raises(ValueError):  # not a payload_check query
         parse_payload_check_qparser("table scan")
+
+
+def test_simple_qparser_never_throws():
+    """SimpleQueryParser's defining contract is graceful degradation —
+    malformed syntax parses as text or drops, NEVER raises."""
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import parse_simple_qparser as p
+
+    assert p('"table scan"~1 + merge -dup') == BooleanSpec(
+        must=("merge",), must_not=("dup",),
+        phrases=(("table", "scan"),), phrase_slop=1, k=12,
+    )
+    # | with no + -> OR semantics (mm=1)
+    assert p("merge | scan") == BooleanSpec(
+        should=("merge", "scan"), min_should_match=1, k=12
+    )
+    # negated phrase
+    assert p('-"table scan" merge').must_not_phrases == (("table", "scan"),)
+    # graceful: unbalanced quote -> stripped, content kept as terms
+    assert p('"table scan merge').must == ("table", "scan", "merge")
+    # graceful: dangling operators / bare punctuation -> dropped
+    assert p("merge + | -").must == ("merge",)
+    assert p("merge ~x !!").must == ("merge", "x")
+    # graceful: empty / operator-only input -> MatchNothing-ish empty spec
+    assert p("| + -").must == ()
