@@ -249,6 +249,9 @@ class IndexSearcher:
         # the cached counts can never go stale). facets.facet_field
         # owns population; entries persist for the searcher's life.
         self._facet_cache: dict[tuple, object] = {}
+        #: filterCache: canonical fq key → broadcast of per-segment
+        #: packed bitsets (see cache_filter)
+        self._fq_cache: dict[tuple, object] = {}
         #: liveDocs analog: tombstoned (conv_id, turn_idx) keys.
         #: Shipped to tasks via a Spark BROADCAST (serialized once,
         #: cached per executor/worker) — capturing the raw set in UDF
@@ -272,12 +275,99 @@ class IndexSearcher:
 
     def persist(self) -> "IndexSearcher":
         """Serving mode: pin the postings table in executor memory
-        (the filterCache / OS-page-cache warm-index analog). ~15-20%
+        (the OS-page-cache warm-index analog). ~15-20%
         off warm query latency in local mode; on a cluster it removes
         object-store reads from the query path entirely."""
         self._postings_df = self._postings_df.persist()
         self._postings_df.count()  # materialize
         return self
+
+    # -- filterCache (SolrIndexSearcher#getDocSet fq bitsets) ----------
+
+    #: solrconfig filterCache size analog: bounded entries, oldest out
+    MAX_FILTER_CACHE = 64
+
+    @staticmethod
+    def _filter_key(spec: BooleanSpec) -> tuple:
+        """Canonical fq identity — every non-scoring constraint kind
+        that rides the filter mask path (the filter_cols inventory)."""
+        return (
+            tuple(spec.filters), tuple(spec.not_filters),
+            tuple(spec.range_filters), tuple(spec.in_filters),
+            tuple(spec.exists_filters), tuple(spec.missing_filters),
+        )
+
+    def cache_filter(self, spec: BooleanSpec) -> bool:
+        """Populate the filterCache for ``spec``'s fq constraints: one
+        seg-driver job evaluates the filter mask per segment and packs
+        it to a bitset (maxDoc/8 bytes — exactly Lucene's per-core
+        FixedBitSet cost model), broadcast for reuse. Subsequent
+        ``search`` calls whose fq constraints match the cached key
+        skip BOTH the per-row predicate evaluation AND the parquet
+        read of the fq columns (the docmap scan shrinks to the base
+        columns). Returns False (no-op) for a filterless spec.
+
+        Unlike Solr the cache warms EXPLICITLY (Solr caches the bitset
+        as a byproduct of fq execution; here the masks materialize
+        inside executor tasks, so a dedicated bounded job builds
+        them). Entries are safe for the searcher's lifetime — a
+        searcher is pinned to one snapshot (the facet-cache
+        precedent); deletes/merges produce a NEW searcher. Capped at
+        MAX_FILTER_CACHE entries, oldest evicted and its broadcast
+        unpersisted.
+
+        ref: solr/core/src/java/org/apache/solr/search/
+        SolrIndexSearcher.java (getDocSet / filterCache),
+        solr/core/src/java/org/apache/solr/search/DocSetCollector.java
+        """
+        import numpy as np
+
+        key = self._filter_key(spec)
+        if not any(key):
+            return False
+        if key in self._fq_cache:
+            return True
+        fspec = BooleanSpec(
+            filters=spec.filters, not_filters=spec.not_filters,
+            range_filters=spec.range_filters, in_filters=spec.in_filters,
+            exists_filters=spec.exists_filters,
+            missing_filters=spec.missing_filters,
+        )
+        seg_dirs = self.seg_dir_by_id
+        dm_cols = filter_cols(fspec, ["doc_ord"])
+
+        def one(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            mask = filter_mask(dm, fspec)
+            bits = np.packbits(np.asarray(mask, dtype=np.uint8))
+            return pd.DataFrame(
+                {"seg_id": [seg_id], "bits": [bits.tobytes()],
+                 "n": [len(dm)]}
+            )
+
+        rows = (
+            self.seg_driver()
+            .groupBy("seg_id")
+            .applyInPandas(one, "seg_id int, bits binary, n long")
+            .collect()
+        )
+        packed = {int(r.seg_id): (r.bits, int(r.n)) for r in rows}
+        if len(self._fq_cache) >= self.MAX_FILTER_CACHE:
+            old_bc = self._fq_cache.pop(next(iter(self._fq_cache)))
+            old_bc.unpersist()
+        self._fq_cache[key] = self.spark.sparkContext.broadcast(packed)
+        return True
+
+    def _fq_cached_bc(self, spec: BooleanSpec):
+        """Broadcast of {seg_id: (packed bits, n_docs)} for specs whose
+        fq constraints hit the cache, else None."""
+        return self._fq_cache.get(self._filter_key(spec))
 
     # -- table handles -------------------------------------------------
     def postings(self) -> DataFrame:
@@ -373,13 +463,19 @@ class IndexSearcher:
             idf = {t: v * bm.get(t, 1.0) for t, v in idf.items()}
         avgdl = self.manifest.avgdl
         seg_dirs = self.seg_dir_by_id
-        dm_cols = filter_cols(spec, _BASE_COLS)
+        fq_bc = self._fq_cached_bc(spec)
+        # filterCache hit: the fq bitset replaces per-row predicate
+        # evaluation AND the scan drops the fq columns entirely
+        dm_cols = _BASE_COLS if fq_bc is not None else filter_cols(
+            spec, _BASE_COLS
+        )
         seg_k = (1 << 62) if k is None else k
         deleted_bc = self._deleted_bc
 
         post = self.postings().filter(F.col("term").isin(all_terms))
 
         def run_seg(pdf):
+            import numpy as np
             import pandas as pd
             import pyarrow.parquet as pq
 
@@ -389,8 +485,15 @@ class IndexSearcher:
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()  # written sorted by doc_ord
             doc_len = dm["doc_len"].to_numpy("int64")
+            if fq_bc is not None:
+                bits, n = fq_bc.value[seg_id]
+                fq_mask = np.unpackbits(
+                    np.frombuffer(bits, np.uint8), count=n
+                ).astype(bool)
+            else:
+                fq_mask = filter_mask(dm, spec)
             allowed = apply_deletes(
-                filter_mask(dm, spec), dm,
+                fq_mask, dm,
                 deleted_bc.value if deleted_bc else None,
             )
             term_rows = {r["term"]: r for _, r in pdf.iterrows()}
