@@ -1,0 +1,126 @@
+"""/select SearchHandler front door — the request surface a reference
+user actually calls: one params dict composing q + q.op + fq list +
+start/rows paging + fl projection + facet.field list over the same
+components the dedicated operators attest individually.
+
+ref: solr/core/src/java/org/apache/solr/handler/component/
+SearchHandler.java (the component pipeline: QueryComponent →
+FacetComponent), solr/core/src/java/org/apache/solr/search/
+QParser.java (q/fq parsing), SolrReturnFields.java (fl=).
+
+Subset contract (raise on anything outside it, like Solr's 400s on
+bad params): ``q`` parses through the classic parser (q.op honored);
+each ``fq`` must parse to a PURE filter (field:value, ranges, IN
+sets, exists/missing, negations — a scoring fq would change ranking
+semantics silently, so it is rejected); ``sort`` supports the default
+``score desc`` total order only (field sort lives in the dedicated
+sort-by-ValueSource operator); ``start``/``rows`` page the ranked
+doclist; ``facet.field`` fans out to the index facet engine over the
+SAME filtered domain as the doclist.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.query.model import BooleanSpec
+from lucene_solr_spark.query.parser import parse
+
+#: params this handler understands — anything else is a hard error
+#: (Solr rejects unknown critical params rather than guessing)
+_KNOWN = {
+    "q", "q.op", "fq", "sort", "start", "rows", "fl",
+    "facet", "facet.field", "facet.limit",
+}
+
+
+def _pure_filter(spec: BooleanSpec, raw: str) -> BooleanSpec:
+    """Reject an fq that carries scoring clauses."""
+    if (spec.must or spec.should or spec.must_not or spec.phrases
+            or spec.must_not_phrases):
+        raise ValueError(f"fq must be a pure filter, got scoring: {raw!r}")
+    return spec
+
+
+def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
+    """params dict → (combined BooleanSpec, normalized options)."""
+    unknown = set(params) - _KNOWN
+    if unknown:
+        raise ValueError(f"unknown /select params: {sorted(unknown)}")
+    if "q" not in params:
+        raise ValueError("missing required param: q")
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+    if start < 0 or rows < 0:
+        raise ValueError(f"start/rows must be >= 0: {start}/{rows}")
+    sort = params.get("sort", "score desc")
+    if sort != "score desc":
+        raise ValueError(f"unsupported sort: {sort!r} (score desc only)")
+    spec = parse(
+        params["q"], k=start + rows,
+        default_op=params.get("q.op", "OR"),
+    )
+    fqs = params.get("fq", [])
+    if isinstance(fqs, str):
+        fqs = [fqs]
+    for raw in fqs:
+        f_spec = _pure_filter(parse(raw, default_op="AND"), raw)
+        spec = replace(
+            spec,
+            filters=spec.filters + f_spec.filters,
+            not_filters=spec.not_filters + f_spec.not_filters,
+            range_filters=spec.range_filters + f_spec.range_filters,
+            in_filters=spec.in_filters + f_spec.in_filters,
+            exists_filters=spec.exists_filters + f_spec.exists_filters,
+            missing_filters=spec.missing_filters + f_spec.missing_filters,
+        )
+    facet_fields = params.get("facet.field", [])
+    if isinstance(facet_fields, str):
+        facet_fields = [facet_fields]
+    if facet_fields and not params.get("facet", True):
+        facet_fields = []
+    opts = {
+        "start": start, "rows": rows,
+        "fl": params.get("fl"),
+        "facet_fields": list(facet_fields),
+        "facet_limit": int(params.get("facet.limit", 10)),
+    }
+    return spec, opts
+
+
+def select(searcher, params: dict) -> dict:
+    """Run the composed request; returns ``{"response": DataFrame,
+    "numFound": int, "facet_counts": {field: DataFrame}}``.
+
+    Paging stays distributed-bounded: the engine retrieves the
+    start+rows head (what Solr's distributed merge heap holds), and
+    the offset slices with one row_number window over those ≤
+    start+rows rows — never a global sort, never a driver collect.
+    numFound is the full DocSet count (Solr's numFound), one bounded
+    count job over the same masked domain. Facets run the index
+    sparse-counting engine over the SAME spec (hits + fq), so
+    multi-component responses stay one-domain-consistent."""
+    spec, o = parse_select_params(params)
+    head = searcher.search(spec, round_to=4)
+    w = Window.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    page = (
+        head.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > o["start"])
+        .drop("rn")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+    )
+    if o["fl"]:
+        page = page.select(*o["fl"])
+    out: dict = {
+        "response": page,
+        "numFound": searcher.docset(spec).count(),
+        "facet_counts": {},
+    }
+    for fld in o["facet_fields"]:
+        out["facet_counts"][fld] = searcher.facet(
+            fld, spec=spec, limit=o["facet_limit"]
+        )
+    return out

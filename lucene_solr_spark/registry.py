@@ -4703,6 +4703,45 @@ register(
 )
 
 
+# --- /select SearchHandler front door ---------------------------------
+
+_SELECT_PARAMS = {
+    "q": "merge data", "q.op": "AND",
+    "fq": ["role:assistant", "turn_idx:[1 TO 8]"],
+    "start": 5, "rows": 10,
+    "facet.field": ["role", "tool"], "facet.limit": 5,
+}
+_SELECT_SPEC = BooleanSpec(
+    must=("merge", "data"),
+    filters=(("role", "assistant"),),
+    range_filters=(("turn_idx", "1", "8"),),
+    k=15,
+)
+
+
+def _select_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SearchHandler (/select) front door: q + q.op + two fq + paging
+    composed into ONE spec and dispatched; this row attests the paged
+    doclist (start=5 rows=10 of the ranked head), the facet legs are
+    attested component-equal in test_battery_r4. See
+    lucene_solr_spark/handler.py."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    spec, _ = parse_select_params(_SELECT_PARAMS)
+    assert spec == _SELECT_SPEC
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_PARAMS)["response"]
+
+
+_select_oracle = bm25_oracle_sql(_SELECT_SPEC)
+assert _select_oracle.rstrip().endswith("LIMIT 15")
+register(
+    "q_select_handler",
+    _select_handler,
+    _select_oracle.rstrip()[: -len("LIMIT 15")] + "LIMIT 10 OFFSET 5",
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

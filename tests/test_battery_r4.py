@@ -601,3 +601,43 @@ def test_simple_qparser_never_throws():
     assert p("merge ~x !!").must == ("merge", "x")
     # graceful: empty / operator-only input -> MatchNothing-ish empty spec
     assert p("| + -").must == ()
+
+
+def test_select_handler_components_agree(spark, sf_dir):
+    """/select composes EXISTING components — each response section
+    must equal the dedicated API called directly, and paging must be
+    exactly the offset slice of the ranked head."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import _SELECT_PARAMS, cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    spec, opts = parse_select_params(_SELECT_PARAMS)
+    resp = select(s, _SELECT_PARAMS)
+    # paging: rows 6..15 of the ranked head
+    head = s.search(spec, round_to=4).collect()
+    page = resp["response"].collect()
+    assert [(r.conv_id, r.turn_idx) for r in page] == [
+        (r.conv_id, r.turn_idx) for r in head[5:15]
+    ]
+    # numFound: the full DocSet cardinality, independent of rows
+    assert resp["numFound"] == s.docset(spec).count()
+    assert resp["numFound"] >= len(head)
+    # facet legs: component-equal to the direct facet call, same domain
+    for fld in ("role", "tool"):
+        direct = s.facet(fld, spec=spec, limit=5).collect()
+        via = resp["facet_counts"][fld].collect()
+        assert [(r.facet_value, r.cnt) for r in via] == [
+            (r.facet_value, r.cnt) for r in direct
+        ]
+    # param validation: unknown param, scoring fq, bad sort all reject
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "merge", "qt": "/select"})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "merge", "fq": "scan"})  # scoring fq
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "merge", "sort": "turn_idx asc"})
+    with _pt.raises(ValueError):
+        parse_select_params({"fq": "role:user"})  # q required
