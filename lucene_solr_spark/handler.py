@@ -33,7 +33,7 @@ from lucene_solr_spark.query.parser import parse
 #: (Solr rejects unknown critical params rather than guessing)
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
-    "facet", "facet.field", "facet.limit",
+    "facet", "facet.field", "facet.limit", "hl", "hl.fl",
 }
 
 
@@ -82,16 +82,20 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         facet_fields = [facet_fields]
     if facet_fields and not params.get("facet", True):
         facet_fields = []
+    hl = bool(params.get("hl", False))
+    if hl and params.get("hl.fl", "text") != "text":
+        raise ValueError("hl.fl supports the analyzed text field only")
     opts = {
         "start": start, "rows": rows,
         "fl": params.get("fl"),
         "facet_fields": list(facet_fields),
         "facet_limit": int(params.get("facet.limit", 10)),
+        "hl": hl,
     }
     return spec, opts
 
 
-def select(searcher, params: dict) -> dict:
+def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     """Run the composed request; returns ``{"response": DataFrame,
     "numFound": int, "facet_counts": {field: DataFrame}}``.
 
@@ -112,6 +116,7 @@ def select(searcher, params: dict) -> dict:
         .drop("rn")
         .orderBy(F.desc("score"), "conv_id", "turn_idx")
     )
+    page_keys = page.select("conv_id", "turn_idx", "score")
     if o["fl"]:
         page = page.select(*o["fl"])
     out: dict = {
@@ -122,5 +127,37 @@ def select(searcher, params: dict) -> dict:
     for fld in o["facet_fields"]:
         out["facet_counts"][fld] = searcher.facet(
             fld, spec=spec, limit=o["facet_limit"]
+        )
+    if o["hl"]:
+        # highlight leg (DefaultSolrHighlighter in the /select flow):
+        # ONLY the page's rows join back to stored fields (broadcast of
+        # <= rows keys), every scoring-term occurrence marks token-level
+        # from the same analyzer stream the matcher used
+        if stored is None:
+            raise ValueError("hl=true needs the stored-fields frame")
+        from lucene_solr_spark.analyzer import tokens_col
+
+        terms = list(dict.fromkeys(
+            spec.scoring_terms + tuple(t for ph in spec.phrases for t in ph)
+        ))
+        toks = tokens_col("text")
+        mark = F.transform(
+            toks,
+            lambda tk: F.when(
+                tk.isin(*terms),
+                F.concat(F.lit("<em>"), tk, F.lit("</em>")),
+            ).otherwise(tk),
+        ) if terms else toks  # filter-only q: nothing to mark
+        out["highlighting"] = (
+            stored.join(
+                F.broadcast(page_keys),
+                ["conv_id", "turn_idx"],
+            )
+            .select(
+                "conv_id", "turn_idx",
+                F.array_join(mark, " ").alias("snippet"),
+            )
+            .orderBy(F.desc("score"), "conv_id", "turn_idx")
+            .drop("score")
         )
     return out

@@ -632,6 +632,24 @@ def test_select_handler_components_agree(spark, sf_dir):
         assert [(r.facet_value, r.cnt) for r in via] == [
             (r.facet_value, r.cnt) for r in direct
         ]
+    # hl leg: page-only stored join, every scoring-term occurrence marks
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    p = dict(_SELECT_PARAMS)
+    p["hl"] = True
+    hl = select(s, p, stored=transcripts_from_documents(spark, sf_dir))[
+        "highlighting"
+    ].collect()
+    assert [(r.conv_id, r.turn_idx) for r in hl] == [
+        (r.conv_id, r.turn_idx) for r in page
+    ]
+    for r in hl:
+        assert "<em>merge</em>" in r.snippet or "<em>data</em>" in r.snippet
+        assert "<em><em>" not in r.snippet
+    with _pt.raises(ValueError):  # hl needs the stored frame
+        select(s, p)
+    with _pt.raises(ValueError):  # hl.fl pinned to text
+        parse_select_params({"q": "merge", "hl": True, "hl.fl": "role"})
     # param validation: unknown param, scoring fq, bad sort all reject
     with _pt.raises(ValueError):
         parse_select_params({"q": "merge", "qt": "/select"})
