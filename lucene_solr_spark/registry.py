@@ -6067,8 +6067,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sql_handler",
     "q_idx_child_transformer",
     "q_idx_facet_child_domain", "q_dedup_substring",
-    # faceting: NEW blockParent + offset paging + r4 SKG + uniqueBlock
-    "q_idx_facet_parent_domain", "q_idx_facet_offset",
+    # faceting: NEW blockParent + r4 SKG + uniqueBlock (facet.offset
+    # yields its slot to the /select handler capstone — the handler
+    # row attests offset paging on the doclist side, and the facet
+    # family keeps four in-window rows; facet_offset stays green in
+    # the full battery)
+    "q_idx_facet_parent_domain", "q_select_handler",
     "q_idx_facet_relatedness", "q_idx_facet_unique_block",
     # NEW r4: grouping variants, passages highlighter, fetch, W6, N4
     "q_grouping_query", "q_grouping_func", "q_idx_highlight_passages",
