@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> dict:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("dedup", "clusters", "sample", "pack", "filter",
                  "substring", "semdedup", "decontaminate", "dsir",
-                 "classify-filter", "ppl-filter"):
+                 "classify-filter", "ppl-filter", "bpe-train"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -159,6 +159,11 @@ def main(argv: list[str] | None = None) -> dict:
             .select("doc_id")
         )
         out = d.join(keep, "doc_id")
+    elif args.cmd == "bpe-train":
+        # tokenizer-training artifact: the learned merge table (step,
+        # lhs, rhs, merged, cnt) — the subword vocabulary downstream
+        # tokenize/pack stages consume
+        out = textpipe.q_bpe_train(spark, args.sf_dir)
     else:  # pack
         out = textpipe.q_pack_sequences(spark, args.sf_dir)
 

@@ -82,6 +82,12 @@ def test_pipeline_cli_stages(spark, sf_dir, tmp_path):
     # planted corpus: every %7 doc has an exact dup that must drop
     assert st["rows_out"] < st["rows_in"] * 1.25  # corpus adds ~23% dups
 
+    st = pmain(["bpe-train", "--sf-dir", sf_dir, "--out",
+                str(tmp_path / "merges")])
+    merges = spark.read.parquet(str(tmp_path / "merges"))
+    assert st["rows_out"] == 3  # the pinned merge-round count
+    assert set(merges.columns) == {"step", "lhs", "rhs", "merged", "cnt"}
+
 
 def test_pipeline_cli_filter_stage(spark, sf_dir, tmp_path):
     sys.path.insert(0, "/root/repo/jobs")
