@@ -9,14 +9,16 @@ FacetComponent), solr/core/src/java/org/apache/solr/search/
 QParser.java (q/fq parsing), SolrReturnFields.java (fl=).
 
 Subset contract (raise on anything outside it, like Solr's 400s on
-bad params): ``q`` parses through the classic parser (q.op honored);
-each ``fq`` must parse to a PURE filter (field:value, ranges, IN
-sets, exists/missing, negations — a scoring fq would change ranking
-semantics silently, so it is rejected); ``sort`` supports the default
-``score desc`` total order only (field sort lives in the dedicated
-sort-by-ValueSource operator); ``start``/``rows`` page the ranked
-doclist; ``facet.field`` fans out to the index facet engine over the
-SAME filtered domain as the doclist.
+bad params): ``q`` parses through the classic parser (q.op honored)
+or, under ``defType=edismax``, the edismax front door (mm/pf/ps
+honored, q.op rejected — mm owns the clause arithmetic); each ``fq``
+must parse to a PURE filter (field:value, ranges, IN sets, exists/
+missing, negations — a scoring fq would change ranking semantics
+silently, so it is rejected); ``sort`` is ``score desc`` (default) or
+``<docvalues-field> asc|desc`` with the engine's pinned (conv_id,
+turn_idx) tiebreak; ``start``/``rows`` page the ranked doclist;
+``facet.field`` fans out to the index facet engine over the SAME
+filtered domain as the doclist.
 """
 
 from __future__ import annotations
@@ -27,14 +29,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.query.model import BooleanSpec
-from lucene_solr_spark.query.parser import parse
+from lucene_solr_spark.query.parser import edismax, parse
 
 #: params this handler understands — anything else is a hard error
 #: (Solr rejects unknown critical params rather than guessing)
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
     "facet", "facet.field", "facet.limit", "hl", "hl.fl",
+    "defType", "mm", "pf", "ps",
 }
+
+#: docvalues columns a field sort may key on (SortSpecParsing resolves
+#: sort fields against the schema the same way; anything else is a 400)
+_SORTABLE = {"conv_id", "turn_idx", "role", "tool", "ftok", "ts", "doc_len"}
 
 
 def _pure_filter(spec: BooleanSpec, raw: str) -> BooleanSpec:
@@ -57,12 +64,36 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     if start < 0 or rows < 0:
         raise ValueError(f"start/rows must be >= 0: {start}/{rows}")
     sort = params.get("sort", "score desc")
-    if sort != "score desc":
-        raise ValueError(f"unsupported sort: {sort!r} (score desc only)")
-    spec = parse(
-        params["q"], k=start + rows,
-        default_op=params.get("q.op", "OR"),
-    )
+    if sort == "score desc":
+        sort_key = None  # ranked doclist, the default
+    else:
+        parts = sort.split()
+        if (len(parts) != 2 or parts[0] not in _SORTABLE
+                or parts[1] not in ("asc", "desc")):
+            raise ValueError(
+                f"unsupported sort: {sort!r} (score desc or "
+                f"<docvalues field> asc|desc)")
+        sort_key = (parts[0], parts[1] == "asc")
+    def_type = params.get("defType", "lucene")
+    if def_type == "edismax":
+        if "q.op" in params:
+            raise ValueError("q.op is not a defType=edismax param — "
+                             "mm owns the optional-clause arithmetic")
+        spec = edismax(
+            params["q"], k=start + rows,
+            mm=params.get("mm", 1),
+            pf=bool(params.get("pf", True)),
+            ps=int(params.get("ps", 0)),
+        )
+    elif def_type == "lucene":
+        if {"mm", "pf", "ps"} & set(params):
+            raise ValueError("mm/pf/ps need defType=edismax")
+        spec = parse(
+            params["q"], k=start + rows,
+            default_op=params.get("q.op", "OR"),
+        )
+    else:
+        raise ValueError(f"unknown defType: {def_type!r}")
     fqs = params.get("fq", [])
     if isinstance(fqs, str):
         fqs = [fqs]
@@ -91,6 +122,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_fields": list(facet_fields),
         "facet_limit": int(params.get("facet.limit", 10)),
         "hl": hl,
+        "sort": sort_key,
     }
     return spec, opts
 
@@ -103,20 +135,37 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     start+rows head (what Solr's distributed merge heap holds), and
     the offset slices with one row_number window over those ≤
     start+rows rows — never a global sort, never a driver collect.
-    numFound is the full DocSet count (Solr's numFound), one bounded
-    count job over the same masked domain. Facets run the index
-    sparse-counting engine over the SAME spec (hits + fq), so
-    multi-component responses stay one-domain-consistent."""
+    A field sort orders the match DocSet by index docvalues instead
+    of score (keys join the pruned docmap columns, the limit turns
+    the order into a distributed TakeOrdered top-k — still never a
+    global sort). numFound is the full DocSet count (Solr's
+    numFound), one bounded count job over the same masked domain.
+    Facets run the index sparse-counting engine over the SAME spec
+    (hits + fq), so multi-component responses stay
+    one-domain-consistent."""
     spec, o = parse_select_params(params)
-    head = searcher.search(spec, round_to=4)
-    w = Window.orderBy(F.desc("score"), "conv_id", "turn_idx")
-    page = (
-        head.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > o["start"])
-        .drop("rn")
-        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+    if o["sort"] is None:
+        head = searcher.search(spec, round_to=4)
+        order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
+    else:
+        fld, asc = o["sort"]
+        key = F.asc(fld) if asc else F.desc(fld)
+        order = [key, F.asc("conv_id"), F.asc("turn_idx")]
+        dm_cols = ["conv_id", "turn_idx"] + (
+            [fld] if fld not in ("conv_id", "turn_idx") else []
+        )
+        head = (
+            searcher.docmap().select(*dm_cols)
+            .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+            .orderBy(*order)
+            .limit(o["start"] + o["rows"])
+        )
+    w = Window.orderBy(*order)
+    paged = head.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") > o["start"]
     )
-    page_keys = page.select("conv_id", "turn_idx", "score")
+    page = paged.drop("rn").orderBy(*order)
+    page_keys = paged.select("conv_id", "turn_idx", "rn")
     if o["fl"]:
         page = page.select(*o["fl"])
     out: dict = {
@@ -155,9 +204,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             )
             .select(
                 "conv_id", "turn_idx",
-                F.array_join(mark, " ").alias("snippet"),
+                F.array_join(mark, " ").alias("snippet"), "rn",
             )
-            .orderBy(F.desc("score"), "conv_id", "turn_idx")
-            .drop("score")
+            .orderBy("rn")
+            .drop("rn")
         )
     return out

@@ -4742,6 +4742,71 @@ register(
 )
 
 
+_SELECT_SORT_PARAMS = {
+    "q": "merge", "fq": "role:assistant",
+    "sort": "ts desc", "start": 3, "rows": 12,
+    "fl": ["conv_id", "turn_idx"],
+}
+
+
+def _select_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select field-sort leg: ``sort=ts desc`` over the q+fq DocSet —
+    the match keys join the PRUNED docmap docvalues column (conv_id,
+    turn_idx, ts only) and the start+rows limit turns the order into
+    a distributed TakeOrdered top-k, never a global sort.
+    ref: solr/core/src/java/org/apache/solr/search/SortSpecParsing.java
+    (sort=<field> <dir> resolution against the schema),
+    handler/component/QueryComponent.java (doFieldSortValues)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_SORT_PARAMS)["response"]
+
+
+register(
+    "q_select_sort",
+    _select_sort,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE role = 'assistant'
+  AND list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'merge')
+ORDER BY ts DESC, conv_id, turn_idx
+LIMIT 12 OFFSET 3
+""".strip(),
+)
+
+
+_SELECT_EDISMAX_PARAMS = {
+    "q": "table merge scan", "defType": "edismax", "mm": "2",
+    "ps": 1, "rows": 10,
+}
+_SELECT_EDISMAX_SPEC = _edismax("table merge scan", k=10, mm="2", ps=1)
+
+
+def _select_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select defType=edismax leg: mm=2-of-3 disjunction with the
+    whole-query phrase boost at ps=1 (sloppy pf), dispatched through
+    the same handler params dict a reference user posts — attests the
+    front door routes q into the edismax parser with mm/pf/ps intact.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    SearchHandler.java + search/ExtendedDismaxQParser.java (defType
+    dispatch in QParser.getParser)."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    spec, _ = parse_select_params(_SELECT_EDISMAX_PARAMS)
+    assert spec == _SELECT_EDISMAX_SPEC
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_EDISMAX_PARAMS)["response"]
+
+
+register(
+    "q_select_edismax",
+    _select_edismax,
+    bm25_oracle_sql(_SELECT_EDISMAX_SPEC),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

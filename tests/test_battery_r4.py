@@ -655,7 +655,61 @@ def test_select_handler_components_agree(spark, sf_dir):
         parse_select_params({"q": "merge", "qt": "/select"})
     with _pt.raises(ValueError):
         parse_select_params({"q": "merge", "fq": "scan"})  # scoring fq
+    with _pt.raises(ValueError):  # not a docvalues field
+        parse_select_params({"q": "merge", "sort": "score asc"})
     with _pt.raises(ValueError):
-        parse_select_params({"q": "merge", "sort": "turn_idx asc"})
+        parse_select_params({"q": "merge", "sort": "text desc"})
     with _pt.raises(ValueError):
         parse_select_params({"fq": "role:user"})  # q required
+
+
+def test_select_handler_sort_and_edismax_legs(spark, sf_dir):
+    """Field sort must equal the docmap-ordered DocSet slice; the
+    defType=edismax leg must equal the edismax parser called directly
+    (same spec → same ranked head); param validation pins the
+    defType/mm/sort contracts."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.query.parser import edismax
+    from lucene_solr_spark.registry import (
+        _SELECT_EDISMAX_PARAMS, _SELECT_SORT_PARAMS, cached_searcher,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    # field sort: brute twin = full DocSet joined to docvalues, sorted
+    spec, opts = parse_select_params(_SELECT_SORT_PARAMS)
+    assert opts["sort"] == ("ts", False)
+    page = select(s, _SELECT_SORT_PARAMS)["response"].collect()
+    brute = (
+        s.docmap().select("conv_id", "turn_idx", "ts")
+        .join(s.docset(spec), ["conv_id", "turn_idx"])
+        .orderBy(F.desc("ts"), "conv_id", "turn_idx")
+        .collect()
+    )
+    assert [(r.conv_id, r.turn_idx) for r in page] == [
+        (r.conv_id, r.turn_idx) for r in brute[3:15]
+    ]
+    # ascending flips the order, same tiebreak
+    p_asc = dict(_SELECT_SORT_PARAMS, sort="ts asc", start=0, rows=5)
+    asc = select(s, p_asc)["response"].collect()
+    assert [(r.conv_id, r.turn_idx) for r in asc] == [
+        (r.conv_id, r.turn_idx) for r in sorted(
+            brute, key=lambda r: (r.ts, r.conv_id, r.turn_idx))[:5]
+    ]
+    # edismax leg: handler spec == parser called directly
+    e_spec, _ = parse_select_params(_SELECT_EDISMAX_PARAMS)
+    assert e_spec == edismax("table merge scan", k=10, mm="2", ps=1)
+    via = select(s, _SELECT_EDISMAX_PARAMS)["response"].collect()
+    direct = s.search(e_spec, round_to=4).collect()
+    assert [(r.conv_id, r.turn_idx, r.score) for r in via] == [
+        (r.conv_id, r.turn_idx, r.score) for r in direct
+    ]
+    # contract: q.op clashes with edismax; mm needs edismax; bad defType
+    with _pt.raises(ValueError):
+        parse_select_params(dict(_SELECT_EDISMAX_PARAMS, **{"q.op": "AND"}))
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "merge", "mm": "2"})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "merge", "defType": "xmlparser"})
