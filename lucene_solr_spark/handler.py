@@ -18,11 +18,14 @@ silently, so it is rejected); ``sort`` is ``score desc`` (default) or
 ``<docvalues-field> asc|desc`` with the engine's pinned (conv_id,
 turn_idx) tiebreak; ``start``/``rows`` page the ranked doclist;
 ``facet.field`` fans out to the index facet engine over the SAME
-filtered domain as the doclist.
+filtered domain as the doclist; ``json.facet`` accepts the JSON
+Facet API subset the engine executes (terms buckets with one
+``avg(col)`` sub-agg, query buckets as pure filters).
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, Window
@@ -36,12 +39,17 @@ from lucene_solr_spark.query.parser import edismax, parse
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
     "facet", "facet.field", "facet.limit", "hl", "hl.fl",
-    "defType", "mm", "pf", "ps",
+    "defType", "mm", "pf", "ps", "json.facet",
 }
 
 #: docvalues columns a field sort may key on (SortSpecParsing resolves
 #: sort fields against the schema the same way; anything else is a 400)
 _SORTABLE = {"conv_id", "turn_idx", "role", "tool", "ftok", "ts", "doc_len"}
+
+#: ord-indexed fields the facet engines bucket on / numeric docvalues
+#: a JSON-Facet sub-agg may aggregate (schema resolution, 400 outside)
+_FACETABLE = {"role", "tool", "ftok"}
+_AGG_COLS = {"doc_len", "turn_idx"}
 
 
 def _pure_filter(spec: BooleanSpec, raw: str) -> BooleanSpec:
@@ -50,6 +58,97 @@ def _pure_filter(spec: BooleanSpec, raw: str) -> BooleanSpec:
             or spec.must_not_phrases):
         raise ValueError(f"fq must be a pure filter, got scoring: {raw!r}")
     return spec
+
+
+def _merge_filters(spec: BooleanSpec, f_spec: BooleanSpec) -> BooleanSpec:
+    """Fold a pure filter's constraints into ``spec`` (fq semantics)."""
+    return replace(
+        spec,
+        filters=spec.filters + f_spec.filters,
+        not_filters=spec.not_filters + f_spec.not_filters,
+        range_filters=spec.range_filters + f_spec.range_filters,
+        in_filters=spec.in_filters + f_spec.in_filters,
+        exists_filters=spec.exists_filters + f_spec.exists_filters,
+        missing_filters=spec.missing_filters + f_spec.missing_filters,
+    )
+
+
+def _parse_json_facets(jf) -> dict:
+    """Normalize a ``json.facet`` request (JSON string or dict) into
+    {name: ("terms", field, limit, metric_col|None, sort)} /
+    {name: ("query", filter BooleanSpec)} — the JSON Facet API subset
+    the index engine executes: terms buckets with at most one
+    ``avg(<numeric docvalues>)`` sub-agg (named ``avg_<col>``, the
+    engine's output column), bucket sort by count or that metric, and
+    query buckets that must be pure filters. Anything else raises
+    like FacetModule's SyntaxErrors.
+
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetRequest.java (parse), FacetFieldProcessor, QueryFacet."""
+    if isinstance(jf, str):
+        import json
+
+        jf = json.loads(jf)
+    if not isinstance(jf, dict):
+        raise ValueError("json.facet must be a JSON object")
+    out: dict = {}
+    for name, req in jf.items():
+        if not isinstance(req, dict) or "type" not in req:
+            raise ValueError(f"json.facet {name!r}: object with 'type' "
+                             f"required, got {req!r}")
+        ftype = req["type"]
+        if ftype == "terms":
+            unknown = set(req) - {"type", "field", "limit", "facet", "sort"}
+            if unknown:
+                raise ValueError(
+                    f"json.facet {name!r}: unknown keys {sorted(unknown)}")
+            fld = req.get("field")
+            if fld not in _FACETABLE:
+                raise ValueError(f"json.facet {name!r}: field must be one "
+                                 f"of {sorted(_FACETABLE)}, got {fld!r}")
+            metric = None
+            subs = req.get("facet", {})
+            if subs:
+                if len(subs) != 1:
+                    raise ValueError(f"json.facet {name!r}: at most one "
+                                     "sub-aggregation is supported")
+                (agg_name, agg), = subs.items()
+                m = re.fullmatch(r"avg\((\w+)\)", str(agg))
+                if not m or m.group(1) not in _AGG_COLS:
+                    raise ValueError(
+                        f"json.facet {name!r}: sub-agg must be "
+                        f"avg(<{ '|'.join(sorted(_AGG_COLS)) }>), "
+                        f"got {agg!r}")
+                metric = m.group(1)
+                if agg_name != f"avg_{metric}":
+                    raise ValueError(
+                        f"json.facet {name!r}: the sub-agg key names the "
+                        f"output column — use 'avg_{metric}'")
+            sort = req.get("sort", "count")
+            if sort not in ("count",) and (
+                    metric is None or sort != f"avg_{metric} desc"):
+                raise ValueError(f"json.facet {name!r}: sort must be "
+                                 f"'count' or '<sub-agg name> desc'")
+            out[name] = (
+                "terms", fld, int(req.get("limit", 10)), metric,
+                "metric" if sort != "count" else "count",
+            )
+        elif ftype == "query":
+            unknown = set(req) - {"type", "q"}
+            if unknown:
+                raise ValueError(
+                    f"json.facet {name!r}: unknown keys {sorted(unknown)}")
+            raw = req.get("q")
+            if not raw:
+                raise ValueError(f"json.facet {name!r}: 'q' required")
+            out[name] = (
+                "query", _pure_filter(parse(raw, default_op="AND"), raw),
+            )
+        else:
+            raise ValueError(
+                f"json.facet {name!r}: unsupported type {ftype!r} "
+                "(terms | query)")
+    return out
 
 
 def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
@@ -98,15 +197,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     if isinstance(fqs, str):
         fqs = [fqs]
     for raw in fqs:
-        f_spec = _pure_filter(parse(raw, default_op="AND"), raw)
-        spec = replace(
-            spec,
-            filters=spec.filters + f_spec.filters,
-            not_filters=spec.not_filters + f_spec.not_filters,
-            range_filters=spec.range_filters + f_spec.range_filters,
-            in_filters=spec.in_filters + f_spec.in_filters,
-            exists_filters=spec.exists_filters + f_spec.exists_filters,
-            missing_filters=spec.missing_filters + f_spec.missing_filters,
+        spec = _merge_filters(
+            spec, _pure_filter(parse(raw, default_op="AND"), raw)
         )
     facet_fields = params.get("facet.field", [])
     if isinstance(facet_fields, str):
@@ -123,6 +215,10 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_limit": int(params.get("facet.limit", 10)),
         "hl": hl,
         "sort": sort_key,
+        "json_facets": (
+            _parse_json_facets(params["json.facet"])
+            if "json.facet" in params else {}
+        ),
     }
     return spec, opts
 
@@ -177,6 +273,30 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["facet_counts"][fld] = searcher.facet(
             fld, spec=spec, limit=o["facet_limit"]
         )
+    if o["json_facets"]:
+        # JSON Facet API leg (FacetModule): every bucket runs over the
+        # SAME q+fq domain as the doclist; terms buckets ride the index
+        # sparse engines (metric sub-aggs fold into the same per-segment
+        # pass), query buckets are one bounded DocSet count each
+        from lucene_solr_spark.query.facets import facet_metrics
+
+        out["facets"] = {}
+        for name, req in o["json_facets"].items():
+            if req[0] == "terms":
+                _, fld, limit, metric, sort = req
+                if metric is None:
+                    out["facets"][name] = searcher.facet(
+                        fld, spec=spec, limit=limit
+                    )
+                else:
+                    out["facets"][name] = facet_metrics(
+                        searcher, fld, metric=metric, spec=spec,
+                        limit=limit, sort=sort,
+                    )
+            else:
+                out["facets"][name] = searcher.docset(
+                    _merge_filters(spec, req[1])
+                ).count()
     if o["hl"]:
         # highlight leg (DefaultSolrHighlighter in the /select flow):
         # ONLY the page's rows join back to stored fields (broadcast of

@@ -4807,6 +4807,50 @@ register(
 )
 
 
+_SELECT_JSON_FACET_PARAMS = {
+    "q": "data", "fq": "turn_idx:[0 TO 5]", "rows": 5,
+    "json.facet": (
+        '{"roles": {"type": "terms", "field": "role", "limit": 5,'
+        ' "facet": {"avg_doc_len": "avg(doc_len)"}},'
+        ' "assistant_hits": {"type": "query", "q": "role:assistant"}}'
+    ),
+}
+
+
+def _select_json_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select json.facet leg: the JSON Facet API request string a
+    reference user posts, parsed and dispatched over the SAME q+fq
+    domain as the doclist — this row attests the terms bucket with
+    its avg(doc_len) sub-agg (the index sparse metric pass); the
+    query-bucket count is attested count-equal in test_battery_r4.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetModule.java (json.facet param parse + request dispatch)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JSON_FACET_PARAMS)["facets"]["roles"]
+
+
+register(
+    "q_select_json_facet",
+    _select_json_facet,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value, count(*) AS cnt,
+       round(avg(len(toks)), 4) AS avg_doc_len
+FROM docs
+WHERE list_contains(toks, 'data') AND turn_idx BETWEEN 0 AND 5
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 5
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

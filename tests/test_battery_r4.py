@@ -713,3 +713,62 @@ def test_select_handler_sort_and_edismax_legs(spark, sf_dir):
         parse_select_params({"q": "merge", "mm": "2"})
     with _pt.raises(ValueError):
         parse_select_params({"q": "merge", "defType": "xmlparser"})
+
+
+def test_select_handler_json_facet_leg(spark, sf_dir):
+    """json.facet buckets must be component-equal to the dedicated
+    facet engines over the handler's q+fq domain; the query bucket
+    equals the merged-filter DocSet count; malformed requests raise
+    like FacetModule's syntax errors."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import (
+        _merge_filters, parse_select_params, select,
+    )
+    from lucene_solr_spark.query.facets import facet_metrics
+    from lucene_solr_spark.query.parser import parse
+    from lucene_solr_spark.registry import (
+        _SELECT_JSON_FACET_PARAMS, cached_searcher,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    spec, opts = parse_select_params(_SELECT_JSON_FACET_PARAMS)
+    resp = select(s, _SELECT_JSON_FACET_PARAMS)
+    # terms bucket with the avg sub-agg ≡ facet_metrics called directly
+    direct = facet_metrics(
+        s, "role", metric="doc_len", spec=spec, limit=5
+    ).collect()
+    via = resp["facets"]["roles"].collect()
+    assert [tuple(r) for r in via] == [tuple(r) for r in direct]
+    # query bucket ≡ DocSet count with the filter folded in
+    sub = parse("role:assistant", default_op="AND")
+    assert resp["facets"]["assistant_hits"] == s.docset(
+        _merge_filters(spec, sub)
+    ).count()
+    # plain terms bucket (no sub-agg) ≡ the field facet engine
+    p = dict(_SELECT_JSON_FACET_PARAMS)
+    p["json.facet"] = '{"tools": {"type": "terms", "field": "tool", "limit": 3}}'
+    plain = select(s, p)["facets"]["tools"].collect()
+    assert [tuple(r) for r in plain] == [
+        tuple(r) for r in s.facet("tool", spec=spec, limit=3).collect()
+    ]
+    # validation: each malformed request is a 400-style ValueError
+    bad = [
+        '{"x": {"type": "range", "field": "ts"}}',        # unsupported type
+        '{"x": {"type": "terms", "field": "text"}}',      # not facetable
+        '{"x": {"type": "terms"}}',                       # field required
+        '{"x": {"type": "terms", "field": "role",'
+        ' "facet": {"m": "avg(doc_len)"}}}',              # wrong agg name
+        '{"x": {"type": "terms", "field": "role",'
+        ' "facet": {"avg_ts": "avg(ts)"}}}',              # non-numeric col
+        '{"x": {"type": "terms", "field": "role",'
+        ' "facet": {"avg_doc_len": "avg(doc_len)",'
+        ' "avg_turn_idx": "avg(turn_idx)"}}}',            # two sub-aggs
+        '{"x": {"type": "query", "q": "merge"}}',         # scoring q
+        '{"x": {"type": "query"}}',                       # q required
+        '{"x": {"type": "terms", "field": "role", "offset": 1}}',  # unknown
+        '["not", "an", "object"]',
+    ]
+    for jf in bad:
+        with _pt.raises(ValueError):
+            parse_select_params({"q": "data", "json.facet": jf})
