@@ -400,3 +400,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_select_field_sort_plans_take_ordered(searcher):
+    """/select field sort (sort=ts desc): the start+rows limit must
+    plan as ONE distributed TakeOrderedAndProject over the DocSet ×
+    pruned-docmap join — a global Sort before the limit would
+    materialize the whole match domain at 100 TB."""
+    from lucene_solr_spark.handler import parse_select_params
+
+    params = {"q": "merge", "fq": "role:assistant",
+              "sort": "ts desc", "start": 3, "rows": 12}
+    spec, o = parse_select_params(params)
+    head = (
+        searcher.docmap().select("conv_id", "turn_idx", "ts")
+        .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+        .orderBy(F.desc("ts"), "conv_id", "turn_idx")
+        .limit(o["start"] + o["rows"])
+    )
+    plan = _physical(head)
+    # the top-level order+limit is the bounded per-partition-heap
+    # operator, not Sort → GlobalLimit (a join-internal SMJ child
+    # sort is fine — that one is partition-local)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan, plan
+    # the docmap scan reads ONLY the three needed columns
+    assert any("ts" in ln and "doc_len" not in ln
+               for ln in plan.splitlines() if "ReadSchema" in ln), plan
