@@ -144,6 +144,27 @@ def _parse_json_facets(jf) -> dict:
             out[name] = (
                 "query", _pure_filter(parse(raw, default_op="AND"), raw),
             )
+        elif ftype == "range":
+            unknown = set(req) - {"type", "field", "start", "end", "gap"}
+            if unknown:
+                raise ValueError(
+                    f"json.facet {name!r}: unknown keys {sorted(unknown)}")
+            fld = req.get("field")
+            if fld not in _AGG_COLS:
+                raise ValueError(f"json.facet {name!r}: range field must "
+                                 f"be one of {sorted(_AGG_COLS)}, got "
+                                 f"{fld!r}")
+            try:
+                start_v = int(req["start"])
+                end_v = int(req["end"])
+                gap = int(req["gap"])
+            except (KeyError, TypeError, ValueError):
+                raise ValueError(f"json.facet {name!r}: integer start/"
+                                 "end/gap required") from None
+            if gap <= 0 or end_v <= start_v:
+                raise ValueError(f"json.facet {name!r}: need gap > 0 and "
+                                 "end > start")
+            out[name] = ("range", fld, start_v, end_v, gap)
         else:
             raise ValueError(
                 f"json.facet {name!r}: unsupported type {ftype!r} "
@@ -293,6 +314,24 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                         searcher, fld, metric=metric, spec=spec,
                         limit=limit, sort=sort,
                     )
+            elif req[0] == "range":
+                # numeric range buckets off the docvalues column over
+                # the domain (RangeFacetProcessor); non-empty buckets
+                # only (the engine's range-facet contract), bounded by
+                # (end-start)/gap rows
+                _, fld, start_v, end_v, gap = req
+                c = F.col(fld)
+                out["facets"][name] = (
+                    searcher.docmap().select("conv_id", "turn_idx", fld)
+                    .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+                    .filter((c >= start_v) & (c < end_v))
+                    .groupBy(
+                        (F.floor((c - start_v) / gap) * gap + start_v)
+                        .cast("long").alias("bucket_start")
+                    )
+                    .agg(F.count("*").cast("long").alias("cnt"))
+                    .orderBy("bucket_start")
+                )
             else:
                 out["facets"][name] = searcher.docset(
                     _merge_filters(spec, req[1])

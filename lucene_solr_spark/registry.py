@@ -4851,6 +4851,48 @@ LIMIT 5
 )
 
 
+_SELECT_RANGE_FACET_PARAMS = {
+    "q": "data", "fq": "role:assistant", "rows": 5,
+    "json.facet": (
+        '{"lens": {"type": "range", "field": "doc_len",'
+        ' "start": 0, "end": 200, "gap": 40}}'
+    ),
+}
+
+
+def _select_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select json.facet range bucket: doc_len histogrammed at
+    gap=40 over [0, 200) on the q+fq domain — the docvalues column
+    bucketed with one narrow groupBy (bounded by (end-start)/gap
+    rows), non-empty buckets only (the engine's range contract).
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetRange.java (numeric calc + gap arithmetic)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_RANGE_FACET_PARAMS)["facets"]["lens"]
+
+
+register(
+    "q_select_range_facet",
+    _select_range_facet,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT CAST((dl // 40) * 40 AS BIGINT) AS bucket_start,
+       count(*) AS cnt
+FROM docs
+WHERE role = 'assistant' AND list_contains(toks, 'data')
+  AND dl >= 0 AND dl < 200
+GROUP BY 1 ORDER BY bucket_start
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

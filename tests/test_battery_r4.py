@@ -752,9 +752,31 @@ def test_select_handler_json_facet_leg(spark, sf_dir):
     assert [tuple(r) for r in plain] == [
         tuple(r) for r in s.facet("tool", spec=spec, limit=3).collect()
     ]
+    # range bucket ≡ brute histogram of the DocSet's docvalues
+    p["json.facet"] = ('{"lens": {"type": "range", "field": "doc_len",'
+                       ' "start": 0, "end": 120, "gap": 30}}')
+    import collections
+
+    from pyspark.sql import functions as F
+
+    got = [(r.bucket_start, r.cnt)
+           for r in select(s, p)["facets"]["lens"].collect()]
+    dls = [
+        r.doc_len
+        for r in s.docmap().select("conv_id", "turn_idx", "doc_len")
+        .join(s.docset(spec), ["conv_id", "turn_idx"]).collect()
+    ]
+    want = collections.Counter(
+        (dl // 30) * 30 for dl in dls if 0 <= dl < 120
+    )
+    assert got == sorted(want.items())
     # validation: each malformed request is a 400-style ValueError
     bad = [
-        '{"x": {"type": "range", "field": "ts"}}',        # unsupported type
+        '{"x": {"type": "heatmap", "field": "ts"}}',      # unsupported type
+        '{"x": {"type": "range", "field": "ts"}}',        # non-numeric field
+        '{"x": {"type": "range", "field": "doc_len"}}',   # start/end/gap req
+        '{"x": {"type": "range", "field": "doc_len",'
+        ' "start": 0, "end": 100, "gap": 0}}',            # gap > 0
         '{"x": {"type": "terms", "field": "text"}}',      # not facetable
         '{"x": {"type": "terms"}}',                       # field required
         '{"x": {"type": "terms", "field": "role",'
