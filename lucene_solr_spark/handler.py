@@ -38,7 +38,8 @@ from lucene_solr_spark.query.parser import edismax, parse
 #: (Solr rejects unknown critical params rather than guessing)
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
-    "facet", "facet.field", "facet.limit", "hl", "hl.fl",
+    "facet", "facet.field", "facet.limit", "facet.sort",
+    "facet.mincount", "facet.prefix", "facet.offset", "hl", "hl.fl",
     "defType", "mm", "pf", "ps", "json.facet",
 }
 
@@ -229,11 +230,25 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     hl = bool(params.get("hl", False))
     if hl and params.get("hl.fl", "text") != "text":
         raise ValueError("hl.fl supports the analyzed text field only")
+    facet_sort = params.get("facet.sort", "count")
+    if facet_sort not in ("count", "index"):
+        raise ValueError(f"facet.sort must be count|index: {facet_sort!r}")
+    facet_mincount = int(params.get("facet.mincount", 1))
+    if facet_mincount < 1:
+        raise ValueError("facet.mincount must be >= 1 (the engine's "
+                         "facet contract never emits zero buckets)")
+    facet_offset = int(params.get("facet.offset", 0))
+    if facet_offset < 0:
+        raise ValueError(f"facet.offset must be >= 0: {facet_offset}")
     opts = {
         "start": start, "rows": rows,
         "fl": params.get("fl"),
         "facet_fields": list(facet_fields),
         "facet_limit": int(params.get("facet.limit", 10)),
+        "facet_sort": facet_sort,
+        "facet_mincount": facet_mincount,
+        "facet_prefix": params.get("facet.prefix"),
+        "facet_offset": facet_offset,
         "hl": hl,
         "sort": sort_key,
         "json_facets": (
@@ -292,7 +307,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     }
     for fld in o["facet_fields"]:
         out["facet_counts"][fld] = searcher.facet(
-            fld, spec=spec, limit=o["facet_limit"]
+            fld, spec=spec, limit=o["facet_limit"],
+            mincount=o["facet_mincount"], sort=o["facet_sort"],
+            prefix=o["facet_prefix"], offset=o["facet_offset"],
         )
     if o["json_facets"]:
         # JSON Facet API leg (FacetModule): every bucket runs over the

@@ -4893,6 +4893,45 @@ GROUP BY 1 ORDER BY bucket_start
 )
 
 
+_SELECT_FACET_PARAMS_REQ = {
+    "q": "data", "rows": 5, "facet.field": "ftok", "facet.limit": 10,
+    "facet.sort": "index", "facet.prefix": "s", "facet.mincount": 2,
+}
+
+
+def _select_facet_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select facet.field leg with the SimpleFacets narrowing params
+    composed: facet.sort=index + facet.prefix=s + facet.mincount=2 on
+    the high-cardinality ftok field over the 'data' domain — attests
+    the handler forwards every facet.* param into the index sparse
+    engine unchanged. ref: solr/core/src/java/org/apache/solr/request/
+    SimpleFacets.java (FacetParams.FACET_SORT/PREFIX/MINCOUNT)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_FACET_PARAMS_REQ)["facet_counts"]["ftok"]
+
+
+register(
+    "q_select_facet_params",
+    _select_facet_params,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+  AND toks[1] LIKE 's%'
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

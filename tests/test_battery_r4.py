@@ -794,3 +794,41 @@ def test_select_handler_json_facet_leg(spark, sf_dir):
     for jf in bad:
         with _pt.raises(ValueError):
             parse_select_params({"q": "data", "json.facet": jf})
+
+
+def test_select_handler_facet_params_leg(spark, sf_dir):
+    """facet.sort/prefix/mincount/offset must forward into the facet
+    engine unchanged (leg ≡ the direct call), and out-of-contract
+    values raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import (
+        _SELECT_FACET_PARAMS_REQ, cached_searcher,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    spec, opts = parse_select_params(_SELECT_FACET_PARAMS_REQ)
+    assert (opts["facet_sort"], opts["facet_prefix"],
+            opts["facet_mincount"]) == ("index", "s", 2)
+    via = select(s, _SELECT_FACET_PARAMS_REQ)["facet_counts"][
+        "ftok"].collect()
+    direct = s.facet(
+        "ftok", spec=spec, limit=10, mincount=2, sort="index", prefix="s"
+    ).collect()
+    assert [tuple(r) for r in via] == [tuple(r) for r in direct]
+    # facet.offset pages the bucket list like the dedicated operator
+    p = dict(_SELECT_FACET_PARAMS_REQ)
+    p["facet.mincount"] = 1
+    del p["facet.prefix"]
+    p["facet.limit"], p["facet.offset"] = 4, 3
+    off = select(s, p)["facet_counts"]["ftok"].collect()
+    p["facet.limit"], p["facet.offset"] = 7, 0
+    full = select(s, p)["facet_counts"]["ftok"].collect()
+    assert [tuple(r) for r in off] == [tuple(r) for r in full[3:7]]
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "data", "facet.sort": "alpha"})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "data", "facet.mincount": 0})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "data", "facet.offset": -1})
