@@ -832,3 +832,60 @@ def test_select_handler_facet_params_leg(spark, sf_dir):
         parse_select_params({"q": "data", "facet.mincount": 0})
     with _pt.raises(ValueError):
         parse_select_params({"q": "data", "facet.offset": -1})
+
+
+def test_select_handler_random_param_duel(spark, sf_dir):
+    """Seeded random /select requests (q shape × q.op × fq × sort ×
+    paging) must each equal the dedicated components called directly:
+    the page is exactly the offset slice of the engine's ranked (or
+    docvalues-ordered) head and numFound is the DocSet count."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    vocab = (
+        s.postings().groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), "term").limit(40).toPandas().term.tolist()
+    )
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        terms = list(rng.choice(vocab, size=rng.integers(1, 4),
+                                replace=False))
+        params = {
+            "q": " ".join(terms),
+            "q.op": str(rng.choice(["OR", "AND"])),
+            "start": int(rng.integers(0, 6)),
+            "rows": int(rng.integers(1, 12)),
+        }
+        if rng.random() < 0.5:
+            params["fq"] = str(rng.choice(
+                ["role:assistant", "role:user", "turn_idx:[0 TO 4]"]))
+        sort = str(rng.choice(
+            ["score desc", "ts asc", "ts desc", "doc_len desc"]))
+        params["sort"] = sort
+        spec, o = parse_select_params(params)
+        resp = select(s, params)
+        page = [(r.conv_id, r.turn_idx)
+                for r in resp["response"].collect()]
+        if sort == "score desc":
+            head = [(r.conv_id, r.turn_idx)
+                    for r in s.search(spec, round_to=4).collect()]
+        else:
+            fld, d = sort.split()
+            rows = (
+                s.docmap().select("conv_id", "turn_idx", fld)
+                .join(s.docset(spec), ["conv_id", "turn_idx"]).collect()
+            )
+            rows.sort(key=lambda r: (r[2], r.conv_id, r.turn_idx),
+                      reverse=False)
+            if d == "desc":  # sort key desc, tiebreak asc — resort
+                rows.sort(key=lambda r: (r.conv_id, r.turn_idx))
+                rows.sort(key=lambda r: r[2], reverse=True)
+            head = [(r.conv_id, r.turn_idx)
+                    for r in rows[: o["start"] + o["rows"]]]
+        assert page == head[o["start"]: o["start"] + o["rows"]], (
+            seed, params)
+        assert resp["numFound"] == s.docset(spec).count(), (seed, params)
