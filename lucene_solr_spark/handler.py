@@ -40,6 +40,13 @@ _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.mincount", "facet.prefix", "facet.offset", "hl", "hl.fl",
+    "hl.snippets", "hl.fragsize",
+    "facet.query", "facet.range", "facet.range.start",
+    "facet.range.end", "facet.range.gap",
+    "stats", "stats.field",
+    "group", "group.field", "group.limit",
+    "mlt", "mlt.count", "mlt.maxqt",
+    "spellcheck", "spellcheck.count", "spellcheck.collate",
     "defType", "mm", "pf", "ps", "json.facet",
 }
 
@@ -51,6 +58,11 @@ _SORTABLE = {"conv_id", "turn_idx", "role", "tool", "ftok", "ts", "doc_len"}
 #: a JSON-Facet sub-agg may aggregate (schema resolution, 400 outside)
 _FACETABLE = {"role", "tool", "ftok"}
 _AGG_COLS = {"doc_len", "turn_idx"}
+
+#: fields result grouping may key on — the collapse key plus the
+#: low-cardinality docvalues fields (Grouping resolves group.field
+#: against the schema's docvalues the same way)
+_GROUPABLE = {"conv_id", "role", "tool"}
 
 
 def _pure_filter(spec: BooleanSpec, raw: str) -> BooleanSpec:
@@ -230,6 +242,13 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     hl = bool(params.get("hl", False))
     if hl and params.get("hl.fl", "text") != "text":
         raise ValueError("hl.fl supports the analyzed text field only")
+    hl_passages = "hl.snippets" in params or "hl.fragsize" in params
+    if hl_passages and not hl:
+        raise ValueError("hl.snippets/hl.fragsize need hl=true")
+    hl_snippets = int(params.get("hl.snippets", 1))
+    hl_fragsize = int(params.get("hl.fragsize", 10))
+    if hl_snippets < 1 or hl_fragsize < 1:
+        raise ValueError("hl.snippets and hl.fragsize must be >= 1")
     facet_sort = params.get("facet.sort", "count")
     if facet_sort not in ("count", "index"):
         raise ValueError(f"facet.sort must be count|index: {facet_sort!r}")
@@ -240,6 +259,94 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     facet_offset = int(params.get("facet.offset", 0))
     if facet_offset < 0:
         raise ValueError(f"facet.offset must be >= 0: {facet_offset}")
+    # classic facet.query values (SimpleFacets getFacetQueryCounts):
+    # each is a PURE filter counted against the doclist's domain
+    fquery_raw = params.get("facet.query", [])
+    if isinstance(fquery_raw, str):
+        fquery_raw = [fquery_raw]
+    facet_queries = [
+        (raw, _pure_filter(parse(raw, default_op="AND"), raw))
+        for raw in fquery_raw
+    ]
+    # classic facet.range param family (RangeFacetProcessor): one
+    # numeric docvalues field, integer start/end/gap — the same
+    # bucket contract as the json.facet range leg
+    facet_range = None
+    range_subs = {"facet.range.start", "facet.range.end", "facet.range.gap"}
+    if "facet.range" in params:
+        fld = params["facet.range"]
+        if fld not in _AGG_COLS:
+            raise ValueError(f"facet.range field must be one of "
+                             f"{sorted(_AGG_COLS)}, got {fld!r}")
+        missing_subs = range_subs - set(params)
+        if missing_subs:
+            raise ValueError(
+                f"facet.range needs {sorted(missing_subs)}")
+        try:
+            r_start = int(params["facet.range.start"])
+            r_end = int(params["facet.range.end"])
+            r_gap = int(params["facet.range.gap"])
+        except (TypeError, ValueError):
+            raise ValueError(
+                "facet.range.start/end/gap must be integers") from None
+        if r_gap <= 0 or r_end <= r_start:
+            raise ValueError("facet.range needs gap > 0 and end > start")
+        facet_range = (fld, r_start, r_end, r_gap)
+    elif range_subs & set(params):
+        raise ValueError("facet.range.start/end/gap need facet.range")
+    # StatsComponent leg: stats.field lists numeric docvalues columns
+    stats_fields = params.get("stats.field", [])
+    if isinstance(stats_fields, str):
+        stats_fields = [stats_fields]
+    if stats_fields and not params.get("stats", False):
+        raise ValueError("stats.field needs stats=true")
+    if params.get("stats", False) and not stats_fields:
+        raise ValueError("stats=true needs at least one stats.field")
+    for sf in stats_fields:
+        if sf not in _AGG_COLS:
+            raise ValueError(f"stats.field must be one of "
+                             f"{sorted(_AGG_COLS)}, got {sf!r}")
+    # result-grouping leg (Grouping, group.field command): the subset
+    # pins the score-ranked default (groups ordered by their best
+    # doc's score; rows = number of groups, start must be 0)
+    group = None
+    if params.get("group", False):
+        g_field = params.get("group.field")
+        if g_field not in _GROUPABLE:
+            raise ValueError(f"group.field must be one of "
+                             f"{sorted(_GROUPABLE)}, got {g_field!r}")
+        g_limit = int(params.get("group.limit", 1))
+        if g_limit < 1:
+            raise ValueError(f"group.limit must be >= 1: {g_limit}")
+        if sort_key is not None:
+            raise ValueError("group=true supports the score-ranked "
+                             "default sort only")
+        if start:
+            raise ValueError("group=true pages groups via rows; "
+                             "start must be 0")
+        group = (g_field, g_limit)
+    elif {"group.field", "group.limit"} & set(params):
+        raise ValueError("group.field/group.limit need group=true")
+    # MoreLikeThis component leg
+    mlt = None
+    if params.get("mlt", False):
+        mlt_count = int(params.get("mlt.count", 5))
+        mlt_maxqt = int(params.get("mlt.maxqt", 5))
+        if mlt_count < 1 or mlt_maxqt < 1:
+            raise ValueError("mlt.count and mlt.maxqt must be >= 1")
+        mlt = (mlt_count, mlt_maxqt)
+    elif {"mlt.count", "mlt.maxqt"} & set(params):
+        raise ValueError("mlt.count/mlt.maxqt need mlt=true")
+    # SpellCheck component leg
+    spellcheck = None
+    if params.get("spellcheck", False):
+        sc_count = int(params.get("spellcheck.count", 5))
+        if sc_count < 1:
+            raise ValueError(f"spellcheck.count must be >= 1: {sc_count}")
+        spellcheck = (sc_count, bool(params.get("spellcheck.collate", False)))
+    elif {"spellcheck.count", "spellcheck.collate"} & set(params):
+        raise ValueError(
+            "spellcheck.count/spellcheck.collate need spellcheck=true")
     opts = {
         "start": start, "rows": rows,
         "fl": params.get("fl"),
@@ -249,7 +356,16 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_mincount": facet_mincount,
         "facet_prefix": params.get("facet.prefix"),
         "facet_offset": facet_offset,
+        "facet_queries": facet_queries,
+        "facet_range": facet_range,
+        "stats_fields": list(stats_fields),
+        "group": group,
+        "mlt": mlt,
+        "spellcheck": spellcheck,
         "hl": hl,
+        "hl_passages": hl_passages,
+        "hl_snippets": hl_snippets,
+        "hl_fragsize": hl_fragsize,
         "sort": sort_key,
         "json_facets": (
             _parse_json_facets(params["json.facet"])
@@ -257,6 +373,27 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         ),
     }
     return spec, opts
+
+
+def _range_buckets(
+    searcher, spec: BooleanSpec, fld: str, start_v: int, end_v: int, gap: int
+) -> DataFrame:
+    """Numeric range buckets off a docvalues column over the domain
+    (RangeFacetProcessor / classic facet.range share this): NON-EMPTY
+    buckets only (the engine's pinned range contract), one narrow
+    groupBy bounded by (end-start)/gap rows."""
+    c = F.col(fld)
+    return (
+        searcher.docmap().select("conv_id", "turn_idx", fld)
+        .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+        .filter((c >= start_v) & (c < end_v))
+        .groupBy(
+            (F.floor((c - start_v) / gap) * gap + start_v)
+            .cast("long").alias("bucket_start")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("bucket_start")
+    )
 
 
 def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
@@ -311,6 +448,155 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             mincount=o["facet_mincount"], sort=o["facet_sort"],
             prefix=o["facet_prefix"], offset=o["facet_offset"],
         )
+    if o["facet_queries"]:
+        # classic facet.query leg (SimpleFacets getFacetQueryCounts):
+        # each value counts the docs matching BOTH the doclist's
+        # domain and the facet query — one bounded DocSet count per
+        # value, same fq mask path as the doclist
+        out["facet_queries"] = {
+            raw: searcher.docset(_merge_filters(spec, f_spec)).count()
+            for raw, f_spec in o["facet_queries"]
+        }
+    if o["facet_range"]:
+        fld, r_start, r_end, r_gap = o["facet_range"]
+        out["facet_ranges"] = {
+            fld: _range_buckets(searcher, spec, fld, r_start, r_end, r_gap)
+        }
+    if o["stats_fields"]:
+        # StatsComponent leg: algebraic aggregates over the domain's
+        # docvalues column — one partial-aggregating narrow job per
+        # field, the corpus text never moves
+        # ref: solr/core/src/java/org/apache/solr/handler/component/
+        # StatsComponent.java (StatsValuesFactory numeric stats)
+        out["stats"] = {}
+        for sf in o["stats_fields"]:
+            base = (
+                searcher.docmap().select("conv_id", "turn_idx", sf)
+                .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+            )
+            out["stats"][sf] = base.agg(
+                F.min(sf).cast("long").alias("min"),
+                F.max(sf).cast("long").alias("max"),
+                F.sum(sf).cast("long").alias("sum"),
+                F.count(sf).cast("long").alias("cnt"),
+                (F.count("*") - F.count(sf)).cast("long").alias("missing"),
+                F.round(F.avg(sf), 4).alias("mean"),
+                F.round(F.stddev_samp(sf), 4).alias("stddev"),
+            )
+    if o["group"]:
+        # result-grouping leg (Grouping group.field command): ONE
+        # collapse-key-partitioned rank pass serves both grouping
+        # passes — heads pick the top `rows` groups by their best
+        # doc's rounded score, the second pass is a broadcast
+        # semi-join of those winning keys (never a rescan); output
+        # ordered (group_value, doc_rank), the engine's pinned
+        # grouped-doclist presentation
+        g_field, g_limit = o["group"]
+        ghits = searcher.score_hits(spec, k=None).withColumn(
+            "score", F.round("score", 4)
+        )
+        if g_field not in ("conv_id", "turn_idx"):
+            ghits = ghits.join(
+                searcher.docmap().select("conv_id", "turn_idx", g_field),
+                ["conv_id", "turn_idx"],
+            )
+        gw = Window.partitionBy(g_field).orderBy(
+            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+        )
+        ranked = ghits.withColumn("grn", F.row_number().over(gw)).persist()
+        heads = (
+            ranked.filter(F.col("grn") == 1)
+            .orderBy(F.desc("score"), "conv_id", "turn_idx")
+            .limit(o["rows"])
+            .select(g_field)
+        )
+        grouped = (
+            ranked.join(F.broadcast(heads), g_field, "left_semi")
+            .filter(F.col("grn") <= g_limit)
+            .select(
+                F.col(g_field).alias("group_value"),
+                "conv_id", "turn_idx", "score",
+                F.col("grn").cast("long").alias("doc_rank"),
+            )
+            .orderBy("group_value", "doc_rank")
+        )
+        out["grouped"] = grouped.localCheckpoint()
+        ranked.unpersist()
+    if o["mlt"]:
+        # MoreLikeThis component leg: similar docs for EVERY page doc
+        # in ONE batched pass (see IndexSearcher.mlt_batch — Solr
+        # runs |page| sequential MLT queries here). The page's stored
+        # texts materialize driver-side (≤ rows docs, the bounded
+        # page Solr materializes identically).
+        if stored is None:
+            raise ValueError("mlt=true needs the stored-fields frame")
+        mlt_count, mlt_maxqt = o["mlt"]
+        page_rows = (
+            stored.join(F.broadcast(page_keys), ["conv_id", "turn_idx"])
+            .select("conv_id", "turn_idx", "text")
+            .collect()
+        )
+        out["moreLikeThis"] = searcher.mlt_batch(
+            [(r.conv_id, r.turn_idx, r.text) for r in page_rows],
+            max_terms=mlt_maxqt, k=mlt_count, round_to=4,
+        )
+    if o["spellcheck"]:
+        # SpellCheck component leg (DirectSolrSpellChecker shape):
+        # only q terms ABSENT from the term dictionary get suggestions
+        # (one bounded df probe gates them — the maxQueryFrequency
+        # analog at its strictest); candidates within edit distance 2
+        # ranked (dist asc, df desc, term asc), top spellcheck.count
+        # per input. collate=true substitutes each misspelled term
+        # with its top suggestion and counts the rewritten query's
+        # hits (SpellCheckCollator).
+        # ref: solr/core/src/java/org/apache/solr/spelling/
+        # DirectSolrSpellChecker.java + SpellCheckCollator.java
+        sc_count, collate = o["spellcheck"]
+        q_terms = list(dict.fromkeys(spec.scoring_terms))
+        dfs = searcher.global_df(q_terms)
+        misspelled = [t for t in q_terms if dfs[t] == 0]
+        sugg_schema = "q string, suggestion string, dist long, df long"
+        if misspelled:
+            qdf = searcher.spark.createDataFrame(
+                [(t,) for t in misspelled], "q string"
+            )
+            dicts = searcher.postings().groupBy("term").agg(
+                F.sum("df").cast("long").alias("df")
+            )
+            cand = (
+                dicts.join(F.broadcast(qdf))
+                .withColumn(
+                    "dist", F.levenshtein("term", F.col("q")).cast("long")
+                )
+                .filter((F.col("dist") <= 2) & (F.length("term") >= 3))
+            )
+            scw = Window.partitionBy("q").orderBy(
+                "dist", F.desc("df"), F.col("term")
+            )
+            sugg = (
+                cand.withColumn("scrn", F.row_number().over(scw))
+                .filter(F.col("scrn") <= sc_count)
+                .select("q", F.col("term").alias("suggestion"), "dist", "df")
+                .orderBy("q", "dist", F.desc("df"), "suggestion")
+            )
+        else:
+            sugg = searcher.spark.createDataFrame([], sugg_schema)
+        out["spellcheck"] = sugg
+        if collate:
+            top: dict = {}
+            for r in sugg.collect():  # bounded: ≤ |misspelled| × count
+                top.setdefault(r.q, r.suggestion)
+            coll_spec = replace(
+                spec,
+                must=tuple(top.get(t, t) for t in spec.must),
+                should=tuple(top.get(t, t) for t in spec.should),
+            )
+            out["spellcheck_collation"] = {
+                "collationQuery": " ".join(
+                    top.get(t, t) for t in q_terms
+                ),
+                "hits": searcher.docset(coll_spec).count(),
+            }
     if o["json_facets"]:
         # JSON Facet API leg (FacetModule): every bucket runs over the
         # SAME q+fq domain as the doclist; terms buckets ride the index
@@ -332,22 +618,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                         limit=limit, sort=sort,
                     )
             elif req[0] == "range":
-                # numeric range buckets off the docvalues column over
-                # the domain (RangeFacetProcessor); non-empty buckets
-                # only (the engine's range-facet contract), bounded by
-                # (end-start)/gap rows
                 _, fld, start_v, end_v, gap = req
-                c = F.col(fld)
-                out["facets"][name] = (
-                    searcher.docmap().select("conv_id", "turn_idx", fld)
-                    .join(searcher.docset(spec), ["conv_id", "turn_idx"])
-                    .filter((c >= start_v) & (c < end_v))
-                    .groupBy(
-                        (F.floor((c - start_v) / gap) * gap + start_v)
-                        .cast("long").alias("bucket_start")
-                    )
-                    .agg(F.count("*").cast("long").alias("cnt"))
-                    .orderBy("bucket_start")
+                out["facets"][name] = _range_buckets(
+                    searcher, spec, fld, start_v, end_v, gap
                 )
             else:
                 out["facets"][name] = searcher.docset(
@@ -366,6 +639,54 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             spec.scoring_terms + tuple(t for ph in spec.phrases for t in ph)
         ))
         toks = tokens_col("text")
+        joined = stored.join(
+            F.broadcast(page_keys), ["conv_id", "turn_idx"]
+        )
+        if o["hl_passages"]:
+            # multi-snippet passage mode (hl.snippets/hl.fragsize —
+            # UnifiedHighlighter passage formation + scoring): the
+            # page's token streams cut into fragsize-token passages,
+            # passages score by query-term occurrence count, top
+            # hl.snippets NON-EMPTY passages per doc; still only the
+            # ≤ rows page rows ever explode
+            ft = o["hl_fragsize"]
+            n_pass = F.ceil(F.size("toks") / F.lit(float(ft))).cast("int")
+            exploded = (
+                joined.withColumn("toks", toks)
+                .withColumn("p", F.explode(F.sequence(F.lit(0), n_pass - 1)))
+                .withColumn("ptoks", F.slice("toks", F.col("p") * ft + 1, ft))
+            )
+            is_hit = (
+                (lambda tk: tk.isin(*terms)) if terms
+                else (lambda tk: F.lit(False))  # filter-only q
+            )
+            pmark = F.transform(
+                "ptoks",
+                lambda tk: F.when(
+                    is_hit(tk), F.concat(F.lit("<em>"), tk, F.lit("</em>"))
+                ).otherwise(tk),
+            )
+            scored = exploded.select(
+                "conv_id", "turn_idx", "rn",
+                F.col("p").cast("long").alias("passage"),
+                F.size(F.filter("ptoks", is_hit)).cast("long")
+                .alias("pscore"),
+                F.array_join(pmark, " ").alias("snippet"),
+            )
+            pw = Window.partitionBy("conv_id", "turn_idx").orderBy(
+                F.desc("pscore"), F.asc("passage")
+            )
+            out["highlighting"] = (
+                scored.withColumn("prn", F.row_number().over(pw))
+                .filter(
+                    (F.col("prn") <= o["hl_snippets"])
+                    & (F.col("pscore") > 0)
+                )
+                .select("conv_id", "turn_idx", "passage", "snippet", "rn")
+                .orderBy("rn", "passage")
+                .drop("rn")
+            )
+            return out
         mark = F.transform(
             toks,
             lambda tk: F.when(
@@ -374,10 +695,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             ).otherwise(tk),
         ) if terms else toks  # filter-only q: nothing to mark
         out["highlighting"] = (
-            stored.join(
-                F.broadcast(page_keys),
-                ["conv_id", "turn_idx"],
-            )
+            joined
             .select(
                 "conv_id", "turn_idx",
                 F.array_join(mark, " ").alias("snippet"), "rn",

@@ -30,7 +30,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.index.manifest import Manifest
@@ -612,6 +612,147 @@ class IndexSearcher:
             )
             .orderBy(F.desc("score"), "conv_id", "turn_idx")
             .limit(k)
+        )
+
+    def mlt_batch(
+        self,
+        sources: list[tuple[str, int, str]],
+        max_terms: int = 5,
+        k: int = 5,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Batched MoreLikeThis — the /select ``mlt=true`` component
+        (MoreLikeThisComponent runs one MLT query PER doclist doc;
+        at cluster scale that is |page| sequential searches, so this
+        engine batches them into ONE distributed pass): per-source
+        interesting terms rank driver-side on the bounded page
+        (tf × idf, 6dp pre-round, tiebreak term asc — the
+        interesting_terms contract), ONE dictionary probe serves the
+        union vocabulary's dfs, ONE per-segment Arrow pass decodes
+        the term-pruned postings into (term, cand, contrib) rows
+        (Σ df(term) rows — never corpus-wide), then a broadcast
+        source-map join + partial-aggregating groupBy((src, cand))
+        + per-source top-k window. Self-matches are excluded like
+        ``more_like_this``. Output keyed by the source doc (Solr's
+        moreLikeThis NamedList keys on the uniqueKey), ordered
+        (conv_id, turn_idx, sim_rank).
+
+        ref: solr/core/src/java/org/apache/solr/handler/component/
+             MoreLikeThisComponent.java,
+             lucene/queries/src/java/org/apache/lucene/queries/mlt/
+             MoreLikeThis.java"""
+        from collections import Counter
+
+        import numpy as np
+
+        from lucene_solr_spark.analyzer import tokenize_one
+        from lucene_solr_spark.query.model import B, K1
+        from lucene_solr_spark.query.scorer import TermPostings
+
+        src_tf = {
+            (cid, tid): Counter(tokenize_one(text))
+            for cid, tid, text in sources
+        }
+        union = sorted({t for tf in src_tf.values() for t in tf})
+        if not union or not sources:
+            return self.spark.createDataFrame(
+                [],
+                "conv_id string, turn_idx int, sim_conv_id string, "
+                "sim_turn_idx int, score double, sim_rank long",
+            )
+        idf = self.global_idf(union)  # ONE dictionary probe
+        src_rows = []
+        int_union: set[str] = set()
+        for (cid, tid), tf in src_tf.items():
+            ranked = sorted(
+                ((round(c * idf[t], 6), t) for t, c in tf.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:max_terms]
+            for _, t in ranked:
+                src_rows.append((cid, tid, t))
+                int_union.add(t)
+        src_map = self.spark.createDataFrame(
+            src_rows, "src_conv_id string, src_turn_idx int, term string"
+        )
+        avgdl = self.manifest.avgdl
+        seg_dirs = self.seg_dir_by_id
+        deleted_bc = self._deleted_bc
+        lidf = {t: idf[t] for t in int_union}
+
+        def run_seg(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=_BASE_COLS
+            ).to_pandas()
+            doc_len = dm["doc_len"].to_numpy("int64")
+            # docmap read site: liveDocs tombstones mask before any
+            # candidate leaves the task
+            live = apply_deletes(
+                None, dm, deleted_bc.value if deleted_bc else None
+            )
+            frames = []
+            for _, row in pdf.iterrows():
+                t = row["term"]
+                d, tf = TermPostings(row, 0.0).decode_all()
+                if live is not None:
+                    m = np.asarray(live)[d]
+                    d, tf = d[m], tf[m]
+                if len(d) == 0:
+                    continue
+                dl = doc_len[d]
+                contrib = (
+                    lidf[t] * (tf * (K1 + 1))
+                    / (tf + K1 * (1 - B + B * dl / avgdl))
+                )
+                sel = dm.iloc[d]
+                frames.append(pd.DataFrame({
+                    "term": t,
+                    "conv_id": sel["conv_id"].to_numpy(),
+                    "turn_idx": sel["turn_idx"].to_numpy(),
+                    "contrib": contrib,
+                }))
+            cols = ["term", "conv_id", "turn_idx", "contrib"]
+            if not frames:
+                return pd.DataFrame(columns=cols)
+            return pd.concat(frames, ignore_index=True)[cols]
+
+        contribs = (
+            self.postings()
+            .filter(F.col("term").isin(sorted(int_union)))
+            .groupBy("seg_id")
+            .applyInPandas(
+                run_seg,
+                "term string, conv_id string, turn_idx int, contrib double",
+            )
+        )
+        scored = (
+            contribs.join(F.broadcast(src_map), "term")
+            .filter(
+                ~((F.col("conv_id") == F.col("src_conv_id"))
+                  & (F.col("turn_idx") == F.col("src_turn_idx")))
+            )
+            .groupBy("src_conv_id", "src_turn_idx", "conv_id", "turn_idx")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        w = Window.partitionBy("src_conv_id", "src_turn_idx").orderBy(
+            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+        )
+        return (
+            scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("sim_rank") <= k)
+            .select(
+                F.col("src_conv_id").alias("conv_id"),
+                F.col("src_turn_idx").alias("turn_idx"),
+                F.col("conv_id").alias("sim_conv_id"),
+                F.col("turn_idx").alias("sim_turn_idx"),
+                "score", "sim_rank",
+            )
+            .orderBy("conv_id", "turn_idx", "sim_rank")
         )
 
     # -- debugQuery explain --------------------------------------------

@@ -4932,6 +4932,386 @@ LIMIT 10
 )
 
 
+_SELECT_HL_PARAMS = {
+    "q": "merge data", "q.op": "AND", "rows": 10,
+    "hl": True, "hl.snippets": 2, "hl.fragsize": 10,
+}
+_SELECT_HL_SPEC = BooleanSpec(must=("merge", "data"), k=10)
+
+
+def _select_hl_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select multi-snippet highlight leg: hl.snippets=2 +
+    hl.fragsize=10 route the hl component into passage mode — the
+    page's token streams cut into 10-token passages, scored by
+    query-term occurrence count, top 2 non-empty passages per doc;
+    only the page rows explode. ref: solr/core/src/java/org/apache/
+    solr/highlight/DefaultSolrHighlighter.java (hl.snippets/
+    hl.fragsize params), lucene/highlighter/.../uhighlight/
+    UnifiedHighlighter.java (passage scorer)."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    spec, _ = parse_select_params(_SELECT_HL_PARAMS)
+    assert spec == _SELECT_HL_SPEC
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_HL_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["highlighting"]
+
+
+_sel_hl_oracle = bm25_passages_oracle_sql(
+    _SELECT_HL_SPEC, ("merge", "data"), 10, 2
+)
+assert "SELECT conv_id, turn_idx, score, passage, pscore, snippet" in \
+    _sel_hl_oracle
+register(
+    "q_select_hl_passages",
+    _select_hl_passages,
+    _sel_hl_oracle.replace(
+        "SELECT conv_id, turn_idx, score, passage, pscore, snippet",
+        "SELECT conv_id, turn_idx, passage, snippet",
+    ),
+)
+
+
+_SELECT_STATS_PARAMS = {
+    "q": "data", "fq": "role:user", "rows": 5,
+    "stats": True, "stats.field": "doc_len",
+}
+
+
+def _select_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select StatsComponent leg: stats=true&stats.field=doc_len over
+    the q+fq domain — min/max/sum/count/missing/mean/stddev as one
+    partial-aggregating narrow job on the docvalues column (the
+    corpus text never moves). ref: solr/core/src/java/org/apache/
+    solr/handler/component/StatsComponent.java (StatsValuesFactory
+    numeric stats over the DocSet)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_STATS_PARAMS)["stats"]["doc_len"]
+
+
+register(
+    "q_select_stats",
+    _select_stats,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+dom AS (
+  SELECT CAST(len(toks) AS BIGINT) AS dl FROM docs
+  WHERE role = 'user' AND list_contains(toks, 'data')
+)
+SELECT CAST(min(dl) AS BIGINT) AS "min", CAST(max(dl) AS BIGINT) AS "max",
+       CAST(sum(dl) AS BIGINT) AS "sum", CAST(count(dl) AS BIGINT) AS cnt,
+       CAST(count(*) - count(dl) AS BIGINT) AS missing,
+       round(avg(dl), 4) AS mean, round(stddev_samp(dl), 4) AS stddev
+FROM dom
+""".strip(),
+)
+
+
+_SELECT_RANGE_PARAMS_REQ = {
+    "q": "merge", "fq": "role:assistant", "rows": 5,
+    "facet.range": "turn_idx", "facet.range.start": 0,
+    "facet.range.end": 10, "facet.range.gap": 2,
+}
+
+
+def _select_range_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select CLASSIC facet.range param family (facet.range +
+    facet.range.start/end/gap — the pre-JSON-Facet API surface):
+    turn_idx histogrammed at gap=2 over [0, 10) on the q+fq domain,
+    same bucket contract as the json.facet range leg (non-empty
+    buckets only, one bounded narrow groupBy). ref: solr/core/src/
+    java/org/apache/solr/handler/component/RangeFacetProcessor.java
+    (getFacetRangeCounts param parse)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_RANGE_PARAMS_REQ)["facet_ranges"]["turn_idx"]
+
+
+register(
+    "q_select_range_params",
+    _select_range_params,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT CAST((turn_idx // 2) * 2 AS BIGINT) AS bucket_start,
+       count(*) AS cnt
+FROM docs
+WHERE role = 'assistant' AND list_contains(toks, 'merge')
+  AND turn_idx >= 0 AND turn_idx < 10
+GROUP BY 1 ORDER BY bucket_start
+""".strip(),
+)
+
+
+_SELECT_FACET_QUERY_PARAMS = {
+    "q": "data", "rows": 5,
+    "facet.query": ["turn_idx:[0 TO 3]", "role:assistant"],
+}
+
+
+def _select_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select CLASSIC facet.query leg: each value is a pure filter
+    counted against the doclist's domain (SimpleFacets
+    getFacetQueryCounts) — one bounded DocSet count per value through
+    the same fq mask path as the doclist. The handler returns scalar
+    counts (Solr's facet_queries NamedList); this row frames them for
+    the oracle."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    counts = select(s, _SELECT_FACET_QUERY_PARAMS)["facet_queries"]
+    return spark.createDataFrame(
+        sorted(counts.items()), "fq string, cnt long"
+    )
+
+
+register(
+    "q_select_facet_query",
+    _select_facet_query,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+main AS (SELECT * FROM docs WHERE list_contains(toks, 'data'))
+SELECT 'role:assistant' AS fq,
+       CAST(count(*) FILTER (role = 'assistant') AS BIGINT) AS cnt
+FROM main
+UNION ALL
+SELECT 'turn_idx:[0 TO 3]',
+       CAST(count(*) FILTER (turn_idx BETWEEN 0 AND 3) AS BIGINT)
+FROM main
+ORDER BY fq
+""".strip(),
+)
+
+
+_SELECT_GROUP_PARAMS = {
+    "q": "data merge", "group": True, "group.field": "role",
+    "group.limit": 2, "rows": 2,
+}
+_SELECT_GROUP_SPEC = BooleanSpec(
+    should=("data", "merge"), min_should_match=1, k=2
+)
+
+
+def _select_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select result-grouping leg: group=true&group.field=role&
+    group.limit=2&rows=2 — top 2 role groups ranked by their best
+    turn's rounded score (FirstPassGroupingCollector), each returning
+    its 2 best turns (TopGroupsCollector doclists); ONE group-key-
+    partitioned rank pass serves both passes, the second pass is a
+    broadcast semi-join of the winning keys. ref: solr/core/src/java/
+    org/apache/solr/search/Grouping.java (CommandField), lucene/
+    grouping FirstPassGroupingCollector + TopGroupsCollector."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    spec, o = parse_select_params(_SELECT_GROUP_PARAMS)
+    assert spec == _SELECT_GROUP_SPEC and o["group"] == ("role", 2)
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_GROUP_PARAMS)["grouped"]
+
+
+#: the WITH...scored prefix of the BM25 oracle (same split rule as
+#: `_scored_body`, which is defined further down the module)
+_SELECT_GROUP_BODY = bm25_oracle_sql(_SELECT_GROUP_SPEC).split(
+    "\nSELECT conv_id, turn_idx, round(score"
+)[0]
+
+register(
+    "q_select_group",
+    _select_group,
+    _SELECT_GROUP_BODY + f""",
+joined AS (
+  SELECT t.role, s.conv_id, s.turn_idx,
+         round(s.score, {ROUND}) AS score
+  FROM scored s JOIN transcripts t USING (conv_id, turn_idx)),
+g_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY role ORDER BY score DESC, conv_id, turn_idx) AS grn
+  FROM joined),
+g_heads AS (
+  SELECT role FROM g_ranked WHERE grn = 1
+  ORDER BY score DESC, conv_id, turn_idx LIMIT 2)
+SELECT role AS group_value, conv_id, turn_idx, score,
+       CAST(grn AS BIGINT) AS doc_rank
+FROM g_ranked
+WHERE role IN (SELECT role FROM g_heads) AND grn <= 2
+ORDER BY group_value, doc_rank""",
+)
+
+
+_SELECT_MLT_PARAMS = {
+    "q": "table merge", "q.op": "AND", "rows": 3,
+    "mlt": True, "mlt.count": 4, "mlt.maxqt": 4,
+}
+
+
+def _select_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select MoreLikeThis component leg: mlt=true&mlt.count=4&
+    mlt.maxqt=4 — similar docs for EVERY page doc in ONE batched
+    distributed pass (Solr's MoreLikeThisComponent runs |page|
+    sequential MLT queries; see IndexSearcher.mlt_batch for the
+    batched shape: one dictionary probe, one term-pruned per-segment
+    contrib pass, broadcast source-map join, per-source top-k
+    window). ref: solr/core/src/java/org/apache/solr/handler/
+    component/MoreLikeThisComponent.java, lucene/queries/src/java/
+    org/apache/lucene/queries/mlt/MoreLikeThis.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_MLT_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["moreLikeThis"]
+
+
+register(
+    "q_select_mlt",
+    _select_mlt,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM docs2
+),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2
+),
+alltf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens GROUP BY conv_id, turn_idx, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM alltf GROUP BY term),
+scored AS (
+  SELECT a.conv_id, a.turn_idx,
+         sum(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (a.tf * ({_K1} + 1))
+             / (a.tf + {_K1} * (1 - {_B} + {_B} * a.doc_len / stats.avgdl))
+         ) AS score
+  FROM alltf a JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE a.term IN ('table', 'merge')
+  GROUP BY a.conv_id, a.turn_idx
+  HAVING count(*) = 2
+),
+page AS (
+  SELECT conv_id, turn_idx FROM scored
+  ORDER BY round(score, 4) DESC, conv_id, turn_idx LIMIT 3
+),
+src_w AS (
+  SELECT a.conv_id AS src_cid, a.turn_idx AS src_tid, a.term,
+         round(a.tf * ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                               / (dfreq.df + 0.5)), 6) AS w
+  FROM alltf a JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE (a.conv_id, a.turn_idx) IN (SELECT (conv_id, turn_idx) FROM page)
+),
+int_terms AS (
+  SELECT src_cid, src_tid, term FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_cid, src_tid ORDER BY w DESC, term) AS trn
+    FROM src_w)
+  WHERE trn <= 4
+),
+pair_scores AS (
+  SELECT it.src_cid, it.src_tid, a.conv_id, a.turn_idx,
+         round(sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (a.tf * ({_K1} + 1))
+           / (a.tf + {_K1} * (1 - {_B} + {_B} * a.doc_len / stats.avgdl))
+         ), 4) AS score
+  FROM int_terms it
+  JOIN alltf a USING (term)
+  JOIN dfreq ON dfreq.term = it.term
+  CROSS JOIN stats
+  WHERE NOT (a.conv_id = it.src_cid AND a.turn_idx = it.src_tid)
+  GROUP BY it.src_cid, it.src_tid, a.conv_id, a.turn_idx
+)
+SELECT src_cid AS conv_id, src_tid AS turn_idx,
+       conv_id AS sim_conv_id, turn_idx AS sim_turn_idx, score,
+       CAST(srn AS BIGINT) AS sim_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_cid, src_tid
+    ORDER BY score DESC, conv_id, turn_idx) AS srn
+  FROM pair_scores)
+WHERE srn <= 4
+ORDER BY conv_id, turn_idx, sim_rank
+""".strip(),
+)
+
+
+_SELECT_SPELLCHECK_PARAMS = {
+    "q": "mrege tabel data", "rows": 5,
+    "spellcheck": True, "spellcheck.count": 3,
+}
+
+
+def _select_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select SpellCheck component leg: spellcheck=true&
+    spellcheck.count=3 on a q with two misspelled terms — only terms
+    ABSENT from the index term dictionary get suggestions (one
+    bounded df probe gates them), candidates within edit distance 2
+    ranked (dist asc, df desc, term asc). The collation surface
+    (spellcheck.collate) is attested component-equal in
+    test_battery_r4. ref: solr/core/src/java/org/apache/solr/
+    handler/component/SpellCheckComponent.java +
+    spelling/DirectSolrSpellChecker.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_SPELLCHECK_PARAMS)["spellcheck"]
+
+
+register(
+    "q_select_spellcheck",
+    _select_spellcheck,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES ('mrege'), ('tabel'), ('data')),
+miss AS (SELECT q FROM q WHERE q NOT IN (SELECT term FROM dfreq)),
+cand AS (
+  SELECT m.q, d.term AS suggestion,
+         CAST(levenshtein(m.q, d.term) AS BIGINT) AS dist, d.df
+  FROM miss m, dfreq d
+  WHERE levenshtein(m.q, d.term) <= 2 AND len(d.term) >= 3),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand)
+SELECT q, suggestion, dist, df FROM ranked WHERE rn <= 3
+ORDER BY q, dist, df DESC, suggestion
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

@@ -889,3 +889,236 @@ def test_select_handler_random_param_duel(spark, sf_dir):
         assert page == head[o["start"]: o["start"] + o["rows"]], (
             seed, params)
         assert resp["numFound"] == s.docset(spec).count(), (seed, params)
+
+
+def test_select_handler_hl_passages_leg(spark, sf_dir):
+    """Passage mode must equal a brute per-doc recompute (fragsize
+    chunks, hit-count scoring, top-n non-empty), and the params pin
+    their contract (need hl=true, >= 1)."""
+    import pytest as _pt
+
+    from lucene_solr_spark.analyzer import tokenize_one
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import _SELECT_HL_PARAMS, cached_searcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_searcher(spark, sf_dir)
+    stored = transcripts_from_documents(spark, sf_dir)
+    resp = select(s, _SELECT_HL_PARAMS, stored=stored)
+    hl = [(r.conv_id, r.turn_idx, r.passage, r.snippet)
+          for r in resp["highlighting"].collect()]
+    page = [(r.conv_id, r.turn_idx) for r in resp["response"].collect()]
+    text = {(r.conv_id, r.turn_idx): r.text for r in stored.collect()}
+    ft, n_snip, terms = 10, 2, {"merge", "data"}
+    want = []
+    for key in page:
+        toks = tokenize_one(text[key])
+        cands = []
+        for p in range((len(toks) + ft - 1) // ft):
+            pt = toks[p * ft: (p + 1) * ft]
+            score = sum(t in terms for t in pt)
+            if score > 0:
+                snip = " ".join(
+                    f"<em>{t}</em>" if t in terms else t for t in pt)
+                cands.append((-score, p, snip))
+        cands.sort()
+        want += [(key[0], key[1], p, snip)
+                 for _, p, snip in cands[:n_snip]]
+        # brute emits per page order; passages within a doc ascend
+        want[-min(n_snip, len(cands)):] = sorted(
+            want[-min(n_snip, len(cands)):])
+    assert hl == want
+    # contract: params need hl=true and sane values
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "merge", "hl.snippets": 2})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "merge", "hl": True, "hl.fragsize": 0})
+
+
+def test_select_handler_component_legs_contracts(spark, sf_dir):
+    """Classic facet.query / facet.range / stats / group legs: each
+    must equal its standalone-engine recompute on the SAME domain,
+    and the param contracts reject malformed requests like Solr's
+    400s."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import (
+        _merge_filters, parse_select_params, select,
+    )
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    params = {
+        "q": "data", "fq": "role:assistant", "rows": 5,
+        "facet.query": "turn_idx:[0 TO 3]",
+        "facet.range": "turn_idx", "facet.range.start": 0,
+        "facet.range.end": 10, "facet.range.gap": 2,
+        "stats": True, "stats.field": ["doc_len", "turn_idx"],
+    }
+    spec, o = parse_select_params(params)
+    resp = select(s, params)
+    # facet.query ≡ DocSet count with the filter folded in
+    (raw, f_spec), = o["facet_queries"]
+    assert resp["facet_queries"][raw] == s.docset(
+        _merge_filters(spec, f_spec)).count()
+    # facet.range bucket counts sum to the in-range domain size
+    buckets = {r.bucket_start: r.cnt
+               for r in resp["facet_ranges"]["turn_idx"].collect()}
+    assert buckets and all(b % 2 == 0 and 0 <= b < 10 for b in buckets)
+    in_range = (
+        s.docmap().select("conv_id", "turn_idx")
+        .join(s.docset(spec), ["conv_id", "turn_idx"])
+        .filter((F.col("turn_idx") >= 0) & (F.col("turn_idx") < 10))
+        .count()
+    )
+    assert sum(buckets.values()) == in_range
+    # stats ≡ a brute recompute over the collected domain
+    dom = (
+        s.docmap().select("conv_id", "turn_idx", "doc_len")
+        .join(s.docset(spec), ["conv_id", "turn_idx"])
+        .collect()
+    )
+    vals = [r.doc_len for r in dom]
+    st = resp["stats"]["doc_len"].collect()[0]
+    mean = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (len(vals) - 1))
+    assert (st["min"], st["max"], st["sum"], st["cnt"], st["missing"]) == (
+        min(vals), max(vals), sum(vals), len(vals), 0)
+    assert abs(st["mean"] - mean) < 1e-3 and abs(st["stddev"] - sd) < 1e-3
+    assert set(resp["stats"]) == {"doc_len", "turn_idx"}
+    # contracts
+    for bad in (
+        {"q": "x", "facet.range": "turn_idx"},            # missing subs
+        {"q": "x", "facet.range.start": 0},               # subs w/o field
+        {"q": "x", "facet.range": "role",                 # non-numeric
+         "facet.range.start": 0, "facet.range.end": 4,
+         "facet.range.gap": 2},
+        {"q": "x", "stats.field": "doc_len"},             # needs stats
+        {"q": "x", "stats": True},                        # needs field
+        {"q": "x", "stats": True, "stats.field": "role"},  # non-numeric
+        {"q": "x", "facet.query": "data merge"},          # scoring fq
+        {"q": "x", "group": True},                        # needs field
+        {"q": "x", "group": True, "group.field": "ts"},   # ungroupable
+        {"q": "x", "group": True, "group.field": "role",
+         "group.limit": 0},                               # bad limit
+        {"q": "x", "group": True, "group.field": "role",
+         "sort": "ts desc"},                              # score sort only
+        {"q": "x", "group": True, "group.field": "role",
+         "start": 3},                                     # no group paging
+        {"q": "x", "group.limit": 2},                     # needs group
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
+
+
+def test_select_handler_group_leg_brute(spark, sf_dir):
+    """The grouped doclist must equal a brute recompute from the full
+    scored hit list: top `rows` groups by best rounded score, each
+    group's top `group.limit` turns in (score desc, conv_id,
+    turn_idx) order."""
+    from lucene_solr_spark.handler import select
+    from lucene_solr_spark.registry import (
+        _SELECT_GROUP_PARAMS, _SELECT_GROUP_SPEC, cached_searcher,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    got = [
+        (r.group_value, r.conv_id, r.turn_idx, r.score, r.doc_rank)
+        for r in select(s, _SELECT_GROUP_PARAMS)["grouped"].collect()
+    ]
+    hits = s.score_hits(_SELECT_GROUP_SPEC, k=None).withColumn(
+        "score", F.round("score", 4)
+    )
+    role = {
+        (r.conv_id, r.turn_idx): r.role
+        for r in s.docmap().select("conv_id", "turn_idx", "role").collect()
+    }
+    by_group: dict = {}
+    for r in hits.collect():
+        key = role[(r.conv_id, r.turn_idx)]
+        by_group.setdefault(key, []).append(
+            (-r.score, r.conv_id, r.turn_idx))
+    for g in by_group.values():
+        g.sort()
+    heads = sorted(by_group.items(), key=lambda kv: kv[1][0])
+    want = []
+    for g, docs in sorted(heads[: _SELECT_GROUP_PARAMS["rows"]]):
+        for rank, (neg, cid, tid) in enumerate(
+                docs[: _SELECT_GROUP_PARAMS["group.limit"]], 1):
+            want.append((g, cid, tid, -neg, rank))
+    assert got == want
+
+
+def test_select_handler_mlt_leg_batched_equals_per_doc(spark, sf_dir):
+    """The batched mlt leg must equal the per-doc more_like_this path
+    for every page doc (same interesting-term selection, same OR
+    scoring, same exclusion), and the params pin their contract."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import _SELECT_MLT_PARAMS, cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    stored = transcripts_from_documents(spark, sf_dir)
+    resp = select(s, _SELECT_MLT_PARAMS, stored=stored)
+    got: dict = {}
+    for r in resp["moreLikeThis"].collect():
+        got.setdefault((r.conv_id, r.turn_idx), []).append(
+            (r.sim_conv_id, r.sim_turn_idx, r.score, r.sim_rank))
+    page = [(r.conv_id, r.turn_idx) for r in resp["response"].collect()]
+    assert set(got) <= set(page)
+    text = {(r.conv_id, r.turn_idx): r.text for r in stored.collect()}
+    for key in page:
+        want = [
+            (r.conv_id, r.turn_idx, r.score, i + 1)
+            for i, r in enumerate(s.more_like_this(
+                key[0], key[1], text[key], max_terms=4, k=4, round_to=4,
+            ).collect())
+        ]
+        assert got.get(key, []) == want, key
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "mlt.count": 3})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "mlt": True, "mlt.maxqt": 0})
+    with _pt.raises(ValueError):
+        select(s, {"q": "x", "mlt": True})  # needs stored fields
+
+
+def test_select_handler_spellcheck_leg(spark, sf_dir):
+    """Spellcheck leg: only dictionary-absent terms get suggestions;
+    collate substitutes each misspelled term with its TOP suggestion
+    and its hit count equals the rewritten query's DocSet count; a
+    fully well-spelled q yields an empty suggestion frame and the
+    identity collation."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.query.parser import parse
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    params = {"q": "mrege tabel data", "rows": 5, "spellcheck": True,
+              "spellcheck.count": 3, "spellcheck.collate": True}
+    resp = select(s, params)
+    sugg = resp["spellcheck"].collect()
+    assert {r.q for r in sugg} <= {"mrege", "tabel"}  # 'data' is spelled
+    assert all(r.dist <= 2 and len(r.suggestion) >= 3 for r in sugg)
+    top = {}
+    for r in sugg:
+        top.setdefault(r.q, r.suggestion)
+    coll = resp["spellcheck_collation"]
+    want_q = " ".join(top.get(t, t) for t in ("mrege", "tabel", "data"))
+    assert coll["collationQuery"] == want_q
+    assert coll["hits"] == s.docset(
+        parse(want_q, k=5, default_op="OR")).count()
+    # well-spelled q: empty suggestions, identity collation
+    ok = select(s, {"q": "merge data", "rows": 5, "spellcheck": True,
+                    "spellcheck.collate": True})
+    assert ok["spellcheck"].count() == 0
+    assert ok["spellcheck_collation"]["collationQuery"] == "merge data"
+    assert ok["spellcheck_collation"]["hits"] == ok["numFound"]
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "spellcheck.count": 3})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "spellcheck": True,
+                             "spellcheck.count": 0})
