@@ -42,11 +42,12 @@ _KNOWN = {
     "facet.mincount", "facet.prefix", "facet.offset", "hl", "hl.fl",
     "hl.snippets", "hl.fragsize",
     "facet.query", "facet.range", "facet.range.start",
-    "facet.range.end", "facet.range.gap",
+    "facet.range.end", "facet.range.gap", "facet.pivot",
     "stats", "stats.field",
     "group", "group.field", "group.limit",
     "mlt", "mlt.count", "mlt.maxqt",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
+    "debug",
     "defType", "mm", "pf", "ps", "json.facet",
 }
 
@@ -294,6 +295,18 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         facet_range = (fld, r_start, r_end, r_gap)
     elif range_subs & set(params):
         raise ValueError("facet.range.start/end/gap need facet.range")
+    # classic facet.pivot (PivotFacetProcessor): one 2-level pivot
+    # over ord-indexed fields; facet.limit bounds both levels
+    facet_pivot = None
+    if "facet.pivot" in params:
+        parts = [p.strip() for p in str(params["facet.pivot"]).split(",")]
+        if len(parts) != 2 or not all(p in _FACETABLE for p in parts):
+            raise ValueError(
+                f"facet.pivot must name two of {sorted(_FACETABLE)} "
+                f"comma-separated, got {params['facet.pivot']!r}")
+        if parts[0] == parts[1]:
+            raise ValueError("facet.pivot fields must differ")
+        facet_pivot = tuple(parts)
     # StatsComponent leg: stats.field lists numeric docvalues columns
     stats_fields = params.get("stats.field", [])
     if isinstance(stats_fields, str):
@@ -347,6 +360,12 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     elif {"spellcheck.count", "spellcheck.collate"} & set(params):
         raise ValueError(
             "spellcheck.count/spellcheck.collate need spellcheck=true")
+    debug = bool(params.get("debug", False))
+    if debug and def_type == "edismax":
+        # the pf bonus needs the per-doc position machinery
+        # (IndexSearcher.explain); the batched debug leg covers the
+        # term-scoring contract
+        raise ValueError("debug=true supports defType=lucene only")
     opts = {
         "start": start, "rows": rows,
         "fl": params.get("fl"),
@@ -358,10 +377,12 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_offset": facet_offset,
         "facet_queries": facet_queries,
         "facet_range": facet_range,
+        "facet_pivot": facet_pivot,
         "stats_fields": list(stats_fields),
         "group": group,
         "mlt": mlt,
         "spellcheck": spellcheck,
+        "debug": debug,
         "hl": hl,
         "hl_passages": hl_passages,
         "hl_snippets": hl_snippets,
@@ -461,6 +482,21 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         fld, r_start, r_end, r_gap = o["facet_range"]
         out["facet_ranges"] = {
             fld: _range_buckets(searcher, spec, fld, r_start, r_end, r_gap)
+        }
+    if o["facet_pivot"]:
+        # classic facet.pivot leg: the index sparse pair-counting
+        # engine over the SAME q+fq domain (shuffle bounded by
+        # distinct co-occurring pairs, never the corpus)
+        from lucene_solr_spark.query.facets import facet_pivot
+
+        f1, f2 = o["facet_pivot"]
+        # facet_pivot does not rewrite multiterm specs itself
+        p_spec = searcher.rewrite(spec) if spec.needs_rewrite else spec
+        out["facet_pivots"] = {
+            f"{f1},{f2}": facet_pivot(
+                searcher, f1, f2, spec=p_spec,
+                limit1=o["facet_limit"], limit2=o["facet_limit"],
+            )
         }
     if o["stats_fields"]:
         # StatsComponent leg: algebraic aggregates over the domain's
@@ -597,6 +633,17 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 ),
                 "hits": searcher.docset(coll_spec).count(),
             }
+    if o["debug"]:
+        # debugQuery leg (DebugComponent): the per-term Explanation
+        # rows for EVERY page doc in ONE batched pass (see
+        # IndexSearcher.explain_batch — the per-doc explain surface
+        # would cost |page| probe jobs); contribs sum to each page
+        # row's score (the engine's pinned explain identity)
+        out["debug"] = searcher.explain_batch(
+            spec,
+            [(r.conv_id, r.turn_idx) for r in page_keys.collect()],
+            round_to=4,
+        )
     if o["json_facets"]:
         # JSON Facet API leg (FacetModule): every bucket runs over the
         # SAME q+fq domain as the doclist; terms buckets ride the index

@@ -894,6 +894,131 @@ class IndexSearcher:
             )
         return out.orderBy("term")
 
+    def explain_batch(
+        self,
+        spec: BooleanSpec,
+        keys: list[tuple[str, int]],
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """debugQuery for a PAGE of docs in ONE pass — the /select
+        ``debug=true`` leg (Solr's DebugComponent attaches an
+        Explanation per doclist doc; :meth:`explain` launches a
+        per-doc probe, so a 10-row page would cost 10 jobs): one
+        bounded docmap probe locates every page doc's (segment, ord,
+        norm), then one per-segment Arrow pass decodes ONLY the
+        scoring terms' postings blocks covering those ords (block
+        skip list — nothing corpus-sized moves), and the per-term
+        meta (df, idf, boost) broadcasts onto the (doc, term, tf)
+        rows. Same per-row contract as :meth:`explain`: matching
+        clauses only, contribs sum to the ranker's score. pf specs
+        route to the per-doc surface (the phrase bonus needs the
+        position machinery).
+
+        ref: solr/core/src/java/org/apache/solr/handler/component/
+             DebugComponent.java (explain per doclist doc),
+             lucene/core/.../IndexSearcher.java#explain"""
+        import numpy as np
+
+        from lucene_solr_spark.query.model import B, K1
+        from lucene_solr_spark.query.scorer import TermPostings
+
+        if spec.needs_rewrite:
+            spec = self.rewrite(spec)
+        if spec.pf_phrases:
+            raise ValueError(
+                "explain_batch covers term scoring; pf specs need the "
+                "per-doc explain surface")
+        terms = list(spec.scoring_terms)
+        schema = (
+            "conv_id string, turn_idx int, term string, tf long, "
+            "df long, idf double, contrib double"
+        )
+        if not keys or not terms:
+            return self.spark.createDataFrame([], schema)
+        keys_df = self.spark.createDataFrame(
+            list(keys), "conv_id string, turn_idx int"
+        )
+        loc = (
+            self.docmap()
+            .join(F.broadcast(keys_df), ["conv_id", "turn_idx"])
+            .select("seg_id", "doc_ord", "doc_len", "conv_id", "turn_idx")
+            .collect()  # bounded: ≤ |page| rows
+        )
+        if not loc:
+            return self.spark.createDataFrame([], schema)
+        by_seg: dict[int, list] = {}
+        for r in loc:
+            by_seg.setdefault(int(r.seg_id), []).append(
+                (int(r.doc_ord), r.conv_id, int(r.turn_idx))
+            )
+        dfs = self.global_df(terms)
+        n, avgdl = self.manifest.n_docs, self.manifest.avgdl
+        bm = spec.boost_map
+        seg_ids = sorted(by_seg)
+
+        def run_seg(pdf):
+            import pandas as pd
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            want = by_seg[seg_id]
+            ords = np.array([w[0] for w in want], dtype=np.int64)
+            order = np.argsort(ords)
+            s_ords = ords[order]
+            rows = []
+            for _, row in pdf.iterrows():
+                t = row["term"]
+                p = TermPostings(row, 0.0)
+                blocks = p.blocks_for_docs(s_ords)
+                d, tf = p.decode_blocks(blocks)
+                m = np.isin(d, s_ords)
+                for ord_v, tf_v in zip(d[m], tf[m]):
+                    i = int(np.searchsorted(s_ords, ord_v))
+                    _, cid, tid = want[order[i]]
+                    rows.append((cid, tid, t, int(tf_v)))
+            return pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "term", "tf"]
+            )
+
+        tfdf = (
+            self.postings()
+            .filter(
+                F.col("seg_id").isin(seg_ids) & F.col("term").isin(terms)
+            )
+            .groupBy("seg_id")
+            .applyInPandas(run_seg, "conv_id string, turn_idx int, "
+                                    "term string, tf long")
+        )
+
+        def _idf(t: str) -> float:
+            return math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+
+        meta = self.spark.createDataFrame(
+            [(t, dfs[t], float(bm.get(t, 1.0)), _idf(t)) for t in terms],
+            "term string, df long, boost double, idf double",
+        )
+        lens = self.spark.createDataFrame(
+            [(r.conv_id, int(r.turn_idx), float(r.doc_len)) for r in loc],
+            "conv_id string, turn_idx int, doc_len double",
+        )
+        norm = K1 * (1 - B + B * F.col("doc_len") / avgdl)
+        out = (
+            tfdf.join(F.broadcast(meta), "term")
+            .join(F.broadcast(lens), ["conv_id", "turn_idx"])
+            .withColumn(
+                "contrib",
+                F.col("boost") * F.col("idf")
+                * (F.col("tf") * (K1 + 1)) / (F.col("tf") + norm),
+            )
+            .select(
+                "conv_id", "turn_idx", "term", "tf", "df", "idf", "contrib"
+            )
+        )
+        if round_to is not None:
+            out = out.withColumn("idf", F.round("idf", round_to)).withColumn(
+                "contrib", F.round("contrib", round_to)
+            )
+        return out.orderBy("conv_id", "turn_idx", "term")
+
     # -- significant terms ---------------------------------------------
     def significant_terms(
         self,

@@ -5312,6 +5312,122 @@ ORDER BY q, dist, df DESC, suggestion
 )
 
 
+_SELECT_PIVOT_PARAMS = {
+    "q": "data", "rows": 5, "facet.pivot": "role,tool",
+    "facet.limit": 3,
+}
+
+
+def _select_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select classic facet.pivot leg: facet.pivot=role,tool over
+    the 'data' domain — dispatched to the index sparse pair-counting
+    engine (facet_pivot), facet.limit bounding both levels. ref:
+    solr/core/src/java/org/apache/solr/handler/component/
+    PivotFacetProcessor.java (facet.pivot param parse + 2-level
+    recursion)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_PIVOT_PARAMS)["facet_pivots"]["role,tool"]
+
+
+register(
+    "q_select_pivot",
+    _select_pivot,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+pairs AS (
+  SELECT role AS v1, tool AS v2, count(*) AS cnt
+  FROM docs WHERE tool IS NOT NULL AND list_contains(toks, 'data')
+  GROUP BY 1, 2),
+top1 AS (
+  SELECT v1, sum(cnt) AS t1 FROM pairs GROUP BY v1
+  ORDER BY t1 DESC, v1 LIMIT 3)
+SELECT v1, v2, cnt FROM (
+  SELECT p.v1, p.v2, p.cnt, t1,
+         row_number() OVER (PARTITION BY p.v1 ORDER BY p.cnt DESC, p.v2) AS rk
+  FROM pairs p JOIN top1 USING (v1))
+WHERE rk <= 3 ORDER BY t1 DESC, v1, cnt DESC, v2""",
+)
+
+
+_SELECT_DEBUG_PARAMS = {
+    "q": "merge data", "q.op": "AND", "rows": 4, "debug": True,
+}
+
+
+def _select_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select debugQuery leg: debug=true attaches the per-term BM25
+    Explanation rows for EVERY page doc in ONE batched pass
+    (IndexSearcher.explain_batch — one bounded docmap probe + one
+    per-segment block-skip postings decode; the per-doc explain
+    surface would cost |page| jobs). Contribs sum to each page row's
+    score (pinned in test_battery_r4). ref: solr/core/src/java/org/
+    apache/solr/handler/component/DebugComponent.java, lucene/core/
+    .../IndexSearcher.java#explain."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_DEBUG_PARAMS)["debug"]
+
+
+register(
+    "q_select_debug",
+    _select_debug,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+docs2 AS (SELECT *, len(toks) AS doc_len FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM docs2
+),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2
+),
+alltf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN ('merge', 'data')
+  GROUP BY conv_id, turn_idx, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM alltf GROUP BY term),
+scored AS (
+  SELECT a.conv_id, a.turn_idx,
+         sum(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (a.tf * ({_K1} + 1))
+             / (a.tf + {_K1} * (1 - {_B} + {_B} * a.doc_len / stats.avgdl))
+         ) AS score
+  FROM alltf a JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY a.conv_id, a.turn_idx
+  HAVING count(*) = 2
+),
+page AS (
+  SELECT conv_id, turn_idx FROM scored
+  ORDER BY round(score, 4) DESC, conv_id, turn_idx LIMIT 4
+)
+SELECT a.conv_id, a.turn_idx, a.term, CAST(a.tf AS BIGINT) AS tf,
+       dfreq.df,
+       round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5)), 4) AS idf,
+       round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (a.tf * ({_K1} + 1))
+             / (a.tf + {_K1} * (1 - {_B} + {_B} * a.doc_len / stats.avgdl)),
+             4) AS contrib
+FROM alltf a JOIN dfreq USING (term) CROSS JOIN stats
+WHERE (a.conv_id, a.turn_idx) IN (SELECT (conv_id, turn_idx) FROM page)
+ORDER BY a.conv_id, a.turn_idx, a.term
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

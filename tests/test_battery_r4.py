@@ -1122,3 +1122,43 @@ def test_select_handler_spellcheck_leg(spark, sf_dir):
     with _pt.raises(ValueError):
         parse_select_params({"q": "x", "spellcheck": True,
                              "spellcheck.count": 0})
+
+
+def test_select_handler_pivot_and_debug_legs(spark, sf_dir):
+    """facet.pivot ≡ the standalone facet_pivot engine on the same
+    domain; debug contribs sum to each page row's score (the pinned
+    explain identity) and cover exactly the page; contracts raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.query.facets import facet_pivot
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    resp = select(s, {"q": "data", "rows": 4, "facet.pivot": "role,tool",
+                      "facet.limit": 3, "debug": True})
+    got = [tuple(r) for r in resp["facet_pivots"]["role,tool"].collect()]
+    want = [tuple(r) for r in facet_pivot(
+        s, "role", "tool", spec=BooleanSpec(must=("data",), k=4),
+        limit1=3, limit2=3,
+    ).collect()]
+    assert got == want and got
+    # debug: contribs sum to the page scores, keys cover the page
+    page = {(r.conv_id, r.turn_idx): r.score
+            for r in resp["response"].collect()}
+    sums: dict = {}
+    for r in resp["debug"].collect():
+        sums[(r.conv_id, r.turn_idx)] = (
+            sums.get((r.conv_id, r.turn_idx), 0.0) + r.contrib)
+    assert set(sums) == set(page)
+    for k, v in sums.items():
+        assert abs(v - page[k]) < 5e-4, (k, v, page[k])
+    for bad in (
+        {"q": "x", "facet.pivot": "role"},           # one field
+        {"q": "x", "facet.pivot": "role,ts"},        # unfacetable
+        {"q": "x", "facet.pivot": "role,role"},      # same field
+        {"q": "x y", "debug": True, "defType": "edismax"},  # pf needs
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
