@@ -66,6 +66,25 @@ _AGG_COLS = {"doc_len", "turn_idx"}
 _GROUPABLE = {"conv_id", "role", "tool"}
 
 
+#: {!tag=...} on an fq / {!ex=...} on a facet.field (QueryParsing
+#: local params — the multi-select faceting request plumbing)
+_TAG_RE = re.compile(r"^\{!tag=([\w,]+)\}(.+)$")
+_EX_RE = re.compile(r"^\{!ex=([\w,]+)\}(\w+)$")
+
+
+def _fields_of(f_spec: BooleanSpec) -> set[str]:
+    """Every field a pure-filter spec constrains — the handle the
+    engine's ``exclude_fields`` multi-select API keys on."""
+    return (
+        {f for f, _ in f_spec.filters}
+        | {f for f, _ in f_spec.not_filters}
+        | {f for f, *_ in f_spec.range_filters}
+        | {f for f, _ in f_spec.in_filters}
+        | set(f_spec.exists_filters)
+        | set(f_spec.missing_filters)
+    )
+
+
 def _pure_filter(spec: BooleanSpec, raw: str) -> BooleanSpec:
     """Reject an fq that carries scoring clauses."""
     if (spec.must or spec.should or spec.must_not or spec.phrases
@@ -231,15 +250,38 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     fqs = params.get("fq", [])
     if isinstance(fqs, str):
         fqs = [fqs]
+    tag_fields: dict[str, set[str]] = {}
     for raw in fqs:
-        spec = _merge_filters(
-            spec, _pure_filter(parse(raw, default_op="AND"), raw)
-        )
-    facet_fields = params.get("facet.field", [])
-    if isinstance(facet_fields, str):
-        facet_fields = [facet_fields]
-    if facet_fields and not params.get("facet", True):
-        facet_fields = []
+        m = _TAG_RE.match(raw)
+        tags, body = (m.group(1).split(","), m.group(2)) if m else ([], raw)
+        f_spec = _pure_filter(parse(body, default_op="AND"), raw)
+        for tag in tags:
+            tag_fields.setdefault(tag, set()).update(_fields_of(f_spec))
+        spec = _merge_filters(spec, f_spec)
+    facet_fields_raw = params.get("facet.field", [])
+    if isinstance(facet_fields_raw, str):
+        facet_fields_raw = [facet_fields_raw]
+    if facet_fields_raw and not params.get("facet", True):
+        facet_fields_raw = []
+    facet_fields = []
+    for raw in facet_fields_raw:
+        m = _EX_RE.match(raw)
+        if m:
+            # multi-select: {!ex=tag}field drops the tagged fq-side
+            # constraints from THIS facet's domain only (the engine's
+            # exclude_fields API keys on FIELD names — exact in the
+            # one-fq-per-field multi-select case, see
+            # IndexSearcher.facet)
+            ex: set[str] = set()
+            for tag in m.group(1).split(","):
+                if tag not in tag_fields:
+                    raise ValueError(
+                        f"facet.field {raw!r}: unknown ex tag {tag!r} "
+                        f"(declared: {sorted(tag_fields)})")
+                ex |= tag_fields[tag]
+            facet_fields.append((m.group(2), tuple(sorted(ex))))
+        else:
+            facet_fields.append((raw, ()))
     hl = bool(params.get("hl", False))
     if hl and params.get("hl.fl", "text") != "text":
         raise ValueError("hl.fl supports the analyzed text field only")
@@ -463,11 +505,12 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         "numFound": searcher.docset(spec).count(),
         "facet_counts": {},
     }
-    for fld in o["facet_fields"]:
+    for fld, ex_fields in o["facet_fields"]:
         out["facet_counts"][fld] = searcher.facet(
             fld, spec=spec, limit=o["facet_limit"],
             mincount=o["facet_mincount"], sort=o["facet_sort"],
             prefix=o["facet_prefix"], offset=o["facet_offset"],
+            exclude_fields=ex_fields,
         )
     if o["facet_queries"]:
         # classic facet.query leg (SimpleFacets getFacetQueryCounts):

@@ -5428,6 +5428,47 @@ ORDER BY a.conv_id, a.turn_idx, a.term
 )
 
 
+_SELECT_MULTISELECT_PARAMS = {
+    "q": "data", "fq": ["{!tag=r}role:user", "turn_idx:[0 TO 5]"],
+    "rows": 5, "facet.field": ["{!ex=r}role", "tool"],
+    "facet.limit": 5,
+}
+
+
+def _select_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select multi-select faceting through the front door:
+    fq={!tag=r}role:user + facet.field={!ex=r}role — the tagged
+    role constraint drops from the role facet's domain only (the
+    doclist, numFound and the tool facet keep honoring it; attested
+    count-equal in test_battery_r4). This row returns the excluded
+    role facet: every role bucket counted over data + the turn range.
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (computeDocSet ex-tag handling), QueryParsing local params."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_MULTISELECT_PARAMS)["facet_counts"]["role"]
+
+
+register(
+    "q_select_multiselect",
+    _select_multiselect,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value, count(*) AS cnt
+FROM docs
+WHERE list_contains(toks, 'data') AND turn_idx BETWEEN 0 AND 5
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 5
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

@@ -1162,3 +1162,40 @@ def test_select_handler_pivot_and_debug_legs(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_select_params(bad)
+
+
+def test_select_handler_multiselect_tag_ex(spark, sf_dir):
+    """{!tag}/{!ex} multi-select: the excluded facet's domain drops
+    the tagged constraint while the doclist, numFound and untagged
+    facets keep it; unknown ex tags raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import (
+        _SELECT_MULTISELECT_PARAMS, cached_searcher,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    resp = select(s, _SELECT_MULTISELECT_PARAMS)
+    role_counts = {r.facet_value: r.cnt
+                   for r in resp["facet_counts"]["role"].collect()}
+    # the excluded facet ≡ the same request WITHOUT the role fq
+    no_fq = dict(_SELECT_MULTISELECT_PARAMS,
+                 fq="turn_idx:[0 TO 5]", **{"facet.field": "role"})
+    want = {r.facet_value: r.cnt
+            for r in select(s, no_fq)["facet_counts"]["role"].collect()}
+    assert role_counts == want and len(role_counts) > 1
+    # numFound and the untagged tool facet keep the role constraint
+    assert resp["numFound"] < select(s, no_fq)["numFound"]
+    with_fq = dict(_SELECT_MULTISELECT_PARAMS, **{"facet.field": "tool"})
+    tool_want = {r.facet_value: r.cnt
+                 for r in select(s, with_fq)["facet_counts"]["tool"]
+                 .collect()}
+    tool_got = {r.facet_value: r.cnt
+                for r in resp["facet_counts"]["tool"].collect()}
+    assert tool_got == tool_want
+    assert resp["numFound"] == s.docset(
+        parse_select_params(_SELECT_MULTISELECT_PARAMS)[0]).count()
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "fq": "{!tag=a}role:user",
+                             "facet.field": "{!ex=b}role"})
