@@ -223,6 +223,23 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
             timed("conv_search_max", lambda: searcher.search_conversations(
                 BooleanSpec(must=("merge",)), k=10
             ).collect())
+
+            # round-4 session: the /select front door — one composed
+            # request (paged doclist + numFound count + facet leg over
+            # the same domain), the shape a reference user actually
+            # pays for per request
+            def _sel() -> None:
+                from lucene_solr_spark.handler import select as _select
+
+                r = _select(searcher, {
+                    "q": "merge data", "q.op": "AND",
+                    "start": 5, "rows": 10,
+                    "facet.field": "role", "facet.limit": 5,
+                })
+                r["response"].collect()
+                r["facet_counts"]["role"].collect()
+
+            timed("select_handler", _sel)
             out["queries"] = q_secs
             out["query_total_sec"] = round(sum(q_secs.values()), 3)
 

@@ -5469,6 +5469,94 @@ LIMIT 5
 )
 
 
+# --- UpdateStream / CommitStream (stream → destination collection) ----
+#: the source tuple stream: assistant turns matching 'data'
+_UPDATE_SRC_SPEC = BooleanSpec(
+    must=("data",), filters=(("role", "assistant"),), k=10
+)
+_UPDATE_DEST_SPEC = BooleanSpec(must=("merge",), k=10)
+_UPDATE_ROOTS: dict = {}
+
+
+def cached_update_dest(spark: SparkSession, sf_dir: str):
+    """``update(dest, search(src, ...))`` + ``commit(dest)``: the
+    source query's tuple stream indexed into a DESTINATION collection
+    (once per process) — the stream feeds the distributed index
+    writer directly (no driver materialization), and the commit is
+    the writer's atomic snapshot. ref: solr/solrj/src/java/org/
+    apache/solr/client/solrj/io/stream/UpdateStream.java +
+    CommitStream.java."""
+    import tempfile
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    root = _UPDATE_ROOTS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_upd_idx_")
+        s = cached_searcher(spark, sf_dir)
+        stream = transcripts_from_documents(spark, sf_dir).join(
+            s.docset(_UPDATE_SRC_SPEC), ["conv_id", "turn_idx"]
+        )
+        build_index(
+            spark, stream, root, num_parts=4,
+            lineage_source=f"{sf_dir}#update_stream",
+        )
+        _UPDATE_ROOTS[sf_dir] = root
+    return IndexSearcher(spark, root)
+
+
+def _update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateStream round-trip: searching the destination collection
+    — its BM25 stats (n_docs, avgdl, df) come ONLY from the streamed
+    tuples (the subset corpus), which the oracle twin replicates by
+    restricting the corpus before computing the ranking."""
+    return cached_update_dest(spark, sf_dir).search(
+        _UPDATE_DEST_SPEC, round_to=ROUND
+    )
+
+
+register(
+    "q_update_stream",
+    _update_stream,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx, role,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+sub AS (
+  SELECT conv_id, turn_idx, toks, len(toks) AS doc_len FROM docs
+  WHERE role = 'assistant' AND list_contains(toks, 'data')
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM sub
+),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM sub
+),
+tf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term = 'merge'
+  GROUP BY conv_id, turn_idx, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.conv_id, tf.turn_idx,
+       round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1))
+             / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.doc_len / stats.avgdl)),
+             {ROUND}) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 10
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

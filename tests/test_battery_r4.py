@@ -1199,3 +1199,20 @@ def test_select_handler_multiselect_tag_ex(spark, sf_dir):
     with _pt.raises(ValueError):
         parse_select_params({"q": "x", "fq": "{!tag=a}role:user",
                              "facet.field": "{!ex=b}role"})
+
+
+def test_update_stream_dest_stats_are_subset_only(spark, sf_dir):
+    """UpdateStream contract: the destination collection's stats come
+    ONLY from the streamed tuples — n_docs equals the source DocSet
+    count, and every streamed doc contains the source term (df of
+    'data' == n_docs in the destination, unlike the source corpus)."""
+    from lucene_solr_spark.registry import (
+        _UPDATE_SRC_SPEC, cached_searcher, cached_update_dest,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    dest = cached_update_dest(spark, sf_dir)
+    n_src = s.docset(_UPDATE_SRC_SPEC).count()
+    assert dest.manifest.n_docs == n_src > 0
+    assert dest.global_df(["data"])["data"] == n_src
+    assert s.global_df(["data"])["data"] > n_src  # source is bigger
