@@ -500,9 +500,17 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     page_keys = paged.select("conv_id", "turn_idx", "rn")
     if o["fl"]:
         page = page.select(*o["fl"])
+    if (o["facet_fields"] or o["json_facets"] or o["facet_queries"]
+            or o["facet_range"] or o["facet_pivot"] or o["stats_fields"]):
+        # multi-component request: ONE getDocSet pass (per-segment hit
+        # bitsets, broadcast) serves numFound as a driver-side
+        # popcount and every facet/stats leg's domain — the
+        # queryResultCache population Solr does per request (see
+        # IndexSearcher.cache_docset)
+        searcher.cache_docset(spec)
     out: dict = {
         "response": page,
-        "numFound": searcher.docset(spec).count(),
+        "numFound": searcher.docset_count(spec),
         "facet_counts": {},
     }
     for fld, ex_fields in o["facet_fields"]:

@@ -252,6 +252,9 @@ class IndexSearcher:
         #: filterCache: canonical fq key → broadcast of per-segment
         #: packed bitsets (see cache_filter)
         self._fq_cache: dict[tuple, object] = {}
+        #: queryResultCache: full-spec key (k=0) → broadcast of
+        #: per-segment packed HIT bitsets (see cache_docset)
+        self._docset_cache: dict = {}
         #: liveDocs analog: tombstoned (conv_id, turn_idx) keys.
         #: Shipped to tasks via a Spark BROADCAST (serialized once,
         #: cached per executor/worker) — capturing the raw set in UDF
@@ -368,6 +371,114 @@ class IndexSearcher:
         """Broadcast of {seg_id: (packed bits, n_docs)} for specs whose
         fq constraints hit the cache, else None."""
         return self._fq_cache.get(self._filter_key(spec))
+
+    # -- queryResultCache (SolrIndexSearcher#getDocSet full-spec) ------
+
+    #: solrconfig queryResultCache size analog
+    MAX_DOCSET_CACHE = 32
+
+    @staticmethod
+    def _docset_key(spec: BooleanSpec) -> BooleanSpec:
+        """Canonical DocSet identity: the spec minus paging (k) —
+        every page of a request shares one DocSet, Solr's
+        queryResultCache windowing spirit. Multiterm specs key on
+        their REWRITTEN form (cache_docset rewrites before keying;
+        probes with the unrewritten original simply miss — a probe
+        must never launch a dictionary-expansion job)."""
+        from dataclasses import replace as _replace
+
+        return _replace(spec, k=0)
+
+    def cache_docset(self, spec: BooleanSpec) -> None:
+        """Warm the FULL-spec DocSet as per-segment packed bitsets
+        (getDocSet + queryResultCache): ONE seg-driver job computes
+        each segment's live hit mask (scoring match ∩ fq ∩ liveDocs —
+        tombstones bake in, safe because a searcher is pinned to one
+        snapshot) and broadcasts maxDoc/8 bytes per segment. On a
+        hit: ``docset_count`` answers from driver-side popcounts
+        (ZERO jobs — the /select numFound), ``docset`` serves keys
+        without postings or fq evaluation, and the facet sparse pass
+        skips match_segment AND the fq docvalues columns entirely
+        (see facets.segment_partials). Bounded like the filterCache:
+        MAX_DOCSET_CACHE entries, oldest evicted + unpersisted.
+
+        ref: solr/core/src/java/org/apache/solr/search/
+        SolrIndexSearcher.java (getDocSet / queryResultCache)"""
+        import numpy as np
+
+        if spec.needs_rewrite:
+            spec = self.rewrite(spec)
+        key = self._docset_key(spec)
+        if key in self._docset_cache:
+            return
+        lspec = key
+        seg_dirs = self.seg_dir_by_id
+        dm_cols = filter_cols(lspec, _BASE_COLS)
+        deleted_bc = self._deleted_bc
+        lookup = list(lspec.lookup_terms)
+
+        def one(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from lucene_solr_spark.query.scorer import match_segment
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            allowed = apply_deletes(
+                filter_mask(dm, lspec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
+            term_rows = {}
+            if lookup:
+                post_tbl = pq.read_table(
+                    f"{seg_dirs[seg_id]}/postings.parquet",
+                    filters=[("term", "in", lookup)],
+                ).to_pandas()
+                term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
+            hits = match_segment(
+                lspec, term_rows, len(dm), allowed,
+                int(dm["doc_len"].max()) if len(dm) else 0,
+            )
+            mask = np.zeros(len(dm), dtype=np.uint8)
+            mask[hits] = 1
+            return pd.DataFrame(
+                {"seg_id": [seg_id],
+                 "bits": [np.packbits(mask).tobytes()], "n": [len(dm)]}
+            )
+
+        rows = (
+            self.seg_driver()
+            .groupBy("seg_id")
+            .applyInPandas(one, "seg_id int, bits binary, n long")
+            .collect()
+        )
+        packed = {int(r.seg_id): (r.bits, int(r.n)) for r in rows}
+        if len(self._docset_cache) >= self.MAX_DOCSET_CACHE:
+            old_bc = self._docset_cache.pop(next(iter(self._docset_cache)))
+            old_bc.unpersist()
+        self._docset_cache[key] = self.spark.sparkContext.broadcast(packed)
+
+    def _docset_cached_bc(self, spec: BooleanSpec):
+        """Broadcast of {seg_id: (packed hit bits, n_docs)} on a
+        queryResultCache hit, else None."""
+        return self._docset_cache.get(self._docset_key(spec))
+
+    def docset_count(self, spec: BooleanSpec) -> int:
+        """|DocSet| — on a queryResultCache hit this is a driver-side
+        popcount over the broadcast bitsets (zero Spark jobs, the
+        numFound fast path); else one bounded count job."""
+        import numpy as np
+
+        bc = self._docset_cached_bc(spec)
+        if bc is not None:
+            return int(sum(
+                np.unpackbits(np.frombuffer(bits, np.uint8), count=n).sum()
+                for bits, n in bc.value.values()
+            ))
+        return self.docset(spec).count()
 
     # -- table handles -------------------------------------------------
     def postings(self) -> DataFrame:
@@ -1261,6 +1372,36 @@ class IndexSearcher:
             # docs — NOT MatchAll, and NOT the filter-only fallback
             return self.spark.createDataFrame(
                 [], "conv_id string, turn_idx int"
+            )
+        ds_bc = self._docset_cached_bc(spec)
+        if ds_bc is not None:
+            # queryResultCache hit: serve keys straight off the
+            # broadcast hit bitsets — no postings read, no fq
+            # evaluation, docmap scan pruned to the two key columns
+            # (liveDocs already baked into the cached bits)
+            seg_dirs = self.seg_dir_by_id
+
+            def from_bits(pdf):
+                import numpy as np
+                import pandas as pd
+                import pyarrow.parquet as pq
+
+                seg_id = int(pdf["seg_id"].iloc[0])
+                bits, n = ds_bc.value[seg_id]
+                hits = np.flatnonzero(np.unpackbits(
+                    np.frombuffer(bits, np.uint8), count=n
+                ))
+                dm = pq.read_table(
+                    f"{seg_dirs[seg_id]}/docmap.parquet",
+                    columns=["conv_id", "turn_idx"],
+                ).to_pandas()
+                sel = dm.iloc[hits]
+                return pd.DataFrame(
+                    {"conv_id": sel["conv_id"], "turn_idx": sel["turn_idx"]}
+                )
+
+            return self.seg_driver().groupBy("seg_id").applyInPandas(
+                from_bits, schema="conv_id string, turn_idx int"
             )
         seg_dirs = self.seg_dir_by_id
         dm_cols = filter_cols(spec, _BASE_COLS)

@@ -172,6 +172,37 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
 
         return seg_df.groupBy("seg_id").applyInPandas(count_all, PARTIAL_SCHEMA)
 
+    ds_bc = searcher._docset_cached_bc(spec)
+    if ds_bc is not None:
+        # queryResultCache hit (see IndexSearcher.cache_docset): the
+        # domain's per-segment hit bitsets are already broadcast, so
+        # the sparse pass skips match_segment, the postings read AND
+        # the fq docvalues columns — each task unpacks its bits and
+        # bincounts the ord column (liveDocs baked into the bits)
+        seg_df = searcher.seg_driver()
+
+        def count_cached(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            bits, n = ds_bc.value[seg_id]
+            hits = np.flatnonzero(np.unpackbits(
+                np.frombuffer(bits, np.uint8), count=n
+            ))
+            cols = [ord_col] + (["conv_id"] if grouped else [])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
+            ).to_pandas()
+            groups = dm["conv_id"].to_numpy() if grouped else None
+            return _count_ords(
+                seg_id, hits, dm[ord_col].to_numpy().astype(np.int64),
+                groups,
+            )
+
+        return seg_df.groupBy("seg_id").applyInPandas(
+            count_cached, PARTIAL_SCHEMA
+        )
+
     from lucene_solr_spark.query.executor import apply_deletes, filter_cols, filter_mask
 
     lookup = list(spec.lookup_terms)
