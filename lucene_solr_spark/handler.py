@@ -802,3 +802,62 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             .drop("rn")
         )
     return out
+
+
+#: /terms handler param surface (TermsComponent front door)
+_TERMS_KNOWN = {
+    "terms.fl", "terms.prefix", "terms.regex", "terms.limit",
+    "terms.mincount", "terms.sort", "terms.ttf",
+}
+
+
+def terms(searcher, params: dict) -> DataFrame:
+    """/terms handler front door (TermsComponent): enumerate the index
+    term dictionary for the analyzed field — prefix- or regex-
+    narrowed, mincount-gated, ordered by docFreq (terms.sort=count,
+    the default) or term (index), optionally carrying totalTermFreq
+    (terms.ttf=true). The whole response is ONE bounded aggregation
+    over dictionary rows (df and cf are per-(segment, term) stats) —
+    no posting block is ever decoded, the same dictionary-only
+    contract as Solr's TermsComponent walking the TermsEnum.
+
+    Subset contract (400-style raises outside it): terms.fl must be
+    the analyzed ``text`` field; terms.prefix and terms.regex are
+    mutually exclusive; terms.regex is whole-term-anchored like the
+    regexp query rewrite.
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    TermsComponent.java (TermsParams surface)."""
+    unknown = set(params) - _TERMS_KNOWN
+    if unknown:
+        raise ValueError(f"unknown /terms params: {sorted(unknown)}")
+    if params.get("terms.fl", "text") != "text":
+        raise ValueError("terms.fl supports the analyzed text field only")
+    if "terms.prefix" in params and "terms.regex" in params:
+        raise ValueError("terms.prefix and terms.regex are exclusive")
+    limit = int(params.get("terms.limit", 10))
+    mincount = int(params.get("terms.mincount", 1))
+    if limit < 1 or mincount < 1:
+        raise ValueError("terms.limit and terms.mincount must be >= 1")
+    sort = params.get("terms.sort", "count")
+    if sort not in ("count", "index"):
+        raise ValueError(f"terms.sort must be count|index: {sort!r}")
+    ttf = bool(params.get("terms.ttf", False))
+    dicts = searcher.postings()
+    if "terms.prefix" in params:
+        dicts = dicts.filter(F.col("term").startswith(params["terms.prefix"]))
+    if "terms.regex" in params:
+        dicts = dicts.filter(
+            F.col("term").rlike(f"^(?:{params['terms.regex']})$")
+        )
+    aggs = [F.sum("df").cast("long").alias("df")]
+    if ttf:
+        aggs.append(F.sum("cf").cast("long").alias("ttf"))
+    out = dicts.groupBy("term").agg(*aggs).filter(
+        F.col("df") >= mincount
+    )
+    order = (
+        [F.desc("df"), F.asc("term")] if sort == "count"
+        else [F.asc("term")]
+    )
+    return out.orderBy(*order).limit(limit)

@@ -5557,6 +5557,45 @@ LIMIT 10
 )
 
 
+_TERMS_HANDLER_PARAMS = {
+    "terms.prefix": "s", "terms.limit": 8, "terms.mincount": 300,
+    "terms.ttf": True,
+}
+
+
+def _terms_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/terms handler front door: the TermsComponent param surface
+    (terms.prefix + terms.mincount + terms.ttf + terms.limit)
+    composed into ONE bounded dictionary aggregation — df and cf are
+    per-(segment, term) stats, no posting block decodes. ref:
+    solr/core/src/java/org/apache/solr/handler/component/
+    TermsComponent.java (TermsParams)."""
+    from lucene_solr_spark.handler import terms
+
+    s = cached_searcher(spark, sf_dir)
+    return terms(s, _TERMS_HANDLER_PARAMS)
+
+
+register(
+    "q_terms_handler",
+    _terms_handler,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+occ AS (
+  SELECT conv_id, turn_idx, unnest(
+    regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts
+)
+SELECT term,
+       CAST(count(DISTINCT conv_id || '#' || turn_idx) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM occ WHERE term LIKE 's%'
+GROUP BY term HAVING df >= 300
+ORDER BY df DESC, term LIMIT 8
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

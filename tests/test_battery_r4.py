@@ -1216,3 +1216,34 @@ def test_update_stream_dest_stats_are_subset_only(spark, sf_dir):
     assert dest.manifest.n_docs == n_src > 0
     assert dest.global_df(["data"])["data"] == n_src
     assert s.global_df(["data"])["data"] > n_src  # source is bigger
+
+
+def test_terms_handler_contract(spark, sf_dir):
+    """/terms front door: prefix and regex narrowings agree with the
+    raw dictionary; params contract raises like Solr's 400s."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import terms
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    got = terms(s, {"terms.prefix": "sc", "terms.limit": 50}).collect()
+    assert got and all(r.term.startswith("sc") for r in got)
+    dfs = [r.df for r in got]
+    assert dfs == sorted(dfs, reverse=True)
+    # index sort = term order; regex is whole-term-anchored
+    rx = terms(s, {"terms.regex": "s(can|low)", "terms.sort": "index"})
+    vals = [r.term for r in rx.collect()]
+    assert vals == sorted(vals) and set(vals) <= {"scan", "slow"}
+    # df equals the engine's own global df
+    for r in got[:3]:
+        assert s.global_df([r.term])[r.term] == r.df
+    for bad in (
+        {"terms.fl": "role"},
+        {"terms.prefix": "a", "terms.regex": "b"},
+        {"terms.limit": 0},
+        {"terms.sort": "df"},
+        {"nope": 1},
+    ):
+        with _pt.raises(ValueError):
+            terms(s, bad)
