@@ -294,16 +294,25 @@ def facet_metrics(
 
     if spec is not None and spec.needs_rewrite:
         spec = searcher.rewrite(spec)
+    ds_bc = searcher._docset_cached_bc(spec) if spec is not None else None
     lookup = list(spec.lookup_terms) if spec is not None else []
     pure_negative = spec is not None and not spec.scoring_terms
     base_cols = ["doc_ord", "doc_len", ord_col]
     if metric not in base_cols:
         base_cols.append(metric)
-    dm_cols = (
-        filter_cols(spec, base_cols) if spec is not None else list(base_cols)
-    )
-    if has_deletes:
-        dm_cols += [c for c in ("conv_id", "turn_idx") if c not in dm_cols]
+    if ds_bc is not None:
+        # queryResultCache hit: the hit bits replace match_segment —
+        # only the ord and metric columns are ever read
+        dm_cols = list(dict.fromkeys([ord_col, metric]))
+    else:
+        dm_cols = (
+            filter_cols(spec, base_cols) if spec is not None
+            else list(base_cols)
+        )
+        if has_deletes:
+            dm_cols += [
+                c for c in ("conv_id", "turn_idx") if c not in dm_cols
+            ]
 
     def run_seg(pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
@@ -315,7 +324,12 @@ def facet_metrics(
         n_docs = len(dm)
         ords = dm[ord_col].to_numpy(np.int64)
         vals = dm[metric].to_numpy(np.float64)
-        if spec is None:
+        if ds_bc is not None:
+            bits, n = ds_bc.value[seg_id]
+            hits = np.flatnonzero(np.unpackbits(
+                np.frombuffer(bits, np.uint8), count=n
+            ))
+        elif spec is None:
             live = apply_deletes(
                 None, dm, deleted_bc.value if deleted_bc else None
             )
@@ -354,7 +368,7 @@ def facet_metrics(
             }
         )
 
-    if spec is None or pure_negative:
+    if spec is None or pure_negative or ds_bc is not None:
         driver = searcher.seg_driver()
     else:
         driver = searcher.postings().filter(F.col("term").isin(lookup))

@@ -118,3 +118,17 @@ def test_docset_cache_bakes_in_tombstones(spark, sf_dir, tmp_path):
         for r in s.docmap().select("conv_id", "turn_idx").collect()
     }
     assert all(k in live_turns for k in cached)
+
+
+def test_cached_docset_facet_metrics_identical(searcher):
+    """facet_metrics (json.facet bucket metrics) consumes the cached
+    bits too — identical buckets, counts and avgs."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    spec = SPECS[1]
+    cold = [tuple(r) for r in facet_metrics(
+        searcher, "role", metric="doc_len", spec=spec, limit=5).collect()]
+    searcher.cache_docset(spec)
+    warm = [tuple(r) for r in facet_metrics(
+        searcher, "role", metric="doc_len", spec=spec, limit=5).collect()]
+    assert cold == warm and cold
