@@ -30,7 +30,17 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True, help="committed index root")
-    ap.add_argument("--q", required=True, help="classic-syntax query string")
+    ap.add_argument("--q", default=None, help="classic-syntax query string")
+    ap.add_argument("--select-json", default=None, metavar="JSON|@FILE",
+                    help="a FULL /select params dict (JSON inline or "
+                         "@file) dispatched through handler.select — "
+                         "the whole component surface (facet.*, stats, "
+                         "group, mlt, spellcheck, hl, debug, json.facet) "
+                         "from one spark-submit; mutually exclusive "
+                         "with --q")
+    ap.add_argument("--sf-dir", default=None,
+                    help="documents parquet dir for stored-field legs "
+                         "(hl / mlt) of --select-json")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--default-op", choices=["OR", "AND"], default="OR")
     ap.add_argument("--facet", default=None,
@@ -83,8 +93,50 @@ def main() -> None:
     from lucene_solr_spark.query.executor import IndexSearcher
     from lucene_solr_spark.query.parser import edismax, parse
 
+    if bool(args.q) == bool(args.select_json):
+        ap.error("exactly one of --q / --select-json is required")
+
     s = IndexSearcher(spark, args.index,
                       analyzer_version=args.analyzer_version)
+
+    if args.select_json:
+        from lucene_solr_spark.handler import select as h_select
+
+        raw = args.select_json
+        params = json.loads(
+            open(raw[1:]).read() if raw.startswith("@") else raw
+        )
+        stored = None
+        if args.sf_dir:
+            from lucene_solr_spark.transcripts import (
+                transcripts_from_documents,
+            )
+
+            stored = transcripts_from_documents(spark, args.sf_dir)
+        resp = h_select(s, params, stored=stored)
+
+        def _rows(df):  # JSON-safe row dicts (timestamps → str)
+            return [
+                {k: (v if isinstance(v, (int, float, str, bool, type(None)))
+                     else str(v)) for k, v in r.asDict().items()}
+                for r in df.collect()
+            ]
+
+        sel_out: dict = {}
+        for key, val in resp.items():
+            if hasattr(val, "collect"):
+                sel_out[key] = _rows(val)
+            elif isinstance(val, dict):
+                sel_out[key] = {
+                    k: (_rows(v) if hasattr(v, "collect") else v)
+                    for k, v in val.items()
+                }
+            else:
+                sel_out[key] = val
+        print(json.dumps(sel_out))
+        spark.stop()
+        return
+
     if args.edismax:
         spec = edismax(args.q, k=args.k, mm=args.mm, pf2=args.pf2,
                        pf3=args.pf3, pf_boost=args.pf_boost, ps=args.ps)

@@ -201,3 +201,70 @@ def test_spark_submit_relatedness_facet(spark, sf_dir, tmp_path):
     assert [(b["value"], b["fg_count"], b["bg_count"]) for b in buckets] == [
         (r.facet_value, r.fg_count, r.bg_count) for r in mine
     ]
+
+
+@pytest.mark.skipif(
+    not (SPARK_SUBMIT and os.path.exists(SPARK_SUBMIT)),
+    reason="spark-submit not on PATH",
+)
+def test_spark_submit_select_json(spark, sf_dir, tmp_path):
+    """The FULL /select params surface through one spark-submit:
+    --select-json dispatches a composed request (paging + facet +
+    stats + facet.query) and the JSON response matches the in-process
+    handler leg-for-leg."""
+    from lucene_solr_spark.index.build import build_index
+
+    root = str(tmp_path / "sidx")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    zip_path = make_zip(str(tmp_path / "engine.zip"))
+    env = os.environ.copy()
+    env.pop("SPARK_GRAFT_CPUS", None)
+    params = {
+        "q": "merge data", "q.op": "AND", "start": 2, "rows": 5,
+        "facet.field": "role", "facet.limit": 5,
+        "facet.query": "role:assistant",
+        "stats": True, "stats.field": "doc_len",
+    }
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(os.path.dirname(__file__), "..", "jobs",
+                         "query_job.py"),
+            "--index", root,
+            "--select-json", json.dumps(params),
+        ],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    from lucene_solr_spark.handler import select
+
+    s = IndexSearcher(spark, root)
+    mine = select(s, params)
+    assert out["numFound"] == mine["numFound"] > 0
+    assert [(d["conv_id"], d["turn_idx"]) for d in out["response"]] == [
+        (r.conv_id, r.turn_idx) for r in mine["response"].collect()
+    ]
+    assert out["facet_counts"]["role"] == [
+        {"facet_value": r.facet_value, "cnt": r.cnt}
+        for r in mine["facet_counts"]["role"].collect()
+    ]
+    assert out["facet_queries"]["role:assistant"] == (
+        mine["facet_queries"]["role:assistant"]
+    )
+    assert out["stats"]["doc_len"][0]["cnt"] == mine["numFound"]
+    # exactly one of --q / --select-json
+    bad = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[2]", "--py-files", zip_path,
+         "--conf", "spark.ui.enabled=false",
+         os.path.join(os.path.dirname(__file__), "..", "jobs",
+                      "query_job.py"),
+         "--index", root],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert bad.returncode != 0
