@@ -146,6 +146,35 @@ def _parse_json_facets(jf) -> dict:
                     raise ValueError(f"json.facet {name!r}: at most one "
                                      "sub-aggregation is supported")
                 (agg_name, agg), = subs.items()
+                if isinstance(agg, dict):
+                    # NESTED terms sub-bucket (FacetModule sub-facet):
+                    # top buckets of this field, top sub-buckets of the
+                    # child field inside each, every sub-bucket carrying
+                    # count + avg(doc_len) — the facet_nested engine
+                    if agg.get("type") != "terms":
+                        raise ValueError(
+                            f"json.facet {name!r}: nested sub-facet "
+                            "must be a terms bucket")
+                    unknown2 = set(agg) - {"type", "field", "limit"}
+                    if unknown2:
+                        raise ValueError(
+                            f"json.facet {name!r}: nested sub-facet "
+                            f"unknown keys {sorted(unknown2)}")
+                    f2 = agg.get("field")
+                    if f2 not in _FACETABLE or f2 == fld:
+                        raise ValueError(
+                            f"json.facet {name!r}: nested field must be "
+                            f"a different one of {sorted(_FACETABLE)}, "
+                            f"got {f2!r}")
+                    if req.get("sort", "count") != "count":
+                        raise ValueError(
+                            f"json.facet {name!r}: nested buckets sort "
+                            "by count")
+                    out[name] = (
+                        "nested", fld, int(req.get("limit", 10)),
+                        f2, int(agg.get("limit", 10)),
+                    )
+                    continue
                 m = re.fullmatch(r"avg\((\w+)\)", str(agg))
                 if not m or m.group(1) not in _AGG_COLS:
                     raise ValueError(
@@ -719,6 +748,16 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 _, fld, start_v, end_v, gap = req
                 out["facets"][name] = _range_buckets(
                     searcher, spec, fld, start_v, end_v, gap
+                )
+            elif req[0] == "nested":
+                from lucene_solr_spark.query.facets import facet_nested
+
+                _, f1, l1, f2, l2 = req
+                n_spec = (
+                    searcher.rewrite(spec) if spec.needs_rewrite else spec
+                )
+                out["facets"][name] = facet_nested(
+                    searcher, f1, f2, spec=n_spec, limit1=l1, limit2=l2
                 )
             else:
                 out["facets"][name] = searcher.docset(

@@ -5596,6 +5596,37 @@ ORDER BY df DESC, term LIMIT 8
 )
 
 
+_SELECT_NESTED_FACET_PARAMS = {
+    "q": "data", "rows": 5,
+    "json.facet": (
+        '{"roles": {"type": "terms", "field": "role", "limit": 3,'
+        ' "facet": {"tools": {"type": "terms", "field": "tool",'
+        ' "limit": 2}}}}'
+    ),
+}
+
+
+def _select_nested_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select json.facet NESTED sub-bucket leg: a terms bucket whose
+    single sub-facet is itself a terms bucket — dispatched to the
+    facet_nested pair-counting engine over the q domain (top-3 roles,
+    top-2 tools inside each, sub-buckets carrying count +
+    avg(doc_len)). Same request/engine pair as q_json_facet_nested,
+    attested THROUGH the front door. ref: solr/core/src/java/org/
+    apache/solr/search/facet/FacetModule.java (sub-facet recursion)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_NESTED_FACET_PARAMS)["facets"]["roles"]
+
+
+register(
+    "q_select_json_facet_nested",
+    _select_nested_facet,
+    ORACLES["q_json_facet_nested"],
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

@@ -1247,3 +1247,35 @@ def test_terms_handler_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             terms(s, bad)
+
+
+def test_select_json_facet_nested_contract(spark, sf_dir):
+    """Nested sub-facet through the handler ≡ the facet_nested engine
+    directly; malformed nested requests raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.query.facets import facet_nested
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import (
+        _SELECT_NESTED_FACET_PARAMS, cached_searcher,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    got = [tuple(r) for r in select(
+        s, _SELECT_NESTED_FACET_PARAMS)["facets"]["roles"].collect()]
+    want = [tuple(r) for r in facet_nested(
+        s, "role", "tool", spec=BooleanSpec(must=("data",), k=5),
+        limit1=3, limit2=2,
+    ).collect()]
+    assert got == want and got
+    for bad_sub in (
+        {"type": "range", "field": "tool"},           # not terms
+        {"type": "terms", "field": "role"},           # same field
+        {"type": "terms", "field": "ts"},             # unfacetable
+        {"type": "terms", "field": "tool", "sort": "x"},  # unknown key
+    ):
+        jf = {"roles": {"type": "terms", "field": "role",
+                        "facet": {"sub": bad_sub}}}
+        with _pt.raises(ValueError):
+            parse_select_params({"q": "data", "json.facet": jf})
