@@ -900,3 +900,68 @@ def terms(searcher, params: dict) -> DataFrame:
         else [F.asc("term")]
     )
     return out.orderBy(*order).limit(limit)
+
+
+#: /export handler param surface (ExportWriter front door)
+_EXPORT_KNOWN = {"q", "q.op", "fq", "sort", "fl"}
+_EXPORTABLE = {"conv_id", "turn_idx", "role", "tool", "ftok", "ts",
+               "doc_len"}
+
+
+def export(searcher, params: dict) -> DataFrame:
+    """/export handler front door (ExportWriter): the FULL sorted
+    result stream — every matching doc, docvalues fields only, no
+    paging, no scores (exactly Solr's /export contract: sort and fl
+    must be docvalues fields, the stream is the point). q/fq narrow
+    the set through the same DocSet machinery as /select; ``sort``
+    takes one or more ``<docvalues field> asc|desc`` keys with the
+    engine's pinned (conv_id, turn_idx) tiebreak appended so the
+    stream is a total order.
+
+    Physical: the match keys semi-join the PRUNED docmap columns and
+    the engine's ONE deliberate total sort runs — a range-partitioned
+    distributed sort (Spark samples split points), NOT a single-task
+    collapse; this is the export-a-billion-rows-in-order shape, and
+    the only place the engine globally sorts an unbounded set.
+
+    ref: solr/core/src/java/org/apache/solr/handler/export/
+    ExportWriter.java (docvalues-only sort/fl contract)."""
+    unknown = set(params) - _EXPORT_KNOWN
+    if unknown:
+        raise ValueError(f"unknown /export params: {sorted(unknown)}")
+    if "sort" not in params:
+        raise ValueError("/export requires sort")
+    order = []
+    sort_cols = []
+    for part in str(params["sort"]).split(","):
+        bits = part.split()
+        if (len(bits) != 2 or bits[0] not in _EXPORTABLE
+                or bits[1] not in ("asc", "desc")):
+            raise ValueError(
+                f"/export sort must be <docvalues field> asc|desc "
+                f"[, ...]: {part!r}")
+        order.append(F.asc(bits[0]) if bits[1] == "asc"
+                     else F.desc(bits[0]))
+        sort_cols.append(bits[0])
+    order += [F.asc("conv_id"), F.asc("turn_idx")]
+    fl = params.get("fl", ["conv_id", "turn_idx"])
+    if isinstance(fl, str):
+        fl = [c.strip() for c in fl.split(",")]
+    bad = set(fl) - _EXPORTABLE
+    if bad:
+        raise ValueError(f"/export fl must be docvalues fields, got "
+                         f"{sorted(bad)}")
+    spec = parse(params.get("q", ""), default_op=params.get("q.op", "OR")) \
+        if params.get("q") else None
+    fqs = params.get("fq", [])
+    if isinstance(fqs, str):
+        fqs = [fqs]
+    for raw in fqs:
+        f_spec = _pure_filter(parse(raw, default_op="AND"), raw)
+        spec = _merge_filters(spec, f_spec) if spec is not None else f_spec
+    dm_cols = list(dict.fromkeys(["conv_id", "turn_idx"]
+                                 + sort_cols + list(fl)))
+    out = searcher.docmap().select(*dm_cols)
+    if spec is not None:
+        out = out.join(searcher.docset(spec), ["conv_id", "turn_idx"])
+    return out.orderBy(*order).select(*fl)

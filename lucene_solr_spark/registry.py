@@ -5627,6 +5627,43 @@ register(
 )
 
 
+_EXPORT_HANDLER_PARAMS = {
+    "q": "data", "fq": "role:assistant", "sort": "doc_len desc",
+    "fl": ["conv_id", "turn_idx", "doc_len"],
+}
+
+
+def _export_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/export handler front door (ExportWriter): the FULL sorted
+    result stream — every matching doc, docvalues fields only, no
+    paging/scores; the engine's one deliberate total sort (range-
+    partitioned distributed sort, never a single-task collapse) with
+    the pinned (conv_id, turn_idx) tiebreak appended. ref: solr/core/
+    src/java/org/apache/solr/handler/export/ExportWriter.java."""
+    from lucene_solr_spark.handler import export
+
+    s = cached_searcher(spark, sf_dir)
+    return export(s, _EXPORT_HANDLER_PARAMS)
+
+
+register(
+    "q_export_handler",
+    _export_handler,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx, role,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, CAST(len(toks) AS INTEGER) AS doc_len
+FROM docs
+WHERE role = 'assistant' AND list_contains(toks, 'data')
+ORDER BY doc_len DESC, conv_id, turn_idx
+""".strip(),
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

@@ -1279,3 +1279,40 @@ def test_select_json_facet_nested_contract(spark, sf_dir):
                         "facet": {"sub": bad_sub}}}
         with _pt.raises(ValueError):
             parse_select_params({"q": "data", "json.facet": jf})
+
+
+def test_export_handler_contract(spark, sf_dir):
+    """/export: full stream (== DocSet size, no paging), multi-key
+    sort honored with the pinned tiebreak, docvalues-only fl/sort
+    enforced, and the plan is a RANGE-partitioned sort (never a
+    single-task collapse)."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import export
+    from lucene_solr_spark.query.parser import parse
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    params = {"q": "data", "fq": "role:assistant",
+              "sort": "doc_len desc, turn_idx asc",
+              "fl": ["conv_id", "turn_idx", "doc_len"]}
+    df = export(s, params)
+    rows = df.collect()
+    spec = parse("data", default_op="OR")
+    from lucene_solr_spark.handler import _merge_filters, _pure_filter
+
+    spec = _merge_filters(spec, _pure_filter(
+        parse("role:assistant", default_op="AND"), "role:assistant"))
+    assert len(rows) == s.docset(spec).count() > 0  # the FULL stream
+    keys = [(-r.doc_len, r.turn_idx, r.conv_id) for r in rows]
+    assert keys == sorted(keys)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    for bad in (
+        {"q": "x"},                                  # sort required
+        {"sort": "score desc"},                      # not docvalues
+        {"sort": "ts asc", "fl": ["text"]},          # fl not docvalues
+        {"sort": "ts asc", "nope": 1},
+    ):
+        with _pt.raises(ValueError):
+            export(s, bad)
