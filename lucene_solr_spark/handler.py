@@ -965,3 +965,42 @@ def export(searcher, params: dict) -> DataFrame:
     if spec is not None:
         out = out.join(searcher.docset(spec), ["conv_id", "turn_idx"])
     return out.orderBy(*order).select(*fl)
+
+
+def get(searcher_spark, params: dict, committed: DataFrame,
+        tlog: DataFrame | None = None) -> DataFrame:
+    """/get handler front door (RealTimeGetHandler): ``ids`` names the
+    requested keys as ``<conv_id>#<turn_idx>`` (the composite analog
+    of Solr's uniqueKey list), ``fl`` projects stored fields. The
+    bounded id list broadcasts into the tlog-first lookup
+    (realtime_get): latest uncommitted ``_version_`` wins, tlog
+    deletes mask, committed rows serve the rest at version 1 — keys
+    absent everywhere produce no row, exactly Solr's /get response.
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    RealTimeGetComponent.java (ids param, tlog-first lookup)."""
+    from lucene_solr_spark.query.realtime import realtime_get
+
+    unknown = set(params) - {"ids", "fl"}
+    if unknown:
+        raise ValueError(f"unknown /get params: {sorted(unknown)}")
+    raw = params.get("ids")
+    if not raw:
+        raise ValueError("missing required param: ids")
+    id_list = raw if isinstance(raw, list) else str(raw).split(",")
+    keys = []
+    for item in id_list:
+        bits = str(item).strip().split("#")
+        if len(bits) != 2 or not bits[0] or not bits[1].isdigit():
+            raise ValueError(
+                f"/get ids entries must be <conv_id>#<turn_idx>: {item!r}")
+        keys.append((bits[0], int(bits[1])))
+    fl = params.get("fl")
+    if isinstance(fl, str):
+        fl = [c.strip() for c in fl.split(",")]
+    ids = searcher_spark.createDataFrame(
+        keys, "conv_id string, turn_idx int"
+    )
+    return realtime_get(ids, committed, tlog, fields=fl).orderBy(
+        "conv_id", "turn_idx"
+    )

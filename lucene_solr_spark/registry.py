@@ -5664,6 +5664,84 @@ ORDER BY doc_len DESC, conv_id, turn_idx
 )
 
 
+_GET_HANDLER_IDS = (
+    "conv00000002#0,conv00000003#0,conv00000003#1,"
+    "conv00000004#1,conv99999999#0"
+)
+
+
+def _get_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/get handler front door: ids=<conv>#<turn> list against the
+    same synthetic tlog as q_realtime_get — one id re-edited (v3),
+    one edited (v2), one tlog-deleted (no row), one committed-only
+    (v1), one absent everywhere (no row). ref: solr/core/src/java/
+    org/apache/solr/handler/component/RealTimeGetComponent.java."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import get
+
+    t = transcripts_from_documents(spark, sf_dir)
+    n = F.substring("conv_id", 5, 8).cast("long")
+    turn0 = t.filter(F.col("turn_idx") == 0)
+    u2 = (
+        turn0.withColumn("role", F.lit("edited"))
+        .withColumn("_version_", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("add"))
+    )
+    u3 = (
+        turn0.filter(n % 2 == 0)
+        .withColumn("role", F.lit("edited2"))
+        .withColumn("_version_", F.lit(3).cast("long"))
+        .withColumn("op", F.lit("add"))
+    )
+    dels = (
+        t.filter((F.col("turn_idx") == 1) & (n % 3 == 0))
+        .withColumn("_version_", F.lit(4).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    tlog = u2.unionByName(u3).unionByName(dels)
+    out = get(
+        spark, {"ids": _GET_HANDLER_IDS, "fl": ["role"]}, t, tlog
+    )
+    return out.select(
+        "conv_id", "turn_idx", "role",
+        F.col("_version_").alias("version"),
+    )
+
+
+register(
+    "q_get_handler",
+    _get_handler,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+keyed AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+ids(conv_id, turn_idx) AS (VALUES
+  ('conv00000002', 0), ('conv00000003', 0), ('conv00000003', 1),
+  ('conv00000004', 1), ('conv99999999', 0)),
+tlog AS (
+  SELECT conv_id, turn_idx, 'edited' AS role, 2 AS v, 'add' AS op
+  FROM keyed WHERE turn_idx = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, 'edited2' AS role, 3 AS v, 'add' AS op
+  FROM keyed WHERE turn_idx = 0 AND n % 2 = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 4 AS v, 'delete' AS op
+  FROM keyed WHERE turn_idx = 1 AND n % 3 = 0),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY v DESC) AS rn
+    FROM tlog) WHERE rn = 1)
+SELECT i.conv_id, i.turn_idx,
+       coalesce(l.role, k.role) AS role,
+       CAST(coalesce(l.v, 1) AS BIGINT) AS version
+FROM ids i
+JOIN keyed k ON i.conv_id = k.conv_id AND i.turn_idx = k.turn_idx
+LEFT JOIN latest l ON i.conv_id = l.conv_id AND i.turn_idx = l.turn_idx
+WHERE l.op IS NULL OR l.op = 'add'
+ORDER BY i.conv_id, i.turn_idx""",
+)
+
+
 # --- SimpleQueryParser ({!simple}) ------------------------------------
 # ref: lucene/queryparser/src/java/org/apache/lucene/queryparser/
 # simple/SimpleQueryParser.java (operators + AND, | OR, - NOT,

@@ -1316,3 +1316,29 @@ def test_export_handler_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             export(s, bad)
+
+
+def test_get_handler_contract(spark, sf_dir):
+    """/get: tlog-deleted and absent ids produce no row, committed
+    fallback serves v1, and malformed ids raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import get
+    from lucene_solr_spark.registry import QUERIES
+
+    rows = QUERIES["q_get_handler"](spark, sf_dir).collect()
+    got = {(r.conv_id, r.turn_idx): (r.role, r.version) for r in rows}
+    assert ("conv00000003", 1) not in got   # tlog delete (n%3==0)
+    assert ("conv99999999", 0) not in got   # absent everywhere
+    assert got[("conv00000002", 0)] == ("edited2", 3)  # latest wins
+    assert got[("conv00000003", 0)] == ("edited", 2)
+    assert got[("conv00000004", 1)][1] == 1  # committed fallback
+    t = transcripts_from_documents(spark, sf_dir)
+    for bad in (
+        {"ids": "conv00000002"},            # no #turn
+        {"ids": "conv00000002#x"},          # non-int turn
+        {},                                  # ids required
+        {"ids": "a#1", "rows": 5},          # unknown param
+    ):
+        with _pt.raises(ValueError):
+            get(spark, bad, t)
