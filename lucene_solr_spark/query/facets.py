@@ -455,6 +455,28 @@ def facet_pivot(
             )
 
         pairs = seg_df.groupBy("seg_id").applyInPandas(run_all, pair_schema)
+    elif (ds_bc := searcher._docset_cached_bc(spec)) is not None:
+        # queryResultCache hit: the broadcast hit bits replace
+        # match_segment — only the two ord columns are read
+        def run_cached(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            bits, n = ds_bc.value[seg_id]
+            hits = np.flatnonzero(np.unpackbits(
+                np.frombuffer(bits, np.uint8), count=n
+            ))
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=[o1, o2]
+            ).to_pandas()
+            return count_pairs(
+                seg_id, hits,
+                dm[o1].to_numpy(np.int64), dm[o2].to_numpy(np.int64),
+            )
+
+        pairs = searcher.seg_driver().groupBy("seg_id").applyInPandas(
+            run_cached, pair_schema
+        )
     else:
         from lucene_solr_spark.query.executor import apply_deletes, filter_cols, filter_mask
 
@@ -606,6 +628,30 @@ def facet_nested(
             )
 
         pairs = seg_df.groupBy("seg_id").applyInPandas(run_all, pair_schema)
+    elif (ds_bc := searcher._docset_cached_bc(spec)) is not None:
+        # queryResultCache hit: bits replace match_segment; only the
+        # ord pair + the metric column are read
+        def run_cached(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            bits, n = ds_bc.value[seg_id]
+            hits = np.flatnonzero(np.unpackbits(
+                np.frombuffer(bits, np.uint8), count=n
+            ))
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet",
+                columns=["doc_len", o1, o2],
+            ).to_pandas()
+            return count_pairs(
+                seg_id, hits,
+                dm[o1].to_numpy(np.int64), dm[o2].to_numpy(np.int64),
+                dm["doc_len"].to_numpy(np.int64),
+            )
+
+        pairs = searcher.seg_driver().groupBy("seg_id").applyInPandas(
+            run_cached, pair_schema
+        )
     else:
         lookup = list(spec.lookup_terms)
         pure_negative = not spec.scoring_terms

@@ -132,3 +132,22 @@ def test_cached_docset_facet_metrics_identical(searcher):
     warm = [tuple(r) for r in facet_metrics(
         searcher, "role", metric="doc_len", spec=spec, limit=5).collect()]
     assert cold == warm and cold
+
+
+def test_cached_docset_pivot_and_nested_identical(searcher):
+    """facet_pivot and facet_nested consume the cached bits too —
+    identical output either way."""
+    from lucene_solr_spark.query.facets import facet_nested, facet_pivot
+
+    spec = SPECS[0]
+    cold_p = [tuple(r) for r in facet_pivot(
+        searcher, "role", "tool", spec=spec, limit1=3, limit2=2).collect()]
+    cold_n = [tuple(r) for r in facet_nested(
+        searcher, "role", "tool", spec=spec, limit1=3, limit2=2).collect()]
+    searcher.cache_docset(spec)
+    warm_p = [tuple(r) for r in facet_pivot(
+        searcher, "role", "tool", spec=spec, limit1=3, limit2=2).collect()]
+    warm_n = [tuple(r) for r in facet_nested(
+        searcher, "role", "tool", spec=spec, limit1=3, limit2=2).collect()]
+    assert cold_p == warm_p and cold_p
+    assert cold_n == warm_n and cold_n
