@@ -106,7 +106,7 @@ def _merge_filters(spec: BooleanSpec, f_spec: BooleanSpec) -> BooleanSpec:
     )
 
 
-def _parse_json_facets(jf) -> dict:
+def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
     """Normalize a ``json.facet`` request (JSON string or dict) into
     {name: ("terms", field, limit, metric_col|None, sort)} /
     {name: ("query", filter BooleanSpec)} — the JSON Facet API subset
@@ -131,10 +131,35 @@ def _parse_json_facets(jf) -> dict:
                              f"required, got {req!r}")
         ftype = req["type"]
         if ftype == "terms":
-            unknown = set(req) - {"type", "field", "limit", "facet", "sort"}
+            unknown = set(req) - {
+                "type", "field", "limit", "facet", "sort", "domain",
+            }
             if unknown:
                 raise ValueError(
                     f"json.facet {name!r}: unknown keys {sorted(unknown)}")
+            # domain: {excludeTags: "t1,t2"} — the JSON Facet API
+            # spelling of multi-select exclusion ({!ex} on the classic
+            # side); tags resolve to the fields their fq constrains
+            ex: tuple = ()
+            dom = req.get("domain")
+            if dom is not None:
+                if (not isinstance(dom, dict)
+                        or set(dom) != {"excludeTags"}):
+                    raise ValueError(
+                        f"json.facet {name!r}: domain supports "
+                        "{'excludeTags': ...} only")
+                tags = dom["excludeTags"]
+                tags = (tags.split(",") if isinstance(tags, str)
+                        else list(tags))
+                fields: set = set()
+                for tag in tags:
+                    if tag not in (tag_fields or {}):
+                        raise ValueError(
+                            f"json.facet {name!r}: unknown excludeTags "
+                            f"tag {tag!r} (declared: "
+                            f"{sorted(tag_fields or {})})")
+                    fields |= tag_fields[tag]
+                ex = tuple(sorted(fields))
             fld = req.get("field")
             if fld not in _FACETABLE:
                 raise ValueError(f"json.facet {name!r}: field must be one "
@@ -172,7 +197,7 @@ def _parse_json_facets(jf) -> dict:
                             "by count")
                     out[name] = (
                         "nested", fld, int(req.get("limit", 10)),
-                        f2, int(agg.get("limit", 10)),
+                        f2, int(agg.get("limit", 10)), ex,
                     )
                     continue
                 m = re.fullmatch(r"avg\((\w+)\)", str(agg))
@@ -193,7 +218,7 @@ def _parse_json_facets(jf) -> dict:
                                  f"'count' or '<sub-agg name> desc'")
             out[name] = (
                 "terms", fld, int(req.get("limit", 10)), metric,
-                "metric" if sort != "count" else "count",
+                "metric" if sort != "count" else "count", ex,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q"}
@@ -460,7 +485,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "hl_fragsize": hl_fragsize,
         "sort": sort_key,
         "json_facets": (
-            _parse_json_facets(params["json.facet"])
+            _parse_json_facets(params["json.facet"], tag_fields)
             if "json.facet" in params else {}
         ),
     }
@@ -731,17 +756,24 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # pass), query buckets are one bounded DocSet count each
         from lucene_solr_spark.query.facets import facet_metrics
 
+        from lucene_solr_spark.query.executor import _exclude_filter_fields
+
         out["facets"] = {}
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
-                _, fld, limit, metric, sort = req
+                _, fld, limit, metric, sort, ex = req
+                # domain.excludeTags: drop the tagged fq constraints
+                # from THIS bucket's domain only (multi-select)
+                leg_spec = (
+                    _exclude_filter_fields(spec, ex) if ex else spec
+                )
                 if metric is None:
                     out["facets"][name] = searcher.facet(
-                        fld, spec=spec, limit=limit
+                        fld, spec=leg_spec, limit=limit
                     )
                 else:
                     out["facets"][name] = facet_metrics(
-                        searcher, fld, metric=metric, spec=spec,
+                        searcher, fld, metric=metric, spec=leg_spec,
                         limit=limit, sort=sort,
                     )
             elif req[0] == "range":
@@ -752,9 +784,11 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             elif req[0] == "nested":
                 from lucene_solr_spark.query.facets import facet_nested
 
-                _, f1, l1, f2, l2 = req
+                _, f1, l1, f2, l2, ex = req
+                n_spec = _exclude_filter_fields(spec, ex) if ex else spec
                 n_spec = (
-                    searcher.rewrite(spec) if spec.needs_rewrite else spec
+                    searcher.rewrite(n_spec) if n_spec.needs_rewrite
+                    else n_spec
                 )
                 out["facets"][name] = facet_nested(
                     searcher, f1, f2, spec=n_spec, limit1=l1, limit2=l2

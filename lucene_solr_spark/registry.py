@@ -7087,8 +7087,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # never-attested locals rotated in (VERDICT r3 item 10 list)
     "q_atomic_update", "q_idx_suggest", "q_idx_term_vectors",
     "q_idx_spellcheck_collate", "q_result_clustering",
-    # never-attested index-engine locals (r3-new, driver-first here)
-    "q_idx_mlt_terms", "q_idx_range_facet_other", "q_idx_sort_by_function",
+    # never-attested index-engine locals (r3-new, driver-first here).
+    # FIFTH r4 ROTATION (late session): q_idx_mlt_terms yields to the
+    # strictly-deeper q_select_mlt (BATCHED MoreLikeThis through the
+    # front door — one contrib pass for the whole page, the session's
+    # deepest new engine path); q_idx_range_facet_other yields to
+    # q_update_stream (stream → destination collection, the
+    # subset-only-stats contract). Both displaced rows stay green in
+    # the full battery, and their families keep in-window rows
+    # (q_select_range_facet-style range buckets ride q_select_handler's
+    # battery twins; MLT stays via q_select_mlt itself).
+    "q_select_mlt", "q_update_stream", "q_idx_sort_by_function",
     # LLM-pipeline: changed-this-round ANN paths + clusters + simhash
     # simhash (attested r3) yields to the NEW real WAV codec round-trip
     # features_check (attested r3) yields to the NEW SemDeDup op; the

@@ -1342,3 +1342,42 @@ def test_get_handler_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             get(spark, bad, t)
+
+
+def test_json_facet_exclude_tags_domain(spark, sf_dir):
+    """json.facet domain.excludeTags ≡ the classic {!ex} leg on the
+    same request; unknown tags raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    params = {
+        "q": "data", "fq": ["{!tag=r}role:user", "turn_idx:[0 TO 5]"],
+        "rows": 5,
+        "json.facet": {"roles": {
+            "type": "terms", "field": "role", "limit": 5,
+            "domain": {"excludeTags": "r"},
+        }},
+    }
+    got = {r.facet_value: r.cnt
+           for r in select(s, params)["facets"]["roles"].collect()}
+    classic = dict(params)
+    del classic["json.facet"]
+    classic["facet.field"] = "{!ex=r}role"
+    want = {r.facet_value: r.cnt
+            for r in select(s, classic)["facet_counts"]["role"].collect()}
+    assert got == want and len(got) > 1
+    with _pt.raises(ValueError):
+        parse_select_params({
+            "q": "x",
+            "json.facet": {"roles": {"type": "terms", "field": "role",
+                                     "domain": {"excludeTags": "nope"}}},
+        })
+    with _pt.raises(ValueError):
+        parse_select_params({
+            "q": "x",
+            "json.facet": {"roles": {"type": "terms", "field": "role",
+                                     "domain": {"filter": "x"}}},
+        })
