@@ -40,9 +40,10 @@ _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.mincount", "facet.prefix", "facet.offset", "hl", "hl.fl",
-    "hl.snippets", "hl.fragsize",
+    "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "facet.query", "facet.range", "facet.range.start",
     "facet.range.end", "facet.range.gap", "facet.pivot",
+    "facet.interval", "facet.interval.set",
     "stats", "stats.field",
     "group", "group.field", "group.limit",
     "mlt", "mlt.count", "mlt.maxqt",
@@ -346,6 +347,17 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     hl_fragsize = int(params.get("hl.fragsize", 10))
     if hl_snippets < 1 or hl_fragsize < 1:
         raise ValueError("hl.snippets and hl.fragsize must be >= 1")
+    hl_phrase = bool(params.get("hl.usePhraseHighlighter", False))
+    if hl_phrase:
+        if not hl:
+            raise ValueError("hl.usePhraseHighlighter needs hl=true")
+        if hl_passages:
+            raise ValueError("hl.usePhraseHighlighter and passage "
+                             "mode are exclusive in this subset")
+        if spec.phrases and spec.phrase_slop:
+            raise ValueError("hl.usePhraseHighlighter marks EXACT "
+                             "adjacency occurrences; sloppy phrases "
+                             "are outside the subset")
     facet_sort = params.get("facet.sort", "count")
     if facet_sort not in ("count", "index"):
         raise ValueError(f"facet.sort must be count|index: {facet_sort!r}")
@@ -403,6 +415,32 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if parts[0] == parts[1]:
             raise ValueError("facet.pivot fields must differ")
         facet_pivot = tuple(parts)
+    # classic facet.interval (IntervalFacets): arbitrary, possibly
+    # OVERLAPPING inclusive [lo,hi] sets over a numeric docvalues
+    # column — a doc counts in EVERY containing interval
+    facet_interval = None
+    if "facet.interval" in params:
+        fld = params["facet.interval"]
+        if fld not in _AGG_COLS:
+            raise ValueError(f"facet.interval field must be one of "
+                             f"{sorted(_AGG_COLS)}, got {fld!r}")
+        sets = params.get("facet.interval.set", [])
+        if isinstance(sets, str):
+            sets = [sets]
+        if not sets:
+            raise ValueError("facet.interval needs facet.interval.set")
+        ivals = []
+        for raw in sets:
+            m = re.fullmatch(r"\[(-?\d+),(-?\d+)\]", str(raw).strip())
+            if not m or int(m.group(1)) > int(m.group(2)):
+                raise ValueError(
+                    f"facet.interval.set entries must be [lo,hi] with "
+                    f"lo <= hi: {raw!r}")
+            ivals.append((str(raw).strip(), int(m.group(1)),
+                          int(m.group(2))))
+        facet_interval = (fld, tuple(ivals))
+    elif "facet.interval.set" in params:
+        raise ValueError("facet.interval.set needs facet.interval")
     # StatsComponent leg: stats.field lists numeric docvalues columns
     stats_fields = params.get("stats.field", [])
     if isinstance(stats_fields, str):
@@ -474,6 +512,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_queries": facet_queries,
         "facet_range": facet_range,
         "facet_pivot": facet_pivot,
+        "facet_interval": facet_interval,
         "stats_fields": list(stats_fields),
         "group": group,
         "mlt": mlt,
@@ -483,6 +522,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "hl_passages": hl_passages,
         "hl_snippets": hl_snippets,
         "hl_fragsize": hl_fragsize,
+        "hl_phrase": hl_phrase,
         "sort": sort_key,
         "json_facets": (
             _parse_json_facets(params["json.facet"], tag_fields)
@@ -555,7 +595,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     if o["fl"]:
         page = page.select(*o["fl"])
     if (o["facet_fields"] or o["json_facets"] or o["facet_queries"]
-            or o["facet_range"] or o["facet_pivot"] or o["stats_fields"]):
+            or o["facet_range"] or o["facet_pivot"] or o["stats_fields"]
+            or o["facet_interval"]):
         # multi-component request: ONE getDocSet pass (per-segment hit
         # bitsets, broadcast) serves numFound as a driver-side
         # popcount and every facet/stats leg's domain — the
@@ -588,6 +629,27 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["facet_ranges"] = {
             fld: _range_buckets(searcher, spec, fld, r_start, r_end, r_gap)
         }
+    if o["facet_interval"]:
+        # classic facet.interval leg (IntervalFacets): every interval
+        # predicate is a conditional sum in ONE partial-aggregating
+        # pass over the domain's docvalues column — no per-interval
+        # rescan, overlapping intervals each count the doc
+        fld, ivals = o["facet_interval"]
+        dom = (
+            searcher.docmap().select("conv_id", "turn_idx", fld)
+            .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+        )
+        agg = dom.agg(*[
+            F.sum(F.when(F.col(fld).between(lo, hi), 1).otherwise(0))
+            .cast("long").alias(f"i{n}")
+            for n, (_, lo, hi) in enumerate(ivals)
+        ])
+        stack = ", ".join(
+            f"'{label}', i{n}" for n, (label, _, _) in enumerate(ivals)
+        )
+        out["facet_intervals"] = {fld: agg.selectExpr(
+            f"stack({len(ivals)}, {stack}) AS (interval, cnt)"
+        ).orderBy("interval")}
     if o["facet_pivot"]:
         # classic facet.pivot leg: the index sparse pair-counting
         # engine over the SAME q+fq domain (shuffle bounded by
@@ -855,6 +917,46 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 )
                 .select("conv_id", "turn_idx", "passage", "snippet", "rn")
                 .orderBy("rn", "passage")
+                .drop("rn")
+            )
+            return out
+        if o["hl_phrase"] and spec.phrases:
+            # hl.usePhraseHighlighter (PhraseHelper): phrase terms mark
+            # ONLY inside an actual exact-adjacency occurrence of one
+            # of the query's phrases — an isolated constituent stays
+            # unmarked; terms that ALSO appear as standalone must/
+            # should clauses still mark everywhere. Pure Catalyst
+            # indexed lambda over the same analyzer stream the phrase
+            # matcher used, so marking can't disagree with the scorer.
+            conds = []
+            for ph in spec.phrases:
+                length = len(ph)
+                for j in range(length):
+                    parts = [f"i - {j} >= 0",
+                             f"i - {j} + {length} <= size(toks)"]
+                    parts += [
+                        f"toks[i - {j} + {m}] = '{ph[m]}'"
+                        for m in range(length)
+                    ]
+                    conds.append("(" + " AND ".join(parts) + ")")
+            phrase_hit = " OR ".join(conds)
+            others = list(dict.fromkeys(spec.must + spec.should))
+            in_other = (
+                "tk IN (" + ", ".join(f"'{t}'" for t in others) + ")"
+                if others else "false"
+            )
+            out["highlighting"] = (
+                joined.withColumn("toks", toks)
+                .select(
+                    "conv_id", "turn_idx",
+                    F.array_join(F.expr(
+                        f"transform(toks, (tk, i) -> CASE WHEN "
+                        f"({phrase_hit}) OR {in_other} THEN "
+                        f"concat('<em>', tk, '</em>') ELSE tk END)"
+                    ), " ").alias("snippet"),
+                    "rn",
+                )
+                .orderBy("rn")
                 .drop("rn")
             )
             return out

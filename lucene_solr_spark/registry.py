@@ -6621,6 +6621,36 @@ ORDER BY interval""",
 )
 
 
+_SELECT_INTERVAL_PARAMS = {
+    "q": "data", "rows": 5, "facet.interval": "turn_idx",
+    "facet.interval.set": ["[0,2]", "[2,5]", "[4,7]"],
+}
+
+
+def _select_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select classic facet.interval leg: the same overlapping
+    inclusive intervals as q_idx_interval_facet, through the front
+    door — one conditional-sum pass over the domain's docvalues, no
+    per-interval rescan. ref: solr/core/src/java/org/apache/solr/
+    request/IntervalFacets.java (facet.interval.set parse)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_INTERVAL_PARAMS
+    )["facet_intervals"]["turn_idx"]
+
+
+register(
+    "q_select_interval",
+    _select_interval,
+    ORACLES["q_idx_interval_facet"],
+)
+
+
+
+
+
 def _scored_body(spec: BooleanSpec) -> str:
     """The WITH...scored prefix of the BM25 oracle (everything above
     the final SELECT) — shared by twins that re-rank the scored set."""
@@ -6659,6 +6689,41 @@ def _idx_collapse_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_idx_highlight_phrase", _idx_highlight_phrase, _hlp_oracle())
+
+
+_SELECT_HL_PHRASE_PARAMS = {
+    "q": '"table scan"', "rows": 10,
+    "hl": True, "hl.usePhraseHighlighter": True,
+}
+
+
+def _select_hl_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select hl.usePhraseHighlighter leg: the phrase query's hl leg
+    marks ONLY tokens inside an actual exact-adjacency occurrence
+    (q_idx_highlight_phrase's contract, through the front door — the
+    same page-bounded broadcast join, the same analyzer stream).
+    ref: lucene/highlighter/.../uhighlight/PhraseHelper.java,
+    solr DefaultSolrHighlighter (usePhraseHighlighter param)."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    spec, o = parse_select_params(_SELECT_HL_PHRASE_PARAMS)
+    assert spec.phrases == (("table", "scan"),) and o["hl_phrase"]
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_HL_PHRASE_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["highlighting"]
+
+
+_sel_hlp = _hlp_oracle().replace(
+    "SELECT conv_id, turn_idx, score,\n       string_agg",
+    "SELECT conv_id, turn_idx,\n       string_agg",
+)
+assert _sel_hlp != _hlp_oracle()
+register("q_select_hl_phrase", _select_hl_phrase, _sel_hlp)
+
+
+
 
 register(
     "q_idx_collapse_field",

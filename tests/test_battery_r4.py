@@ -1381,3 +1381,66 @@ def test_json_facet_exclude_tags_domain(spark, sf_dir):
             "json.facet": {"roles": {"type": "terms", "field": "role",
                                      "domain": {"filter": "x"}}},
         })
+
+
+def test_select_interval_and_hl_phrase_contracts(spark, sf_dir):
+    """facet.interval counts sum per overlapping interval (doc counts
+    in EVERY containing set); hl.usePhraseHighlighter marks ONLY
+    adjacency participants (an isolated constituent stays unmarked
+    somewhere on the page); contracts raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.analyzer import tokenize_one
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    resp = select(s, {"q": "data", "rows": 3,
+                      "facet.interval": "turn_idx",
+                      "facet.interval.set": ["[0,5]", "[3,8]"]})
+    got = {r.interval: r.cnt
+           for r in resp["facet_intervals"]["turn_idx"].collect()}
+    dom = [r.turn_idx for r in s.docset(
+        parse_select_params({"q": "data"})[0]).collect()]
+    assert got["[0,5]"] == sum(0 <= t <= 5 for t in dom)
+    assert got["[3,8]"] == sum(3 <= t <= 8 for t in dom)
+    # hl phrase mode: every marked token sits in an adjacency
+    stored = transcripts_from_documents(spark, sf_dir)
+    hresp = select(s, {"q": '"table scan"', "rows": 10, "hl": True,
+                       "hl.usePhraseHighlighter": True}, stored=stored)
+    snips = [r.snippet for r in hresp["highlighting"].collect()]
+    assert snips
+    saw_unmarked_constituent = False
+    for snip in snips:
+        toks = snip.split(" ")
+        plain = [t.replace("<em>", "").replace("</em>", "") for t in toks]
+        for i, t in enumerate(toks):
+            if t.startswith("<em>"):
+                w = plain[i]
+                assert w in ("table", "scan")
+                ok = (w == "table" and i + 1 < len(plain)
+                      and plain[i + 1] == "scan") or (
+                    w == "scan" and i > 0 and plain[i - 1] == "table")
+                assert ok, (i, snip)
+            elif plain[i] in ("table", "scan"):
+                saw_unmarked_constituent = True
+    assert saw_unmarked_constituent  # the discriminator vs plain hl
+    # marked stream equals the analyzer stream
+    text = {(r.conv_id, r.turn_idx): r.text for r in stored.collect()}
+    r0 = hresp["highlighting"].collect()[0]
+    assert [t.replace("<em>", "").replace("</em>", "")
+            for t in r0.snippet.split(" ")] == tokenize_one(
+        text[(r0.conv_id, r0.turn_idx)])
+    for bad in (
+        {"q": "x", "facet.interval": "turn_idx"},       # set required
+        {"q": "x", "facet.interval": "role",            # non-numeric
+         "facet.interval.set": "[0,1]"},
+        {"q": "x", "facet.interval": "turn_idx",
+         "facet.interval.set": "[5,1]"},                # lo > hi
+        {"q": "x", "facet.interval.set": "[0,1]"},      # field required
+        {"q": "x", "hl.usePhraseHighlighter": True},    # needs hl
+        {"q": "x", "hl": True, "hl.snippets": 2,
+         "hl.usePhraseHighlighter": True},              # passage clash
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
