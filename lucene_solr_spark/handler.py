@@ -39,7 +39,8 @@ from lucene_solr_spark.query.parser import edismax, parse
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
     "facet", "facet.field", "facet.limit", "facet.sort",
-    "facet.mincount", "facet.prefix", "facet.offset", "hl", "hl.fl",
+    "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
+    "hl", "hl.fl",
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "facet.query", "facet.range", "facet.range.start",
     "facet.range.end", "facet.range.gap", "facet.pivot",
@@ -368,6 +369,14 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     facet_offset = int(params.get("facet.offset", 0))
     if facet_offset < 0:
         raise ValueError(f"facet.offset must be >= 0: {facet_offset}")
+    # facet.method — Solr's enum/fc/uif pick maps onto this engine's
+    # exact-single-shuffle vs two-phase-refine choice: auto = the
+    # cardinality heuristic (default), refine = force two-phase,
+    # exact = force the single-shuffle control path
+    facet_method = params.get("facet.method", "auto")
+    if facet_method not in ("auto", "refine", "exact"):
+        raise ValueError(
+            f"facet.method must be auto|refine|exact: {facet_method!r}")
     # classic facet.query values (SimpleFacets getFacetQueryCounts):
     # each is a PURE filter counted against the doclist's domain
     fquery_raw = params.get("facet.query", [])
@@ -509,6 +518,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_mincount": facet_mincount,
         "facet_prefix": params.get("facet.prefix"),
         "facet_offset": facet_offset,
+        "facet_method": facet_method,
         "facet_queries": facet_queries,
         "facet_range": facet_range,
         "facet_pivot": facet_pivot,
@@ -614,6 +624,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             mincount=o["facet_mincount"], sort=o["facet_sort"],
             prefix=o["facet_prefix"], offset=o["facet_offset"],
             exclude_fields=ex_fields,
+            refine=o["facet_method"] != "exact",
+            method=o["facet_method"] if o["facet_method"] != "exact"
+            else "auto",
         )
     if o["facet_queries"]:
         # classic facet.query leg (SimpleFacets getFacetQueryCounts):

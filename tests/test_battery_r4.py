@@ -1444,3 +1444,28 @@ def test_select_interval_and_hl_phrase_contracts(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_select_params(bad)
+
+
+def test_select_facet_method_and_rows0(spark, sf_dir):
+    """facet.method auto|refine|exact produce IDENTICAL buckets (the
+    refine≡exact engine invariant through the front door); rows=0 is
+    the facet-only request shape (empty doclist, full numFound +
+    facet legs)."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "data", "rows": 0, "facet.field": "ftok",
+            "facet.limit": 8}
+    outs = []
+    for m in ("auto", "refine", "exact"):
+        r = select(s, dict(base, **{"facet.method": m}))
+        outs.append([tuple(x)
+                     for x in r["facet_counts"]["ftok"].collect()])
+    assert outs[0] == outs[1] == outs[2] and outs[0]
+    r = select(s, base)
+    assert r["response"].count() == 0 and r["numFound"] > 0
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "facet.method": "uif"})
