@@ -716,18 +716,36 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 searcher.docmap().select("conv_id", "turn_idx", g_field),
                 ["conv_id", "turn_idx"],
             )
-        gw = Window.partitionBy(g_field).orderBy(
-            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
-        )
-        ranked = ghits.withColumn("grn", F.row_number().over(gw)).persist()
+        # head pick WITHOUT a window: one partial-aggregating min_by
+        # per group on the pinned order (-score, conv_id, turn_idx) —
+        # map-side combine, so a low-cardinality group field (role: 4
+        # values over 10^9 docs) never piles all hits into 4 window
+        # partitions just to pick heads
         heads = (
-            ranked.filter(F.col("grn") == 1)
-            .orderBy(F.desc("score"), "conv_id", "turn_idx")
+            ghits.groupBy(g_field)
+            .agg(F.min_by(
+                F.struct("score", "conv_id", "turn_idx"),
+                F.struct(
+                    (-F.col("score")).alias("ns"), "conv_id", "turn_idx"
+                ),
+            ).alias("best"))
+            .orderBy(
+                F.desc("best.score"), "best.conv_id", "best.turn_idx"
+            )
             .limit(o["rows"])
             .select(g_field)
         )
-        grouped = (
-            ranked.join(F.broadcast(heads), g_field, "left_semi")
+        # doclists: the filter sits DIRECTLY above the window so
+        # Catalyst's WindowGroupLimit Partial pushdown pre-reduces
+        # every map task to g_limit rows per group before the
+        # group-key exchange (the engine's pinned bounded-shuffle
+        # window shape — plan-asserted in test_plans)
+        gw = Window.partitionBy(g_field).orderBy(
+            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+        )
+        out["grouped"] = (
+            ghits.join(F.broadcast(heads), g_field, "left_semi")
+            .withColumn("grn", F.row_number().over(gw))
             .filter(F.col("grn") <= g_limit)
             .select(
                 F.col(g_field).alias("group_value"),
@@ -736,8 +754,6 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             )
             .orderBy("group_value", "doc_rank")
         )
-        out["grouped"] = grouped.localCheckpoint()
-        ranked.unpersist()
     if o["mlt"]:
         # MoreLikeThis component leg: similar docs for EVERY page doc
         # in ONE batched pass (see IndexSearcher.mlt_batch — Solr

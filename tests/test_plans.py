@@ -427,3 +427,24 @@ def test_select_field_sort_plans_take_ordered(searcher):
     # the docmap scan reads ONLY the three needed columns
     assert any("ts" in ln and "doc_len" not in ln
                for ln in plan.splitlines() if "ReadSchema" in ln), plan
+
+
+def test_select_group_leg_plan_is_bounded(spark, sf_dir):
+    """The /select group leg must stay skew-safe at scale: head pick
+    is a partial-aggregating min_by (no window over the full hit set),
+    and the doclist window carries the Partial WindowGroupLimit
+    pushdown so every map task pre-reduces to group.limit rows per
+    group before the group-key exchange."""
+    from lucene_solr_spark.handler import select
+    from lucene_solr_spark.registry import (
+        _SELECT_GROUP_PARAMS, cached_searcher,
+    )
+
+    s = cached_searcher(spark, sf_dir)
+    plan = _physical(select(s, _SELECT_GROUP_PARAMS)["grouped"])
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    assert "min_by" in plan, plan[:2000]          # head pick = partial agg
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "role" in line, line           # never single-partition
