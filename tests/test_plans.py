@@ -448,3 +448,31 @@ def test_select_group_leg_plan_is_bounded(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "role" in line, line           # never single-partition
+
+
+def test_select_mlt_and_spellcheck_leg_plans_bounded(spark, sf_dir):
+    """mlt_batch's per-source top-k and the spellcheck per-input
+    ranking both keep the row_number()+filter(rn<=k) shape — Partial
+    WindowGroupLimit pre-reduces map-side (a common interesting term's
+    candidate list is corpus-df-sized at scale); no cartesian
+    anywhere; the source map / query term table broadcasts."""
+    from lucene_solr_spark.handler import select
+    from lucene_solr_spark.registry import (
+        _SELECT_MLT_PARAMS, _SELECT_SPELLCHECK_PARAMS, cached_searcher,
+    )
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_searcher(spark, sf_dir)
+    mlt_plan = _physical(select(
+        s, _SELECT_MLT_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["moreLikeThis"])
+    assert "WindowGroupLimit" in mlt_plan and "Partial" in mlt_plan, \
+        mlt_plan[:2000]
+    assert "CartesianProduct" not in mlt_plan
+    assert "BroadcastExchange" in mlt_plan  # the bounded source map
+    sc_plan = _physical(select(
+        s, _SELECT_SPELLCHECK_PARAMS)["spellcheck"])
+    assert "WindowGroupLimit" in sc_plan and "Partial" in sc_plan, \
+        sc_plan[:2000]
+    assert "CartesianProduct" not in sc_plan
