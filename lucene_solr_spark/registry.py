@@ -7067,6 +7067,155 @@ LIMIT 12""",
 
 
 # ---------------------------------------------------------------------------
+# /stream HANDLER front door: StreamExpressionParser + StreamFactory
+# analog (lucene_solr_spark/streams.py) — expression STRINGS compiled
+# to the engine's Catalyst shapes. Each entry exercises a different
+# decorator composition; the oracle replays the same pipeline in SQL.
+# ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/expr/
+#      StreamExpressionParser.java
+# ---------------------------------------------------------------------------
+
+from lucene_solr_spark.streams import stream_handler  # noqa: E402
+
+
+def _stream_expr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """having(rollup(search())) — the canonical aggregation pipeline,
+    compiled from the expression string (one partial-agg groupBy)."""
+    return stream_handler(
+        spark, sf_dir,
+        'having(rollup(search(events, q="*:*", fl="user_id,value", '
+        'sort="user_id asc"), over="user_id", count(*), avg(value)), '
+        'and(gteq(count(*), 70), gt(avg(value), 0)))',
+    )
+
+
+register(
+    "q_stream_expr_rollup",
+    _stream_expr_rollup,
+    """SELECT user_id, count(*) AS "count(*)",
+       round(avg(value), 4) AS "avg(value)"
+FROM events GROUP BY user_id
+HAVING count(*) >= 70 AND avg(value) > 0
+ORDER BY user_id""",
+)
+
+
+def _stream_expr_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique() consumes the CARRIED stream sort (first tuple per key
+    in stream order — a row_number window, never a global sort)."""
+    return stream_handler(
+        spark, sf_dir,
+        'sort(select(unique(search(events, q="*:*", '
+        'fl="user_id,ts,event_id,event_type", '
+        'sort="user_id asc, ts asc, event_id asc"), over="user_id"), '
+        'user_id, event_id, event_type), by="user_id asc")',
+    )
+
+
+register(
+    "q_stream_expr_unique",
+    _stream_expr_unique,
+    """SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id""",
+)
+
+
+def _stream_expr_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet() pushes the aggregation INTO the collection (FacetStream
+    vs rollup-over-export: one groupBy, buckets sorted + limited)."""
+    return stream_handler(
+        spark, sf_dir,
+        'facet(events, buckets="event_type", bucketSorts="count(*) desc", '
+        'bucketSizeLimit=5, count(*), sum(value))',
+    )
+
+
+register(
+    "q_stream_expr_facet",
+    _stream_expr_facet,
+    """SELECT event_type, count(*) AS "count(*)",
+       round(sum(value), 4) AS "sum(value)"
+FROM events GROUP BY event_type
+ORDER BY count(*) DESC, event_type LIMIT 5""",
+)
+
+
+def _stream_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top(innerJoin(search, search)) — sorted-stream merge join ≡ SMJ;
+    the range q= lands as a pushed Parquet filter on the scan."""
+    return stream_handler(
+        spark, sf_dir,
+        'top(n=5, innerJoin('
+        'search(lineitem, q="l_shipdate:[1995-01-01 TO *]", '
+        'fl="l_orderkey,l_linenumber,l_extendedprice", sort="l_orderkey asc"), '
+        'search(orders, q="*:*", fl="o_orderkey,o_orderpriority", '
+        'sort="o_orderkey asc"), on="l_orderkey=o_orderkey"), '
+        'sort="l_extendedprice desc, l_orderkey asc, l_linenumber asc")',
+    )
+
+
+register(
+    "q_stream_expr_join",
+    _stream_expr_join,
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+       o_orderkey, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1995-01-01'
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5""",
+)
+
+
+def _stream_expr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search(transcripts) routes through the inverted-index engine:
+    the q= string goes through the classic parser (default AND) and
+    the relevance search serves score order."""
+    s = cached_searcher(spark, sf_dir)
+    return stream_handler(
+        spark, sf_dir,
+        'search(transcripts, q="sort window", sort="score desc", rows=10)',
+        searcher=s,
+    )
+
+
+register(
+    "q_stream_expr_search",
+    _stream_expr_search,
+    bm25_oracle_sql(BooleanSpec(must=("sort", "window"), k=10)),
+)
+
+
+def _stream_daemon_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daemon(topic()) — N5 (DaemonStream): each run_once() is one
+    bounded incremental pull past the persisted checkpoint; the first
+    run delivers the full backlog (checkpoint at epoch), which is what
+    the oracle replays. Multi-run increment behavior is pinned in
+    tests/test_streams.py."""
+    import tempfile
+
+    d = stream_handler(
+        spark, sf_dir,
+        'daemon(topic(transcripts, q="text:merge", id="d1"), '
+        'id="d1", runInterval=1)',
+        state_dir=tempfile.mkdtemp(prefix="lss_daemon_"),
+    )
+    return d.run_once()
+
+
+register(
+    "q_stream_daemon_topic",
+    _stream_daemon_topic,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM transcripts
+WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'merge')
+ORDER BY ts_s, conv_id, turn_idx""",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is
 # re-ordered to put one representative of every SURVEY §2 family, the

@@ -1,0 +1,610 @@
+"""/stream handler: Solr streaming-expression front door.
+
+Parses streaming-expression strings (``top(n=5, unique(search(...),
+over="conv_id"), sort="conv_id asc")``) and compiles each decorator to
+the engine's Catalyst shapes — the same idea as Solr's
+StreamExpressionParser + StreamFactory, except the compile target is a
+lazy DataFrame plan instead of a pull-based TupleStream tree, so
+Catalyst fuses the whole expression into one distributed job (Solr
+evaluates the tree tuple-at-a-time on one node unless wrapped in
+``parallel()``).
+
+Sort propagation: Solr stream decorators like ``unique`` and ``merge``
+rely on the INCOMING stream's sort order. DataFrames carry no order
+between operators, so the compiler threads the declared sort
+(``search(..., sort=...)`` / ``sort(by=...)`` / ``top(sort=...)``)
+alongside the frame and order-sensitive decorators consume it —
+``unique(over=f)`` becomes a row_number window partitioned by ``f``
+ordered by the carried sort (the WindowGroupLimit shape, never a
+global sort), exactly "first tuple per key in stream order".
+
+Collections: ``transcripts`` routes through the inverted-index
+searcher (relevance search, sort="score desc"); any other name reads
+``{sf_dir}/{name}.parquet`` with a MatchAll / field:value / range
+query subset (non-index collections have docvalues only — scoring
+syntax raises like Solr's 400 on an unindexed field).
+
+Scale notes: every decorator maps to the obvious narrow/partial-agg
+plan — rollup/facet/stats are one partial-aggregating groupBy,
+hashJoin broadcasts the hashed side, fetch broadcasts the bounded
+tuple batch, unique/top are WindowGroupLimit / TakeOrdered, and
+daemon re-executes a bounded incremental pull per run. Nothing
+collects the corpus.
+
+ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+     expr/StreamExpressionParser.java (the grammar),
+     StreamFactory.java (name → stream construction), and the
+     io/stream/*Stream.java family each compiler mirrors.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+#: decorators the compiler knows; anything else raises (Solr: "Invalid
+#: stream expression — unknown function").
+STREAM_FUNCS = frozenset(
+    "search select top unique sort rollup having innerJoin leftOuterJoin "
+    "hashJoin fetch facet stats merge complement intersect "
+    "cartesianProduct parallel topic daemon".split()
+)
+_METRIC_FUNCS = frozenset("count sum avg min max".split())
+
+
+@dataclass
+class StreamExpr:
+    name: str
+    args: list = field(default_factory=list)      # raw positional strings
+    params: dict = field(default_factory=dict)    # name -> raw value string
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas, respecting quotes and parentheses."""
+    out, depth, buf, i, q = [], 0, [], 0, False
+    while i < len(s):
+        c = s[i]
+        if q:
+            buf.append(c)
+            if c == "\\" and i + 1 < len(s):
+                buf.append(s[i + 1])
+                i += 1
+            elif c == '"':
+                q = False
+        elif c == '"':
+            q = True
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in stream expression: {s!r}")
+            buf.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if q or depth != 0:
+        raise ValueError(f"unbalanced quote/paren in stream expression: {s!r}")
+    tail = "".join(buf).strip()
+    if tail or out:
+        out.append(tail)
+    return out
+
+
+def unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        return v[1:-1].replace('\\"', '"')
+    return v
+
+
+def parse_stream_expr(s: str) -> StreamExpr:
+    """``name(arg, arg, k=v, ...)`` → StreamExpr with raw arg strings.
+
+    Nested expressions stay raw; each compiler re-parses the args it
+    knows are sub-expressions (StreamFactory does the same two-level
+    dance with StreamExpressionNamedParameter vs sub-expressions).
+    """
+    s = s.strip()
+    lp = s.find("(")
+    if lp < 0 or not s.endswith(")"):
+        raise ValueError(f"not a stream expression: {s!r}")
+    name = s[:lp].strip()
+    if not _IDENT.match(name):
+        raise ValueError(f"bad stream function name: {name!r}")
+    expr = StreamExpr(name)
+    body = s[lp + 1 : -1].strip()
+    if not body:
+        return expr
+    for raw in _split_top(body):
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+)$", raw, re.S)
+        # 'k=v' is a named param unless the rhs starts a comparison-free
+        # bare '=' inside an expression (never the case at top level)
+        if m and "(" not in m.group(1):
+            expr.params[m.group(1)] = m.group(2).strip()
+        else:
+            expr.args.append(raw)
+    return expr
+
+
+def _is_expr(raw: str) -> bool:
+    raw = raw.strip()
+    lp = raw.find("(")
+    return lp > 0 and raw.endswith(")") and _IDENT.match(raw[:lp]) is not None
+
+
+def _sort_keys(spec: str) -> list[tuple[str, bool]]:
+    """'a asc, b desc' → [(a, True), (b, False)]."""
+    keys = []
+    for part in unquote(spec).split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        if len(toks) == 1:
+            keys.append((toks[0], True))
+        elif len(toks) == 2 and toks[1].lower() in ("asc", "desc"):
+            keys.append((toks[0], toks[1].lower() == "asc"))
+        else:
+            raise ValueError(f"bad sort clause: {part!r}")
+    if not keys:
+        raise ValueError(f"empty sort spec: {spec!r}")
+    return keys
+
+
+def _order_cols(keys: list[tuple[str, bool]]):
+    return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in keys]
+
+
+def _lit_or_col(tok: str):
+    tok = tok.strip()
+    if re.match(r"^-?\d+$", tok):
+        return F.lit(int(tok))
+    if re.match(r"^-?\d*\.\d+$", tok):
+        return F.lit(float(tok))
+    if tok.startswith('"'):
+        return F.lit(unquote(tok))
+    return F.col(tok)
+
+
+class DaemonStream:
+    """daemon(...) wrapper: re-executes the inner expression per run.
+
+    Solr's DaemonStream re-opens its inner stream every ``runInterval``
+    forever; here each ``run_once()`` is one bounded re-execution (the
+    scheduler is the caller's — cron, Structured Streaming trigger, or
+    a test loop). Wrapping a ``topic(...)`` gives the canonical Solr
+    pattern: each run delivers only documents newer than the persisted
+    checkpoint. ref: io/stream/DaemonStream.java (run loop around
+    stream.open/read/close).
+    """
+
+    def __init__(self, compiler: "StreamCompiler", inner: StreamExpr,
+                 daemon_id: str, run_interval: int):
+        self.compiler = compiler
+        self.inner = inner
+        self.daemon_id = daemon_id
+        self.run_interval = run_interval
+        self.iterations_run = 0
+
+    def run_once(self) -> DataFrame:
+        df, _ = self.compiler.compile(self.inner)
+        self.iterations_run += 1
+        return df
+
+
+class StreamCompiler:
+    def __init__(self, spark: SparkSession, sf_dir: str, searcher=None,
+                 state_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.searcher = searcher
+        self.state_dir = state_dir or tempfile.mkdtemp(prefix="lss_stream_")
+
+    # -- source helpers ------------------------------------------------
+    def _table(self, name: str) -> DataFrame:
+        path = os.path.join(self.sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            raise ValueError(f"unknown collection: {name!r}")
+        return self.spark.read.parquet(path)
+
+    def _table_filter(self, df: DataFrame, qstr: str) -> DataFrame:
+        """MatchAll / field:value / field:[lo TO hi] conjunctions over a
+        docvalues-only collection. Anything scoring raises (unindexed)."""
+        qstr = unquote(qstr).strip()
+        if qstr in ("", "*:*"):
+            return df
+        for clause in re.split(r"\s+AND\s+", qstr):
+            clause = clause.strip()
+            if not clause:
+                continue
+            m = re.match(r"^(\w+):\[([^\s]+) TO ([^\]]+)\]$", clause)
+            if m is None:
+                m2 = re.match(r"^(\w+):([\w.-]+)$", clause)
+                if m2 is None:
+                    raise ValueError(
+                        f"non-index collections accept only *:*, field:value"
+                        f" and field:[lo TO hi] — got {clause!r}")
+                f, v = m2.group(1), m2.group(2)
+                if f not in df.columns:
+                    raise ValueError(f"undefined field {f!r}")
+                df = df.filter(F.col(f) == F.lit(v).cast(df.schema[f].dataType))
+            else:
+                f, lo, hi = m.group(1), m.group(2), m.group(3)
+                if f not in df.columns:
+                    raise ValueError(f"undefined field {f!r}")
+                dt = df.schema[f].dataType
+                if lo != "*":
+                    df = df.filter(F.col(f) >= F.lit(lo).cast(dt))
+                if hi != "*":
+                    df = df.filter(F.col(f) <= F.lit(hi).cast(dt))
+        return df
+
+    # -- the compile dispatch -------------------------------------------
+    def compile(self, expr: StreamExpr | str):
+        """expr → (DataFrame, carried sort keys)."""
+        if isinstance(expr, str):
+            expr = parse_stream_expr(expr)
+        if expr.name not in STREAM_FUNCS:
+            raise ValueError(f"unknown stream function: {expr.name!r}")
+        if expr.name == "daemon":
+            raise ValueError("daemon() is only valid at the top level")
+        return getattr(self, f"_c_{expr.name}")(expr)
+
+    def _sub(self, raw: str):
+        return self.compile(parse_stream_expr(raw))
+
+    def _inner(self, expr: StreamExpr, want: int = 1):
+        subs = [a for a in expr.args if _is_expr(a)]
+        if len(subs) != want:
+            raise ValueError(
+                f"{expr.name}() wants {want} stream argument(s), got {len(subs)}")
+        return [self._sub(a) for a in subs]
+
+    # -- sources ---------------------------------------------------------
+    def _c_search(self, expr: StreamExpr):
+        if not expr.args:
+            raise ValueError("search() needs a collection")
+        coll = unquote(expr.args[0])
+        q = expr.params.get("q", "*:*")
+        fl = expr.params.get("fl")
+        sort = expr.params.get("sort")
+        rows = expr.params.get("rows")
+        if coll == "transcripts":
+            if self.searcher is None:
+                raise ValueError("no searcher bound for the transcripts collection")
+            if sort is not None and unquote(sort) != "score desc":
+                raise ValueError("search(transcripts) serves relevance order"
+                                 " (sort=\"score desc\")")
+            from lucene_solr_spark.query.oracle import ROUND
+            from lucene_solr_spark.query.parser import parse
+            k = int(unquote(rows)) if rows is not None else 10
+            spec = parse(unquote(q), k=k, default_op="AND")
+            df = self.searcher.search(spec, round_to=ROUND)
+            keys = [("score", False), ("conv_id", True), ("turn_idx", True)]
+        else:
+            df = self._table_filter(self._table(coll), q)
+            keys = _sort_keys(sort) if sort is not None else []
+            if keys:
+                df = df.orderBy(*_order_cols(keys))
+            if rows is not None:
+                if not keys:
+                    raise ValueError("rows= needs a sort (deterministic page)")
+                df = df.limit(int(unquote(rows)))
+        if fl is not None:
+            df = df.select(*[c.strip() for c in unquote(fl).split(",")])
+        return df, keys
+
+    def _c_topic(self, expr: StreamExpr):
+        from lucene_solr_spark.streaming.topic import TopicStream
+        if not expr.args or unquote(expr.args[0]) != "transcripts":
+            raise ValueError("topic() serves the transcripts collection")
+        q = unquote(expr.params.get("q", ""))
+        m = re.match(r"^text:([a-z0-9]+)$", q)
+        if m is None:
+            raise ValueError("topic() wants q=\"text:<term>\"")
+        tid = unquote(expr.params.get("id", "topic"))
+        ckpt = os.path.join(self.state_dir, f"{tid}.json")
+        t = TopicStream(self.spark, self.sf_dir, ckpt, m.group(1))
+        return t.pull(), [("ts_s", True), ("conv_id", True), ("turn_idx", True)]
+
+    # -- tuple decorators --------------------------------------------------
+    def _c_select(self, expr: StreamExpr):
+        (df, keys) = self._inner(expr)[0]
+        cols = []
+        for raw in expr.args:
+            if _is_expr(raw):
+                continue
+            raw = unquote(raw)
+            m = re.match(r"^(.*?)\s+as\s+(\w+)$", raw, re.I | re.S)
+            src, alias = (m.group(1).strip(), m.group(2)) if m else (raw, None)
+            if _is_expr(src):
+                e = parse_stream_expr(src)
+                if e.name not in ("add", "sub", "mult", "div"):
+                    raise ValueError(f"unknown select evaluator: {e.name!r}")
+                ops = [_lit_or_col(a) for a in e.args]
+                if len(ops) < 2:
+                    raise ValueError(f"{e.name}() wants >=2 operands")
+                c = ops[0]
+                for o in ops[1:]:
+                    c = {"add": c.__add__, "sub": c.__sub__,
+                         "mult": c.__mul__, "div": c.__truediv__}[e.name](o)
+                if alias is None:
+                    raise ValueError("evaluator projections need 'as alias'")
+                cols.append(c.alias(alias))
+            else:
+                cols.append(F.col(src).alias(alias) if alias else F.col(src))
+        if not cols:
+            raise ValueError("select() needs at least one projection")
+        df = df.select(*cols)
+        keys = [k for k in keys if k[0] in df.columns]
+        return df, keys
+
+    def _c_top(self, expr: StreamExpr):
+        (df, _) = self._inner(expr)[0]
+        if "n" not in expr.params or "sort" not in expr.params:
+            raise ValueError("top() wants n= and sort=")
+        keys = _sort_keys(expr.params["sort"])
+        n = int(unquote(expr.params["n"]))
+        return df.orderBy(*_order_cols(keys)).limit(n), keys
+
+    def _c_sort(self, expr: StreamExpr):
+        (df, _) = self._inner(expr)[0]
+        if "by" not in expr.params:
+            raise ValueError("sort() wants by=")
+        keys = _sort_keys(expr.params["by"])
+        return df.orderBy(*_order_cols(keys)), keys
+
+    def _c_unique(self, expr: StreamExpr):
+        (df, keys) = self._inner(expr)[0]
+        if "over" not in expr.params:
+            raise ValueError("unique() wants over=")
+        if not keys:
+            raise ValueError("unique() needs a sorted incoming stream")
+        over = [c.strip() for c in unquote(expr.params["over"]).split(",")]
+        w = Window.partitionBy(*over).orderBy(*_order_cols(keys))
+        df = (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= 1).drop("__rn"))
+        return df, keys
+
+    def _c_rollup(self, expr: StreamExpr):
+        sub = [a for a in expr.args if _is_expr(a) and
+               parse_stream_expr(a).name in STREAM_FUNCS]
+        if len(sub) != 1:
+            raise ValueError("rollup() wants exactly one stream argument")
+        (df, _) = self._sub(sub[0])
+        if "over" not in expr.params:
+            raise ValueError("rollup() wants over=")
+        over = [c.strip() for c in unquote(expr.params["over"]).split(",")]
+        aggs = self._metrics(expr, df)
+        out = df.groupBy(*over).agg(*aggs).orderBy(*over)
+        return out, [(c, True) for c in over]
+
+    def _metrics(self, expr: StreamExpr, df: DataFrame):
+        """count(*)/sum(c)/avg(c)/min(c)/max(c) positional args →
+        aggregate columns named Solr-style ('sum(value)'). sum/avg
+        round to 4dp (the engine's pinned cross-engine float rule)."""
+        aggs = []
+        for raw in expr.args:
+            if not _is_expr(raw):
+                continue
+            e = parse_stream_expr(raw)
+            if e.name in STREAM_FUNCS:
+                continue
+            if e.name not in _METRIC_FUNCS:
+                raise ValueError(f"unknown metric: {e.name!r}")
+            arg = e.args[0].strip() if e.args else "*"
+            name = f"{e.name}({arg})"
+            if e.name == "count":
+                aggs.append(F.count("*").alias(name) if arg == "*"
+                            else F.count(arg).alias(name))
+            elif e.name == "sum":
+                aggs.append(F.round(F.sum(arg), 4).alias(name))
+            elif e.name == "avg":
+                aggs.append(F.round(F.avg(arg), 4).alias(name))
+            elif e.name == "min":
+                aggs.append(F.min(arg).alias(name))
+            else:
+                aggs.append(F.max(arg).alias(name))
+        if not aggs:
+            raise ValueError(f"{expr.name}() wants at least one metric")
+        return aggs
+
+    def _c_having(self, expr: StreamExpr):
+        sub = [a for a in expr.args if _is_expr(a) and
+               parse_stream_expr(a).name in STREAM_FUNCS]
+        conds = [a for a in expr.args if _is_expr(a) and
+                 parse_stream_expr(a).name not in STREAM_FUNCS]
+        if len(sub) != 1 or len(conds) != 1:
+            raise ValueError("having() wants one stream and one boolean evaluator")
+        (df, keys) = self._sub(sub[0])
+        return df.filter(self._bool_eval(parse_stream_expr(conds[0]))), keys
+
+    def _bool_eval(self, e: StreamExpr):
+        """and/or/not/gt/lt/eq/gteq/lteq evaluator tree → Column.
+        ref: io/eval/*Evaluator.java."""
+        if e.name in ("and", "or"):
+            subs = [self._bool_eval(parse_stream_expr(a)) for a in e.args]
+            if len(subs) < 2:
+                raise ValueError(f"{e.name}() wants >=2 operands")
+            c = subs[0]
+            for s in subs[1:]:
+                c = (c & s) if e.name == "and" else (c | s)
+            return c
+        if e.name == "not":
+            (a,) = e.args
+            return ~self._bool_eval(parse_stream_expr(a))
+        if e.name in ("gt", "lt", "eq", "gteq", "lteq"):
+            if len(e.args) != 2:
+                raise ValueError(f"{e.name}() wants 2 operands")
+            l, r = (self._operand(a) for a in e.args)
+            return {"gt": l.__gt__, "lt": l.__lt__, "eq": l.__eq__,
+                    "gteq": l.__ge__, "lteq": l.__le__}[e.name](r)
+        raise ValueError(f"unknown boolean evaluator: {e.name!r}")
+
+    def _operand(self, raw: str):
+        raw = raw.strip()
+        if _is_expr(raw):
+            e = parse_stream_expr(raw)
+            if e.name not in _METRIC_FUNCS:
+                raise ValueError(f"bad operand: {raw!r}")
+            arg = e.args[0].strip() if e.args else "*"
+            return F.col(f"`{e.name}({arg})`")
+        return _lit_or_col(raw)
+
+    # -- joins / set ops ---------------------------------------------------
+    def _on_pairs(self, expr: StreamExpr) -> list[tuple[str, str]]:
+        if "on" not in expr.params:
+            raise ValueError(f"{expr.name}() wants on=")
+        pairs = []
+        for part in unquote(expr.params["on"]).split(","):
+            part = part.strip()
+            if "=" in part:
+                l, r = (x.strip() for x in part.split("=", 1))
+            else:
+                l = r = part
+            pairs.append((l, r))
+        return pairs
+
+    def _join(self, expr: StreamExpr, how: str, broadcast_right: bool = False):
+        if broadcast_right:
+            if "hashed" not in expr.params:
+                raise ValueError("hashJoin() wants hashed=<stream>")
+            (left, lk) = self._inner(expr)[0]
+            (right, _) = self._sub(expr.params["hashed"])
+        else:
+            (left, lk), (right, _) = self._inner(expr, want=2)
+        pairs = self._on_pairs(expr)
+        cond = None
+        for l, r in pairs:
+            c = left[l] == right[r]
+            cond = c if cond is None else (cond & c)
+        r_side = F.broadcast(right) if broadcast_right else right
+        out = left.join(r_side, cond, how)
+        # equal-named key columns collapse to one (Solr emits one field)
+        for l, r in pairs:
+            if l == r:
+                out = out.drop(right[r])
+        keys = [(l, True) for l, _ in pairs]
+        return out.orderBy(*_order_cols(keys)), keys
+
+    def _c_innerJoin(self, expr: StreamExpr):  # noqa: N802
+        return self._join(expr, "inner")
+
+    def _c_leftOuterJoin(self, expr: StreamExpr):  # noqa: N802
+        return self._join(expr, "left")
+
+    def _c_hashJoin(self, expr: StreamExpr):  # noqa: N802
+        return self._join(expr, "inner", broadcast_right=True)
+
+    def _c_fetch(self, expr: StreamExpr):
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("fetch() wants a collection first")
+        coll = unquote(expr.args[0])
+        (df, keys) = self._inner(expr)[0]
+        if "on" not in expr.params or "fl" not in expr.params:
+            raise ValueError("fetch() wants on= and fl=")
+        l, r = (self._on_pairs(expr)[0])
+        fl = [c.strip() for c in unquote(expr.params["fl"]).split(",")]
+        side = self._table(coll).select(r, *[c for c in fl if c != r])
+        out = df.join(F.broadcast(side), df[l] == side[r], "left")
+        # only the requested fl fields survive (FetchStream contract)
+        out = out.drop(side[r])
+        return out, keys
+
+    def _c_facet(self, expr: StreamExpr):
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("facet() wants a collection first")
+        df = self._table_filter(self._table(unquote(expr.args[0])),
+                                expr.params.get("q", "*:*"))
+        if "buckets" not in expr.params:
+            raise ValueError("facet() wants buckets=")
+        buckets = [c.strip() for c in unquote(expr.params["buckets"]).split(",")]
+        aggs = self._metrics(expr, df)
+        out = df.groupBy(*buckets).agg(*aggs)
+        sorts = expr.params.get("bucketSorts", '"count(*) desc"')
+        keys = _sort_keys(sorts) + [(b, True) for b in buckets]
+        out = out.orderBy(*[F.col(f"`{c}`").asc() if asc else
+                            F.col(f"`{c}`").desc() for c, asc in keys])
+        limit = int(unquote(expr.params.get("bucketSizeLimit", "10")))
+        return out.limit(limit), keys
+
+    def _c_stats(self, expr: StreamExpr):
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("stats() wants a collection first")
+        df = self._table_filter(self._table(unquote(expr.args[0])),
+                                expr.params.get("q", "*:*"))
+        return df.agg(*self._metrics(expr, df)), []
+
+    def _c_merge(self, expr: StreamExpr):
+        (a, _), (b, _) = self._inner(expr, want=2)
+        keys = _sort_keys(expr.params.get("on", ""))
+        return a.unionByName(b).orderBy(*_order_cols(keys)), keys
+
+    def _set_op(self, expr: StreamExpr, how: str):
+        (a, _), (b, _) = self._inner(expr, want=2)
+        on = [c.strip() for c in unquote(expr.params.get("on", "")).split(",")]
+        if on == [""]:
+            raise ValueError(f"{expr.name}() wants on=")
+        keys = [(c, True) for c in on]
+        out = a.join(b.select(*on).dropDuplicates(on), on=on, how=how)
+        return out.orderBy(*_order_cols(keys)), keys
+
+    def _c_complement(self, expr: StreamExpr):
+        return self._set_op(expr, "left_anti")
+
+    def _c_intersect(self, expr: StreamExpr):
+        return self._set_op(expr, "left_semi")
+
+    def _c_cartesianProduct(self, expr: StreamExpr):  # noqa: N802
+        sub = [a for a in expr.args if _is_expr(a)]
+        flat = [a for a in expr.args if not _is_expr(a)]
+        if len(sub) != 1 or len(flat) != 1:
+            raise ValueError("cartesianProduct() wants a stream and a field")
+        (df, keys) = self._sub(sub[0])
+        col = unquote(flat[0])
+        return df.withColumn(col, F.explode(col)), keys
+
+    def _c_parallel(self, expr: StreamExpr):
+        """parallel(workers=N, partitionKeys=f, inner): Solr ships the
+        inner expression to N workers hash-partitioned on the keys; on
+        Spark the plan is already distributed, so this compiles to an
+        explicit repartition on the keys — the co-location contract the
+        decorator exists for — and the inner result is unchanged."""
+        (df, keys) = self._inner(expr)[0]
+        if "partitionKeys" not in expr.params:
+            raise ValueError("parallel() wants partitionKeys=")
+        pk = [c.strip() for c in unquote(expr.params["partitionKeys"]).split(",")]
+        workers = int(unquote(expr.params.get("workers", "0")))
+        df = df.repartition(workers, *pk) if workers > 0 else df.repartition(*pk)
+        return df, keys
+
+
+def stream_handler(spark: SparkSession, sf_dir: str, expr: str,
+                   searcher=None, state_dir: str | None = None):
+    """The /stream front door: expression string → DataFrame, or a
+    DaemonStream handle when the top-level decorator is daemon()."""
+    tree = parse_stream_expr(expr)
+    comp = StreamCompiler(spark, sf_dir, searcher=searcher, state_dir=state_dir)
+    if tree.name == "daemon":
+        subs = [a for a in tree.args if _is_expr(a)]
+        if len(subs) != 1:
+            raise ValueError("daemon() wants exactly one inner stream")
+        if "id" not in tree.params:
+            raise ValueError("daemon() wants id=")
+        return DaemonStream(comp, parse_stream_expr(subs[0]),
+                            unquote(tree.params["id"]),
+                            int(unquote(tree.params.get("runInterval", "1"))))
+    df, _ = comp.compile(tree)
+    return df

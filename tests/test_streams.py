@@ -1,0 +1,326 @@
+"""/stream handler (streaming-expression front door) contract tests.
+
+Pins: the expression grammar (nesting, quoting, named params, 400-style
+raises), each decorator's equality against the directly-constructed
+DataFrame pipeline, the carried-sort semantics of unique(), daemon's
+re-execution + checkpoint advance, and the plan shapes (hashJoin
+broadcasts, unique stays a WindowGroupLimit row_number, parallel
+repartitions on the keys).
+
+ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/expr/
+     StreamExpressionParser.java + io/stream/*Stream.java
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.streams import (
+    StreamCompiler,
+    parse_stream_expr,
+    stream_handler,
+    unquote,
+)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _physical(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- grammar -----------------------------------------------------------------
+
+
+def test_parser_nesting_and_params():
+    e = parse_stream_expr(
+        'top(n=5, unique(search(events, q="a:b", sort="a asc"), '
+        'over="a"), sort="a asc, b desc")'
+    )
+    assert e.name == "top"
+    assert set(e.params) == {"n", "sort"}
+    assert len(e.args) == 1
+    inner = parse_stream_expr(e.args[0])
+    assert inner.name == "unique"
+    assert unquote(inner.params["over"]) == "a"
+    src = parse_stream_expr(inner.args[0])
+    assert src.name == "search" and unquote(src.params["q"]) == "a:b"
+
+
+def test_parser_quoted_commas_and_escapes():
+    e = parse_stream_expr('search(events, q="a:\\"x,y\\"", sort="a asc")')
+    assert unquote(e.params["q"]) == 'a:"x,y"'
+    assert e.args == ["events"]
+
+
+def test_parser_metric_args_stay_positional():
+    e = parse_stream_expr("rollup(search(events), over=\"k\", count(*), sum(v))")
+    assert [a for a in e.args if a.startswith("count")] == ["count(*)"]
+    assert e.params == {"over": '"k"'}
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["top(n=5", "top n=5)", 'search(events, q="unterminated)', "42", ""],
+)
+def test_parser_malformed_raises(bad):
+    with pytest.raises(ValueError):
+        parse_stream_expr(bad)
+
+
+def test_unknown_function_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown stream function"):
+        stream_handler(spark, sf_dir, 'frobnicate(search(events, q="*:*"))')
+
+
+def test_daemon_only_top_level(spark, sf_dir):
+    with pytest.raises(ValueError, match="top level"):
+        stream_handler(
+            spark, sf_dir,
+            'top(n=1, daemon(search(events, q="*:*"), id="x"), sort="ts asc")',
+        )
+
+
+def test_table_query_subset_raises(spark, sf_dir):
+    # scoring syntax on a docvalues-only collection = Solr 400
+    with pytest.raises(ValueError, match="non-index collections"):
+        stream_handler(
+            spark, sf_dir,
+            'search(events, q="hello world", sort="ts asc")',
+        ).collect()
+    with pytest.raises(ValueError, match="undefined field"):
+        stream_handler(
+            spark, sf_dir, 'search(events, q="nope:1", sort="ts asc")'
+        ).collect()
+    with pytest.raises(ValueError, match="unknown collection"):
+        stream_handler(spark, sf_dir, 'search(nosuch, q="*:*")').collect()
+
+
+# -- decorator equality vs direct pipelines ----------------------------------
+
+
+def test_rollup_equality(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'rollup(search(events, q="*:*", fl="user_id,value", '
+        'sort="user_id asc"), over="user_id", count(*), sum(value))',
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("count(*)"),
+             F.round(F.sum("value"), 4).alias("sum(value)"))
+        .orderBy("user_id")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_unique_is_first_per_key_in_stream_order(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'sort(unique(search(events, q="*:*", fl="user_id,ts,event_id", '
+        'sort="user_id asc, ts asc, event_id asc"), over="user_id"), '
+        'by="user_id asc")',
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").drop("rn").orderBy("user_id")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_unique_requires_carried_sort(spark, sf_dir):
+    with pytest.raises(ValueError, match="sorted incoming stream"):
+        stream_handler(
+            spark, sf_dir,
+            'unique(search(events, q="*:*", fl="user_id"), over="user_id")',
+        )
+
+
+def test_set_ops_equality(spark, sf_dir):
+    comp = stream_handler(
+        spark, sf_dir,
+        'complement(search(events, q="*:*", fl="event_id,user_id", '
+        'sort="event_id asc"), search(events, q="event_type:click", '
+        'fl="event_id", sort="event_id asc"), on="event_id")',
+    )
+    inter = stream_handler(
+        spark, sf_dir,
+        'intersect(search(events, q="*:*", fl="event_id,user_id", '
+        'sort="event_id asc"), search(events, q="event_type:click", '
+        'fl="event_id", sort="event_id asc"), on="event_id")',
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = e.filter("event_type = 'click'").select("event_id")
+    base = e.select("event_id", "user_id")
+    assert _rows(comp) == _rows(
+        base.join(clicks, "event_id", "left_anti").orderBy("event_id"))
+    assert _rows(inter) == _rows(
+        base.join(clicks, "event_id", "left_semi").orderBy("event_id"))
+    assert comp.count() + inter.count() == e.count()
+
+
+def test_merge_union_keeps_sort(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'merge(search(events, q="event_type:click", fl="event_id,ts", '
+        'sort="event_id asc"), search(events, q="event_type:view", '
+        'fl="event_id,ts", sort="event_id asc"), on="event_id asc")',
+    )
+    rows = [r.event_id for r in got.collect()]
+    assert rows == sorted(rows)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert len(rows) == e.filter("event_type in ('click','view')").count()
+
+
+def test_select_evaluator_and_rename(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'select(search(events, q="*:*", sort="event_id asc"), '
+        "event_id as id, add(value, 1.5) as vplus, mult(value, 2) as v2)",
+    )
+    assert got.columns == ["id", "vplus", "v2"]
+    r = got.orderBy("id").first()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("event_id").first()
+    assert r.id == e.event_id
+    assert abs(r.vplus - (e.value + 1.5)) < 1e-9
+    assert abs(r.v2 - e.value * 2) < 1e-9
+
+
+def test_cartesian_product_explodes(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'cartesianProduct(search(embeddings, q="label:1", '
+        'fl="vec_id,embedding", sort="vec_id asc"), embedding)',
+    )
+    d = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("label = 1")
+    want = d.select("vec_id", F.explode("embedding").alias("embedding"))
+    assert got.count() == want.count()
+
+
+def test_stats_single_tuple(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'stats(events, q="event_type:click", count(*), min(value), max(value))',
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        "event_type = 'click'")
+    r = got.first()
+    assert r["count(*)"] == e.count()
+    assert got.count() == 1
+
+
+# -- transcripts routing ------------------------------------------------------
+
+
+def test_search_transcripts_is_index_bm25(spark, sf_dir):
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.query.oracle import ROUND
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    got = stream_handler(
+        spark, sf_dir,
+        'search(transcripts, q="sort window", sort="score desc", rows=7)',
+        searcher=s,
+    )
+    want = s.search(BooleanSpec(must=("sort", "window"), k=7), round_to=ROUND)
+    assert _rows(got) == _rows(want)
+
+
+def test_search_transcripts_field_sort_raises(spark, sf_dir):
+    from lucene_solr_spark.registry import cached_searcher
+
+    with pytest.raises(ValueError, match="relevance order"):
+        stream_handler(
+            spark, sf_dir,
+            'search(transcripts, q="merge", sort="ts asc")',
+            searcher=cached_searcher(spark, sf_dir),
+        )
+
+
+# -- daemon / topic ------------------------------------------------------------
+
+
+def test_daemon_reruns_and_checkpoint_advances(spark, sf_dir, tmp_path):
+    d = stream_handler(
+        spark, sf_dir,
+        'daemon(topic(transcripts, q="text:merge", id="t1"), '
+        'id="t1", runInterval=1)',
+        state_dir=str(tmp_path),
+    )
+    first = d.run_once()
+    n1 = first.count()
+    assert n1 > 0
+    # static source: the second run starts past the persisted
+    # checkpoint and must deliver nothing new (no re-delivery)
+    assert d.run_once().count() == 0
+    assert d.iterations_run == 2
+
+
+def test_daemon_requires_id(spark, sf_dir):
+    with pytest.raises(ValueError, match="id="):
+        stream_handler(
+            spark, sf_dir,
+            'daemon(topic(transcripts, q="text:merge", id="t2"))',
+        )
+
+
+# -- plan shapes ---------------------------------------------------------------
+
+
+def test_hashjoin_broadcasts_hashed_side(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'hashJoin(search(orders, q="*:*", fl="o_orderkey,o_custkey", '
+        'sort="o_orderkey asc"), '
+        'hashed=search(customer, q="*:*", fl="c_custkey,c_mktsegment", '
+        'sort="c_custkey asc"), on="o_custkey=c_custkey")',
+    )
+    plan = _physical(got)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unique_stays_window_group_limit(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'unique(search(events, q="*:*", fl="user_id,ts,event_id", '
+        'sort="user_id asc, ts asc, event_id asc"), over="user_id")',
+    )
+    plan = _physical(got)
+    # the rn<=1 filter must push as a group-limit under the window
+    # (bounded shuffle — the engine's pinned kNN/collapse shape)
+    assert "WindowGroupLimit" in plan
+
+
+def test_parallel_repartitions_not_reorders(spark, sf_dir):
+    base = 'search(events, q="*:*", fl="user_id,event_id", sort="event_id asc")'
+    got = stream_handler(
+        spark, sf_dir,
+        f'parallel({base}, workers=3, partitionKeys="user_id")',
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(user_id" in plan
+    direct = stream_handler(spark, sf_dir, base)
+    assert sorted(_rows(got)) == sorted(_rows(direct))
+
+
+def test_fetch_enriches_by_broadcast(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'fetch(customer, search(orders, q="*:*", '
+        'fl="o_orderkey,o_custkey", sort="o_orderkey asc"), '
+        'on="o_custkey=c_custkey", fl="c_mktsegment")',
+    )
+    assert set(got.columns) == {"o_orderkey", "o_custkey", "c_mktsegment"}
+    plan = _physical(got)
+    assert "BroadcastHashJoin" in plan
