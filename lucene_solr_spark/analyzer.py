@@ -425,6 +425,38 @@ def keyword_marker(protected, stem=None):
     return keyword_marked_stem
 
 
+def stemmer_override(overrides: dict[str, str], stem=None):
+    """StemmerOverrideFilter + stemmer in one stage: tokens with an
+    override map to their PINNED custom stem and are keyword-marked
+    (the wrapped stemmer skips them — StemmerOverrideFilter sets
+    KeywordAttribute exactly so); everything else runs the wrapped
+    stemmer (default Porter). The dictionary-driven cousin of
+    :func:`keyword_marker`: protect says "don't stem", override says
+    "stem to THIS".
+
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         miscellaneous/StemmerOverrideFilter.java (+ KeywordAttribute
+         honored by en/PorterStemFilter.java)
+    """
+    ovr = dict(overrides)
+    stem_fn = stem or porter_stem
+    cache: dict[str, str] = {}
+
+    def override_stem(toks: pd.Series) -> pd.Series:
+        def enc(t: str) -> str:
+            o = ovr.get(t)
+            if o is not None:
+                return o
+            s = cache.get(t)
+            if s is None:
+                s = cache[t] = stem_fn(t)
+            return s
+
+        return toks.map(lambda ts: [enc(t) for t in ts])
+
+    return override_stem
+
+
 def reverse_filter(toks: pd.Series) -> pd.Series:
     """ReversedWildcardFilter analog: index every token REVERSED so a
     leading wildcard (``*ow``) becomes a PREFIX scan (``wo*``) over the

@@ -46,12 +46,21 @@ _KNOWN = {
     "facet.range.end", "facet.range.gap", "facet.pivot",
     "facet.interval", "facet.interval.set",
     "stats", "stats.field",
-    "group", "group.field", "group.limit",
+    "group", "group.field", "group.limit", "group.main", "group.format",
     "mlt", "mlt.count", "mlt.maxqt",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "debug",
     "defType", "mm", "pf", "ps", "json.facet",
+    "rq", "rqq",
 }
+
+#: rq local-params shape (ReRankQParserPlugin): the rerank query comes
+#: by $-deref like Solr's documented usage; the deref target is pinned
+#: to the ``rqq`` param (one rerank query per request).
+_RQ_RE = re.compile(
+    r"^\{!rerank reRankQuery=\$rqq reRankDocs=(\d+) reRankWeight="
+    r"(\d+(?:\.\d+)?)\}$"
+)
 
 #: docvalues columns a field sort may key on (SortSpecParsing resolves
 #: sort fields against the schema the same way; anything else is a 400)
@@ -466,6 +475,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     # pins the score-ranked default (groups ordered by their best
     # doc's score; rows = number of groups, start must be 0)
     group = None
+    group_format = "grouped"
+    group_main = False
     if params.get("group", False):
         g_field = params.get("group.field")
         if g_field not in _GROUPABLE:
@@ -481,8 +492,24 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             raise ValueError("group=true pages groups via rows; "
                              "start must be 0")
         group = (g_field, g_limit)
-    elif {"group.field", "group.limit"} & set(params):
-        raise ValueError("group.field/group.limit need group=true")
+        # group.format=simple flattens the doclists into ONE list
+        # ordered (group rank, doc rank); group.main=true additionally
+        # makes that flat list THE response (Solr: main implies the
+        # simple format). ref: solr/core/src/java/org/apache/solr/
+        # search/Grouping.java (mainResult / Format.simple)
+        group_format = params.get("group.format", "grouped")
+        if group_format not in ("grouped", "simple"):
+            raise ValueError(f"unknown group.format: {group_format!r}")
+        group_main = bool(params.get("group.main", False))
+        if group_main:
+            group_format = "simple"
+            if {"hl", "mlt", "debug"} & set(params):
+                raise ValueError(
+                    "group.main=true replaces the response doclist; "
+                    "hl/mlt/debug legs key on the ungrouped page")
+    elif {"group.field", "group.limit", "group.main",
+          "group.format"} & set(params):
+        raise ValueError("group.* params need group=true")
     # MoreLikeThis component leg
     mlt = None
     if params.get("mlt", False):
@@ -503,7 +530,37 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     elif {"spellcheck.count", "spellcheck.collate"} & set(params):
         raise ValueError(
             "spellcheck.count/spellcheck.collate need spellcheck=true")
+    # ReRank leg (rq={!rerank ...}): re-scores the score-ranked head
+    rerank = None
+    if "rq" in params:
+        m = _RQ_RE.match(params["rq"])
+        if m is None:
+            raise ValueError(
+                "rq must be {!rerank reRankQuery=$rqq reRankDocs=N "
+                "reRankWeight=W}")
+        if "rqq" not in params:
+            raise ValueError("rq references $rqq but no rqq param given")
+        if sort_key is not None:
+            raise ValueError("rq re-ranks the score-sorted doclist; "
+                             "field sorts cannot combine with rerank")
+        if group:
+            raise ValueError("rq cannot combine with group=true (the "
+                             "group head pick is pinned to main-query rank)")
+        rr_spec = parse(params["rqq"], default_op="AND")
+        if not rr_spec.scoring_terms:
+            raise ValueError("rqq must be a SCORING query (a pure "
+                             "filter contributes no rerank score)")
+        re_rank_docs = int(m.group(1))
+        if re_rank_docs < 1:
+            raise ValueError(f"reRankDocs must be >= 1: {re_rank_docs}")
+        rerank = (rr_spec, re_rank_docs, float(m.group(2)))
+    elif "rqq" in params:
+        raise ValueError("rqq needs rq={!rerank ...}")
     debug = bool(params.get("debug", False))
+    if debug and rerank:
+        raise ValueError("debug=true explains the main ranking; it "
+                         "cannot combine with rq (contribs must sum "
+                         "to the page scores)")
     if debug and def_type == "edismax":
         # the pf bonus needs the per-doc position machinery
         # (IndexSearcher.explain); the batched debug leg covers the
@@ -525,9 +582,12 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_interval": facet_interval,
         "stats_fields": list(stats_fields),
         "group": group,
+        "group_format": group_format,
+        "group_main": group_main,
         "mlt": mlt,
         "spellcheck": spellcheck,
         "debug": debug,
+        "rerank": rerank,
         "hl": hl,
         "hl_passages": hl_passages,
         "hl_snippets": hl_snippets,
@@ -581,7 +641,18 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     one-domain-consistent."""
     spec, o = parse_select_params(params)
     if o["sort"] is None:
-        head = searcher.search(spec, round_to=4)
+        if o["rerank"] is not None:
+            # rq leg: the head is the main query's top reRankDocs
+            # re-scored (bounded second pass, broadcast join-back);
+            # paging slices the COMBINED order, numFound stays the
+            # main DocSet count (rerank never changes the match set)
+            rr_spec, re_rank_docs, rr_weight = o["rerank"]
+            head = searcher.rerank(
+                spec, rr_spec, re_rank_docs, rr_weight,
+                k=spec.k, round_to=4,
+            )
+        else:
+            head = searcher.search(spec, round_to=4)
         order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
     else:
         fld, asc = o["sort"]
@@ -733,8 +804,17 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 F.desc("best.score"), "best.conv_id", "best.turn_idx"
             )
             .limit(o["rows"])
-            .select(g_field)
         )
+        # group RANK (the order the head pick established) rides along
+        # for the simple/main formats — a row_number over the already-
+        # bounded ≤ rows heads, not a corpus window
+        heads = heads.withColumn(
+            "g_rank",
+            F.row_number().over(Window.orderBy(
+                F.desc("best.score"), F.asc("best.conv_id"),
+                F.asc("best.turn_idx"),
+            )).cast("long"),
+        ).select(g_field, "g_rank")
         # doclists: the filter sits DIRECTLY above the window so
         # Catalyst's WindowGroupLimit Partial pushdown pre-reduces
         # every map task to g_limit rows per group before the
@@ -743,17 +823,28 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         gw = Window.partitionBy(g_field).orderBy(
             F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
         )
-        out["grouped"] = (
-            ghits.join(F.broadcast(heads), g_field, "left_semi")
+        ranked = (
+            ghits.join(F.broadcast(heads), g_field)
             .withColumn("grn", F.row_number().over(gw))
             .filter(F.col("grn") <= g_limit)
             .select(
                 F.col(g_field).alias("group_value"),
                 "conv_id", "turn_idx", "score",
                 F.col("grn").cast("long").alias("doc_rank"),
+                "g_rank",
             )
-            .orderBy("group_value", "doc_rank")
         )
+        if o["group_format"] == "simple":
+            # flat doclist ordered (group rank, doc rank) — Solr's
+            # simple format / the group.main=true merge order
+            flat = ranked.orderBy("g_rank", "doc_rank")
+            out["grouped"] = flat
+            if o["group_main"]:
+                out["response"] = flat.select("conv_id", "turn_idx", "score")
+        else:
+            out["grouped"] = ranked.drop("g_rank").orderBy(
+                "group_value", "doc_rank"
+            )
     if o["mlt"]:
         # MoreLikeThis component leg: similar docs for EVERY page doc
         # in ONE batched pass (see IndexSearcher.mlt_batch — Solr

@@ -630,6 +630,62 @@ class IndexSearcher:
             hits = hits.withColumn("score", F.round("score", round_to))
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(spec.k)
 
+    def rerank(
+        self,
+        spec: BooleanSpec,
+        rr_spec: BooleanSpec,
+        re_rank_docs: int,
+        weight: float,
+        k: int | None = None,
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """ReRankQParserPlugin (``rq={!rerank ...}``): the main query's
+        top ``re_rank_docs`` are RE-SCORED as main + weight × the
+        rerank query's score; head docs the rerank query does not
+        match keep their main score (the boost is additive, never
+        restrictive — the match set is pinned by the first pass).
+
+        Combination uses ROUNDED components (round_to dp) on both
+        engines so cross-engine float noise cannot flip the blended
+        order — the same pinned rule as the cross-field DisMax blend.
+
+        Shuffle shape: the head is bounded (re_rank_docs rows, one
+        TakeOrdered); the rerank query's scored hits stream PAST a
+        broadcast semi-filter of the head keys (term-pruned postings
+        pass, narrow output ≤ re_rank_docs rows), and the bounded
+        boost frame broadcast-joins back onto the head. The corpus
+        never shuffles; Solr's ReRankCollector likewise re-scores
+        only the first-pass top-N.
+
+        ref: solr/core/src/java/org/apache/solr/search/
+             ReRankQParserPlugin.java (ReRankQuery/ReRankCollector:
+             combined = firstPassScore + reRankWeight * secondPassScore
+             when the rerank query matches)
+        """
+        from dataclasses import replace
+
+        head = self.search(replace(spec, k=re_rank_docs), round_to=round_to)
+        rr = self.score_hits(rr_spec, k=None)
+        if round_to is not None:
+            rr = rr.withColumn("score", F.round("score", round_to))
+        keys = head.select("conv_id", "turn_idx")
+        boost = (
+            rr.join(F.broadcast(keys), ["conv_id", "turn_idx"], "left_semi")
+            .withColumnRenamed("score", "rr_score")
+        )
+        comb = F.col("score") + float(weight) * F.coalesce(
+            F.col("rr_score"), F.lit(0.0)
+        )
+        if round_to is not None:
+            comb = F.round(comb, round_to)
+        out = (
+            head.join(F.broadcast(boost), ["conv_id", "turn_idx"], "left")
+            .withColumn("score", comb)
+            .drop("rr_score")
+        )
+        k = spec.k if k is None else k
+        return out.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
+
     def cursor_page(
         self,
         spec: BooleanSpec,
@@ -1545,6 +1601,65 @@ class IndexSearcher:
         return hits.orderBy(
             F.desc("score"), "conv_id", "turn_idx"
         ).limit(k)
+
+    def termfreq(self, term: str) -> DataFrame:
+        """``termfreq(field, term)`` relevance ValueSource: the per-doc
+        RAW term frequency straight off the postings blocks — no idf,
+        no length norm (the function-query building block under
+        docfreq()/totaltermfreq()/idf(), whose values are dictionary
+        stats — see :meth:`global_df` / the term dictionary's ``cf``).
+
+        Term-pruned: only the one term's postings rows move; the
+        decode is the same vectorized block decode the scorer uses.
+        A docmap read site — the tombstone mask applies.
+
+        ref: lucene/queries/src/java/org/apache/lucene/queries/function/
+             valuesource/TermFreqValueSource.java (and
+             DocFreqValueSource / TotalTermFreqValueSource for the
+             constant-per-term stats); solr/core/src/java/org/apache/
+             solr/search/ValueSourceParser.java (termfreq/docfreq/
+             totaltermfreq registrations)
+        """
+        import numpy as np
+
+        seg_dirs = self.seg_dir_by_id
+        deleted_bc = self._deleted_bc
+
+        def run_seg(pdf):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from lucene_solr_spark.query.scorer import TermPostings
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=_BASE_COLS
+            ).to_pandas()
+            allowed = apply_deletes(
+                None, dm, deleted_bc.value if deleted_bc else None
+            )
+            row = next(
+                (r for _, r in pdf.iterrows() if r["term"] == term), None
+            )
+            if row is None:
+                return pd.DataFrame(columns=["conv_id", "turn_idx", "tf"])
+            d, tf = TermPostings(row, 0.0).decode_all()
+            if allowed is not None:
+                keep = allowed[d]
+                d, tf = d[keep], tf[keep]
+            sel = dm.iloc[d]
+            return pd.DataFrame(
+                {
+                    "conv_id": sel["conv_id"].to_numpy(),
+                    "turn_idx": sel["turn_idx"].to_numpy(),
+                    "tf": tf.astype(np.int64),
+                }
+            )
+
+        post = self.postings().filter(F.col("term") == term)
+        return post.groupBy("seg_id").applyInPandas(
+            run_seg, schema="conv_id string, turn_idx int, tf long"
+        )
 
     def payload_check(
         self,

@@ -377,6 +377,32 @@ LIMIT {spec.k}
 """).strip()
 
 
+def bm25_rerank_oracle_sql(
+    spec: BooleanSpec,
+    rr_spec: BooleanSpec,
+    re_rank_docs: int,
+    weight: float,
+    k: int,
+) -> str:
+    """ReRank twin (rq={!rerank}): the main query's top re_rank_docs
+    (rounded-score head, pinned tiebreak) LEFT-joined with the rerank
+    query's rounded scores; combined = head + weight × coalesce(rr, 0),
+    re-rounded — exactly IndexSearcher.rerank's pinned combination."""
+    from dataclasses import replace
+
+    head_sql = bm25_oracle_sql(replace(spec, k=re_rank_docs))
+    rr_sql = bm25_oracle_sql(replace(rr_spec, k=1_000_000_000))
+    comb = f"round(h.score + {float(weight)} * coalesce(r.score, 0.0), {ROUND})"
+    return f"""
+WITH head AS (SELECT * FROM ({head_sql})),
+rr AS (SELECT * FROM ({rr_sql}))
+SELECT h.conv_id, h.turn_idx, {comb} AS score
+FROM head h LEFT JOIN rr r
+  ON h.conv_id = r.conv_id AND h.turn_idx = r.turn_idx
+ORDER BY {comb} DESC, h.conv_id, h.turn_idx
+LIMIT {k}""".strip()
+
+
 def bm25_conv_oracle_sql(spec: BooleanSpec, k: int, score_mode: str = "max") -> str:
     """Conversation-level (block-join parent) twin: aggregate the
     per-turn scored CTE by conv_id with the Lucene ScoreMode, then

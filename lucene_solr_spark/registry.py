@@ -5156,6 +5156,45 @@ ORDER BY group_value, doc_rank""",
 )
 
 
+def _select_group_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.main=true: the grouped doclists FLATTEN into the response
+    itself, ordered (group rank, doc rank) — Solr's mainResult merge
+    (group.format=simple implied). Same one-rank-pass engine shape as
+    q_select_group; only the presentation changes.
+    ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+         (mainResult / Format.simple)"""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, dict(_SELECT_GROUP_PARAMS, **{
+        "group.main": True,
+    }))["response"]
+
+
+register(
+    "q_select_group_main",
+    _select_group_main,
+    _SELECT_GROUP_BODY + f""",
+joined AS (
+  SELECT t.role, s.conv_id, s.turn_idx,
+         round(s.score, {ROUND}) AS score
+  FROM scored s JOIN transcripts t USING (conv_id, turn_idx)),
+g_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY role ORDER BY score DESC, conv_id, turn_idx) AS grn
+  FROM joined),
+g_heads AS (
+  SELECT role, row_number() OVER (
+    ORDER BY score DESC, conv_id, turn_idx) AS g_rank
+  FROM g_ranked WHERE grn = 1
+  ORDER BY score DESC, conv_id, turn_idx LIMIT 2)
+SELECT conv_id, turn_idx, score
+FROM g_ranked JOIN g_heads USING (role)
+WHERE grn <= 2
+ORDER BY g_rank, grn""",
+)
+
+
 _SELECT_MLT_PARAMS = {
     "q": "table merge", "q.op": "AND", "rows": 3,
     "mlt": True, "mlt.count": 4, "mlt.maxqt": 4,
@@ -6877,6 +6916,77 @@ register(
 )
 
 
+# --- StemmerOverrideFilter chain ------------------------------------
+# Dictionary-pinned stems: 'table' is overridden to the custom stem
+# 'desk' (bypassing Porter entirely — the StemmerOverrideFilter
+# contract), every other word still Porter-stems. Searching the
+# override stem finds the overridden word's docs.
+SO_OVERRIDES = {"table": "desk"}
+SO_CHAIN_VERSION = "ascii+stop+override+porter-v1"
+
+
+def cached_so_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "so")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_so_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(
+                an.stop_filter, an.stemmer_override(SO_OVERRIDES),
+                char_filters=(an.ascii_fold,),
+            ),
+            analyzer_version=SO_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root, analyzer_version=SO_CHAIN_VERSION)
+
+
+def _so_toks_sql() -> str:
+    """DuckDB spelling of chain(stop, stemmer_override(porter),
+    char=(ascii_fold,)): the vocabulary-generated Porter CASE map with
+    the override entries taking precedence (same vocab-subset guard as
+    the Porter/keyword-marker chains — test_analyzer)."""
+    from lucene_solr_spark.analyzer import ENGLISH_STOP_WORDS, porter_stem
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN '{SO_OVERRIDES.get(w, porter_stem(w))}'"
+        for w in PORTER_VOCAB
+        if SO_OVERRIDES.get(w, porter_stem(w)) != w
+    )
+    return (
+        "list_transform(list_filter("
+        "regexp_extract_all(strip_accents(lower(text)), '[a-z0-9]+'), "
+        f"t -> t NOT IN ({stops})), t -> CASE {cases} ELSE t END)"
+    )
+
+
+def _idx_stemmer_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the stemmer-override index: the query term is the
+    OVERRIDE stem 'desk' — it matches exactly the docs whose surface
+    text said 'table' (Porter alone would have indexed 'tabl'; the
+    override replaces the stem, it does not merely protect)."""
+    s = cached_so_searcher(spark, sf_dir)
+    return s.search(BooleanSpec(must=("desk",), k=12), round_to=ROUND)
+
+
+register(
+    "q_idx_stemmer_override",
+    _idx_stemmer_override,
+    bm25_oracle_sql(
+        BooleanSpec(must=("desk",), k=12), toks_sql=_so_toks_sql()
+    ),
+)
+
+
 _CTQ_TERMS = ("dup", "merge", "scan")  # one rare term, two stopword-ish
 _CTQ_MAX_TF = 0.5  # maxTermFrequency: df/N above this = high-freq
 
@@ -7212,6 +7322,111 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'merge')
 ORDER BY ts_s, conv_id, turn_idx""",
+)
+
+
+# ---------------------------------------------------------------------------
+# ReRank rq front door (ReRankQParserPlugin): the main query's top
+# reRankDocs re-scored additively by a second query — through the
+# engine directly AND through the /select handler's rq/rqq params.
+# ---------------------------------------------------------------------------
+
+from lucene_solr_spark.query.oracle import bm25_rerank_oracle_sql  # noqa: E402
+
+_RERANK_MAIN = BooleanSpec(must=("data",), k=10)
+_RERANK_RR = BooleanSpec(must=("fast",))
+
+
+def _idx_rerank_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rq={!rerank reRankQuery=$rqq reRankDocs=40 reRankWeight=2}
+    against q=data, rqq=fast: combined = main + 2 × rerank score for
+    head docs the rerank query matches (rounded components, pinned
+    blend — see IndexSearcher.rerank)."""
+    s = cached_searcher(spark, sf_dir)
+    return s.rerank(_RERANK_MAIN, _RERANK_RR, re_rank_docs=40,
+                    weight=2.0, round_to=ROUND)
+
+
+register(
+    "q_idx_rerank_rq",
+    _idx_rerank_rq,
+    bm25_rerank_oracle_sql(_RERANK_MAIN, _RERANK_RR, 40, 2.0, 10),
+)
+
+
+_SELECT_RERANK_MAIN = BooleanSpec(
+    must=("query",), filters=(("role", "assistant"),), k=10
+)
+_SELECT_RERANK_RR = BooleanSpec(must=("slow",))
+
+
+def _select_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same contract through the /select front door: rq local
+    params parsed (reRankQuery by $rqq deref like Solr's documented
+    usage), fq folded into the main DocSet, paging slices the
+    COMBINED order."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "query", "q.op": "AND", "fq": "role:assistant",
+        "rq": "{!rerank reRankQuery=$rqq reRankDocs=40 reRankWeight=2}",
+        "rqq": "slow", "rows": 10,
+    })
+    return out["response"].select("conv_id", "turn_idx", "score")
+
+
+register(
+    "q_select_rerank",
+    _select_rerank,
+    bm25_rerank_oracle_sql(_SELECT_RERANK_MAIN, _SELECT_RERANK_RR,
+                           40, 2.0, 10),
+)
+
+
+def _idx_func_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-internal function queries — termfreq(text,'merge') as
+    a per-doc ValueSource straight off the postings blocks, plus the
+    constant-per-term docfreq()/totaltermfreq() stats from the term
+    dictionary (one bounded term-pruned aggregation, broadcast onto
+    the rows). The Solr shape: fl=termfreq(text,merge),docfreq(...),
+    totaltermfreq(...) sorted by termfreq desc.
+
+    ref: lucene/queries/src/java/org/apache/lucene/queries/function/
+         valuesource/TermFreqValueSource.java, DocFreqValueSource.java,
+         TotalTermFreqValueSource.java"""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    tf = s.termfreq("merge")
+    st = (
+        s.postings().filter(F.col("term") == "merge")
+        .agg(F.sum("df").cast("long").alias("df"),
+             F.sum("cf").cast("long").alias("ttf"))
+    )
+    return (
+        tf.crossJoin(F.broadcast(st))
+        .orderBy(F.desc("tf"), "conv_id", "turn_idx")
+        .limit(20)
+    )
+
+
+register(
+    "q_idx_func_termfreq",
+    _idx_func_termfreq,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+tfq AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                              t -> t = 'merge')) AS BIGINT) AS tf
+  FROM transcripts),
+st AS (
+  SELECT CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS ttf
+  FROM tfq)
+SELECT conv_id, turn_idx, tf, df, ttf
+FROM tfq CROSS JOIN st WHERE tf > 0
+ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
