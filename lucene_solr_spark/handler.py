@@ -152,25 +152,39 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             # spelling of multi-select exclusion ({!ex} on the classic
             # side); tags resolve to the fields their fq constrains
             ex: tuple = ()
+            dom_filter = None
             dom = req.get("domain")
             if dom is not None:
-                if (not isinstance(dom, dict)
-                        or set(dom) != {"excludeTags"}):
+                if (not isinstance(dom, dict) or not dom
+                        or not set(dom) <= {"excludeTags", "filter"}):
                     raise ValueError(
                         f"json.facet {name!r}: domain supports "
-                        "{'excludeTags': ...} only")
-                tags = dom["excludeTags"]
-                tags = (tags.split(",") if isinstance(tags, str)
-                        else list(tags))
-                fields: set = set()
-                for tag in tags:
-                    if tag not in (tag_fields or {}):
+                        "excludeTags and/or filter only")
+                if "excludeTags" in dom:
+                    tags = dom["excludeTags"]
+                    tags = (tags.split(",") if isinstance(tags, str)
+                            else list(tags))
+                    fields: set = set()
+                    for tag in tags:
+                        if tag not in (tag_fields or {}):
+                            raise ValueError(
+                                f"json.facet {name!r}: unknown excludeTags "
+                                f"tag {tag!r} (declared: "
+                                f"{sorted(tag_fields or {})})")
+                        fields |= tag_fields[tag]
+                    ex = tuple(sorted(fields))
+                if "filter" in dom:
+                    # domain.filter: NARROW this facet's domain with an
+                    # extra non-scoring constraint (the complement of
+                    # excludeTags — FacetRequest.Domain filters). Must
+                    # be a pure filter like every fq.
+                    raw = dom["filter"]
+                    if not isinstance(raw, str) or not raw:
                         raise ValueError(
-                            f"json.facet {name!r}: unknown excludeTags "
-                            f"tag {tag!r} (declared: "
-                            f"{sorted(tag_fields or {})})")
-                    fields |= tag_fields[tag]
-                ex = tuple(sorted(fields))
+                            f"json.facet {name!r}: domain.filter wants "
+                            "a query string")
+                    dom_filter = _pure_filter(
+                        parse(raw, default_op="AND"), raw)
             fld = req.get("field")
             if fld not in _FACETABLE:
                 raise ValueError(f"json.facet {name!r}: field must be one "
@@ -208,7 +222,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                             "by count")
                     out[name] = (
                         "nested", fld, int(req.get("limit", 10)),
-                        f2, int(agg.get("limit", 10)), ex,
+                        f2, int(agg.get("limit", 10)), ex, dom_filter,
                     )
                     continue
                 m = re.fullmatch(r"avg\((\w+)\)", str(agg))
@@ -229,7 +243,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                                  f"'count' or '<sub-agg name> desc'")
             out[name] = (
                 "terms", fld, int(req.get("limit", 10)), metric,
-                "metric" if sort != "count" else "count", ex,
+                "metric" if sort != "count" else "count", ex, dom_filter,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q"}
@@ -943,12 +957,15 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["facets"] = {}
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
-                _, fld, limit, metric, sort, ex = req
+                _, fld, limit, metric, sort, ex, dom_f = req
                 # domain.excludeTags: drop the tagged fq constraints
-                # from THIS bucket's domain only (multi-select)
+                # from THIS bucket's domain only (multi-select);
+                # domain.filter: add a bucket-local pure filter
                 leg_spec = (
                     _exclude_filter_fields(spec, ex) if ex else spec
                 )
+                if dom_f is not None:
+                    leg_spec = _merge_filters(leg_spec, dom_f)
                 if metric is None:
                     out["facets"][name] = searcher.facet(
                         fld, spec=leg_spec, limit=limit
@@ -966,8 +983,10 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             elif req[0] == "nested":
                 from lucene_solr_spark.query.facets import facet_nested
 
-                _, f1, l1, f2, l2, ex = req
+                _, f1, l1, f2, l2, ex, dom_f = req
                 n_spec = _exclude_filter_fields(spec, ex) if ex else spec
+                if dom_f is not None:
+                    n_spec = _merge_filters(n_spec, dom_f)
                 n_spec = (
                     searcher.rewrite(n_spec) if n_spec.needs_rewrite
                     else n_spec
@@ -1260,3 +1279,124 @@ def get(searcher_spark, params: dict, committed: DataFrame,
     return realtime_get(ids, committed, tlog, fields=fl).orderBy(
         "conv_id", "turn_idx"
     )
+
+
+#: /suggest handler param surface (SuggestComponent front door)
+_SUGGEST_KNOWN = {"suggest", "suggest.q", "suggest.count",
+                  "suggest.dictionary"}
+
+
+def suggest(searcher, params: dict) -> DataFrame:
+    """/suggest handler front door (SuggestComponent): completion
+    candidates for each typed fragment from the index term dictionary,
+    weighted by collection frequency (``cf`` — the DocumentDictionary
+    weight analog the index already carries). ``suggest.dictionary``
+    picks the lookup family: ``prefix`` (AnalyzingSuggester-style
+    completion) or ``infix`` (AnalyzingInfixSuggester — the fragment
+    may match anywhere in the term). One narrow (term, cf) dictionary
+    aggregation with the bounded fragment table broadcast into the
+    probe; top suggest.count per fragment via a fragment-partitioned
+    WindowGroupLimit — the posting blocks are never decoded.
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+         SuggestComponent.java, lucene/suggest/src/java/org/apache/
+         lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java
+    """
+    unknown = set(params) - _SUGGEST_KNOWN
+    if unknown:
+        raise ValueError(f"unknown /suggest params: {sorted(unknown)}")
+    if not params.get("suggest", True):
+        raise ValueError("/suggest needs suggest=true")
+    raw = params.get("suggest.q")
+    if not raw:
+        raise ValueError("missing required param: suggest.q")
+    frags = raw if isinstance(raw, list) else str(raw).split(",")
+    frags = [f.strip() for f in frags if f.strip()]
+    if not frags:
+        raise ValueError("suggest.q has no fragments")
+    count = int(params.get("suggest.count", 5))
+    if count < 1:
+        raise ValueError(f"suggest.count must be >= 1: {count}")
+    dictionary = params.get("suggest.dictionary", "prefix")
+    if dictionary not in ("prefix", "infix"):
+        raise ValueError(
+            f"suggest.dictionary must be prefix|infix, got {dictionary!r}")
+    q = searcher.spark.createDataFrame(
+        [(f,) for f in frags], "fragment string"
+    )
+    dicts = searcher.postings().groupBy("term").agg(
+        F.sum("cf").cast("long").alias("weight")
+    )
+    if dictionary == "prefix":
+        cond = F.col("term").startswith(F.col("fragment"))
+    else:
+        cond = F.col("term").contains(F.col("fragment"))
+    cand = dicts.join(F.broadcast(q), cond)
+    w = Window.partitionBy("fragment").orderBy(
+        F.desc("weight"), F.col("term")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= count)
+        .select("fragment", F.col("term").alias("suggestion"), "weight")
+        .orderBy("fragment", F.desc("weight"), "suggestion")
+    )
+
+
+#: /mlt handler param surface (MoreLikeThisHandler front door)
+_MLT_KNOWN = {"q", "mlt.count", "mlt.maxqt", "mlt.interestingTerms"}
+
+
+def mlt(searcher, params: dict, stored: DataFrame) -> dict:
+    """/mlt handler front door (MoreLikeThisHandler): ``q`` addresses
+    the source document by unique key (``id:<conv_id>#<turn_idx>`` —
+    the handler's common single-doc form), its stored text probes the
+    corpus once (pushed-filter row fetch, what the handler's
+    DocListAndSet lookup does), and the engine's MoreLikeThis serves
+    the neighbors. ``mlt.interestingTerms=list`` additionally returns
+    the ranked tf×idf term list the query was built from.
+
+    Returns {"response": neighbors DF, "interestingTerms": DF | None}.
+
+    ref: solr/core/src/java/org/apache/solr/handler/
+         MoreLikeThisHandler.java (q doc lookup, interestingTerms)
+    """
+    import re as _re
+
+    unknown = set(params) - _MLT_KNOWN
+    if unknown:
+        raise ValueError(f"unknown /mlt params: {sorted(unknown)}")
+    raw = params.get("q")
+    if not raw:
+        raise ValueError("missing required param: q")
+    m = _re.match(r"^id:(\w+)#(\d+)$", str(raw))
+    if m is None:
+        raise ValueError("/mlt q must be id:<conv_id>#<turn_idx>")
+    conv, turn = m.group(1), int(m.group(2))
+    count = int(params.get("mlt.count", 10))
+    maxqt = int(params.get("mlt.maxqt", 5))
+    if count < 1 or maxqt < 1:
+        raise ValueError("mlt.count and mlt.maxqt must be >= 1")
+    it = params.get("mlt.interestingTerms", "none")
+    if it not in ("none", "list"):
+        raise ValueError(
+            f"mlt.interestingTerms must be none|list, got {it!r}")
+    src = (
+        stored.filter(
+            (F.col("conv_id") == conv) & (F.col("turn_idx") == turn)
+        ).select("text").first()
+    )
+    if src is None:
+        raise ValueError(f"/mlt source doc not found: {raw!r}")
+    out = {
+        "response": searcher.more_like_this(
+            conv, turn, src.text, max_terms=maxqt, k=count, round_to=4,
+        ),
+        "interestingTerms": None,
+    }
+    if it == "list":
+        ranked = searcher.interesting_terms(src.text, maxqt)
+        out["interestingTerms"] = searcher.spark.createDataFrame(
+            [(t, float(s)) for t, s in ranked], "term string, score double"
+        )
+    return out

@@ -212,6 +212,8 @@ def atomic_update(
                     WHEN 'set' THEN array(x.value)
                     WHEN 'add' THEN array_append(acc, x.value)
                     WHEN 'remove' THEN array_remove(acc, x.value)
+                    WHEN 'removeregex' THEN filter(acc,
+                        e -> NOT (e RLIKE concat('^(?:', x.value, ')$')))
                     ELSE acc END)""").alias(f)
             for f in arr_fields
         ]

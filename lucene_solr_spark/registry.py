@@ -3337,6 +3337,72 @@ FROM tgt ORDER BY conv_id, turn_idx""",
 )
 
 
+def _atomic_update_removeregex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic ``removeregex``: multivalued elements WHOLE-value
+    matching the pattern (Pattern.matches — the Solr contract, pinned
+    by anchoring) drop from the list as it stands at that point in the
+    version sequence; an add AFTER a removeregex survives it, a later
+    removeregex still sees it. Same single Catalyst aggregate fold as
+    add/remove.
+
+    ref: solr/core/src/java/org/apache/solr/update/processor/
+         AtomicUpdateDocumentMerger.java (doRemoveRegex)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "n", F.substring("conv_id", 5, 8).cast("long")
+    )
+    committed = t.withColumn(
+        "tags",
+        F.array(F.col("role"), F.coalesce(F.col("tool"), F.lit("none")),
+                F.lit("extra_9")),
+    )
+    tgt = committed.filter((F.col("turn_idx") <= 1) & (F.col("n") % 4 == 0))
+
+    def mk(v: int, kind: str, value: str) -> DataFrame:
+        return tgt.select(
+            "conv_id", "turn_idx",
+            F.lit(v).cast("long").alias("_version_"),
+            F.lit("tags").alias("field"),
+            F.lit(kind).alias("kind"),
+            F.lit(value).alias("value"),
+        )
+
+    ops = (
+        mk(2, "removeregex", "tool_[0-9]+")   # drops the committed tool el
+        .unionByName(mk(3, "add", "tool_99"))  # added AFTER → survives v2
+        .unionByName(mk(4, "removeregex", "extra_.*"))
+    )
+    merged = atomic_update(
+        committed.drop("n"), ops, fields=[], arr_fields=["tags"],
+    )
+    return merged.select(
+        "conv_id", "turn_idx",
+        F.array_join("tags", "|").alias("tags_s"), "_version_",
+    ).orderBy("conv_id", "turn_idx")
+
+
+register(
+    "q_atomic_update_removeregex",
+    _atomic_update_removeregex,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+keyed AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+tgt AS (SELECT * FROM keyed WHERE turn_idx <= 1 AND n % 4 = 0)
+SELECT conv_id, turn_idx,
+       array_to_string(
+         list_filter(
+           list_append(
+             list_filter([role, coalesce(tool, 'none'), 'extra_9'],
+                         x -> NOT regexp_full_match(x, 'tool_[0-9]+')),
+             'tool_99'),
+           x -> NOT regexp_full_match(x, 'extra_.*')), '|') AS tags_s,
+       CAST(4 AS BIGINT) AS _version_
+FROM tgt ORDER BY conv_id, turn_idx""",
+)
+
+
 _XCOLL_SPEC = BooleanSpec(must=("data",), k=15)
 
 
@@ -7381,6 +7447,253 @@ register(
     _select_rerank,
     bm25_rerank_oracle_sql(_SELECT_RERANK_MAIN, _SELECT_RERANK_RR,
                            40, 2.0, 10),
+)
+
+
+_SELECT_JF_DOMAIN_PARAMS = {
+    "q": "data", "rows": 5,
+    "json.facet": (
+        '{"assistant_roles": {"type": "terms", "field": "tool",'
+        ' "limit": 6, "domain": {"filter": "role:assistant"}}}'
+    ),
+}
+
+
+def _select_json_facet_domain_filter(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """json.facet domain: {filter: ...} — a bucket-LOCAL narrowing of
+    the facet domain (FacetRequest.Domain filters, the complement of
+    excludeTags): this facet counts tools over hits ∩ role=assistant
+    while the doclist and numFound keep the unfiltered q domain.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+         FacetRequest.java (Domain.filters parse)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JF_DOMAIN_PARAMS)["facets"]["assistant_roles"]
+
+
+register(
+    "q_select_jf_domain_filter",
+    _select_json_facet_domain_filter,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT tool AS facet_value, count(*) AS cnt
+FROM docs
+WHERE list_contains(toks, 'data') AND role = 'assistant'
+  AND tool IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 6
+""".strip(),
+)
+
+
+def _mlt_oracle_sql(conv: str, turn: int, nterms: int, k: int) -> str:
+    """The MoreLikeThis DuckDB twin, parameterized (same pinned
+    pipeline as q_idx_more_like_this / q_stream_expr_knn: 6dp tf×idf
+    interesting-term rank, BM25 OR-query, source excluded)."""
+    return f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs2 AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+  FROM transcripts),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl FROM docs2),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
+alldf AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, term FROM tokens) GROUP BY term),
+src_tf AS (
+  SELECT term, count(*) AS tf FROM tokens
+  WHERE conv_id = '{conv}' AND turn_idx = {turn} GROUP BY term),
+mlt AS (
+  SELECT st.term FROM src_tf st JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY round(st.tf * ln(1.0 + (stats.n_docs - alldf.df + 0.5)
+                 / (alldf.df + 0.5)), 6) DESC, st.term
+  LIMIT {nterms}),
+tfq AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN (SELECT term FROM mlt)
+  GROUP BY conv_id, turn_idx, term),
+scored AS (
+  SELECT tfq.conv_id, tfq.turn_idx,
+         sum(ln(1.0 + (stats.n_docs - alldf.df + 0.5) / (alldf.df + 0.5))
+             * (tfq.tf * (1.2 + 1))
+             / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * tfq.doc_len / stats.avgdl))
+         ) AS score
+  FROM tfq JOIN alldf USING (term) CROSS JOIN stats
+  GROUP BY tfq.conv_id, tfq.turn_idx)
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+WHERE NOT (conv_id = '{conv}' AND turn_idx = {turn})
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT {k}"""
+
+
+def _mlt_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/mlt HANDLER front door (MoreLikeThisHandler): q=id:<key>
+    addresses the source doc, mlt.count/mlt.maxqt forward into the
+    engine's MoreLikeThis — the dedicated-handler spelling of the
+    component the /select mlt=true leg batches."""
+    from lucene_solr_spark.handler import mlt
+
+    s = cached_searcher(spark, sf_dir)
+    return mlt(s, {
+        "q": "id:conv00000002#3", "mlt.count": 6, "mlt.maxqt": 4,
+    }, stored=transcripts_from_documents(spark, sf_dir))["response"]
+
+
+register(
+    "q_mlt_handler",
+    _mlt_handler,
+    _mlt_oracle_sql("conv00000002", 3, 4, 6),
+)
+
+
+def _suggest_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/suggest HANDLER front door (SuggestComponent): infix-dictionary
+    completion for two typed fragments, top-4 each by collection
+    frequency — one narrow (term, cf) dictionary aggregation, the
+    fragment table broadcast, a fragment-partitioned WindowGroupLimit."""
+    from lucene_solr_spark.handler import suggest
+
+    s = cached_searcher(spark, sf_dir)
+    return suggest(s, {
+        "suggest": True, "suggest.q": "er,at",
+        "suggest.count": 4, "suggest.dictionary": "infix",
+    })
+
+
+register(
+    "q_suggest_handler",
+    _suggest_handler,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+         FROM tok GROUP BY term),
+frags AS (SELECT unnest(['er', 'at']) AS fragment),
+ranked AS (
+  SELECT f.fragment, d.term, d.weight,
+         row_number() OVER (
+           PARTITION BY f.fragment
+           ORDER BY d.weight DESC, d.term) AS rn
+  FROM frags f JOIN dict d ON contains(d.term, f.fragment))
+SELECT fragment, term AS suggestion, weight
+FROM ranked WHERE rn <= 4
+ORDER BY fragment, weight DESC, suggestion""",
+)
+
+
+def _stream_expr_sigterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significantTerms() stream source through the expression front
+    door — the same seg-driver fan-out engine path as
+    q_idx_significant_terms, here with the q/minDocFreq/limit params
+    arriving via the parsed expression string."""
+    return stream_handler(
+        spark, sf_dir,
+        'significantTerms(transcripts, q="table", minDocFreq=4, limit=15)',
+        searcher=cached_searcher(spark, sf_dir),
+    )
+
+
+register(
+    "q_stream_expr_sigterms",
+    _stream_expr_sigterms,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+per_doc AS (
+  SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term,
+         list_contains(toks, 'table') AS fgd
+  FROM docs
+),
+bg AS (SELECT term, count(*) AS bg_df FROM per_doc GROUP BY term),
+fg AS (SELECT term, count(*) AS fg_df FROM per_doc WHERE fgd GROUP BY term)
+SELECT fg.term, fg_df, bg_df,
+       round(CAST(fg_df AS DOUBLE) * fg_df / bg_df, 4) AS score
+FROM fg JOIN bg USING (term)
+WHERE fg_df >= 4
+ORDER BY score DESC, fg.term LIMIT 15
+""".strip(),
+)
+
+
+_KNN_STREAM_CONV, _KNN_STREAM_TURN = "conv00000001", 1
+_KNN_STREAM_TERMS, _KNN_STREAM_K = 4, 8
+
+
+def _stream_expr_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knnSearch() stream source (KnnStream / CloudMLTQParser): the
+    id-addressed source doc probes driver-side, the engine's MLT
+    serves the neighbors — all params from the expression string."""
+    return stream_handler(
+        spark, sf_dir,
+        f'knnSearch(transcripts, id="{_KNN_STREAM_CONV}#{_KNN_STREAM_TURN}", '
+        f'qf=text, k={_KNN_STREAM_K}, maxTerms={_KNN_STREAM_TERMS})',
+        searcher=cached_searcher(spark, sf_dir),
+    )
+
+
+register(
+    "q_stream_expr_knn",
+    _stream_expr_knn,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs2 AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+  FROM transcripts),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl FROM docs2),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
+alldf AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, term FROM tokens) GROUP BY term),
+src_tf AS (
+  SELECT term, count(*) AS tf FROM tokens
+  WHERE conv_id = '{_KNN_STREAM_CONV}' AND turn_idx = {_KNN_STREAM_TURN}
+  GROUP BY term),
+mlt AS (
+  SELECT st.term FROM src_tf st JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY round(st.tf * ln(1.0 + (stats.n_docs - alldf.df + 0.5)
+                 / (alldf.df + 0.5)), 6) DESC, st.term
+  LIMIT {_KNN_STREAM_TERMS}),
+tfq AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN (SELECT term FROM mlt)
+  GROUP BY conv_id, turn_idx, term),
+scored AS (
+  SELECT tfq.conv_id, tfq.turn_idx,
+         sum(ln(1.0 + (stats.n_docs - alldf.df + 0.5) / (alldf.df + 0.5))
+             * (tfq.tf * (1.2 + 1))
+             / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * tfq.doc_len / stats.avgdl))
+         ) AS score
+  FROM tfq JOIN alldf USING (term) CROSS JOIN stats
+  GROUP BY tfq.conv_id, tfq.turn_idx)
+SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+FROM scored
+WHERE NOT (conv_id = '{_KNN_STREAM_CONV}'
+           AND turn_idx = {_KNN_STREAM_TURN})
+ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+LIMIT {_KNN_STREAM_K}""",
 )
 
 

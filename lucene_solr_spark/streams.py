@@ -54,7 +54,7 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 STREAM_FUNCS = frozenset(
     "search select top unique sort rollup having innerJoin leftOuterJoin "
     "hashJoin fetch facet stats merge complement intersect "
-    "cartesianProduct parallel topic daemon".split()
+    "cartesianProduct parallel topic daemon significantTerms knnSearch".split()
 )
 _METRIC_FUNCS = frozenset("count sum avg min max".split())
 
@@ -318,6 +318,61 @@ class StreamCompiler:
         ckpt = os.path.join(self.state_dir, f"{tid}.json")
         t = TopicStream(self.spark, self.sf_dir, ckpt, m.group(1))
         return t.pull(), [("ts_s", True), ("conv_id", True), ("turn_idx", True)]
+
+    def _c_significantTerms(self, expr: StreamExpr):  # noqa: N802
+        """significantTerms(transcripts, q=, minDocFreq=, limit=) —
+        the SignificantTermsStream source: terms over-represented in
+        the q= hit set vs the corpus, served by the index engine's
+        seg-driver fan-out (per-segment DocSet ∩ postings counting).
+        ref: io/stream/SignificantTermsStream.java"""
+        if not expr.args or unquote(expr.args[0]) != "transcripts":
+            raise ValueError(
+                "significantTerms() serves the transcripts collection")
+        if self.searcher is None:
+            raise ValueError(
+                "no searcher bound for the transcripts collection")
+        from lucene_solr_spark.query.parser import parse
+
+        spec = parse(unquote(expr.params.get("q", "")), default_op="AND")
+        limit = int(unquote(expr.params.get("limit", "20")))
+        min_df = int(unquote(expr.params.get("minDocFreq", "5")))
+        df = self.searcher.significant_terms(spec, min_fg=min_df, limit=limit)
+        return df, [("score", False), ("term", True)]
+
+    def _c_knnSearch(self, expr: StreamExpr):  # noqa: N802
+        """knnSearch(transcripts, id="conv#turn", qf=text, k=,
+        maxTerms=) — the MLT-based nearest-document stream: the source
+        doc's stored text probes driver-side (one pushed-filter row,
+        the realtime-get Solr's CloudMLTQParser performs), then the
+        engine's MoreLikeThis serves the neighbors.
+        ref: io/stream/KnnStream.java (CloudMLTQParser)"""
+        if not expr.args or unquote(expr.args[0]) != "transcripts":
+            raise ValueError("knnSearch() serves the transcripts collection")
+        if self.searcher is None:
+            raise ValueError(
+                "no searcher bound for the transcripts collection")
+        if unquote(expr.params.get("qf", "text")) != "text":
+            raise ValueError("knnSearch() supports qf=text")
+        doc_id = unquote(expr.params.get("id", ""))
+        m = re.match(r"^(\w+)#(\d+)$", doc_id)
+        if m is None:
+            raise ValueError("knnSearch() wants id=\"<conv_id>#<turn_idx>\"")
+        conv, turn = m.group(1), int(m.group(2))
+        from lucene_solr_spark.transcripts import transcripts_from_documents
+
+        src = (
+            transcripts_from_documents(self.spark, self.sf_dir)
+            .filter((F.col("conv_id") == conv) & (F.col("turn_idx") == turn))
+            .select("text").first()
+        )
+        if src is None:
+            raise ValueError(f"knnSearch() source doc not found: {doc_id!r}")
+        k = int(unquote(expr.params.get("k", "10")))
+        max_terms = int(unquote(expr.params.get("maxTerms", "5")))
+        df = self.searcher.more_like_this(
+            conv, turn, src.text, max_terms=max_terms, k=k, round_to=4,
+        )
+        return df, [("score", False), ("conv_id", True), ("turn_idx", True)]
 
     # -- tuple decorators --------------------------------------------------
     def _c_select(self, expr: StreamExpr):

@@ -137,3 +137,113 @@ def test_stemmer_override_search_matches_surface_docs(spark, sf_dir):
         {(r.conv_id, r.turn_idx) for r in want.collect()}
     # the Porter form of 'table' does not exist in this index
     assert s.expand_terms(F.col("term") == "tabl") == []
+
+
+# -- json.facet domain.filter ---------------------------------------------------
+
+
+def test_jf_domain_filter_narrows_one_bucket_only(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    jf = ('{"all_tools": {"type": "terms", "field": "tool", "limit": 50},'
+          ' "asst_tools": {"type": "terms", "field": "tool", "limit": 50,'
+          ' "domain": {"filter": "role:assistant"}}}')
+    out = select(s, {"q": "data", "rows": 3, "json.facet": jf})
+    allc = {r.facet_value: r.cnt for r in out["facets"]["all_tools"].collect()}
+    asst = {r.facet_value: r.cnt
+            for r in out["facets"]["asst_tools"].collect()}
+    # the filtered bucket is a strict narrowing; the sibling keeps the
+    # unfiltered domain, as does numFound
+    assert sum(asst.values()) < sum(allc.values())
+    assert all(asst[k] <= allc[k] for k in asst)
+    direct = s.facet("tool", spec=BooleanSpec(
+        must=("data",), filters=(("role", "assistant"),)), limit=50)
+    assert asst == {r.facet_value: r.cnt for r in direct.collect()}
+
+
+def test_jf_domain_filter_raises(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    with pytest.raises(ValueError, match="excludeTags and/or filter"):
+        select(s, {"q": "data", "json.facet":
+                   '{"x": {"type": "terms", "field": "tool",'
+                   ' "domain": {"fg": 1}}}'})
+    with pytest.raises(ValueError, match="pure filter|scoring"):
+        select(s, {"q": "data", "json.facet":
+                   '{"x": {"type": "terms", "field": "tool",'
+                   ' "domain": {"filter": "merge"}}}'})
+
+
+# -- atomic removeregex ----------------------------------------------------------
+
+
+def test_atomic_removeregex_whole_value_match(spark):
+    from lucene_solr_spark.query.realtime import atomic_update
+
+    committed = spark.createDataFrame(
+        [("c1", 0, ["tool_7", "tool", "extra_9"])],
+        "conv_id string, turn_idx int, tags array<string>",
+    )
+    ops = spark.createDataFrame(
+        [("c1", 0, 2, "tags", "removeregex", "tool_[0-9]+"),
+         ("c1", 0, 3, "tags", "add", "tool_99"),
+         ("c1", 0, 4, "tags", "removeregex", "extra_.*")],
+        "conv_id string, turn_idx int, _version_ long, field string,"
+        " kind string, value string",
+    )
+    got = atomic_update(committed, ops, fields=[], arr_fields=["tags"])
+    row = got.first()
+    # whole-value match: bare 'tool' survives tool_[0-9]+; the add
+    # AFTER the removeregex survives it; extra_9 drops at v4
+    assert row.tags == ["tool", "tool_99"]
+    assert row._version_ == 4
+
+
+# -- /suggest and /mlt handler front doors ---------------------------------------
+
+
+def test_suggest_handler_contract(spark, sf_dir):
+    from lucene_solr_spark.handler import suggest
+
+    s = cached_searcher(spark, sf_dir)
+    prefix = suggest(s, {"suggest.q": "s", "suggest.count": 3})
+    rows = prefix.collect()
+    assert all(r.suggestion.startswith("s") for r in rows)
+    assert 0 < len(rows) <= 3
+    # infix matches where prefix cannot
+    infix = suggest(s, {"suggest.q": "er", "suggest.count": 5,
+                        "suggest.dictionary": "infix"})
+    irows = infix.collect()
+    assert any(not r.suggestion.startswith("er") for r in irows)
+    # weights descend within a fragment
+    ws = [r.weight for r in irows]
+    assert ws == sorted(ws, reverse=True)
+    with pytest.raises(ValueError, match="unknown /suggest"):
+        suggest(s, {"suggest.q": "s", "bogus": 1})
+    with pytest.raises(ValueError, match="suggest.q"):
+        suggest(s, {"suggest.count": 3})
+    with pytest.raises(ValueError, match="prefix|infix"):
+        suggest(s, {"suggest.q": "s", "suggest.dictionary": "fst"})
+
+
+def test_mlt_handler_equals_engine(spark, sf_dir):
+    from lucene_solr_spark.handler import mlt
+
+    s = cached_searcher(spark, sf_dir)
+    stored = transcripts_from_documents(spark, sf_dir)
+    out = mlt(s, {"q": "id:conv00000003#2", "mlt.count": 5,
+                  "mlt.maxqt": 5, "mlt.interestingTerms": "list"}, stored)
+    src = stored.filter(
+        "conv_id = 'conv00000003' AND turn_idx = 2").first()
+    want = s.more_like_this("conv00000003", 2, src.text,
+                            max_terms=5, k=5, round_to=4)
+    assert _rows(out["response"]) == _rows(want)
+    terms = out["interestingTerms"].collect()
+    assert len(terms) == 5
+    assert [t.term for t in terms] == \
+        [t for t, _ in s.interesting_terms(src.text, 5)]
+    with pytest.raises(ValueError, match="id:"):
+        mlt(s, {"q": "merge"}, stored)
+    with pytest.raises(ValueError, match="not found"):
+        mlt(s, {"q": "id:convFFFFFFFF#0"}, stored)
+    with pytest.raises(ValueError, match="none|list"):
+        mlt(s, {"q": "id:conv00000003#2",
+                "mlt.interestingTerms": "details"}, stored)

@@ -324,3 +324,65 @@ def test_fetch_enriches_by_broadcast(spark, sf_dir):
     assert set(got.columns) == {"o_orderkey", "o_custkey", "c_mktsegment"}
     plan = _physical(got)
     assert "BroadcastHashJoin" in plan
+
+
+# -- engine-backed sources: significantTerms / knnSearch -----------------------
+
+
+def test_significant_terms_stream_equals_engine(spark, sf_dir):
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    got = stream_handler(
+        spark, sf_dir,
+        'significantTerms(transcripts, q="merge", minDocFreq=3, limit=10)',
+        searcher=s,
+    )
+    want = s.significant_terms(BooleanSpec(must=("merge",)), min_fg=3,
+                               limit=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_knn_search_stream_equals_mlt(spark, sf_dir):
+    from lucene_solr_spark.registry import cached_searcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_searcher(spark, sf_dir)
+    got = stream_handler(
+        spark, sf_dir,
+        'knnSearch(transcripts, id="conv00000003#2", qf=text, k=6, '
+        "maxTerms=5)",
+        searcher=s,
+    )
+    src = (
+        transcripts_from_documents(spark, sf_dir)
+        .filter("conv_id = 'conv00000003' AND turn_idx = 2").first()
+    )
+    want = s.more_like_this("conv00000003", 2, src.text, max_terms=5,
+                            k=6, round_to=4)
+    assert _rows(got) == _rows(want)
+    # the source doc never appears among its own neighbors
+    assert ("conv00000003", 2) not in {
+        (r.conv_id, r.turn_idx) for r in got.collect()}
+
+
+def test_knn_search_stream_raises(spark, sf_dir):
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    with pytest.raises(ValueError, match="id="):
+        stream_handler(spark, sf_dir,
+                       'knnSearch(transcripts, qf=text, k=5)', searcher=s)
+    with pytest.raises(ValueError, match="not found"):
+        stream_handler(
+            spark, sf_dir,
+            'knnSearch(transcripts, id="convFFFFFFFF#0", qf=text, k=5)',
+            searcher=s,
+        )
+    with pytest.raises(ValueError, match="qf=text"):
+        stream_handler(
+            spark, sf_dir,
+            'knnSearch(transcripts, id="conv00000003#2", qf=title, k=5)',
+            searcher=s,
+        )
