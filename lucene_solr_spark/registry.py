@@ -7697,6 +7697,218 @@ LIMIT {_KNN_STREAM_K}""",
 )
 
 
+def _stream_expr_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries() stream source (TimeseriesStream): fixed-width
+    +1DAY buckets from start over [start, end), one partial-agg
+    groupBy on the epoch-floored key — the gap string rides the same
+    DateMathParser as range facets. Empty buckets elide (the engine's
+    pinned non-empty range contract)."""
+    return stream_handler(
+        spark, sf_dir,
+        'timeseries(events, q="event_type:click", field=ts, '
+        'start="2024-01-01T00:00:00Z", end="2024-01-15T00:00:00Z", '
+        'gap="+1DAY", count(*), sum(value))',
+    )
+
+
+register(
+    "q_stream_expr_timeseries",
+    _stream_expr_timeseries,
+    """SELECT strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(
+         (date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) // 86400)
+         * 86400), '%Y-%m-%d %H:%M') AS ts,
+       count(*) AS "count(*)", round(sum(value), 4) AS "sum(value)"
+FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1 ORDER BY ts""",
+)
+
+
+def _stream_expr_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random() stream source (RandomStream): a deterministic
+    pseudo-random 15-doc sample of the q="data" DocSet — the order is
+    a salted md5 over the doc key (the hash IS the seed, reproducible
+    at any parallelism), the limit a TakeOrdered heap."""
+    return stream_handler(
+        spark, sf_dir,
+        'random(transcripts, q="data", rows=15, seed="s7")',
+        searcher=cached_searcher(spark, sf_dir),
+    )
+
+
+register(
+    "q_stream_expr_random",
+    _stream_expr_random,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       md5(conv_id || '#' || CAST(turn_idx AS VARCHAR) || '#s7') AS rkey
+FROM transcripts
+WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data')
+ORDER BY rkey LIMIT 15""",
+)
+
+
+_NODES_EXPR = (
+    'nodes(events, '
+    'search(events, q="event_type:purchase", fl="user_id,event_id", '
+    'sort="event_id asc", rows=50), '
+    'walk="user_id->user_id", gather="event_type")'
+)
+_NODES_SEED_SQL = """
+seeds AS (
+  SELECT DISTINCT user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY event_id LIMIT 50))
+""".strip()
+
+
+def _stream_expr_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodes() — one GatherNodesStream hop: the first 50 purchase
+    events' users seed an equi-join back into events, gathering their
+    event types as (node, count). Seed set deduplicated before the
+    join; output bounded by the gather field's cardinality."""
+    return stream_handler(spark, sf_dir, _NODES_EXPR)
+
+
+register(
+    "q_stream_expr_nodes",
+    _stream_expr_nodes,
+    f"""WITH {_NODES_SEED_SQL}
+SELECT e.event_type AS node, CAST(count(*) AS BIGINT) AS "count(*)"
+FROM events e JOIN seeds s ON e.user_id = s.user_id
+WHERE e.event_type IS NOT NULL
+GROUP BY 1 ORDER BY node""",
+)
+
+
+def _stream_expr_score_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoreNodes(nodes(...)) — ScoreNodesStream: each gathered node's
+    count weighted by corpus rarity, score = cnt*ln((N+1)/(df+1)) on
+    the pinned 4dp rank key; collection+field flow from the inner
+    nodes() like Solr's node metadata."""
+    return stream_handler(spark, sf_dir, f"scoreNodes({_NODES_EXPR})")
+
+
+register(
+    "q_stream_expr_score_nodes",
+    _stream_expr_score_nodes,
+    f"""WITH {_NODES_SEED_SQL},
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
+gathered AS (
+  SELECT e.event_type AS node, CAST(count(*) AS BIGINT) AS cnt
+  FROM events e JOIN seeds s ON e.user_id = s.user_id
+  WHERE e.event_type IS NOT NULL GROUP BY 1),
+dfreq AS (
+  SELECT event_type AS node, CAST(count(*) AS BIGINT) AS df
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+SELECT g.node, g.cnt, d.df,
+       round(g.cnt * ln((tot.n + 1) / (d.df + 1)), 4) AS nodeScore
+FROM gathered g JOIN dfreq d USING (node), tot
+ORDER BY nodeScore DESC, g.node""",
+)
+
+
+def _stream_expr_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath() stream (ShortestPathStream) over the pinned
+    conversation graph (parent_n = n // 4 → n, the {!graph} edge
+    relation): level-synchronous BFS + backward walk, each phase a
+    bounded loop of checkpointed joins."""
+    return stream_handler(
+        spark, sf_dir,
+        'shortestPath(transcripts, from="0", to="46", '
+        'edge="parent_n=n", maxDepth=5)',
+    )
+
+
+register(
+    "q_stream_expr_shortest_path",
+    _stream_expr_shortest_path,
+    f"""WITH RECURSIVE {TRANSCRIPTS_ORACLE_CTE},
+convs AS (
+  SELECT DISTINCT CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+edges AS (SELECT n // 4 AS src, n AS dst FROM convs WHERE n // 4 <> n),
+p(dst, path, hops) AS (
+  SELECT CAST(0 AS BIGINT), '0', 0
+  UNION ALL
+  SELECT e.dst, p.path || '/' || CAST(e.dst AS VARCHAR), p.hops + 1
+  FROM p JOIN edges e ON e.src = p.dst
+  WHERE p.hops < 5 AND p.dst <> 46),
+hits AS (SELECT path, hops FROM p WHERE dst = 46),
+best AS (SELECT min(hops) AS h FROM hits)
+SELECT path AS path_s, CAST(hops AS BIGINT) AS hops
+FROM hits, best WHERE hops = best.h ORDER BY path_s""",
+)
+
+
+_UPDATE_EXPR_COMPILERS: dict = {}
+
+
+def _stream_expr_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update()/commit() expression round-trip (UpdateStream +
+    CommitStream): a topic() tuple stream (first pull = the full
+    q="text:data" backlog) indexed into a destination collection,
+    then searched through the SAME request's compiler — the
+    destination's BM25 stats (n_docs, avgdl, df) come ONLY from the
+    streamed subset, which the oracle twin replicates by restricting
+    the corpus before ranking."""
+    from lucene_solr_spark.streams import StreamCompiler
+
+    comp = _UPDATE_EXPR_COMPILERS.get(sf_dir)
+    if comp is None:
+        comp = StreamCompiler(
+            spark, sf_dir, searcher=cached_searcher(spark, sf_dir)
+        )
+        comp.compile(
+            'commit(dest1, update(dest1, '
+            'topic(transcripts, q="text:data", id="u_reg")))'
+        )[0].collect()
+        _UPDATE_EXPR_COMPILERS[sf_dir] = comp
+    return comp.compile('search(dest1, q="scan", rows=10)')[0]
+
+
+register(
+    "q_stream_expr_update",
+    _stream_expr_update,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+sub AS (
+  SELECT conv_id, turn_idx, toks, len(toks) AS doc_len FROM docs
+  WHERE list_contains(toks, 'data')
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+  FROM sub
+),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM sub
+),
+tf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term = 'scan'
+  GROUP BY conv_id, turn_idx, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.conv_id, tf.turn_idx,
+       round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1))
+             / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.doc_len / stats.avgdl)),
+             {ROUND}) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_func_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-internal function queries — termfreq(text,'merge') as
     a per-doc ValueSource straight off the postings blocks, plus the

@@ -54,7 +54,8 @@ _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 STREAM_FUNCS = frozenset(
     "search select top unique sort rollup having innerJoin leftOuterJoin "
     "hashJoin fetch facet stats merge complement intersect "
-    "cartesianProduct parallel topic daemon significantTerms knnSearch".split()
+    "cartesianProduct parallel topic daemon significantTerms knnSearch "
+    "timeseries random nodes scoreNodes shortestPath update commit".split()
 )
 _METRIC_FUNCS = frozenset("count sum avg min max".split())
 
@@ -211,6 +212,10 @@ class StreamCompiler:
         self.sf_dir = sf_dir
         self.searcher = searcher
         self.state_dir = state_dir or tempfile.mkdtemp(prefix="lss_stream_")
+        #: destination collections created by update() this session:
+        #: name -> index root (search() routes these through their
+        #: own IndexSearcher, like Solr's freshly-updated collection)
+        self.dest_roots: dict[str, str] = {}
 
     # -- source helpers ------------------------------------------------
     def _table(self, name: str) -> DataFrame:
@@ -281,17 +286,22 @@ class StreamCompiler:
         fl = expr.params.get("fl")
         sort = expr.params.get("sort")
         rows = expr.params.get("rows")
-        if coll == "transcripts":
-            if self.searcher is None:
+        if coll == "transcripts" or coll in self.dest_roots:
+            if coll in self.dest_roots:
+                from lucene_solr_spark.query.executor import IndexSearcher
+                searcher = IndexSearcher(self.spark, self.dest_roots[coll])
+            elif self.searcher is None:
                 raise ValueError("no searcher bound for the transcripts collection")
+            else:
+                searcher = self.searcher
             if sort is not None and unquote(sort) != "score desc":
-                raise ValueError("search(transcripts) serves relevance order"
+                raise ValueError(f"search({coll}) serves relevance order"
                                  " (sort=\"score desc\")")
             from lucene_solr_spark.query.oracle import ROUND
             from lucene_solr_spark.query.parser import parse
             k = int(unquote(rows)) if rows is not None else 10
             spec = parse(unquote(q), k=k, default_op="AND")
-            df = self.searcher.search(spec, round_to=ROUND)
+            df = searcher.search(spec, round_to=ROUND)
             keys = [("score", False), ("conv_id", True), ("turn_idx", True)]
         else:
             df = self._table_filter(self._table(coll), q)
@@ -373,6 +383,271 @@ class StreamCompiler:
             conv, turn, src.text, max_terms=max_terms, k=k, round_to=4,
         )
         return df, [("score", False), ("conv_id", True), ("turn_idx", True)]
+
+    def _c_timeseries(self, expr: StreamExpr):
+        """timeseries(coll, q=, field=, start=, end=, gap=, metrics...)
+        — TimeseriesStream: fixed-width time buckets from start by gap
+        over [start, end), one partial-aggregating groupBy on the
+        epoch-floored bucket key (empty buckets elided — the engine's
+        pinned non-empty range contract). The gap string rides the
+        same DateMathParser as range facets; month/year gaps are not
+        fixed-width and raise. ref: io/stream/TimeseriesStream.java"""
+        import datetime as _dt
+
+        from lucene_solr_spark.query import datemath
+
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("timeseries() wants a collection first")
+        coll = unquote(expr.args[0])
+        df = self._table_filter(self._table(coll),
+                                expr.params.get("q", "*:*"))
+        for p in ("field", "start", "end", "gap"):
+            if p not in expr.params:
+                raise ValueError(f"timeseries() wants {p}=")
+        fld = unquote(expr.params["field"])
+        if fld not in df.columns:
+            raise ValueError(f"undefined field {fld!r}")
+        gap = unquote(expr.params["gap"])
+        if re.search(r"MONTH|YEAR", gap):
+            raise ValueError("timeseries() gaps must be fixed-width "
+                             "(+NSECONDS/+NMINUTES/+NHOURS/+NDAYS)")
+        start = _dt.datetime.fromisoformat(
+            unquote(expr.params["start"]).replace("Z", ""))
+        end = _dt.datetime.fromisoformat(
+            unquote(expr.params["end"]).replace("Z", ""))
+        gap_s = int((datemath.parse("NOW" + gap, start) - start)
+                    .total_seconds())
+        if gap_s <= 0:
+            raise ValueError(f"gap must move forward: {gap!r}")
+        df = df.filter((F.col(fld) >= F.lit(start)) & (F.col(fld) < F.lit(end)))
+        aggs = self._metrics(expr, df)
+        s_lit = start.strftime("%Y-%m-%d %H:%M:%S")
+        k = F.floor(
+            (F.unix_timestamp(fld) - F.unix_timestamp(F.lit(s_lit))) / gap_s
+        ).cast("int")
+        out = (
+            df.groupBy(k.alias("__k")).agg(*aggs)
+            .withColumn(fld, F.date_format(
+                F.expr(f"timestampadd(SECOND, __k * {gap_s}, "
+                       f"timestamp'{s_lit}')"),
+                "yyyy-MM-dd HH:mm"))
+            .drop("__k")
+            .orderBy(fld)
+        )
+        return out, [(fld, True)]
+
+    def _c_random(self, expr: StreamExpr):
+        """random(coll, q=, rows=, seed=) — RandomStream: a
+        deterministic pseudo-random sample of the q= domain. The
+        "random" order is a salted md5 over the doc key (transcripts:
+        conv#turn; docvalues tables: the whole tuple) — the hash IS
+        the seed, reproducible at any parallelism, and the final sort
+        is a TakeOrdered heap of rows, never a full sort.
+        ref: io/stream/RandomStream.java"""
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("random() wants a collection first")
+        coll = unquote(expr.args[0])
+        rows = int(unquote(expr.params.get("rows", "10")))
+        if rows < 1:
+            raise ValueError(f"rows must be >= 1: {rows}")
+        seed = unquote(expr.params.get("seed", "0"))
+        q = expr.params.get("q", "*:*")
+        if coll == "transcripts":
+            if self.searcher is None:
+                raise ValueError(
+                    "no searcher bound for the transcripts collection")
+            from lucene_solr_spark.query.parser import parse
+            df = self.searcher.docset(parse(unquote(q), default_op="AND"))
+            key = F.concat_ws("#", F.col("conv_id"),
+                              F.col("turn_idx"), F.lit(seed))
+        else:
+            df = self._table_filter(self._table(coll), q)
+            key = F.concat_ws("#", F.to_json(F.struct(*df.columns)),
+                              F.lit(seed))
+        df = df.withColumn("rkey", F.md5(key)).orderBy("rkey").limit(rows)
+        return df, [("rkey", True)]
+
+    def _c_nodes(self, expr: StreamExpr):
+        """nodes(coll, inner, walk="from->to", gather="f") — one
+        GatherNodesStream hop: the incoming tuples' from-field values
+        seed an equi-join against the collection's to-field, and the
+        gathered field's values come back as (node, count(*)). The
+        seed set is deduplicated before the join (unique traversal)
+        and the output is bounded by the gather field's cardinality.
+        ref: solr/solrj/.../io/graph/GatherNodesStream.java"""
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("nodes() wants a collection first")
+        coll = unquote(expr.args[0])
+        (inner, _) = self._inner(expr)[0]
+        m = re.match(r"^(\w+)->(\w+)$",
+                     unquote(expr.params.get("walk", "")))
+        if m is None:
+            raise ValueError('nodes() wants walk="from->to"')
+        src_f, dst_f = m.group(1), m.group(2)
+        gather = unquote(expr.params.get("gather", ""))
+        if not gather:
+            raise ValueError("nodes() wants gather=")
+        tbl = self._table(coll)
+        for f, where in ((dst_f, tbl), (gather, tbl), (src_f, inner)):
+            if f not in where.columns:
+                raise ValueError(f"undefined field {f!r}")
+        seeds = inner.select(F.col(src_f).alias("__seed")).distinct()
+        out = (
+            tbl.join(seeds, tbl[dst_f] == seeds["__seed"])
+            .filter(F.col(gather).isNotNull())
+            .groupBy(F.col(gather).alias("node"))
+            .agg(F.count("*").cast("long").alias("count(*)"))
+            .orderBy("node")
+        )
+        return out, [("node", True)]
+
+    def _c_scoreNodes(self, expr: StreamExpr):  # noqa: N802
+        """scoreNodes(nodes(...)) — ScoreNodesStream: each gathered
+        node's count weighted by its rarity in the whole collection,
+        score = cnt * ln((N + 1) / (df + 1)) on the pinned 4dp rank
+        key (the TermsComponent numDocs/docFreq probe Solr issues).
+        The collection and term field flow from the inner nodes()
+        expression like Solr's node metadata. N broadcasts as a 1-row
+        frame; df is one partial-combined groupBy bounded by node
+        cardinality. ref: io/stream/ScoreNodesStream.java"""
+        subs = [a for a in expr.args if _is_expr(a)]
+        if len(subs) != 1:
+            raise ValueError("scoreNodes() wants one stream argument")
+        inner_expr = parse_stream_expr(subs[0])
+        if inner_expr.name != "nodes":
+            raise ValueError("scoreNodes() wants a nodes() stream "
+                             "(node metadata carries collection+field)")
+        (df, _) = self._sub(subs[0])
+        coll = unquote(inner_expr.args[0])
+        fld = unquote(inner_expr.params.get("gather", ""))
+        tbl = self._table(coll)
+        tot = tbl.agg(F.count("*").cast("double").alias("__n"))
+        dfreq = (
+            tbl.filter(F.col(fld).isNotNull())
+            .groupBy(F.col(fld).alias("node"))
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+        out = (
+            df.join(dfreq, "node")
+            .join(F.broadcast(tot))
+            .select(
+                "node", F.col("count(*)").alias("cnt"), "df",
+                F.round(F.col("count(*)")
+                        * F.log((F.col("__n") + 1) / (F.col("df") + 1)),
+                        4).alias("nodeScore"),
+            )
+            .orderBy(F.desc("nodeScore"), "node")
+        )
+        return out, [("nodeScore", False), ("node", True)]
+
+    def _c_shortestPath(self, expr: StreamExpr):  # noqa: N802
+        """shortestPath(transcripts, from=, to=, edge="parent_n=n",
+        maxDepth=) — ShortestPathStream over the transcripts corpus's
+        pinned conversation graph (parent_n = n // 4 → n, the same
+        edge relation {!graph} serves); from/to address conversation
+        numbers. Level-synchronous BFS + backward walk, each phase a
+        bounded loop of checkpointed joins (operators/graph.py).
+        ref: solr/solrj/.../io/graph/ShortestPathStream.java"""
+        if not expr.args or unquote(expr.args[0]) != "transcripts":
+            raise ValueError(
+                "shortestPath() serves the transcripts collection")
+        edge = unquote(expr.params.get("edge", ""))
+        if edge != "parent_n=n":
+            raise ValueError(
+                f"undefined graph fields: edge={edge!r} "
+                "(the conversation graph is parent_n=n)")
+        for p in ("from", "to"):
+            if p not in expr.params:
+                raise ValueError(f"shortestPath() wants {p}=")
+        src = int(unquote(expr.params["from"]))
+        dst = int(unquote(expr.params["to"]))
+        depth = int(unquote(expr.params.get("maxDepth", "10")))
+        if depth < 1:
+            raise ValueError(f"maxDepth must be >= 1: {depth}")
+        from lucene_solr_spark.operators.graph import shortest_paths
+        from lucene_solr_spark.transcripts import transcripts_from_documents
+
+        convs = (
+            transcripts_from_documents(self.spark, self.sf_dir)
+            .select(F.substring("conv_id", 5, 8).cast("long").alias("n"))
+            .distinct()
+        )
+        edges = (
+            convs.select(F.col("n").alias("dst"))
+            .withColumn("src", F.expr("dst div 4"))
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+        sp = shortest_paths(edges, src, dst, max_depth=depth)
+        out = sp.select(
+            F.array_join(
+                F.transform("path", lambda x: x.cast("string")), "/"
+            ).alias("path_s"),
+            "hops",
+        ).orderBy("path_s")
+        return out, [("path_s", True)]
+
+    def _c_update(self, expr: StreamExpr):
+        """update(dest, inner) — UpdateStream: the inner expression's
+        tuple stream indexed into a DESTINATION collection. Tuples
+        carry the unique key (conv_id, turn_idx); stored fields
+        hydrate by one key join (what Solr's tuples carry inline) and
+        the stream feeds the distributed index writer directly — no
+        driver materialization, the commit is the writer's atomic
+        snapshot. The destination becomes searchable via search(dest)
+        in the same request; its BM25 stats come only from the
+        streamed subset. batchSize= is accepted and ignored (the
+        writer is partition-parallel, there is no per-batch RPC).
+        ref: io/stream/UpdateStream.java"""
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("update() wants a destination collection first")
+        dest = unquote(expr.args[0])
+        if not re.match(r"^\w+$", dest) or dest == "transcripts":
+            raise ValueError(f"bad destination collection: {dest!r}")
+        int(unquote(expr.params.get("batchSize", "250")))
+        (df, _) = self._inner(expr)[0]
+        if not {"conv_id", "turn_idx"} <= set(df.columns):
+            raise ValueError(
+                "update() tuples must carry conv_id and turn_idx")
+        from lucene_solr_spark.index.build import build_index
+        from lucene_solr_spark.transcripts import transcripts_from_documents
+
+        stream = transcripts_from_documents(self.spark, self.sf_dir).join(
+            df.select("conv_id", "turn_idx").distinct(),
+            ["conv_id", "turn_idx"],
+        )
+        root = os.path.join(self.state_dir, f"dest_{dest}")
+        manifest = build_index(
+            self.spark, stream, root, num_parts=4,
+            lineage_source=f"{self.sf_dir}#stream_update_{dest}",
+        )
+        self.dest_roots[dest] = root
+        out = self.spark.createDataFrame(
+            [(dest, int(manifest.n_docs))],
+            "destination string, totalIndexed long",
+        )
+        return out, []
+
+    def _c_commit(self, expr: StreamExpr):
+        """commit(dest, update(...)) — CommitStream: wraps an update
+        stream and acknowledges the destination's commit. The engine's
+        writer already commits atomically (nothing is real until
+        snapshot-N.json), so commit() verifies the wrapped update
+        targeted the named collection and passes the summary through —
+        a request that names the wrong collection raises like Solr's
+        400. ref: io/stream/CommitStream.java"""
+        if not expr.args or _is_expr(expr.args[0]):
+            raise ValueError("commit() wants a collection first")
+        dest = unquote(expr.args[0])
+        subs = [a for a in expr.args if _is_expr(a)]
+        if len(subs) != 1 or parse_stream_expr(subs[0]).name != "update":
+            raise ValueError("commit() wants one update() stream")
+        (df, keys) = self._sub(subs[0])
+        if dest not in self.dest_roots:
+            raise ValueError(
+                f"commit() collection {dest!r} does not match the "
+                f"update destination(s): {sorted(self.dest_roots)}")
+        return df, keys
 
     # -- tuple decorators --------------------------------------------------
     def _c_select(self, expr: StreamExpr):

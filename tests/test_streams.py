@@ -386,3 +386,189 @@ def test_knn_search_stream_raises(spark, sf_dir):
             'knnSearch(transcripts, id="conv00000003#2", qf=title, k=5)',
             searcher=s,
         )
+
+
+# -- timeseries / random sources ------------------------------------------------
+
+
+def test_timeseries_equals_direct_groupby(spark, sf_dir):
+    got = stream_handler(
+        spark, sf_dir,
+        'timeseries(events, q="event_type:click", field=ts, '
+        'start="2024-01-01T00:00:00Z", end="2024-01-08T00:00:00Z", '
+        'gap="+1DAY", count(*))',
+    )
+    import os
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")
+    )
+    want = (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                "yyyy-MM-dd HH:mm").alias("ts"))
+        .agg(F.count("*").alias("count(*)"))
+        .orderBy("ts")
+    )
+    assert _rows(got.select("ts", "`count(*)`")) == _rows(want)
+
+
+def test_timeseries_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="fixed-width"):
+        stream_handler(spark, sf_dir,
+                       'timeseries(events, field=ts, start="2024-01-01T00:00:00Z",'
+                       ' end="2024-02-01T00:00:00Z", gap="+1MONTH", count(*))')
+    with pytest.raises(ValueError, match="wants gap="):
+        stream_handler(spark, sf_dir,
+                       'timeseries(events, field=ts, start="2024-01-01T00:00:00Z",'
+                       ' end="2024-01-08T00:00:00Z", count(*))')
+    with pytest.raises(ValueError, match="undefined field"):
+        stream_handler(spark, sf_dir,
+                       'timeseries(events, field=nope, start="2024-01-01T00:00:00Z",'
+                       ' end="2024-01-08T00:00:00Z", gap="+1DAY", count(*))')
+
+
+def test_random_deterministic_and_bounded(spark, sf_dir):
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    a = stream_handler(spark, sf_dir,
+                       'random(transcripts, q="data", rows=10, seed="x")',
+                       searcher=s)
+    b = stream_handler(spark, sf_dir,
+                       'random(transcripts, q="data", rows=10, seed="x")',
+                       searcher=s)
+    c = stream_handler(spark, sf_dir,
+                       'random(transcripts, q="data", rows=10, seed="y")',
+                       searcher=s)
+    ra, rb, rc = _rows(a), _rows(b), _rows(c)
+    assert ra == rb            # the hash IS the seed: reproducible
+    assert len(ra) == 10
+    keys = {(r[0], r[1]) for r in ra}
+    assert keys != {(r[0], r[1]) for r in rc}  # a new seed reshuffles
+    # every sampled doc is in the q domain
+    from lucene_solr_spark.query.model import BooleanSpec
+    dom = {(r.conv_id, r.turn_idx)
+           for r in s.docset(BooleanSpec(must=("data",))).collect()}
+    assert keys <= dom
+
+
+# -- nodes / scoreNodes / shortestPath -------------------------------------------
+
+
+def test_nodes_equals_manual_gather(spark, sf_dir):
+    import os
+    got = stream_handler(
+        spark, sf_dir,
+        'nodes(events, search(events, q="event_type:signup", '
+        'fl="user_id,event_id", sort="event_id asc", rows=30), '
+        'walk="user_id->user_id", gather="event_type")',
+    )
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    seeds = (e.filter(F.col("event_type") == "signup")
+             .orderBy("event_id").limit(30)
+             .select("user_id").distinct())
+    want = (e.join(seeds, "user_id")
+            .groupBy(F.col("event_type").alias("node"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy("node"))
+    assert _rows(got) == _rows(want)
+
+
+def test_nodes_and_score_nodes_raise(spark, sf_dir):
+    with pytest.raises(ValueError, match='walk="from->to"'):
+        stream_handler(spark, sf_dir,
+                       'nodes(events, search(events, q="*:*", sort="event_id asc",'
+                       ' rows=5), walk="user_id", gather="event_type")')
+    with pytest.raises(ValueError, match="undefined field"):
+        stream_handler(spark, sf_dir,
+                       'nodes(events, search(events, q="*:*", sort="event_id asc",'
+                       ' rows=5), walk="user_id->nope", gather="event_type")')
+    with pytest.raises(ValueError, match="nodes"):
+        stream_handler(spark, sf_dir,
+                       'scoreNodes(search(events, q="*:*", sort="event_id asc",'
+                       ' rows=5))')
+
+
+def test_score_nodes_formula(spark, sf_dir):
+    import math
+    import os
+    got = stream_handler(
+        spark, sf_dir,
+        'scoreNodes(nodes(events, search(events, q="event_type:signup", '
+        'fl="user_id,event_id", sort="event_id asc", rows=30), '
+        'walk="user_id->user_id", gather="event_type"))',
+    )
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = e.count()
+    dfreq = {r.event_type: r.c for r in
+             e.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    for r in got.collect():
+        want = round(r.cnt * math.log((n + 1) / (dfreq[r.node] + 1)), 4)
+        assert abs(r.nodeScore - want) < 1e-9
+
+
+def test_shortest_path_stream_equals_engine(spark, sf_dir):
+    from lucene_solr_spark.operators.graph import shortest_paths
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    got = stream_handler(
+        spark, sf_dir,
+        'shortestPath(transcripts, from="0", to="11", '
+        'edge="parent_n=n", maxDepth=4)',
+    )
+    convs = (transcripts_from_documents(spark, sf_dir)
+             .select(F.substring("conv_id", 5, 8).cast("long").alias("n"))
+             .distinct())
+    edges = (convs.select(F.col("n").alias("dst"))
+             .withColumn("src", F.expr("dst div 4"))
+             .filter(F.col("src") != F.col("dst")).select("src", "dst"))
+    want = shortest_paths(edges, 0, 11, max_depth=4).select(
+        F.array_join(F.transform("path", lambda x: x.cast("string")),
+                     "/").alias("path_s"), "hops").orderBy("path_s")
+    assert _rows(got) == _rows(want)
+    with pytest.raises(ValueError, match="undefined graph fields"):
+        stream_handler(spark, sf_dir,
+                       'shortestPath(transcripts, from="0", to="11", '
+                       'edge="a=b", maxDepth=4)')
+
+
+# -- update / commit destination collections ------------------------------------
+
+
+def test_update_stream_dest_roundtrip(spark, sf_dir):
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    comp = StreamCompiler(spark, sf_dir, searcher=s)
+    out, _ = comp.compile(
+        'commit(d1, update(d1, topic(transcripts, q="text:merge", id="t1")))')
+    row = out.collect()[0]
+    assert row.destination == "d1"
+    dom = s.docset(BooleanSpec(must=("merge",)))
+    assert row.totalIndexed == dom.count()
+    # the destination serves search() with SUBSET-ONLY BM25 stats:
+    # same query, different stats => different scores than the corpus
+    got = comp.compile('search(d1, q="data", rows=5)')[0]
+    corpus = s.search(BooleanSpec(must=("data",), k=5), round_to=4)
+    grows, crows = _rows(got), _rows(corpus)
+    assert grows and grows != crows
+    # every destination hit is inside the streamed subset
+    keys = {(r[0], r[1]) for r in grows}
+    assert keys <= {(r.conv_id, r.turn_idx) for r in dom.collect()}
+
+
+def test_update_commit_raises(spark, sf_dir):
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    comp = StreamCompiler(spark, sf_dir, searcher=s)
+    with pytest.raises(ValueError, match="does not match"):
+        comp.compile(
+            'commit(WRONG, update(d2, topic(transcripts, q="text:merge",'
+            ' id="t2")))')
+    with pytest.raises(ValueError, match="destination"):
+        comp.compile('update(transcripts, topic(transcripts, '
+                     'q="text:merge", id="t3"))')
+    with pytest.raises(ValueError, match="one update"):
+        comp.compile('commit(d3, topic(transcripts, q="text:merge", id="t4"))')
