@@ -1400,3 +1400,89 @@ def mlt(searcher, params: dict, stored: DataFrame) -> dict:
             [(t, float(s)) for t, s in ranked], "term string, score double"
         )
     return out
+
+
+#: /analysis handler param surface (FieldAnalysisRequestHandler front
+#: door). The pinned field types map to the engine's analyzer chains:
+#: text_general = bare tokenizer; text_en = ascii_fold char filter +
+#: stop + Porter (the q_idx_porter_search chain).
+_ANALYSIS_KNOWN = {"analysis.fieldvalue", "analysis.fieldtype",
+                   "analysis.query"}
+_ANALYSIS_FIELDTYPES = ("text_general", "text_en")
+
+
+def analysis(spark, params: dict) -> DataFrame:
+    """/analysis/field handler front door (FieldAnalysisRequestHandler):
+    the token stream AFTER each stage of the field type's analyzer
+    chain, for the index-side ``analysis.fieldvalue`` and (optionally)
+    the query-side ``analysis.query``. When a query is given, final-
+    stage index tokens that survive to the query's final token set
+    carry ``match=true`` — the handler's match highlighting, pinned to
+    the FINAL stage (earlier stages always false).
+
+    Char-filter output folds into the tokenizer stage (the schema
+    keeps one token-typed column; Solr shows the raw folded string as
+    its own row type). Driver-side by design — a one-string
+    admin/debug call, same contract as ``analyzer.analyze_stages``.
+
+    Returns (part, stage_idx, stage, pos, token, match) ordered by
+    (part, stage_idx, pos).
+
+    ref: solr/core/src/java/org/apache/solr/handler/
+         FieldAnalysisRequestHandler.java (per-stage listing +
+         FieldAnalysisResponse match marking)
+    """
+    import pandas as pd
+
+    from lucene_solr_spark import analyzer as an
+
+    unknown = set(params) - _ANALYSIS_KNOWN
+    if unknown:
+        raise ValueError(f"unknown /analysis params: {sorted(unknown)}")
+    value = params.get("analysis.fieldvalue")
+    if not value:
+        raise ValueError("missing required param: analysis.fieldvalue")
+    ftype = params.get("analysis.fieldtype", "text_general")
+    if ftype not in _ANALYSIS_FIELDTYPES:
+        raise ValueError(
+            f"unknown field type {ftype!r} "
+            f"(defined: {list(_ANALYSIS_FIELDTYPES)})")
+    if ftype == "text_en":
+        char_filters = (an.ascii_fold,)
+        filters = (an.stop_filter, an.porter_filter)
+    else:
+        char_filters, filters = (), ()
+
+    def run_stages(text: str) -> list[tuple[str, list[str]]]:
+        s = pd.Series([text])
+        for cf in char_filters:
+            s = cf(s)
+        toks = an.tokenize_pandas(s)
+        stages = [("tokenizer", list(toks.iloc[0]))]
+        for f in filters:
+            toks = f(toks)
+            stages.append((f.__name__, list(toks.iloc[0])))
+        return stages
+
+    idx_stages = run_stages(str(value))
+    rows = []
+    q = params.get("analysis.query")
+    q_final: set = set()
+    parts = [("index", idx_stages)]
+    if q:
+        q_stages = run_stages(str(q))
+        q_final = set(q_stages[-1][1])
+        parts.append(("query", q_stages))
+    for part, stages in parts:
+        last = len(stages) - 1
+        for si, (stage, toks) in enumerate(stages):
+            for pos, tok in enumerate(toks):
+                rows.append((
+                    part, si, stage, pos, tok,
+                    part == "index" and si == last and tok in q_final,
+                ))
+    return spark.createDataFrame(
+        rows,
+        "part string, stage_idx long, stage string, pos long, "
+        "token string, match boolean",
+    ).orderBy("part", "stage_idx", "pos")

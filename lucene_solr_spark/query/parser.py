@@ -57,6 +57,12 @@ _RANGE_BODY = re.compile(r"^\[(.*?)\s+TO\s+(.*?)\]$", re.IGNORECASE)
 #: field values, NOT analyzed — StrField semantics).
 _TERMS_QPARSER = re.compile(r"^\{!terms\s+f=([A-Za-z_][A-Za-z0-9_]*)\}(.*)$")
 
+#: ``{!term f=field}value`` / ``{!prefix f=field}frag`` /
+#: ``{!field f=field}value`` — the three single-field qparser plugins.
+_ONE_FIELD_QPARSER = re.compile(
+    r"^\{!(term|prefix|field)\s+f=([A-Za-z_][A-Za-z0-9_]*)\}(.*)$", re.S
+)
+
 
 def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
     """Parse a query string into the normalized BooleanSpec IR.
@@ -80,6 +86,48 @@ def parse(query: str, k: int = 10, default_op: str = "OR") -> BooleanSpec:
         if not vals:
             raise ValueError(f"empty terms list: {query!r}")
         return BooleanSpec(in_filters=((fld, vals),), k=k)
+
+    m1 = _ONE_FIELD_QPARSER.match(query.strip())
+    if m1:
+        plugin, fld, body = m1.group(1), m1.group(2), m1.group(3)
+        if not body:
+            raise ValueError(f"{{!{plugin}}} wants a value: {query!r}")
+        if plugin == "term":
+            # TermQParserPlugin: ONE TermQuery on the RAW value — no
+            # analysis, ever (the StrField/docvalues filter form; on
+            # the text field the value must already be an index term).
+            # ref: solr/core/src/java/org/apache/solr/search/
+            #      TermQParserPlugin.java
+            if fld in FILTER_FIELDS:
+                return BooleanSpec(filters=((fld, body),), k=k)
+            if fld == "text":
+                return BooleanSpec(must=(body,), k=k)
+            raise ValueError(f"undefined field {fld!r}")
+        if plugin == "prefix":
+            # PrefixQParserPlugin: PrefixQuery with NO analysis of the
+            # fragment; text-field only (docvalues fields have no term
+            # dictionary to expand against). Rides the multiterm
+            # rewrite like wildcard 'frag*'.
+            # ref: solr/core/src/java/org/apache/solr/search/
+            #      PrefixQParserPlugin.java
+            if fld != "text":
+                raise ValueError(
+                    f"{{!prefix}} wants the indexed text field, got {fld!r}")
+            return BooleanSpec(wildcards=(body.lower() + "*",), k=k)
+        # FieldQParserPlugin: the value runs the FIELD's analyzer —
+        # one token → TermQuery, many → PhraseQuery (exact adjacency).
+        # ref: solr/core/src/java/org/apache/solr/search/
+        #      FieldQParserPlugin.java
+        if fld in FILTER_FIELDS:
+            return BooleanSpec(filters=((fld, body),), k=k)
+        if fld != "text":
+            raise ValueError(f"undefined field {fld!r}")
+        toks = tuple(tokenize_one(body))
+        if not toks:
+            raise ValueError(f"{{!field}} value analyzed to zero terms")
+        if len(toks) == 1:
+            return BooleanSpec(must=toks, k=k)
+        return BooleanSpec(phrases=(toks,), k=k)
 
     must: list[str] = []
     should: list[str] = []

@@ -7909,6 +7909,167 @@ LIMIT 10
 )
 
 
+_ANALYSIS_DOC = ("conv00000002", 1)
+_ANALYSIS_QUERY = "merging scanned data"
+
+
+def _analysis_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/analysis/field handler front door
+    (FieldAnalysisRequestHandler): a corpus document's text through
+    the text_en chain (ascii_fold + stop + Porter), stage by stage,
+    with analysis.query match marking on the final index stage. The
+    oracle replays the identical chain in SQL (strip_accents + stop
+    NOT IN + the vocab-generated Porter CASE map) and inlines the
+    constant query-side stages."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import analysis
+
+    conv, turn = _ANALYSIS_DOC
+    src = (
+        transcripts_from_documents(spark, sf_dir)
+        .filter((F.col("conv_id") == conv) & (F.col("turn_idx") == turn))
+        .select("text").first()
+    )
+    return analysis(spark, {
+        "analysis.fieldvalue": src.text,
+        "analysis.fieldtype": "text_en",
+        "analysis.query": _ANALYSIS_QUERY,
+    })
+
+
+def _analysis_oracle_sql() -> str:
+    from lucene_solr_spark.analyzer import (
+        ENGLISH_STOP_WORDS,
+        porter_stem,
+        tokenize_one,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN '{porter_stem(w)}'"
+        for w in PORTER_VOCAB if porter_stem(w) != w
+    )
+    # query-side stages are constants of the pinned query string —
+    # computed here with the same Python chain and inlined as VALUES
+    q_tok = tokenize_one(_ANALYSIS_QUERY)
+    q_stop = [t for t in q_tok if t not in ENGLISH_STOP_WORDS]
+    q_port = [porter_stem(t) for t in q_stop]
+    q_rows = ", ".join(
+        f"('query', CAST({si} AS BIGINT), '{stage}', "
+        f"CAST({pos} AS BIGINT), '{tok}', false)"
+        for si, (stage, toks) in enumerate(
+            [("tokenizer", q_tok), ("stop_filter", q_stop),
+             ("porter_filter", q_port)])
+        for pos, tok in enumerate(toks)
+    )
+    q_final = ", ".join(f"'{t}'" for t in sorted(set(q_port)))
+    conv, turn = _ANALYSIS_DOC
+    return f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+src AS (SELECT text FROM transcripts
+        WHERE conv_id = '{conv}' AND turn_idx = {turn}),
+tok AS (SELECT regexp_extract_all(strip_accents(lower(text)),
+                                  '[a-z0-9]+') AS l FROM src),
+stopd AS (SELECT list_filter(l, t -> t NOT IN ({stops})) AS l FROM tok),
+port AS (SELECT list_transform(l, t -> CASE {cases} ELSE t END) AS l
+         FROM stopd),
+idx AS (
+  SELECT 'index' AS part, CAST(0 AS BIGINT) AS stage_idx,
+         'tokenizer' AS stage, unnest(range(len(l))) AS pos,
+         unnest(l) AS token, false AS "match" FROM tok
+  UNION ALL
+  SELECT 'index', CAST(1 AS BIGINT), 'stop_filter',
+         unnest(range(len(l))), unnest(l), false FROM stopd
+  UNION ALL
+  SELECT 'index', CAST(2 AS BIGINT), 'porter_filter',
+         unnest(range(len(l))), unnest(l) AS token,
+         unnest(l) IN ({q_final}) FROM port),
+qry(part, stage_idx, stage, pos, token, "match") AS (VALUES {q_rows})
+SELECT * FROM idx
+UNION ALL
+SELECT * FROM qry
+ORDER BY part, stage_idx, pos"""
+
+
+register(
+    "q_analysis_handler",
+    _analysis_handler,
+    _analysis_oracle_sql(),
+)
+
+
+from lucene_solr_spark.query.parser import parse  # noqa: E402
+
+
+def _term_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!term f=tool}tool_3 — TermQParserPlugin: ONE TermQuery on the
+    RAW (never-analyzed) value, the StrField filter form. Filter-only
+    spec ⇒ the seg-id driver serves the DocSet (term-free segments
+    still contribute). ref: solr/core/src/java/org/apache/solr/
+    search/TermQParserPlugin.java"""
+    s = cached_searcher(spark, sf_dir)
+    spec = parse("{!term f=tool}tool_3")
+    return (
+        s.docset(spec).orderBy("conv_id", "turn_idx").limit(25)
+    )
+
+
+register(
+    "q_term_qparser",
+    _term_qparser,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE tool = 'tool_3'
+ORDER BY conv_id, turn_idx LIMIT 25""",
+)
+
+
+def _prefix_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!prefix f=text}mer — PrefixQParserPlugin: PrefixQuery with NO
+    analysis of the fragment, CONSTANT_SCORE rewrite (the Lucene
+    default for prefix — the match SET is the contract, not scores);
+    rides the bounded TopTermsRewrite dictionary expansion.
+    ref: solr/core/src/java/org/apache/solr/search/
+    PrefixQParserPlugin.java"""
+    s = cached_searcher(spark, sf_dir)
+    spec = parse("{!prefix f=text}mer")
+    return (
+        s.docset(spec).orderBy("conv_id", "turn_idx").limit(30)
+    )
+
+
+register(
+    "q_prefix_qparser",
+    _prefix_qparser,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      t -> t LIKE 'mer%')) > 0
+ORDER BY conv_id, turn_idx LIMIT 30""",
+)
+
+
+_FIELD_QPARSER_SPEC = parse("{!field f=text}Table Scan")
+
+
+def _field_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!field f=text}Table Scan — FieldQParserPlugin: the value runs
+    the FIELD's analyzer; multiple tokens become an exact-adjacency
+    PhraseQuery (one token would be a TermQuery). Same scored phrase
+    path as q_idx_bm25_phrase, reached through local-params parsing.
+    ref: solr/core/src/java/org/apache/solr/search/
+    FieldQParserPlugin.java"""
+    s = cached_searcher(spark, sf_dir)
+    return s.search(_FIELD_QPARSER_SPEC, round_to=ROUND)
+
+
+register(
+    "q_field_qparser",
+    _field_qparser,
+    bm25_oracle_sql(_FIELD_QPARSER_SPEC),
+)
+
+
 def _idx_func_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-internal function queries — termfreq(text,'merge') as
     a per-doc ValueSource straight off the postings blocks, plus the

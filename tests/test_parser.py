@@ -266,3 +266,35 @@ def test_field_star_parses_as_exists_filter():
     neg = parse("data -tool:*")
     assert neg.missing_filters == ("tool",)
     assert neg.not_filters == ()
+
+
+def test_one_field_qparsers():
+    """{!term} / {!prefix} / {!field} local-params plugins: raw-value
+    term filter, never-analyzed prefix, analyzed term-or-phrase."""
+    import pytest
+
+    from lucene_solr_spark.query.parser import parse
+
+    t = parse("{!term f=tool}tool_3")
+    assert t.filters == (("tool", "tool_3"),) and not t.scoring_terms
+    # raw value on the text field = one index term, no analysis
+    assert parse("{!term f=text}Merge").must == ("Merge",)
+
+    p = parse("{!prefix f=text}mer")
+    assert p.wildcards == ("mer*",) and p.needs_rewrite
+
+    f1 = parse("{!field f=text}Merge")
+    assert f1.must == ("merge",) and f1.phrases == ()
+    f2 = parse("{!field f=text}Table Scan")
+    assert f2.phrases == (("table", "scan"),) and f2.must == ()
+    assert parse("{!field f=role}assistant").filters == \
+        (("role", "assistant"),)
+
+    with pytest.raises(ValueError, match="undefined field"):
+        parse("{!term f=nope}x")
+    with pytest.raises(ValueError, match="text field"):
+        parse("{!prefix f=tool}mer")
+    with pytest.raises(ValueError, match="zero terms"):
+        parse("{!field f=text}...")
+    with pytest.raises(ValueError, match="wants a value"):
+        parse("{!term f=tool}")

@@ -247,3 +247,49 @@ def test_mlt_handler_equals_engine(spark, sf_dir):
     with pytest.raises(ValueError, match="none|list"):
         mlt(s, {"q": "id:conv00000003#2",
                 "mlt.interestingTerms": "details"}, stored)
+
+
+# -- /analysis handler front door -------------------------------------------------
+
+
+def test_analysis_handler_stages_and_match(spark):
+    from lucene_solr_spark.analyzer import porter_stem
+    from lucene_solr_spark.handler import analysis
+
+    out = analysis(spark, {
+        "analysis.fieldvalue": "The merged tables are scanning data",
+        "analysis.fieldtype": "text_en",
+        "analysis.query": "merging scanned",
+    }).collect()
+    stages = {(r.part, r.stage): [x.token for x in out
+                                  if (x.part, x.stage) == (r.part, r.stage)]
+              for r in out}
+    assert stages[("index", "tokenizer")] == \
+        ["the", "merged", "tables", "are", "scanning", "data"]
+    # stop words drop, positions reindex
+    assert "the" not in stages[("index", "stop_filter")]
+    # porter runs last
+    assert porter_stem("merged") in stages[("index", "porter_filter")]
+    # match marks ONLY final-stage index tokens in the query's final set
+    q_final = set(stages[("query", "porter_filter")])
+    for r in out:
+        want = (r.part == "index" and r.stage == "porter_filter"
+                and r.token in q_final)
+        assert r.match == want
+    assert any(r.match for r in out)  # 'merg'/'scan' intersect
+
+
+def test_analysis_handler_text_general_and_raises(spark):
+    from lucene_solr_spark.handler import analysis
+
+    out = analysis(spark, {"analysis.fieldvalue": "The Big Merge"})
+    assert {r.stage for r in out.collect()} == {"tokenizer"}
+    assert [r.token for r in out.collect()] == ["the", "big", "merge"]
+    assert not any(r.match for r in out.collect())  # no query given
+    with pytest.raises(ValueError, match="unknown /analysis"):
+        analysis(spark, {"analysis.fieldvalue": "x", "bogus": 1})
+    with pytest.raises(ValueError, match="fieldvalue"):
+        analysis(spark, {"analysis.fieldtype": "text_en"})
+    with pytest.raises(ValueError, match="unknown field type"):
+        analysis(spark, {"analysis.fieldvalue": "x",
+                         "analysis.fieldtype": "text_fst"})
