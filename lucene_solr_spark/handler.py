@@ -40,8 +40,10 @@ _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
+    "facet.excludeTerms",
     "hl", "hl.fl",
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
+    "hl.tag.pre", "hl.tag.post",
     "facet.query", "facet.range", "facet.range.start",
     "facet.range.end", "facet.range.gap", "facet.pivot",
     "facet.interval", "facet.interval.set",
@@ -371,6 +373,17 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     hl_fragsize = int(params.get("hl.fragsize", 10))
     if hl_snippets < 1 or hl_fragsize < 1:
         raise ValueError("hl.snippets and hl.fragsize must be >= 1")
+    # hl.tag.pre/post (the highlighter's marker pair; Solr default
+    # <em>/</em>). Quotes and backslashes are rejected — the phrase
+    # leg inlines the tags into a SQL lambda, and Solr-side these are
+    # markup fragments, not code.
+    hl_pre = str(params.get("hl.tag.pre", "<em>"))
+    hl_post = str(params.get("hl.tag.post", "</em>"))
+    if ("hl.tag.pre" in params or "hl.tag.post" in params) and not hl:
+        raise ValueError("hl.tag.pre/hl.tag.post need hl=true")
+    for tag in (hl_pre, hl_post):
+        if not tag or "'" in tag or "\\" in tag:
+            raise ValueError(f"bad hl.tag marker: {tag!r}")
     hl_phrase = bool(params.get("hl.usePhraseHighlighter", False))
     if hl_phrase:
         if not hl:
@@ -588,6 +601,11 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_sort": facet_sort,
         "facet_mincount": facet_mincount,
         "facet_prefix": params.get("facet.prefix"),
+        "facet_exclude_terms": tuple(
+            t.strip()
+            for t in str(params.get("facet.excludeTerms", "")).split(",")
+            if t.strip()
+        ),
         "facet_offset": facet_offset,
         "facet_method": facet_method,
         "facet_queries": facet_queries,
@@ -607,6 +625,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "hl_snippets": hl_snippets,
         "hl_fragsize": hl_fragsize,
         "hl_phrase": hl_phrase,
+        "hl_pre": hl_pre,
+        "hl_post": hl_post,
         "sort": sort_key,
         "json_facets": (
             _parse_json_facets(params["json.facet"], tag_fields)
@@ -708,6 +728,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             fld, spec=spec, limit=o["facet_limit"],
             mincount=o["facet_mincount"], sort=o["facet_sort"],
             prefix=o["facet_prefix"], offset=o["facet_offset"],
+            exclude_terms=o["facet_exclude_terms"],
             exclude_fields=ex_fields,
             refine=o["facet_method"] != "exact",
             method=o["facet_method"] if o["facet_method"] != "exact"
@@ -1035,7 +1056,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             pmark = F.transform(
                 "ptoks",
                 lambda tk: F.when(
-                    is_hit(tk), F.concat(F.lit("<em>"), tk, F.lit("</em>"))
+                    is_hit(tk),
+                    F.concat(F.lit(o["hl_pre"]), tk, F.lit(o["hl_post"])),
                 ).otherwise(tk),
             )
             scored = exploded.select(
@@ -1091,7 +1113,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     F.array_join(F.expr(
                         f"transform(toks, (tk, i) -> CASE WHEN "
                         f"({phrase_hit}) OR {in_other} THEN "
-                        f"concat('<em>', tk, '</em>') ELSE tk END)"
+                        f"concat('{o['hl_pre']}', tk, '{o['hl_post']}')"
+                        f" ELSE tk END)"
                     ), " ").alias("snippet"),
                     "rn",
                 )
@@ -1103,7 +1126,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             toks,
             lambda tk: F.when(
                 tk.isin(*terms),
-                F.concat(F.lit("<em>"), tk, F.lit("</em>")),
+                F.concat(F.lit(o["hl_pre"]), tk, F.lit(o["hl_post"])),
             ).otherwise(tk),
         ) if terms else toks  # filter-only q: nothing to mark
         out["highlighting"] = (

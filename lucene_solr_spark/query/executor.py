@@ -1882,6 +1882,7 @@ class IndexSearcher:
         sort: str = "count",
         prefix: str | None = None,
         contains: str | None = None,
+        exclude_terms: tuple[str, ...] = (),
         missing: bool = False,
         exclude_fields: tuple[str, ...] = (),
         group_by: str | None = None,
@@ -1918,6 +1919,7 @@ class IndexSearcher:
             FacetRequest(
                 field=field, limit=limit, mincount=mincount,
                 sort=sort, prefix=prefix, contains=contains,
+                exclude_terms=tuple(exclude_terms),
                 missing=missing, group_by=group_by, offset=offset,
             ),
             spec=spec, refine=refine, method=method,

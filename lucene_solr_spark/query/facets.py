@@ -64,6 +64,10 @@ class FacetRequest:
     #: facet.contains: only values containing this substring
     #: (case-sensitive, like the reference default)
     contains: str | None = None
+    #: facet.excludeTerms: drop these exact values from the buckets
+    #: BEFORE ranking/limit (SimpleFacets' excludeTerms list) — the
+    #: negative-membership sibling of prefix/contains
+    exclude_terms: tuple[str, ...] = ()
     #: facet.missing: append a NULL-valued row counting domain docs
     #: with no value for the field (ord == -1)
     missing: bool = False
@@ -796,6 +800,8 @@ def facet_field(
         parts = parts.filter(F.col("term").startswith(req.prefix))
     if req.contains is not None:
         parts = parts.filter(F.col("term").contains(req.contains))
+    if req.exclude_terms:
+        parts = parts.filter(~F.col("term").isin(*req.exclude_terms))
     rank_order = (
         [F.desc("cnt"), F.asc("term")] if req.sort == "count" else [F.asc("term")]
     )

@@ -8070,6 +8070,42 @@ register(
 )
 
 
+def _select_facet_exclude_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.excludeTerms through the /select front door
+    (SimpleFacets' excludeTerms list): the named values drop from the
+    buckets BEFORE ranking/limit — the negative-membership sibling of
+    facet.prefix/facet.contains, applied to the term dictionary side
+    of the sparse pass (the cached MatchAll partials stay valid; the
+    exclusion never touches per-segment counting).
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (excludeTerms filtering in getListedTermCounts path)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "data", "rows": 0, "facet.field": "tool",
+        "facet.limit": 8, "facet.excludeTerms": "tool_3,tool_7,tool_11",
+    })
+    return out["facet_counts"]["tool"]
+
+
+register(
+    "q_select_facet_exclude_terms",
+    _select_facet_exclude_terms,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT tool AS facet_value, count(*) AS cnt
+FROM docs
+WHERE list_contains(toks, 'data') AND tool IS NOT NULL
+  AND tool NOT IN ('tool_3', 'tool_7', 'tool_11')
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 8""",
+)
+
+
 def _idx_func_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-internal function queries — termfreq(text,'merge') as
     a per-doc ValueSource straight off the postings blocks, plus the

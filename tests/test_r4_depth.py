@@ -293,3 +293,55 @@ def test_analysis_handler_text_general_and_raises(spark):
     with pytest.raises(ValueError, match="unknown field type"):
         analysis(spark, {"analysis.fieldvalue": "x",
                          "analysis.fieldtype": "text_fst"})
+
+
+# -- facet.excludeTerms + hl.tag.pre/post ----------------------------------------
+
+
+def test_facet_exclude_terms_drops_before_limit(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    base = select(s, {"q": "data", "rows": 0, "facet.field": "tool",
+                      "facet.limit": 50})["facet_counts"]["tool"]
+    allc = {r.facet_value: r.cnt for r in base.collect()}
+    top3 = sorted(allc, key=lambda t: (-allc[t], t))[:3]
+    out = select(s, {"q": "data", "rows": 0, "facet.field": "tool",
+                     "facet.limit": 50,
+                     "facet.excludeTerms": ",".join(top3)})
+    got = {r.facet_value: r.cnt
+           for r in out["facet_counts"]["tool"].collect()}
+    # excluded values vanish; every surviving bucket keeps its count
+    assert not set(top3) & set(got)
+    assert got == {k: v for k, v in allc.items() if k not in top3}
+
+
+def test_hl_tag_markers_substitute(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    stored = transcripts_from_documents(spark, sf_dir)
+    base = select(s, {"q": "merge data", "rows": 5, "hl": True},
+                  stored=stored)["highlighting"].collect()
+    cust = select(s, {"q": "merge data", "rows": 5, "hl": True,
+                      "hl.tag.pre": "[", "hl.tag.post": "]"},
+                  stored=stored)["highlighting"].collect()
+    assert len(base) == len(cust) > 0
+    for b, c in zip(base, cust):
+        assert (b.conv_id, b.turn_idx) == (c.conv_id, c.turn_idx)
+        assert c.snippet == b.snippet.replace("<em>", "[").replace(
+            "</em>", "]")
+    assert any("[" in c.snippet for c in cust)
+    # passage mode rides the same markers
+    p = select(s, {"q": "merge data", "rows": 3, "hl": True,
+                   "hl.snippets": 2, "hl.fragsize": 8,
+                   "hl.tag.pre": "{", "hl.tag.post": "}"},
+               stored=stored)["highlighting"].collect()
+    assert p and all("<em>" not in r.snippet for r in p)
+    assert any("{" in r.snippet for r in p)
+
+
+def test_hl_tag_raises(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    with pytest.raises(ValueError, match="need hl=true"):
+        select(s, {"q": "merge", "hl.tag.pre": "["})
+    with pytest.raises(ValueError, match="bad hl.tag"):
+        select(s, {"q": "merge", "hl": True, "hl.tag.pre": "'"})
+    with pytest.raises(ValueError, match="bad hl.tag"):
+        select(s, {"q": "merge", "hl": True, "hl.tag.post": ""})
