@@ -1145,6 +1145,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
 _TERMS_KNOWN = {
     "terms.fl", "terms.prefix", "terms.regex", "terms.limit",
     "terms.mincount", "terms.sort", "terms.ttf",
+    "terms.lower", "terms.upper", "terms.lower.incl", "terms.upper.incl",
 }
 
 
@@ -1161,7 +1162,10 @@ def terms(searcher, params: dict) -> DataFrame:
     Subset contract (400-style raises outside it): terms.fl must be
     the analyzed ``text`` field; terms.prefix and terms.regex are
     mutually exclusive; terms.regex is whole-term-anchored like the
-    regexp query rewrite.
+    regexp query rewrite. terms.lower/terms.upper page the dictionary
+    lexicographically (the TermsEnum seek analog; terms.lower.incl
+    defaults true, terms.upper.incl defaults false — Solr's bounds
+    contract) and compose with prefix/regex/mincount.
 
     ref: solr/core/src/java/org/apache/solr/handler/component/
     TermsComponent.java (TermsParams surface)."""
@@ -1187,6 +1191,18 @@ def terms(searcher, params: dict) -> DataFrame:
         dicts = dicts.filter(
             F.col("term").rlike(f"^(?:{params['terms.regex']})$")
         )
+    for bound, incl_key, default_incl, op_i, op_x in (
+        ("terms.lower", "terms.lower.incl", True, "__ge__", "__gt__"),
+        ("terms.upper", "terms.upper.incl", False, "__le__", "__lt__"),
+    ):
+        if incl_key in params and bound not in params:
+            raise ValueError(f"{incl_key} needs {bound}")
+        if bound in params:
+            incl = bool(params.get(incl_key, default_incl))
+            op = op_i if incl else op_x
+            dicts = dicts.filter(
+                getattr(F.col("term"), op)(F.lit(str(params[bound])))
+            )
     aggs = [F.sum("df").cast("long").alias("df")]
     if ttf:
         aggs.append(F.sum("cf").cast("long").alias("ttf"))

@@ -5701,6 +5701,42 @@ ORDER BY df DESC, term LIMIT 8
 )
 
 
+def _terms_handler_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/terms dictionary paging: terms.lower/terms.upper seek the
+    TermsEnum lexicographically (lower inclusive, upper exclusive —
+    the Solr defaults), composing with sort=index — the walk-the-
+    dictionary-in-pages access pattern. Still one bounded dictionary
+    aggregation. ref: solr/core/src/java/org/apache/solr/handler/
+    component/TermsComponent.java (TermsParams.TERMS_LOWER/UPPER)."""
+    from lucene_solr_spark.handler import terms
+
+    s = cached_searcher(spark, sf_dir)
+    return terms(s, {
+        "terms.lower": "b", "terms.upper": "m",
+        "terms.sort": "index", "terms.limit": 15, "terms.ttf": True,
+    })
+
+
+register(
+    "q_terms_handler_bounds",
+    _terms_handler_bounds,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+occ AS (
+  SELECT conv_id, turn_idx, unnest(
+    regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM transcripts
+)
+SELECT term,
+       CAST(count(DISTINCT conv_id || '#' || turn_idx) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM occ WHERE term >= 'b' AND term < 'm'
+GROUP BY term
+ORDER BY term LIMIT 15
+""".strip(),
+)
+
+
 _SELECT_NESTED_FACET_PARAMS = {
     "q": "data", "rows": 5,
     "json.facet": (

@@ -345,3 +345,31 @@ def test_hl_tag_raises(spark, sf_dir):
         select(s, {"q": "merge", "hl": True, "hl.tag.pre": "'"})
     with pytest.raises(ValueError, match="bad hl.tag"):
         select(s, {"q": "merge", "hl": True, "hl.tag.post": ""})
+
+
+# -- /terms dictionary paging -----------------------------------------------------
+
+
+def test_terms_bounds_paging(spark, sf_dir):
+    from lucene_solr_spark.handler import terms
+
+    s = cached_searcher(spark, sf_dir)
+    full = [r.term for r in terms(s, {
+        "terms.sort": "index", "terms.limit": 1000}).collect()]
+    # walk the dictionary in two pages split at a pivot term: lower
+    # inclusive + upper exclusive defaults mean no gap, no overlap
+    pivot = full[len(full) // 2]
+    p1 = [r.term for r in terms(s, {
+        "terms.upper": pivot, "terms.sort": "index",
+        "terms.limit": 1000}).collect()]
+    p2 = [r.term for r in terms(s, {
+        "terms.lower": pivot, "terms.sort": "index",
+        "terms.limit": 1000}).collect()]
+    assert p1 + p2 == full
+    # flipping inclusivity moves the pivot between the pages
+    p1i = [r.term for r in terms(s, {
+        "terms.upper": pivot, "terms.upper.incl": True,
+        "terms.sort": "index", "terms.limit": 1000}).collect()]
+    assert p1i == p1 + [pivot]
+    with pytest.raises(ValueError, match="needs terms.lower"):
+        terms(s, {"terms.lower.incl": False})
