@@ -121,7 +121,7 @@ def _merge_filters(spec: BooleanSpec, f_spec: BooleanSpec) -> BooleanSpec:
 
 def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
     """Normalize a ``json.facet`` request (JSON string or dict) into
-    {name: ("terms", field, limit, metric_col|None, sort)} /
+    {name: ("terms", field, limit, ((kind, col), ...), sort)} /
     {name: ("query", filter BooleanSpec)} — the JSON Facet API subset
     the index engine executes: terms buckets with at most one
     ``avg(<numeric docvalues>)`` sub-agg (named ``avg_<col>``, the
@@ -191,61 +191,73 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             if fld not in _FACETABLE:
                 raise ValueError(f"json.facet {name!r}: field must be one "
                                  f"of {sorted(_FACETABLE)}, got {fld!r}")
-            metric = None
             subs = req.get("facet", {})
-            if subs:
+            if subs and any(isinstance(a, dict) for a in subs.values()):
+                # NESTED terms sub-bucket (FacetModule sub-facet):
+                # top buckets of this field, top sub-buckets of the
+                # child field inside each, every sub-bucket carrying
+                # count + avg(doc_len) — the facet_nested engine
                 if len(subs) != 1:
-                    raise ValueError(f"json.facet {name!r}: at most one "
-                                     "sub-aggregation is supported")
+                    raise ValueError(f"json.facet {name!r}: a nested "
+                                     "sub-facet must be the only "
+                                     "sub-aggregation")
                 (agg_name, agg), = subs.items()
-                if isinstance(agg, dict):
-                    # NESTED terms sub-bucket (FacetModule sub-facet):
-                    # top buckets of this field, top sub-buckets of the
-                    # child field inside each, every sub-bucket carrying
-                    # count + avg(doc_len) — the facet_nested engine
-                    if agg.get("type") != "terms":
-                        raise ValueError(
-                            f"json.facet {name!r}: nested sub-facet "
-                            "must be a terms bucket")
-                    unknown2 = set(agg) - {"type", "field", "limit"}
-                    if unknown2:
-                        raise ValueError(
-                            f"json.facet {name!r}: nested sub-facet "
-                            f"unknown keys {sorted(unknown2)}")
-                    f2 = agg.get("field")
-                    if f2 not in _FACETABLE or f2 == fld:
-                        raise ValueError(
-                            f"json.facet {name!r}: nested field must be "
-                            f"a different one of {sorted(_FACETABLE)}, "
-                            f"got {f2!r}")
-                    if req.get("sort", "count") != "count":
-                        raise ValueError(
-                            f"json.facet {name!r}: nested buckets sort "
-                            "by count")
-                    out[name] = (
-                        "nested", fld, int(req.get("limit", 10)),
-                        f2, int(agg.get("limit", 10)), ex, dom_filter,
-                    )
-                    continue
-                m = re.fullmatch(r"avg\((\w+)\)", str(agg))
-                if not m or m.group(1) not in _AGG_COLS:
+                if agg.get("type") != "terms":
                     raise ValueError(
-                        f"json.facet {name!r}: sub-agg must be "
-                        f"avg(<{ '|'.join(sorted(_AGG_COLS)) }>), "
-                        f"got {agg!r}")
-                metric = m.group(1)
-                if agg_name != f"avg_{metric}":
+                        f"json.facet {name!r}: nested sub-facet "
+                        "must be a terms bucket")
+                unknown2 = set(agg) - {"type", "field", "limit"}
+                if unknown2:
                     raise ValueError(
-                        f"json.facet {name!r}: the sub-agg key names the "
-                        f"output column — use 'avg_{metric}'")
+                        f"json.facet {name!r}: nested sub-facet "
+                        f"unknown keys {sorted(unknown2)}")
+                f2 = agg.get("field")
+                if f2 not in _FACETABLE or f2 == fld:
+                    raise ValueError(
+                        f"json.facet {name!r}: nested field must be "
+                        f"a different one of {sorted(_FACETABLE)}, "
+                        f"got {f2!r}")
+                if req.get("sort", "count") != "count":
+                    raise ValueError(
+                        f"json.facet {name!r}: nested buckets sort "
+                        "by count")
+                out[name] = (
+                    "nested", fld, int(req.get("limit", 10)),
+                    f2, int(agg.get("limit", 10)), ex, dom_filter,
+                )
+                continue
+            aggs: list = []
+            if subs:
+                # scalar sub-aggregates (FacetModule SumAgg/AvgAgg/
+                # MinMaxAgg): any number of sum|avg|min|max over the
+                # numeric docvalues columns; the key NAMES the output
+                # column and must be <kind>_<col>
+                for agg_name, agg in subs.items():
+                    m = re.fullmatch(r"(sum|avg|min|max)\((\w+)\)",
+                                     str(agg))
+                    if not m or m.group(2) not in _AGG_COLS:
+                        raise ValueError(
+                            f"json.facet {name!r}: sub-agg must be "
+                            f"sum|avg|min|max(<"
+                            f"{ '|'.join(sorted(_AGG_COLS)) }>), "
+                            f"got {agg!r}")
+                    kind, col = m.group(1), m.group(2)
+                    if agg_name != f"{kind}_{col}":
+                        raise ValueError(
+                            f"json.facet {name!r}: the sub-agg key names "
+                            f"the output column — use '{kind}_{col}'")
+                    aggs.append((kind, col))
             sort = req.get("sort", "count")
-            if sort not in ("count",) and (
-                    metric is None or sort != f"avg_{metric} desc"):
-                raise ValueError(f"json.facet {name!r}: sort must be "
-                                 f"'count' or '<sub-agg name> desc'")
+            agg_keys = {f"{k}_{c}" for k, c in aggs}
+            if sort != "count":
+                m = re.fullmatch(r"(\w+) desc", str(sort))
+                if not m or m.group(1) not in agg_keys:
+                    raise ValueError(f"json.facet {name!r}: sort must be "
+                                     f"'count' or '<sub-agg name> desc'")
+                sort = m.group(1)
             out[name] = (
-                "terms", fld, int(req.get("limit", 10)), metric,
-                "metric" if sort != "count" else "count", ex, dom_filter,
+                "terms", fld, int(req.get("limit", 10)), tuple(aggs),
+                sort, ex, dom_filter,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q"}
@@ -978,7 +990,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["facets"] = {}
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
-                _, fld, limit, metric, sort, ex, dom_f = req
+                _, fld, limit, aggs_t, sort, ex, dom_f = req
                 # domain.excludeTags: drop the tagged fq constraints
                 # from THIS bucket's domain only (multi-select);
                 # domain.filter: add a bucket-local pure filter
@@ -987,13 +999,13 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 )
                 if dom_f is not None:
                     leg_spec = _merge_filters(leg_spec, dom_f)
-                if metric is None:
+                if not aggs_t:
                     out["facets"][name] = searcher.facet(
                         fld, spec=leg_spec, limit=limit
                     )
                 else:
                     out["facets"][name] = facet_metrics(
-                        searcher, fld, metric=metric, spec=leg_spec,
+                        searcher, fld, spec=leg_spec, aggs=aggs_t,
                         limit=limit, sort=sort,
                     )
             elif req[0] == "range":

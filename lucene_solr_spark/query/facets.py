@@ -263,7 +263,7 @@ def _with_terms(searcher, partials: DataFrame, field: str) -> DataFrame:
     return partials.join(dicts, ["seg_id", "term_ord"], "inner")
 
 
-METRIC_PARTIAL_SCHEMA = "seg_id int, term_ord int, cnt long, s double"
+_METRIC_KINDS = ("sum", "avg", "min", "max")
 
 
 def facet_metrics(
@@ -273,18 +273,49 @@ def facet_metrics(
     spec: BooleanSpec | None = None,
     limit: int = 10,
     sort: str = "count",
+    aggs: tuple[tuple[str, str], ...] | None = None,
 ) -> DataFrame:
     """JSON-Facet bucket METRICS through the index engine (FacetModule
-    SumAgg/AvgAgg riding the terms facet): per bucket of ``field``,
-    count + sum/avg of a numeric docvalues column over the query
-    domain — computed inside the SAME per-segment sparse pass as the
-    counts (np.unique inverse + weighted bincount over hit ordinals
-    only), merged as algebraic partials (Σcnt, Σsum → avg). Only
-    (seg_id, term_ord, cnt, sum) rows ever shuffle.
+    SumAgg/AvgAgg/MinMaxAgg riding the terms facet): per bucket of
+    ``field``, count + any number of sum/avg/min/max sub-aggregates
+    over numeric docvalues columns of the query domain — computed
+    inside the SAME per-segment sparse pass as the counts (np.unique
+    inverse + weighted bincount / ufunc.at over hit ordinals only),
+    merged as algebraic partials (Σcnt, Σsum → avg; per-segment
+    min/max → global min/max). Only (seg_id, term_ord, cnt, partials)
+    rows ever shuffle — one narrow row per (segment, bucket).
+
+    ``aggs`` is a tuple of (kind, column) with kind ∈ sum|avg|min|max;
+    the legacy single-metric form (``metric=col``) means
+    ``aggs=(("avg", col),)``. Output columns are Solr-keyed
+    ``<kind>_<col>`` (all rounded 4dp — the pinned cross-engine float
+    rule). ``sort`` is "count", an output column name (ranked desc on
+    the round), or the legacy "metric" (the first agg's column).
 
     ref: solr/core/src/java/org/apache/solr/search/facet/SumAgg.java,
-         AvgAgg.java, FacetFieldProcessor (metrics-per-bucket).
+         AvgAgg.java, MinMaxAgg.java, FacetFieldProcessor
+         (metrics-per-bucket).
     """
+    if aggs is None:
+        aggs = (("avg", metric),)
+    for kind, _col in aggs:
+        if kind not in _METRIC_KINDS:
+            raise ValueError(f"unknown facet metric kind: {kind!r}")
+    #: per-segment partial columns needed: one Σ per sum/avg column,
+    #: one min / one max per respective column
+    sum_cols = tuple(dict.fromkeys(
+        c for k, c in aggs if k in ("sum", "avg")))
+    min_cols = tuple(dict.fromkeys(c for k, c in aggs if k == "min"))
+    max_cols = tuple(dict.fromkeys(c for k, c in aggs if k == "max"))
+    metric_cols = tuple(dict.fromkeys(c for _, c in aggs))
+    partial_cols = (
+        [f"s_{c}" for c in sum_cols]
+        + [f"mn_{c}" for c in min_cols]
+        + [f"mx_{c}" for c in max_cols]
+    )
+    partial_schema = "seg_id int, term_ord int, cnt long, " + ", ".join(
+        f"{p} double" for p in partial_cols
+    )
     ord_col = f"{field}_ord"
     seg_dirs = searcher.seg_dir_by_id
     deleted_bc = searcher._deleted_bc
@@ -302,12 +333,11 @@ def facet_metrics(
     lookup = list(spec.lookup_terms) if spec is not None else []
     pure_negative = spec is not None and not spec.scoring_terms
     base_cols = ["doc_ord", "doc_len", ord_col]
-    if metric not in base_cols:
-        base_cols.append(metric)
+    base_cols += [c for c in metric_cols if c not in base_cols]
     if ds_bc is not None:
         # queryResultCache hit: the hit bits replace match_segment —
         # only the ord and metric columns are ever read
-        dm_cols = list(dict.fromkeys([ord_col, metric]))
+        dm_cols = list(dict.fromkeys([ord_col, *metric_cols]))
     else:
         dm_cols = (
             filter_cols(spec, base_cols) if spec is not None
@@ -327,7 +357,7 @@ def facet_metrics(
         ).to_pandas()
         n_docs = len(dm)
         ords = dm[ord_col].to_numpy(np.int64)
-        vals = dm[metric].to_numpy(np.float64)
+        vals = {c: dm[c].to_numpy(np.float64) for c in metric_cols}
         if ds_bc is not None:
             bits, n = ds_bc.value[seg_id]
             hits = np.flatnonzero(np.unpackbits(
@@ -357,44 +387,63 @@ def facet_metrics(
             max_dl = int(dm["doc_len"].max()) if n_docs else 0
             hits = match_segment(spec, term_rows, n_docs, allowed, max_dl)
         if hits is not None:
-            ords, vals = ords[hits], vals[hits]
+            ords = ords[hits]
+            vals = {c: v[hits] for c, v in vals.items()}
         keep = ords >= 0
-        ords, vals = ords[keep], vals[keep]
+        ords = ords[keep]
+        vals = {c: v[keep] for c, v in vals.items()}
         uniq, inv = np.unique(ords, return_inverse=True)
-        cnt = np.bincount(inv)
-        s = np.bincount(inv, weights=vals)
-        return pd.DataFrame(
-            {
-                "seg_id": np.full(len(uniq), seg_id, np.int32),
-                "term_ord": uniq.astype(np.int32),
-                "cnt": cnt.astype(np.int64),
-                "s": s.astype(np.float64),
-            }
-        )
+        data = {
+            "seg_id": np.full(len(uniq), seg_id, np.int32),
+            "term_ord": uniq.astype(np.int32),
+            "cnt": np.bincount(inv).astype(np.int64),
+        }
+        for c in sum_cols:
+            data[f"s_{c}"] = np.bincount(inv, weights=vals[c])
+        for c in min_cols:
+            arr = np.full(len(uniq), np.inf)
+            np.minimum.at(arr, inv, vals[c])
+            data[f"mn_{c}"] = arr
+        for c in max_cols:
+            arr = np.full(len(uniq), -np.inf)
+            np.maximum.at(arr, inv, vals[c])
+            data[f"mx_{c}"] = arr
+        return pd.DataFrame(data)
 
     if spec is None or pure_negative or ds_bc is not None:
         driver = searcher.seg_driver()
     else:
         driver = searcher.postings().filter(F.col("term").isin(lookup))
     partials = driver.groupBy("seg_id").applyInPandas(
-        run_seg, METRIC_PARTIAL_SCHEMA
+        run_seg, partial_schema
     )
     parts = _with_terms(searcher, partials, field)
-    out = (
-        parts.groupBy("term")
-        .agg(F.sum("cnt").alias("cnt"), F.sum("s").alias("s"))
-        .select(
-            F.col("term").alias("facet_value"),
-            "cnt",
-            F.round(F.col("s") / F.col("cnt"), 4).alias(f"avg_{metric}"),
-        )
-    )
+    merge_aggs = [F.sum("cnt").alias("cnt")]
+    merge_aggs += [F.sum(f"s_{c}").alias(f"s_{c}") for c in sum_cols]
+    merge_aggs += [F.min(f"mn_{c}").alias(f"mn_{c}") for c in min_cols]
+    merge_aggs += [F.max(f"mx_{c}").alias(f"mx_{c}") for c in max_cols]
+    out_cols = [F.col("term").alias("facet_value"), F.col("cnt")]
+    for kind, c in aggs:
+        src = {
+            "sum": F.col(f"s_{c}"),
+            "avg": F.col(f"s_{c}") / F.col("cnt"),
+            "min": F.col(f"mn_{c}"),
+            "max": F.col(f"mx_{c}"),
+        }[kind]
+        out_cols.append(F.round(src, 4).alias(f"{kind}_{c}"))
+    out = parts.groupBy("term").agg(*merge_aggs).select(*out_cols)
     # JSON Facet `sort` by a bucket metric (FacetFieldProcessor
-    # sortVariable): rank on the ROUNDED avg so the limit boundary is
-    # engine-independent, facet_value tiebreak
+    # sortVariable): rank on the ROUNDED value so the limit boundary
+    # is engine-independent, facet_value tiebreak. "metric" is the
+    # legacy spelling of the first agg's output column.
+    sort_col = (
+        f"{aggs[0][0]}_{aggs[0][1]}" if sort == "metric" else sort
+    )
+    if sort_col != "count" and sort_col not in out.columns:
+        raise ValueError(f"unknown facet sort column: {sort!r}")
     order = (
-        [F.desc(f"avg_{metric}"), F.asc("facet_value")]
-        if sort == "metric"
+        [F.desc(sort_col), F.asc("facet_value")]
+        if sort_col != "count"
         else [F.desc("cnt"), F.asc("facet_value")]
     )
     return out.orderBy(*order).limit(limit)

@@ -5737,6 +5737,54 @@ ORDER BY term LIMIT 15
 )
 
 
+def _select_jf_multi_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet with MULTIPLE scalar sub-aggregates per bucket
+    (FacetModule SumAgg/AvgAgg/MinMaxAgg): sum+avg+min+max ride the
+    SAME per-segment sparse pass as the counts — one weighted bincount
+    per Σ column, one ufunc.at per min/max column, all merged as
+    algebraic partials; only (segment, bucket, partials) rows shuffle.
+    Bucket rank by a chosen metric ('avg_doc_len desc', rounded
+    boundary). ref: solr/core/src/java/org/apache/solr/search/facet/
+    SumAgg.java, AvgAgg.java, MinMaxAgg.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "data", "rows": 0,
+        "json.facet": (
+            '{"by_role": {"type": "terms", "field": "role", "limit": 5,'
+            ' "sort": "avg_doc_len desc",'
+            ' "facet": {"sum_doc_len": "sum(doc_len)",'
+            ' "avg_doc_len": "avg(doc_len)",'
+            ' "min_turn_idx": "min(turn_idx)",'
+            ' "max_turn_idx": "max(turn_idx)"}}}'
+        ),
+    })
+    return out["facets"]["by_role"]
+
+
+register(
+    "q_select_jf_multi_metrics",
+    _select_jf_multi_metrics,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+dom AS (SELECT role, turn_idx, len(toks) AS doc_len FROM docs
+        WHERE list_contains(toks, 'data'))
+SELECT role AS facet_value, count(*) AS cnt,
+       round(sum(doc_len), 4) AS sum_doc_len,
+       round(CAST(sum(doc_len) AS DOUBLE) / count(*), 4) AS avg_doc_len,
+       round(min(turn_idx), 4) AS min_turn_idx,
+       round(max(turn_idx), 4) AS max_turn_idx
+FROM dom GROUP BY role
+ORDER BY avg_doc_len DESC, facet_value
+LIMIT 5""",
+)
+
+
 _SELECT_NESTED_FACET_PARAMS = {
     "q": "data", "rows": 5,
     "json.facet": (

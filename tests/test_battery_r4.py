@@ -783,9 +783,6 @@ def test_select_handler_json_facet_leg(spark, sf_dir):
         ' "facet": {"m": "avg(doc_len)"}}}',              # wrong agg name
         '{"x": {"type": "terms", "field": "role",'
         ' "facet": {"avg_ts": "avg(ts)"}}}',              # non-numeric col
-        '{"x": {"type": "terms", "field": "role",'
-        ' "facet": {"avg_doc_len": "avg(doc_len)",'
-        ' "avg_turn_idx": "avg(turn_idx)"}}}',            # two sub-aggs
         '{"x": {"type": "query", "q": "merge"}}',         # scoring q
         '{"x": {"type": "query"}}',                       # q required
         '{"x": {"type": "terms", "field": "role", "offset": 1}}',  # unknown
@@ -794,6 +791,19 @@ def test_select_handler_json_facet_leg(spark, sf_dir):
     for jf in bad:
         with _pt.raises(ValueError):
             parse_select_params({"q": "data", "json.facet": jf})
+    # multiple SCALAR sub-aggs are first-class (SumAgg/AvgAgg/
+    # MinMaxAgg per bucket); a nested sub-facet must stay alone
+    _, ok = parse_select_params({"q": "data", "json.facet":
+        '{"x": {"type": "terms", "field": "role",'
+        ' "facet": {"avg_doc_len": "avg(doc_len)",'
+        ' "max_turn_idx": "max(turn_idx)"}}}'})
+    assert ok["json_facets"]["x"][3] == \
+        (("avg", "doc_len"), ("max", "turn_idx"))
+    with _pt.raises(ValueError, match="only"):
+        parse_select_params({"q": "data", "json.facet":
+            '{"x": {"type": "terms", "field": "role",'
+            ' "facet": {"n": {"type": "terms", "field": "tool"},'
+            ' "avg_doc_len": "avg(doc_len)"}}}'})
 
 
 def test_select_handler_facet_params_leg(spark, sf_dir):

@@ -404,3 +404,42 @@ def test_multiselect_excludes_exists_filter(searcher):
     assert list(zip(got.facet_value, got.cnt)) == list(
         zip(want.facet_value, want.cnt)
     )
+
+
+def test_facet_metrics_multi_aggs_match_control(searcher):
+    """Multiple scalar sub-aggs (sum/avg/min/max, mixed columns) from
+    the one sparse segment pass equal a plain Catalyst GROUP BY; rank
+    by a chosen metric column."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s, t = searcher
+    spec = BooleanSpec(must=("data",))
+    got = facet_metrics(
+        s, "role", spec=spec, limit=5, sort="avg_doc_len",
+        aggs=(("sum", "doc_len"), ("avg", "doc_len"),
+              ("min", "turn_idx"), ("max", "turn_idx")),
+    ).toPandas()
+    want = (
+        t.withColumn("toks", tokens_col("text"))
+        .filter(F.array_contains(F.col("toks"), "data"))
+        .groupBy(F.col("role").alias("facet_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.size("toks")).cast("double"), 4)
+            .alias("sum_doc_len"),
+            F.round(F.avg(F.size("toks")), 4).alias("avg_doc_len"),
+            F.round(F.min("turn_idx").cast("double"), 4)
+            .alias("min_turn_idx"),
+            F.round(F.max("turn_idx").cast("double"), 4)
+            .alias("max_turn_idx"),
+        )
+        .orderBy(F.desc("avg_doc_len"), "facet_value")
+        .limit(5)
+        .toPandas()
+    )
+    assert list(map(tuple, got.values)) == list(map(tuple, want.values))
+    with pytest.raises(ValueError, match="unknown facet metric kind"):
+        facet_metrics(s, "role", spec=spec, aggs=(("median", "doc_len"),))
+    with pytest.raises(ValueError, match="unknown facet sort"):
+        facet_metrics(s, "role", spec=spec, sort="avg_nope",
+                      aggs=(("avg", "doc_len"),)).collect()
