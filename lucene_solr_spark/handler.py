@@ -527,10 +527,10 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if sort_key is not None:
             raise ValueError("group=true supports the score-ranked "
                              "default sort only")
-        if start:
-            raise ValueError("group=true pages groups via rows; "
-                             "start must be 0")
-        group = (g_field, g_limit)
+        # start/rows page the GROUPS in group mode (Grouping's
+        # getGroups offset — the doclist-level page has no meaning
+        # when the response is a groups list)
+        group = (g_field, g_limit, start)
         # group.format=simple flattens the doclists into ONE list
         # ordered (group rank, doc rank); group.main=true additionally
         # makes that flat list THE response (Solr: main implies the
@@ -825,7 +825,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # semi-join of those winning keys (never a rescan); output
         # ordered (group_value, doc_rank), the engine's pinned
         # grouped-doclist presentation
-        g_field, g_limit = o["group"]
+        g_field, g_limit, g_start = o["group"]
         ghits = searcher.score_hits(spec, k=None).withColumn(
             "score", F.round("score", 4)
         )
@@ -850,7 +850,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             .orderBy(
                 F.desc("best.score"), "best.conv_id", "best.turn_idx"
             )
-            .limit(o["rows"])
+            .limit(g_start + o["rows"])
         )
         # group RANK (the order the head pick established) rides along
         # for the simple/main formats — a row_number over the already-
@@ -861,7 +861,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 F.desc("best.score"), F.asc("best.conv_id"),
                 F.asc("best.turn_idx"),
             )).cast("long"),
-        ).select(g_field, "g_rank")
+        ).filter(F.col("g_rank") > g_start).select(g_field, "g_rank")
         # doclists: the filter sits DIRECTLY above the window so
         # Catalyst's WindowGroupLimit Partial pushdown pre-reduces
         # every map task to g_limit rows per group before the

@@ -373,3 +373,25 @@ def test_terms_bounds_paging(spark, sf_dir):
     assert p1i == p1 + [pivot]
     with pytest.raises(ValueError, match="needs terms.lower"):
         terms(s, {"terms.lower.incl": False})
+
+
+# -- group paging (start offsets GROUPS) -------------------------------------------
+
+
+def test_group_paging_walks_rank_order(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "data", "group": True, "group.field": "conv_id",
+            "group.format": "simple"}
+    full = select(s, dict(base, rows=6))["grouped"].collect()
+    ranks = [(r.group_value, r.g_rank) for r in full]
+    # two pages of 3 groups re-assemble the 6-group list, gap-free
+    p1 = select(s, dict(base, rows=3))["grouped"].collect()
+    p2 = select(s, dict(base, rows=3, start=3))["grouped"].collect()
+    assert [(r.group_value, r.g_rank) for r in p1] + \
+        [(r.group_value, r.g_rank) for r in p2] == ranks
+    # g_rank stays ABSOLUTE across pages (rank 4.. on page 2)
+    assert [r.g_rank for r in p2] == [4, 5, 6]
+    # grouped format pages the same selection
+    g2 = select(s, dict(base, rows=3, start=3,
+                        **{"group.format": "grouped"}))["grouped"].collect()
+    assert {r.group_value for r in g2} == {r.group_value for r in p2}
