@@ -37,7 +37,7 @@ from lucene_solr_spark.query.parser import edismax, parse
 #: params this handler understands — anything else is a hard error
 #: (Solr rejects unknown critical params rather than guessing)
 _KNOWN = {
-    "q", "q.op", "fq", "sort", "start", "rows", "fl",
+    "q", "q.op", "fq", "sort", "start", "rows", "fl", "cursorMark",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
     "facet.excludeTerms",
@@ -320,6 +320,41 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                 f"unsupported sort: {sort!r} (score desc or "
                 f"<docvalues field> asc|desc)")
         sort_key = (parts[0], parts[1] == "asc")
+    # cursorMark deep paging (CursorMarkParams): keyset paging on the
+    # pinned total order (score desc, conv_id, turn_idx) — start must
+    # be 0 and the sort must be the default (the mark IS the sort
+    # position), like Solr's CURSOR_MARK_PARAM constraints. The token
+    # is the readable "<score>|<conv_id>|<turn_idx>" of the previous
+    # page's last row ("*" opens the cursor). Pages a PLAIN doclist —
+    # component legs key on the offset page and raise here.
+    cursor_mark = None
+    if "cursorMark" in params:
+        raw_cm = str(params["cursorMark"])
+        if start:
+            raise ValueError("cursorMark requires start=0")
+        if sort != "score desc":
+            raise ValueError("cursorMark pages the pinned total order "
+                             "(sort must stay score desc)")
+        comp = {"facet", "facet.field", "hl", "group", "mlt", "debug",
+                "stats", "json.facet", "spellcheck", "rq", "fl",
+                "defType"} & set(params)
+        if comp:
+            raise ValueError(f"cursorMark pages a plain doclist; "
+                             f"drop {sorted(comp)}")
+        if raw_cm == "*":
+            cursor_mark = ("*",)
+        else:
+            parts_cm = raw_cm.split("|")
+            try:
+                if len(parts_cm) != 3:
+                    raise ValueError
+                cursor_mark = (
+                    (float(parts_cm[0]), parts_cm[1], int(parts_cm[2])),
+                )
+            except ValueError:
+                raise ValueError(
+                    f"malformed cursorMark: {raw_cm!r} (want "
+                    "'<score>|<conv_id>|<turn_idx>' or '*')") from None
     def_type = params.get("defType", "lucene")
     if def_type == "edismax":
         if "q.op" in params:
@@ -607,6 +642,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         raise ValueError("debug=true supports defType=lucene only")
     opts = {
         "start": start, "rows": rows,
+        "cursor_mark": cursor_mark,
         "fl": params.get("fl"),
         "facet_fields": list(facet_fields),
         "facet_limit": int(params.get("facet.limit", 10)),
@@ -686,6 +722,33 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     (hits + fq), so multi-component responses stay
     one-domain-consistent."""
     spec, o = parse_select_params(params)
+    if o["cursor_mark"] is not None:
+        # keyset page: one distributed TakeOrdered of rows past the
+        # mark (page cost does not grow with depth); the page
+        # materializes driver-side (≤ rows rows, the same bounded
+        # collect the distributed merge performs) so nextCursorMark
+        # serializes without re-running the plan
+        (mark,) = o["cursor_mark"]
+        page_rows = searcher.cursor_page(
+            spec, k=o["rows"],
+            cursor=None if mark == "*" else mark, round_to=4,
+        ).collect()
+        if page_rows:
+            last = page_rows[-1]
+            next_mark = f"{last.score}|{last.conv_id}|{last.turn_idx}"
+        else:
+            # exhausted: Solr signals the end by echoing the request's
+            # mark back unchanged
+            next_mark = params["cursorMark"]
+        page_df = searcher.spark.createDataFrame(
+            [(r.conv_id, r.turn_idx, r.score) for r in page_rows],
+            "conv_id string, turn_idx int, score double",
+        )
+        return {
+            "response": page_df,
+            "numFound": searcher.docset_count(spec),
+            "nextCursorMark": next_mark,
+        }
     if o["sort"] is None:
         if o["rerank"] is not None:
             # rq leg: the head is the main query's top reRankDocs

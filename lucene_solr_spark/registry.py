@@ -5785,6 +5785,36 @@ LIMIT 5""",
 )
 
 
+_CURSOR_SELECT_SPEC = BooleanSpec(
+    should=("merge", "data"), min_should_match=1, k=10
+)
+
+
+def _select_cursor_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cursorMark deep paging through /select (CursorMarkParams):
+    page 1 opens the cursor with '*', its nextCursorMark (the
+    readable '<score>|<conv_id>|<turn_idx>' totalOrder position)
+    fetches page 2 — a keyset predicate + one distributed TakeOrdered
+    of rows, never a k+offset heap, page cost flat in depth. The
+    oracle is rank rows 6..10 of the same pinned order.
+    ref: solr/core/src/java/org/apache/solr/search/CursorMark.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    p1 = select(s, {"q": "merge data", "rows": 5, "cursorMark": "*"})
+    return select(s, {
+        "q": "merge data", "rows": 5,
+        "cursorMark": p1["nextCursorMark"],
+    })["response"]
+
+
+_cursor_sql = bm25_oracle_sql(_CURSOR_SELECT_SPEC).replace(
+    "LIMIT 10", "LIMIT 5 OFFSET 5"
+)
+assert "OFFSET 5" in _cursor_sql
+register("q_select_cursor_mark", _select_cursor_mark, _cursor_sql)
+
+
 _SELECT_NESTED_FACET_PARAMS = {
     "q": "data", "rows": 5,
     "json.facet": (

@@ -395,3 +395,37 @@ def test_group_paging_walks_rank_order(spark, sf_dir):
     g2 = select(s, dict(base, rows=3, start=3,
                         **{"group.format": "grouped"}))["grouped"].collect()
     assert {r.group_value for r in g2} == {r.group_value for r in p2}
+
+
+# -- cursorMark through /select ----------------------------------------------------
+
+
+def test_select_cursor_mark_walks_pages(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    q = {"q": "merge data", "rows": 4}
+    pages, mark = [], "*"
+    for _ in range(3):
+        out = select(s, dict(q, cursorMark=mark))
+        pages += [tuple(r) for r in out["response"].collect()]
+        mark = out["nextCursorMark"]
+    offset = select(s, {"q": "merge data", "rows": 12})
+    assert pages == [tuple(r) for r in offset["response"].collect()]
+    # exhausted cursor echoes the mark back with an empty page
+    deep = select(s, dict(q, cursorMark="0.0001|zzzz|0"))
+    assert deep["response"].count() == 0
+    assert deep["nextCursorMark"] == "0.0001|zzzz|0"
+
+
+def test_select_cursor_mark_raises(spark, sf_dir):
+    s = cached_searcher(spark, sf_dir)
+    with pytest.raises(ValueError, match="start=0"):
+        select(s, {"q": "merge", "cursorMark": "*", "start": 3})
+    with pytest.raises(ValueError, match="score desc"):
+        select(s, {"q": "merge", "cursorMark": "*",
+                   "sort": "turn_idx asc"})
+    with pytest.raises(ValueError, match="plain doclist"):
+        select(s, {"q": "merge", "cursorMark": "*", "facet.field": "role"})
+    with pytest.raises(ValueError, match="malformed cursorMark"):
+        select(s, {"q": "merge", "cursorMark": "not|a"})
+    with pytest.raises(ValueError, match="malformed cursorMark"):
+        select(s, {"q": "merge", "cursorMark": "x|y|z"})
