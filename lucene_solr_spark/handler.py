@@ -38,6 +38,7 @@ from lucene_solr_spark.query.parser import edismax, parse
 #: (Solr rejects unknown critical params rather than guessing)
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl", "cursorMark",
+    "wt",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
     "facet.excludeTerms",
@@ -305,6 +306,14 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         raise ValueError(f"unknown /select params: {sorted(unknown)}")
     if "q" not in params:
         raise ValueError("missing required param: q")
+    # wt= response writer: json (the default — rows stay a typed
+    # DataFrame, the Spark-native "format"), xml or javabin route the
+    # doclist through the REAL response codecs (sources/xml_source,
+    # sources/javabin) as a distributed per-batch encode — an
+    # export-scale response never materializes on one node.
+    wt = params.get("wt", "json")
+    if wt not in ("json", "xml", "javabin"):
+        raise ValueError(f"wt must be json|xml|javabin: {wt!r}")
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
     if start < 0 or rows < 0:
@@ -643,6 +652,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     opts = {
         "start": start, "rows": rows,
         "cursor_mark": cursor_mark,
+        "wt": wt,
         "fl": params.get("fl"),
         "facet_fields": list(facet_fields),
         "facet_limit": int(params.get("facet.limit", 10)),
@@ -705,6 +715,19 @@ def _range_buckets(
     )
 
 
+def _encode_wt(page: DataFrame, wt: str) -> DataFrame:
+    """Serialize the doclist per ``wt`` (ResponseWriter pick): the
+    rows run the real XML / JavaBin codec as a distributed per-batch
+    encode; json keeps the typed DataFrame (the Spark-native form)."""
+    if wt == "xml":
+        from lucene_solr_spark.sources.xml_source import encode_xml
+        return encode_xml(page)
+    if wt == "javabin":
+        from lucene_solr_spark.sources.javabin import encode_rows
+        return encode_rows(page)
+    return page
+
+
 def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     """Run the composed request; returns ``{"response": DataFrame,
     "numFound": int, "facet_counts": {field: DataFrame}}``.
@@ -745,7 +768,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             "conv_id string, turn_idx int, score double",
         )
         return {
-            "response": page_df,
+            "response": _encode_wt(page_df, o["wt"]),
             "numFound": searcher.docset_count(spec),
             "nextCursorMark": next_mark,
         }
@@ -784,6 +807,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     page_keys = paged.select("conv_id", "turn_idx", "rn")
     if o["fl"]:
         page = page.select(*o["fl"])
+    page = _encode_wt(page, o["wt"])
     if (o["facet_fields"] or o["json_facets"] or o["facet_queries"]
             or o["facet_range"] or o["facet_pivot"] or o["stats_fields"]
             or o["facet_interval"]):
@@ -950,7 +974,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             flat = ranked.orderBy("g_rank", "doc_rank")
             out["grouped"] = flat
             if o["group_main"]:
-                out["response"] = flat.select("conv_id", "turn_idx", "score")
+                out["response"] = _encode_wt(
+                    flat.select("conv_id", "turn_idx", "score"), o["wt"]
+                )
         else:
             out["grouped"] = ranked.drop("g_rank").orderBy(
                 "group_value", "doc_rank"

@@ -5815,6 +5815,48 @@ assert "OFFSET 5" in _cursor_sql
 register("q_select_cursor_mark", _select_cursor_mark, _cursor_sql)
 
 
+_WT_SPEC = BooleanSpec(should=("merge", "data"), min_should_match=1, k=8)
+
+
+def _select_wt_javabin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wt=javabin response writer on /select: the doclist rides the
+    REAL JavaBinCodec as a distributed per-batch encode (an
+    export-scale response never materializes on one node), then
+    decodes back to typed rows in the same plan — the round-trip must
+    reproduce the BM25 page bit-for-bit, which the plain-SQL oracle
+    checks. ref: solr/solrj/src/java/org/apache/solr/common/util/
+    JavaBinCodec.java, solr/core/.../BinaryResponseWriter.java."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lucene_solr_spark.handler import select
+    from lucene_solr_spark.sources.javabin import decode_rows
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {"q": "merge data", "rows": 8, "wt": "javabin"})
+    sch = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("score", DoubleType()),
+    ])
+    return decode_rows(out["response"], sch).orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    )
+
+
+register(
+    "q_select_wt_javabin",
+    _select_wt_javabin,
+    bm25_oracle_sql(_WT_SPEC),
+)
+
+
 _SELECT_NESTED_FACET_PARAMS = {
     "q": "data", "rows": 5,
     "json.facet": (

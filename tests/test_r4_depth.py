@@ -429,3 +429,37 @@ def test_select_cursor_mark_raises(spark, sf_dir):
         select(s, {"q": "merge", "cursorMark": "not|a"})
     with pytest.raises(ValueError, match="malformed cursorMark"):
         select(s, {"q": "merge", "cursorMark": "x|y|z"})
+
+
+# -- wt= response writers -----------------------------------------------------------
+
+
+def test_select_wt_writers_roundtrip(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from lucene_solr_spark.sources.javabin import decode_rows
+    from lucene_solr_spark.sources.xml_source import decode_xml
+
+    s = cached_searcher(spark, sf_dir)
+    plain = select(s, {"q": "merge data", "rows": 6})["response"].collect()
+    want = sorted((r.conv_id, r.turn_idx, r.score) for r in plain)
+
+    xml = select(s, {"q": "merge data", "rows": 6, "wt": "xml"})["response"]
+    xb = decode_xml(xml, ["conv_id", "turn_idx", "score"]).collect()
+    assert sorted((r.conv_id, int(r.turn_idx), float(r.score))
+                  for r in xb) == want
+
+    jb = select(s, {"q": "merge data", "rows": 6,
+                    "wt": "javabin"})["response"]
+    sch = StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("score", DoubleType()),
+    ])
+    back = decode_rows(jb, sch).collect()
+    assert sorted(map(tuple, back)) == want
+
+    with pytest.raises(ValueError, match="wt must be"):
+        select(s, {"q": "merge", "wt": "csv"})
