@@ -8340,7 +8340,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # intersectionSize through the index), keyword_marker (protected
     # stems chain). All displaced rows stay green in the full battery.
     "q_idx_bm25_span_within", "q_idx_leading_wildcard",
-    "q_idx_facet_query", "q_idx_keyword_marker",
+    # SIXTH r4 ROTATION (this session): four same-family swaps, each
+    # new row attesting strictly more code than the one it displaces
+    # (all displaced rows stay green in the full battery):
+    # facet_query (DocSet intersectionSize — the facet family keeps
+    # child/parent domain + relatedness + uniqueBlock in-window)
+    # yields to the multi-agg sparse pass (sum/avg/min/max per bucket
+    # — the facet_metrics engine change of this session);
+    # keyword_marker (chain niche, pytest-pinned) yields to the
+    # /analysis handler (a NEW handler family exercising the same
+    # chain machinery end-to-end + the vocab-generated oracle);
+    # length_limit (5th analysis-chain row) yields to cursorMark
+    # through /select (keyset paging front door + nextCursorMark
+    # serialization); update_stream (engine path) yields to the
+    # update()/commit() EXPRESSION round-trip, which runs the same
+    # writer path PLUS the front door PLUS search-the-destination.
+    "q_select_jf_multi_metrics", "q_analysis_handler",
     "q_idx_bm25_ps",
     # SECOND r4 ROTATION (this session's new surfaces displace
     # r3-attested rows — spans or/not/first, wildcard/regexp/explain,
@@ -8355,7 +8370,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_train_logit",
     # analysis chains: phonetic, word-delimiter, length/limit
     "q_idx_phonetic_search", "q_idx_word_delimiter",
-    "q_idx_length_limit_search",
+    "q_select_cursor_mark",
     # FOURTH r4 ROTATION (this session): three family-redundant rows
     # yield to the session's three deepest new contracts —
     # q_terms_qparser (front-door family stays attested via the new
@@ -8404,7 +8419,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the full battery, and their families keep in-window rows
     # (q_select_range_facet-style range buckets ride q_select_handler's
     # battery twins; MLT stays via q_select_mlt itself).
-    "q_select_mlt", "q_update_stream", "q_idx_sort_by_function",
+    "q_select_mlt", "q_stream_expr_update", "q_idx_sort_by_function",
     # LLM-pipeline: changed-this-round ANN paths + clusters + simhash
     # simhash (attested r3) yields to the NEW real WAV codec round-trip
     # features_check (attested r3) yields to the NEW SemDeDup op; the
