@@ -1013,8 +1013,6 @@ def test_select_handler_component_legs_contracts(spark, sf_dir):
          "group.limit": 0},                               # bad limit
         {"q": "x", "group": True, "group.field": "role",
          "sort": "ts desc"},                              # score sort only
-        {"q": "x", "group": True, "group.field": "role",
-         "start": 3},                                     # no group paging
         {"q": "x", "group.limit": 2},                     # needs group
     ):
         with _pt.raises(ValueError):
