@@ -30,6 +30,7 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lucene_solr_spark.query.model import BooleanSpec
 from lucene_solr_spark.query.parser import edismax, parse
@@ -230,18 +231,28 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             aggs: list = []
             if subs:
                 # scalar sub-aggregates (FacetModule SumAgg/AvgAgg/
-                # MinMaxAgg): any number of sum|avg|min|max over the
-                # numeric docvalues columns; the key NAMES the output
-                # column and must be <kind>_<col>
+                # MinMaxAgg/SumsqAgg/StddevAgg/VarianceAgg +
+                # MissingAgg/CountValsAgg/UniqueAgg): any number per
+                # bucket; numeric kinds over the numeric docvalues
+                # columns, null-counting kinds also over the string
+                # docvalues fields; the key NAMES the output column
+                # and must be <kind>_<col>
                 for agg_name, agg in subs.items():
-                    m = re.fullmatch(r"(sum|avg|min|max)\((\w+)\)",
-                                     str(agg))
-                    if not m or m.group(2) not in _AGG_COLS:
+                    m = re.fullmatch(
+                        r"(sum|avg|min|max|sumsq|stddev|variance"
+                        r"|missing|countvals|unique)\((\w+)\)",
+                        str(agg))
+                    allowed = (
+                        _AGG_COLS | _FACETABLE
+                        if m and m.group(1) in (
+                            "missing", "countvals", "unique")
+                        else _AGG_COLS
+                    )
+                    if not m or m.group(2) not in allowed:
                         raise ValueError(
                             f"json.facet {name!r}: sub-agg must be "
-                            f"sum|avg|min|max(<"
-                            f"{ '|'.join(sorted(_AGG_COLS)) }>), "
-                            f"got {agg!r}")
+                            f"<kind>(<col>) with a numeric col for "
+                            f"numeric kinds, got {agg!r}")
                     kind, col = m.group(1), m.group(2)
                     if agg_name != f"{kind}_{col}":
                         raise ValueError(
@@ -939,16 +950,22 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             )
             .limit(g_start + o["rows"])
         )
-        # group RANK (the order the head pick established) rides along
-        # for the simple/main formats — a row_number over the already-
-        # bounded ≤ rows heads, not a corpus window
-        heads = heads.withColumn(
-            "g_rank",
-            F.row_number().over(Window.orderBy(
-                F.desc("best.score"), F.asc("best.conv_id"),
-                F.asc("best.turn_idx"),
-            )).cast("long"),
-        ).filter(F.col("g_rank") > g_start).select(g_field, "g_rank")
+        # group RANK (the order the head pick established): the head
+        # page is bounded (≤ start+rows rows, a distributed
+        # TakeOrdered), so ranks are assigned DRIVER-side — Solr's
+        # coordinator merges shard group heads the same way
+        # (SearchGroupsResultTransformer). No single-partition window
+        # ever touches the hit set.
+        head_rows = heads.select(g_field).collect()
+        key_type = heads.schema[g_field].dataType
+        heads = searcher.spark.createDataFrame(
+            [(r[0], i + 1) for i, r in enumerate(head_rows)
+             if i + 1 > g_start],
+            T.StructType([
+                T.StructField(g_field, key_type),
+                T.StructField("g_rank", T.LongType()),
+            ]),
+        )
         # doclists: the filter sits DIRECTLY above the window so
         # Catalyst's WindowGroupLimit Partial pushdown pre-reduces
         # every map task to g_limit rows per group before the

@@ -263,7 +263,18 @@ def _with_terms(searcher, partials: DataFrame, field: str) -> DataFrame:
     return partials.join(dicts, ["seg_id", "term_ord"], "inner")
 
 
-_METRIC_KINDS = ("sum", "avg", "min", "max")
+_METRIC_KINDS = (
+    "sum", "avg", "min", "max",          # SumAgg / AvgAgg / MinMaxAgg
+    "sumsq", "stddev", "variance",       # SumsqAgg / StddevAgg / VarianceAgg
+    "missing", "countvals",              # MissingAgg / CountValsAgg
+    "unique",                            # UniqueAgg (exact, dict-bounded)
+)
+#: kinds whose column must be numeric (read as float64; NULL-aware —
+#: missing values are EXCLUDED from the aggregate, the Solr contract)
+_NUM_KINDS = ("sum", "avg", "min", "max", "sumsq", "stddev", "variance")
+#: separator for per-segment UniqueAgg value sets (never appears in
+#: docvalues strings)
+_USEP = "\x1f"
 
 
 def facet_metrics(
@@ -285,36 +296,64 @@ def facet_metrics(
     min/max → global min/max). Only (seg_id, term_ord, cnt, partials)
     rows ever shuffle — one narrow row per (segment, bucket).
 
-    ``aggs`` is a tuple of (kind, column) with kind ∈ sum|avg|min|max;
-    the legacy single-metric form (``metric=col``) means
-    ``aggs=(("avg", col),)``. Output columns are Solr-keyed
-    ``<kind>_<col>`` (all rounded 4dp — the pinned cross-engine float
-    rule). ``sort`` is "count", an output column name (ranked desc on
+    ``aggs`` is a tuple of (kind, column) with kind ∈ sum|avg|min|max|
+    sumsq|stddev|variance|missing|countvals|unique; the legacy
+    single-metric form (``metric=col``) means ``aggs=(("avg", col),)``.
+    Output columns are Solr-keyed ``<kind>_<col>`` (floats rounded 4dp
+    — the pinned cross-engine rule; missing/countvals/unique are
+    longs). ``sort`` is "count", an output column name (ranked desc on
     the round), or the legacy "metric" (the first agg's column).
 
+    NULL semantics match Solr's FacetModule: missing values are
+    EXCLUDED from every numeric aggregate (avg/stddev/variance divide
+    by the non-missing count), ``missing`` counts them, ``countvals``
+    counts the rest. ``stddev``/``variance`` are the SAMPLE (n-1)
+    estimators, 0.0 when fewer than 2 values (AggUtil.stdDev).
+    ``unique`` is EXACT via per-segment value SETS (UniqueAgg's
+    per-shard set exchange) — right for dict-bounded docvalues fields;
+    a high-cardinality column should use the hll/approx path instead
+    (q_json_facet_approx).
+
     ref: solr/core/src/java/org/apache/solr/search/facet/SumAgg.java,
-         AvgAgg.java, MinMaxAgg.java, FacetFieldProcessor
-         (metrics-per-bucket).
+         AvgAgg.java, MinMaxAgg.java, SumsqAgg.java, StddevAgg.java,
+         VarianceAgg.java, MissingAgg.java, CountValsAgg.java,
+         UniqueAgg.java, FacetFieldProcessor (metrics-per-bucket).
     """
     if aggs is None:
         aggs = (("avg", metric),)
     for kind, _col in aggs:
         if kind not in _METRIC_KINDS:
             raise ValueError(f"unknown facet metric kind: {kind!r}")
-    #: per-segment partial columns needed: one Σ per sum/avg column,
-    #: one min / one max per respective column
+    #: per-segment partial columns needed: Σx per sum/avg/stddev/
+    #: variance column, Σx² per sumsq/stddev/variance column, one
+    #: min/max per respective column, non-null + null counts where
+    #: the kind needs them, one packed value set per unique column
     sum_cols = tuple(dict.fromkeys(
-        c for k, c in aggs if k in ("sum", "avg")))
+        c for k, c in aggs
+        if k in ("sum", "avg", "stddev", "variance")))
+    sq_cols = tuple(dict.fromkeys(
+        c for k, c in aggs if k in ("sumsq", "stddev", "variance")))
     min_cols = tuple(dict.fromkeys(c for k, c in aggs if k == "min"))
     max_cols = tuple(dict.fromkeys(c for k, c in aggs if k == "max"))
+    nv_cols = tuple(dict.fromkeys(
+        c for k, c in aggs
+        if k in ("avg", "stddev", "variance", "countvals")))
+    ms_cols = tuple(dict.fromkeys(c for k, c in aggs if k == "missing"))
+    uq_cols = tuple(dict.fromkeys(c for k, c in aggs if k == "unique"))
+    num_cols = tuple(dict.fromkeys(
+        c for k, c in aggs if k in _NUM_KINDS))
     metric_cols = tuple(dict.fromkeys(c for _, c in aggs))
     partial_cols = (
-        [f"s_{c}" for c in sum_cols]
-        + [f"mn_{c}" for c in min_cols]
-        + [f"mx_{c}" for c in max_cols]
+        [(f"s_{c}", "double") for c in sum_cols]
+        + [(f"ss_{c}", "double") for c in sq_cols]
+        + [(f"mn_{c}", "double") for c in min_cols]
+        + [(f"mx_{c}", "double") for c in max_cols]
+        + [(f"nv_{c}", "long") for c in nv_cols]
+        + [(f"ms_{c}", "long") for c in ms_cols]
+        + [(f"u_{c}", "string") for c in uq_cols]
     )
     partial_schema = "seg_id int, term_ord int, cnt long, " + ", ".join(
-        f"{p} double" for p in partial_cols
+        f"{p} {t}" for p, t in partial_cols
     )
     ord_col = f"{field}_ord"
     seg_dirs = searcher.seg_dir_by_id
@@ -357,7 +396,11 @@ def facet_metrics(
         ).to_pandas()
         n_docs = len(dm)
         ords = dm[ord_col].to_numpy(np.int64)
-        vals = {c: dm[c].to_numpy(np.float64) for c in metric_cols}
+        # numeric kinds read float64 (nulls → NaN, masked out below);
+        # missing/countvals/unique read the raw values + a null mask
+        vals = {c: dm[c].to_numpy(np.float64) for c in num_cols}
+        nulls = {c: dm[c].isna().to_numpy() for c in metric_cols}
+        objs = {c: dm[c].to_numpy(object) for c in uq_cols}
         if ds_bc is not None:
             bits, n = ds_bc.value[seg_id]
             hits = np.flatnonzero(np.unpackbits(
@@ -389,25 +432,55 @@ def facet_metrics(
         if hits is not None:
             ords = ords[hits]
             vals = {c: v[hits] for c, v in vals.items()}
+            nulls = {c: v[hits] for c, v in nulls.items()}
+            objs = {c: v[hits] for c, v in objs.items()}
+        else:
+            nulls, objs = dict(nulls), dict(objs)
         keep = ords >= 0
         ords = ords[keep]
         vals = {c: v[keep] for c, v in vals.items()}
+        nulls = {c: v[keep] for c, v in nulls.items()}
+        objs = {c: v[keep] for c, v in objs.items()}
         uniq, inv = np.unique(ords, return_inverse=True)
         data = {
             "seg_id": np.full(len(uniq), seg_id, np.int32),
             "term_ord": uniq.astype(np.int32),
             "cnt": np.bincount(inv).astype(np.int64),
         }
+        nb = len(uniq)
+
+        def _clean(c, fill):
+            # null-excluding numeric view (Solr aggs skip missing vals)
+            return np.where(nulls[c], fill, np.nan_to_num(vals[c]))
+
         for c in sum_cols:
-            data[f"s_{c}"] = np.bincount(inv, weights=vals[c])
+            data[f"s_{c}"] = np.bincount(
+                inv, weights=_clean(c, 0.0), minlength=nb)
+        for c in sq_cols:
+            v = _clean(c, 0.0)
+            data[f"ss_{c}"] = np.bincount(inv, weights=v * v, minlength=nb)
         for c in min_cols:
-            arr = np.full(len(uniq), np.inf)
-            np.minimum.at(arr, inv, vals[c])
+            arr = np.full(nb, np.inf)
+            np.minimum.at(arr, inv, _clean(c, np.inf))
             data[f"mn_{c}"] = arr
         for c in max_cols:
-            arr = np.full(len(uniq), -np.inf)
-            np.maximum.at(arr, inv, vals[c])
+            arr = np.full(nb, -np.inf)
+            np.maximum.at(arr, inv, _clean(c, -np.inf))
             data[f"mx_{c}"] = arr
+        for c in nv_cols:
+            data[f"nv_{c}"] = np.bincount(
+                inv, weights=~nulls[c], minlength=nb).astype(np.int64)
+        for c in ms_cols:
+            data[f"ms_{c}"] = np.bincount(
+                inv, weights=nulls[c], minlength=nb).astype(np.int64)
+        for c in uq_cols:
+            # UniqueAgg per-shard value SET, packed one string per
+            # bucket (dict-bounded docvalues cardinality)
+            sets = [set() for _ in range(nb)]
+            nn = ~nulls[c]
+            for i, v in zip(inv[nn], objs[c][nn]):
+                sets[i].add(str(v))
+            data[f"u_{c}"] = [_USEP.join(sorted(s)) for s in sets]
         return pd.DataFrame(data)
 
     if spec is None or pure_negative or ds_bc is not None:
@@ -420,15 +493,50 @@ def facet_metrics(
     parts = _with_terms(searcher, partials, field)
     merge_aggs = [F.sum("cnt").alias("cnt")]
     merge_aggs += [F.sum(f"s_{c}").alias(f"s_{c}") for c in sum_cols]
+    merge_aggs += [F.sum(f"ss_{c}").alias(f"ss_{c}") for c in sq_cols]
     merge_aggs += [F.min(f"mn_{c}").alias(f"mn_{c}") for c in min_cols]
     merge_aggs += [F.max(f"mx_{c}").alias(f"mx_{c}") for c in max_cols]
+    merge_aggs += [F.sum(f"nv_{c}").alias(f"nv_{c}") for c in nv_cols]
+    merge_aggs += [F.sum(f"ms_{c}").alias(f"ms_{c}") for c in ms_cols]
+    # UniqueAgg merge: union of the per-segment value sets
+    merge_aggs += [
+        F.collect_list(f"u_{c}").alias(f"ul_{c}") for c in uq_cols
+    ]
     out_cols = [F.col("term").alias("facet_value"), F.col("cnt")]
+
+    def _var(c):
+        # sample variance from algebraic partials (Σx, Σx², n);
+        # 0.0 below 2 values — the AggUtil.stdDev contract
+        n, s, ss = F.col(f"nv_{c}"), F.col(f"s_{c}"), F.col(f"ss_{c}")
+        return F.when(
+            n > 1, (ss - s * s / n) / (n - 1)
+        ).otherwise(F.lit(0.0))
+
     for kind, c in aggs:
+        if kind == "unique":
+            merged = F.array_distinct(F.filter(
+                F.flatten(F.transform(
+                    F.col(f"ul_{c}"), lambda x: F.split(x, _USEP)
+                )),
+                lambda v: v != F.lit(""),
+            ))
+            out_cols.append(
+                F.size(merged).cast("long").alias(f"unique_{c}"))
+            continue
+        if kind in ("missing", "countvals"):
+            src = F.col(f"ms_{c}" if kind == "missing" else f"nv_{c}")
+            out_cols.append(src.cast("long").alias(f"{kind}_{c}"))
+            continue
         src = {
             "sum": F.col(f"s_{c}"),
-            "avg": F.col(f"s_{c}") / F.col("cnt"),
+            "avg": F.when(
+                F.col(f"nv_{c}") > 0,
+                F.col(f"s_{c}") / F.col(f"nv_{c}")),
             "min": F.col(f"mn_{c}"),
             "max": F.col(f"mx_{c}"),
+            "sumsq": F.col(f"ss_{c}"),
+            "variance": _var(c),
+            "stddev": F.sqrt(_var(c)),
         }[kind]
         out_cols.append(F.round(src, 4).alias(f"{kind}_{c}"))
     out = parts.groupBy("term").agg(*merge_aggs).select(*out_cols)

@@ -512,6 +512,85 @@ LIMIT 10
 )
 
 
+def _idx_json_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Facet statistical bucket metrics (SumsqAgg / StddevAgg /
+    VarianceAgg) through the index engine: per role over the 'data'
+    domain, count + Σx² + sample stddev/variance of doc length — the
+    Σx/Σx²/n partials ride the SAME sparse per-segment pass as the
+    counts and merge algebraically (variance = (Σx² − (Σx)²/n)/(n−1),
+    0.0 below two values — the AggUtil.stdDev contract).
+    ref: solr/core/src/java/org/apache/solr/search/facet/SumsqAgg.java,
+         StddevAgg.java, VarianceAgg.java."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_metrics(
+        s, "role", spec=BooleanSpec(must=("data",)), limit=10,
+        aggs=(("sumsq", "doc_len"), ("stddev", "doc_len"),
+              ("variance", "doc_len")),
+    )
+
+
+register(
+    "q_idx_json_facet_stats",
+    _idx_json_facet_stats,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value, count(*) AS cnt,
+       round(sum(CAST(len(toks) AS DOUBLE) * len(toks)), 4)
+         AS sumsq_doc_len,
+       round(coalesce(stddev_samp(len(toks)), 0), 4) AS stddev_doc_len,
+       round(coalesce(var_samp(len(toks)), 0), 4) AS variance_doc_len
+FROM docs WHERE list_contains(toks, 'data')
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
+def _idx_json_facet_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Facet null-aware bucket metrics (UniqueAgg / CountValsAgg /
+    MissingAgg) through the index engine: per role over the 'merge'
+    domain, exact distinct tools + non-null and null tool counts. The
+    unique merge exchanges per-SEGMENT value sets (UniqueAgg's
+    per-shard set protocol — exact because docvalues dictionaries are
+    bounded; high-cardinality fields route to the hll approx path).
+    ref: solr/core/src/java/org/apache/solr/search/facet/UniqueAgg.java,
+         CountValsAgg.java, MissingAgg.java."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_metrics(
+        s, "role", spec=BooleanSpec(must=("merge",)), limit=10,
+        aggs=(("unique", "tool"), ("countvals", "tool"),
+              ("missing", "tool")),
+    )
+
+
+register(
+    "q_idx_json_facet_unique",
+    _idx_json_facet_unique,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value, count(*) AS cnt,
+       count(DISTINCT tool) AS unique_tool,
+       count(tool) AS countvals_tool,
+       count(*) - count(tool) AS missing_tool
+FROM docs WHERE list_contains(toks, 'merge')
+GROUP BY 1 ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 def _idx_facet_sort_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON Facet bucket sort by a METRIC (sort: 'avg_doc_len desc'
     instead of count — FacetFieldProcessor sortVariable), through the
@@ -5188,7 +5267,7 @@ def _select_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.handler import parse_select_params, select
 
     spec, o = parse_select_params(_SELECT_GROUP_PARAMS)
-    assert spec == _SELECT_GROUP_SPEC and o["group"] == ("role", 2)
+    assert spec == _SELECT_GROUP_SPEC and o["group"] == ("role", 2, 0)
     s = cached_searcher(spark, sf_dir)
     return select(s, _SELECT_GROUP_PARAMS)["grouped"]
 
@@ -8305,6 +8384,137 @@ st AS (
 SELECT conv_id, turn_idx, tf, df, ttf
 FROM tfq CROSS JOIN st WHERE tf > 0
 ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
+)
+
+
+# ---------------------------------------------------------------------------
+# /sql — the Parallel SQL handler (SQLHandler.java / Solr 6+ "Parallel
+# SQL Interface"): the SQL subset compiled straight onto the engine's
+# bounded primitives (lucene_solr_spark/sql.py). Four oracle rows, one
+# per execution mode — the oracle SQL is essentially the statement
+# itself, which is the point of the surface.
+# ---------------------------------------------------------------------------
+
+
+def _sql_facet_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/sql GROUP BY → facet mode: the statement's WHERE becomes one
+    BooleanSpec (text predicate = TermQuery, != = not_filter), the
+    aggregates ride the sparse facet_metrics pass, HAVING/ORDER/LIMIT
+    apply on the dict-bounded bucket frame.
+    ref: solr/core/src/java/org/apache/solr/handler/SQLHandler.java
+    (facet mode compile to facet() stream)."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    return sql_query(
+        s,
+        "SELECT tool, COUNT(*) AS cnt, AVG(doc_len) AS avg_dl "
+        "FROM transcripts WHERE text = 'data' AND role != 'tool' "
+        "GROUP BY tool HAVING cnt >= 5 ORDER BY cnt DESC LIMIT 7",
+    )
+
+
+register(
+    "q_sql_facet_mode",
+    _sql_facet_mode,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(len(toks)), 4) AS avg_dl
+FROM docs
+WHERE list_contains(toks, 'data') AND role != 'tool'
+      AND tool IS NOT NULL
+GROUP BY tool HAVING count(*) >= 5
+ORDER BY cnt DESC, tool LIMIT 7""",
+)
+
+
+def _sql_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/sql bare COUNT(*) → the docset_count fast path (numFound with
+    zero extra jobs on a queryResultCache hit); WHERE mixes a text
+    TermQuery with an integer range (strict '<' normalized to the
+    engine's inclusive range_filters)."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    return sql_query(
+        s,
+        "SELECT COUNT(*) AS n FROM transcripts "
+        "WHERE text = 'merge' AND turn_idx < 6",
+    )
+
+
+register(
+    "q_sql_count_star",
+    _sql_count_star,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n
+FROM transcripts
+WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    'merge')
+      AND turn_idx < 6""",
+)
+
+
+def _sql_bare_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/sql bare aggregates (no GROUP BY) → one partial-aggregating
+    job over the DocSet domain; COUNT(DISTINCT col) maps to the
+    UniqueAgg analog, SUM/MIN/MAX stay integral (the pinned
+    int32-product rule)."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    return sql_query(
+        s,
+        "SELECT COUNT(DISTINCT tool) AS ut, COUNT(tool) AS nt, "
+        "SUM(doc_len) AS sdl, AVG(doc_len) AS adl, "
+        "MAX(turn_idx) AS mt "
+        "FROM transcripts WHERE role = 'assistant'",
+    )
+
+
+register(
+    "q_sql_bare_aggs",
+    _sql_bare_aggs,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT CAST(count(DISTINCT tool) AS BIGINT) AS ut,
+       CAST(count(tool) AS BIGINT) AS nt,
+       CAST(sum(doc_len) AS BIGINT) AS sdl,
+       round(avg(doc_len), 4) AS adl,
+       CAST(max(turn_idx) AS BIGINT) AS mt
+FROM (SELECT tool, turn_idx,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+      FROM transcripts WHERE role = 'assistant')""",
+)
+
+
+def _sql_doclist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/sql plain SELECT with LIMIT → DocSet keys joined to the PRUNED
+    docvalues columns, distributed TakeOrdered (never a global sort);
+    ORDER BY appends the engine's pinned (conv_id, turn_idx) tiebreak
+    so the LIMIT boundary is total-ordered. IN → TermInSetQuery fq."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    return sql_query(
+        s,
+        "SELECT conv_id, turn_idx, role FROM transcripts "
+        "WHERE role IN ('user', 'assistant') AND turn_idx <= 3 "
+        "ORDER BY ts DESC LIMIT 20",
+    )
+
+
+register(
+    "q_sql_doclist",
+    _sql_doclist,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx, role
+FROM transcripts
+WHERE role IN ('user', 'assistant') AND turn_idx <= 3
+ORDER BY ts DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 

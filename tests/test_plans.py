@@ -430,11 +430,15 @@ def test_select_field_sort_plans_take_ordered(searcher):
 
 
 def test_select_group_leg_plan_is_bounded(spark, sf_dir):
-    """The /select group leg must stay skew-safe at scale: head pick
-    is a partial-aggregating min_by (no window over the full hit set),
+    """The /select group leg must stay skew-safe at scale: the head
+    pick runs as its own bounded job (partial-aggregating min_by +
+    distributed TakeOrdered, ranks assigned driver-side on the ≤
+    start+rows page — behavior pinned by the brute and paging tests),
     and the doclist window carries the Partial WindowGroupLimit
     pushdown so every map task pre-reduces to group.limit rows per
-    group before the group-key exchange."""
+    group before the group-key exchange. NO window in the output plan
+    may be unpartitioned — the single-partition heads window this
+    replaces was the round-4 regression."""
     from lucene_solr_spark.handler import select
     from lucene_solr_spark.registry import (
         _SELECT_GROUP_PARAMS, cached_searcher,
@@ -443,7 +447,6 @@ def test_select_group_leg_plan_is_bounded(spark, sf_dir):
     s = cached_searcher(spark, sf_dir)
     plan = _physical(select(s, _SELECT_GROUP_PARAMS)["grouped"])
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
-    assert "min_by" in plan, plan[:2000]          # head pick = partial agg
     assert "CartesianProduct" not in plan
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:

@@ -463,3 +463,160 @@ def test_select_wt_writers_roundtrip(spark, sf_dir):
 
     with pytest.raises(ValueError, match="wt must be"):
         select(s, {"q": "merge", "wt": "csv"})
+
+
+# -- extended json.facet metric kinds (sumsq/stddev/variance/missing/
+#    countvals/unique) ---------------------------------------------------------
+
+
+def test_facet_metrics_extended_kinds_brute(spark, sf_dir):
+    """The six new FacetModule agg kinds equal a brute recompute over
+    the domain frame; stddev/variance are the SAMPLE estimators on the
+    null-excluded values; unique/countvals/missing are null-aware."""
+    import math
+
+    s = cached_searcher(spark, sf_dir)
+    spec = BooleanSpec(must=("merge",))
+    got = {r.facet_value: r for r in __import__(
+        "lucene_solr_spark.query.facets", fromlist=["facet_metrics"]
+    ).facet_metrics(
+        s, "role", spec=spec, limit=10,
+        aggs=(("sumsq", "doc_len"), ("stddev", "doc_len"),
+              ("variance", "doc_len"), ("unique", "tool"),
+              ("countvals", "tool"), ("missing", "tool")),
+    ).collect()}
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text"))
+    dom = t.filter(F.array_contains("toks", "merge")).select(
+        "role", "tool", F.size("toks").alias("dl")).collect()
+    by_role: dict = {}
+    for r in dom:
+        by_role.setdefault(r.role, []).append((r.dl, r.tool))
+    assert set(got) == set(by_role)
+    for role, rows in by_role.items():
+        g = got[role]
+        dls = [d for d, _ in rows]
+        tools = [tl for _, tl in rows if tl is not None]
+        assert g.cnt == len(rows)
+        assert g.sumsq_doc_len == round(float(sum(d * d for d in dls)), 4)
+        mean = sum(dls) / len(dls)
+        var = (sum((d - mean) ** 2 for d in dls) / (len(dls) - 1)
+               if len(dls) > 1 else 0.0)
+        assert abs(g.variance_doc_len - var) < 1e-3
+        assert abs(g.stddev_doc_len - math.sqrt(var)) < 1e-3
+        assert g.unique_tool == len(set(tools))
+        assert g.countvals_tool == len(tools)
+        assert g.missing_tool == len(rows) - len(tools)
+
+
+def test_facet_metrics_kind_contracts(spark, sf_dir):
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s = cached_searcher(spark, sf_dir)
+    with pytest.raises(ValueError, match="unknown facet metric kind"):
+        facet_metrics(s, "role", aggs=(("median", "doc_len"),))
+    # sort may rank on any new output column
+    df = facet_metrics(
+        s, "role", spec=BooleanSpec(must=("merge",)), limit=2,
+        aggs=(("stddev", "doc_len"),), sort="stddev_doc_len")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0].stddev_doc_len >= rows[1].stddev_doc_len
+
+
+def test_select_json_facet_extended_kinds(spark, sf_dir):
+    """/select json.facet accepts the new kinds (keys stay
+    <kind>_<col>), routes them into the same sparse pass, and rejects
+    numeric kinds on string columns."""
+    from lucene_solr_spark.query.facets import facet_metrics
+
+    s = cached_searcher(spark, sf_dir)
+    resp = select(s, {
+        "q": "merge", "rows": 0,
+        "json.facet": {"by_role": {
+            "type": "terms", "field": "role",
+            "facet": {"unique_tool": "unique(tool)",
+                      "stddev_doc_len": "stddev(doc_len)"},
+        }},
+    })
+    got = {r.facet_value: (r.unique_tool, r.stddev_doc_len)
+           for r in resp["facets"]["by_role"].collect()}
+    want = {r.facet_value: (r.unique_tool, r.stddev_doc_len)
+            for r in facet_metrics(
+                s, "role", spec=BooleanSpec(must=("merge",)), limit=10,
+                aggs=(("unique", "tool"), ("stddev", "doc_len")),
+            ).collect()}
+    assert got == want
+    for bad in ("sum(tool)", "stddev(role)", "median(doc_len)"):
+        with pytest.raises(ValueError, match="sub-agg"):
+            select(s, {"q": "merge", "rows": 0, "json.facet": {
+                "x": {"type": "terms", "field": "role",
+                      "facet": {bad.split("(")[0] + "_" +
+                                bad.split("(")[1][:-1]: bad}}}})
+
+
+# -- /sql Parallel SQL handler ------------------------------------------------
+
+
+def test_sql_parse_contracts(spark, sf_dir):
+    """SQLHandler 400 analogs: everything outside the subset raises
+    with a message naming the violation — nothing silently degrades."""
+    from lucene_solr_spark.sql import parse_sql, sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    for bad, msg in [
+        ("SELECT nope FROM t", "unknown column"),
+        ("SELECT COUNT(*) FROM t", "needs AS"),
+        ("SELECT SUM(role) AS x FROM t", "numeric column"),
+        ("SELECT role, COUNT(*) AS c FROM t GROUP BY conv_id",
+         "GROUP BY supports"),
+        ("SELECT role FROM t GROUP BY role", "at least one aggregate"),
+        ("SELECT COUNT(*) AS c FROM t HAVING c > 1", "HAVING needs"),
+        ("SELECT role, COUNT(*) AS c FROM t GROUP BY role LIMIT 0",
+         "LIMIT must be"),
+        ("SELECT COUNT(*) AS c, role FROM t", "cannot mix"),
+        ("SELECT role FROM t WHERE text > 'x' ORDER BY ts LIMIT 1",
+         "text predicates"),
+        ("SELECT role FROM t WHERE ts < '2024' ORDER BY ts LIMIT 1",
+         "strict <"),
+        ("SELECT COUNT(DISTINCT *) AS c FROM t", "DISTINCT"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_sql(bad)
+    # plain SELECT without ORDER BY raises at execution (the /export
+    # sorted-stream contract)
+    with pytest.raises(ValueError, match="needs ORDER BY"):
+        sql_query(s, "SELECT role FROM transcripts LIMIT 3")
+
+
+def test_sql_facet_mode_equals_engine(spark, sf_dir):
+    """GROUP BY mode must equal the facet_metrics engine result
+    directly (same spec, same kinds) — the SQL layer adds parsing,
+    never new math."""
+    from lucene_solr_spark.query.facets import facet_metrics
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    got = sql_query(
+        s, "SELECT role, COUNT(*) AS cnt, MIN(doc_len) AS mn "
+           "FROM transcripts WHERE text = 'merge' "
+           "GROUP BY role ORDER BY cnt DESC LIMIT 10").collect()
+    want = {r.facet_value: (r.cnt, r.min_doc_len) for r in facet_metrics(
+        s, "role", spec=BooleanSpec(must=("merge",)),
+        aggs=(("min", "doc_len"),), limit=10).collect()}
+    assert {r.role: (r.cnt, int(r.mn)) for r in got} == {
+        k: (c, int(m)) for k, (c, m) in want.items()}
+
+
+def test_sql_doclist_plan_is_take_ordered(spark, sf_dir):
+    """Plain SELECT + LIMIT plans as a distributed TakeOrdered off the
+    pruned docmap columns — never a global Sort, never a cartesian."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    df = sql_query(
+        s, "SELECT conv_id, turn_idx FROM transcripts "
+           "WHERE role = 'user' ORDER BY ts DESC LIMIT 10")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
