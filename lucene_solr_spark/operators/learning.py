@@ -325,3 +325,136 @@ def q_classify_stream(spark, sf_dir):
         .orderBy(F.desc("prob"), "conv_id", "turn_idx")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lucene classification module: SimpleNaiveBayesClassifier.
+# ref: lucene/classification/src/java/org/apache/lucene/classification/
+# SimpleNaiveBayesClassifier.java (class priors from doc counts, add-one
+# smoothed token likelihoods from per-class term statistics, argmax of
+# the log-space score). The reference pulls its statistics from index
+# postings per classify() call; here the SAME statistics come from two
+# narrow map-side-partial aggregations over the corpus and the scorer
+# is one inverted equi-join — no per-document query loop.
+#
+# Pinned contract (cross-engine determinism):
+# - classes = the role values; the training corpus is the full table
+#   (self-classification, the q_quality_lm_perplexity self-LM precedent);
+# - prior(c)  = ln(docs(c) / N);
+# - lik(t|c)  = ln((cnt(t,c) + 1) / (tok(c) + V)) with cnt = total
+#   occurrences of t in class c, tok(c) = Σ cnt, V = corpus distinct
+#   terms (add-one smoothing);
+# - score(d,c) = prior(c) + Σ_t tf(t,d)·lik(t|c)
+#              = prior(c) − dl(d)·ln(tok(c)+V) + Σ_{t∈d} tf·ln(cnt+1)
+#   — the decomposition means UNSEEN (t,c) pairs contribute exactly
+#   their smoothing mass through the dl term and the join only ever
+#   touches EXISTING (t,c) rows (ln(0+1)=0): no dense class×vocab grid;
+# - predicted = argmax on the 4dp-ROUNDED score, tie → class asc
+#   (the q_kmeans_train max_by precedent).
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "q_classify_naive_bayes",
+    f"""{DOCS_CTE},
+tok AS (
+  SELECT conv_id, turn_idx, role, unnest(toks) AS term FROM docs),
+cls_term AS (
+  SELECT role AS c, term, count(*) AS ctc FROM tok GROUP BY 1, 2),
+cls_tot AS (SELECT c, sum(ctc) AS tokc FROM cls_term GROUP BY 1),
+v AS (SELECT count(DISTINCT term) AS vocab FROM tok),
+n AS (SELECT count(*) AS nn FROM docs),
+pri AS (SELECT role AS c, count(*) AS dc FROM docs GROUP BY 1),
+doc_tf AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT conv_id, turn_idx, role, len(toks) AS dl FROM docs),
+contrib AS (
+  SELECT d.conv_id, d.turn_idx, ct.c,
+         sum(d.tf * ln(ct.ctc + 1)) AS s
+  FROM doc_tf d JOIN cls_term ct USING (term) GROUP BY 1, 2, 3),
+grid AS (
+  SELECT dl.conv_id, dl.turn_idx, dl.role, p.c,
+         round(ln(CAST(p.dc AS DOUBLE) / n.nn)
+               - dl.dl * ln(t.tokc + v.vocab)
+               + coalesce(co.s, 0), 4) AS s4
+  FROM dl
+  CROSS JOIN pri p CROSS JOIN n CROSS JOIN v
+  JOIN cls_tot t ON t.c = p.c
+  LEFT JOIN contrib co
+    ON co.conv_id = dl.conv_id AND co.turn_idx = dl.turn_idx
+   AND co.c = p.c),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY s4 DESC, c) AS rn
+  FROM grid)
+SELECT conv_id, turn_idx, role, c AS predicted, s4 AS score,
+       c = role AS correct
+FROM ranked WHERE rn = 1
+ORDER BY conv_id, turn_idx LIMIT 40""",
+)
+def q_classify_naive_bayes(spark, sf_dir):
+    """SimpleNaiveBayesClassifier over the role classes: class stats
+    are two narrow partial aggregations ((class, term) counts and
+    class totals), scoring joins the per-doc tf frame to the per-class
+    term counts on TERM (inverted join — rows only for terms the class
+    HAS seen; smoothing mass for unseen terms folds into the closed
+    dl·ln(tok(c)+V) term), and the argmax is a partial-aggregating
+    min_by. The corpus text never shuffles; the two driver scalars
+    (N, |V|) are bounded single-value jobs."""
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text"))
+    tok = t.select(
+        "conv_id", "turn_idx", "role", F.explode("toks").alias("term"))
+    cls_term = tok.groupBy(F.col("role").alias("c"), "term").agg(
+        F.count(F.lit(1)).alias("ctc"))
+    cls_tot = cls_term.groupBy("c").agg(F.sum("ctc").alias("tokc"))
+    vocab = tok.select("term").distinct().count()
+    n = t.count()
+    classes = (
+        t.groupBy(F.col("role").alias("c"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .join(cls_tot, "c")
+        .select(
+            "c",
+            F.log(F.col("dc").cast("double") / F.lit(float(n)))
+            .alias("prior"),
+            F.log(F.col("tokc") + F.lit(vocab)).alias("den"),
+        )
+    )
+    doc_tf = tok.groupBy("conv_id", "turn_idx", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    contrib = (
+        doc_tf.join(cls_term, "term")
+        .groupBy("conv_id", "turn_idx", "c")
+        .agg(F.sum(F.col("tf") * F.log(F.col("ctc") + 1)).alias("s"))
+    )
+    dl = t.select("conv_id", "turn_idx", "role",
+                  F.size("toks").alias("dl"))
+    grid = (
+        dl.crossJoin(F.broadcast(classes))
+        .join(contrib, ["conv_id", "turn_idx", "c"], "left")
+        .withColumn(
+            "s4",
+            F.round(
+                F.col("prior") - F.col("dl") * F.col("den")
+                + F.coalesce(F.col("s"), F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    best = grid.groupBy("conv_id", "turn_idx", "role").agg(
+        F.min_by(
+            F.struct(F.col("c"), F.col("s4")),
+            F.struct((-F.col("s4")).alias("ns"), F.col("c")),
+        ).alias("b")
+    )
+    return (
+        best.select(
+            "conv_id", "turn_idx", "role",
+            F.col("b.c").alias("predicted"),
+            F.col("b.s4").alias("score"),
+            (F.col("b.c") == F.col("role")).alias("correct"),
+        )
+        .orderBy("conv_id", "turn_idx")
+        .limit(40)
+    )
