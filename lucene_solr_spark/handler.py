@@ -496,22 +496,42 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     range_subs = {"facet.range.start", "facet.range.end", "facet.range.gap"}
     if "facet.range" in params:
         fld = params["facet.range"]
-        if fld not in _AGG_COLS:
+        if fld not in _AGG_COLS | {"ts"}:
             raise ValueError(f"facet.range field must be one of "
-                             f"{sorted(_AGG_COLS)}, got {fld!r}")
+                             f"{sorted(_AGG_COLS | {'ts'})}, got {fld!r}")
         missing_subs = range_subs - set(params)
         if missing_subs:
             raise ValueError(
                 f"facet.range needs {sorted(missing_subs)}")
-        try:
-            r_start = int(params["facet.range.start"])
-            r_end = int(params["facet.range.end"])
-            r_gap = int(params["facet.range.gap"])
-        except (TypeError, ValueError):
-            raise ValueError(
-                "facet.range.start/end/gap must be integers") from None
-        if r_gap <= 0 or r_end <= r_start:
-            raise ValueError("facet.range needs gap > 0 and end > start")
+        if fld == "ts":
+            # DATE range facet (RangeFacetProcessor date path): ISO
+            # start/end, gap = a DateMath step like +1HOUR / +1MONTH
+            # applied bound-by-bound (month arithmetic clamps like
+            # DateMathParser); hardend=false — the last bucket runs
+            # to start+n*gap even past end
+            r_start = _parse_solr_date(params["facet.range.start"])
+            r_end = _parse_solr_date(params["facet.range.end"])
+            r_gap = str(params["facet.range.gap"])
+            from lucene_solr_spark.query.datemath import parse as _dm
+            if not re.fullmatch(r"\+\d+[A-Z]+", r_gap):
+                raise ValueError(
+                    f"facet.range.gap on ts must be a +<n><UNIT> "
+                    f"DateMath step, got {r_gap!r}")
+            if _dm(f"NOW{r_gap}", now=r_start) <= r_start:
+                raise ValueError("facet.range.gap must advance time")
+            if r_end <= r_start:
+                raise ValueError("facet.range needs end > start")
+        else:
+            try:
+                r_start = int(params["facet.range.start"])
+                r_end = int(params["facet.range.end"])
+                r_gap = int(params["facet.range.gap"])
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "facet.range.start/end/gap must be integers") from None
+            if r_gap <= 0 or r_end <= r_start:
+                raise ValueError(
+                    "facet.range needs gap > 0 and end > start")
         facet_range = (fld, r_start, r_end, r_gap)
     elif range_subs & set(params):
         raise ValueError("facet.range.start/end/gap need facet.range")
@@ -726,6 +746,60 @@ def _range_buckets(
     )
 
 
+def _parse_solr_date(raw) -> "datetime.datetime":
+    """ISO-8601 date literal (Solr's 2024-01-01T00:00:00Z form; the
+    space-separated spelling also accepted) → naive UTC datetime."""
+    import datetime
+
+    s = str(raw).strip().replace("Z", "+00:00")
+    try:
+        d = datetime.datetime.fromisoformat(s)
+    except ValueError:
+        raise ValueError(f"facet.range date must be ISO-8601, "
+                         f"got {raw!r}") from None
+    if d.tzinfo is not None:
+        d = d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return d
+
+
+def _date_range_buckets(
+    searcher, spec: BooleanSpec, fld: str, start_d, end_d, gap: str
+) -> DataFrame:
+    """DATE range buckets (RangeFacetProcessor's date path): bucket
+    BOUNDS are computed bound-by-bound with the DateMathParser gap —
+    exactly Solr's loop, so variable-width +1MONTH gaps clamp
+    month-ends correctly — then broadcast as a tiny (lo, hi) frame;
+    assignment is one broadcast range join (each doc hits exactly one
+    bucket) + a narrow count. NON-EMPTY buckets only (the engine's
+    pinned range contract); hardend=false — the last bucket runs to
+    start+n*gap. bucket_start is emitted as a STRING (the pinned
+    stringify-timestamps rule).
+    ref: solr/core/src/java/org/apache/solr/request/
+    SimpleFacets.java + facet/FacetRange.java (date gap loop)."""
+    from lucene_solr_spark.query.datemath import parse as _dm
+
+    bounds, cur, i = [], start_d, 0
+    while cur < end_d:
+        nxt = _dm(f"NOW{gap}", now=cur)
+        bounds.append((cur, nxt))
+        cur = nxt
+        i += 1
+        if i > 100_000:
+            raise ValueError("facet.range on ts: too many buckets")
+    bdf = searcher.spark.createDataFrame(
+        bounds, "lo timestamp, hi timestamp")
+    c = F.col(fld)
+    return (
+        searcher.docmap().select("conv_id", "turn_idx", fld)
+        .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+        .join(F.broadcast(bdf), (c >= F.col("lo")) & (c < F.col("hi")))
+        .groupBy(F.date_format("lo", "yyyy-MM-dd HH:mm:ss")
+                 .alias("bucket_start"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("bucket_start")
+    )
+
+
 def _encode_wt(page: DataFrame, wt: str) -> DataFrame:
     """Serialize the doclist per ``wt`` (ResponseWriter pick): the
     rows run the real XML / JavaBin codec as a distributed per-batch
@@ -855,8 +929,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         }
     if o["facet_range"]:
         fld, r_start, r_end, r_gap = o["facet_range"]
+        mk = _date_range_buckets if fld == "ts" else _range_buckets
         out["facet_ranges"] = {
-            fld: _range_buckets(searcher, spec, fld, r_start, r_end, r_gap)
+            fld: mk(searcher, spec, fld, r_start, r_end, r_gap)
         }
     if o["facet_interval"]:
         # classic facet.interval leg (IntervalFacets): every interval

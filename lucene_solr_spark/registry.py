@@ -8387,6 +8387,47 @@ ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _select_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range over a DATE field with a DateMath gap
+    (RangeFacetProcessor's date path): bucket bounds computed
+    bound-by-bound with the DateMathParser step (+6HOURS here;
+    variable-width +1MONTH clamps month-ends the same way), broadcast
+    as a tiny (lo, hi) frame, assignment = one broadcast range join.
+    Non-empty buckets only; bucket_start stringified (the pinned
+    timestamp rule).
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (getFacetRangeCounts date branch) + DateMathParser.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "data", "rows": 0, "facet.range": "ts",
+        "facet.range.start": "2024-01-01T00:00:00Z",
+        "facet.range.end": "2024-01-05T00:00:00Z",
+        "facet.range.gap": "+6HOURS",
+    })
+    return out["facet_ranges"]["ts"]
+
+
+register(
+    "q_select_range_date",
+    _select_range_date,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (
+         CAST(floor((epoch(ts)
+                     - epoch(TIMESTAMP '2024-01-01 00:00:00'))
+                    / 21600) AS BIGINT)
+         * 21600) SECOND, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM transcripts
+WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    'data')
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY 1 ORDER BY 1""",
+)
+
+
 # ---------------------------------------------------------------------------
 # /sql — the Parallel SQL handler (SQLHandler.java / Solr 6+ "Parallel
 # SQL Interface"): the SQL subset compiled straight onto the engine's

@@ -620,3 +620,52 @@ def test_sql_doclist_plan_is_take_ordered(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+# -- facet.range DATE path (DateMath gaps) -------------------------------------
+
+
+def test_date_range_facet_brute_and_month_clamp(spark, sf_dir):
+    """Date buckets equal a brute per-doc assignment against the
+    driver-computed bounds, and a +1MONTH gap walks variable-width
+    bounds with month-end clamping (the DateMathParser contract)."""
+    import datetime
+
+    from lucene_solr_spark.handler import _date_range_buckets, select
+    from lucene_solr_spark.query.datemath import parse as dm
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "data", "rows": 0, "facet.range": "ts",
+        "facet.range.start": "2024-01-01T00:00:00Z",
+        "facet.range.end": "2024-01-02T00:00:00Z",
+        "facet.range.gap": "+3HOURS",
+    })
+    got = {r.bucket_start: r.cnt
+           for r in out["facet_ranges"]["ts"].collect()}
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text"))
+    dom = t.filter(F.array_contains("toks", "data")).select("ts").collect()
+    start = datetime.datetime(2024, 1, 1)
+    end = datetime.datetime(2024, 1, 2)
+    want: dict = {}
+    for r in dom:
+        ts = r.ts
+        if not (start <= ts < end):
+            continue
+        b = start + datetime.timedelta(
+            hours=3 * ((ts - start) // datetime.timedelta(hours=3)))
+        want[b.strftime("%Y-%m-%d %H:%M:%S")] = want.get(
+            b.strftime("%Y-%m-%d %H:%M:%S"), 0) + 1
+    assert got == want and got
+    # month-gap bound walk clamps: Jan 31 + 1MONTH -> Feb 29 (2024)
+    assert dm("NOW+1MONTH", now=datetime.datetime(2024, 1, 31)) == \
+        datetime.datetime(2024, 2, 29)
+    # variable-width bounds through the bucket builder
+    df = _date_range_buckets(
+        s, BooleanSpec(must=("data",)), "ts",
+        datetime.datetime(2024, 1, 1), datetime.datetime(2024, 3, 1),
+        "+1MONTH")
+    starts = [r.bucket_start for r in df.collect()]
+    assert starts == ["2024-01-01 00:00:00"] or starts == [
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00"]
