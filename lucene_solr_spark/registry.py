@@ -8387,6 +8387,103 @@ ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+# ---------------------------------------------------------------------------
+# Streaming MATH EXPRESSIONS (Solr 7 let()/col()/describe()/corr()/
+# regress()/hist() — LetStream + the evaluator family). The reference
+# materializes arrays in coordinator memory; this engine keeps col()
+# symbolic and compiles every math function to ONE Spark aggregation
+# over the bound stream (see streams.StreamCompiler._c_let).
+# ---------------------------------------------------------------------------
+
+
+def _stream_let_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """let(a=search(events), b=col(a,value), c=describe(b)): the
+    DescribeEvaluator moment set (n/min/max/sum/mean/stddev/var,
+    sample estimators, 4dp) as one partial-aggregating job.
+    ref: solr/solrj/.../io/stream/LetStream.java,
+    eval/DescribeEvaluator.java."""
+    from lucene_solr_spark.streams import stream_handler
+
+    return stream_handler(
+        spark, sf_dir,
+        'let(a=search(events, q="event_type:click"), '
+        'b=col(a, value), c=describe(b))',
+    )
+
+
+register(
+    "q_stream_let_describe",
+    _stream_let_describe,
+    """SELECT CAST(count(value) AS BIGINT) AS n,
+       round(min(value), 4) AS min, round(max(value), 4) AS max,
+       round(sum(value), 4) AS sum, round(avg(value), 4) AS mean,
+       round(stddev_samp(value), 4) AS stddev,
+       round(var_samp(value), 4) AS var
+FROM events WHERE event_type = 'click'""",
+)
+
+
+def _stream_let_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regress(col(x), col(y)) — RegressionEvaluator's OLS fit from
+    algebraic moments (slope = cov/var, intercept = ȳ − slope·x̄,
+    R = Pearson) in ONE pass; Solr fits the arrays in coordinator
+    memory with commons-math SimpleRegression."""
+    from lucene_solr_spark.streams import stream_handler
+
+    return stream_handler(
+        spark, sf_dir,
+        'let(a=search(lineitem, q="*:*"), '
+        's=regress(col(a, l_quantity), col(a, l_extendedprice)))',
+    )
+
+
+register(
+    "q_stream_let_regress",
+    _stream_let_regress,
+    """SELECT
+  round(covar_samp(l_quantity, l_extendedprice)
+        / var_samp(l_quantity), 4) AS slope,
+  round(avg(l_extendedprice)
+        - covar_samp(l_quantity, l_extendedprice)
+          / var_samp(l_quantity) * avg(l_quantity), 4) AS intercept,
+  round(corr(l_quantity, l_extendedprice), 4) AS r
+FROM lineitem""",
+)
+
+
+def _stream_let_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hist(col(a,value), 6) — HistogramEvaluator as the engine's
+    pinned two-phase shape (one scalar min/max agg broadcast back +
+    one narrow groupBy, the perplexity-terciles precedent); ALL bins
+    enumerated, equal width, last bin closes on the max."""
+    from lucene_solr_spark.streams import stream_handler
+
+    return stream_handler(
+        spark, sf_dir,
+        'let(a=search(events, q="*:*"), h=hist(col(a, value), 6))',
+    )
+
+
+register(
+    "q_stream_let_hist",
+    _stream_let_hist,
+    """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT least(CAST(floor((value - s.lo) / ((s.hi - s.lo) / 6))
+               AS BIGINT), 5) AS bin
+  FROM events, s),
+g AS (SELECT CAST(range AS BIGINT) AS bin FROM range(6))
+SELECT g.bin,
+       round(s.lo + g.bin * ((s.hi - s.lo) / 6), 4) AS lo,
+       round(s.lo + (g.bin + 1) * ((s.hi - s.lo) / 6), 4) AS hi,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM g CROSS JOIN s
+LEFT JOIN (SELECT bin, count(*) AS cnt FROM b GROUP BY 1) c
+  ON c.bin = g.bin
+ORDER BY g.bin""",
+)
+
+
 def _select_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.range over a DATE field with a DateMath gap
     (RangeFacetProcessor's date path): bucket bounds computed

@@ -55,8 +55,12 @@ STREAM_FUNCS = frozenset(
     "search select top unique sort rollup having innerJoin leftOuterJoin "
     "hashJoin fetch facet stats merge complement intersect "
     "cartesianProduct parallel topic daemon significantTerms knnSearch "
-    "timeseries random nodes scoreNodes shortestPath update commit".split()
+    "timeseries random nodes scoreNodes shortestPath update commit "
+    "let col describe corr regress hist".split()
 )
+#: math-expression functions — valid only as let() bindings (they
+#: reference let variables)
+_MATH_FUNCS = frozenset("col describe corr regress hist".split())
 _METRIC_FUNCS = frozenset("count sum avg min max".split())
 
 
@@ -265,6 +269,9 @@ class StreamCompiler:
             raise ValueError(f"unknown stream function: {expr.name!r}")
         if expr.name == "daemon":
             raise ValueError("daemon() is only valid at the top level")
+        if expr.name in _MATH_FUNCS:
+            raise ValueError(
+                f"{expr.name}() is only valid inside let() bindings")
         return getattr(self, f"_c_{expr.name}")(expr)
 
     def _sub(self, raw: str):
@@ -905,6 +912,169 @@ class StreamCompiler:
         (df, keys) = self._sub(sub[0])
         col = unquote(flat[0])
         return df.withColumn(col, F.explode(col)), keys
+
+    def _c_let(self, expr: StreamExpr):
+        """Solr 7 streaming MATH EXPRESSIONS: ``let(a=<stream>,
+        b=col(a, f), c=describe(b), ...)``. Bindings evaluate in
+        order, later ones may reference earlier ones; the let()
+        result is the LAST binding.
+
+        Architectural stance vs the reference: Solr's Let/ColumnEvaluator
+        materialize arrays in coordinator memory and run the math
+        single-threaded; here col() is a symbolic (stream, column)
+        reference and every math function COMPILES TO ONE SPARK
+        AGGREGATION over the bound stream — the array never leaves
+        the cluster, so describe()/corr()/regress()/hist() still work
+        when the bound stream is corpus-sized.
+        ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/
+        stream/LetStream.java, eval/ColumnEvaluator.java,
+        DescribeEvaluator.java, CorrelationEvaluator.java,
+        RegressionEvaluator.java, HistogramEvaluator.java."""
+        if expr.args:
+            raise ValueError("let() wants only name=expression bindings")
+        if not expr.params:
+            raise ValueError("let() wants at least one binding")
+        self._lets: dict = {}
+        last = None
+        for name, raw in expr.params.items():
+            if not _is_expr(raw):
+                raise ValueError(
+                    f"let binding {name!r} must be an expression")
+            tree = parse_stream_expr(raw)
+            if tree.name in _MATH_FUNCS:
+                val = self._math(tree)
+            else:
+                val = ("stream", *self.compile(tree))
+            self._lets[name] = val
+            last = val
+        if last[0] == "colref":
+            raise ValueError("let() cannot end on a bare col() binding "
+                             "— finish with a stream or math result")
+        return last[1], last[2]
+
+    def _colref(self, raw: str, fn: str):
+        raw = raw.strip()
+        if _is_expr(raw):
+            sub = parse_stream_expr(raw)
+            if sub.name != "col":
+                raise ValueError(f"{fn}() wants col() references")
+            return self._math(sub)
+        v = getattr(self, "_lets", {}).get(raw)
+        if v is None or v[0] != "colref":
+            raise ValueError(
+                f"{fn}() wants a col() binding, got {raw!r}")
+        return v
+
+    def _math(self, tree: StreamExpr):
+        from pyspark.sql import types as T
+
+        fn = tree.name
+        if fn == "col":
+            if len(tree.args) != 2 or tree.params:
+                raise ValueError("col() wants (variable, field)")
+            var, fld = tree.args[0].strip(), unquote(tree.args[1].strip())
+            src = getattr(self, "_lets", {}).get(var)
+            if src is None or src[0] != "stream":
+                raise ValueError(
+                    f"col() wants a bound stream variable, got {var!r}")
+            df = src[1]
+            if fld not in df.columns:
+                raise ValueError(f"col(): unknown field {fld!r}")
+            if not isinstance(df.schema[fld].dataType, (
+                    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.FloatType, T.DoubleType, T.DecimalType)):
+                raise ValueError(f"col() wants a numeric field: {fld!r}")
+            return ("colref", df, fld)
+        if fn == "describe":
+            if len(tree.args) != 1 or tree.params:
+                raise ValueError("describe() wants one col()")
+            _, df, f = self._colref(tree.args[0], fn)
+            c = F.col(f)
+            out = df.agg(
+                F.count(c).cast("long").alias("n"),
+                F.round(F.min(c), 4).alias("min"),
+                F.round(F.max(c), 4).alias("max"),
+                F.round(F.sum(c), 4).alias("sum"),
+                F.round(F.avg(c), 4).alias("mean"),
+                F.round(F.stddev_samp(c), 4).alias("stddev"),
+                F.round(F.var_samp(c), 4).alias("var"),
+            )
+            return ("stream", out, [])
+        if fn == "corr":
+            if len(tree.args) != 2 or tree.params:
+                raise ValueError("corr() wants two col()s")
+            _, d1, f1 = self._colref(tree.args[0], fn)
+            _, d2, f2 = self._colref(tree.args[1], fn)
+            if d1 is not d2:
+                raise ValueError("corr() wants two columns of ONE "
+                                 "bound stream (row-aligned arrays)")
+            out = d1.agg(F.round(F.corr(f1, f2), 4).alias("corr"))
+            return ("stream", out, [])
+        if fn == "regress":
+            if len(tree.args) != 2 or tree.params:
+                raise ValueError("regress() wants col(x), col(y)")
+            _, d1, fx = self._colref(tree.args[0], fn)
+            _, d2, fy = self._colref(tree.args[1], fn)
+            if d1 is not d2:
+                raise ValueError("regress() wants two columns of ONE "
+                                 "bound stream (row-aligned arrays)")
+            # ordinary least squares from algebraic moments — one
+            # partial-aggregating pass (slope = cov/var, intercept =
+            # ȳ − slope·x̄, R = Pearson), 4dp like every published float
+            m = d1.agg(
+                F.covar_samp(fx, fy).alias("cv"),
+                F.var_samp(fx).alias("vx"),
+                F.avg(fx).alias("ax"),
+                F.avg(fy).alias("ay"),
+                F.corr(fx, fy).alias("r"),
+            )
+            out = m.select(
+                F.round(F.col("cv") / F.col("vx"), 4).alias("slope"),
+                F.round(
+                    F.col("ay") - F.col("cv") / F.col("vx") * F.col("ax"),
+                    4).alias("intercept"),
+                F.round(F.col("r"), 4).alias("r"),
+            )
+            return ("stream", out, [])
+        if fn == "hist":
+            if len(tree.args) != 2 or tree.params:
+                raise ValueError("hist() wants (col(), bins)")
+            _, df, f = self._colref(tree.args[0], fn)
+            bins = int(unquote(tree.args[1].strip()))
+            if bins < 1:
+                raise ValueError("hist() wants bins >= 1")
+            # two-phase like the perplexity terciles: one scalar
+            # min/max agg broadcast back, then one narrow groupBy —
+            # the column never sorts globally
+            row = df.agg(F.min(f).alias("lo"), F.max(f).alias("hi")
+                         ).collect()[0]
+            if row.lo is None:
+                raise ValueError("hist() over an empty stream")
+            lo, hi = float(row.lo), float(row.hi)
+            width = (hi - lo) / bins if hi > lo else 1.0
+            c = F.col(f).cast("double")
+            bucket = F.least(
+                F.floor((c - F.lit(lo)) / F.lit(width)),
+                F.lit(bins - 1),
+            ).cast("long")
+            cnts = df.groupBy(bucket.alias("bin")).agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"))
+            grid = self.spark.range(bins).select(
+                F.col("id").cast("long").alias("bin"))
+            out = (
+                grid.join(cnts, "bin", "left")
+                .select(
+                    "bin",
+                    F.round(F.lit(lo) + F.col("bin") * F.lit(width), 4)
+                    .alias("lo"),
+                    F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width),
+                            4).alias("hi"),
+                    F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+                )
+                .orderBy("bin")
+            )
+            return ("stream", out, [("bin", True)])
+        raise AssertionError(fn)
 
     def _c_parallel(self, expr: StreamExpr):
         """parallel(workers=N, partitionKeys=f, inner): Solr ships the

@@ -572,3 +572,53 @@ def test_update_commit_raises(spark, sf_dir):
                      'q="text:merge", id="t3"))')
     with pytest.raises(ValueError, match="one update"):
         comp.compile('commit(d3, topic(transcripts, q="text:merge", id="t4"))')
+
+
+# -- let() math expressions ----------------------------------------------------
+
+
+def test_let_math_contracts(spark, sf_dir):
+    """Math evaluators bind only inside let(), reference only bound
+    variables, and the result compiles to aggregations (no driver
+    arrays): describe/corr plans contain one partial agg and never a
+    CartesianProduct; bindings evaluate in order."""
+    from lucene_solr_spark.streams import stream_handler
+
+    # chained bindings, last one wins
+    df = stream_handler(
+        spark, sf_dir,
+        'let(a=search(events, q="*:*"), x=col(a, value), '
+        'd=describe(x), c=corr(col(a, value), col(a, value)))')
+    row = df.collect()[0]
+    assert row.corr == 1.0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for bad, msg in [
+        ('describe(col(a, value))', "only valid inside let"),
+        ('let(a=search(events, q="*:*"), h=hist(col(a, value), 0))',
+         "bins >= 1"),
+        ('let(c=describe(col(a, value)))', "bound stream"),
+        ('let(a=search(events, q="*:*"), '
+         's=regress(col(a, value), value))', "col"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            stream_handler(spark, sf_dir, bad)
+
+
+def test_let_hist_covers_all_rows(spark, sf_dir):
+    """hist() bins partition the value range: counts sum to the
+    stream size, every bin row is present (empty ones at cnt=0), and
+    the max value lands in the LAST bin (the close-on-max pin)."""
+    from lucene_solr_spark.streams import stream_handler
+
+    rows = stream_handler(
+        spark, sf_dir,
+        'let(a=search(events, q="*:*"), h=hist(col(a, value), 7))'
+    ).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    assert [r.bin for r in rows] == list(range(7))
+    assert sum(r.cnt for r in rows) == n
+    mx = ev.agg(F.max("value")).collect()[0][0]
+    assert rows[-1].lo <= round(mx, 4) <= rows[-1].hi
+    assert rows[-1].cnt >= 1
