@@ -8387,6 +8387,93 @@ ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _classify_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene classification module, k-NN classifier: classify one
+    document by its MoreLikeThis neighborhood — interesting terms →
+    BM25 top-k (source excluded) → per-class vote. The class weight is
+    the Σ of the 4dp-rounded neighbor scores (deterministic
+    cross-engine), ranked (weight desc, class asc); row 1 IS the
+    prediction. The neighbor search is the engine's existing
+    more_like_this pass; the vote adds one narrow groupBy over k rows.
+    The docmap role join is a docmap read site — the tombstone mask
+    applies through docmap().
+    ref: lucene/classification/src/java/org/apache/lucene/
+    classification/KNearestNeighborClassifier.java (MLT query +
+    classVotes from the top docs)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    src = t.filter(
+        (F.col("conv_id") == _MLT_CONV) & (F.col("turn_idx") == _MLT_TURN)
+    ).first()
+    nn = s.more_like_this(
+        _MLT_CONV, _MLT_TURN, src.text,
+        max_terms=_MLT_NTERMS, k=15, round_to=ROUND,
+    )
+    dm = s.docmap().select("conv_id", "turn_idx", "role")
+    return (
+        nn.join(dm, ["conv_id", "turn_idx"])
+        .groupBy(F.col("role").alias("class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.round(F.sum("score"), 4).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), "class")
+    )
+
+
+register(
+    "q_classify_knn",
+    _classify_knn,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs2 AS (
+  SELECT conv_id, turn_idx, role,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS doc_len
+  FROM transcripts),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl FROM docs2),
+tokens AS (
+  SELECT conv_id, turn_idx, doc_len, unnest(toks) AS term FROM docs2),
+alldf AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT conv_id, turn_idx, term FROM tokens) GROUP BY term),
+src_tf AS (
+  SELECT term, count(*) AS tf FROM tokens
+  WHERE conv_id = '{_MLT_CONV}' AND turn_idx = {_MLT_TURN} GROUP BY term),
+mlt AS (
+  SELECT st.term FROM src_tf st JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY round(st.tf * ln(1.0 + (stats.n_docs - alldf.df + 0.5)
+                 / (alldf.df + 0.5)), 6) DESC, st.term
+  LIMIT {_MLT_NTERMS}),
+tfq AS (
+  SELECT conv_id, turn_idx, term, count(*) AS tf,
+         any_value(doc_len) AS doc_len
+  FROM tokens WHERE term IN (SELECT term FROM mlt)
+  GROUP BY conv_id, turn_idx, term),
+scored AS (
+  SELECT tfq.conv_id, tfq.turn_idx,
+         round(sum(
+           ln(1.0 + (stats.n_docs - alldf.df + 0.5) / (alldf.df + 0.5))
+           * (tfq.tf * (1.2 + 1))
+           / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * tfq.doc_len / stats.avgdl))
+         ), {ROUND}) AS score
+  FROM tfq JOIN alldf USING (term) CROSS JOIN stats
+  GROUP BY tfq.conv_id, tfq.turn_idx),
+topk AS (
+  SELECT conv_id, turn_idx, score FROM scored
+  WHERE NOT (conv_id = '{_MLT_CONV}' AND turn_idx = {_MLT_TURN})
+  ORDER BY score DESC, conv_id, turn_idx
+  LIMIT 15)
+SELECT d.role AS class, CAST(count(*) AS BIGINT) AS votes,
+       round(sum(t.score), 4) AS weight
+FROM topk t JOIN docs2 d USING (conv_id, turn_idx)
+GROUP BY 1 ORDER BY weight DESC, class""",
+)
+
+
 # ---------------------------------------------------------------------------
 # Streaming MATH EXPRESSIONS (Solr 7 let()/col()/describe()/corr()/
 # regress()/hist() — LetStream + the evaluator family). The reference
