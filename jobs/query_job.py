@@ -31,6 +31,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True, help="committed index root")
     ap.add_argument("--q", default=None, help="classic-syntax query string")
+    ap.add_argument("--sql", default=None, metavar="STMT",
+                    help="/sql Parallel SQL statement (exclusive with "
+                         "--q / --select-json)")
     ap.add_argument("--select-json", default=None, metavar="JSON|@FILE",
                     help="a FULL /select params dict (JSON inline or "
                          "@file) dispatched through handler.select — "
@@ -93,11 +96,23 @@ def main() -> None:
     from lucene_solr_spark.query.executor import IndexSearcher
     from lucene_solr_spark.query.parser import edismax, parse
 
-    if bool(args.q) == bool(args.select_json):
-        ap.error("exactly one of --q / --select-json is required")
+    n_modes = sum(map(bool, (args.q, args.select_json, args.sql)))
+    if n_modes != 1:
+        ap.error("exactly one of --q / --select-json / --sql is required")
 
     s = IndexSearcher(spark, args.index,
                       analyzer_version=args.analyzer_version)
+
+    if args.sql:
+        from lucene_solr_spark.sql import sql_query
+
+        out = sql_query(s, args.sql)
+        for row in out.collect():
+            print(json.dumps(
+                {k: (v if isinstance(v, (int, float, str, bool, type(None)))
+                     else str(v)) for k, v in row.asDict().items()}))
+        spark.stop()
+        return
 
     if args.select_json:
         from lucene_solr_spark.handler import select as h_select

@@ -268,3 +268,40 @@ def test_spark_submit_select_json(spark, sf_dir, tmp_path):
         capture_output=True, text=True, timeout=300, env=env,
     )
     assert bad.returncode != 0
+
+
+def test_spark_submit_sql(spark, sf_dir, tmp_path):
+    """/sql through one spark-submit: --sql runs the Parallel SQL
+    statement against the committed index and streams JSON rows that
+    match the in-process sql_query result row-for-row."""
+    from lucene_solr_spark.index.build import build_index
+
+    root = str(tmp_path / "qsqlidx")
+    t = transcripts_from_documents(spark, sf_dir)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    zip_path = make_zip(str(tmp_path / "engine.zip"))
+    env = os.environ.copy()
+    env.pop("SPARK_GRAFT_CPUS", None)
+    stmt = ("SELECT role, COUNT(*) AS cnt, AVG(doc_len) AS avg_dl "
+            "FROM transcripts WHERE text = 'merge' "
+            "GROUP BY role ORDER BY cnt DESC LIMIT 10")
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(os.path.dirname(__file__), "..", "jobs",
+                         "query_job.py"),
+            "--index", root,
+            "--sql", stmt,
+        ],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rows = [json.loads(ln) for ln in proc.stdout.splitlines()
+            if ln.startswith("{")]
+    from lucene_solr_spark.sql import sql_query
+
+    s = IndexSearcher(spark, root)
+    want = [r.asDict() for r in sql_query(s, stmt).collect()]
+    assert rows == want and rows
