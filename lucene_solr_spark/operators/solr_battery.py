@@ -2596,3 +2596,148 @@ def q_suggest_freetext(spark, sf_dir):
         .orderBy("ctx", F.desc("weight"), "nxt")
     )
 
+
+
+# ===========================================================================
+# Similarity families beyond the pinned BM25 (the Lucene Similarity
+# extension surface, demonstrated as ALTERNATE scoring plans over the
+# same corpus — the serving index keeps its rank-identity BM25).
+# ===========================================================================
+
+# ref: lucene/core/src/java/org/apache/lucene/search/similarities/
+# LMDirichletSimilarity.java — Bayesian smoothing with Dirichlet priors
+# (Zhai & Lafferty 2001): per-term contribution
+#   max(0, ln(1 + tf / (mu * p(t|C))) + ln(mu / (dl + mu))), mu = 2000,
+# p(t|C) = cf(t) / |C| tokens; negative contributions clamp to 0 (the
+# class's documented behavior). OR semantics over the query terms, rank
+# on the 4dp round.
+@op(
+    "q_lm_dirichlet",
+    f"""{DOCS_CTE},
+d AS (
+  SELECT conv_id, turn_idx, len(toks) AS dl,
+         len(list_filter(toks, t -> t = 'merge')) AS tf1,
+         len(list_filter(toks, t -> t = 'data')) AS tf2
+  FROM docs),
+st AS (
+  SELECT CAST(sum(dl) AS DOUBLE) AS ctot,
+         CAST(sum(tf1) AS DOUBLE) AS cf1,
+         CAST(sum(tf2) AS DOUBLE) AS cf2
+  FROM d)
+SELECT conv_id, turn_idx,
+       round(
+         greatest(0, CASE WHEN tf1 > 0 THEN
+           ln(1 + tf1 / (2000.0 * (cf1 / ctot))) + ln(2000.0 / (dl + 2000.0))
+           ELSE 0 END)
+         + greatest(0, CASE WHEN tf2 > 0 THEN
+           ln(1 + tf2 / (2000.0 * (cf2 / ctot))) + ln(2000.0 / (dl + 2000.0))
+           ELSE 0 END), 4) AS score
+FROM d CROSS JOIN st
+WHERE tf1 > 0 OR tf2 > 0
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 20""",
+)
+def q_lm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LMDirichlet scoring as one narrow Catalyst pass: per-doc term
+    freqs from the token array, collection stats from ONE
+    partial-aggregating job broadcast back (the corpus never
+    shuffles), top-k a TakeOrdered."""
+    d = _docs(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.size("toks").alias("dl"),
+        F.size(F.filter("toks", lambda t: t == F.lit("merge")))
+        .alias("tf1"),
+        F.size(F.filter("toks", lambda t: t == F.lit("data")))
+        .alias("tf2"),
+    )
+    st = d.agg(
+        F.sum("dl").cast("double").alias("ctot"),
+        F.sum("tf1").cast("double").alias("cf1"),
+        F.sum("tf2").cast("double").alias("cf2"),
+    )
+    mu = F.lit(2000.0)
+
+    def term(tf, cf):
+        raw = (
+            F.log(F.lit(1.0) + F.col(tf) / (mu * (F.col(cf) / F.col("ctot"))))
+            + F.log(mu / (F.col("dl") + mu))
+        )
+        return F.greatest(
+            F.lit(0.0), F.when(F.col(tf) > 0, raw).otherwise(F.lit(0.0)))
+
+    return (
+        d.crossJoin(F.broadcast(st))
+        .filter((F.col("tf1") > 0) | (F.col("tf2") > 0))
+        .select(
+            "conv_id", "turn_idx",
+            F.round(term("tf1", "cf1") + term("tf2", "cf2"), 4)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(20)
+    )
+
+
+# ref: lucene/core/src/java/org/apache/lucene/search/similarities/
+# ClassicSimilarity.java (the pre-BM25 default TFIDFSimilarity):
+# per-term sqrt(tf) * idf^2 * lengthNorm with idf = 1 + ln(N/(df+1)),
+# lengthNorm = 1/sqrt(dl); coord and queryNorm are gone (Lucene 6+).
+@op(
+    "q_classic_tfidf",
+    f"""{DOCS_CTE},
+d AS (
+  SELECT conv_id, turn_idx, len(toks) AS dl,
+         len(list_filter(toks, t -> t = 'merge')) AS tf1,
+         len(list_filter(toks, t -> t = 'data')) AS tf2
+  FROM docs),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM d)
+SELECT conv_id, turn_idx,
+       round((sqrt(CAST(tf1 AS DOUBLE)) * pow(1 + ln(n / (df1 + 1)), 2)
+              + sqrt(CAST(tf2 AS DOUBLE)) * pow(1 + ln(n / (df2 + 1)), 2))
+             / sqrt(CAST(dl AS DOUBLE)), 4) AS score
+FROM d CROSS JOIN st
+WHERE (tf1 > 0 OR tf2 > 0) AND dl > 0
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT 20""",
+)
+def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicSimilarity (TF-IDF) scoring, same one-pass shape as
+    q_lm_dirichlet: stats broadcast, narrow scoring, TakeOrdered."""
+    d = _docs(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.size("toks").alias("dl"),
+        F.size(F.filter("toks", lambda t: t == F.lit("merge")))
+        .alias("tf1"),
+        F.size(F.filter("toks", lambda t: t == F.lit("data")))
+        .alias("tf2"),
+    )
+    st = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("tf1") > 0).cast("int")).cast("double").alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("int")).cast("double").alias("df2"),
+    )
+
+    def idf2(df):
+        return F.pow(
+            F.lit(1.0) + F.log(F.col("n") / (F.col(df) + 1)), F.lit(2.0))
+
+    return (
+        d.crossJoin(F.broadcast(st))
+        .filter(((F.col("tf1") > 0) | (F.col("tf2") > 0))
+                & (F.col("dl") > 0))
+        .select(
+            "conv_id", "turn_idx",
+            F.round(
+                (F.sqrt(F.col("tf1").cast("double")) * idf2("df1")
+                 + F.sqrt(F.col("tf2").cast("double")) * idf2("df2"))
+                / F.sqrt(F.col("dl").cast("double")),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(20)
+    )
