@@ -47,10 +47,12 @@ _KNOWN = {
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "hl.tag.pre", "hl.tag.post",
     "facet.query", "facet.range", "facet.range.start",
-    "facet.range.end", "facet.range.gap", "facet.pivot",
+    "facet.range.end", "facet.range.gap", "facet.range.other",
+    "facet.pivot",
     "facet.interval", "facet.interval.set",
     "stats", "stats.field",
     "group", "group.field", "group.limit", "group.main", "group.format",
+    "group.ngroups",
     "mlt", "mlt.count", "mlt.maxqt",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "debug",
@@ -535,6 +537,23 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         facet_range = (fld, r_start, r_end, r_gap)
     elif range_subs & set(params):
         raise ValueError("facet.range.start/end/gap need facet.range")
+    # facet.range.other (FacetRangeOther): the before/after/between
+    # special counts alongside the buckets — 'all' or a comma list
+    facet_range_other: tuple = ()
+    if "facet.range.other" in params:
+        if facet_range is None:
+            raise ValueError("facet.range.other needs facet.range")
+        raw_o = str(params["facet.range.other"])
+        kinds = (
+            ("before", "after", "between") if raw_o == "all"
+            else tuple(k.strip() for k in raw_o.split(",") if k.strip())
+        )
+        bad = set(kinds) - {"before", "after", "between"}
+        if bad or not kinds:
+            raise ValueError(
+                f"facet.range.other wants all|before|after|between, "
+                f"got {raw_o!r}")
+        facet_range_other = kinds
     # classic facet.pivot (PivotFacetProcessor): one 2-level pivot
     # over ord-indexed fields; facet.limit bounds both levels
     facet_pivot = None
@@ -606,6 +625,10 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         # getGroups offset — the doclist-level page has no meaning
         # when the response is a groups list)
         group = (g_field, g_limit, start)
+        # group.ngroups=true: the total number of matching groups
+        # (distinct group values in the DocSet — one narrow
+        # partial-aggregating distinct, Grouping's totalGroupCount)
+        group_ngroups = bool(params.get("group.ngroups", False))
         # group.format=simple flattens the doclists into ONE list
         # ordered (group rank, doc rank); group.main=true additionally
         # makes that flat list THE response (Solr: main implies the
@@ -622,8 +645,10 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                     "group.main=true replaces the response doclist; "
                     "hl/mlt/debug legs key on the ungrouped page")
     elif {"group.field", "group.limit", "group.main",
-          "group.format"} & set(params):
+          "group.format", "group.ngroups"} & set(params):
         raise ValueError("group.* params need group=true")
+    if group is None:
+        group_ngroups = False
     # MoreLikeThis component leg
     mlt = None
     if params.get("mlt", False):
@@ -699,12 +724,14 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_method": facet_method,
         "facet_queries": facet_queries,
         "facet_range": facet_range,
+        "facet_range_other": facet_range_other,
         "facet_pivot": facet_pivot,
         "facet_interval": facet_interval,
         "stats_fields": list(stats_fields),
         "group": group,
         "group_format": group_format,
         "group_main": group_main,
+        "group_ngroups": group_ngroups,
         "mlt": mlt,
         "spellcheck": spellcheck,
         "debug": debug,
@@ -743,6 +770,31 @@ def _range_buckets(
         )
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy("bucket_start")
+    )
+
+
+def _range_other(
+    searcher, spec: BooleanSpec, fld: str, start_v, end_v, kinds
+) -> DataFrame:
+    """facet.range.other special counts (FacetRangeOther): before =
+    values < start, after = values >= end, between = [start, end) —
+    ONE conditional-sum pass over the domain's docvalues column
+    (never a rescan per kind); one row, a long column per requested
+    kind. ref: solr/core/src/java/org/apache/solr/handler/component/
+    RangeFacetProcessor.java (FacetRangeOther)."""
+    c = F.col(fld)
+    conds = {
+        "before": c < F.lit(start_v),
+        "after": c >= F.lit(end_v),
+        "between": (c >= F.lit(start_v)) & (c < F.lit(end_v)),
+    }
+    return (
+        searcher.docmap().select("conv_id", "turn_idx", fld)
+        .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+        .agg(*[
+            F.sum(conds[k].cast("long")).cast("long").alias(k)
+            for k in kinds
+        ])
     )
 
 
@@ -933,6 +985,11 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["facet_ranges"] = {
             fld: mk(searcher, spec, fld, r_start, r_end, r_gap)
         }
+        if o["facet_range_other"]:
+            out["facet_ranges_other"] = {
+                fld: _range_other(searcher, spec, fld, r_start, r_end,
+                                  o["facet_range_other"])
+            }
     if o["facet_interval"]:
         # classic facet.interval leg (IntervalFacets): every interval
         # predicate is a conditional sum in ONE partial-aggregating
@@ -1007,6 +1064,11 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 searcher.docmap().select("conv_id", "turn_idx", g_field),
                 ["conv_id", "turn_idx"],
             )
+        if o["group_ngroups"]:
+            # Grouping's totalGroupCount: distinct group values in the
+            # match set (a NULL group counts when present) — one
+            # partial-aggregating distinct, never a window
+            out["ngroups"] = ghits.select(g_field).distinct().count()
         # head pick WITHOUT a window: one partial-aggregating min_by
         # per group on the pinned order (-score, conv_id, turn_idx) —
         # map-side combine, so a low-cardinality group field (role: 4

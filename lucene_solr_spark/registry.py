@@ -8387,6 +8387,73 @@ ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _select_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.ngroups=true (Grouping's totalGroupCount): the number of
+    DISTINCT group values in the match set — one partial-aggregating
+    distinct over the DocSet-joined group column (a NULL group counts
+    when present, like Solr's null group head).
+    ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+    (totalCount=grouped / getNGroups)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {
+        "q": "merge", "rows": 2, "group": True, "group.field": "tool",
+        "group.limit": 1, "group.ngroups": True,
+    })
+    return spark.createDataFrame([(r["ngroups"],)], "ngroups long")
+
+
+register(
+    "q_select_group_ngroups",
+    _select_group_ngroups,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT tool FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'merge')
+)
+SELECT CAST(count(DISTINCT tool)
+            + max(CASE WHEN tool IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS ngroups
+FROM dom""",
+)
+
+
+def _select_range_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.other=all through /select (FacetRangeOther):
+    before/after/between computed as ONE conditional-sum pass over
+    the domain — never a rescan per kind."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {
+        "q": "data", "rows": 0, "facet.range": "turn_idx",
+        "facet.range.start": 2, "facet.range.end": 8,
+        "facet.range.gap": 2, "facet.range.other": "all",
+    })
+    return r["facet_ranges_other"]["turn_idx"]
+
+
+register(
+    "q_select_range_other",
+    _select_range_other,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT turn_idx FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'data')
+)
+SELECT CAST(sum(CASE WHEN turn_idx < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS before,
+       CAST(sum(CASE WHEN turn_idx >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS after,
+       CAST(sum(CASE WHEN turn_idx >= 2 AND turn_idx < 8
+                THEN 1 ELSE 0 END) AS BIGINT) AS between
+FROM dom""",
+)
+
+
 def _classify_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene classification module, k-NN classifier: classify one
     document by its MoreLikeThis neighborhood — interesting terms →
