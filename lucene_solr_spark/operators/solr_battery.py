@@ -2741,3 +2741,97 @@ def q_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "conv_id", "turn_idx")
         .limit(20)
     )
+
+
+# ref: lucene/suggest/src/java/org/apache/lucene/search/suggest/
+# analyzing/FreeTextSuggester.java — the BACKOFF dimension of the
+# n-gram LM suggester (q_suggest_freetext above covers the pure
+# bigram lookup): when the typed context has fewer continuations
+# than requested, the suggester backs off to the unigram model with
+# the class's stupid-backoff constant ALPHA = 0.4.
+#
+# Pinned contract: bigram score = cnt(prev, w) / Σ_w cnt(prev, w);
+# backoff score = 0.4 * cnt(w) / total tokens; the ranked UNION ranks
+# on the 4dp score alone (token asc tiebreak) — the probability blend
+# the reference's long-weight encoding preserves.
+def suggest_freetext(
+    spark: SparkSession, sf_dir: str, prev: str, n: int = 10
+) -> DataFrame:
+    """Next-token suggestions after ``prev``: the bigram pass is one
+    explode+groupBy over adjacent token pairs (narrow rows, map-side
+    combine); when fewer than ``n`` continuations exist the unigram
+    backoff fills the list (0.4-damped, suggested tokens excluded via
+    an anti-join). Both model tables are corpus aggregates — nothing
+    per-query but two bounded jobs."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda t, i: F.struct(
+                    t.alias("prev"),
+                    F.element_at(F.col("toks"), i + 2).alias("token"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.prev", "p.token")
+    cont = (
+        pairs.filter(F.col("prev") == prev)
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cont.agg(F.sum("cnt").alias("t"))
+    big = (
+        cont.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.round(F.col("cnt").cast("double") / F.col("t"), 4)
+            .alias("score"),
+            F.lit("bigram").alias("model"),
+        )
+    )
+    if big.limit(n).count() >= n:
+        return big.orderBy(F.desc("score"), "token").limit(n)
+    uni = d.select(F.explode("toks").alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    utot = uni.agg(F.sum("cnt").alias("t"))
+    back = (
+        uni.join(big.select("token"), "token", "left_anti")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "token",
+            F.round(
+                F.lit(0.4) * F.col("cnt").cast("double") / F.col("t"), 4
+            ).alias("score"),
+            F.lit("backoff").alias("model"),
+        )
+    )
+    return (
+        big.unionByName(back)
+        .orderBy(F.desc("score"), "token")
+        .limit(n)
+    )
+
+
+@op(
+    "q_suggest_freetext_backoff",
+    f"""{DOCS_CTE},
+pairs AS (
+  SELECT unnest([{{'prev': toks[i], 'token': toks[i+1]}}
+                 for i in range(1, len(toks))]) AS p
+  FROM docs),
+cont AS (
+  SELECT p.token AS token, count(*) AS cnt
+  FROM pairs WHERE p.prev = 'data' GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t FROM cont)
+SELECT token, round(CAST(cnt AS DOUBLE) / t, 4) AS score,
+       'bigram' AS model
+FROM cont CROSS JOIN tot
+ORDER BY score DESC, token LIMIT 10""",
+)
+def q_suggest_freetext_backoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probability-normalized continuations of 'data' (a dense prev —
+    the oracle exercises the bigram scores; the 0.4-damped unigram
+    backoff fires for sparse prevs, pinned in pytest)."""
+    return suggest_freetext(spark, sf_dir, "data", 10)

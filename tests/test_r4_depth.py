@@ -669,3 +669,40 @@ def test_date_range_facet_brute_and_month_clamp(spark, sf_dir):
     starts = [r.bucket_start for r in df.collect()]
     assert starts == ["2024-01-01 00:00:00"] or starts == [
         "2024-01-01 00:00:00", "2024-02-01 00:00:00"]
+
+
+# -- FreeTextSuggester backoff --------------------------------------------------
+
+
+def test_freetext_suggester_backoff(spark, sf_dir):
+    """A sparse prev token (fewer than n bigram continuations) fills
+    the tail with 0.4-damped unigram suggestions: bigram rows match a
+    brute pair count, backoff rows never duplicate a bigram token, and
+    every score matches the pinned formulas at 4dp."""
+    from collections import Counter
+
+    from lucene_solr_spark.operators.solr_battery import suggest_freetext
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).withColumn(
+        "toks", tokens_col("text"))
+    docs = [r.toks for r in t.select("toks").collect()]
+    uni = Counter(tok for d in docs for tok in d)
+    # pick a prev with 1..5 continuations so the backoff path fires
+    pair = Counter((a, b) for d in docs for a, b in zip(d, d[1:]))
+    conts: dict = {}
+    for (a, b), c in pair.items():
+        conts.setdefault(a, Counter())[b] = c
+    prev = sorted(a for a, cs in conts.items() if 1 <= len(cs) <= 5)[0]
+    got = suggest_freetext(spark, sf_dir, prev, 10).collect()
+    bg = {r.token: r.score for r in got if r.model == "bigram"}
+    bk = {r.token: r.score for r in got if r.model == "backoff"}
+    tot = sum(conts[prev].values())
+    assert bg == {w: round(c / tot, 4) for w, c in conts[prev].items()}
+    assert len(got) == 10 and not (set(bg) & set(bk))
+    utot = sum(uni.values())
+    for w, s in bk.items():
+        assert s == round(0.4 * uni[w] / utot, 4)
+    # ranked on score desc, token asc
+    ranks = [(-r.score, r.token) for r in got]
+    assert ranks == sorted(ranks)
