@@ -123,6 +123,38 @@ def _merge_filters(spec: BooleanSpec, f_spec: BooleanSpec) -> BooleanSpec:
     )
 
 
+def _parse_scalar_aggs(name: str, subs: dict) -> tuple:
+    """Scalar sub-aggregates (FacetModule SumAgg/AvgAgg/MinMaxAgg/
+    SumsqAgg/StddevAgg/VarianceAgg + MissingAgg/CountValsAgg/
+    UniqueAgg): any number per bucket; numeric kinds over the numeric
+    docvalues columns, null-counting kinds also over the string
+    docvalues fields; the key NAMES the output column and must be
+    <kind>_<col>."""
+    aggs: list = []
+    for agg_name, agg in (subs or {}).items():
+        m = re.fullmatch(
+            r"(sum|avg|min|max|sumsq|stddev|variance"
+            r"|missing|countvals|unique)\((\w+)\)",
+            str(agg))
+        allowed = (
+            _AGG_COLS | _FACETABLE
+            if m and m.group(1) in ("missing", "countvals", "unique")
+            else _AGG_COLS
+        )
+        if not m or m.group(2) not in allowed:
+            raise ValueError(
+                f"json.facet {name!r}: sub-agg must be "
+                f"<kind>(<col>) with a numeric col for "
+                f"numeric kinds, got {agg!r}")
+        kind, col = m.group(1), m.group(2)
+        if agg_name != f"{kind}_{col}":
+            raise ValueError(
+                f"json.facet {name!r}: the sub-agg key names "
+                f"the output column — use '{kind}_{col}'")
+        aggs.append((kind, col))
+    return tuple(aggs)
+
+
 def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
     """Normalize a ``json.facet`` request (JSON string or dict) into
     {name: ("terms", field, limit, ((kind, col), ...), sort)} /
@@ -230,37 +262,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                     f2, int(agg.get("limit", 10)), ex, dom_filter,
                 )
                 continue
-            aggs: list = []
-            if subs:
-                # scalar sub-aggregates (FacetModule SumAgg/AvgAgg/
-                # MinMaxAgg/SumsqAgg/StddevAgg/VarianceAgg +
-                # MissingAgg/CountValsAgg/UniqueAgg): any number per
-                # bucket; numeric kinds over the numeric docvalues
-                # columns, null-counting kinds also over the string
-                # docvalues fields; the key NAMES the output column
-                # and must be <kind>_<col>
-                for agg_name, agg in subs.items():
-                    m = re.fullmatch(
-                        r"(sum|avg|min|max|sumsq|stddev|variance"
-                        r"|missing|countvals|unique)\((\w+)\)",
-                        str(agg))
-                    allowed = (
-                        _AGG_COLS | _FACETABLE
-                        if m and m.group(1) in (
-                            "missing", "countvals", "unique")
-                        else _AGG_COLS
-                    )
-                    if not m or m.group(2) not in allowed:
-                        raise ValueError(
-                            f"json.facet {name!r}: sub-agg must be "
-                            f"<kind>(<col>) with a numeric col for "
-                            f"numeric kinds, got {agg!r}")
-                    kind, col = m.group(1), m.group(2)
-                    if agg_name != f"{kind}_{col}":
-                        raise ValueError(
-                            f"json.facet {name!r}: the sub-agg key names "
-                            f"the output column — use '{kind}_{col}'")
-                    aggs.append((kind, col))
+            aggs = _parse_scalar_aggs(name, subs)
             sort = req.get("sort", "count")
             agg_keys = {f"{k}_{c}" for k, c in aggs}
             if sort != "count":
@@ -274,15 +276,21 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                 sort, ex, dom_filter,
             )
         elif ftype == "query":
-            unknown = set(req) - {"type", "q"}
+            unknown = set(req) - {"type", "q", "facet"}
             if unknown:
                 raise ValueError(
                     f"json.facet {name!r}: unknown keys {sorted(unknown)}")
             raw = req.get("q")
             if not raw:
                 raise ValueError(f"json.facet {name!r}: 'q' required")
+            q_subs = req.get("facet", {})
+            if any(isinstance(a, dict) for a in q_subs.values()):
+                raise ValueError(
+                    f"json.facet {name!r}: query buckets take scalar "
+                    "sub-aggs only")
             out[name] = (
                 "query", _pure_filter(parse(raw, default_op="AND"), raw),
+                _parse_scalar_aggs(name, q_subs),
             )
         elif ftype == "range":
             unknown = set(req) - {"type", "field", "start", "end", "gap"}
@@ -771,6 +779,38 @@ def _range_buckets(
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy("bucket_start")
     )
+
+
+def _domain_aggs(searcher, spec: BooleanSpec, aggs) -> DataFrame:
+    """count + scalar sub-aggs over ONE domain (a query bucket with
+    facet sub-aggs): the DocSet keys join the pruned docvalues
+    columns and every aggregate runs in a single partial-aggregating
+    job. Null semantics match facet_metrics (numeric aggs and unique
+    skip missing values; missing/countvals count them)."""
+    need = sorted({c for _, c in aggs})
+    dom = searcher.docmap().select("conv_id", "turn_idx", *need).join(
+        searcher.docset(spec), ["conv_id", "turn_idx"])
+    exprs = [F.count(F.lit(1)).cast("long").alias("cnt")]
+    for kind, c in aggs:
+        col = F.col(c)
+        if kind in ("sum", "avg", "min", "max"):
+            e = {"sum": F.sum, "avg": F.avg,
+                 "min": F.min, "max": F.max}[kind](col)
+            e = F.round(e, 4)
+        elif kind == "sumsq":
+            e = F.round(F.sum(col * col), 4)
+        elif kind == "variance":
+            e = F.round(F.coalesce(F.var_samp(col), F.lit(0.0)), 4)
+        elif kind == "stddev":
+            e = F.round(F.coalesce(F.stddev_samp(col), F.lit(0.0)), 4)
+        elif kind == "missing":
+            e = F.sum(col.isNull().cast("long")).cast("long")
+        elif kind == "countvals":
+            e = F.count(col).cast("long")
+        else:  # unique
+            e = F.countDistinct(col).cast("long")
+        exprs.append(e.alias(f"{kind}_{c}"))
+    return dom.agg(*exprs)
 
 
 def _range_other(
@@ -1271,9 +1311,19 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     searcher, f1, f2, spec=n_spec, limit1=l1, limit2=l2
                 )
             else:
-                out["facets"][name] = searcher.docset(
-                    _merge_filters(spec, req[1])
-                ).count()
+                _, f_spec, q_aggs = req
+                if not q_aggs:
+                    out["facets"][name] = searcher.docset(
+                        _merge_filters(spec, f_spec)
+                    ).count()
+                else:
+                    # query bucket WITH scalar sub-aggs: one
+                    # partial-aggregating job over the bucket's
+                    # merged domain (count + every agg in the same
+                    # pass; null semantics match the terms-bucket
+                    # metric engine — avg/unique skip missing values)
+                    out["facets"][name] = _domain_aggs(
+                        searcher, _merge_filters(spec, f_spec), q_aggs)
     if o["hl"]:
         # highlight leg (DefaultSolrHighlighter in the /select flow):
         # ONLY the page's rows join back to stored fields (broadcast of

@@ -8387,6 +8387,44 @@ ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _select_jf_query_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet QUERY bucket with scalar sub-aggs (FacetQuery +
+    the agg family): count + avg + unique over the bucket's merged
+    domain in ONE partial-aggregating job — the single-bucket sibling
+    of the terms-bucket metric pass.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetQuery.java (sub-aggs over the query domain)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {
+        "q": "merge", "rows": 0,
+        "json.facet": {"assistants": {
+            "type": "query", "q": "role:assistant",
+            "facet": {"avg_doc_len": "avg(doc_len)",
+                      "unique_tool": "unique(tool)"},
+        }},
+    })
+    return r["facets"]["assistants"]
+
+
+register(
+    "q_select_jf_query_aggs",
+    _select_jf_query_aggs,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(len(toks)), 4) AS avg_doc_len,
+       CAST(count(DISTINCT tool) AS BIGINT) AS unique_tool
+FROM docs
+WHERE list_contains(toks, 'merge') AND role = 'assistant'""",
+)
+
+
 def _select_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group.ngroups=true (Grouping's totalGroupCount): the number of
     DISTINCT group values in the match set — one partial-aggregating
