@@ -496,3 +496,216 @@ def q_multimodal_meta(spark, sf_dir):
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image decode: PNG (RGB8, non-interlaced) needs only
+# stdlib zlib — signature, chunk framing with CRC32 validation, IDAT
+# reassembly across chunks, DEFLATE inflate, and the full scanline
+# filter family (None/Sub/Up/Average/Paeth, one of each exercised by
+# construction). Where BMP proved header/layout handling, PNG proves
+# the COMPRESSION and PREDICTION layers: any unfilter bug corrupts the
+# integer feature sums the DuckDB twin recomputes from the pixel
+# definition.
+# ref: SURVEY multimodal row; PNG spec (RFC 2083) — public format.
+# ---------------------------------------------------------------------------
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 9 + (doc_id % 4) * 5, 6 + (doc_id % 3) * 4  # (w, h), h >= 6
+
+
+def _png_pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 RGB, row 0 = TOP: r=(x*5+y*7+id*3)%256,
+    g=(x*3+y*11+id)%256, b=(x*13+y+id*7)%256."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 5 + y * 7 + doc_id * 3) % 256
+    g = (x * 3 + y * 11 + doc_id) % 256
+    b = (x * 13 + y + doc_id * 7) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """The Paeth predictor (per the spec, exact integer arithmetic)."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _filter_row(f: int, raw: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Apply scanline filter ``f`` (encoder side), bpp = 3 bytes."""
+    left = np.concatenate([np.zeros(3, np.uint8), raw[:-3]])
+    ul = np.concatenate([np.zeros(3, np.uint8), prev[:-3]])
+    if f == 0:
+        return raw
+    if f == 1:
+        return (raw.astype(np.int16) - left).astype(np.uint8)
+    if f == 2:
+        return (raw.astype(np.int16) - prev).astype(np.uint8)
+    if f == 3:
+        avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+        return (raw.astype(np.int16) - avg).astype(np.uint8)
+    return (raw.astype(np.int16) - _paeth(left, prev, ul)).astype(np.uint8)
+
+
+def _unfilter_row(f: int, enc: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Invert scanline filter ``f`` (decoder side) — sequential in the
+    pixel dimension for Sub/Average/Paeth (the spec's recurrence)."""
+    n = len(enc)
+    if f == 0:
+        return enc.copy()
+    if f == 2:
+        return (enc.astype(np.int16) + prev).astype(np.uint8)
+    out = np.zeros(n, np.uint8)
+    for i in range(n):
+        left = out[i - 3] if i >= 3 else np.uint8(0)
+        up = prev[i]
+        ul = prev[i - 3] if i >= 3 else np.uint8(0)
+        if f == 1:
+            v = enc[i] + left
+        elif f == 3:
+            v = enc[i] + (int(left) + int(up)) // 2
+        else:
+            v = enc[i] + _paeth(
+                np.array([left]), np.array([up]), np.array([ul]))[0]
+        out[i] = np.uint8(v)
+    return out
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _synth_png(doc_id: int) -> bytes:
+    """A real PNG: signature + IHDR + multi-chunk IDAT (DEFLATE of the
+    filtered scanlines, one filter type per row = row % 5) + IEND,
+    every chunk CRC'd."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(doc_id)
+    px = _png_pixels(doc_id, w, h)
+    stream = bytearray()
+    prev = np.zeros(w * 3, np.uint8)
+    for yy in range(h):
+        raw = px[yy].reshape(-1)
+        f = yy % 5
+        stream.append(f)
+        stream += _filter_row(f, raw, prev).tobytes()
+        prev = raw
+    comp = zlib.compress(bytes(stream), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = bytearray(b"\x89PNG\r\n\x1a\n") + _chunk(b"IHDR", ihdr)
+    for i in range(0, len(comp), 64):  # multi-chunk IDAT on purpose
+        out += _chunk(b"IDAT", comp[i:i + 64])
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+@op(
+    "q_multimodal_png_decode",
+    """WITH img AS (
+  SELECT doc_id, 9 + (doc_id % 4) * 5 AS w, 6 + (doc_id % 3) * 4 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT doc_id, w, h, x, y,
+         (x * 5 + y * 7 + doc_id * 3) % 256 AS r,
+         (x * 3 + y * 11 + doc_id) % 256 AS g,
+         (x * 13 + y + doc_id * 7) % 256 AS b
+  FROM img, unnest(range(0, w)) AS ux(x), unnest(range(0, h)) AS uy(y))
+SELECT doc_id,
+  CAST(any_value(w) AS BIGINT) AS width,
+  CAST(any_value(h) AS BIGINT) AS height,
+  CAST(sum(r) AS BIGINT) AS sum_r,
+  CAST(sum(g) AS BIGINT) AS sum_g,
+  CAST(sum(b) AS BIGINT) AS sum_b,
+  CAST(sum(CASE WHEN r + g + b >= 384 THEN 1 ELSE 0 END) AS BIGINT)
+    AS bright,
+  CAST(max(CASE WHEN x = 0 AND y = h - 1
+           THEN r * 65536 + g * 256 + b END) AS BIGINT) AS bottom_left
+FROM px GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_multimodal_png_decode(spark, sf_dir):
+    """REAL compressed-image pipeline: synthesize actual PNG bytes
+    (DEFLATE, per-row filters 0-4, CRC'd multi-chunk IDAT) into the
+    binary column, then DECODE in a separate Arrow stage — signature
+    + IHDR validation, CRC check on every chunk, IDAT reassembly,
+    inflate, full unfilter — and extract integer-exact features.
+    bottom_left is the filter witness: the LAST row has passed
+    through the whole Sub/Up/Average/Paeth recurrence chain, so any
+    unfilter bug shows up there first."""
+    schema_syn = "doc_id long, img binary"
+    schema_out = (
+        "doc_id long, width long, height long, sum_r long, sum_g long, "
+        "sum_b long, bright long, bottom_left long"
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 0)  # the 'image' docs
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "img": [_synth_png(int(x)) for x in pdf["doc_id"]],
+            })
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["img"]):
+                raw = bytes(raw)
+                assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+                pos, idat, w = 8, bytearray(), None
+                while pos < len(raw):
+                    (ln,) = struct.unpack_from(">I", raw, pos)
+                    tag = raw[pos + 4:pos + 8]
+                    body = raw[pos + 8:pos + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+                    assert zlib.crc32(tag + body) & 0xFFFFFFFF == crc
+                    if tag == b"IHDR":
+                        w, h, depth, ctype, comp, filt, inter = (
+                            struct.unpack(">IIBBBBB", body))
+                        assert (depth, ctype, comp, filt, inter) == (
+                            8, 2, 0, 0, 0)
+                    elif tag == b"IDAT":
+                        idat += body
+                    pos += 12 + ln
+                stream = zlib.decompress(bytes(idat))
+                stride = w * 3
+                px = np.zeros((h, stride), np.uint8)
+                prev = np.zeros(stride, np.uint8)
+                for yy in range(h):
+                    off = yy * (stride + 1)
+                    f = stream[off]
+                    enc = np.frombuffer(
+                        stream, np.uint8, count=stride, offset=off + 1)
+                    px[yy] = _unfilter_row(f, enc, prev)
+                    prev = px[yy]
+                rgb = px.reshape(h, w, 3).astype(np.int64)
+                r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+                rows.append((
+                    int(doc_id), w, h,
+                    int(r.sum()), int(g.sum()), int(b.sum()),
+                    int(((r + g + b) >= 384).sum()),
+                    int(r[h - 1, 0]) * 65536 + int(g[h - 1, 0]) * 256
+                    + int(b[h - 1, 0]),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "sum_r", "sum_g",
+                "sum_b", "bright", "bottom_left",
+            ])
+
+    img = cpu_scaled(d, "doc_id").mapInPandas(synth, schema_syn)
+    return img.mapInPandas(decode, schema_out).orderBy("doc_id")

@@ -426,3 +426,62 @@ def test_semantic_dedup_contract(spark, sf_dir):
             keeper = ra if ra.kept else rb
             loser = rb if ra.kept else ra
             assert (keeper.csim, keeper.vec_id) <= (loser.csim, loser.vec_id)
+
+
+def test_png_filters_roundtrip_and_crc():
+    """PNG codec pins, no Spark: (a) every filter type 0-4 round-trips
+    filter→unfilter on random rows; (b) the synthesized file decodes
+    back to the exact pixel field through DEFLATE + the full filter
+    chain; (c) a corrupted IDAT byte fails the CRC check (the decoder
+    validates chunk integrity, it doesn't just trust the stream)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for f in range(5):
+        prev = rng.randint(0, 256, 30).astype(np.uint8)
+        raw = rng.randint(0, 256, 30).astype(np.uint8)
+        enc = multimodal._filter_row(f, raw, prev)
+        assert (multimodal._unfilter_row(f, enc, prev) == raw).all()
+    for doc_id in (0, 3, 6, 9, 12):
+        raw = multimodal._synth_png(doc_id)
+        w, h = multimodal._png_dims(doc_id)
+        assert h >= 5  # every filter type appears (row % 5)
+        want = multimodal._png_pixels(doc_id, w, h)
+        # decode inline (the same logic the Arrow stage runs)
+        pos, idat = 8, bytearray()
+        while pos < len(raw):
+            (ln,) = struct.unpack_from(">I", raw, pos)
+            tag = raw[pos + 4:pos + 8]
+            body = raw[pos + 8:pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+            assert zlib.crc32(tag + body) & 0xFFFFFFFF == crc
+            if tag == b"IDAT":
+                idat += body
+            pos += 12 + ln
+        stream = zlib.decompress(bytes(idat))
+        stride = w * 3
+        prev = np.zeros(stride, np.uint8)
+        out = []
+        for yy in range(h):
+            off = yy * (stride + 1)
+            row = multimodal._unfilter_row(
+                stream[off],
+                np.frombuffer(stream, np.uint8, count=stride,
+                              offset=off + 1),
+                prev)
+            out.append(row)
+            prev = row
+        got = np.stack(out).reshape(h, w, 3)
+        assert (got == want).all()
+    # CRC rejection: flip one byte inside the first IDAT body
+    raw = bytearray(multimodal._synth_png(3))
+    i = raw.index(b"IDAT") + 4
+    raw[i] ^= 0xFF
+    (ln,) = struct.unpack_from(">I", bytes(raw), i - 8)
+    tag = bytes(raw[i - 4:i])
+    body = bytes(raw[i:i - 4 + 4 + ln])
+    (crc,) = struct.unpack_from(">I", bytes(raw), i + ln)
+    assert zlib.crc32(tag + body) & 0xFFFFFFFF != crc
