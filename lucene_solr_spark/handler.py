@@ -42,7 +42,7 @@ _KNOWN = {
     "wt",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
-    "facet.excludeTerms",
+    "facet.excludeTerms", "facet.exists",
     "hl", "hl.fl",
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "hl.tag.pre", "hl.tag.post",
@@ -51,8 +51,8 @@ _KNOWN = {
     "facet.pivot",
     "facet.interval", "facet.interval.set",
     "stats", "stats.field",
-    "group", "group.field", "group.limit", "group.main", "group.format",
-    "group.ngroups",
+    "group", "group.field", "group.limit", "group.offset", "group.main",
+    "group.format", "group.ngroups",
     "mlt", "mlt.count", "mlt.maxqt",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "debug",
@@ -490,6 +490,22 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     if facet_method not in ("auto", "refine", "exact"):
         raise ValueError(
             f"facet.method must be auto|refine|exact: {facet_method!r}")
+    # facet.exists=true (SimpleFacets EXISTS method): bucket counts
+    # cap at 1 — presence, not frequency. The engine never emits zero
+    # buckets and the capped counts make count order meaningless, so
+    # the pinned subset requires mincount=1 and facet.sort=index
+    # (Solr documents the same restrictions: exists excludes
+    # mincount>1 and is pointless under count sort).
+    # ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    # (FacetMethod.EXISTS + the mincount>1 rejection)
+    facet_exists = bool(params.get("facet.exists", False))
+    if facet_exists:
+        if facet_mincount != 1:
+            raise ValueError("facet.exists caps counts at 1; "
+                             "facet.mincount must stay 1")
+        if facet_sort != "index":
+            raise ValueError("facet.exists needs facet.sort=index "
+                             "(every bucket counts 1 under exists)")
     # classic facet.query values (SimpleFacets getFacetQueryCounts):
     # each is a PURE filter counted against the doclist's domain
     fquery_raw = params.get("facet.query", [])
@@ -626,13 +642,19 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         g_limit = int(params.get("group.limit", 1))
         if g_limit < 1:
             raise ValueError(f"group.limit must be >= 1: {g_limit}")
+        # group.offset: skip the first N docs WITHIN each group's
+        # doclist (Grouping's groupOffset — orthogonal to start,
+        # which offsets the GROUPS)
+        g_offset = int(params.get("group.offset", 0))
+        if g_offset < 0:
+            raise ValueError(f"group.offset must be >= 0: {g_offset}")
         if sort_key is not None:
             raise ValueError("group=true supports the score-ranked "
                              "default sort only")
         # start/rows page the GROUPS in group mode (Grouping's
         # getGroups offset — the doclist-level page has no meaning
         # when the response is a groups list)
-        group = (g_field, g_limit, start)
+        group = (g_field, g_limit, start, g_offset)
         # group.ngroups=true: the total number of matching groups
         # (distinct group values in the DocSet — one narrow
         # partial-aggregating distinct, Grouping's totalGroupCount)
@@ -652,7 +674,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                 raise ValueError(
                     "group.main=true replaces the response doclist; "
                     "hl/mlt/debug legs key on the ungrouped page")
-    elif {"group.field", "group.limit", "group.main",
+    elif {"group.field", "group.limit", "group.offset", "group.main",
           "group.format", "group.ngroups"} & set(params):
         raise ValueError("group.* params need group=true")
     if group is None:
@@ -713,11 +735,51 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         # (IndexSearcher.explain); the batched debug leg covers the
         # term-scoring contract
         raise ValueError("debug=true supports defType=lucene only")
+    # fl= doc transformers (DocTransformers, the [brackets] pseudo-
+    # fields): [docid] = the Lucene-internal global doc id (segment
+    # docBase + ord — docBases cumulate over segments in seg_id order,
+    # exactly SegmentInfos order), [shard] = the owning segment's name
+    # (the single-node analog of the shard id Solr injects), [explain]
+    # = the per-doc Explanation flattened to "term:contrib" pairs via
+    # the BATCHED debug machinery (one pass for the page, never
+    # per-doc probes). Plain fl names stay a projection.
+    # ref: solr/core/src/java/org/apache/solr/response/transform/
+    # DocIdAugmenterFactory.java, ShardAugmenterFactory.java,
+    # ExplainAugmenterFactory.java
+    fl_raw = params.get("fl")
+    fl_entries: list[str] | None = None
+    fl_transformers: list[str] = []
+    if fl_raw is not None:
+        parts_fl = (
+            [p.strip() for p in fl_raw.split(",")]
+            if isinstance(fl_raw, str) else [str(p) for p in fl_raw]
+        )
+        fl_entries = []
+        for f in parts_fl:
+            if f.startswith("["):
+                name = f[1:-1] if f.endswith("]") else ""
+                if name not in ("docid", "shard", "explain"):
+                    raise ValueError(
+                        f"unknown fl transformer: {f!r} "
+                        "([docid]|[shard]|[explain])")
+                fl_transformers.append(name)
+                fl_entries.append(name)
+            else:
+                fl_entries.append(f)
+        if "explain" in fl_transformers:
+            if sort_key is not None:
+                raise ValueError("[explain] explains the relevance "
+                                 "ranking; it needs the default score "
+                                 "sort")
+            if rerank is not None or def_type == "edismax":
+                raise ValueError("[explain] rides the batched debug "
+                                 "machinery: defType=lucene, no rq")
     opts = {
         "start": start, "rows": rows,
         "cursor_mark": cursor_mark,
         "wt": wt,
-        "fl": params.get("fl"),
+        "fl": fl_entries,
+        "fl_transformers": fl_transformers,
         "facet_fields": list(facet_fields),
         "facet_limit": int(params.get("facet.limit", 10)),
         "facet_sort": facet_sort,
@@ -730,6 +792,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         ),
         "facet_offset": facet_offset,
         "facet_method": facet_method,
+        "facet_exists": facet_exists,
         "facet_queries": facet_queries,
         "facet_range": facet_range,
         "facet_range_other": facet_range_other,
@@ -982,6 +1045,52 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
     )
     page = paged.drop("rn").orderBy(*order)
     page_keys = paged.select("conv_id", "turn_idx", "rn")
+    if o["fl_transformers"]:
+        aug = paged
+        if {"docid", "shard"} & set(o["fl_transformers"]):
+            # one broadcast of the page keys against the pruned docmap
+            # (seg_id, doc_ord) columns; segment metadata (name,
+            # docBase) is a tiny manifest-derived frame
+            segs = sorted(
+                (int(sd["part"]), name, int(sd["n_docs"]))
+                for name, sd in searcher.manifest.segments.items()
+            )
+            bases, acc = [], 0
+            for sid, name, nd in segs:
+                bases.append((sid, name, acc))
+                acc += nd
+            seg_meta = F.broadcast(searcher.spark.createDataFrame(
+                bases, "seg_id int, shard string, doc_base long"
+            ))
+            locs = (
+                searcher.docmap()
+                .select("conv_id", "turn_idx", "seg_id", "doc_ord")
+                .join(F.broadcast(page_keys.drop("rn")),
+                      ["conv_id", "turn_idx"])
+                .join(seg_meta, "seg_id")
+                .select(
+                    "conv_id", "turn_idx", "shard",
+                    (F.col("doc_base") + F.col("doc_ord"))
+                    .cast("long").alias("docid"),
+                )
+            )
+            aug = aug.join(locs, ["conv_id", "turn_idx"], "left")
+        if "explain" in o["fl_transformers"]:
+            contribs = searcher.explain_batch(
+                spec,
+                [(r.conv_id, r.turn_idx) for r in page_keys.collect()],
+                round_to=4,
+            )
+            per_doc = contribs.groupBy("conv_id", "turn_idx").agg(
+                F.array_join(
+                    F.sort_array(F.collect_list(
+                        F.format_string("%s:%.4f", "term", "contrib")
+                    )),
+                    "; ",
+                ).alias("explain")
+            )
+            aug = aug.join(per_doc, ["conv_id", "turn_idx"], "left")
+        page = aug.orderBy("rn").drop("rn")
     if o["fl"]:
         page = page.select(*o["fl"])
     page = _encode_wt(page, o["wt"])
@@ -1000,7 +1109,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         "facet_counts": {},
     }
     for fld, ex_fields in o["facet_fields"]:
-        out["facet_counts"][fld] = searcher.facet(
+        fc = searcher.facet(
             fld, spec=spec, limit=o["facet_limit"],
             mincount=o["facet_mincount"], sort=o["facet_sort"],
             prefix=o["facet_prefix"], offset=o["facet_offset"],
@@ -1010,6 +1119,13 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             method=o["facet_method"] if o["facet_method"] != "exact"
             else "auto",
         )
+        if o["facet_exists"]:
+            # EXISTS method: presence, not frequency — cap the counts
+            # of the (index-ordered, mincount=1) buckets at 1
+            fc = fc.withColumn(
+                "cnt", F.least(F.col("cnt"), F.lit(1).cast("long"))
+            )
+        out["facet_counts"][fld] = fc
     if o["facet_queries"]:
         # classic facet.query leg (SimpleFacets getFacetQueryCounts):
         # each value counts the docs matching BOTH the doclist's
@@ -1095,7 +1211,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # semi-join of those winning keys (never a rescan); output
         # ordered (group_value, doc_rank), the engine's pinned
         # grouped-doclist presentation
-        g_field, g_limit, g_start = o["group"]
+        g_field, g_limit, g_start, g_offset = o["group"]
         ghits = searcher.score_hits(spec, k=None).withColumn(
             "score", F.round("score", 4)
         )
@@ -1151,16 +1267,23 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         gw = Window.partitionBy(g_field).orderBy(
             F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
         )
+        # group.offset slices WITHIN each doclist: the upper bound
+        # stays a bare `grn <= K` filter directly above the window
+        # (the WindowGroupLimit pushdown shape); the lower bound is a
+        # separate filter so the pushdown pattern stays intact, and
+        # doc_rank rebases to 1 for the page like Solr's groupOffset
         ranked = (
             ghits.join(F.broadcast(heads), g_field)
             .withColumn("grn", F.row_number().over(gw))
-            .filter(F.col("grn") <= g_limit)
-            .select(
-                F.col(g_field).alias("group_value"),
-                "conv_id", "turn_idx", "score",
-                F.col("grn").cast("long").alias("doc_rank"),
-                "g_rank",
-            )
+            .filter(F.col("grn") <= g_offset + g_limit)
+        )
+        if g_offset:
+            ranked = ranked.filter(F.col("grn") > g_offset)
+        ranked = ranked.select(
+            F.col(g_field).alias("group_value"),
+            "conv_id", "turn_idx", "score",
+            (F.col("grn") - g_offset).cast("long").alias("doc_rank"),
+            "g_rank",
         )
         if o["group_format"] == "simple":
             # flat doclist ordered (group rank, doc rank) — Solr's
@@ -1444,6 +1567,190 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             .drop("rn")
         )
     return out
+
+
+# --- JSON Request API (/select with a JSON body) ----------------------
+
+#: top-level keys the JSON Request API accepts (RequestUtil's
+#: json-prefixed mapping table; anything else is Solr's
+#: "Unknown top-level key in JSON request" 400)
+_JSON_TOP = {"query", "filter", "fields", "sort", "offset", "limit",
+             "params", "facet"}
+
+#: JSON-body paging/projection keys → classic param names (the
+#: documented json.fields↔fl, json.offset↔start, json.limit↔rows,
+#: json.sort↔sort equivalences)
+_JSON_TO_PARAM = {"fields": "fl", "sort": "sort",
+                  "offset": "start", "limit": "rows"}
+
+#: bool DSL buckets → classic-syntax occur prefix (None = non-scoring
+#: filter clause, routed to fq like BooleanClause.Occur.FILTER)
+_BOOL_OCCURS = {"must": "+", "should": "", "must_not": "-",
+                "filter": None}
+
+
+def _json_bool_clause(raw, bucket: str) -> str:
+    """Validate ONE bool-DSL clause: a single classic-syntax clause
+    string (term / "phrase" / field:value / field:[lo TO hi] /
+    {!qparser}...) with no occur prefix of its own — the bucket IS the
+    occur. Multi-clause strings must compose through the lists, so the
+    compiled query is unambiguous."""
+    if not isinstance(raw, str):
+        raise ValueError(
+            f"json bool {bucket!r} clauses are Lucene-syntax strings "
+            f"in this subset, got {type(raw).__name__}")
+    c = raw.strip()
+    if not c:
+        raise ValueError(f"empty json bool {bucket!r} clause")
+    if c[0] in "+-":
+        raise ValueError(
+            f"json bool {bucket!r} clause {c!r} carries its own occur "
+            "prefix — the bucket is the occur")
+    quoted = len(c) >= 2 and c[0] == '"' and c[-1] == '"'
+    ranged = ":" in c and c.endswith("]") and "[" in c
+    local = c.startswith("{!")
+    if any(ch.isspace() for ch in c) and not (quoted or ranged or local):
+        raise ValueError(
+            f"json bool {bucket!r} clause must be a single clause; "
+            f"compose multiples through the bucket lists: {c!r}")
+    return c
+
+
+def compile_json_query(q) -> tuple[dict, list[str]]:
+    """JSON query DSL → (classic-param fragment, extra fq clauses).
+
+    The subset mirrors JsonQueryConverter: a plain string is the
+    lucene default, a one-key object selects the parser —
+    ``{"lucene": {...}}``, ``{"edismax": {...}}``, or the structured
+    ``{"bool": {"must": [...], "should": [...], "must_not": [...],
+    "filter": [...]}}``. Bool clauses compile onto the classic occur
+    prefixes (must→``+c``, should→``c``, must_not→``-c``) and filter
+    clauses ride fq (non-scoring, cacheable — exactly
+    BooleanClause.Occur.FILTER's contract); a bool query therefore
+    needs at least one scoring clause, matching the engine's (and
+    Lucene QueryUtils') pure-negative rejection.
+
+    ref: solr/core/src/java/org/apache/solr/search/
+    JsonQueryConverter.java (DSL object → local-params string),
+    solr/core/src/java/org/apache/solr/search/BoolQParserPlugin.java
+    (must/should/must_not/filter occur buckets).
+    """
+    if isinstance(q, str):
+        return {"q": q}, []
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError(
+            "json query must be a string or a one-key "
+            "{lucene|edismax|bool: ...} object")
+    ((kind, body),) = q.items()
+    if kind == "lucene":
+        if isinstance(body, str):
+            return {"q": body}, []
+        if not isinstance(body, dict):
+            raise ValueError("json lucene query must be a string or "
+                             "{'query': ..., 'q.op': ...}")
+        unknown = set(body) - {"query", "q.op"}
+        if unknown:
+            raise ValueError(f"unknown json lucene keys: {sorted(unknown)}")
+        if "query" not in body:
+            raise ValueError("json lucene query needs 'query'")
+        frag = {"q": body["query"]}
+        if "q.op" in body:
+            frag["q.op"] = body["q.op"]
+        return frag, []
+    if kind == "edismax":
+        if not isinstance(body, dict) or "query" not in body:
+            raise ValueError("json edismax query needs {'query': ...}")
+        unknown = set(body) - {"query", "mm", "pf", "ps"}
+        if unknown:
+            raise ValueError(
+                f"unknown json edismax keys: {sorted(unknown)}")
+        frag = {"q": body["query"], "defType": "edismax"}
+        for k in ("mm", "pf", "ps"):
+            if k in body:
+                frag[k] = body[k]
+        return frag, []
+    if kind == "bool":
+        if not isinstance(body, dict):
+            raise ValueError("json bool query must be an object")
+        unknown = set(body) - set(_BOOL_OCCURS)
+        if unknown:
+            raise ValueError(f"unknown json bool keys: {sorted(unknown)}")
+        toks: list[str] = []
+        fqs: list[str] = []
+        for bucket, pre in _BOOL_OCCURS.items():
+            raw = body.get(bucket, [])
+            clauses = [raw] if isinstance(raw, str) else list(raw)
+            for c in clauses:
+                c = _json_bool_clause(c, bucket)
+                if pre is None:
+                    fqs.append(c)
+                else:
+                    toks.append(pre + c)
+        if not any(t[0] != "-" for t in toks):
+            raise ValueError(
+                "json bool query needs at least one must/should "
+                "scoring clause (filter-only domains ride fq; the "
+                "engine rejects pure-negative scored queries like "
+                "Lucene does)")
+        return {"q": " ".join(toks)}, fqs
+    raise ValueError(f"unknown json query parser: {kind!r} "
+                     "(lucene|edismax|bool)")
+
+
+def json_request(searcher, body: dict,
+                 stored: DataFrame | None = None) -> dict:
+    """JSON Request API front door: a JSON body over the SAME /select
+    machinery. Top-level keys map onto the classic params
+    (query→q(+defType), filter→fq, fields→fl, offset→start,
+    limit→rows, sort→sort, facet→json.facet); the ``params`` block
+    carries any remaining classic params verbatim. Precedence is
+    PINNED: structured top-level keys win over the params block (they
+    are the request's primary expression; the block is the
+    backward-compat escape hatch). Everything downstream — paging,
+    component legs, caches — is :func:`select`, so a JSON request and
+    its classic twin are the same engine plan by construction.
+
+    ref: solr/core/src/java/org/apache/solr/request/json/
+    RequestUtil.java (processParams: JSON body → json.* params, the
+    query/filter/fields/sort/offset/limit/params/facet key set),
+    solr/core/src/java/org/apache/solr/handler/component/
+    QueryComponent.java (json.query consumption).
+    """
+    if not isinstance(body, dict):
+        raise ValueError("JSON request body must be an object")
+    unknown = set(body) - _JSON_TOP
+    if unknown:
+        raise ValueError(
+            f"unknown top-level JSON request keys: {sorted(unknown)} "
+            f"(known: {sorted(_JSON_TOP)})")
+    base = body.get("params", {})
+    if not isinstance(base, dict):
+        raise ValueError("json 'params' must be an object of classic "
+                         "/select params")
+    params = dict(base)
+    extra_fq: list[str] = []
+    if "query" in body:
+        frag, extra_fq = compile_json_query(body["query"])
+        params.update(frag)
+    if "filter" in body:
+        raw_f = body["filter"]
+        flist = [raw_f] if isinstance(raw_f, str) else list(raw_f)
+        for c in flist:
+            if not isinstance(c, str):
+                raise ValueError(
+                    "json 'filter' entries are query strings in this "
+                    f"subset, got {type(c).__name__}")
+        extra_fq = flist + extra_fq
+    if extra_fq:
+        prior = params.get("fq", [])
+        prior = [prior] if isinstance(prior, str) else list(prior)
+        params["fq"] = prior + extra_fq
+    for jk, pk in _JSON_TO_PARAM.items():
+        if jk in body:
+            params[pk] = body[jk]
+    if "facet" in body:
+        params["json.facet"] = body["facet"]
+    return select(searcher, params, stored=stored)
 
 
 #: /terms handler param surface (TermsComponent front door)

@@ -147,6 +147,13 @@ def q_features_igain(spark, sf_dir):
     groupBy; the global (N, P) scalars ride a broadcast 1-row frame.
     The rank key is the 4dp-ROUNDED gain (term asc tiebreak) so the
     ordering is exact cross-engine while counts stay integers."""
+    return igain_frame(spark, sf_dir, num_terms=10)
+
+
+def igain_frame(spark, sf_dir, num_terms: int = 10):
+    """The features() engine with a caller-chosen numTerms (the
+    /stream front door forwards the param; `q_features_igain` pins 10
+    for its oracle)."""
     lab = _docs(spark, sf_dir).select(
         "conv_id",
         "turn_idx",
@@ -187,7 +194,7 @@ def q_features_igain(spark, sf_dir):
             c("dfp").cast("long").alias("df_pos"),
         )
         .orderBy(F.desc("ig"), "term")
-        .limit(10)
+        .limit(num_terms)
     )
 
 
@@ -274,6 +281,12 @@ def q_train_logit(spark, sf_dir):
     the pinned hyperparameters and `_gd_weights` for the scale shape
     (model broadcasts, corpus never shuffles, gradient reduces as
     narrow (dim, partial) rows)."""
+    return train_frame(spark, sf_dir)
+
+
+def train_frame(spark, sf_dir):
+    """The train() engine (pinned trio hyperparameters) — shared by
+    the battery op and the /stream front door."""
     w = _gd_weights(_labeled(spark, sf_dir))
     return (
         w.select(F.posexplode("ws").alias("dim", "weight"))
@@ -310,6 +323,12 @@ def q_classify_stream(spark, sf_dir):
     probability. The model is one broadcast row; scoring is a single
     narrow JVM pass; the top-k is a TakeOrdered, never a global
     sort."""
+    return classify_frame(spark, sf_dir, top=10)
+
+
+def classify_frame(spark, sf_dir, top: int = 10):
+    """The classify() engine with a caller-chosen top-k (the /stream
+    front door forwards the param; `q_classify_stream` pins 10)."""
     feats = _labeled(spark, sf_dir)
     model = _gd_weights(feats).select(
         F.transform("ws", lambda v: F.round(v, 4)).alias("ws")
@@ -323,7 +342,7 @@ def q_classify_stream(spark, sf_dir):
             F.col("y").alias("label"),
         )
         .orderBy(F.desc("prob"), "conv_id", "turn_idx")
-        .limit(10)
+        .limit(top)
     )
 
 

@@ -4848,6 +4848,106 @@ register(
 )
 
 
+# --- {!boost} qparser (multiplicative function boost) -------------------
+
+_BOOST_QP = re.compile(r"^\{!boost\s+b=([a-z0-9_(),.]+)\}(.+)$")
+#: recip(field,m,a,b) → a / (m*field + b)
+_RECIP_RE = re.compile(
+    r"^recip\((doc_len|turn_idx),(\d+(?:\.\d+)?),"
+    r"(\d+(?:\.\d+)?),(\d+(?:\.\d+)?)\)$"
+)
+
+
+def parse_boost_qparser(qs: str):
+    """``{!boost b=<func>}<query>`` — BoostQParserPlugin: the wrapped
+    query's score MULTIPLIED by a per-doc ValueSource (contrast bf,
+    which ADDS). Function subset over the numeric docvalues columns:
+    ``log(<col>)`` (log10, Solr's log), ``sqrt(<col>)``, and
+    ``recip(<col>,m,a,b)`` = a/(m·x+b). Returns (inner BooleanSpec,
+    (spark_col_fn, duckdb_sql_expr)); anything outside the grammar
+    raises like Solr's ValueSourceParser on an unknown function.
+
+    ref: solr/core/src/java/org/apache/solr/search/BoostQParserPlugin.java,
+    lucene/queries/src/java/org/apache/lucene/queries/function/
+    BoostedQuery.java, solr ValueSourceParser (log/sqrt/recip).
+    """
+    from pyspark.sql import functions as F
+
+    m = _BOOST_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!boost}} query: {qs!r}")
+    func, inner = m.groups()
+    mm = re.match(r"^(log|sqrt)\((doc_len|turn_idx)\)$", func)
+    if mm:
+        kind, col = mm.groups()
+        if kind == "log":
+            fn = (lambda: F.log10(F.col(col) + F.lit(0.0)),
+                  f"log10({col})")
+        else:
+            fn = (lambda: F.sqrt(F.col(col) + F.lit(0.0)),
+                  f"sqrt({col})")
+    else:
+        mr = _RECIP_RE.match(func)
+        if mr is None:
+            raise ValueError(
+                f"unsupported boost function: {func!r} "
+                "(log(col)|sqrt(col)|recip(col,m,a,b))")
+        col, m_c, a_c, b_c = mr.groups()
+        fn = (
+            lambda: F.lit(float(a_c))
+            / (F.lit(float(m_c)) * F.col(col) + F.lit(float(b_c))),
+            f"({a_c} / ({m_c} * {col} + {b_c}))",
+        )
+    from lucene_solr_spark.query.parser import parse as _parse_q
+
+    spec = _parse_q(inner, k=15)
+    if not spec.scoring_terms:
+        raise ValueError("{!boost} wraps a SCORING query")
+    return spec, fn
+
+
+def _boost_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!boost} front door: BM25 × recip(turn_idx,1,8,8) — early
+    turns outrank late ones at equal relevance. Physical: UNSORTED
+    per-segment hits joined to ONE pruned docvalues column on the
+    business key, multiplied, then the pinned TakeOrdered — the
+    multiplicative boost must apply to the FULL hit set before any
+    top-k (a boosted tail hit can beat an unboosted head hit), so the
+    plan keeps hits unsorted until the final limit."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    spec, (col_fn, _) = parse_boost_qparser(
+        "{!boost b=recip(turn_idx,1,8,8)}merge data")
+    hits = s.score_hits(spec, k=None)
+    dm = s.docmap().select("conv_id", "turn_idx")  # turn_idx is a key col
+    boosted = hits.join(dm, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx",
+        F.round(F.round("score", ROUND) * col_fn(), ROUND).alias("score"),
+    )
+    return boosted.orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    ).limit(spec.k)
+
+
+def _boost_qparser_oracle() -> str:
+    from dataclasses import replace as _replace
+
+    spec, (_, sql_expr) = parse_boost_qparser(
+        "{!boost b=recip(turn_idx,1,8,8)}merge data")
+    inner = bm25_oracle_sql(_replace(spec, k=1_000_000_000))
+    return f"""
+SELECT conv_id, turn_idx,
+       round(score * {sql_expr}, {ROUND}) AS score
+FROM ({inner})
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT {spec.k}
+""".strip()
+
+
+register("q_boost_qparser", _boost_qparser, _boost_qparser_oracle())
+
+
 # --- /select SearchHandler front door ---------------------------------
 
 _SELECT_PARAMS = {
@@ -4885,6 +4985,128 @@ register(
     _select_handler,
     _select_oracle.rstrip()[: -len("LIMIT 15")] + "LIMIT 10 OFFSET 5",
 )
+
+
+# --- JSON Request API front door ---------------------------------------
+
+_JSON_REQ_BODY = {
+    "query": {"bool": {
+        "must": ["merge"],
+        "should": ["data"],
+        "must_not": ["tool:search"],
+        "filter": ["turn_idx:[1 TO 8]"],
+    }},
+    "filter": "role:assistant",
+    "offset": 3,
+    "limit": 12,
+    "fields": ["conv_id", "turn_idx", "score"],
+    "params": {"q.op": "OR"},
+}
+_JSON_REQ_SPEC = BooleanSpec(
+    must=("merge",),
+    should=("data",),
+    filters=(("role", "assistant"),),
+    not_filters=(("tool", "search"),),
+    range_filters=(("turn_idx", "1", "8"),),
+    k=15,
+)
+
+
+def _select_json_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Request API: the structured body (bool DSL + filter +
+    offset/limit/fields + a params block) compiles onto the SAME
+    /select params surface and engine plan as its classic twin —
+    must/should/must_not map to the classic occur prefixes, bool
+    ``filter`` and top-level ``filter`` ride fq, offset/limit become
+    start/rows. See lucene_solr_spark/handler.py json_request.
+
+    ref: solr/core/src/java/org/apache/solr/request/json/RequestUtil.java,
+    solr/core/src/java/org/apache/solr/search/JsonQueryConverter.java
+    """
+    from lucene_solr_spark.handler import (
+        compile_json_query, json_request, parse_select_params,
+    )
+
+    frag, extra_fq = compile_json_query(_JSON_REQ_BODY["query"])
+    assert frag == {"q": "+merge data -tool:search"}
+    assert extra_fq == ["turn_idx:[1 TO 8]"]
+    spec, _ = parse_select_params({
+        "q": frag["q"], "fq": ["role:assistant"] + extra_fq,
+        "start": 3, "rows": 12,
+    })
+    assert spec == _JSON_REQ_SPEC
+    s = cached_searcher(spark, sf_dir)
+    return json_request(s, _JSON_REQ_BODY)["response"]
+
+
+_json_req_oracle = bm25_oracle_sql(_JSON_REQ_SPEC)
+assert _json_req_oracle.rstrip().endswith("LIMIT 15")
+register(
+    "q_select_json_request",
+    _select_json_request,
+    _json_req_oracle.rstrip()[: -len("LIMIT 15")] + "LIMIT 12 OFFSET 3",
+)
+
+
+# --- fl doc transformers ([explain] through the batched debug path) ----
+
+_FL_EXPLAIN_SPEC = BooleanSpec(
+    should=("merge", "data"), min_should_match=1, k=8
+)
+
+
+def _select_fl_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl=[explain] doc transformer: the page's per-doc Explanation
+    flattened to sorted "term:contrib" pairs — ONE batched
+    explain_batch pass for the whole page (never per-doc probe jobs),
+    joined back onto the doclist by rank. The contrib strings carry
+    the engine's pinned 4dp rounding, so the oracle replays the BM25
+    breakdown textually.
+
+    ref: solr/core/src/java/org/apache/solr/response/transform/
+    ExplainAugmenterFactory.java (the [explain] augmenter),
+    lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java
+    (explain)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "merge data",
+        "rows": 8,
+        "fl": ["conv_id", "turn_idx", "score", "[explain]"],
+    })["response"]
+
+
+def _fl_explain_oracle() -> str:
+    per_turn = bm25_oracle_sql(_FL_EXPLAIN_SPEC)
+    body = per_turn.split("\nSELECT conv_id, turn_idx, round(score")[0]
+    pair = (
+        f"printf('%s:%.4f', tf.term, "
+        f"round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+        f" * (tf.tf * ({_K1} + 1))"
+        f" / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.doc_len / stats.avgdl)), "
+        f"{ROUND}))"
+    )
+    return (body + f""",
+page AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx
+  LIMIT {_FL_EXPLAIN_SPEC.k}),
+expl AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         string_agg({pair}, '; ' ORDER BY {pair}) AS "explain"
+  FROM tf
+  JOIN page USING (conv_id, turn_idx)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  GROUP BY tf.conv_id, tf.turn_idx)
+SELECT page.conv_id, page.turn_idx, page.score, expl."explain"
+FROM page JOIN expl USING (conv_id, turn_idx)
+ORDER BY page.score DESC, page.conv_id, page.turn_idx
+""").strip()
+
+
+register("q_select_fl_explain", _select_fl_explain, _fl_explain_oracle())
 
 
 _SELECT_SORT_PARAMS = {
@@ -5267,7 +5489,7 @@ def _select_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.handler import parse_select_params, select
 
     spec, o = parse_select_params(_SELECT_GROUP_PARAMS)
-    assert spec == _SELECT_GROUP_SPEC and o["group"] == ("role", 2, 0)
+    assert spec == _SELECT_GROUP_SPEC and o["group"] == ("role", 2, 0, 0)
     s = cached_searcher(spark, sf_dir)
     return select(s, _SELECT_GROUP_PARAMS)["grouped"]
 
@@ -7982,6 +8204,52 @@ SELECT conv_id, turn_idx,
 FROM transcripts
 WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data')
 ORDER BY rkey LIMIT 15""",
+)
+
+
+# --- streaming-ML expressions (features / train / classify) ------------
+
+
+def _stream_expr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """features() stream expression: the FeaturesSelectionStream front
+    door over the IG engine — numTerms=15 attests the forwarded param
+    (the battery twin q_features_igain pins 10).
+    ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+    FeaturesSelectionStream.java"""
+    return stream_handler(
+        spark, sf_dir,
+        'features(transcripts, outcome="role:assistant", numTerms=15)',
+    )
+
+
+def _stream_expr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify() stream expression: ClassifyStream front door — the
+    trained model's 4dp-published weights applied to the corpus, top
+    12 by probability (param forwarded; battery twin pins 10).
+    ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+    ClassifyStream.java"""
+    return stream_handler(
+        spark, sf_dir, "classify(transcripts, top=12)",
+    )
+
+
+def _ml_stream_oracle(op_name: str, old_limit: str, new_limit: str) -> str:
+    from lucene_solr_spark.operators import learning as _lrn
+
+    oracle = {n: o for n, _, o in _lrn.OPS}[op_name]
+    assert oracle.rstrip().endswith(old_limit)
+    return oracle.rstrip()[: -len(old_limit)] + new_limit
+
+
+register(
+    "q_stream_expr_features",
+    _stream_expr_features,
+    _ml_stream_oracle("q_features_igain", "LIMIT 10", "LIMIT 15"),
+)
+register(
+    "q_stream_expr_classify",
+    _stream_expr_classify,
+    _ml_stream_oracle("q_classify_stream", "LIMIT 10", "LIMIT 12"),
 )
 
 

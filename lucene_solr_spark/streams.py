@@ -56,6 +56,7 @@ STREAM_FUNCS = frozenset(
     "hashJoin fetch facet stats merge complement intersect "
     "cartesianProduct parallel topic daemon significantTerms knnSearch "
     "timeseries random nodes scoreNodes shortestPath update commit "
+    "features train classify "
     "let col describe corr regress hist".split()
 )
 #: math-expression functions — valid only as let() bindings (they
@@ -390,6 +391,68 @@ class StreamCompiler:
             conv, turn, src.text, max_terms=max_terms, k=k, round_to=4,
         )
         return df, [("score", False), ("conv_id", True), ("turn_idx", True)]
+
+    def _c_features(self, expr: StreamExpr):
+        """features(transcripts, outcome="role:assistant", numTerms=)
+        — FeaturesSelectionStream: rank corpus terms by information
+        gain about the outcome label; emits (term, ig, df, df_pos) in
+        4dp-gain rank order. The label is the engine's PINNED
+        role:assistant contract, so any other outcome field raises
+        like the reference rejecting a non-indexed outcome field.
+        ref: io/stream/FeaturesSelectionStream.java,
+        solr/core/.../search/IGainTermsQParserPlugin.java"""
+        if not expr.args or unquote(expr.args[0]) != "transcripts":
+            raise ValueError("features() serves the transcripts collection")
+        outcome = unquote(expr.params.get("outcome", "role:assistant"))
+        if outcome != "role:assistant":
+            raise ValueError(
+                "features() outcome is the engine's pinned binary "
+                f"label role:assistant, got {outcome!r}")
+        n = int(unquote(expr.params.get("numTerms", "10")))
+        if n < 1:
+            raise ValueError(f"features() numTerms must be >= 1: {n}")
+        from lucene_solr_spark.operators.learning import igain_frame
+
+        df = igain_frame(self.spark, self.sf_dir, num_terms=n)
+        return df, [("ig", False), ("term", True)]
+
+    def _c_train(self, expr: StreamExpr):
+        """train(transcripts, maxIterations=3) — TextLogitStream: the
+        full-batch GD trainer over the pinned text features; emits the
+        published (dim, weight) rows (4dp, dim 0 = intercept). The
+        hyperparameter trio is PINNED (w0=0, LR=0.5, ITERS=3), so a
+        different maxIterations raises rather than silently training a
+        different model than the published contract.
+        ref: io/stream/TextLogitStream.java"""
+        if not expr.args or unquote(expr.args[0]) != "transcripts":
+            raise ValueError("train() serves the transcripts collection")
+        from lucene_solr_spark.operators.learning import ITERS, train_frame
+
+        iters = int(unquote(expr.params.get("maxIterations", str(ITERS))))
+        if iters != ITERS:
+            raise ValueError(
+                f"train() is pinned to maxIterations={ITERS} (the "
+                "published-weights contract)")
+        return train_frame(self.spark, self.sf_dir), [("dim", True)]
+
+    def _c_classify(self, expr: StreamExpr):
+        """classify(transcripts, top=10) — ClassifyStream: score every
+        document with the trained model's 4dp-PUBLISHED weights and
+        emit the top-k by probability (prob desc, doc-key tiebreak).
+        The model application is one broadcast row over a narrow JVM
+        pass; top-k plans as TakeOrdered.
+        ref: io/stream/ClassifyStream.java"""
+        if not expr.args or unquote(expr.args[0]) != "transcripts":
+            raise ValueError("classify() serves the transcripts collection")
+        top = int(unquote(expr.params.get("top", "10")))
+        if top < 1:
+            raise ValueError(f"classify() top must be >= 1: {top}")
+        from lucene_solr_spark.operators.learning import classify_frame
+
+        df = classify_frame(self.spark, self.sf_dir, top=top)
+        return df, [
+            ("prob", False), ("conv_id", True), ("turn_idx", True),
+        ]
 
     def _c_timeseries(self, expr: StreamExpr):
         """timeseries(coll, q=, field=, start=, end=, gap=, metrics...)

@@ -1,0 +1,86 @@
+"""/select param extras: group.offset, facet.exists, {!boost}."""
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.handler import parse_select_params, select
+from lucene_solr_spark.registry import cached_searcher
+
+
+def test_group_offset_slices_within_doclists(spark, sf_dir):
+    """group.offset=N drops each group's first N docs: the offset run
+    equals the wider run's doclists with the head rows removed, and
+    doc_rank rebases to 1."""
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "merge data", "rows": 4,
+            "group": True, "group.field": "role", "group.limit": 3}
+    wide = select(s, base)["grouped"].collect()
+    off = select(s, {**base, "group.limit": 2, "group.offset": 1})[
+        "grouped"].collect()
+    expect = [
+        (r.group_value, r.conv_id, r.turn_idx, r.doc_rank - 1)
+        for r in wide if r.doc_rank >= 2
+    ]
+    got = [(r.group_value, r.conv_id, r.turn_idx, r.doc_rank) for r in off]
+    assert got == expect and got
+
+
+def test_group_offset_validation(spark, sf_dir):
+    with pytest.raises(ValueError, match="group.offset"):
+        parse_select_params({"q": "m", "group": True,
+                             "group.field": "role", "group.offset": -1})
+    with pytest.raises(ValueError, match="need group=true"):
+        parse_select_params({"q": "m", "group.offset": 1})
+
+
+def test_facet_exists_caps_counts(spark, sf_dir):
+    """facet.exists=true: same buckets as the index-sorted facet,
+    every count exactly 1."""
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "merge", "rows": 0, "facet.field": "role",
+            "facet.sort": "index"}
+    plain = select(s, base)["facet_counts"]["role"].collect()
+    exists = select(s, {**base, "facet.exists": True})[
+        "facet_counts"]["role"].collect()
+    assert [r.facet_value for r in exists] == [r.facet_value for r in plain]
+    assert all(r.cnt == 1 for r in exists)
+    assert any(r.cnt > 1 for r in plain)  # the cap did something
+    with pytest.raises(ValueError, match="mincount"):
+        parse_select_params({**base, "facet.exists": True,
+                             "facet.mincount": 2})
+    with pytest.raises(ValueError, match="facet.sort=index"):
+        parse_select_params({"q": "m", "facet.field": "role",
+                             "facet.exists": True})
+
+
+def test_boost_qparser_contracts(spark, sf_dir):
+    """{!boost}: multiplicative — row set can reorder vs the plain
+    query but the boosted scores re-derive from (plain score ×
+    function); grammar violations raise."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.registry import parse_boost_qparser
+
+    s = cached_searcher(spark, sf_dir)
+    spec, (col_fn, _) = parse_boost_qparser(
+        "{!boost b=recip(turn_idx,1,8,8)}merge data")
+    plain = {
+        (r.conv_id, r.turn_idx): r.score
+        for r in s.score_hits(spec, k=None)
+        .withColumn("score", F.round("score", 4)).collect()
+    }
+    from lucene_solr_spark.registry import QUERIES
+
+    boosted = QUERIES["q_boost_qparser"](spark, sf_dir).collect()
+    assert len(boosted) == spec.k
+    for r in boosted:
+        base = plain[(r.conv_id, r.turn_idx)]
+        assert abs(r.score - round(base * 8.0 / (r.turn_idx + 8), 4)) < 1e-9
+    for bad, msg in [
+        ("{!boost b=exp(doc_len)}merge", "unsupported boost function"),
+        ("{!boost b=log(text)}merge", "unsupported boost function"),
+        ("{!boost b=log(doc_len)}role:user", "SCORING"),
+        ("plain query", "not a"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_boost_qparser(bad)

@@ -622,3 +622,37 @@ def test_let_hist_covers_all_rows(spark, sf_dir):
     mx = ev.agg(F.max("value")).collect()[0][0]
     assert rows[-1].lo <= round(mx, 4) <= rows[-1].hi
     assert rows[-1].cnt >= 1
+
+
+def test_ml_stream_expressions(spark, sf_dir):
+    """features()/train()/classify() stream expressions route to the
+    pinned learning engines: train() equals the battery trainer
+    row-for-row, features() forwards numTerms, and the pinned-contract
+    guards raise on any attempt to train/label a different model."""
+    from lucene_solr_spark.operators.learning import q_train_logit
+    from lucene_solr_spark.streams import stream_handler
+
+    via = stream_handler(
+        spark, sf_dir, "train(transcripts, maxIterations=3)"
+    ).collect()
+    direct = q_train_logit(spark, sf_dir).collect()
+    assert [(r.dim, r.weight) for r in via] == [
+        (r.dim, r.weight) for r in direct
+    ]
+    feats = stream_handler(
+        spark, sf_dir,
+        'features(transcripts, outcome="role:assistant", numTerms=3)',
+    ).collect()
+    assert len(feats) == 3
+    assert feats[0].ig >= feats[1].ig >= feats[2].ig
+    top = stream_handler(spark, sf_dir, "classify(transcripts, top=4)")
+    probs = [r.prob for r in top.collect()]
+    assert len(probs) == 4 and probs == sorted(probs, reverse=True)
+    for bad, msg in [
+        ('features(transcripts, outcome="tool:bash")', "pinned binary"),
+        ("train(transcripts, maxIterations=7)", "pinned to maxIterations"),
+        ("classify(transcripts, top=0)", "top must be"),
+        ('features(events, outcome="role:assistant")', "transcripts"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            stream_handler(spark, sf_dir, bad)
