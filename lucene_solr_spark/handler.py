@@ -191,13 +191,35 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             # side); tags resolve to the fields their fq constrains
             ex: tuple = ()
             dom_filter = None
+            dom_query = None
             dom = req.get("domain")
             if dom is not None:
                 if (not isinstance(dom, dict) or not dom
-                        or not set(dom) <= {"excludeTags", "filter"}):
+                        or not set(dom) <= {"excludeTags", "filter",
+                                            "query"}):
                     raise ValueError(
                         f"json.facet {name!r}: domain supports "
-                        "excludeTags and/or filter only")
+                        "excludeTags, filter and/or query only")
+                if "query" in dom:
+                    # domain.query REPLACES the base domain with a
+                    # standalone query's match set (FacetRequest.Domain
+                    # "query" — contrast filter, which narrows, and
+                    # excludeTags, which widens); combining it with
+                    # either is contradictory and raises
+                    if set(dom) != {"query"}:
+                        raise ValueError(
+                            f"json.facet {name!r}: domain.query replaces "
+                            "the domain — it cannot combine with "
+                            "excludeTags/filter")
+                    raw = dom["query"]
+                    if not isinstance(raw, str) or not raw:
+                        raise ValueError(
+                            f"json.facet {name!r}: domain.query wants a "
+                            "query string")
+                    dom_query = parse(raw, default_op="AND")
+                    if dom_query == BooleanSpec(k=dom_query.k):
+                        raise ValueError(
+                            f"json.facet {name!r}: empty domain.query")
                 if "excludeTags" in dom:
                     tags = dom["excludeTags"]
                     tags = (tags.split(",") if isinstance(tags, str)
@@ -257,6 +279,10 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                     raise ValueError(
                         f"json.facet {name!r}: nested buckets sort "
                         "by count")
+                if dom_query is not None:
+                    raise ValueError(
+                        f"json.facet {name!r}: nested sub-facet domains "
+                        "support excludeTags/filter only")
                 out[name] = (
                     "nested", fld, int(req.get("limit", 10)),
                     f2, int(agg.get("limit", 10)), ex, dom_filter,
@@ -273,7 +299,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                 sort = m.group(1)
             out[name] = (
                 "terms", fld, int(req.get("limit", 10)), tuple(aggs),
-                sort, ex, dom_filter,
+                sort, ex, dom_filter, dom_query,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q", "facet"}
@@ -1396,15 +1422,20 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["facets"] = {}
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
-                _, fld, limit, aggs_t, sort, ex, dom_f = req
+                _, fld, limit, aggs_t, sort, ex, dom_f, dom_q = req
                 # domain.excludeTags: drop the tagged fq constraints
                 # from THIS bucket's domain only (multi-select);
-                # domain.filter: add a bucket-local pure filter
-                leg_spec = (
-                    _exclude_filter_fields(spec, ex) if ex else spec
-                )
-                if dom_f is not None:
-                    leg_spec = _merge_filters(leg_spec, dom_f)
+                # domain.filter: add a bucket-local pure filter;
+                # domain.query: REPLACE the domain with a standalone
+                # query's match set (exclusive with the other two)
+                if dom_q is not None:
+                    leg_spec = dom_q
+                else:
+                    leg_spec = (
+                        _exclude_filter_fields(spec, ex) if ex else spec
+                    )
+                    if dom_f is not None:
+                        leg_spec = _merge_filters(leg_spec, dom_f)
                 if not aggs_t:
                     out["facets"][name] = searcher.facet(
                         fld, spec=leg_spec, limit=limit

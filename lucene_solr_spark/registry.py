@@ -4948,6 +4948,77 @@ LIMIT {spec.k}
 register("q_boost_qparser", _boost_qparser, _boost_qparser_oracle())
 
 
+# --- {!switch} qparser (param-routing) ----------------------------------
+
+_SWITCH_QP = re.compile(r"^\{!switch\s+([^}]+)\}(.*)$")
+
+
+def parse_switch_qparser(qs: str) -> str:
+    """``{!switch case=A case.x=B default=C}<input>`` —
+    SwitchQParserPlugin: route the input string to one of the named
+    sub-queries. ``case`` (bare) matches the EMPTY input, ``case.<v>``
+    matches input == v, ``default`` catches the rest; no match and no
+    default raises like the reference's SyntaxError. Values are
+    single Lucene-syntax clauses (the fq idiom this parser exists
+    for). Returns the routed sub-query string.
+
+    ref: solr/core/src/java/org/apache/solr/search/SwitchQParserPlugin.java
+    """
+    m = _SWITCH_QP.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a {{!switch}} query: {qs!r}")
+    body, inp = m.groups()
+    cases: dict[str, str] = {}
+    default = empty_case = None
+    for tok in body.split():
+        if "=" not in tok:
+            raise ValueError(f"bad {{!switch}} local param: {tok!r}")
+        k, v = tok.split("=", 1)
+        if not v:
+            raise ValueError(f"empty {{!switch}} case value: {tok!r}")
+        if k == "default":
+            default = v
+        elif k == "case":
+            empty_case = v
+        elif k.startswith("case.") and len(k) > 5:
+            cases[k[5:]] = v
+        else:
+            raise ValueError(f"unknown {{!switch}} local param: {k!r}")
+    inp = inp.strip()
+    if inp == "" and empty_case is not None:
+        return empty_case
+    if inp and inp in cases:
+        return cases[inp]
+    if default is None:
+        raise ValueError(
+            f"{{!switch}}: no case matches {inp!r} and no default given")
+    return default
+
+
+_SWITCH_FQ = ("{!switch case.agent=role:assistant case.human=role:user "
+              "default=tool:*}agent")
+_SWITCH_SPEC = BooleanSpec(
+    must=("merge", "data"), filters=(("role", "assistant"),), k=12
+)
+
+
+def _switch_qparser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!switch} front door as an fq router: the input 'agent' picks
+    role:assistant, which merges into the main query's filter mask —
+    the canonical SwitchQParser usage (appends-side fq templating)."""
+    from lucene_solr_spark.query.parser import parse as _parse_q
+
+    routed = parse_switch_qparser(_SWITCH_FQ)
+    assert routed == "role:assistant"
+    spec = _parse_q("+merge +data " + routed, k=12)
+    assert spec == _SWITCH_SPEC
+    s = cached_searcher(spark, sf_dir)
+    return s.search(spec, round_to=ROUND)
+
+
+register("q_switch_qparser", _switch_qparser, bm25_oracle_sql(_SWITCH_SPEC))
+
+
 # --- /select SearchHandler front door ---------------------------------
 
 _SELECT_PARAMS = {
@@ -8250,6 +8321,44 @@ register(
     "q_stream_expr_classify",
     _stream_expr_classify,
     _ml_stream_oracle("q_classify_stream", "LIMIT 10", "LIMIT 12"),
+)
+
+
+def _stream_expr_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce() + group() stream operation: one tuple per user_id
+    carrying that user's first 3 events (by event_id) as the `group`
+    tuple list. The registry row projects the struct list to a
+    hashable string for the oracle; ordering/slicing/grouping all
+    happen in the reduce machinery under test.
+    ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
+    ReducerStream.java, ops/GroupOperation.java"""
+    df = stream_handler(
+        spark, sf_dir,
+        'reduce(search(events, q="*:*", fl="user_id,event_id,event_type", '
+        'sort="user_id asc"), by="user_id", '
+        'group(sort="event_id asc", n="3"))',
+    )
+    return df.selectExpr(
+        "user_id",
+        "concat_ws(',', transform(`group`, s -> s.event_type)) "
+        "AS first_events",
+        "CAST(size(`group`) AS BIGINT) AS n_in_group",
+    )
+
+
+register(
+    "q_stream_expr_reduce",
+    _stream_expr_reduce,
+    """WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY rn) AS first_events,
+       CAST(count(*) AS BIGINT) AS n_in_group
+FROM ranked WHERE rn <= 3
+GROUP BY user_id
+ORDER BY user_id""",
 )
 
 

@@ -56,7 +56,7 @@ STREAM_FUNCS = frozenset(
     "hashJoin fetch facet stats merge complement intersect "
     "cartesianProduct parallel topic daemon significantTerms knnSearch "
     "timeseries random nodes scoreNodes shortestPath update commit "
-    "features train classify "
+    "features train classify reduce "
     "let col describe corr regress hist".split()
 )
 #: math-expression functions — valid only as let() bindings (they
@@ -391,6 +391,70 @@ class StreamCompiler:
             conv, turn, src.text, max_terms=max_terms, k=k, round_to=4,
         )
         return df, [("score", False), ("conv_id", True), ("turn_idx", True)]
+
+    def _c_reduce(self, expr: StreamExpr):
+        """reduce(<stream>, by="f1,f2", group(sort="...", n=N)) —
+        ReducerStream + GroupOperation: one output tuple per distinct
+        `by` key carrying `group` = the group's top-N inner tuples
+        under the group sort (every non-key column, in sort order).
+
+        Physical: row_number over a by-partitioned window with the
+        bare rn<=N filter DIRECTLY above it (WindowGroupLimit Partial
+        pre-reduces map tasks to N rows per group before the key
+        exchange), then ONE partial-aggregating collect of the ≤N
+        surviving structs per group — the stream never collects a
+        whole group, unlike the reference's in-memory GroupOperation
+        buffer. Output ordered by the `by` keys.
+
+        ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/
+        stream/ReducerStream.java, ops/GroupOperation.java"""
+        subs = [a for a in expr.args if _is_expr(a)]
+        group_ops = [a for a in subs
+                     if parse_stream_expr(a).name == "group"]
+        stream_args = [a for a in subs if a not in group_ops]
+        if len(group_ops) != 1 or len(stream_args) != 1:
+            raise ValueError("reduce() takes one stream and one "
+                             "group(sort=, n=) operation")
+        inner_df, _ = self._sub(stream_args[0])
+        gop = parse_stream_expr(group_ops[0])
+        unknown = set(gop.params) - {"sort", "n"}
+        if unknown:
+            raise ValueError(f"unknown group() params: {sorted(unknown)}")
+        if "sort" not in gop.params:
+            raise ValueError("group() needs sort=")
+        n = int(unquote(gop.params.get("n", "10")))
+        if n < 1:
+            raise ValueError(f"group() n must be >= 1: {n}")
+        by_raw = unquote(expr.params.get("by", ""))
+        by = [b.strip() for b in by_raw.split(",") if b.strip()]
+        if not by:
+            raise ValueError("reduce() needs by=")
+        missing = [b for b in by if b not in inner_df.columns]
+        if missing:
+            raise ValueError(f"reduce() by fields not in stream: {missing}")
+        keys = _sort_keys(unquote(gop.params["sort"]))
+        for fld, _asc in keys:
+            if fld not in inner_df.columns:
+                raise ValueError(f"group() sort field not in stream: {fld!r}")
+        inner_cols = [c for c in inner_df.columns if c not in by]
+        if not inner_cols:
+            raise ValueError("reduce() needs at least one non-key column")
+        w = Window.partitionBy(*by).orderBy(*_order_cols(keys))
+        top = (
+            inner_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+        )
+        # rn leads the struct so array_sort restores the group order;
+        # the transform strips it from the published tuples
+        struct_cols = ", ".join(f"`{c}`" for c in inner_cols)
+        rebuilt = ", ".join(f"s.`{c}` AS `{c}`" for c in inner_cols)
+        grouped = top.groupBy(*by).agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(rn, "
+                f"{struct_cols}))), s -> struct({rebuilt}))"
+            ).alias("group")
+        ).orderBy(*by)
+        return grouped, [(b, True) for b in by]
 
     def _c_features(self, expr: StreamExpr):
         """features(transcripts, outcome="role:assistant", numTerms=)

@@ -84,3 +84,49 @@ def test_boost_qparser_contracts(spark, sf_dir):
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_boost_qparser(bad)
+
+
+def test_switch_qparser_routing():
+    from lucene_solr_spark.registry import parse_switch_qparser as sw
+
+    q = "{!switch case.a=role:user case=tool:* default=text:x}"
+    assert sw(q + "a") == "role:user"
+    assert sw(q + "") == "tool:*"          # bare case = empty input
+    assert sw(q + "zzz") == "text:x"       # default
+    with pytest.raises(ValueError, match="no case matches"):
+        sw("{!switch case.a=role:user}b")
+    with pytest.raises(ValueError, match="unknown"):
+        sw("{!switch shuffle=x}a")
+    with pytest.raises(ValueError, match="not a"):
+        sw("{!term f=role}x")
+
+
+def test_json_facet_domain_query_replaces_domain(spark, sf_dir):
+    """domain.query buckets over the STANDALONE query's match set —
+    equal to faceting that query directly, regardless of the main q;
+    combining with filter/excludeTags raises."""
+    from lucene_solr_spark.query.parser import parse
+
+    s = cached_searcher(spark, sf_dir)
+    resp = select(s, {
+        "q": "merge", "rows": 0,
+        "json.facet": {"dq": {
+            "type": "terms", "field": "role", "limit": 5,
+            "domain": {"query": "data scan"},
+        }},
+    })
+    got = {(r.facet_value, r.cnt) for r in resp["facets"]["dq"].collect()}
+    direct = s.facet("role", spec=parse("data scan", default_op="AND"),
+                     limit=5)
+    expect = {(r.facet_value, r.cnt) for r in direct.collect()}
+    assert got == expect and got
+    for bad, msg in [
+        ({"query": "x", "filter": "role:user"}, "cannot combine"),
+        ({"query": ""}, "query wants a"),
+        ({"query": "+ |"}, "empty domain.query"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            select(s, {"q": "merge", "rows": 0,
+                       "json.facet": {"d": {"type": "terms",
+                                            "field": "role",
+                                            "domain": bad}}})

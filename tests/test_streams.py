@@ -656,3 +656,45 @@ def test_ml_stream_expressions(spark, sf_dir):
     ]:
         with pytest.raises(ValueError, match=msg):
             stream_handler(spark, sf_dir, bad)
+
+
+def test_reduce_stream_group_operation(spark, sf_dir):
+    """reduce()+group(): per-key top-n tuple lists in group-sort
+    order; the window keeps the WindowGroupLimit pre-reduction shape;
+    malformed operations raise."""
+    from lucene_solr_spark.streams import stream_handler
+
+    df = stream_handler(
+        spark, sf_dir,
+        'reduce(search(events, q="*:*", fl="user_id,event_id,event_type", '
+        'sort="user_id asc"), by="user_id", '
+        'group(sort="event_id asc", n="2"))',
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    brute = {}
+    for r in sorted(ev.select("user_id", "event_id", "event_type").collect(),
+                    key=lambda r: (r.user_id, r.event_id)):
+        brute.setdefault(r.user_id, []).append((r.event_id, r.event_type))
+    assert [r.user_id for r in rows] == sorted(brute)
+    for r in rows:
+        expect = brute[r.user_id][:2]
+        assert [(g.event_id, g.event_type) for g in r.group] == expect
+    for bad, msg in [
+        ('reduce(search(events, q="*:*"), by="user_id")',
+         "one stream and one"),
+        ('reduce(search(events, q="*:*"), '
+         'group(sort="event_id asc", n="0"))', "n must be"),
+        ('reduce(search(events, q="*:*"), '
+         'group(sort="event_id asc"))', "needs by="),
+        ('reduce(search(events, q="*:*", fl="user_id"), by="user_id", '
+         'group(sort="user_id asc"))', "non-key column"),
+        ('reduce(search(events, q="*:*"), by="nope", '
+         'group(sort="event_id asc"))', "not in stream"),
+        ('reduce(search(events, q="*:*"), by="user_id", '
+         'group(n="2"))', "needs sort="),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            stream_handler(spark, sf_dir, bad)
