@@ -604,16 +604,18 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                 f"facet.range.other wants all|before|after|between, "
                 f"got {raw_o!r}")
         facet_range_other = kinds
-    # classic facet.pivot (PivotFacetProcessor): one 2-level pivot
-    # over ord-indexed fields; facet.limit bounds both levels
+    # classic facet.pivot (PivotFacetProcessor): one 2- or 3-level
+    # pivot over ord-indexed fields; facet.limit bounds every level
     facet_pivot = None
     if "facet.pivot" in params:
         parts = [p.strip() for p in str(params["facet.pivot"]).split(",")]
-        if len(parts) != 2 or not all(p in _FACETABLE for p in parts):
+        if (len(parts) not in (2, 3)
+                or not all(p in _FACETABLE for p in parts)):
             raise ValueError(
-                f"facet.pivot must name two of {sorted(_FACETABLE)} "
-                f"comma-separated, got {params['facet.pivot']!r}")
-        if parts[0] == parts[1]:
+                f"facet.pivot must name two or three of "
+                f"{sorted(_FACETABLE)} comma-separated, got "
+                f"{params['facet.pivot']!r}")
+        if len(set(parts)) != len(parts):
             raise ValueError("facet.pivot fields must differ")
         facet_pivot = tuple(parts)
     # classic facet.interval (IntervalFacets): arbitrary, possibly
@@ -1197,17 +1199,21 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # classic facet.pivot leg: the index sparse pair-counting
         # engine over the SAME q+fq domain (shuffle bounded by
         # distinct co-occurring pairs, never the corpus)
-        from lucene_solr_spark.query.facets import facet_pivot
+        from lucene_solr_spark.query.facets import facet_pivot, facet_pivot3
 
-        f1, f2 = o["facet_pivot"]
         # facet_pivot does not rewrite multiterm specs itself
         p_spec = searcher.rewrite(spec) if spec.needs_rewrite else spec
-        out["facet_pivots"] = {
-            f"{f1},{f2}": facet_pivot(
-                searcher, f1, f2, spec=p_spec,
-                limit1=o["facet_limit"], limit2=o["facet_limit"],
-            )
-        }
+        lim = o["facet_limit"]
+        if len(o["facet_pivot"]) == 2:
+            f1, f2 = o["facet_pivot"]
+            pv = facet_pivot(
+                searcher, f1, f2, spec=p_spec, limit1=lim, limit2=lim)
+        else:
+            f1, f2, f3 = o["facet_pivot"]
+            pv = facet_pivot3(
+                searcher, f1, f2, f3, spec=p_spec,
+                limit1=lim, limit2=lim, limit3=lim)
+        out["facet_pivots"] = {",".join(o["facet_pivot"]): pv}
     if o["stats_fields"]:
         # StatsComponent leg: algebraic aggregates over the domain's
         # docvalues column — one partial-aggregating narrow job per

@@ -708,6 +708,164 @@ def facet_pivot(
     )
 
 
+def facet_pivot3(
+    searcher,
+    f1: str,
+    f2: str,
+    f3: str,
+    spec: BooleanSpec | None = None,
+    limit1: int = 3,
+    limit2: int = 2,
+    limit3: int = 2,
+) -> DataFrame:
+    """Three-level pivot facet (``facet.pivot=f1,f2,f3`` —
+    PivotFacetProcessor recursion depth 3): top `limit1` values of f1
+    by count, within each the top `limit2` of f2, within each the top
+    `limit3` of f3.
+
+    Same sparse shape as :func:`facet_pivot`, one level deeper: ONE
+    ``np.unique`` per segment over the packed (ord1, ord2, ord3)
+    int64 key (21 bits per ordinal — ords are docvalues-dictionary
+    indices, far below 2^21 for any facetable field) — shuffle width
+    stays bounded by distinct co-occurring TRIPLES, never the
+    cardinality product; docs missing any of the three values are
+    excluded (Lucene missing semantics, matching the 2-level pivot).
+
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    PivotFacetProcessor.java (doPivots recursion)."""
+    o1, o2, o3 = f"{f1}_ord", f"{f2}_ord", f"{f3}_ord"
+    seg_dirs = searcher.seg_dir_by_id
+    has_deletes = bool(searcher.deleted_keys)
+    deleted_bc = searcher._deleted_bc
+    triple_schema = "seg_id int, ord1 int, ord2 int, ord3 int, cnt long"
+    _B21 = (1 << 21) - 1
+
+    def count_triples(seg_id: int, hits: np.ndarray | None,
+                      a: np.ndarray, b: np.ndarray,
+                      c: np.ndarray) -> pd.DataFrame:
+        if hits is not None:
+            a, b, c = a[hits], b[hits], c[hits]
+        m = (a >= 0) & (b >= 0) & (c >= 0)
+        key = ((a[m].astype(np.int64) << 42)
+               | (b[m].astype(np.int64) << 21) | c[m])
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "seg_id": np.full(len(uniq), seg_id, np.int32),
+            "ord1": (uniq >> 42).astype(np.int32),
+            "ord2": ((uniq >> 21) & _B21).astype(np.int32),
+            "ord3": (uniq & _B21).astype(np.int32),
+            "cnt": cnt.astype(np.int64),
+        })
+
+    if spec is None:
+        def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            from lucene_solr_spark.query.executor import apply_deletes
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            cols = [o1, o2, o3] + (
+                ["conv_id", "turn_idx"] if has_deletes else [])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=cols
+            ).to_pandas()
+            live = apply_deletes(
+                None, dm, deleted_bc.value if deleted_bc else None)
+            hits = None if live is None else np.flatnonzero(live)
+            return count_triples(
+                seg_id, hits,
+                dm[o1].to_numpy(np.int64), dm[o2].to_numpy(np.int64),
+                dm[o3].to_numpy(np.int64),
+            )
+
+        triples = searcher.seg_driver().groupBy("seg_id").applyInPandas(
+            run_all, triple_schema)
+    else:
+        from lucene_solr_spark.query.executor import (
+            apply_deletes, filter_cols, filter_mask,
+        )
+
+        lookup = list(spec.lookup_terms)
+        pure_negative = not spec.scoring_terms
+        dm_cols = filter_cols(spec, ["doc_ord", "doc_len", o1, o2, o3])
+        if has_deletes:
+            dm_cols += [c for c in ("conv_id", "turn_idx")
+                        if c not in dm_cols]
+
+        def run_hits(pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            seg_id = int(pdf["seg_id"].iloc[0])
+            dm = pq.read_table(
+                f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
+            ).to_pandas()
+            allowed = apply_deletes(
+                filter_mask(dm, spec), dm,
+                deleted_bc.value if deleted_bc else None,
+            )
+            if pure_negative:
+                term_rows = {}
+                if lookup:
+                    post_tbl = pq.read_table(
+                        f"{seg_dirs[seg_id]}/postings.parquet",
+                        filters=[("term", "in", lookup)],
+                    ).to_pandas()
+                    term_rows = {
+                        r["term"]: r for _, r in post_tbl.iterrows()}
+            else:
+                term_rows = {r["term"]: r for _, r in pdf.iterrows()}
+            hits = match_segment(
+                spec, term_rows, len(dm), allowed,
+                int(dm["doc_len"].max()) if len(dm) else 0,
+            )
+            return count_triples(
+                seg_id, hits,
+                dm[o1].to_numpy(np.int64), dm[o2].to_numpy(np.int64),
+                dm[o3].to_numpy(np.int64),
+            )
+
+        driver = (
+            searcher.seg_driver() if pure_negative
+            else searcher.postings().filter(F.col("term").isin(lookup))
+        )
+        triples = driver.groupBy("seg_id").applyInPandas(
+            run_hits, triple_schema)
+
+    dicts = searcher.dicts()
+    named = triples
+    for n, fld in ((1, f1), (2, f2), (3, f3)):
+        d = dicts.filter(F.col("field") == fld).select(
+            "seg_id", F.col("term_ord").alias(f"ord{n}"),
+            F.col("term").alias(f"v{n}"),
+        )
+        named = named.join(d, ["seg_id", f"ord{n}"])
+    named = named.groupBy("v1", "v2", "v3").agg(F.sum("cnt").alias("cnt"))
+    top1 = (
+        named.groupBy("v1").agg(F.sum("cnt").alias("t1"))
+        .orderBy(F.desc("t1"), "v1").limit(limit1)
+    )
+    # level-2 pick WITHIN the surviving v1 buckets (PivotFacet's
+    # per-parent recursion): totals per (v1, v2), top limit2 each
+    lvl2 = (
+        named.join(F.broadcast(top1), "v1")
+        .groupBy("v1", "v2").agg(F.sum("cnt").alias("t2"))
+    )
+    w2 = Window.partitionBy("v1").orderBy(F.desc("t2"), F.asc("v2"))
+    top2 = (
+        lvl2.withColumn("rk2", F.row_number().over(w2))
+        .filter(F.col("rk2") <= limit2)
+        .select("v1", "v2", "t2")
+    )
+    w3 = Window.partitionBy("v1", "v2").orderBy(F.desc("cnt"), F.asc("v3"))
+    return (
+        named.join(F.broadcast(top2), ["v1", "v2"])
+        .withColumn("rk3", F.row_number().over(w3))
+        .filter(F.col("rk3") <= limit3)
+        .orderBy("v1", F.desc("t2"), "v2", F.desc("cnt"), "v3")
+        .select("v1", "v2", "v3", "cnt")
+    )
+
+
 def facet_nested(
     searcher,
     f1: str,

@@ -1918,6 +1918,61 @@ WHERE rk <= 2 ORDER BY v1, cnt DESC, v2""",
 )
 
 
+def _idx_facet_pivot3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.pivot=role,tool,ftok — THREE-level pivot over the 'data'
+    query domain through the index docvalues: top-3 roles, top-2
+    tools within each, top-2 first-tokens within each of those. One
+    np.unique per segment over the packed (ord1,ord2,ord3) key — the
+    shuffle carries distinct TRIPLES only (see facets.facet_pivot3)."""
+    from lucene_solr_spark.query.facets import facet_pivot3
+
+    s = cached_searcher(spark, sf_dir)
+    return facet_pivot3(
+        s, "role", "tool", "ftok", spec=BooleanSpec(must=("data",)),
+        limit1=3, limit2=2, limit3=2,
+    )
+
+
+register(
+    "q_idx_facet_pivot3",
+    _idx_facet_pivot3,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+              THEN regexp_extract_all(lower(text), '[a-z0-9]+')[1]
+         END AS ftok,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+dom AS (
+  SELECT * FROM docs
+  WHERE list_contains(toks, 'data')
+    AND role IS NOT NULL AND tool IS NOT NULL AND ftok IS NOT NULL),
+triples AS (
+  SELECT role AS v1, tool AS v2, ftok AS v3, count(*) AS cnt
+  FROM dom GROUP BY 1, 2, 3),
+top1 AS (
+  SELECT v1, sum(cnt) AS t1 FROM triples GROUP BY v1
+  ORDER BY t1 DESC, v1 LIMIT 3),
+lvl2 AS (
+  SELECT t.v1, t.v2, sum(t.cnt) AS t2
+  FROM triples t JOIN top1 USING (v1) GROUP BY 1, 2),
+top2 AS (
+  SELECT v1, v2 FROM (
+    SELECT v1, v2,
+           row_number() OVER (PARTITION BY v1 ORDER BY t2 DESC, v2) AS rk2
+    FROM lvl2)
+  WHERE rk2 <= 2)
+SELECT v1, v2, v3, cnt FROM (
+  SELECT t.v1, t.v2, t.v3, t.cnt,
+         row_number() OVER (PARTITION BY t.v1, t.v2
+                            ORDER BY t.cnt DESC, t.v3) AS rk3
+  FROM triples t JOIN top2 USING (v1, v2))
+WHERE rk3 <= 2
+ORDER BY v1, v2, cnt DESC, v3""",
+)
+
+
 def _json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested JSON facet (FacetModule): top-3 roles over the 'data'
     query domain, top-2 tools within each, each sub-bucket carrying

@@ -130,3 +130,29 @@ def test_json_facet_domain_query_replaces_domain(spark, sf_dir):
                        "json.facet": {"d": {"type": "terms",
                                             "field": "role",
                                             "domain": bad}}})
+
+
+def test_select_facet_pivot3_leg(spark, sf_dir):
+    """facet.pivot=f1,f2,f3 through /select equals the 3-level engine
+    directly; >3 or duplicate fields raise."""
+    from lucene_solr_spark.query.facets import facet_pivot3
+
+    s = cached_searcher(spark, sf_dir)
+    resp = select(s, {"q": "data", "rows": 0, "facet.limit": 2,
+                      "facet.pivot": "role,tool,ftok"})
+    got = [tuple(r) for r in
+           resp["facet_pivots"]["role,tool,ftok"].collect()]
+    spec, _ = parse_select_params({"q": "data"})
+    direct = [tuple(r) for r in facet_pivot3(
+        s, "role", "tool", "ftok", spec=spec,
+        limit1=2, limit2=2, limit3=2).collect()]
+    assert got == direct and got
+    # every (v1,v2) parent keeps <= 2 children; counts positive
+    from collections import Counter
+    kids = Counter((v1, v2) for v1, v2, _, _ in got)
+    assert all(c <= 2 for c in kids.values())
+    assert all(cnt >= 1 for _, _, _, cnt in got)
+    with pytest.raises(ValueError, match="must differ"):
+        parse_select_params({"q": "x", "facet.pivot": "role,tool,role"})
+    with pytest.raises(ValueError, match="two or three"):
+        parse_select_params({"q": "x", "facet.pivot": "role"})
