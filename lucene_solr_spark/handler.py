@@ -58,7 +58,13 @@ _KNOWN = {
     "debug",
     "defType", "mm", "pf", "ps", "json.facet",
     "rq", "rqq",
+    "expand", "expand.rows",
 }
+
+#: fq={!collapse field=f} (CollapsingQParserPlugin local-params form;
+#: the head pick is pinned to the score default — min/max selectors
+#: are outside the subset)
+_COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+field=(\w+)\}$")
 
 #: rq local-params shape (ReRankQParserPlugin): the rerank query comes
 #: by $-deref like Solr's documented usage; the deref target is pinned
@@ -434,6 +440,48 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     fqs = params.get("fq", [])
     if isinstance(fqs, str):
         fqs = [fqs]
+    # fq={!collapse field=f} — CollapsingQParserPlugin: collapses the
+    # doclist to one best-scoring head per key BEFORE paging; numFound
+    # becomes the group count. The subset keeps the response a plain
+    # (possibly expanded) doclist: component legs and non-default
+    # sorts raise, exactly the cases where Solr's collapse/facet
+    # interplay has its own documented caveats.
+    collapse = None
+    remaining_fqs = []
+    for raw in fqs:
+        m_c = _COLLAPSE_FQ_RE.match(raw.strip())
+        if m_c:
+            if collapse is not None:
+                raise ValueError("at most one {!collapse} fq")
+            fld_c = m_c.group(1)
+            if fld_c not in _GROUPABLE:
+                raise ValueError(
+                    f"{{!collapse}} field must be one of "
+                    f"{sorted(_GROUPABLE)}, got {fld_c!r}")
+            collapse = fld_c
+        else:
+            remaining_fqs.append(raw)
+    fqs = remaining_fqs
+    if collapse is not None:
+        comp = {"facet", "facet.field", "facet.query", "facet.range",
+                "facet.pivot", "facet.interval", "stats", "group",
+                "mlt", "hl", "debug", "spellcheck", "rq", "json.facet",
+                "cursorMark"} & set(params)
+        if comp:
+            raise ValueError(
+                f"{{!collapse}} pages a plain collapsed doclist in "
+                f"this subset; drop {sorted(comp)}")
+        if params.get("sort", "score desc") != "score desc":
+            raise ValueError("{!collapse} keeps the score-ranked head "
+                             "order (sort must stay score desc)")
+    expand = bool(params.get("expand", False))
+    expand_rows = int(params.get("expand.rows", 5))
+    if expand and collapse is None:
+        raise ValueError("expand=true needs an fq={!collapse} to expand")
+    if "expand.rows" in params and not expand:
+        raise ValueError("expand.rows needs expand=true")
+    if expand_rows < 1:
+        raise ValueError(f"expand.rows must be >= 1: {expand_rows}")
     tag_fields: dict[str, set[str]] = {}
     for raw in fqs:
         m = _TAG_RE.match(raw)
@@ -821,6 +869,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_offset": facet_offset,
         "facet_method": facet_method,
         "facet_exists": facet_exists,
+        "collapse": collapse,
+        "expand": (expand_rows if expand else None),
         "facet_queries": facet_queries,
         "facet_range": facet_range,
         "facet_range_other": facet_range_other,
@@ -1040,7 +1090,35 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             "numFound": searcher.docset_count(spec),
             "nextCursorMark": next_mark,
         }
-    if o["sort"] is None:
+    ranked_c = None
+    if o["collapse"] is not None:
+        # CollapsingQParser leg: per-key best-scoring head (rounded
+        # score desc, doc-key tiebreak — an engine-independent
+        # boundary), then the normal paging over the heads. The
+        # window partitions BY THE COLLAPSE KEY (parallel across
+        # groups, never a single-partition frame) and numFound is the
+        # GROUP count, Solr's collapsed numFound.
+        key_c = o["collapse"]
+        hits_c = searcher.score_hits(spec, k=None).withColumn(
+            "score", F.round("score", 4)
+        )
+        if key_c not in ("conv_id", "turn_idx"):
+            hits_c = hits_c.join(
+                searcher.docmap().select("conv_id", "turn_idx", key_c),
+                ["conv_id", "turn_idx"],
+            )
+        cw = Window.partitionBy(key_c).orderBy(
+            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+        )
+        ranked_c = hits_c.withColumn("crn", F.row_number().over(cw))
+        order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
+        head = (
+            ranked_c.filter(F.col("crn") == 1)
+            .select("conv_id", "turn_idx", "score")
+            .orderBy(*order)
+            .limit(o["start"] + o["rows"])
+        )
+    elif o["sort"] is None:
         if o["rerank"] is not None:
             # rq leg: the head is the main query's top reRankDocs
             # re-scored (bounded second pass, broadcast join-back);
@@ -1133,9 +1211,38 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         searcher.cache_docset(spec)
     out: dict = {
         "response": page,
-        "numFound": searcher.docset_count(spec),
+        # collapsed numFound = the GROUP count (one bounded distinct
+        # over the hit keys); otherwise the full DocSet cardinality
+        "numFound": (
+            ranked_c.filter(F.col("crn") == 1).count()
+            if ranked_c is not None else searcher.docset_count(spec)
+        ),
         "facet_counts": {},
     }
+    if o["expand"] is not None:
+        # ExpandComponent leg: the PAGE's groups get their next
+        # expand.rows best docs (head excluded) from a second pass of
+        # the same key-partitioned rank — Solr's ExpandComponent also
+        # re-queries the collapsed groups after the main pass
+        n_exp = o["expand"]
+        key_c = o["collapse"]
+        pg = page_keys.drop("rn")
+        if key_c not in ("conv_id", "turn_idx"):
+            pg = pg.join(
+                searcher.docmap().select("conv_id", "turn_idx", key_c),
+                ["conv_id", "turn_idx"],
+            )
+        page_groups = pg.select(key_c).distinct()
+        out["expanded"] = (
+            ranked_c.join(F.broadcast(page_groups), key_c, "left_semi")
+            .filter((F.col("crn") > 1) & (F.col("crn") <= n_exp + 1))
+            .select(
+                F.col(key_c).alias("group_value"),
+                "conv_id", "turn_idx", "score",
+                (F.col("crn") - 1).cast("long").alias("expand_rank"),
+            )
+            .orderBy("group_value", "expand_rank")
+        )
     for fld, ex_fields in o["facet_fields"]:
         fc = searcher.facet(
             fld, spec=spec, limit=o["facet_limit"],

@@ -5003,6 +5003,59 @@ LIMIT {spec.k}
 register("q_boost_qparser", _boost_qparser, _boost_qparser_oracle())
 
 
+# --- {!collapse}/expand through /select ---------------------------------
+
+
+def _select_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fq={!collapse field=conv_id} through /select — the
+    CollapsingQParserPlugin idiom: the doclist collapses to each
+    conversation's best-scoring turn before paging, numFound becomes
+    the group count. Same engine shape as q_idx_collapse behind the
+    fq local-params front door.
+    ref: solr/core/src/java/org/apache/solr/search/
+    CollapsingQParserPlugin.java"""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "merge", "rows": 15,
+        "fq": "{!collapse field=conv_id}",
+    })["response"]
+
+
+register(
+    "q_select_collapse",
+    _select_collapse,
+    bm25_collapse_oracle_sql(BooleanSpec(must=("merge",), k=15), 15),
+)
+
+
+def _select_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expand=true companion: the collapsed page's groups surface
+    their next expand.rows best turns (head excluded) — Solr's
+    ExpandComponent section, keyed on the page like the reference.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    ExpandComponent.java"""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "merge", "rows": 15,
+        "fq": "{!collapse field=conv_id}",
+        "expand": True, "expand.rows": 2,
+    })
+    return out["expanded"].select(
+        "conv_id", "turn_idx", "score", "expand_rank"
+    )
+
+
+register(
+    "q_select_expand",
+    _select_expand,
+    bm25_expand_oracle_sql(BooleanSpec(must=("merge",), k=15), 15, 2),
+)
+
+
 # --- {!switch} qparser (param-routing) ----------------------------------
 
 _SWITCH_QP = re.compile(r"^\{!switch\s+([^}]+)\}(.*)$")

@@ -156,3 +156,51 @@ def test_select_facet_pivot3_leg(spark, sf_dir):
         parse_select_params({"q": "x", "facet.pivot": "role,tool,role"})
     with pytest.raises(ValueError, match="two or three"):
         parse_select_params({"q": "x", "facet.pivot": "role"})
+
+
+def test_select_collapse_and_expand_contracts(spark, sf_dir):
+    """{!collapse} fq: one head per key, numFound = group count;
+    expand=true returns the PAGE's groups' next docs; incompatible
+    params raise."""
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {"q": "merge", "rows": 8,
+                     "fq": "{!collapse field=conv_id}",
+                     "expand": True, "expand.rows": 2})
+    page = out["response"].collect()
+    assert len({r.conv_id for r in page}) == len(page)  # one per group
+    # numFound = distinct matching conversations
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    hits = s.score_hits(BooleanSpec(must=("merge",)), k=None)
+    assert out["numFound"] == hits.select("conv_id").distinct().count()
+    exp = out["expanded"].collect()
+    page_convs = {r.conv_id for r in page}
+    assert {r.group_value for r in exp} <= page_convs
+    assert all(1 <= r.expand_rank <= 2 for r in exp)
+    # expanded rows never repeat the heads
+    heads = {(r.conv_id, r.turn_idx) for r in page}
+    assert not ({(r.conv_id, r.turn_idx) for r in exp} & heads)
+    for bad, msg in [
+        ({"q": "m", "fq": "{!collapse field=conv_id}",
+          "facet.field": "role"}, "plain collapsed doclist"),
+        ({"q": "m", "fq": "{!collapse field=conv_id}",
+          "sort": "ts desc"}, "score-ranked head"),
+        ({"q": "m", "fq": "{!collapse field=text}"}, "field must be"),
+        ({"q": "m", "expand": True}, "needs an fq"),
+        ({"q": "m", "fq": ["{!collapse field=conv_id}",
+                           "{!collapse field=role}"]}, "at most one"),
+        ({"q": "m", "fq": "{!collapse field=conv_id}",
+          "expand.rows": 2}, "expand.rows needs"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_select_params(bad)
+
+
+def test_select_collapse_on_role_key(spark, sf_dir):
+    """Collapse on a non-key docvalues field joins the pruned column
+    and still yields one head per value."""
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {"q": "merge data", "rows": 10,
+                     "fq": "{!collapse field=role}"})
+    page = out["response"].collect()
+    assert out["numFound"] == len(page) <= 4  # role cardinality
