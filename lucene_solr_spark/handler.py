@@ -59,7 +59,27 @@ _KNOWN = {
     "defType", "mm", "pf", "ps", "json.facet",
     "rq", "rqq",
     "expand", "expand.rows",
+    "elevateIds", "excludeIds",
 }
+
+#: elevateIds/excludeIds entry — the doc-key addressing format
+_DOC_ID_RE = re.compile(r"^(\w+)#(\d+)$")
+
+
+def _parse_doc_ids(raw, param: str) -> list[tuple[str, int]]:
+    """Comma list of ``<conv_id>#<turn_idx>`` doc keys."""
+    parts = ([p.strip() for p in raw.split(",")]
+             if isinstance(raw, str) else [str(p) for p in raw])
+    out = []
+    for p in parts:
+        m = _DOC_ID_RE.match(p)
+        if m is None:
+            raise ValueError(
+                f"{param} wants '<conv_id>#<turn_idx>' entries, got {p!r}")
+        out.append((m.group(1), int(m.group(2))))
+    if not out:
+        raise ValueError(f"empty {param}")
+    return out
 
 #: fq={!collapse field=f} (CollapsingQParserPlugin local-params form;
 #: the head pick is pinned to the score default — min/max selectors
@@ -482,6 +502,37 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         raise ValueError("expand.rows needs expand=true")
     if expand_rows < 1:
         raise ValueError(f"expand.rows must be >= 1: {expand_rows}")
+    # QueryElevationComponent: elevateIds pin docs to the top slots in
+    # list order (kept even when they don't match — forceElevation;
+    # null score then), excludeIds are removed from the result set
+    # entirely. Elevation rewrites the doclist order, so it keeps the
+    # plain score-ranked shape: field sorts, collapse, rerank,
+    # grouping, cursorMark and debug raise.
+    # ref: solr/core/src/java/org/apache/solr/handler/component/
+    # QueryElevationComponent.java (elevateIds/excludeIds params)
+    elevate = None
+    if "elevateIds" in params:
+        elev_ids = _parse_doc_ids(params["elevateIds"], "elevateIds")
+        excl_ids = (_parse_doc_ids(params["excludeIds"], "excludeIds")
+                    if "excludeIds" in params else [])
+        overlap = set(elev_ids) & set(excl_ids)
+        if overlap:
+            raise ValueError(
+                f"ids cannot be both elevated and excluded: "
+                f"{sorted(overlap)}")
+        comp = {"sort", "group", "rq", "cursorMark", "debug"} & set(params)
+        if comp and params.get("sort", "score desc") != "score desc":
+            raise ValueError("elevateIds keeps the score-ranked order "
+                             "(sort must stay score desc)")
+        comp -= {"sort"}
+        if comp:
+            raise ValueError(f"elevateIds pins the plain doclist order; "
+                             f"drop {sorted(comp)}")
+        if collapse is not None:
+            raise ValueError("elevateIds cannot combine with {!collapse}")
+        elevate = (tuple(elev_ids), tuple(excl_ids))
+    elif "excludeIds" in params:
+        raise ValueError("excludeIds needs elevateIds")
     tag_fields: dict[str, set[str]] = {}
     for raw in fqs:
         m = _TAG_RE.match(raw)
@@ -834,14 +885,16 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         for f in parts_fl:
             if f.startswith("["):
                 name = f[1:-1] if f.endswith("]") else ""
-                if name not in ("docid", "shard", "explain"):
+                if name not in ("docid", "shard", "explain", "elevated"):
                     raise ValueError(
                         f"unknown fl transformer: {f!r} "
-                        "([docid]|[shard]|[explain])")
+                        "([docid]|[shard]|[explain]|[elevated])")
                 fl_transformers.append(name)
                 fl_entries.append(name)
             else:
                 fl_entries.append(f)
+        if "elevated" in fl_transformers and elevate is None:
+            raise ValueError("[elevated] needs elevateIds")
         if "explain" in fl_transformers:
             if sort_key is not None:
                 raise ValueError("[explain] explains the relevance "
@@ -850,6 +903,9 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             if rerank is not None or def_type == "edismax":
                 raise ValueError("[explain] rides the batched debug "
                                  "machinery: defType=lucene, no rq")
+            if elevate is not None:
+                raise ValueError("[explain] explains organic scores; "
+                                 "elevated pages carry pinned slots")
     opts = {
         "start": start, "rows": rows,
         "cursor_mark": cursor_mark,
@@ -871,6 +927,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_exists": facet_exists,
         "collapse": collapse,
         "expand": (expand_rows if expand else None),
+        "elevate": elevate,
         "facet_queries": facet_queries,
         "facet_range": facet_range,
         "facet_range_other": facet_range_other,
@@ -1091,7 +1148,52 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             "nextCursorMark": next_mark,
         }
     ranked_c = None
-    if o["collapse"] is not None:
+    elev_numfound = None
+    if o["elevate"] is not None:
+        # QueryElevationComponent leg: pinned slots in list order for
+        # the PRESENT elevated ids (index view, so tombstoned docs
+        # drop out), organic hits (minus exclusions and elevated ids)
+        # fill the remaining start+rows slots; the page slices the
+        # combined slot order. numFound = organic hit count + elevated
+        # rows (Solr counts force-elevated non-matching docs too).
+        elev_ids, excl_ids = o["elevate"]
+        elev = searcher.spark.createDataFrame(
+            [(c, t, i + 1) for i, (c, t) in enumerate(elev_ids)],
+            "conv_id string, turn_idx int, slot int",
+        )
+        e_hits = searcher.score_hits(spec, k=None).withColumn(
+            "score", F.round("score", 4)
+        )
+        if excl_ids:
+            excl = searcher.spark.createDataFrame(
+                list(excl_ids), "conv_id string, turn_idx int")
+            e_hits = e_hits.join(
+                F.broadcast(excl), ["conv_id", "turn_idx"], "left_anti")
+        elevated = (
+            elev.join(searcher.docmap().select("conv_id", "turn_idx"),
+                      ["conv_id", "turn_idx"], "left_semi")
+            .join(e_hits, ["conv_id", "turn_idx"], "left")
+            .select("conv_id", "turn_idx", "score",
+                    F.col("slot").cast("long").alias("slot"))
+        )
+        n_elev = elevated.count()
+        organic_pool = e_hits.join(
+            F.broadcast(elev.select("conv_id", "turn_idx")),
+            ["conv_id", "turn_idx"], "left_anti",
+        )
+        elev_numfound = organic_pool.count() + n_elev
+        ow = Window.orderBy(F.desc("score"), "conv_id", "turn_idx")
+        organic = (
+            organic_pool
+            .orderBy(F.desc("score"), "conv_id", "turn_idx")
+            .limit(max(0, o["start"] + o["rows"] - n_elev))
+            .select("conv_id", "turn_idx", "score",
+                    (F.row_number().over(ow) + n_elev)
+                    .cast("long").alias("slot"))
+        )
+        head = elevated.unionByName(organic)
+        order = [F.asc("slot")]
+    elif o["collapse"] is not None:
         # CollapsingQParser leg: per-key best-scoring head (rounded
         # score desc, doc-key tiebreak — an engine-independent
         # boundary), then the normal paging over the heads. The
@@ -1181,6 +1283,18 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 )
             )
             aug = aug.join(locs, ["conv_id", "turn_idx"], "left")
+        if "elevated" in o["fl_transformers"]:
+            # [elevated] augmenter: true iff the doc is one of the
+            # request's elevateIds (a literal-set membership — the
+            # elevate list is request-bounded)
+            elev_ids, _ = o["elevate"]
+            keys_lit = [f"{c}#{t}" for c, t in elev_ids]
+            aug = aug.withColumn(
+                "elevated",
+                F.concat_ws(
+                    "#", "conv_id", F.col("turn_idx").cast("string")
+                ).isin(keys_lit),
+            )
         if "explain" in o["fl_transformers"]:
             contribs = searcher.explain_batch(
                 spec,
@@ -1214,7 +1328,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # collapsed numFound = the GROUP count (one bounded distinct
         # over the hit keys); otherwise the full DocSet cardinality
         "numFound": (
-            ranked_c.filter(F.col("crn") == 1).count()
+            elev_numfound if elev_numfound is not None
+            else ranked_c.filter(F.col("crn") == 1).count()
             if ranked_c is not None else searcher.docset_count(spec)
         ),
         "facet_counts": {},

@@ -5056,6 +5056,69 @@ register(
 )
 
 
+# --- elevateIds/excludeIds through /select ------------------------------
+
+_SEL_ELEV_SPEC = BooleanSpec(must=("merge",), k=12)
+_SEL_ELEV_IDS = [("conv00000007", 3), ("conv00000012", 0)]
+_SEL_EXCL_IDS = [("conv00000003", 2)]
+
+
+def _select_elevate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """elevateIds/excludeIds through /select: request-time elevation
+    (Solr's enableElevation + the elevateIds override params) — the
+    listed ids pin to the top slots in order (kept with null score
+    when they don't match), the excluded id vanishes from the organic
+    ranking, and the page slices the combined slot order.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    QueryElevationComponent.java (elevateIds/excludeIds)"""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "merge", "rows": 12,
+        "elevateIds": ",".join(f"{c}#{t}" for c, t in _SEL_ELEV_IDS),
+        "excludeIds": ",".join(f"{c}#{t}" for c, t in _SEL_EXCL_IDS),
+    })["response"]
+
+
+def _select_elevate_oracle() -> str:
+    body = bm25_oracle_sql(_SEL_ELEV_SPEC).split(
+        "\nSELECT conv_id, turn_idx, round(score")[0]
+    elev_vals = ", ".join(
+        f"('{c}', {t}, {i + 1})"
+        for i, (c, t) in enumerate(_SEL_ELEV_IDS))
+    excl_vals = ", ".join(f"('{c}', {t})" for c, t in _SEL_EXCL_IDS)
+    k = _SEL_ELEV_SPEC.k
+    return (body + f""",
+elev(conv_id, turn_idx, slot) AS (VALUES {elev_vals}),
+excl(conv_id, turn_idx) AS (VALUES {excl_vals}),
+present AS (
+  SELECT e.* FROM elev e
+  WHERE (e.conv_id, e.turn_idx) IN
+        (SELECT (conv_id, turn_idx) FROM transcripts)),
+pool AS (
+  SELECT conv_id, turn_idx, round(score, {ROUND}) AS score
+  FROM scored
+  WHERE (conv_id, turn_idx) NOT IN (SELECT (conv_id, turn_idx) FROM excl)),
+elevated AS (
+  SELECT p.conv_id, p.turn_idx, s.score, CAST(p.slot AS BIGINT) AS slot
+  FROM present p LEFT JOIN pool s
+    ON p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx),
+organic AS (
+  SELECT conv_id, turn_idx, score,
+         CAST(row_number() OVER (ORDER BY score DESC, conv_id, turn_idx)
+              + (SELECT count(*) FROM present) AS BIGINT) AS slot
+  FROM pool
+  WHERE (conv_id, turn_idx) NOT IN
+        (SELECT (conv_id, turn_idx) FROM present)
+  ORDER BY score DESC, conv_id, turn_idx
+  LIMIT {k} - (SELECT count(*) FROM present))
+SELECT * FROM elevated UNION ALL SELECT * FROM organic ORDER BY slot""")
+
+
+register("q_select_elevate", _select_elevate, _select_elevate_oracle())
+
+
 # --- {!switch} qparser (param-routing) ----------------------------------
 
 _SWITCH_QP = re.compile(r"^\{!switch\s+([^}]+)\}(.*)$")

@@ -204,3 +204,49 @@ def test_select_collapse_on_role_key(spark, sf_dir):
                      "fq": "{!collapse field=role}"})
     page = out["response"].collect()
     assert out["numFound"] == len(page) <= 4  # role cardinality
+
+
+def test_select_elevation_leg(spark, sf_dir):
+    """elevateIds pin slots 1..n in list order (null score when not
+    matching), excludeIds vanish, [elevated] marks the pinned rows,
+    numFound counts organic hits + elevated rows; validation raises."""
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "merge", "rows": 6,
+        "elevateIds": "conv00000007#3,conv00000012#0",
+        "excludeIds": "conv00000003#2",
+        "fl": ["conv_id", "turn_idx", "score", "slot", "[elevated]"],
+    })
+    page = out["response"].collect()
+    assert [(r.conv_id, r.turn_idx) for r in page[:2]] == [
+        ("conv00000007", 3), ("conv00000012", 0)]
+    assert [r.slot for r in page] == list(range(1, 7))
+    assert [r.elevated for r in page] == [True, True] + [False] * 4
+    assert ("conv00000003", 2) not in {
+        (r.conv_id, r.turn_idx) for r in page}
+    # numFound = organic (post-exclusion, anti-elevated) + elevated
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    hits = {(r.conv_id, r.turn_idx)
+            for r in s.score_hits(BooleanSpec(must=("merge",)),
+                                  k=None).collect()}
+    organic = hits - {("conv00000003", 2), ("conv00000007", 3),
+                      ("conv00000012", 0)}
+    assert out["numFound"] == len(organic) + 2
+    for bad, msg in [
+        ({"q": "m", "excludeIds": "a#1"}, "excludeIds needs"),
+        ({"q": "m", "elevateIds": "a#1", "excludeIds": "a#1"},
+         "both elevated and excluded"),
+        ({"q": "m", "elevateIds": "nohash"}, "wants '<conv_id>#"),
+        ({"q": "m", "elevateIds": "a#1", "sort": "ts desc"},
+         "score-ranked order"),
+        ({"q": "m", "elevateIds": "a#1", "group": True,
+          "group.field": "role"}, "plain doclist order"),
+        ({"q": "m", "elevateIds": "a#1",
+          "fq": "{!collapse field=conv_id}"}, "cannot combine"),
+        ({"q": "m", "fl": ["[elevated]"]}, "needs elevateIds"),
+        ({"q": "m", "elevateIds": "a#1", "fl": ["[explain]"]},
+         "organic scores"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_select_params(bad)
