@@ -81,10 +81,52 @@ def _parse_doc_ids(raw, param: str) -> list[tuple[str, int]]:
         raise ValueError(f"empty {param}")
     return out
 
-#: fq={!collapse field=f} (CollapsingQParserPlugin local-params form;
-#: the head pick is pinned to the score default — min/max selectors
-#: are outside the subset)
-_COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+field=(\w+)\}$")
+#: fq={!collapse field=f [min|max=<numeric docvalues>]
+#: [nullPolicy=ignore|collapse|expand]} — CollapsingQParserPlugin
+#: local params; head pick defaults to the score order
+_COLLAPSE_FQ_RE = re.compile(r"^\{!collapse\s+([^}]+)\}$")
+
+#: numeric docvalues a min/max collapse selector may key on
+_COLLAPSE_SELECTABLE = {"doc_len", "turn_idx", "ts"}
+
+
+def _parse_collapse_fq(raw: str):
+    """``{!collapse ...}`` body → (field, selector, null_policy) where
+    selector is None (score head) or ("min"|"max", col)."""
+    m = _COLLAPSE_FQ_RE.match(raw.strip())
+    if m is None:
+        return None
+    field = selector = None
+    null_policy = "ignore"
+    for tok in m.group(1).split():
+        if "=" not in tok:
+            raise ValueError(f"bad {{!collapse}} local param: {tok!r}")
+        k, v = tok.split("=", 1)
+        if k == "field":
+            field = v
+        elif k in ("min", "max"):
+            if selector is not None:
+                raise ValueError("{!collapse} takes at most one of "
+                                 "min=/max=")
+            if v not in _COLLAPSE_SELECTABLE:
+                raise ValueError(
+                    f"{{!collapse}} {k}= must name a numeric docvalues "
+                    f"field {sorted(_COLLAPSE_SELECTABLE)}, got {v!r}")
+            selector = (k, v)
+        elif k == "nullPolicy":
+            if v not in ("ignore", "collapse", "expand"):
+                raise ValueError(
+                    f"nullPolicy must be ignore|collapse|expand: {v!r}")
+            null_policy = v
+        else:
+            raise ValueError(f"unknown {{!collapse}} local param: {k!r}")
+    if field is None:
+        raise ValueError("{!collapse} needs field=")
+    if field not in _GROUPABLE:
+        raise ValueError(
+            f"{{!collapse}} field must be one of {sorted(_GROUPABLE)}, "
+            f"got {field!r}")
+    return field, selector, null_policy
 
 #: rq local-params shape (ReRankQParserPlugin): the rerank query comes
 #: by $-deref like Solr's documented usage; the deref target is pinned
@@ -469,16 +511,12 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     collapse = None
     remaining_fqs = []
     for raw in fqs:
-        m_c = _COLLAPSE_FQ_RE.match(raw.strip())
-        if m_c:
+        parsed_c = (_parse_collapse_fq(raw)
+                    if raw.strip().startswith("{!collapse") else None)
+        if parsed_c is not None:
             if collapse is not None:
                 raise ValueError("at most one {!collapse} fq")
-            fld_c = m_c.group(1)
-            if fld_c not in _GROUPABLE:
-                raise ValueError(
-                    f"{{!collapse}} field must be one of "
-                    f"{sorted(_GROUPABLE)}, got {fld_c!r}")
-            collapse = fld_c
+            collapse = parsed_c
         else:
             remaining_fqs.append(raw)
     fqs = remaining_fqs
@@ -1200,26 +1238,50 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # window partitions BY THE COLLAPSE KEY (parallel across
         # groups, never a single-partition frame) and numFound is the
         # GROUP count, Solr's collapsed numFound.
-        key_c = o["collapse"]
+        key_c, selector_c, null_policy = o["collapse"]
         hits_c = searcher.score_hits(spec, k=None).withColumn(
             "score", F.round("score", 4)
         )
-        if key_c not in ("conv_id", "turn_idx"):
+        dm_need = {key_c} | ({selector_c[1]} if selector_c else set())
+        dm_need -= {"conv_id", "turn_idx"}
+        if dm_need:
             hits_c = hits_c.join(
-                searcher.docmap().select("conv_id", "turn_idx", key_c),
+                searcher.docmap().select(
+                    "conv_id", "turn_idx", *sorted(dm_need)),
                 ["conv_id", "turn_idx"],
             )
+        # nullPolicy (CollapsingQParser): ignore drops null-key docs
+        # (Solr's default), collapse groups them as ONE null group
+        # (Spark windows already partition nulls together), expand
+        # passes each through as its own head
+        null_pass = None
+        if null_policy == "ignore":
+            hits_c = hits_c.filter(F.col(key_c).isNotNull())
+        elif null_policy == "expand":
+            null_pass = hits_c.filter(F.col(key_c).isNull())
+            hits_c = hits_c.filter(F.col(key_c).isNotNull())
+        # head pick: score order by default; min/max selectors order
+        # by the numeric docvalues first (pinned tiebreak: score desc,
+        # doc key — Solr breaks ties by first docid, an index-order
+        # artifact this engine replaces with its total order)
+        sel_order = []
+        if selector_c is not None:
+            kind_c, col_c = selector_c
+            sel_order = [F.desc(col_c) if kind_c == "max"
+                         else F.asc(col_c)]
         cw = Window.partitionBy(key_c).orderBy(
-            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+            *sel_order, F.desc("score"),
+            F.asc("conv_id"), F.asc("turn_idx")
         )
         ranked_c = hits_c.withColumn("crn", F.row_number().over(cw))
         order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
-        head = (
-            ranked_c.filter(F.col("crn") == 1)
-            .select("conv_id", "turn_idx", "score")
-            .orderBy(*order)
-            .limit(o["start"] + o["rows"])
-        )
+        heads_c = ranked_c.filter(F.col("crn") == 1).select(
+            "conv_id", "turn_idx", "score")
+        if null_pass is not None:
+            heads_c = heads_c.unionByName(
+                null_pass.select("conv_id", "turn_idx", "score"))
+        coll_numfound = heads_c.count()
+        head = heads_c.orderBy(*order).limit(o["start"] + o["rows"])
     elif o["sort"] is None:
         if o["rerank"] is not None:
             # rq leg: the head is the main query's top reRankDocs
@@ -1329,8 +1391,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # over the hit keys); otherwise the full DocSet cardinality
         "numFound": (
             elev_numfound if elev_numfound is not None
-            else ranked_c.filter(F.col("crn") == 1).count()
-            if ranked_c is not None else searcher.docset_count(spec)
+            else coll_numfound if ranked_c is not None
+            else searcher.docset_count(spec)
         ),
         "facet_counts": {},
     }
@@ -1340,7 +1402,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # the same key-partitioned rank — Solr's ExpandComponent also
         # re-queries the collapsed groups after the main pass
         n_exp = o["expand"]
-        key_c = o["collapse"]
+        key_c = o["collapse"][0]
         pg = page_keys.drop("rn")
         if key_c not in ("conv_id", "turn_idx"):
             pg = pg.join(

@@ -5030,6 +5030,42 @@ register(
 )
 
 
+def _select_collapse_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!collapse field=conv_id max=doc_len}: the head pick keys on a
+    numeric docvalues selector instead of score (Solr's max= field
+    selector) — each conversation keeps its LONGEST matching turn,
+    tiebreak pinned (score desc, doc key); the doclist still ranks
+    the surviving heads by score."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "merge", "rows": 15,
+        "fq": "{!collapse field=conv_id max=doc_len}",
+    })["response"]
+
+
+def _collapse_max_oracle() -> str:
+    spec = BooleanSpec(must=("merge",), k=15)
+    body = bm25_oracle_sql(spec).split(
+        "\nSELECT conv_id, turn_idx, round(score")[0]
+    return (body + f""",
+ranked AS (
+  SELECT s.conv_id, s.turn_idx, round(s.score, {ROUND}) AS score,
+         row_number() OVER (
+           PARTITION BY s.conv_id
+           ORDER BY d.doc_len DESC, round(s.score, {ROUND}) DESC,
+                    s.conv_id, s.turn_idx) AS crn
+  FROM scored s JOIN docs2 d USING (conv_id, turn_idx))
+SELECT conv_id, turn_idx, score FROM ranked WHERE crn = 1
+ORDER BY score DESC, conv_id, turn_idx
+LIMIT {spec.k}""")
+
+
+register("q_select_collapse_max", _select_collapse_max,
+         _collapse_max_oracle())
+
+
 def _select_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """expand=true companion: the collapsed page's groups surface
     their next expand.rows best turns (head excluded) — Solr's

@@ -250,3 +250,57 @@ def test_select_elevation_leg(spark, sf_dir):
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_select_params(bad)
+
+
+def test_collapse_selectors_and_null_policy(spark, sf_dir):
+    """min=/max= selectors pick the head by the docvalues order; the
+    tool field's nulls follow nullPolicy (ignore default, collapse =
+    one null group, expand = each null doc its own head)."""
+    from pyspark.sql import functions as F
+
+    s = cached_searcher(spark, sf_dir)
+    # max=doc_len: each conversation's head is its longest hit
+    out = select(s, {"q": "merge", "rows": 50,
+                     "fq": "{!collapse field=conv_id max=doc_len}"})
+    heads = out["response"].collect()
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    hits = (s.score_hits(BooleanSpec(must=("merge",)), k=None)
+            .join(s.docmap().select("conv_id", "turn_idx", "doc_len"),
+                  ["conv_id", "turn_idx"]).collect())
+    best = {}
+    for r in hits:
+        cur = best.get(r.conv_id)
+        key = (-r.doc_len, -round(r.score, 4), r.turn_idx)
+        if cur is None or key < cur[0]:
+            best[r.conv_id] = (key, r.turn_idx)
+    for r in heads:
+        assert best[r.conv_id][1] == r.turn_idx
+    # nullPolicy on the nullable tool field
+    base = {"q": "merge data", "rows": 60}
+    n_ign = select(s, {**base,
+                       "fq": "{!collapse field=tool}"})["numFound"]
+    n_col = select(s, {**base,
+                       "fq": "{!collapse field=tool nullPolicy=collapse}"}
+                   )["numFound"]
+    n_exp = select(s, {**base,
+                       "fq": "{!collapse field=tool nullPolicy=expand}"}
+                   )["numFound"]
+    n_null = (s.score_hits(BooleanSpec(should=("merge", "data"),
+                                       min_should_match=1), k=None)
+              .join(s.docmap().select("conv_id", "turn_idx", "tool"),
+                    ["conv_id", "turn_idx"])
+              .filter(F.col("tool").isNull()).count())
+    assert n_null > 0
+    assert n_col == n_ign + 1          # nulls fold into ONE group
+    assert n_exp == n_ign + n_null     # each null doc its own head
+    for bad, msg in [
+        ("{!collapse field=conv_id max=doc_len min=turn_idx}",
+         "at most one of"),
+        ("{!collapse field=conv_id max=role}", "numeric docvalues"),
+        ("{!collapse field=conv_id nullPolicy=skip}", "nullPolicy"),
+        ("{!collapse max=doc_len}", "needs field="),
+        ("{!collapse field=conv_id cache=false}", "unknown"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_select_params({"q": "m", "fq": bad})
