@@ -2079,6 +2079,7 @@ _TERMS_KNOWN = {
     "terms.fl", "terms.prefix", "terms.regex", "terms.limit",
     "terms.mincount", "terms.sort", "terms.ttf",
     "terms.lower", "terms.upper", "terms.lower.incl", "terms.upper.incl",
+    "terms.list",
 }
 
 
@@ -2098,7 +2099,12 @@ def terms(searcher, params: dict) -> DataFrame:
     regexp query rewrite. terms.lower/terms.upper page the dictionary
     lexicographically (the TermsEnum seek analog; terms.lower.incl
     defaults true, terms.upper.incl defaults false — Solr's bounds
-    contract) and compose with prefix/regex/mincount.
+    contract) and compose with prefix/regex/mincount. terms.list
+    fetches stats for EXACTLY the given raw terms (comma string or
+    list; no analysis — the dictionary is read verbatim) in index
+    order, ignoring limit/sort/mincount like Solr does; it is
+    exclusive with every other narrowing mode, and dictionary-absent
+    terms simply don't appear.
 
     ref: solr/core/src/java/org/apache/solr/handler/component/
     TermsComponent.java (TermsParams surface)."""
@@ -2118,6 +2124,28 @@ def terms(searcher, params: dict) -> DataFrame:
         raise ValueError(f"terms.sort must be count|index: {sort!r}")
     ttf = bool(params.get("terms.ttf", False))
     dicts = searcher.postings()
+    if "terms.list" in params:
+        # terms.list: stats for EXACTLY the requested raw terms (no
+        # analysis — TermsComponent reads the dictionary verbatim);
+        # dictionary-absent terms simply don't appear, and the narrow
+        # modes are exclusive like Solr's parameter precedence
+        if {"terms.prefix", "terms.regex", "terms.lower",
+                "terms.upper"} & set(params):
+            raise ValueError("terms.list is exclusive with "
+                             "prefix/regex/lower/upper narrowing")
+        raw_l = params["terms.list"]
+        tlist = ([t.strip() for t in raw_l.split(",")]
+                 if isinstance(raw_l, str) else [str(t) for t in raw_l])
+        tlist = [t for t in tlist if t]
+        if not tlist:
+            raise ValueError("empty terms.list")
+        # Solr ignores limit/sort/mincount under terms.list and
+        # returns the requested terms' stats in index order
+        dicts = dicts.filter(F.col("term").isin(tlist))
+        aggs = [F.sum("df").cast("long").alias("df")]
+        if ttf:
+            aggs.append(F.sum("cf").cast("long").alias("ttf"))
+        return dicts.groupBy("term").agg(*aggs).orderBy(F.asc("term"))
     if "terms.prefix" in params:
         dicts = dicts.filter(F.col("term").startswith(params["terms.prefix"]))
     if "terms.regex" in params:

@@ -162,7 +162,8 @@ def test_jf_domain_filter_narrows_one_bucket_only(spark, sf_dir):
 
 def test_jf_domain_filter_raises(spark, sf_dir):
     s = cached_searcher(spark, sf_dir)
-    with pytest.raises(ValueError, match="excludeTags and/or filter"):
+    with pytest.raises(ValueError,
+                       match="excludeTags, filter and/or query"):
         select(s, {"q": "data", "json.facet":
                    '{"x": {"type": "terms", "field": "tool",'
                    ' "domain": {"fg": 1}}}'})
@@ -373,6 +374,34 @@ def test_terms_bounds_paging(spark, sf_dir):
     assert p1i == p1 + [pivot]
     with pytest.raises(ValueError, match="needs terms.lower"):
         terms(s, {"terms.lower.incl": False})
+
+
+def test_terms_list_exact_stats(spark, sf_dir):
+    from lucene_solr_spark.handler import terms
+
+    s = cached_searcher(spark, sf_dir)
+    # ground truth from the open dictionary walk
+    full = {r.term: r.df for r in terms(s, {
+        "terms.sort": "index", "terms.limit": 10000,
+        "terms.mincount": 1}).collect()}
+    known = sorted(full)[:3]
+    got = terms(s, {"terms.list": known + ["zzz_not_a_term"]}).collect()
+    # absent terms don't appear; present ones carry the dictionary df,
+    # in index order, un-capped by the default limit=10
+    assert [r.term for r in got] == known
+    assert all(r.df == full[r.term] for r in got)
+    # comma-string spelling and list spelling agree
+    got_csv = terms(s, {"terms.list": ",".join(known)}).collect()
+    assert [(r.term, r.df) for r in got_csv] == \
+        [(r.term, r.df) for r in got]
+    # ttf rides along
+    t = terms(s, {"terms.list": known[0], "terms.ttf": True}).collect()
+    assert t[0].ttf >= t[0].df
+    # exclusive with the other narrowing modes
+    with pytest.raises(ValueError, match="exclusive"):
+        terms(s, {"terms.list": "a", "terms.prefix": "a"})
+    with pytest.raises(ValueError, match="empty terms.list"):
+        terms(s, {"terms.list": " , "})
 
 
 # -- group paging (start offsets GROUPS) -------------------------------------------
