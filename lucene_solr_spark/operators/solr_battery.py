@@ -12,6 +12,8 @@ the public tokee/lucene-solr tree (see SURVEY §0 citation caveat).
 
 from __future__ import annotations
 
+import math
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1784,6 +1786,154 @@ def q_facet_heatmap(spark, sf_dir):
         .groupBy("grid_row", "grid_col")
         .agg(F.count("*").alias("cnt"))
         .orderBy("grid_row", "grid_col")
+    )
+
+
+# ref: solr/core/src/java/org/apache/solr/search/SpatialFilterQParser
+# Plugin.java ({!geofilt} exact d-km circle and {!bbox} the circle's
+# enclosing lat/lon box) + lucene/core/.../document/LatLonPoint.java
+# (newDistanceQuery / newBoxQuery) + spatial4j GeoCircle#getBoundingBox
+# (the box formula: dLat = d/R; dLon = asin(sin(d/R)/cos(lat0)) —
+# wider than dLat away from the equator, the circle's true lon extent).
+# Spark-first: both are constant-score FILTERS (the match set is the
+# contract, like Solr's default score=none); the box is pure range
+# arithmetic on scan columns (pushable at 100 TB), geofilt adds the
+# exact haversine AFTER the same conservative prune as q_geo_dist.
+_SPATIAL_QPARSER_RE = re.compile(
+    r"^\{!(geofilt|bbox)\s+pt=(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)"
+    r"\s+sfield=(\w+)\s+d=(\d+(?:\.\d+)?)\}$"
+)
+
+
+def parse_spatial_qparser(qs: str) -> tuple[str, float, float, float]:
+    """Parse {!geofilt|bbox pt=LAT,LON sfield=loc d=KM} local params.
+
+    Front-door validation like SpatialFilterQParser's 400s: the only
+    spatial pseudo-field here is ``loc`` (the deterministic derived
+    location), d must be positive, |lat| <= 90.
+    """
+    m = _SPATIAL_QPARSER_RE.match(qs.strip())
+    if not m:
+        raise ValueError(f"not a spatial filter query: {qs!r}")
+    kind, lat, lon, sfield, d = (
+        m.group(1), float(m.group(2)), float(m.group(3)),
+        m.group(4), float(m.group(5)),
+    )
+    if sfield != "loc":
+        raise ValueError(f"undefined spatial field: {sfield!r}")
+    if not d > 0:
+        raise ValueError(f"d must be > 0: {d}")
+    if abs(lat) > 90:
+        raise ValueError(f"bad latitude: {lat}")
+    return kind, lat, lon, d
+
+
+def _conv_locs(d: DataFrame) -> DataFrame:
+    """The corpus' deterministic per-conversation location."""
+    n = F.substring("conv_id", 5, 8).cast("long")
+    return d.select(
+        "conv_id",
+        ((n * 37 % 160) - 80 + 0.5).alias("lat"),
+        ((n * 91 % 360) - 180 + 0.5).alias("lon"),
+    ).distinct()
+
+
+_LOCS_CTE = """locs AS (
+  SELECT DISTINCT conv_id,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 37 % 160) - 80 + 0.5 AS lat,
+    (CAST(substr(conv_id, 5) AS BIGINT) * 91 % 360) - 180 + 0.5 AS lon
+  FROM docs)"""
+
+_GF_PT = (-20.5, -150.5)
+_GF_D = 4000.0
+# The {!bbox} box around _GF_PT with radius _GF_D (degrees), computed
+# ONCE in Python and embedded verbatim in both engines — identical
+# float constants by construction.
+_BB_DLAT = math.degrees(_GF_D / _GEO_R)
+_BB_DLON = math.degrees(
+    math.asin(min(1.0, math.sin(_GF_D / _GEO_R)
+                   / math.cos(math.radians(_GF_PT[0]))))
+)
+
+
+def _box_pred_sql() -> str:
+    lat0, lon0 = _GF_PT
+    lo, hi = lon0 - _BB_DLON, lon0 + _BB_DLON
+    lat_band = f"lat BETWEEN {lat0 - _BB_DLAT!r} AND {lat0 + _BB_DLAT!r}"
+    if lo < -180:  # box wraps the antimeridian: two disjoint lon bands
+        return (f"({lat_band} AND (lon <= {hi!r} OR lon >= {lo + 360!r}))")
+    if hi > 180:
+        return (f"({lat_band} AND (lon >= {lo!r} OR lon <= {hi - 360!r}))")
+    return f"({lat_band} AND lon BETWEEN {lo!r} AND {hi!r})"
+
+
+def _box_pred_col():
+    lat0, lon0 = _GF_PT
+    lo, hi = lon0 - _BB_DLON, lon0 + _BB_DLON
+    lat_band = F.col("lat").between(lat0 - _BB_DLAT, lat0 + _BB_DLAT)
+    if lo < -180:
+        return lat_band & ((F.col("lon") <= hi) | (F.col("lon") >= lo + 360))
+    if hi > 180:
+        return lat_band & ((F.col("lon") >= lo) | (F.col("lon") <= hi - 360))
+    return lat_band & F.col("lon").between(lo, hi)
+
+
+@op(
+    "q_geofilt_qparser",
+    f"""{DOCS_CTE},
+{_LOCS_CTE},
+dists AS (
+  SELECT conv_id,
+    2 * {_GEO_R} * asin(sqrt(
+      pow(sin(radians(lat - {_GF_PT[0]!r}) / 2), 2)
+      + cos(radians({_GF_PT[0]!r})) * cos(radians(lat))
+        * pow(sin(radians(lon - {_GF_PT[1]!r}) / 2), 2))) AS dist
+  FROM locs)
+SELECT conv_id FROM dists WHERE dist <= {_GF_D!r}
+ORDER BY conv_id""",
+)
+def q_geofilt_qparser(spark, sf_dir):
+    kind, lat0, lon0, dkm = parse_spatial_qparser(
+        f"{{!geofilt pt={_GF_PT[0]},{_GF_PT[1]} sfield=loc d={_GF_D}}}"
+    )
+    assert kind == "geofilt"
+    locs = _conv_locs(_docs(spark, sf_dir))
+    # conservative prune first (same shape as q_geo_dist), exact after
+    lat_pad = dkm / 110.0
+    lon_pad = dkm / (110.0 * F.greatest(F.cos(F.radians("lat")), F.lit(0.02)))
+    boxed = locs.filter(
+        (F.abs(F.col("lat") - lat0) <= lat_pad)
+        & ((F.abs(F.col("lon") - lon0) <= lon_pad)
+           | (F.abs(F.col("lon") - lon0) >= 360 - lon_pad))
+    )
+    dist = (
+        2 * _GEO_R
+        * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat") - lat0) / 2), 2)
+            + F.cos(F.radians(F.lit(lat0))) * F.cos(F.radians("lat"))
+            * F.pow(F.sin(F.radians(F.col("lon") - lon0) / 2), 2)
+        ))
+    )
+    return (
+        boxed.filter(dist <= dkm).select("conv_id").orderBy("conv_id")
+    )
+
+
+@op(
+    "q_bbox_qparser",
+    f"""{DOCS_CTE},
+{_LOCS_CTE}
+SELECT conv_id FROM locs WHERE {_box_pred_sql()}
+ORDER BY conv_id""",
+)
+def q_bbox_qparser(spark, sf_dir):
+    kind, lat0, lon0, dkm = parse_spatial_qparser(
+        f"{{!bbox pt={_GF_PT[0]},{_GF_PT[1]} sfield=loc d={_GF_D}}}"
+    )
+    assert kind == "bbox"
+    locs = _conv_locs(_docs(spark, sf_dir))
+    return (
+        locs.filter(_box_pred_col()).select("conv_id").orderBy("conv_id")
     )
 
 

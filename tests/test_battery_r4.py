@@ -1477,3 +1477,33 @@ def test_select_facet_method_and_rows0(spark, sf_dir):
     assert r["response"].count() == 0 and r["numFound"] > 0
     with _pt.raises(ValueError):
         parse_select_params({"q": "x", "facet.method": "uif"})
+
+
+def test_spatial_qparsers_contract(spark, sf_dir):
+    """{!bbox} matches the circle's ENCLOSING box — a superset of
+    {!geofilt}'s exact haversine circle; the parser raises Solr-style
+    400s on bad sfield/d/pt."""
+    import pytest as _pt
+
+    from lucene_solr_spark.operators.solr_battery import (
+        parse_spatial_qparser,
+        q_bbox_qparser,
+        q_geofilt_qparser,
+    )
+
+    circle = {r.conv_id for r in q_geofilt_qparser(spark, sf_dir).collect()}
+    box = {r.conv_id for r in q_bbox_qparser(spark, sf_dir).collect()}
+    assert circle and circle <= box
+
+    assert parse_spatial_qparser(
+        "{!geofilt pt=1.5,-2.25 sfield=loc d=10}"
+    ) == ("geofilt", 1.5, -2.25, 10.0)
+    for bad in (
+        "{!geofilt pt=1,2 sfield=store d=5}",   # unknown spatial field
+        "{!bbox pt=1,2 sfield=loc d=0}",        # non-positive radius
+        "{!geofilt pt=95,2 sfield=loc d=5}",    # latitude out of range
+        "{!geofilt sfield=loc d=5}",            # missing pt
+        "{!dist pt=1,2 sfield=loc d=5}",        # unknown parser
+    ):
+        with _pt.raises(ValueError):
+            parse_spatial_qparser(bad)
