@@ -39,7 +39,7 @@ from lucene_solr_spark.query.parser import edismax, parse
 #: (Solr rejects unknown critical params rather than guessing)
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl", "cursorMark",
-    "wt",
+    "wt", "sortMissing",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
     "facet.excludeTerms", "facet.exists",
@@ -434,7 +434,20 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     if start < 0 or rows < 0:
         raise ValueError(f"start/rows must be >= 0: {start}/{rows}")
     sort = params.get("sort", "score desc")
+    # sortMissing=last|first — the request-surfaced spelling of the
+    # schema's sortMissingLast/sortMissingFirst field attributes
+    # (FieldType#setArgs): docs with a NULL sort key land at that end
+    # REGARDLESS of asc/desc. Default (absent) keeps Lucene's raw
+    # order: missing sorts as the lowest value (nulls first under
+    # asc, last under desc).
+    sort_missing = params.get("sortMissing")
+    if sort_missing is not None and sort_missing not in ("last", "first"):
+        raise ValueError(
+            f"sortMissing must be last|first: {sort_missing!r}")
     if sort == "score desc":
+        if sort_missing is not None:
+            raise ValueError("sortMissing needs a field sort (score "
+                             "is never missing)")
         sort_key = None  # ranked doclist, the default
     else:
         parts = sort.split()
@@ -443,7 +456,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             raise ValueError(
                 f"unsupported sort: {sort!r} (score desc or "
                 f"<docvalues field> asc|desc)")
-        sort_key = (parts[0], parts[1] == "asc")
+        sort_key = (parts[0], parts[1] == "asc", sort_missing)
     # cursorMark deep paging (CursorMarkParams): keyset paging on the
     # pinned total order (score desc, conv_id, turn_idx) — start must
     # be 0 and the sort must be the default (the mark IS the sort
@@ -1297,8 +1310,15 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             head = searcher.search(spec, round_to=4)
         order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
     else:
-        fld, asc = o["sort"]
-        key = F.asc(fld) if asc else F.desc(fld)
+        fld, asc, missing = o["sort"]
+        if missing == "last":
+            key = F.asc_nulls_last(fld) if asc else F.desc_nulls_last(fld)
+        elif missing == "first":
+            key = F.asc_nulls_first(fld) if asc else F.desc_nulls_first(fld)
+        else:
+            # Lucene default: missing = lowest value (Spark's default
+            # null ordering matches: nulls first asc, last desc)
+            key = F.asc(fld) if asc else F.desc(fld)
         order = [key, F.asc("conv_id"), F.asc("turn_idx")]
         dm_cols = ["conv_id", "turn_idx"] + (
             [fld] if fld not in ("conv_id", "turn_idx") else []

@@ -5422,6 +5422,41 @@ LIMIT 12 OFFSET 3
 )
 
 
+_SELECT_SORT_MISSING_PARAMS = {
+    "q": "data", "sort": "tool asc", "sortMissing": "last",
+    "rows": 15, "fl": ["conv_id", "turn_idx", "tool"],
+}
+
+
+def _select_sort_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select ``sort=tool asc&sortMissing=last`` — the request-
+    surfaced spelling of the schema's sortMissingLast attribute:
+    NULL-tool turns (~20% of the corpus) land at the END of the asc
+    order instead of Lucene's missing=lowest default (which would fill
+    the whole first page with null-tool rows — the page SET, not just
+    its order, discriminates the two contracts).
+    ref: solr/core/src/java/org/apache/solr/schema/FieldType.java
+    (setArgs sortMissingLast/sortMissingFirst),
+    lucene/core/.../search/SortField.java#setMissingValue."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_SORT_MISSING_PARAMS)["response"]
+
+
+register(
+    "q_select_sort_missing",
+    _select_sort_missing,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx, tool FROM transcripts
+WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data')
+ORDER BY tool ASC NULLS LAST, conv_id, turn_idx
+LIMIT 15
+""".strip(),
+)
+
+
 _SELECT_EDISMAX_PARAMS = {
     "q": "table merge scan", "defType": "edismax", "mm": "2",
     "ps": 1, "rows": 10,

@@ -1507,3 +1507,37 @@ def test_spatial_qparsers_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_spatial_qparser(bad)
+
+
+def test_select_sort_missing_contract(spark, sf_dir):
+    """sortMissing=last|first pins the NULL-key end regardless of
+    direction; absent keeps Lucene's missing=lowest default; score
+    sorts and bad values raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "data", "sort": "tool asc", "rows": 15,
+            "fl": ["conv_id", "turn_idx", "tool"]}
+    default = [r.tool for r in select(s, base)["response"].collect()]
+    last = [r.tool for r in select(
+        s, dict(base, sortMissing="last"))["response"].collect()]
+    first = [r.tool for r in select(
+        s, dict(base, sortMissing="first"))["response"].collect()]
+    # default (missing = lowest) ≡ nulls first under asc
+    assert default == first
+    assert first[0] is None
+    assert all(t is not None for t in last)  # nulls pushed past page
+    # desc + sortMissing=first: nulls lead even though they are lowest
+    dfirst = [r.tool for r in select(
+        s, dict(base, sort="tool desc", sortMissing="first"))
+        ["response"].collect()]
+    assert dfirst[0] is None
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "sortMissing": "last"})
+    with _pt.raises(ValueError):
+        parse_select_params(
+            {"q": "x", "sort": "tool asc", "sortMissing": "maybe"})
