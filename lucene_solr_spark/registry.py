@@ -3301,6 +3301,108 @@ ORDER BY i.conv_id, i.turn_idx""",
 )
 
 
+def _optimistic_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency (the ``_version_`` request param): the
+    conflict rows Solr answers with HTTP 409 for an update batch whose
+    expectations don't hold against the /get view (tlog-first, like
+    q_realtime_get's synthetic tlog: turn0 at v3 for even convs else
+    v2, every third conv's turn1 deleted). Sentinels per
+    DistributedUpdateProcessor#versionAdd: > 1 exact match, 1
+    must-exist, < 0 must-NOT-exist, 0/null no check. The batch spans
+    all four: n%4==0 expects v2 (conflicts — even convs sit at v3),
+    n%4==1 expects v3 (conflicts — odd convs sit at v2), n%4==2
+    must-exist (ok), n%4==3 must-not-exist (conflicts — turn0 always
+    present); every turn1 update must-exist (conflicts exactly where
+    the tlog delete masked it). The ops batch broadcasts; the current
+    view streams past — no corpus shuffle.
+
+    ref: solr/core/src/java/org/apache/solr/update/processor/
+         DistributedUpdateProcessor.java (versionAdd / versionDelete
+         409s)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.realtime import (
+        optimistic_conflicts,
+        realtime_get,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    n = F.substring("conv_id", 5, 8).cast("long")
+    turn0 = t.filter(F.col("turn_idx") == 0)
+    u2 = (
+        turn0.withColumn("role", F.lit("edited"))
+        .withColumn("_version_", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("add"))
+    )
+    u3 = (
+        turn0.filter(n % 2 == 0)
+        .withColumn("role", F.lit("edited2"))
+        .withColumn("_version_", F.lit(3).cast("long"))
+        .withColumn("op", F.lit("add"))
+    )
+    dels = (
+        t.filter((F.col("turn_idx") == 1) & (n % 3 == 0))
+        .withColumn("_version_", F.lit(4).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    tlog = u2.unionByName(u3).unionByName(dels)
+    ids = t.filter(F.col("turn_idx") <= 1).select("conv_id", "turn_idx")
+    current = realtime_get(ids, t, tlog, fields=[])
+    expected0 = (
+        F.when(n % 4 == 0, 2).when(n % 4 == 1, 3)
+        .when(n % 4 == 2, 1).otherwise(-1)
+    )
+    ops = (
+        turn0.select(
+            "conv_id", "turn_idx",
+            expected0.cast("long").alias("_expected_version_"))
+        .unionByName(
+            t.filter(F.col("turn_idx") == 1).select(
+                "conv_id", "turn_idx",
+                F.lit(1).cast("long").alias("_expected_version_")))
+    )
+    return (
+        optimistic_conflicts(current, ops)
+        .select(
+            "conv_id", "turn_idx",
+            F.col("_expected_version_").alias("expected_v"),
+            "found_version",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+register(
+    "q_optimistic_concurrency",
+    _optimistic_concurrency,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+keyed AS (SELECT *, CAST(substr(conv_id, 5) AS BIGINT) AS n FROM transcripts),
+current AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE WHEN n % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS found_version
+  FROM keyed WHERE turn_idx = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, CAST(1 AS BIGINT)
+  FROM keyed WHERE turn_idx = 1 AND n % 3 <> 0),
+ops AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE n % 4 WHEN 0 THEN 2 WHEN 1 THEN 3
+                         WHEN 2 THEN 1 ELSE -1 END AS BIGINT) AS expected_v
+  FROM keyed WHERE turn_idx = 0
+  UNION ALL
+  SELECT conv_id, turn_idx, CAST(1 AS BIGINT)
+  FROM keyed WHERE turn_idx = 1)
+SELECT o.conv_id, o.turn_idx, o.expected_v, c.found_version
+FROM ops o LEFT JOIN current c
+  ON o.conv_id = c.conv_id AND o.turn_idx = c.turn_idx
+WHERE (o.expected_v > 1 AND (c.found_version IS NULL
+                             OR c.found_version <> o.expected_v))
+   OR (o.expected_v = 1 AND c.found_version IS NULL)
+   OR (o.expected_v < 0 AND c.found_version IS NOT NULL)
+ORDER BY o.conv_id, o.turn_idx""",
+)
+
+
 def _atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic updates (AtomicUpdateDocumentMerger): per-field op docs
     (set / append) merged onto the previous doc state in version
