@@ -3403,6 +3403,58 @@ ORDER BY o.conv_id, o.turn_idx""",
 )
 
 
+def _urp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateRequestProcessor chain at ingest: trim(role) →
+    regex-replace (digit runs masked to '#') → truncate(text, 120) →
+    LangDetect stamp — each stage sees its predecessors' output
+    (processor-order semantics; the language stamp reads the MASKED
+    TRUNCATED text), and the whole chain is narrow scan-side
+    arithmetic — zero shuffles at any corpus size.
+
+    ref: solr/core/src/java/org/apache/solr/update/processor/
+         UpdateRequestProcessorChain.java + RegexReplaceProcessor
+         Factory.java, TrimFieldUpdateProcessorFactory.java,
+         TruncateFieldUpdateProcessorFactory.java, LangDetectLanguage
+         IdentifierUpdateProcessorFactory.java"""
+    from lucene_solr_spark.index.urp import (
+        lang_detect,
+        regex_replace,
+        trim_fields,
+        truncate_field,
+        urp_chain,
+    )
+
+    t = transcripts_from_documents(spark, sf_dir)
+    out = urp_chain(
+        t,
+        lambda d: trim_fields(d, ("role",)),
+        lambda d: regex_replace(d, "text", "[0-9]+", "#"),
+        lambda d: truncate_field(d, "text", 120),
+        lambda d: lang_detect(d, "text", "lang_s"),
+    )
+    return (
+        out.select("conv_id", "turn_idx", "role", "text", "lang_s")
+        .orderBy("conv_id", "turn_idx")
+        .limit(40)
+    )
+
+
+register(
+    "q_urp_chain",
+    _urp_chain,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+proc AS (
+  SELECT conv_id, turn_idx, trim(role) AS role,
+         substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 120) AS text
+  FROM transcripts),
+docs AS (
+  SELECT *, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM proc)
+SELECT conv_id, turn_idx, role, text, {textpipe._lang_case_duck()} AS lang_s
+FROM docs ORDER BY conv_id, turn_idx LIMIT 40""",
+)
+
+
 def _atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic updates (AtomicUpdateDocumentMerger): per-field op docs
     (set / append) merged onto the previous doc state in version

@@ -1541,3 +1541,39 @@ def test_select_sort_missing_contract(spark, sf_dir):
     with _pt.raises(ValueError):
         parse_select_params(
             {"q": "x", "sort": "tool asc", "sortMissing": "maybe"})
+
+
+def test_urp_chain_order_semantics(spark):
+    """Processor ORDER is observable: digit-masking turns 'scan1/2/3'
+    into three 'scan' marker tokens, so LangDetect stamps 'query'
+    only when it runs AFTER the regex stage (before it, 'data' wins
+    2 markers to 0)."""
+    import pytest as _pt
+
+    from lucene_solr_spark.index.urp import (
+        clone_field,
+        lang_detect,
+        regex_replace,
+        trim_fields,
+        truncate_field,
+        urp_chain,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 0, " user ", "data data scan1 scan2 scan3")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    mask = lambda d: regex_replace(d, "text", "[0-9]+", "#")
+    lang = lambda d: lang_detect(d, "text", "lang_s")
+    after = urp_chain(df, lambda d: trim_fields(d, ("role",)), mask, lang)
+    r = after.collect()[0]
+    assert (r.role, r.lang_s) == ("user", "query")
+    before = urp_chain(df, lang, mask).collect()[0]
+    assert before.lang_s == "data"
+
+    t = urp_chain(df, lambda d: truncate_field(d, "text", 9)).collect()[0]
+    assert t.text == "data data"
+    c = clone_field(df, "text", "text_orig").collect()[0]
+    assert c.text_orig == c.text
+    with _pt.raises(ValueError):
+        truncate_field(df, "text", 0)
