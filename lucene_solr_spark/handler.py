@@ -50,7 +50,7 @@ _KNOWN = {
     "facet.range.end", "facet.range.gap", "facet.range.other",
     "facet.pivot",
     "facet.interval", "facet.interval.set",
-    "stats", "stats.field",
+    "stats", "stats.field", "stats.facet",
     "group", "group.field", "group.limit", "group.offset", "group.main",
     "group.format", "group.ngroups",
     "mlt", "mlt.count", "mlt.maxqt",
@@ -806,6 +806,16 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if sf not in _AGG_COLS:
             raise ValueError(f"stats.field must be one of "
                              f"{sorted(_AGG_COLS)}, got {sf!r}")
+    # stats.facet: per-facet-value stats sub-blocks (the classic
+    # pre-json.facet spelling; single-valued group fields only, like
+    # StatsValuesFactory's facet handling)
+    stats_facet = params.get("stats.facet")
+    if stats_facet is not None:
+        if not stats_fields:
+            raise ValueError("stats.facet needs stats=true + stats.field")
+        if stats_facet not in _GROUPABLE:
+            raise ValueError(f"stats.facet must be one of "
+                             f"{sorted(_GROUPABLE)}, got {stats_facet!r}")
     # result-grouping leg (Grouping, group.field command): the subset
     # pins the score-ranked default (groups ordered by their best
     # doc's score; rows = number of groups, start must be 0)
@@ -985,6 +995,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_pivot": facet_pivot,
         "facet_interval": facet_interval,
         "stats_fields": list(stats_fields),
+        "stats_facet": stats_facet,
         "group": group,
         "group_format": group_format,
         "group_main": group_main,
@@ -1525,20 +1536,37 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # ref: solr/core/src/java/org/apache/solr/handler/component/
         # StatsComponent.java (StatsValuesFactory numeric stats)
         out["stats"] = {}
+
+        def _stats_aggs(sf_: str) -> list:
+            return [
+                F.min(sf_).cast("long").alias("min"),
+                F.max(sf_).cast("long").alias("max"),
+                F.sum(sf_).cast("long").alias("sum"),
+                F.count(sf_).cast("long").alias("cnt"),
+                (F.count("*") - F.count(sf_)).cast("long").alias("missing"),
+                F.round(F.avg(sf_), 4).alias("mean"),
+                F.round(F.stddev_samp(sf_), 4).alias("stddev"),
+            ]
+
         for sf in o["stats_fields"]:
+            dm_need = ["conv_id", "turn_idx", sf]
+            gf = o["stats_facet"]
+            if gf and gf not in dm_need:
+                dm_need.append(gf)
             base = (
-                searcher.docmap().select("conv_id", "turn_idx", sf)
+                searcher.docmap().select(*dm_need)
                 .join(searcher.docset(spec), ["conv_id", "turn_idx"])
             )
-            out["stats"][sf] = base.agg(
-                F.min(sf).cast("long").alias("min"),
-                F.max(sf).cast("long").alias("max"),
-                F.sum(sf).cast("long").alias("sum"),
-                F.count(sf).cast("long").alias("cnt"),
-                (F.count("*") - F.count(sf)).cast("long").alias("missing"),
-                F.round(F.avg(sf), 4).alias("mean"),
-                F.round(F.stddev_samp(sf), 4).alias("stddev"),
-            )
+            out["stats"][sf] = base.agg(*_stats_aggs(sf))
+            if gf:
+                # stats.facet sub-block: the SAME algebraic aggregates
+                # per facet value — one partial-aggregating groupBy
+                # bounded by the group field's cardinality (the
+                # pre-json.facet per-bucket metric surface)
+                out.setdefault("stats_facets", {})[sf] = (
+                    base.groupBy(gf).agg(*_stats_aggs(sf))
+                    .orderBy(F.asc_nulls_last(gf))
+                )
     if o["group"]:
         # result-grouping leg (Grouping group.field command): ONE
         # collapse-key-partitioned rank pass serves both grouping

@@ -5849,6 +5849,50 @@ FROM dom
 )
 
 
+_SELECT_STATS_FACET_PARAMS = {
+    "q": "data", "rows": 0,
+    "stats": True, "stats.field": "doc_len", "stats.facet": "role",
+}
+
+
+def _select_stats_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select ``stats.facet=role`` — the classic pre-json.facet
+    per-facet-value stats sub-block: the SAME algebraic aggregates
+    (min/max/sum/count/missing/mean/stddev) per role over the q
+    domain, one partial-aggregating groupBy bounded by the group
+    field's cardinality (the docvalues column moves, never the text).
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    StatsComponent.java + StatsValuesFactory.java (facet handling in
+    AbstractStatsValues#addFacet)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_STATS_FACET_PARAMS)["stats_facets"]["doc_len"]
+
+
+register(
+    "q_select_stats_facet",
+    _select_stats_facet,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+dom AS (
+  SELECT role, CAST(len(toks) AS BIGINT) AS dl FROM docs
+  WHERE list_contains(toks, 'data')
+)
+SELECT role,
+       CAST(min(dl) AS BIGINT) AS "min", CAST(max(dl) AS BIGINT) AS "max",
+       CAST(sum(dl) AS BIGINT) AS "sum", CAST(count(dl) AS BIGINT) AS cnt,
+       CAST(count(*) - count(dl) AS BIGINT) AS missing,
+       round(avg(dl), 4) AS mean, round(stddev_samp(dl), 4) AS stddev
+FROM dom GROUP BY role ORDER BY role NULLS LAST
+""".strip(),
+)
+
+
 _SELECT_RANGE_PARAMS_REQ = {
     "q": "merge", "fq": "role:assistant", "rows": 5,
     "facet.range": "turn_idx", "facet.range.start": 0,

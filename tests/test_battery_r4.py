@@ -1577,3 +1577,30 @@ def test_urp_chain_order_semantics(spark):
     assert c.text_orig == c.text
     with _pt.raises(ValueError):
         truncate_field(df, "text", 0)
+
+
+def test_select_stats_facet_contract(spark, sf_dir):
+    """stats.facet buckets partition the global stats (per-bucket cnt
+    sums to the global cnt, min of mins = global min) and the param
+    gates raise like Solr's 400s."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {"q": "data", "rows": 0, "stats": True,
+                   "stats.field": "doc_len", "stats.facet": "role"})
+    g = r["stats"]["doc_len"].collect()[0]
+    buckets = r["stats_facets"]["doc_len"].collect()
+    assert sum(b.cnt for b in buckets) == g.cnt
+    assert min(b["min"] for b in buckets) == g["min"]
+    assert max(b["max"] for b in buckets) == g["max"]
+    assert sum(b["sum"] for b in buckets) == g["sum"]
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "stats.facet": "role"})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "stats": True,
+                             "stats.field": "doc_len",
+                             "stats.facet": "doc_len"})
