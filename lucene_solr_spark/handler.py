@@ -56,7 +56,7 @@ _KNOWN = {
     "mlt", "mlt.count", "mlt.maxqt",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "debug",
-    "defType", "mm", "pf", "ps", "json.facet",
+    "defType", "mm", "pf", "ps", "bq", "json.facet",
     "rq", "rqq",
     "expand", "expand.rows",
     "elevateIds", "excludeIds",
@@ -504,8 +504,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             ps=int(params.get("ps", 0)),
         )
     elif def_type == "lucene":
-        if {"mm", "pf", "ps"} & set(params):
-            raise ValueError("mm/pf/ps need defType=edismax")
+        if {"mm", "pf", "ps", "bq"} & set(params):
+            raise ValueError("mm/pf/ps/bq need defType=edismax")
         spec = parse(
             params["q"], k=start + rows,
             default_op=params.get("q.op", "OR"),
@@ -967,7 +967,38 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             if elevate is not None:
                 raise ValueError("[explain] explains organic scores; "
                                  "elevated pages carry pinned slots")
+    # bq (edismax boost query): an ADDITIVE scored SHOULD clause —
+    # never changes the match set (the main query stays Occur.MUST in
+    # SolrPluginUtils' combined BooleanQuery), score = round(main_4dp
+    # + w × bq_4dp, 4dp). ^W on the whole string carries the weight.
+    # Incompatible with anything that re-ranks or re-keys the score
+    # order downstream (rq, group, collapse, elevate, field sorts) —
+    # each pins its own contract to the MAIN-query rank.
+    # ref: solr/core/src/java/org/apache/solr/search/DisMaxQParser.java
+    # (getBoostQueries) + util/SolrPluginUtils.java (SHOULD clauses)
+    bq = None
+    if "bq" in params:
+        if def_type != "edismax":
+            raise ValueError("bq needs defType=edismax")
+        for clash, name in ((rerank, "rq"), (group, "group"),
+                            (collapse, "{!collapse}"),
+                            (elevate, "elevateIds"),
+                            (sort_key, "field sort")):
+            if clash is not None and clash is not False:
+                raise ValueError(f"bq cannot combine with {name} (the "
+                                 "downstream contract pins main-query "
+                                 "rank)")
+        raw_bq = str(params["bq"])
+        mw = re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", raw_bq)
+        qpart, bq_w = (mw.group(1), float(mw.group(2))) if mw \
+            else (raw_bq, 1.0)
+        bq_spec = parse(qpart, k=1)
+        if not bq_spec.scoring_terms:
+            raise ValueError("bq must be a SCORING query (a pure "
+                             "filter adds no boost)")
+        bq = (bq_spec, bq_w)
     opts = {
+        "bq": bq,
         "start": start, "rows": rows,
         "cursor_mark": cursor_mark,
         "wt": wt,
@@ -1307,7 +1338,35 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         coll_numfound = heads_c.count()
         head = heads_c.orderBy(*order).limit(o["start"] + o["rows"])
     elif o["sort"] is None:
-        if o["rerank"] is not None:
+        if o["bq"] is not None:
+            # bq leg: FULL main hits (k=None — an additive bonus
+            # lands after term accumulation, so WAND's term-only
+            # upper bounds can't prune, same rule as pf) left-joined
+            # to the bq query's hits, one pinned TakeOrdered after
+            bq_spec, bq_w = o["bq"]
+            main_h = searcher.score_hits(spec, k=None).withColumn(
+                "score", F.round("score", 4))
+            sub_h = (
+                searcher.score_hits(bq_spec, k=None)
+                .select("conv_id", "turn_idx",
+                        F.round("score", 4).alias("bq_score"))
+            )
+            head = (
+                main_h.join(sub_h, ["conv_id", "turn_idx"], "left")
+                .select(
+                    "conv_id", "turn_idx",
+                    F.round(
+                        F.col("score")
+                        + bq_w * F.coalesce(F.col("bq_score"),
+                                            F.lit(0.0)),
+                        4,
+                    ).alias("score"),
+                )
+                .orderBy(F.desc("score"), F.asc("conv_id"),
+                         F.asc("turn_idx"))
+                .limit(o["start"] + o["rows"])
+            )
+        elif o["rerank"] is not None:
             # rq leg: the head is the main query's top reRankDocs
             # re-scored (bounded second pass, broadcast join-back);
             # paging slices the COMBINED order, numFound stays the

@@ -5641,6 +5641,51 @@ register(
 )
 
 
+_SELECT_BQ_PARAMS = {
+    "q": "table merge", "defType": "edismax", "mm": 1,
+    "bq": "data^0.4", "rows": 12,
+}
+_SELECT_BQ_MAIN = _edismax("table merge", k=12, mm=1)
+_SELECT_BQ_SUB = BooleanSpec(must=("data",))
+_SELECT_BQ_W = 0.4
+
+
+def _select_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select edismax ``bq=data^0.4`` — the ADDITIVE boost query:
+    an optional scored SHOULD clause whose 4dp score, weighted by ^W,
+    adds onto the main edismax score WITHOUT changing the match set
+    (SolrPluginUtils keeps the user query Occur.MUST). Full main hits
+    left-join the bq hits (WAND off — a post-accumulation bonus
+    breaks term-only upper bounds, the pf rule), then ONE pinned
+    TakeOrdered. Contrast bf (function boost, q_idx_bf_boost) and
+    {!boost} (multiplicative, q_idx_boost_multiplicative).
+    ref: solr/core/src/java/org/apache/solr/search/DisMaxQParser.java
+    (getBoostQueries), util/SolrPluginUtils.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_BQ_PARAMS)["response"]
+
+
+def _select_bq_oracle() -> str:
+    from dataclasses import replace
+
+    main_sql = bm25_oracle_sql(replace(_SELECT_BQ_MAIN, k=1_000_000_000))
+    sub_sql = bm25_oracle_sql(replace(_SELECT_BQ_SUB, k=1_000_000_000))
+    return f"""
+SELECT m.conv_id, m.turn_idx,
+       round(m.score + {_SELECT_BQ_W} * coalesce(s.score, 0),
+             {ROUND}) AS score
+FROM ({main_sql}) m
+LEFT JOIN ({sub_sql}) s USING (conv_id, turn_idx)
+ORDER BY score DESC, m.conv_id, m.turn_idx
+LIMIT 12
+""".strip()
+
+
+register("q_select_bq", _select_bq, _select_bq_oracle())
+
+
 _SELECT_JSON_FACET_PARAMS = {
     "q": "data", "fq": "turn_idx:[0 TO 5]", "rows": 5,
     "json.facet": (

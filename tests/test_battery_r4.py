@@ -1604,3 +1604,38 @@ def test_select_stats_facet_contract(spark, sf_dir):
         parse_select_params({"q": "x", "stats": True,
                              "stats.field": "doc_len",
                              "stats.facet": "doc_len"})
+
+
+def test_select_bq_contract(spark, sf_dir):
+    """bq never changes the MATCH SET (only the order), boosts docs
+    matching the bq clause, and the param gates raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "table merge", "defType": "edismax", "mm": 1,
+            "rows": 500}
+    plain = select(s, base)
+    boosted = select(s, dict(base, bq="data^0.4"))
+    pk = {(r.conv_id, r.turn_idx): r.score
+          for r in plain["response"].collect()}
+    bk = {(r.conv_id, r.turn_idx): r.score
+          for r in boosted["response"].collect()}
+    assert set(pk) == set(bk)                      # match set pinned
+    assert plain["numFound"] == boosted["numFound"]
+    assert any(bk[k] > pk[k] for k in pk)          # some docs boosted
+    assert all(bk[k] >= pk[k] for k in pk)         # additive, never down
+
+    for bad in (
+        {"q": "x", "bq": "data"},                          # needs edismax
+        {"q": "x", "defType": "edismax", "bq": "-data"},   # pure filter
+        {"q": "x", "defType": "edismax", "bq": "data",
+         "sort": "ts desc"},                               # field sort
+        {"q": "x", "defType": "edismax", "bq": "data",
+         "rq": "{!rerank reRankQuery=$rqq reRankDocs=5 reRankWeight=1}",
+         "rqq": "scan"},                                   # rerank
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
