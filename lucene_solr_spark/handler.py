@@ -48,6 +48,7 @@ _KNOWN = {
     "hl.tag.pre", "hl.tag.post",
     "facet.query", "facet.range", "facet.range.start",
     "facet.range.end", "facet.range.gap", "facet.range.other",
+    "facet.range.hardend",
     "facet.pivot",
     "facet.interval", "facet.interval.set",
     "stats", "stats.field", "stats.facet",
@@ -734,9 +735,22 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             if r_gap <= 0 or r_end <= r_start:
                 raise ValueError(
                     "facet.range needs gap > 0 and end > start")
-        facet_range = (fld, r_start, r_end, r_gap)
+        # facet.range.hardend (RangeFacetRequest): when (end-start)
+        # isn't a gap multiple, hardend=false (the Solr default) lets
+        # the LAST bucket run its full gap width past end (docs in
+        # [end, start+n*gap) count there); hardend=true clips it at
+        # end. Numeric path only — the date path stays pinned
+        # hardend=false.
+        r_hardend = bool(params.get("facet.range.hardend", False))
+        if "facet.range.hardend" in params and fld == "ts":
+            raise ValueError("facet.range.hardend applies to numeric "
+                             "ranges (the date path is pinned "
+                             "hardend=false)")
+        facet_range = (fld, r_start, r_end, r_gap, r_hardend)
     elif range_subs & set(params):
         raise ValueError("facet.range.start/end/gap need facet.range")
+    elif "facet.range.hardend" in params:
+        raise ValueError("facet.range.hardend needs facet.range")
     # facet.range.other (FacetRangeOther): the before/after/between
     # special counts alongside the buckets — 'all' or a comma list
     facet_range_other: tuple = ()
@@ -1052,17 +1066,23 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
 
 
 def _range_buckets(
-    searcher, spec: BooleanSpec, fld: str, start_v: int, end_v: int, gap: int
+    searcher, spec: BooleanSpec, fld: str, start_v: int, end_v: int,
+    gap: int, hardend: bool = False,
 ) -> DataFrame:
     """Numeric range buckets off a docvalues column over the domain
     (RangeFacetProcessor / classic facet.range share this): NON-EMPTY
     buckets only (the engine's pinned range contract), one narrow
-    groupBy bounded by (end-start)/gap rows."""
+    groupBy bounded by (end-start)/gap rows. hardend=false (the Solr
+    default) pads the LAST bucket to its full gap width when
+    (end-start) isn't a gap multiple; hardend=true clips it at end."""
     c = F.col(fld)
+    upper = end_v if hardend else (
+        start_v + -(-(end_v - start_v) // gap) * gap
+    )
     return (
         searcher.docmap().select("conv_id", "turn_idx", fld)
         .join(searcher.docset(spec), ["conv_id", "turn_idx"])
-        .filter((c >= start_v) & (c < end_v))
+        .filter((c >= start_v) & (c < upper))
         .groupBy(
             (F.floor((c - start_v) / gap) * gap + start_v)
             .cast("long").alias("bucket_start")
@@ -1538,14 +1558,27 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             for raw, f_spec in o["facet_queries"]
         }
     if o["facet_range"]:
-        fld, r_start, r_end, r_gap = o["facet_range"]
-        mk = _date_range_buckets if fld == "ts" else _range_buckets
-        out["facet_ranges"] = {
-            fld: mk(searcher, spec, fld, r_start, r_end, r_gap)
-        }
+        fld, r_start, r_end, r_gap, r_hardend = o["facet_range"]
+        if fld == "ts":
+            out["facet_ranges"] = {
+                fld: _date_range_buckets(searcher, spec, fld,
+                                         r_start, r_end, r_gap)
+            }
+            eff_end = r_end
+        else:
+            out["facet_ranges"] = {
+                fld: _range_buckets(searcher, spec, fld, r_start,
+                                    r_end, r_gap, hardend=r_hardend)
+            }
+            # the 'other' boundary follows the hardend-adjusted last
+            # bucket end (RangeFacetProcessor computes after/between
+            # against the actual end, not the raw param)
+            eff_end = r_end if r_hardend else (
+                r_start + -(-(r_end - r_start) // r_gap) * r_gap
+            )
         if o["facet_range_other"]:
             out["facet_ranges_other"] = {
-                fld: _range_other(searcher, spec, fld, r_start, r_end,
+                fld: _range_other(searcher, spec, fld, r_start, eff_end,
                                   o["facet_range_other"])
             }
     if o["facet_interval"]:

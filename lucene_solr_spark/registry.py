@@ -5938,6 +5938,43 @@ FROM dom GROUP BY role ORDER BY role NULLS LAST
 )
 
 
+_SELECT_RANGE_HARDEND_REQ = {
+    "q": "merge", "rows": 0,
+    "facet.range": "turn_idx", "facet.range.start": 0,
+    "facet.range.end": 7, "facet.range.gap": 3,
+    "facet.range.hardend": True,
+}
+
+
+def _select_range_hardend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range.hardend=true on an UNALIGNED range (0..7 gap 3):
+    the last bucket [6, ...) clips at end=7 instead of running its
+    full gap to 9 (the hardend=false default) — turn 7/8 docs drop
+    from the bucket counts. ref: solr/core/src/java/org/apache/solr/
+    handler/component/RangeFacetProcessor.java (hardend in
+    rangeCount / RangeFacetRequest)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_RANGE_HARDEND_REQ)["facet_ranges"]["turn_idx"]
+
+
+register(
+    "q_select_range_hardend",
+    _select_range_hardend,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT turn_idx FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'merge')
+    AND turn_idx >= 0 AND turn_idx < 7)
+SELECT CAST((turn_idx // 3) * 3 AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM dom GROUP BY 1 ORDER BY bucket_start
+""".strip(),
+)
+
+
 _SELECT_RANGE_PARAMS_REQ = {
     "q": "merge", "fq": "role:assistant", "rows": 5,
     "facet.range": "turn_idx", "facet.range.start": 0,

@@ -1639,3 +1639,52 @@ def test_select_bq_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_select_params(bad)
+
+
+def test_facet_range_hardend_contract(spark, sf_dir):
+    """hardend=false (default) pads the unaligned last bucket to its
+    full gap (docs in [end, padded_end) count there, and 'after'
+    starts at the padded end); hardend=true clips at end. Aligned
+    ranges are hardend-invariant."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "merge", "rows": 0, "facet.range": "turn_idx",
+            "facet.range.start": 0, "facet.range.end": 7,
+            "facet.range.gap": 3, "facet.range.other": "all"}
+    soft = select(s, base)
+    hard = select(s, dict(base, **{"facet.range.hardend": True}))
+    sb = {r.bucket_start: r.cnt
+          for r in soft["facet_ranges"]["turn_idx"].collect()}
+    hb = {r.bucket_start: r.cnt
+          for r in hard["facet_ranges"]["turn_idx"].collect()}
+    assert sb.get(0) == hb.get(0) and sb.get(3) == hb.get(3)
+    assert sb.get(6, 0) >= hb.get(6, 0)  # pad adds turn 7/8 docs
+    so = soft["facet_ranges_other"]["turn_idx"].collect()[0]
+    ho = hard["facet_ranges_other"]["turn_idx"].collect()[0]
+    assert so.before == ho.before
+    # pad moved [7,9) docs from 'after' into the last bucket/between
+    moved = sb.get(6, 0) - hb.get(6, 0)
+    assert ho.after - so.after == moved
+    assert so.between - ho.between == moved
+    # aligned range: hardend-invariant
+    ab = dict(base, **{"facet.range.end": 6})
+    a_soft = {r.bucket_start: r.cnt
+              for r in select(s, ab)["facet_ranges"]["turn_idx"].collect()}
+    a_hard = {r.bucket_start: r.cnt
+              for r in select(s, dict(ab, **{"facet.range.hardend": True}))
+              ["facet_ranges"]["turn_idx"].collect()}
+    assert a_soft == a_hard
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "facet.range.hardend": True})
+    with _pt.raises(ValueError):
+        parse_select_params(dict(base, **{
+            "facet.range": "ts",
+            "facet.range.start": "2024-01-01T00:00:00Z",
+            "facet.range.end": "2024-02-01T00:00:00Z",
+            "facet.range.gap": "+1DAY",
+            "facet.range.hardend": True}))
