@@ -46,6 +46,7 @@ _KNOWN = {
     "hl", "hl.fl",
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "hl.tag.pre", "hl.tag.post",
+    "hl.alternateField", "hl.maxAlternateFieldLength",
     "facet.query", "facet.range", "facet.range.start",
     "facet.range.end", "facet.range.gap", "facet.range.other",
     "facet.range.hardend",
@@ -627,6 +628,27 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     hl_fragsize = int(params.get("hl.fragsize", 10))
     if hl_snippets < 1 or hl_fragsize < 1:
         raise ValueError("hl.snippets and hl.fragsize must be >= 1")
+    # hl.alternateField (DefaultSolrHighlighter alternateField): when
+    # a page doc yields NO snippet (every passage empty — the
+    # filter-only-browse case), fall back to the leading
+    # hl.maxAlternateFieldLength chars of the named stored field.
+    # Passage mode only — the whole-field mode always emits a snippet.
+    hl_alternate = params.get("hl.alternateField")
+    hl_alt_len = int(params.get("hl.maxAlternateFieldLength", 0))
+    if hl_alternate is not None:
+        if not hl or not hl_passages:
+            raise ValueError("hl.alternateField needs hl=true + the "
+                             "passage mode (hl.snippets/hl.fragsize)")
+        if hl_alternate not in ("text", "role", "tool"):
+            raise ValueError(f"hl.alternateField must be a stored "
+                             f"field (text|role|tool), got "
+                             f"{hl_alternate!r}")
+    elif "hl.maxAlternateFieldLength" in params:
+        raise ValueError("hl.maxAlternateFieldLength needs "
+                         "hl.alternateField")
+    if hl_alt_len < 0:
+        raise ValueError(f"hl.maxAlternateFieldLength must be >= 0: "
+                         f"{hl_alt_len}")
     # hl.tag.pre/post (the highlighter's marker pair; Solr default
     # <em>/</em>). Quotes and backslashes are rejected — the phrase
     # leg inlines the tags into a SQL lambda, and Solr-side these are
@@ -1054,6 +1076,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "hl_snippets": hl_snippets,
         "hl_fragsize": hl_fragsize,
         "hl_phrase": hl_phrase,
+        "hl_alternate": hl_alternate,
+        "hl_alt_len": hl_alt_len,
         "hl_pre": hl_pre,
         "hl_post": hl_post,
         "sort": sort_key,
@@ -1959,14 +1983,36 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             pw = Window.partitionBy("conv_id", "turn_idx").orderBy(
                 F.desc("pscore"), F.asc("passage")
             )
-            out["highlighting"] = (
+            hl_df = (
                 scored.withColumn("prn", F.row_number().over(pw))
                 .filter(
                     (F.col("prn") <= o["hl_snippets"])
                     & (F.col("pscore") > 0)
                 )
                 .select("conv_id", "turn_idx", "passage", "snippet", "rn")
-                .orderBy("rn", "passage")
+            )
+            if o["hl_alternate"] is not None:
+                # alternateField fallback: page docs with ZERO
+                # surviving passages get the leading chars of the
+                # named stored field as their one snippet (passage =
+                # NULL). Everything stays page-bounded: anti-join of
+                # <= rows keys, one broadcast join back to stored.
+                alt_c = F.col(o["hl_alternate"]).cast("string")
+                if o["hl_alt_len"] > 0:
+                    alt_c = F.substring(alt_c, 1, o["hl_alt_len"])
+                fallback = (
+                    joined
+                    .join(hl_df.select("conv_id", "turn_idx").distinct(),
+                          ["conv_id", "turn_idx"], "left_anti")
+                    .select(
+                        "conv_id", "turn_idx",
+                        F.lit(None).cast("long").alias("passage"),
+                        alt_c.alias("snippet"), "rn",
+                    )
+                )
+                hl_df = hl_df.unionByName(fallback)
+            out["highlighting"] = (
+                hl_df.orderBy("rn", F.asc_nulls_last("passage"))
                 .drop("rn")
             )
             return out

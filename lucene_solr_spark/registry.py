@@ -5853,6 +5853,48 @@ register(
 )
 
 
+_SELECT_HL_ALT_PARAMS = {
+    "q": "role:assistant", "sort": "ts desc", "rows": 8,
+    "hl": True, "hl.snippets": 2, "hl.fragsize": 20,
+    "hl.alternateField": "text", "hl.maxAlternateFieldLength": 30,
+}
+
+
+def _select_hl_alternate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.alternateField on a filter-only browse page (the canonical
+    Solr use: previews when there is nothing to highlight): q is a
+    pure role filter, the ts-sorted page has NO scoring terms, every
+    passage scores 0, and each page doc falls back to the leading 30
+    chars of the stored text (passage = NULL). Page-bounded: one
+    anti-join of <= rows keys + one broadcast join back to stored.
+    ref: solr/core/src/java/org/apache/solr/highlight/
+    DefaultSolrHighlighter.java (alternateField /
+    maxAlternateFieldLength)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_HL_ALT_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["highlighting"]
+
+
+register(
+    "q_select_hl_alternate",
+    _select_hl_alternate,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+page AS (
+  SELECT conv_id, turn_idx, text FROM transcripts
+  WHERE role = 'assistant'
+  ORDER BY ts DESC, conv_id, turn_idx LIMIT 8)
+SELECT conv_id, turn_idx, CAST(NULL AS BIGINT) AS passage,
+       substr(text, 1, 30) AS snippet
+FROM page ORDER BY conv_id, turn_idx
+""".strip(),
+)
+
+
 _SELECT_STATS_PARAMS = {
     "q": "data", "fq": "role:user", "rows": 5,
     "stats": True, "stats.field": "doc_len",

@@ -680,7 +680,7 @@ def test_select_handler_sort_and_edismax_legs(spark, sf_dir):
     s = cached_searcher(spark, sf_dir)
     # field sort: brute twin = full DocSet joined to docvalues, sorted
     spec, opts = parse_select_params(_SELECT_SORT_PARAMS)
-    assert opts["sort"] == ("ts", False)
+    assert opts["sort"] == ("ts", False, None)
     page = select(s, _SELECT_SORT_PARAMS)["response"].collect()
     brute = (
         s.docmap().select("conv_id", "turn_idx", "ts")
@@ -1688,3 +1688,38 @@ def test_facet_range_hardend_contract(spark, sf_dir):
             "facet.range.end": "2024-02-01T00:00:00Z",
             "facet.range.gap": "+1DAY",
             "facet.range.hardend": True}))
+
+
+def test_hl_alternate_field_contract(spark, sf_dir):
+    """alternateField fires ONLY for docs with zero surviving
+    passages: a scoring query (every page doc has a hit) produces an
+    identical highlighting frame with or without the fallback; the
+    param gates raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_searcher(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    base = {"q": "merge", "rows": 6, "hl": True,
+            "hl.snippets": 2, "hl.fragsize": 15}
+    plain = select(s, base, stored=t)["highlighting"].collect()
+    withalt = select(
+        s, dict(base, **{"hl.alternateField": "text",
+                         "hl.maxAlternateFieldLength": 25}),
+        stored=t)["highlighting"].collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in withalt]
+    assert all(r.passage is not None for r in withalt)
+
+    for bad in (
+        {"q": "x", "hl.alternateField": "text"},            # needs hl
+        {"q": "x", "hl": True, "hl.alternateField": "text"},  # needs passages
+        {"q": "x", "hl": True, "hl.snippets": 2,
+         "hl.alternateField": "ts"},                        # bad field
+        {"q": "x", "hl": True, "hl.snippets": 2,
+         "hl.maxAlternateFieldLength": 10},                 # len w/o field
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
