@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> dict:
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("dedup", "clusters", "sample", "pack", "filter",
                  "substring", "semdedup", "decontaminate", "dsir",
-                 "classify-filter", "ppl-filter", "bpe-train"):
+                 "classify-filter", "ppl-filter", "bpe-train", "chunk"):
         p = sub.add_parser(name)
         p.add_argument("--sf-dir", required=True)
         p.add_argument("--out", required=True)
@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> dict:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
+    elif args.cmd == "chunk":
+        # sliding-window chunking (64-token windows, stride 48) — the
+        # RAG/pretraining chunk stage; narrow scan-side pass
+        out = textpipe.q_chunk_windows(spark, args.sf_dir)
     elif args.cmd == "clusters":
         out = textpipe.q_dedup_clusters(spark, args.sf_dir)
     elif args.cmd == "sample":

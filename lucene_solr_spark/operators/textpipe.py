@@ -1583,6 +1583,63 @@ def q_quality_repetition(spark, sf_dir):
     )
 
 
+_CHUNK_W = 64  # window tokens
+_CHUNK_S = 48  # stride (16-token overlap between neighbors)
+
+
+@op(
+    "q_chunk_windows",
+    f"""WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM docs WHERE len(toks) > 0),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + greatest(
+           CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT), 0))) AS i
+  FROM nn)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(toks[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}])
+            AS BIGINT) AS n_toks,
+       array_to_string(
+         toks[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}],
+         ' ') AS chunk_text
+FROM idx ORDER BY doc_id, chunk_idx""",
+)
+def q_chunk_windows(spark, sf_dir):
+    """Document chunking for training/RAG pipelines: fixed 64-token
+    windows at stride 48 (16-token overlap) over the pinned analyzer
+    stream — every token lands in >= 1 chunk, window boundaries are
+    deterministic functions of the token index, and the whole op is
+    ONE narrow scan-side pass (sequence + explode + slice, no
+    shuffle, no Python) — at 100 TB it rides the ingest scan like
+    the URP chain. Empty docs produce no chunks; the last window is
+    short rather than padded (pack_sequences downstream owns
+    budget-fitting)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        .alias("toks"),
+    )
+    n = F.size("toks")
+    n_chunks = 1 + F.greatest(
+        F.ceil((n - F.lit(_CHUNK_W)) / F.lit(float(_CHUNK_S))), F.lit(0)
+    )
+    win = F.slice("toks", F.col("i") * _CHUNK_S + 1, _CHUNK_W)
+    return (
+        d.filter(n > 0)
+        .withColumn("i", F.explode(F.sequence(F.lit(0),
+                                              (n_chunks - 1).cast("int"))))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            F.size(win).cast("long").alias("n_toks"),
+            F.array_join(win, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 @op(
     "q_token_count",
     """SELECT source,

@@ -1723,3 +1723,51 @@ def test_hl_alternate_field_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_select_params(bad)
+
+
+def test_chunk_windows_properties(spark, sf_dir):
+    """Chunking invariants: full token coverage (sum of stride
+    advances + last window = n), 16-token overlap between neighbors,
+    chunk 0 starts at token 0, only the last chunk may be short, and
+    single-window docs get exactly one chunk."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.textpipe import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_chunk_windows,
+    )
+
+    chunks = q_chunk_windows(spark, sf_dir).collect()
+    assert chunks
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+            )).alias("n"),
+        )
+        .collect()
+    )
+    n_by_doc = {r.doc_id: r.n for r in docs}
+    by_doc: dict = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        n = n_by_doc[doc_id]
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        # all but last are full windows; coverage reaches the end
+        for c in cs[:-1]:
+            assert c.n_toks == _CHUNK_W
+        last_start = (len(cs) - 1) * _CHUNK_S
+        assert last_start < n <= last_start + _CHUNK_W or len(cs) == 1
+        assert cs[-1].n_toks == min(_CHUNK_W, n - last_start)
+        # neighbor overlap is W - S tokens (on full windows)
+        if len(cs) >= 2 and cs[0].n_toks == _CHUNK_W:
+            a = cs[0].chunk_text.split(" ")
+            b = cs[1].chunk_text.split(" ")
+            assert a[_CHUNK_S:] == b[: _CHUNK_W - _CHUNK_S]
+    # every non-empty doc chunks
+    assert set(by_doc) == {d for d, n in n_by_doc.items() if n > 0}
