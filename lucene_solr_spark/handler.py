@@ -252,6 +252,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
         if ftype == "terms":
             unknown = set(req) - {
                 "type", "field", "limit", "facet", "sort", "domain",
+                "prefix",
             }
             if unknown:
                 raise ValueError(
@@ -367,9 +368,24 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                     raise ValueError(f"json.facet {name!r}: sort must be "
                                      f"'count' or '<sub-agg name> desc'")
                 sort = m.group(1)
+            # prefix (FacetFieldProcessor prefix): bucket values must
+            # start with it — narrows BEFORE ranking/limit like
+            # facet.prefix; plain terms buckets only (the metric pass
+            # ranks on sub-agg keys, Solr's processor does the same
+            # split)
+            jf_prefix = req.get("prefix")
+            if jf_prefix is not None:
+                if not isinstance(jf_prefix, str) or not jf_prefix:
+                    raise ValueError(
+                        f"json.facet {name!r}: prefix wants a "
+                        "non-empty string")
+                if aggs:
+                    raise ValueError(
+                        f"json.facet {name!r}: prefix rides the plain "
+                        "terms pass (no scalar sub-aggs)")
             out[name] = (
                 "terms", fld, int(req.get("limit", 10)), tuple(aggs),
-                sort, ex, dom_filter, dom_query,
+                sort, ex, dom_filter, dom_query, jf_prefix,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q", "facet"}
@@ -1876,7 +1892,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["facets"] = {}
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
-                _, fld, limit, aggs_t, sort, ex, dom_f, dom_q = req
+                _, fld, limit, aggs_t, sort, ex, dom_f, dom_q, \
+                    jf_prefix = req
                 # domain.excludeTags: drop the tagged fq constraints
                 # from THIS bucket's domain only (multi-select);
                 # domain.filter: add a bucket-local pure filter;
@@ -1892,7 +1909,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                         leg_spec = _merge_filters(leg_spec, dom_f)
                 if not aggs_t:
                     out["facets"][name] = searcher.facet(
-                        fld, spec=leg_spec, limit=limit
+                        fld, spec=leg_spec, limit=limit,
+                        prefix=jf_prefix,
                     )
                 else:
                     out["facets"][name] = facet_metrics(

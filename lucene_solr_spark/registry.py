@@ -5811,6 +5811,47 @@ LIMIT 10
 )
 
 
+_SELECT_JF_PREFIX_PARAMS = {
+    "q": "data", "rows": 0,
+    "json.facet": ('{"tp": {"type": "terms", "field": "ftok",'
+                   ' "limit": 8, "prefix": "s"}}'),
+}
+
+
+def _select_jf_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet terms ``prefix`` (FacetFieldProcessor prefix): the
+    JSON-API spelling of facet.prefix — bucket values must start with
+    's', narrowing BEFORE ranking/limit on the high-cardinality ftok
+    dictionary side of the sparse pass (per-segment counting is
+    untouched, cached MatchAll partials stay valid).
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetField.java (prefix) + FacetFieldProcessorByArrayDV."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JF_PREFIX_PARAMS)["facets"]["tp"]
+
+
+register(
+    "q_select_jf_prefix",
+    _select_jf_prefix,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+  AND toks[1] LIKE 's%'
+GROUP BY 1
+ORDER BY cnt DESC, facet_value
+LIMIT 8
+""".strip(),
+)
+
+
 _SELECT_HL_PARAMS = {
     "q": "merge data", "q.op": "AND", "rows": 10,
     "hl": True, "hl.snippets": 2, "hl.fragsize": 10,

@@ -1771,3 +1771,33 @@ def test_chunk_windows_properties(spark, sf_dir):
             assert a[_CHUNK_S:] == b[: _CHUNK_W - _CHUNK_S]
     # every non-empty doc chunks
     assert set(by_doc) == {d for d, n in n_by_doc.items() if n > 0}
+
+
+def test_jf_prefix_contract(spark, sf_dir):
+    """json.facet prefix ≡ classic facet.prefix on the same domain;
+    prefix+sub-aggs and bad prefix values raise."""
+    import json as _json
+
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    jf = select(s, {"q": "data", "rows": 0, "json.facet": _json.dumps(
+        {"tp": {"type": "terms", "field": "ftok", "limit": 8,
+                "prefix": "s"}})})["facets"]["tp"].collect()
+    classic = select(s, {"q": "data", "rows": 0, "facet.field": "ftok",
+                         "facet.limit": 8, "facet.prefix": "s"}
+                     )["facet_counts"]["ftok"].collect()
+    assert [tuple(r) for r in jf] == [tuple(r) for r in classic]
+    assert jf and all(r.facet_value.startswith("s") for r in jf)
+
+    for bad in (
+        {"tp": {"type": "terms", "field": "ftok", "prefix": ""}},
+        {"tp": {"type": "terms", "field": "ftok", "prefix": "s",
+                "facet": {"adl": "avg(doc_len)"}}},
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(
+                {"q": "x", "json.facet": _json.dumps(bad)})
