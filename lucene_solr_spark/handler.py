@@ -54,7 +54,7 @@ _KNOWN = {
     "facet.interval", "facet.interval.set",
     "stats", "stats.field", "stats.facet",
     "group", "group.field", "group.limit", "group.offset", "group.main",
-    "group.format", "group.ngroups",
+    "group.format", "group.ngroups", "group.sort",
     "mlt", "mlt.count", "mlt.maxqt",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "debug",
@@ -891,10 +891,25 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if sort_key is not None:
             raise ValueError("group=true supports the score-ranked "
                              "default sort only")
+        # group.sort: the WITHIN-group doclist order (Grouping's
+        # withinGroupSort) — orthogonal to `sort`, which orders the
+        # GROUPS (pinned score-ranked here, matching the head pick).
+        # Default = the main sort (score desc), Solr's default.
+        g_sort_raw = params.get("group.sort", "score desc")
+        if g_sort_raw == "score desc":
+            g_sort = None
+        else:
+            gparts = str(g_sort_raw).split()
+            if (len(gparts) != 2 or gparts[0] not in _SORTABLE
+                    or gparts[1] not in ("asc", "desc")):
+                raise ValueError(
+                    f"unsupported group.sort: {g_sort_raw!r} (score "
+                    f"desc or <docvalues field> asc|desc)")
+            g_sort = (gparts[0], gparts[1] == "asc")
         # start/rows page the GROUPS in group mode (Grouping's
         # getGroups offset — the doclist-level page has no meaning
         # when the response is a groups list)
-        group = (g_field, g_limit, start, g_offset)
+        group = (g_field, g_limit, start, g_offset, g_sort)
         # group.ngroups=true: the total number of matching groups
         # (distinct group values in the DocSet — one narrow
         # partial-aggregating distinct, Grouping's totalGroupCount)
@@ -915,7 +930,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                     "group.main=true replaces the response doclist; "
                     "hl/mlt/debug legs key on the ungrouped page")
     elif {"group.field", "group.limit", "group.offset", "group.main",
-          "group.format", "group.ngroups"} & set(params):
+          "group.format", "group.ngroups", "group.sort"} & set(params):
         raise ValueError("group.* params need group=true")
     if group is None:
         group_ngroups = False
@@ -1707,13 +1722,17 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # semi-join of those winning keys (never a rescan); output
         # ordered (group_value, doc_rank), the engine's pinned
         # grouped-doclist presentation
-        g_field, g_limit, g_start, g_offset = o["group"]
+        g_field, g_limit, g_start, g_offset, g_sort = o["group"]
         ghits = searcher.score_hits(spec, k=None).withColumn(
             "score", F.round("score", 4)
         )
-        if g_field not in ("conv_id", "turn_idx"):
+        dm_extra = [c for c in {g_field} | (
+            {g_sort[0]} if g_sort else set()
+        ) if c not in ("conv_id", "turn_idx")]
+        if dm_extra:
             ghits = ghits.join(
-                searcher.docmap().select("conv_id", "turn_idx", g_field),
+                searcher.docmap().select(
+                    "conv_id", "turn_idx", *sorted(dm_extra)),
                 ["conv_id", "turn_idx"],
             )
         if o["group_ngroups"]:
@@ -1760,9 +1779,17 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # every map task to g_limit rows per group before the
         # group-key exchange (the engine's pinned bounded-shuffle
         # window shape — plan-asserted in test_plans)
-        gw = Window.partitionBy(g_field).orderBy(
-            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
-        )
+        # within-group order: group.sort when given (field key first,
+        # pinned score/key tiebreaks after), else the main rank order
+        if g_sort is not None:
+            gs_fld, gs_asc = g_sort
+            gs_key = F.asc(gs_fld) if gs_asc else F.desc(gs_fld)
+            g_order = [gs_key, F.desc("score"),
+                       F.asc("conv_id"), F.asc("turn_idx")]
+        else:
+            g_order = [F.desc("score"),
+                       F.asc("conv_id"), F.asc("turn_idx")]
+        gw = Window.partitionBy(g_field).orderBy(*g_order)
         # group.offset slices WITHIN each doclist: the upper bound
         # stays a bare `grn <= K` filter directly above the window
         # (the WindowGroupLimit pushdown shape); the lower bound is a

@@ -6165,7 +6165,8 @@ def _select_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.handler import parse_select_params, select
 
     spec, o = parse_select_params(_SELECT_GROUP_PARAMS)
-    assert spec == _SELECT_GROUP_SPEC and o["group"] == ("role", 2, 0, 0)
+    assert spec == _SELECT_GROUP_SPEC
+    assert o["group"] == ("role", 2, 0, 0, None)
     s = cached_searcher(spark, sf_dir)
     return select(s, _SELECT_GROUP_PARAMS)["grouped"]
 
@@ -6235,6 +6236,54 @@ SELECT conv_id, turn_idx, score
 FROM g_ranked JOIN g_heads USING (role)
 WHERE grn <= 2
 ORDER BY g_rank, grn""",
+)
+
+
+_SELECT_GROUP_SORT_PARAMS = dict(_SELECT_GROUP_PARAMS, **{
+    "group.limit": 3, "group.sort": "turn_idx asc",
+})
+
+
+def _select_group_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.sort (Grouping's withinGroupSort): the DOCLIST inside
+    each group orders by turn_idx asc while group SELECTION and group
+    ORDER stay pinned to the best main-query score (Solr's sort vs
+    group.sort split — two independent comparators over one collected
+    pass). Same bounded one-rank-pass shape; only the window's order
+    key changes. ref: solr/core/src/java/org/apache/solr/search/
+    Grouping.java (withinGroupSort / TopGroupsCollector comparators)."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    _, o = parse_select_params(_SELECT_GROUP_SORT_PARAMS)
+    assert o["group"] == ("role", 3, 0, 0, ("turn_idx", True))
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_GROUP_SORT_PARAMS)["grouped"]
+
+
+register(
+    "q_select_group_sort",
+    _select_group_sort,
+    _SELECT_GROUP_BODY + f""",
+joined AS (
+  SELECT t.role, s.conv_id, s.turn_idx,
+         round(s.score, {ROUND}) AS score
+  FROM scored s JOIN transcripts t USING (conv_id, turn_idx)),
+head_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY role ORDER BY score DESC, conv_id, turn_idx) AS hrn
+  FROM joined),
+g_heads AS (
+  SELECT role FROM head_ranked WHERE hrn = 1
+  ORDER BY score DESC, conv_id, turn_idx LIMIT 2),
+g_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY role
+    ORDER BY turn_idx ASC, score DESC, conv_id, turn_idx) AS grn
+  FROM joined WHERE role IN (SELECT role FROM g_heads))
+SELECT role AS group_value, conv_id, turn_idx, score,
+       CAST(grn AS BIGINT) AS doc_rank
+FROM g_ranked WHERE grn <= 3
+ORDER BY group_value, doc_rank""",
 )
 
 

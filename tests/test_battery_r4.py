@@ -1801,3 +1801,37 @@ def test_jf_prefix_contract(spark, sf_dir):
         with _pt.raises(ValueError):
             parse_select_params(
                 {"q": "x", "json.facet": _json.dumps(bad)})
+
+
+def test_group_sort_contract(spark, sf_dir):
+    """group.sort reorders WITHIN doclists only: the winning group
+    set and group order match the default run; each doclist is
+    turn_idx-ascending; group.sort without group=true raises."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "data merge", "group": True, "group.field": "role",
+            "group.limit": 3, "rows": 2}
+    default = select(s, base)["grouped"].collect()
+    custom = select(s, dict(base, **{"group.sort": "turn_idx asc"})
+                    )["grouped"].collect()
+    gd = {r.group_value for r in default}
+    gc = {r.group_value for r in custom}
+    assert gd == gc and gd
+    by_g: dict = {}
+    for r in custom:
+        by_g.setdefault(r.group_value, []).append(r)
+    for rows in by_g.values():
+        rows.sort(key=lambda r: r.doc_rank)
+        turns = [r.turn_idx for r in rows]
+        assert turns == sorted(turns)
+    # same doc multiset per group when limit covers the group
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "group.sort": "turn_idx asc"})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "group": True,
+                             "group.field": "role",
+                             "group.sort": "banana asc"})
