@@ -57,6 +57,7 @@ _KNOWN = {
     "group.format", "group.ngroups", "group.sort",
     "mlt", "mlt.count", "mlt.maxqt",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
+    "spellcheck.maxQueryFrequency",
     "debug",
     "defType", "mm", "pf", "ps", "bq", "json.facet",
     "rq", "rqq",
@@ -950,10 +951,23 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         sc_count = int(params.get("spellcheck.count", 5))
         if sc_count < 1:
             raise ValueError(f"spellcheck.count must be >= 1: {sc_count}")
-        spellcheck = (sc_count, bool(params.get("spellcheck.collate", False)))
-    elif {"spellcheck.count", "spellcheck.collate"} & set(params):
+        # spellcheck.maxQueryFrequency (DirectSolrSpellChecker): a q
+        # term is treated as misspelled when its df <= the threshold
+        # (absolute count). Default 0 = the strictest gate (suggest
+        # only for dictionary-ABSENT terms). Suggestions must be MORE
+        # POPULAR than the input term (Lucene DirectSpellChecker's
+        # docfreq > termfreq rule) — vacuous at the default.
+        sc_maxqf = int(params.get("spellcheck.maxQueryFrequency", 0))
+        if sc_maxqf < 0:
+            raise ValueError(
+                f"spellcheck.maxQueryFrequency must be >= 0: {sc_maxqf}")
+        spellcheck = (sc_count, bool(params.get("spellcheck.collate", False)),
+                      sc_maxqf)
+    elif {"spellcheck.count", "spellcheck.collate",
+          "spellcheck.maxQueryFrequency"} & set(params):
         raise ValueError(
-            "spellcheck.count/spellcheck.collate need spellcheck=true")
+            "spellcheck.count/spellcheck.collate/"
+            "spellcheck.maxQueryFrequency need spellcheck=true")
     # ReRank leg (rq={!rerank ...}): re-scores the score-ranked head
     rerank = None
     if "rq" in params:
@@ -1850,14 +1864,15 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # hits (SpellCheckCollator).
         # ref: solr/core/src/java/org/apache/solr/spelling/
         # DirectSolrSpellChecker.java + SpellCheckCollator.java
-        sc_count, collate = o["spellcheck"]
+        sc_count, collate, sc_maxqf = o["spellcheck"]
         q_terms = list(dict.fromkeys(spec.scoring_terms))
         dfs = searcher.global_df(q_terms)
-        misspelled = [t for t in q_terms if dfs[t] == 0]
+        misspelled = [t for t in q_terms if dfs[t] <= sc_maxqf]
         sugg_schema = "q string, suggestion string, dist long, df long"
         if misspelled:
             qdf = searcher.spark.createDataFrame(
-                [(t,) for t in misspelled], "q string"
+                [(t, int(dfs[t])) for t in misspelled],
+                "q string, q_df long",
             )
             dicts = searcher.postings().groupBy("term").agg(
                 F.sum("df").cast("long").alias("df")
@@ -1867,7 +1882,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 .withColumn(
                     "dist", F.levenshtein("term", F.col("q")).cast("long")
                 )
-                .filter((F.col("dist") <= 2) & (F.length("term") >= 3))
+                .filter((F.col("dist") <= 2) & (F.length("term") >= 3)
+                        & (F.col("term") != F.col("q"))
+                        & (F.col("df") > F.col("q_df")))
             )
             scw = Window.partitionBy("q").orderBy(
                 "dist", F.desc("df"), F.col("term")

@@ -6443,6 +6443,59 @@ ORDER BY q, dist, df DESC, suggestion
 )
 
 
+_SELECT_SC_MAXQF_PARAMS = {
+    "q": "fast data", "rows": 5,
+    "spellcheck": True, "spellcheck.count": 3,
+    "spellcheck.maxQueryFrequency": 380,
+}
+
+
+def _select_spellcheck_maxqf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spellcheck.maxQueryFrequency: a PRESENT low-df q term ('fast',
+    df 376 <= 380) becomes suggestion-eligible while the common term
+    ('data') stays gated; suggestions must be MORE POPULAR than the
+    input (df > df('fast') — Lucene DirectSpellChecker's docfreq
+    rule), so only higher-df dist-2 neighbors rank. ref: solr/core/
+    src/java/org/apache/solr/spelling/DirectSolrSpellChecker.java
+    (maxQueryFrequency), lucene/suggest/.../DirectSpellChecker.java
+    (docfreq comparison in suggestSimilar)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_SC_MAXQF_PARAMS)["spellcheck"]
+
+
+register(
+    "q_select_spellcheck_maxqf",
+    _select_spellcheck_maxqf,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES ('fast'), ('data')),
+miss AS (
+  SELECT q.q, coalesce(d.df, 0) AS q_df
+  FROM q LEFT JOIN dfreq d ON d.term = q.q
+  WHERE coalesce(d.df, 0) <= 380),
+cand AS (
+  SELECT m.q, d.term AS suggestion,
+         CAST(levenshtein(m.q, d.term) AS BIGINT) AS dist, d.df
+  FROM miss m, dfreq d
+  WHERE levenshtein(m.q, d.term) <= 2 AND len(d.term) >= 3
+    AND d.term <> m.q AND d.df > m.q_df),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand)
+SELECT q, suggestion, dist, df FROM ranked WHERE rn <= 3
+ORDER BY q, dist, df DESC, suggestion
+""".strip(),
+)
+
+
 _SELECT_PIVOT_PARAMS = {
     "q": "data", "rows": 5, "facet.pivot": "role,tool",
     "facet.limit": 3,

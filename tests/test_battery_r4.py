@@ -1835,3 +1835,39 @@ def test_group_sort_contract(spark, sf_dir):
         parse_select_params({"q": "x", "group": True,
                              "group.field": "role",
                              "group.sort": "banana asc"})
+
+
+def test_spellcheck_maxqf_contract(spark, sf_dir):
+    """maxQueryFrequency eligibility + more-popular rule: at the
+    default (0) the present term 'fast' gets NO suggestions; at 380
+    it does, every suggestion strictly more popular than 'fast';
+    common terms stay gated; the param needs spellcheck=true."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    # 'fast' and 'hash' are a dist-2 vocab pair at every sf; pick the
+    # LESS frequent one as the query term so a more-popular neighbor
+    # exists, and gate the threshold exactly at its df
+    dfs = s.global_df(["fast", "hash"])
+    qterm = min(("fast", "hash"), key=lambda t: (dfs[t], t))
+    base = {"q": f"{qterm} data", "rows": 3,
+            "spellcheck": True, "spellcheck.count": 3}
+    default = select(s, base)["spellcheck"].collect()
+    assert default == []  # both terms present, strictest gate
+    loose = select(s, dict(base, **{
+        "spellcheck.maxQueryFrequency": int(dfs[qterm])}))[
+        "spellcheck"].collect()
+    if dfs["fast"] != dfs["hash"]:
+        assert loose and {r.q for r in loose} == {qterm}
+    assert all(r.df > dfs[qterm] and r.suggestion != qterm
+               for r in loose)
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x",
+                             "spellcheck.maxQueryFrequency": 5})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "spellcheck": True,
+                             "spellcheck.maxQueryFrequency": -1})
