@@ -55,7 +55,7 @@ _KNOWN = {
     "stats", "stats.field", "stats.facet",
     "group", "group.field", "group.limit", "group.offset", "group.main",
     "group.format", "group.ngroups", "group.sort",
-    "mlt", "mlt.count", "mlt.maxqt",
+    "mlt", "mlt.count", "mlt.maxqt", "mlt.mintf", "mlt.mindf",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "spellcheck.maxQueryFrequency",
     "debug",
@@ -942,9 +942,18 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         mlt_maxqt = int(params.get("mlt.maxqt", 5))
         if mlt_count < 1 or mlt_maxqt < 1:
             raise ValueError("mlt.count and mlt.maxqt must be >= 1")
-        mlt = (mlt_count, mlt_maxqt)
-    elif {"mlt.count", "mlt.maxqt"} & set(params):
-        raise ValueError("mlt.count/mlt.maxqt need mlt=true")
+        # mlt.mintf / mlt.mindf (MoreLikeThis minTermFreq/minDocFreq):
+        # source terms below either gate never become interesting
+        # terms. Defaults 1/1 keep every term eligible (Solr's own
+        # defaults are 2/5 — callers opt in per request).
+        mlt_mintf = int(params.get("mlt.mintf", 1))
+        mlt_mindf = int(params.get("mlt.mindf", 1))
+        if mlt_mintf < 1 or mlt_mindf < 1:
+            raise ValueError("mlt.mintf and mlt.mindf must be >= 1")
+        mlt = (mlt_count, mlt_maxqt, mlt_mintf, mlt_mindf)
+    elif {"mlt.count", "mlt.maxqt", "mlt.mintf",
+          "mlt.mindf"} & set(params):
+        raise ValueError("mlt.* params need mlt=true")
     # SpellCheck component leg
     spellcheck = None
     if params.get("spellcheck", False):
@@ -1843,7 +1852,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # page Solr materializes identically).
         if stored is None:
             raise ValueError("mlt=true needs the stored-fields frame")
-        mlt_count, mlt_maxqt = o["mlt"]
+        mlt_count, mlt_maxqt, mlt_mintf, mlt_mindf = o["mlt"]
         page_rows = (
             stored.join(F.broadcast(page_keys), ["conv_id", "turn_idx"])
             .select("conv_id", "turn_idx", "text")
@@ -1852,6 +1861,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["moreLikeThis"] = searcher.mlt_batch(
             [(r.conv_id, r.turn_idx, r.text) for r in page_rows],
             max_terms=mlt_maxqt, k=mlt_count, round_to=4,
+            min_tf=mlt_mintf, min_df=mlt_mindf,
         )
     if o["spellcheck"]:
         # SpellCheck component leg (DirectSolrSpellChecker shape):

@@ -787,6 +787,8 @@ class IndexSearcher:
         max_terms: int = 5,
         k: int = 5,
         round_to: int | None = None,
+        min_tf: int = 1,
+        min_df: int = 1,
     ) -> DataFrame:
         """Batched MoreLikeThis — the /select ``mlt=true`` component
         (MoreLikeThisComponent runs one MLT query PER doclist doc;
@@ -827,12 +829,21 @@ class IndexSearcher:
                 "conv_id string, turn_idx int, sim_conv_id string, "
                 "sim_turn_idx int, score double, sim_rank long",
             )
-        idf = self.global_idf(union)  # ONE dictionary probe
+        # ONE dictionary probe serves both the dfs (the mlt.mindf
+        # gate) and the idfs (the interesting-term weights — same
+        # pinned BM25Similarity formula as global_idf)
+        dfs = self.global_df(union)
+        n_docs = self.manifest.n_docs
+        idf = {
+            t: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for t in union
+        }
         src_rows = []
         int_union: set[str] = set()
         for (cid, tid), tf in src_tf.items():
             ranked = sorted(
-                ((round(c * idf[t], 6), t) for t, c in tf.items()),
+                ((round(c * idf[t], 6), t) for t, c in tf.items()
+                 if c >= min_tf and dfs[t] >= min_df),
                 key=lambda x: (-x[0], x[1]),
             )[:max_terms]
             for _, t in ranked:

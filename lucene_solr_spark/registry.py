@@ -6394,6 +6394,40 @@ ORDER BY conv_id, turn_idx, sim_rank
 )
 
 
+_SELECT_MLT_GATES_PARAMS = dict(_SELECT_MLT_PARAMS, **{
+    "mlt.mintf": 2, "mlt.mindf": 380,
+})
+
+
+def _select_mlt_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mlt.mintf/mlt.mindf (MoreLikeThis minTermFreq/minDocFreq):
+    source terms below EITHER gate never become interesting terms —
+    tf >= 2 in the source doc AND df >= 380 index-wide. Same batched
+    one-pass shape as q_select_mlt; the gates filter the driver-side
+    interesting-term ranking, so the distributed contrib pass prunes
+    to a smaller term set (cheaper, never costlier, at scale).
+    ref: lucene/queries/src/java/org/apache/lucene/queries/mlt/
+    MoreLikeThis.java (minTermFreq/minDocFreq in addTermWeights)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_MLT_GATES_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["moreLikeThis"]
+
+
+_MLT_GATES_ORACLE = ORACLES["q_select_mlt"].replace(
+    """  WHERE (a.conv_id, a.turn_idx) IN (SELECT (conv_id, turn_idx) FROM page)
+),""",
+    """  WHERE (a.conv_id, a.turn_idx) IN (SELECT (conv_id, turn_idx) FROM page)
+    AND a.tf >= 2 AND dfreq.df >= 380
+),""",
+)
+assert "a.tf >= 2" in _MLT_GATES_ORACLE
+register("q_select_mlt_gates", _select_mlt_gates, _MLT_GATES_ORACLE)
+
+
 _SELECT_SPELLCHECK_PARAMS = {
     "q": "mrege tabel data", "rows": 5,
     "spellcheck": True, "spellcheck.count": 3,

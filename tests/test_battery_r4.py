@@ -1871,3 +1871,33 @@ def test_spellcheck_maxqf_contract(spark, sf_dir):
     with _pt.raises(ValueError):
         parse_select_params({"q": "x", "spellcheck": True,
                              "spellcheck.maxQueryFrequency": -1})
+
+
+def test_mlt_gates_contract(spark, sf_dir):
+    """mintf/mindf at 1/1 ≡ the ungated leg; the gated run differs
+    from it (the gates bite); gates < 1 raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_searcher(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    base = {"q": "table merge", "q.op": "AND", "rows": 3,
+            "mlt": True, "mlt.count": 4, "mlt.maxqt": 4}
+    plain = [tuple(r) for r in select(s, base, stored=t)
+             ["moreLikeThis"].collect()]
+    ones = [tuple(r) for r in select(
+        s, dict(base, **{"mlt.mintf": 1, "mlt.mindf": 1}), stored=t)
+        ["moreLikeThis"].collect()]
+    assert plain == ones
+    gated = [tuple(r) for r in select(
+        s, dict(base, **{"mlt.mintf": 2, "mlt.mindf": 380}), stored=t)
+        ["moreLikeThis"].collect()]
+    assert gated != plain
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "mlt": True, "mlt.mintf": 0})
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "mlt.mindf": 3})
