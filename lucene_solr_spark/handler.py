@@ -253,7 +253,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
         if ftype == "terms":
             unknown = set(req) - {
                 "type", "field", "limit", "facet", "sort", "domain",
-                "prefix",
+                "prefix", "mincount",
             }
             if unknown:
                 raise ValueError(
@@ -384,9 +384,22 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                     raise ValueError(
                         f"json.facet {name!r}: prefix rides the plain "
                         "terms pass (no scalar sub-aggs)")
+            # mincount (FacetField mincount, default 1): buckets
+            # below it drop BEFORE limit; the engine never emits zero
+            # buckets, so mincount < 1 raises (the pinned contract —
+            # same rule as classic facet.mincount)
+            jf_mincount = int(req.get("mincount", 1))
+            if jf_mincount < 1:
+                raise ValueError(
+                    f"json.facet {name!r}: mincount must be >= 1 "
+                    "(the engine never emits zero buckets)")
+            if jf_mincount > 1 and aggs:
+                raise ValueError(
+                    f"json.facet {name!r}: mincount > 1 rides the "
+                    "plain terms pass (no scalar sub-aggs)")
             out[name] = (
                 "terms", fld, int(req.get("limit", 10)), tuple(aggs),
-                sort, ex, dom_filter, dom_query, jf_prefix,
+                sort, ex, dom_filter, dom_query, jf_prefix, jf_mincount,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q", "facet"}
@@ -1947,7 +1960,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
                 _, fld, limit, aggs_t, sort, ex, dom_f, dom_q, \
-                    jf_prefix = req
+                    jf_prefix, jf_mincount = req
                 # domain.excludeTags: drop the tagged fq constraints
                 # from THIS bucket's domain only (multi-select);
                 # domain.filter: add a bucket-local pure filter;
@@ -1964,7 +1977,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 if not aggs_t:
                     out["facets"][name] = searcher.facet(
                         fld, spec=leg_spec, limit=limit,
-                        prefix=jf_prefix,
+                        prefix=jf_prefix, mincount=jf_mincount,
                     )
                 else:
                     out["facets"][name] = facet_metrics(

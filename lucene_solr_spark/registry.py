@@ -5852,6 +5852,45 @@ LIMIT 8
 )
 
 
+_SELECT_JF_MINCOUNT_PARAMS = {
+    "q": "data", "rows": 0,
+    "json.facet": ('{"tm": {"type": "terms", "field": "ftok",'
+                   ' "limit": 15, "mincount": 3}}'),
+}
+
+
+def _select_jf_mincount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet terms ``mincount`` (FacetField mincount): buckets
+    with fewer than 3 docs drop BEFORE the limit — rides the same
+    exact routing as classic facet.mincount (mincount > 1 always
+    exact: the two-phase over-request is not mincount-aware).
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetField.java (mincount) + FacetFieldProcessor."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JF_MINCOUNT_PARAMS)["facets"]["tm"]
+
+
+register(
+    "q_select_jf_mincount",
+    _select_jf_mincount,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+GROUP BY 1 HAVING count(*) >= 3
+ORDER BY cnt DESC, facet_value
+LIMIT 15
+""".strip(),
+)
+
+
 _SELECT_HL_PARAMS = {
     "q": "merge data", "q.op": "AND", "rows": 10,
     "hl": True, "hl.snippets": 2, "hl.fragsize": 10,

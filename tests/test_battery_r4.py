@@ -1901,3 +1901,33 @@ def test_mlt_gates_contract(spark, sf_dir):
         parse_select_params({"q": "x", "mlt": True, "mlt.mintf": 0})
     with _pt.raises(ValueError):
         parse_select_params({"q": "x", "mlt.mindf": 3})
+
+
+def test_jf_mincount_contract(spark, sf_dir):
+    """json.facet mincount ≡ classic facet.mincount on the same
+    domain; mincount < 1 and mincount>1+sub-aggs raise."""
+    import json as _json
+
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    jf = select(s, {"q": "data", "rows": 0, "json.facet": _json.dumps(
+        {"tm": {"type": "terms", "field": "ftok", "limit": 15,
+                "mincount": 3}})})["facets"]["tm"].collect()
+    classic = select(s, {"q": "data", "rows": 0, "facet.field": "ftok",
+                         "facet.limit": 15, "facet.mincount": 3}
+                     )["facet_counts"]["ftok"].collect()
+    assert [tuple(r) for r in jf] == [tuple(r) for r in classic]
+    assert jf and all(r.cnt >= 3 for r in jf)
+
+    for bad in (
+        {"tm": {"type": "terms", "field": "ftok", "mincount": 0}},
+        {"tm": {"type": "terms", "field": "ftok", "mincount": 2,
+                "facet": {"adl": "avg(doc_len)"}}},
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(
+                {"q": "x", "json.facet": _json.dumps(bad)})
