@@ -41,6 +41,7 @@ _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl", "cursorMark",
     "wt", "sortMissing",
     "facet", "facet.field", "facet.limit", "facet.sort",
+    "facet.missing",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
     "facet.excludeTerms", "facet.exists",
     "hl", "hl.fl",
@@ -1112,6 +1113,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_sort": facet_sort,
         "facet_mincount": facet_mincount,
         "facet_prefix": params.get("facet.prefix"),
+        "facet_missing": bool(params.get("facet.missing", False)),
         "facet_exclude_terms": tuple(
             t.strip()
             for t in str(params.get("facet.excludeTerms", "")).split(",")
@@ -1625,6 +1627,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         fc = searcher.facet(
             fld, spec=spec, limit=o["facet_limit"],
             mincount=o["facet_mincount"], sort=o["facet_sort"],
+            missing=o["facet_missing"],
             prefix=o["facet_prefix"], offset=o["facet_offset"],
             exclude_terms=o["facet_exclude_terms"],
             exclude_fields=ex_fields,

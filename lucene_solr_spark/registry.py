@@ -5852,6 +5852,50 @@ LIMIT 8
 )
 
 
+_SELECT_FACET_MISSING_PARAMS = {
+    "q": "data", "rows": 0, "facet.field": "tool",
+    "facet.limit": 5, "facet.missing": True,
+}
+
+
+def _select_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classic ``facet.missing=true`` through /select: one extra
+    NULL-valued bucket counting domain docs with NO value in the
+    facet field (~20% of turns have no tool), appended AFTER the
+    ranked buckets like SimpleFacets; engine-side it is one extra
+    ord=-1 partial per segment in the same sparse pass — no second
+    job. ref: solr/core/src/java/org/apache/solr/request/
+    SimpleFacets.java (FacetParams.FACET_MISSING)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_FACET_MISSING_PARAMS)["facet_counts"]["tool"]
+
+
+register(
+    "q_select_facet_missing",
+    _select_facet_missing,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+dom AS (SELECT tool FROM docs WHERE list_contains(toks, 'data')),
+buckets AS (
+  SELECT 0 AS o, tool AS facet_value, count(*) AS cnt
+  FROM dom WHERE tool IS NOT NULL
+  GROUP BY tool ORDER BY cnt DESC, facet_value LIMIT 5),
+miss AS (
+  SELECT 1 AS o, CAST(NULL AS VARCHAR) AS facet_value,
+         count(*) AS cnt
+  FROM dom WHERE tool IS NULL)
+SELECT facet_value, cnt FROM (
+  SELECT * FROM buckets UNION ALL SELECT * FROM miss)
+ORDER BY o, cnt DESC, facet_value
+""".strip(),
+)
+
+
 _SELECT_JF_MINCOUNT_PARAMS = {
     "q": "data", "rows": 0,
     "json.facet": ('{"tm": {"type": "terms", "field": "ftok",'
