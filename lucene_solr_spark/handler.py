@@ -364,11 +364,20 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             aggs = _parse_scalar_aggs(name, subs)
             sort = req.get("sort", "count")
             agg_keys = {f"{k}_{c}" for k, c in aggs}
-            if sort != "count":
+            if sort == "index":
+                # sort:"index" (FacetField sort index): buckets in
+                # term order — plain terms buckets only, the facet
+                # engine's facet.sort=index path
+                if aggs:
+                    raise ValueError(
+                        f"json.facet {name!r}: sort 'index' rides the "
+                        "plain terms pass (no scalar sub-aggs)")
+            elif sort != "count":
                 m = re.fullmatch(r"(\w+) desc", str(sort))
                 if not m or m.group(1) not in agg_keys:
                     raise ValueError(f"json.facet {name!r}: sort must be "
-                                     f"'count' or '<sub-agg name> desc'")
+                                     f"'count', 'index', or "
+                                     f"'<sub-agg name> desc'")
                 sort = m.group(1)
             # prefix (FacetFieldProcessor prefix): bucket values must
             # start with it — narrows BEFORE ranking/limit like
@@ -1981,6 +1990,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     out["facets"][name] = searcher.facet(
                         fld, spec=leg_spec, limit=limit,
                         prefix=jf_prefix, mincount=jf_mincount,
+                        sort="index" if sort == "index" else "count",
                     )
                 else:
                     out["facets"][name] = facet_metrics(

@@ -5852,6 +5852,44 @@ LIMIT 8
 )
 
 
+_SELECT_JF_SORT_INDEX_PARAMS = {
+    "q": "data", "rows": 0,
+    "json.facet": ('{"ti": {"type": "terms", "field": "ftok",'
+                   ' "limit": 9, "sort": "index"}}'),
+}
+
+
+def _select_jf_sort_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet ``sort: "index"`` — buckets in TERM order instead of
+    count order (FacetField sort index; the JSON-API spelling of
+    facet.sort=index), riding the facet engine's index-sort path.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetField.java (sort parsing) + FacetFieldProcessor."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JF_SORT_INDEX_PARAMS)["facets"]["ti"]
+
+
+register(
+    "q_select_jf_sort_index",
+    _select_jf_sort_index,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+GROUP BY 1
+ORDER BY facet_value
+LIMIT 9
+""".strip(),
+)
+
+
 _SELECT_FACET_MISSING_PARAMS = {
     "q": "data", "rows": 0, "facet.field": "tool",
     "facet.limit": 5, "facet.missing": True,
