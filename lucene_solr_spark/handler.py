@@ -54,6 +54,7 @@ _KNOWN = {
     "facet.pivot",
     "facet.interval", "facet.interval.set",
     "stats", "stats.field", "stats.facet",
+    "tv", "tv.df", "tv.positions",
     "group", "group.field", "group.limit", "group.offset", "group.main",
     "group.format", "group.ngroups", "group.sort",
     "mlt", "mlt.count", "mlt.maxqt", "mlt.mintf", "mlt.mindf",
@@ -977,6 +978,19 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     elif {"mlt.count", "mlt.maxqt", "mlt.mintf",
           "mlt.mindf"} & set(params):
         raise ValueError("mlt.* params need mlt=true")
+    # TermVectorComponent leg: tv=true returns (term, tf) vectors
+    # for every PAGE doc off the pinned analyzer stream (the tokens
+    # column IS the term-vector store — highlighting/MLT/tv read one
+    # representation); tv.df adds the index-wide df per term, and
+    # tv.positions the 0-based position list.
+    # ref: solr/core/src/java/org/apache/solr/handler/component/
+    # TermVectorComponent.java
+    tv = None
+    if params.get("tv", False):
+        tv = (bool(params.get("tv.df", False)),
+              bool(params.get("tv.positions", False)))
+    elif {"tv.df", "tv.positions"} & set(params):
+        raise ValueError("tv.df/tv.positions need tv=true")
     # SpellCheck component leg
     spellcheck = None
     if params.get("spellcheck", False):
@@ -1146,6 +1160,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "group_main": group_main,
         "group_ngroups": group_ngroups,
         "mlt": mlt,
+        "tv": tv,
         "spellcheck": spellcheck,
         "debug": debug,
         "rerank": rerank,
@@ -1887,6 +1902,55 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             [(r.conv_id, r.turn_idx, r.text) for r in page_rows],
             max_terms=mlt_maxqt, k=mlt_count, round_to=4,
             min_tf=mlt_mintf, min_df=mlt_mindf,
+        )
+    if o["tv"]:
+        # TermVectorComponent leg: only the page's ≤ rows docs join
+        # back to stored text (broadcast keys), tokens explode per
+        # doc, tf = one bounded groupBy; df (when asked) probes the
+        # term dictionary PRUNED to the page's vocabulary (broadcast
+        # semi-join — never a full-dictionary aggregation)
+        tv_df, tv_pos = o["tv"]
+        if stored is None:
+            raise ValueError("tv=true needs the stored-fields frame")
+        from lucene_solr_spark.analyzer import tokens_col as _tvtoks
+
+        tv_base = (
+            stored.join(F.broadcast(page_keys), ["conv_id", "turn_idx"])
+            .select(
+                "conv_id", "turn_idx", "rn",
+                F.posexplode(_tvtoks("text")).alias("pos", "term"),
+            )
+            .groupBy("conv_id", "turn_idx", "rn", "term")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                # comma-joined 0-based positions (the engine's pinned
+                # tv.positions presentation, int-sorted before join)
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("pos")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("positions"),
+            )
+        )
+        cols = ["conv_id", "turn_idx", "term", "tf"]
+        if tv_df:
+            page_terms = tv_base.select("term").distinct()
+            tv_dict = (
+                searcher.postings()
+                .join(F.broadcast(page_terms), "term", "left_semi")
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+            tv_base = tv_base.join(tv_dict, "term", "left").withColumn(
+                "df", F.coalesce(F.col("df"), F.lit(0).cast("long"))
+            )
+            cols.append("df")
+        if tv_pos:
+            cols.append("positions")
+        out["termVectors"] = (
+            tv_base.orderBy("rn", "term").select(*cols)
         )
     if o["spellcheck"]:
         # SpellCheck component leg (DirectSolrSpellChecker shape):

@@ -5852,6 +5852,60 @@ LIMIT 8
 )
 
 
+_SELECT_TV_PARAMS = {
+    "q": "merge", "rows": 3,
+    "tv": True, "tv.df": True, "tv.positions": True,
+}
+
+
+def _select_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermVectorComponent through /select: tv=true&tv.df&tv.positions
+    — (term, tf, df, positions) vectors for every PAGE doc; tokens
+    explode only for the ≤ rows page (broadcast keys), and the df
+    probe prunes the term dictionary to the page's vocabulary with a
+    broadcast semi-join — never a full-dictionary aggregation.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    TermVectorComponent.java (TV_KEY_DF / TV_KEY_POSITIONS)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_TV_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["termVectors"]
+
+
+register(
+    "q_select_term_vectors",
+    _select_tv,
+    bm25_oracle_sql(BooleanSpec(must=("merge",), k=3)).split(
+        "\nSELECT conv_id, turn_idx, round(score"
+    )[0]
+    + f""",
+top AS (
+  SELECT conv_id, turn_idx FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx LIMIT 3),
+tok AS (
+  SELECT d.conv_id, d.turn_idx, d.toks,
+         unnest(generate_series(1, len(d.toks))) AS i
+  FROM docs2 d JOIN top USING (conv_id, turn_idx)),
+tv AS (
+  SELECT conv_id, turn_idx, toks[i] AS term,
+         CAST(count(*) AS BIGINT) AS tf,
+         string_agg(CAST(i - 1 AS VARCHAR), ',' ORDER BY i) AS positions
+  FROM tok GROUP BY conv_id, turn_idx, toks[i]),
+tvdf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term
+        FROM docs2)
+  GROUP BY term)
+SELECT tv.conv_id, tv.turn_idx, tv.term, tv.tf,
+       coalesce(d.df, 0) AS df, tv.positions
+FROM tv LEFT JOIN tvdf d USING (term)
+ORDER BY tv.conv_id, tv.turn_idx, tv.term""",
+)
+
+
 _SELECT_JF_SORT_INDEX_PARAMS = {
     "q": "data", "rows": 0,
     "json.facet": ('{"ti": {"type": "terms", "field": "ftok",'

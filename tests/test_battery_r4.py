@@ -1931,3 +1931,31 @@ def test_jf_mincount_contract(spark, sf_dir):
         with _pt.raises(ValueError):
             parse_select_params(
                 {"q": "x", "json.facet": _json.dumps(bad)})
+
+
+def test_select_tv_contract(spark, sf_dir):
+    """tv leg: tf = positions length, every page doc appears, df >=
+    own-doc presence, flags gate columns, tv.* without tv raises."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_searcher(spark, sf_dir)
+    t = transcripts_from_documents(spark, sf_dir)
+    base = {"q": "merge", "rows": 3, "tv": True}
+    r = select(s, dict(base, **{"tv.df": True, "tv.positions": True}),
+               stored=t)
+    tv = r["termVectors"].collect()
+    page = {(x.conv_id, x.turn_idx)
+            for x in r["response"].collect()}
+    assert {(x.conv_id, x.turn_idx) for x in tv} == page
+    for row in tv:
+        assert row.tf == len(row.positions.split(","))
+        assert row.df >= 1  # the term occurs in this doc at least
+    plain = select(s, base, stored=t)["termVectors"]
+    assert plain.columns == ["conv_id", "turn_idx", "term", "tf"]
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "tv.df": True})
