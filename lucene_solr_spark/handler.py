@@ -430,7 +430,8 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                 _parse_scalar_aggs(name, q_subs),
             )
         elif ftype == "range":
-            unknown = set(req) - {"type", "field", "start", "end", "gap"}
+            unknown = set(req) - {"type", "field", "start", "end", "gap",
+                                  "other"}
             if unknown:
                 raise ValueError(
                     f"json.facet {name!r}: unknown keys {sorted(unknown)}")
@@ -449,7 +450,25 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             if gap <= 0 or end_v <= start_v:
                 raise ValueError(f"json.facet {name!r}: need gap > 0 and "
                                  "end > start")
-            out[name] = ("range", fld, start_v, end_v, gap)
+            # other (FacetRange other): before/after/between special
+            # rows alongside the buckets — 'all' or a list; the
+            # JSON-API spelling of facet.range.other
+            raw_o = req.get("other")
+            if raw_o is None:
+                o_kinds: tuple = ()
+            else:
+                kinds = (
+                    ("before", "after", "between") if raw_o == "all"
+                    else tuple(raw_o) if isinstance(raw_o, list)
+                    else (str(raw_o),)
+                )
+                if not kinds or set(kinds) - {"before", "after",
+                                              "between"}:
+                    raise ValueError(
+                        f"json.facet {name!r}: other wants all|before|"
+                        f"after|between, got {raw_o!r}")
+                o_kinds = kinds
+            out[name] = ("range", fld, start_v, end_v, gap, o_kinds)
         else:
             raise ValueError(
                 f"json.facet {name!r}: unsupported type {ftype!r} "
@@ -2062,10 +2081,18 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                         limit=limit, sort=sort,
                     )
             elif req[0] == "range":
-                _, fld, start_v, end_v, gap = req
+                _, fld, start_v, end_v, gap, o_kinds = req
                 out["facets"][name] = _range_buckets(
                     searcher, spec, fld, start_v, end_v, gap
                 )
+                if o_kinds:
+                    # hardend has no JSON spelling here: the json leg
+                    # is pinned hardend=false, so the 'other' boundary
+                    # is the gap-padded end
+                    eff = start_v + -(-(end_v - start_v) // gap) * gap
+                    out["facets"][f"{name}:other"] = _range_other(
+                        searcher, spec, fld, start_v, eff, o_kinds
+                    )
             elif req[0] == "nested":
                 from lucene_solr_spark.query.facets import facet_nested
 

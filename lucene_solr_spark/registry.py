@@ -5852,6 +5852,45 @@ LIMIT 8
 )
 
 
+_SELECT_JF_RANGE_OTHER_PARAMS = {
+    "q": "merge", "rows": 0,
+    "json.facet": ('{"ri": {"type": "range", "field": "turn_idx",'
+                   ' "start": 2, "end": 8, "gap": 2, "other": "all"}}'),
+}
+
+
+def _select_jf_range_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet range ``other: "all"`` — the JSON-API spelling of
+    facet.range.other: before/after/between special counts in ONE
+    conditional-sum pass alongside the buckets (never a rescan per
+    kind). ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetRange.java (FacetRangeOther handling in RangeProcessor)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JF_RANGE_OTHER_PARAMS)["facets"]["ri:other"]
+
+
+register(
+    "q_select_jf_range_other",
+    _select_jf_range_other,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT turn_idx FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'merge'))
+SELECT CAST(sum(CASE WHEN turn_idx < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS before,
+       CAST(sum(CASE WHEN turn_idx >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS after,
+       CAST(sum(CASE WHEN turn_idx >= 2 AND turn_idx < 8 THEN 1
+                ELSE 0 END) AS BIGINT) AS between
+FROM dom
+""".strip(),
+)
+
+
 _SELECT_TV_PARAMS = {
     "q": "merge", "rows": 3,
     "tv": True, "tv.df": True, "tv.positions": True,

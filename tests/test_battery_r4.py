@@ -1959,3 +1959,34 @@ def test_select_tv_contract(spark, sf_dir):
 
     with _pt.raises(ValueError):
         parse_select_params({"q": "x", "tv.df": True})
+
+
+def test_jf_range_other_contract(spark, sf_dir):
+    """json.facet range other ≡ classic facet.range.other on the same
+    request; bad 'other' values raise; bucket counts + between are
+    consistent (between = sum of in-range bucket counts)."""
+    import json as _json
+
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {"q": "merge", "rows": 0, "json.facet": _json.dumps(
+        {"ri": {"type": "range", "field": "turn_idx", "start": 2,
+                "end": 8, "gap": 2, "other": "all"}})})
+    jf_o = r["facets"]["ri:other"].collect()[0]
+    classic = select(s, {
+        "q": "merge", "rows": 0, "facet.range": "turn_idx",
+        "facet.range.start": 2, "facet.range.end": 8,
+        "facet.range.gap": 2, "facet.range.other": "all",
+    })["facet_ranges_other"]["turn_idx"].collect()[0]
+    assert tuple(jf_o) == tuple(classic)
+    buckets = r["facets"]["ri"].collect()
+    assert sum(b.cnt for b in buckets) == jf_o.between
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "json.facet": _json.dumps(
+            {"ri": {"type": "range", "field": "turn_idx", "start": 0,
+                    "end": 4, "gap": 2, "other": "sideways"}})})
