@@ -56,7 +56,7 @@ _KNOWN = {
     "stats", "stats.field", "stats.facet",
     "tv", "tv.df", "tv.positions",
     "group", "group.field", "group.limit", "group.offset", "group.main",
-    "group.format", "group.ngroups", "group.sort",
+    "group.format", "group.ngroups", "group.sort", "group.query",
     "mlt", "mlt.count", "mlt.maxqt", "mlt.mintf", "mlt.mindf",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "spellcheck.maxQueryFrequency",
@@ -916,9 +916,40 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     # pins the score-ranked default (groups ordered by their best
     # doc's score; rows = number of groups, start must be 0)
     group = None
+    group_queries: tuple = ()
     group_format = "grouped"
     group_main = False
-    if params.get("group", False):
+    if params.get("group", False) and "group.query" in params:
+        # Grouping CommandQuery: each group.query value defines ONE
+        # group — its doclist is the main result FILTERED to that
+        # query's match set, ordered by the main rank; groups present
+        # in request order (Solr runs one collector per command).
+        # ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+        # (CommandQuery)
+        if "group.field" in params:
+            raise ValueError("group.query and group.field are separate "
+                             "Grouping commands — one per request here")
+        bad_subs = {"group.offset", "group.main", "group.format",
+                    "group.ngroups", "group.sort"} & set(params)
+        if bad_subs:
+            raise ValueError(f"group.query supports group.limit only "
+                             f"(got {sorted(bad_subs)})")
+        if sort_key is not None:
+            raise ValueError("group=true supports the score-ranked "
+                             "default sort only")
+        gq_raw = params["group.query"]
+        gq_list = [gq_raw] if isinstance(gq_raw, str) else list(gq_raw)
+        if not gq_list:
+            raise ValueError("group.query needs at least one query")
+        gq_limit = int(params.get("group.limit", 1))
+        if gq_limit < 1:
+            raise ValueError(f"group.limit must be >= 1: {gq_limit}")
+        group_queries = tuple(
+            (raw, parse(str(raw), default_op="AND")) for raw in gq_list
+        )
+        group = None
+        group_ngroups = False
+    elif params.get("group", False):
         g_field = params.get("group.field")
         if g_field not in _GROUPABLE:
             raise ValueError(f"group.field must be one of "
@@ -974,7 +1005,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                     "group.main=true replaces the response doclist; "
                     "hl/mlt/debug legs key on the ungrouped page")
     elif {"group.field", "group.limit", "group.offset", "group.main",
-          "group.format", "group.ngroups", "group.sort"} & set(params):
+          "group.format", "group.ngroups", "group.sort",
+          "group.query"} & set(params):
         raise ValueError("group.* params need group=true")
     if group is None:
         group_ngroups = False
@@ -1175,6 +1207,9 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "stats_fields": list(stats_fields),
         "stats_facet": stats_facet,
         "group": group,
+        "group_queries": group_queries,
+        "group_query_limit": (int(params.get("group.limit", 1))
+                              if group_queries else 0),
         "group_format": group_format,
         "group_main": group_main,
         "group_ngroups": group_ngroups,
@@ -1903,6 +1938,46 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             out["grouped"] = ranked.drop("g_rank").orderBy(
                 "group_value", "doc_rank"
             )
+    if o["group_queries"]:
+        # Grouping CommandQuery leg: ONE scored pass over the main
+        # hits; each group.query narrows it via its DocSet (a bounded
+        # semi-join per command — Solr runs one collector per
+        # command), doclist = top group.limit by main rank, groups in
+        # REQUEST order. The union is ≤ n_queries × limit rows, so
+        # the rank window is bounded.
+        gq_hits = searcher.score_hits(spec, k=None).withColumn(
+            "score", F.round("score", 4)
+        )
+        legs = []
+        for g_idx, (raw, gq_spec) in enumerate(o["group_queries"]):
+            r_spec = (searcher.rewrite(gq_spec)
+                      if gq_spec.needs_rewrite else gq_spec)
+            legs.append(
+                gq_hits.join(
+                    searcher.docset(r_spec),
+                    ["conv_id", "turn_idx"], "left_semi")
+                .orderBy(F.desc("score"), F.asc("conv_id"),
+                         F.asc("turn_idx"))
+                .limit(o["group_query_limit"])
+                .select(
+                    F.lit(str(raw)).alias("group_value"),
+                    F.lit(g_idx).alias("g_idx"),
+                    "conv_id", "turn_idx", "score",
+                )
+            )
+        gq_union = legs[0]
+        for leg in legs[1:]:
+            gq_union = gq_union.unionByName(leg)
+        gqw = Window.partitionBy("group_value").orderBy(
+            F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+        )
+        out["grouped"] = (
+            gq_union.withColumn(
+                "doc_rank", F.row_number().over(gqw).cast("long"))
+            .orderBy("g_idx", "doc_rank")
+            .select("group_value", "conv_id", "turn_idx", "score",
+                    "doc_rank")
+        )
     if o["mlt"]:
         # MoreLikeThis component leg: similar docs for EVERY page doc
         # in ONE batched pass (see IndexSearcher.mlt_batch — Solr

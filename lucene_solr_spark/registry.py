@@ -6501,6 +6501,60 @@ ORDER BY group_value, doc_rank""",
 )
 
 
+_SELECT_GROUP_QUERY_PARAMS = {
+    "q": "data", "group": True,
+    "group.query": ["role:assistant", "merge"], "group.limit": 2,
+    "rows": 2,
+}
+
+
+def _select_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping CommandQuery through /select: group.query values each
+    define ONE group — its doclist is the main 'data' result FILTERED
+    to that query's match set (a docvalues filter and a text term
+    here), top group.limit by MAIN rank, groups in request order.
+    One scored pass + one bounded DocSet semi-join per command.
+    ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+    (CommandQuery)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_GROUP_QUERY_PARAMS)["grouped"]
+
+
+_SELECT_GQ_BODY = bm25_oracle_sql(
+    BooleanSpec(must=("data",), k=2)
+).split("\nSELECT conv_id, turn_idx, round(score")[0]
+
+register(
+    "q_select_group_query",
+    _select_group_query,
+    _SELECT_GQ_BODY + f""",
+gqhits AS (
+  SELECT s.conv_id, s.turn_idx, round(s.score, {ROUND}) AS score,
+         t.role, d.toks
+  FROM scored s
+  JOIN transcripts t USING (conv_id, turn_idx)
+  JOIN docs2 d USING (conv_id, turn_idx)),
+g1 AS (
+  SELECT 'role:assistant' AS group_value, conv_id, turn_idx, score,
+         row_number() OVER (
+           ORDER BY score DESC, conv_id, turn_idx) AS doc_rank
+  FROM gqhits WHERE role = 'assistant'
+  ORDER BY score DESC, conv_id, turn_idx LIMIT 2),
+g2 AS (
+  SELECT 'merge' AS group_value, conv_id, turn_idx, score,
+         row_number() OVER (
+           ORDER BY score DESC, conv_id, turn_idx) AS doc_rank
+  FROM gqhits WHERE list_contains(toks, 'merge')
+  ORDER BY score DESC, conv_id, turn_idx LIMIT 2)
+SELECT group_value, conv_id, turn_idx, score,
+       CAST(doc_rank AS BIGINT) AS doc_rank
+FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+ORDER BY group_value DESC, doc_rank""",
+)
+
+
 _SELECT_MLT_PARAMS = {
     "q": "table merge", "q.op": "AND", "rows": 3,
     "mlt": True, "mlt.count": 4, "mlt.maxqt": 4,

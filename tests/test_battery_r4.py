@@ -1990,3 +1990,37 @@ def test_jf_range_other_contract(spark, sf_dir):
         parse_select_params({"q": "x", "json.facet": _json.dumps(
             {"ri": {"type": "range", "field": "turn_idx", "start": 0,
                     "end": 4, "gap": 2, "other": "sideways"}})})
+
+
+def test_group_query_contract(spark, sf_dir):
+    """group.query doclists are subsets of the main match set ordered
+    by MAIN rank; groups come in request order; field/query commands
+    are exclusive and unsupported subs raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {"q": "data", "group": True,
+                   "group.query": ["role:assistant", "merge"],
+                   "group.limit": 2, "rows": 2})
+    rows = r["grouped"].collect()
+    assert [x.group_value for x in rows] == sorted(
+        [x.group_value for x in rows],
+        key=lambda v: ["role:assistant", "merge"].index(v))
+    main = {(x.conv_id, x.turn_idx): x.score
+            for x in select(s, {"q": "data", "rows": 500})
+            ["response"].collect()}
+    for x in rows:
+        assert main.get((x.conv_id, x.turn_idx)) == x.score
+
+    for bad in (
+        {"q": "x", "group": True, "group.query": "merge",
+         "group.field": "role"},
+        {"q": "x", "group": True, "group.query": "merge",
+         "group.ngroups": True},
+        {"q": "x", "group": True, "group.query": []},
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
