@@ -57,6 +57,7 @@ _KNOWN = {
     "tv", "tv.df", "tv.positions",
     "group", "group.field", "group.limit", "group.offset", "group.main",
     "group.format", "group.ngroups", "group.sort", "group.query",
+    "group.func",
     "mlt", "mlt.count", "mlt.maxqt", "mlt.mintf", "mlt.mindf",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "spellcheck.maxQueryFrequency",
@@ -926,9 +927,10 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         # in request order (Solr runs one collector per command).
         # ref: solr/core/src/java/org/apache/solr/search/Grouping.java
         # (CommandQuery)
-        if "group.field" in params:
-            raise ValueError("group.query and group.field are separate "
-                             "Grouping commands — one per request here")
+        if {"group.field", "group.func"} & set(params):
+            raise ValueError("group.query and group.field/group.func "
+                             "are separate Grouping commands — one per "
+                             "request here")
         bad_subs = {"group.offset", "group.main", "group.format",
                     "group.ngroups", "group.sort"} & set(params)
         if bad_subs:
@@ -951,7 +953,28 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         group_ngroups = False
     elif params.get("group", False):
         g_field = params.get("group.field")
-        if g_field not in _GROUPABLE:
+        # group.func (Grouping CommandFunc): groups keyed by a
+        # ValueSource over docvalues — the pinned subset is
+        # floor(div(<numeric field>, N)), computed once in the scan
+        # projection (the same two-pass shape as field grouping).
+        # ref: solr/core/src/java/org/apache/solr/search/Grouping.java
+        # (CommandFunc)
+        g_func = None
+        if "group.func" in params:
+            if g_field is not None:
+                raise ValueError("group.field and group.func are "
+                                 "separate Grouping commands — one per "
+                                 "request here")
+            mf = re.fullmatch(r"floor\(div\((\w+),(\d+)\)\)",
+                              str(params["group.func"]))
+            if not mf or mf.group(1) not in _AGG_COLS \
+                    or int(mf.group(2)) < 1:
+                raise ValueError(
+                    f"group.func supports floor(div(<numeric docvalues"
+                    f" field>, N)): {params['group.func']!r}")
+            g_func = (mf.group(1), int(mf.group(2)))
+            g_field = "g_func"
+        elif g_field not in _GROUPABLE:
             raise ValueError(f"group.field must be one of "
                              f"{sorted(_GROUPABLE)}, got {g_field!r}")
         g_limit = int(params.get("group.limit", 1))
@@ -984,7 +1007,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         # start/rows page the GROUPS in group mode (Grouping's
         # getGroups offset — the doclist-level page has no meaning
         # when the response is a groups list)
-        group = (g_field, g_limit, start, g_offset, g_sort)
+        group = (g_field, g_limit, start, g_offset, g_sort, g_func)
         # group.ngroups=true: the total number of matching groups
         # (distinct group values in the DocSet — one narrow
         # partial-aggregating distinct, Grouping's totalGroupCount)
@@ -1006,7 +1029,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                     "hl/mlt/debug legs key on the ungrouped page")
     elif {"group.field", "group.limit", "group.offset", "group.main",
           "group.format", "group.ngroups", "group.sort",
-          "group.query"} & set(params):
+          "group.query", "group.func"} & set(params):
         raise ValueError("group.* params need group=true")
     if group is None:
         group_ngroups = False
@@ -1839,12 +1862,13 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # semi-join of those winning keys (never a rescan); output
         # ordered (group_value, doc_rank), the engine's pinned
         # grouped-doclist presentation
-        g_field, g_limit, g_start, g_offset, g_sort = o["group"]
+        g_field, g_limit, g_start, g_offset, g_sort, g_func = o["group"]
         ghits = searcher.score_hits(spec, k=None).withColumn(
             "score", F.round("score", 4)
         )
-        dm_extra = [c for c in {g_field} | (
-            {g_sort[0]} if g_sort else set()
+        dm_extra = [c for c in (
+            ({g_func[0]} if g_func else {g_field})
+            | ({g_sort[0]} if g_sort else set())
         ) if c not in ("conv_id", "turn_idx")]
         if dm_extra:
             ghits = ghits.join(
@@ -1852,6 +1876,12 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     "conv_id", "turn_idx", *sorted(dm_extra)),
                 ["conv_id", "turn_idx"],
             )
+        if g_func:
+            # CommandFunc key: computed once in the projection
+            src_c, div_n = g_func
+            ghits = ghits.withColumn(
+                g_field,
+                F.floor(F.col(src_c) / div_n).cast("long"))
         if o["group_ngroups"]:
             # Grouping's totalGroupCount: distinct group values in the
             # match set (a NULL group counts when present) — one

@@ -6380,7 +6380,7 @@ def _select_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spec, o = parse_select_params(_SELECT_GROUP_PARAMS)
     assert spec == _SELECT_GROUP_SPEC
-    assert o["group"] == ("role", 2, 0, 0, None)
+    assert o["group"] == ("role", 2, 0, 0, None, None)
     s = cached_searcher(spark, sf_dir)
     return select(s, _SELECT_GROUP_PARAMS)["grouped"]
 
@@ -6469,7 +6469,7 @@ def _select_group_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_solr_spark.handler import parse_select_params, select
 
     _, o = parse_select_params(_SELECT_GROUP_SORT_PARAMS)
-    assert o["group"] == ("role", 3, 0, 0, ("turn_idx", True))
+    assert o["group"] == ("role", 3, 0, 0, ("turn_idx", True), None)
     s = cached_searcher(spark, sf_dir)
     return select(s, _SELECT_GROUP_SORT_PARAMS)["grouped"]
 
@@ -6497,6 +6497,54 @@ g_ranked AS (
 SELECT role AS group_value, conv_id, turn_idx, score,
        CAST(grn AS BIGINT) AS doc_rank
 FROM g_ranked WHERE grn <= 3
+ORDER BY group_value, doc_rank""",
+)
+
+
+_SELECT_GROUP_FUNC_PARAMS = {
+    "q": "data", "group": True,
+    "group.func": "floor(div(doc_len,32))", "group.limit": 2,
+    "rows": 3,
+}
+
+
+def _select_group_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping CommandFunc through /select: groups keyed by the
+    ValueSource floor(div(doc_len,32)) computed once in the scan
+    projection — same one-rank-pass shape as field grouping, the key
+    is just a derived column. Top 3 buckets by best main score, 2
+    docs each. ref: solr/core/src/java/org/apache/solr/search/
+    Grouping.java (CommandFunc / ValueSource grouping)."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    _, o = parse_select_params(_SELECT_GROUP_FUNC_PARAMS)
+    assert o["group"] == ("g_func", 2, 0, 0, None, ("doc_len", 32))
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_GROUP_FUNC_PARAMS)["grouped"]
+
+
+_SELECT_GF_BODY = bm25_oracle_sql(
+    BooleanSpec(must=("data",), k=3)
+).split("\nSELECT conv_id, turn_idx, round(score")[0]
+
+register(
+    "q_select_group_func",
+    _select_group_func,
+    _SELECT_GF_BODY + f""",
+gfhits AS (
+  SELECT s.conv_id, s.turn_idx, round(s.score, {ROUND}) AS score,
+         CAST(len(d.toks) // 32 AS BIGINT) AS bucket
+  FROM scored s JOIN docs2 d USING (conv_id, turn_idx)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket ORDER BY score DESC, conv_id, turn_idx) AS grn
+  FROM gfhits),
+heads AS (
+  SELECT bucket FROM ranked WHERE grn = 1
+  ORDER BY score DESC, conv_id, turn_idx LIMIT 3)
+SELECT bucket AS group_value, conv_id, turn_idx, score,
+       CAST(grn AS BIGINT) AS doc_rank
+FROM ranked WHERE bucket IN (SELECT bucket FROM heads) AND grn <= 2
 ORDER BY group_value, doc_rank""",
 )
 

@@ -2024,3 +2024,35 @@ def test_group_query_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_select_params(bad)
+
+
+def test_group_func_contract(spark, sf_dir):
+    """group.func buckets = floor(doc_len/32) of each doclist doc;
+    command exclusivity and malformed functions raise."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    rows = select(s, {"q": "data", "group": True,
+                      "group.func": "floor(div(doc_len,32))",
+                      "group.limit": 2, "rows": 3})["grouped"].collect()
+    assert rows
+    dl = {(r.conv_id, r.turn_idx): r.doc_len
+          for r in s.docmap().select("conv_id", "turn_idx", "doc_len")
+          .collect()}
+    for r in rows:
+        assert r.group_value == dl[(r.conv_id, r.turn_idx)] // 32
+
+    for bad in (
+        {"q": "x", "group": True, "group.func": "f(doc_len)"},
+        {"q": "x", "group": True, "group.func": "floor(div(role,2))"},
+        {"q": "x", "group": True, "group.func": "floor(div(doc_len,0))"},
+        {"q": "x", "group": True, "group.field": "role",
+         "group.func": "floor(div(doc_len,32))"},
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
