@@ -256,7 +256,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
         if ftype == "terms":
             unknown = set(req) - {
                 "type", "field", "limit", "facet", "sort", "domain",
-                "prefix", "mincount",
+                "prefix", "mincount", "missing",
             }
             if unknown:
                 raise ValueError(
@@ -409,9 +409,17 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                 raise ValueError(
                     f"json.facet {name!r}: mincount > 1 rides the "
                     "plain terms pass (no scalar sub-aggs)")
+            # missing (FacetField missing): one extra NULL bucket
+            # counting domain docs with no value — plain terms only
+            jf_missing = bool(req.get("missing", False))
+            if jf_missing and aggs:
+                raise ValueError(
+                    f"json.facet {name!r}: missing rides the plain "
+                    "terms pass (no scalar sub-aggs)")
             out[name] = (
                 "terms", fld, int(req.get("limit", 10)), tuple(aggs),
                 sort, ex, dom_filter, dom_query, jf_prefix, jf_mincount,
+                jf_missing,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q", "facet"}
@@ -2160,7 +2168,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
                 _, fld, limit, aggs_t, sort, ex, dom_f, dom_q, \
-                    jf_prefix, jf_mincount = req
+                    jf_prefix, jf_mincount, jf_missing = req
                 # domain.excludeTags: drop the tagged fq constraints
                 # from THIS bucket's domain only (multi-select);
                 # domain.filter: add a bucket-local pure filter;
@@ -2178,6 +2186,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     out["facets"][name] = searcher.facet(
                         fld, spec=leg_spec, limit=limit,
                         prefix=jf_prefix, mincount=jf_mincount,
+                        missing=jf_missing,
                         sort="index" if sort == "index" else "count",
                     )
                 else:

@@ -5983,6 +5983,50 @@ LIMIT 9
 )
 
 
+_SELECT_JF_MISSING_PARAMS = {
+    "q": "data", "rows": 0,
+    "json.facet": ('{"tools": {"type": "terms", "field": "tool",'
+                   ' "limit": 5, "missing": true}}'),
+}
+
+
+def _select_jf_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet terms ``missing: true`` — the JSON-API spelling of
+    facet.missing: one extra NULL bucket counting domain docs with no
+    tool value, appended after the ranked buckets (one ord=-1 partial
+    per segment in the same sparse pass).
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetField.java (missing) + FacetFieldProcessor."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JF_MISSING_PARAMS)["facets"]["tools"]
+
+
+register(
+    "q_select_jf_missing",
+    _select_jf_missing,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+dom AS (SELECT tool FROM docs WHERE list_contains(toks, 'data')),
+buckets AS (
+  SELECT 0 AS o, tool AS facet_value, count(*) AS cnt
+  FROM dom WHERE tool IS NOT NULL
+  GROUP BY tool ORDER BY cnt DESC, facet_value LIMIT 5),
+miss AS (
+  SELECT 1 AS o, CAST(NULL AS VARCHAR) AS facet_value,
+         count(*) AS cnt
+  FROM dom WHERE tool IS NULL)
+SELECT facet_value, cnt FROM (
+  SELECT * FROM buckets UNION ALL SELECT * FROM miss)
+ORDER BY o, cnt DESC, facet_value
+""".strip(),
+)
+
+
 _SELECT_FACET_MISSING_PARAMS = {
     "q": "data", "rows": 0, "facet.field": "tool",
     "facet.limit": 5, "facet.missing": True,

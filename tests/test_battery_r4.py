@@ -2056,3 +2056,30 @@ def test_group_func_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_select_params(bad)
+
+
+def test_jf_missing_contract(spark, sf_dir):
+    """json.facet missing ≡ classic facet.missing; the NULL bucket
+    counts exactly the domain's no-value docs; missing+sub-aggs
+    raises."""
+    import json as _json
+
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    jf = select(s, {"q": "data", "rows": 0, "json.facet": _json.dumps(
+        {"tools": {"type": "terms", "field": "tool", "limit": 5,
+                   "missing": True}})})["facets"]["tools"].collect()
+    classic = select(s, {"q": "data", "rows": 0, "facet.field": "tool",
+                         "facet.limit": 5, "facet.missing": True}
+                     )["facet_counts"]["tool"].collect()
+    assert [tuple(r) for r in jf] == [tuple(r) for r in classic]
+    assert jf[-1].facet_value is None and jf[-1].cnt > 0
+
+    with _pt.raises(ValueError):
+        parse_select_params({"q": "x", "json.facet": _json.dumps(
+            {"t": {"type": "terms", "field": "tool", "missing": True,
+                   "facet": {"adl": "avg(doc_len)"}}})})
