@@ -161,6 +161,15 @@ _GROUPABLE = {"conv_id", "role", "tool"}
 #: local params — the multi-select faceting request plumbing)
 _TAG_RE = re.compile(r"^\{!tag=([\w,]+)\}(.+)$")
 _EX_RE = re.compile(r"^\{!ex=([\w,]+)\}(\w+)$")
+#: {!frange l=L u=U}<numeric docvalues field> — FunctionRangeQParser
+#: over a BARE field ValueSource: maps onto the engine's inclusive
+#: range-filter fq family (l/u are inclusive, Solr's incl/incu
+#: defaults). Non-trivial ValueSources stay in the relational battery
+#: (q_frange).
+_FRANGE_FQ_RE = re.compile(
+    r"^\{!frange(?:\s+l=(-?\d+(?:\.\d+)?))?"
+    r"(?:\s+u=(-?\d+(?:\.\d+)?))?\}(\w+)$"
+)
 
 
 def _fields_of(f_spec: BooleanSpec) -> set[str]:
@@ -659,7 +668,21 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     for raw in fqs:
         m = _TAG_RE.match(raw)
         tags, body = (m.group(1).split(","), m.group(2)) if m else ([], raw)
-        f_spec = _pure_filter(parse(body, default_op="AND"), raw)
+        fr = _FRANGE_FQ_RE.match(body.strip())
+        if fr is not None:
+            lo, hi, fr_fld = fr.group(1), fr.group(2), fr.group(3)
+            if fr_fld not in _AGG_COLS:
+                raise ValueError(
+                    f"{{!frange}} fq wants a bare numeric docvalues "
+                    f"field ({sorted(_AGG_COLS)}); function "
+                    f"ValueSources ride the relational battery: "
+                    f"{raw!r}")
+            if lo is None and hi is None:
+                raise ValueError(f"{{!frange}} needs l= and/or u=: "
+                                 f"{raw!r}")
+            f_spec = BooleanSpec(range_filters=((fr_fld, lo, hi),))
+        else:
+            f_spec = _pure_filter(parse(body, default_op="AND"), raw)
         for tag in tags:
             tag_fields.setdefault(tag, set()).update(_fields_of(f_spec))
         spec = _merge_filters(spec, f_spec)

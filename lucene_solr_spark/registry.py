@@ -5983,6 +5983,37 @@ LIMIT 9
 )
 
 
+_SELECT_FRANGE_PARAMS = {
+    "q": "data", "fq": "{!frange l=20 u=60}doc_len", "rows": 8,
+}
+_SELECT_FRANGE_SPEC = BooleanSpec(
+    should=("data",), min_should_match=1,
+    range_filters=(("doc_len", "20", "60"),), k=8,
+)
+
+
+def _select_fq_frange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fq={!frange l=20 u=60}doc_len through /select —
+    FunctionRangeQParser over a bare-field ValueSource maps onto the
+    engine's inclusive range-filter fq family (one more mask column,
+    zero extra jobs); non-trivial ValueSources stay in the relational
+    battery (q_frange). ref: solr/core/src/java/org/apache/solr/
+    search/FunctionRangeQParserPlugin.java."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    spec, _ = parse_select_params(_SELECT_FRANGE_PARAMS)
+    assert spec == _SELECT_FRANGE_SPEC
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_FRANGE_PARAMS)["response"]
+
+
+register(
+    "q_select_fq_frange",
+    _select_fq_frange,
+    bm25_oracle_sql(_SELECT_FRANGE_SPEC),
+)
+
+
 _SELECT_JF_MISSING_PARAMS = {
     "q": "data", "rows": 0,
     "json.facet": ('{"tools": {"type": "terms", "field": "tool",'

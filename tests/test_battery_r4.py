@@ -2083,3 +2083,32 @@ def test_jf_missing_contract(spark, sf_dir):
         parse_select_params({"q": "x", "json.facet": _json.dumps(
             {"t": {"type": "terms", "field": "tool", "missing": True,
                    "facet": {"adl": "avg(doc_len)"}}})})
+
+
+def test_fq_frange_contract(spark, sf_dir):
+    """{!frange} fq: inclusive bounds on a numeric docvalues field,
+    one-sided forms work, non-field ValueSources and boundless forms
+    raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    dl = {(r.conv_id, r.turn_idx): r.doc_len
+          for r in s.docmap().select("conv_id", "turn_idx", "doc_len")
+          .collect()}
+    r = select(s, {"q": "data", "fq": "{!frange l=20 u=60}doc_len",
+                   "rows": 50})["response"].collect()
+    assert r and all(20 <= dl[(x.conv_id, x.turn_idx)] <= 60 for x in r)
+    lo = select(s, {"q": "data", "fq": "{!frange l=40}doc_len",
+                    "rows": 50})["response"].collect()
+    assert lo and all(dl[(x.conv_id, x.turn_idx)] >= 40 for x in lo)
+
+    for bad in (
+        {"q": "x", "fq": "{!frange l=1 u=2}sqrt(doc_len)"},
+        {"q": "x", "fq": "{!frange l=1 u=2}role"},
+        {"q": "x", "fq": "{!frange}doc_len"},
+    ):
+        with _pt.raises(ValueError):
+            parse_select_params(bad)
