@@ -530,13 +530,25 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                              "is never missing)")
         sort_key = None  # ranked doclist, the default
     else:
-        parts = sort.split()
-        if (len(parts) != 2 or parts[0] not in _SORTABLE
-                or parts[1] not in ("asc", "desc")):
-            raise ValueError(
-                f"unsupported sort: {sort!r} (score desc or "
-                f"<docvalues field> asc|desc)")
-        sort_key = (parts[0], parts[1] == "asc", sort_missing)
+        # multi-clause field sort (SortSpecParsing: comma-separated
+        # "<field> asc|desc" clauses, applied left to right; the
+        # engine's pinned (conv_id, turn_idx) tiebreak closes the
+        # total order after the last clause)
+        clauses = []
+        seen_sort_fields = set()
+        for clause in str(sort).split(","):
+            parts = clause.split()
+            if (len(parts) != 2 or parts[0] not in _SORTABLE
+                    or parts[1] not in ("asc", "desc")):
+                raise ValueError(
+                    f"unsupported sort: {sort!r} (score desc or "
+                    f"comma-separated <docvalues field> asc|desc "
+                    f"clauses)")
+            if parts[0] in seen_sort_fields:
+                raise ValueError(f"duplicate sort field: {parts[0]!r}")
+            seen_sort_fields.add(parts[0])
+            clauses.append((parts[0], parts[1] == "asc"))
+        sort_key = (tuple(clauses), sort_missing)
     # cursorMark deep paging (CursorMarkParams): keyset paging on the
     # pinned total order (score desc, conv_id, turn_idx) — start must
     # be 0 and the sort must be the default (the mark IS the sort
@@ -1625,18 +1637,23 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             head = searcher.search(spec, round_to=4)
         order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
     else:
-        fld, asc, missing = o["sort"]
-        if missing == "last":
-            key = F.asc_nulls_last(fld) if asc else F.desc_nulls_last(fld)
-        elif missing == "first":
-            key = F.asc_nulls_first(fld) if asc else F.desc_nulls_first(fld)
-        else:
-            # Lucene default: missing = lowest value (Spark's default
-            # null ordering matches: nulls first asc, last desc)
-            key = F.asc(fld) if asc else F.desc(fld)
-        order = [key, F.asc("conv_id"), F.asc("turn_idx")]
-        dm_cols = ["conv_id", "turn_idx"] + (
-            [fld] if fld not in ("conv_id", "turn_idx") else []
+        clauses, missing = o["sort"]
+        keys = []
+        for fld, asc in clauses:
+            if missing == "last":
+                keys.append(F.asc_nulls_last(fld) if asc
+                            else F.desc_nulls_last(fld))
+            elif missing == "first":
+                keys.append(F.asc_nulls_first(fld) if asc
+                            else F.desc_nulls_first(fld))
+            else:
+                # Lucene default: missing = lowest value (Spark's
+                # default null ordering matches: nulls first asc,
+                # last desc)
+                keys.append(F.asc(fld) if asc else F.desc(fld))
+        order = keys + [F.asc("conv_id"), F.asc("turn_idx")]
+        dm_cols = ["conv_id", "turn_idx"] + sorted(
+            {fld for fld, _ in clauses} - {"conv_id", "turn_idx"}
         )
         head = (
             searcher.docmap().select(*dm_cols)

@@ -5576,6 +5576,41 @@ LIMIT 12 OFFSET 3
 )
 
 
+_SELECT_SORT_MULTI_PARAMS = {
+    "q": "merge", "sort": "role asc, ts desc", "rows": 12,
+    "fl": ["conv_id", "turn_idx", "role"],
+}
+
+
+def _select_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-clause field sort through /select (SortSpecParsing's
+    comma-separated clauses): ``sort=role asc, ts desc`` orders the
+    match DocSet by both docvalues columns left-to-right with the
+    engine's pinned (conv_id, turn_idx) tiebreak; the start+rows
+    limit still plans as ONE distributed TakeOrdered over the pruned
+    docmap columns. ref: solr/core/src/java/org/apache/solr/search/
+    SortSpecParsing.java (parseSortSpec multi-clause)."""
+    from lucene_solr_spark.handler import parse_select_params, select
+
+    _, o = parse_select_params(_SELECT_SORT_MULTI_PARAMS)
+    assert o["sort"] == ((("role", True), ("ts", False)), None)
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_SORT_MULTI_PARAMS)["response"]
+
+
+register(
+    "q_select_sort_multi",
+    _select_sort_multi,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE}
+SELECT conv_id, turn_idx, role FROM transcripts
+WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'merge')
+ORDER BY role ASC, ts DESC, conv_id, turn_idx
+LIMIT 12
+""".strip(),
+)
+
+
 _SELECT_SORT_MISSING_PARAMS = {
     "q": "data", "sort": "tool asc", "sortMissing": "last",
     "rows": 15, "fl": ["conv_id", "turn_idx", "tool"],

@@ -680,7 +680,7 @@ def test_select_handler_sort_and_edismax_legs(spark, sf_dir):
     s = cached_searcher(spark, sf_dir)
     # field sort: brute twin = full DocSet joined to docvalues, sorted
     spec, opts = parse_select_params(_SELECT_SORT_PARAMS)
-    assert opts["sort"] == ("ts", False, None)
+    assert opts["sort"] == ((("ts", False),), None)
     page = select(s, _SELECT_SORT_PARAMS)["response"].collect()
     brute = (
         s.docmap().select("conv_id", "turn_idx", "ts")
@@ -2112,3 +2112,31 @@ def test_fq_frange_contract(spark, sf_dir):
     ):
         with _pt.raises(ValueError):
             parse_select_params(bad)
+
+
+def test_sort_multi_contract(spark, sf_dir):
+    """Multi-clause sorts order left-to-right (role partitions the
+    page, ts breaks ties within role); duplicate fields and malformed
+    clauses raise."""
+    import pytest as _pt
+
+    from lucene_solr_spark.handler import parse_select_params, select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    rows = select(s, {"q": "merge", "sort": "role asc, turn_idx desc",
+                      "rows": 30,
+                      "fl": ["conv_id", "turn_idx", "role"]}
+                  )["response"].collect()
+    assert rows
+    roles = [r.role for r in rows]
+    assert roles == sorted(roles)
+    for i in range(1, len(rows)):
+        if rows[i].role == rows[i - 1].role:
+            assert rows[i].turn_idx <= rows[i - 1].turn_idx or (
+                rows[i].turn_idx == rows[i - 1].turn_idx)
+
+    for bad in ("role asc, role desc", "role asc,", "role sideways",
+                "role asc ts desc"):
+        with _pt.raises(ValueError):
+            parse_select_params({"q": "x", "sort": bad})
