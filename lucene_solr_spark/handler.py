@@ -507,8 +507,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     # sources/javabin) as a distributed per-batch encode — an
     # export-scale response never materializes on one node.
     wt = params.get("wt", "json")
-    if wt not in ("json", "xml", "javabin"):
-        raise ValueError(f"wt must be json|xml|javabin: {wt!r}")
+    if wt not in ("json", "xml", "javabin", "csv"):
+        raise ValueError(f"wt must be json|xml|javabin|csv: {wt!r}")
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
     if start < 0 or rows < 0:
@@ -1450,6 +1450,33 @@ def _encode_wt(page: DataFrame, wt: str) -> DataFrame:
     if wt == "javabin":
         from lucene_solr_spark.sources.javabin import encode_rows
         return encode_rows(page)
+    if wt == "csv":
+        # CSVResponseWriter: one RFC-4180 line per doc in column
+        # order (the header IS the column order, known driver-side
+        # from the schema — no header row travels with the data);
+        # values quote when they contain comma/quote/newline, quotes
+        # double, nulls serialize empty. Pure Catalyst — the encode
+        # rides the page projection, zero extra passes.
+        # ref: solr/core/src/java/org/apache/solr/response/
+        # CSVResponseWriter.java
+        def _csv_cell(c: str):
+            sc = F.col(c).cast("string")
+            quoted = F.concat(
+                F.lit('"'),
+                F.regexp_replace(sc, '"', '""'),
+                F.lit('"'),
+            )
+            return (
+                F.when(sc.isNull(), F.lit(""))
+                .when(sc.rlike('[",\n]'), quoted)
+                .otherwise(sc)
+            )
+
+        return page.select(
+            F.concat_ws(
+                ",", *[_csv_cell(c) for c in page.columns]
+            ).alias("csv")
+        )
     return page
 
 

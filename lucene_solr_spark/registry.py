@@ -5576,6 +5576,41 @@ LIMIT 12 OFFSET 3
 )
 
 
+_SELECT_WT_CSV_PARAMS = {
+    "q": "merge", "sort": "role asc, ts desc", "rows": 6, "wt": "csv",
+    "fl": ["conv_id", "turn_idx", "role"],
+}
+
+
+def _select_wt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wt=csv (CSVResponseWriter): the doclist serializes to one
+    RFC-4180 line per doc in fl column order — a pure Catalyst
+    projection on the page (no extra pass, no driver encode); header
+    = the column order, known from the schema.
+    ref: solr/core/src/java/org/apache/solr/response/
+    CSVResponseWriter.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_WT_CSV_PARAMS)["response"]
+
+
+register(
+    "q_select_wt_csv",
+    _select_wt_csv,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+page AS (
+  SELECT conv_id, turn_idx, role FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'merge')
+  ORDER BY role ASC, ts DESC, conv_id, turn_idx LIMIT 6)
+SELECT conv_id || ',' || CAST(turn_idx AS VARCHAR) || ',' || role AS csv
+FROM page ORDER BY csv
+""".strip(),
+)
+
+
 _SELECT_SORT_MULTI_PARAMS = {
     "q": "merge", "sort": "role asc, ts desc", "rows": 12,
     "fl": ["conv_id", "turn_idx", "role"],

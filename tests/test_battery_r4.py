@@ -2140,3 +2140,18 @@ def test_sort_multi_contract(spark, sf_dir):
                 "role asc ts desc"):
         with _pt.raises(ValueError):
             parse_select_params({"q": "x", "sort": bad})
+
+
+def test_wt_csv_escaping(spark):
+    """RFC-4180 quoting: commas/quotes/newlines quote the cell,
+    embedded quotes double, nulls serialize empty."""
+    from lucene_solr_spark.handler import _encode_wt
+
+    df = spark.createDataFrame(
+        [("a,b", 'say "hi"', None, "plain"),
+         ("line\nbreak", "x", "y", "z")],
+        "c1 string, c2 string, c3 string, c4 string",
+    )
+    lines = [r.csv for r in _encode_wt(df, "csv").collect()]
+    assert '"a,b","say ""hi""",,plain' in lines
+    assert '"line\nbreak",x,y,z' in lines
