@@ -2049,6 +2049,36 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+_UNIFORM_K = 40
+
+
+@op(
+    "q_sample_uniform_k",
+    f"""SELECT doc_id, lang, source FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {_UNIFORM_K}""",
+)
+def q_sample_uniform_k(spark, sf_dir):
+    """Exact-count uniform sampling (the EXACT-K sibling of the
+    rate-based stratified stage — when the budget is 'give me exactly
+    K docs', not 'keep p%'): rank every doc by md5(doc_id) and take
+    the first K. One distributed TakeOrdered over (hash, doc_id) —
+    never a global sort, no RNG state, and the SAME K docs come back
+    at any parallelism / after any retry (the hash is the seed). At
+    100 TB this is the per-partition top-K heap + driver merge Spark
+    plans for orderBy+limit."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            "doc_id", "lang", "source",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(_UNIFORM_K)
+        .drop("h")
+    )
+
+
 # Domain-mixture reweighting: aim a TARGET token mix (50% src0 /
 # 30% src1 / 20% everything else) within a global budget of half the
 # corpus tokens. Rates are DERIVED from corpus stats inside the query

@@ -2155,3 +2155,32 @@ def test_wt_csv_escaping(spark):
     lines = [r.csv for r in _encode_wt(df, "csv").collect()]
     assert '"a,b","say ""hi""",,plain' in lines
     assert '"line\nbreak",x,y,z' in lines
+
+
+def test_sample_uniform_k_invariance(spark, sf_dir):
+    """Exactly K docs, and the SAME K docs at different parallelism
+    (hash = seed, no RNG state)."""
+    from lucene_solr_spark.operators.textpipe import (
+        _UNIFORM_K,
+        q_sample_uniform_k,
+    )
+
+    a = {r.doc_id for r in q_sample_uniform_k(spark, sf_dir).collect()}
+    assert len(a) == _UNIFORM_K
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(7)
+    )
+    d.createOrReplaceTempView("_uni_docs7")
+    from pyspark.sql import functions as F
+
+    b = {
+        r.doc_id
+        for r in d.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .limit(_UNIFORM_K)
+        .collect()
+    }
+    assert a == b
