@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--backup", required=True)
     p.add_argument("--index", required=True)
 
+    p = sub.add_parser("check")
+    p.add_argument("--index", required=True)
+    p.add_argument("--deep", action="store_true")
+    p.add_argument("--snapshot", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "replicate":  # file-level; no Spark session needed
@@ -106,7 +111,14 @@ def main(argv: list[str] | None = None) -> dict:
     active = SparkSession.getActiveSession()
     spark = active or SparkSession.builder.appName(f"lss-{args.cmd}").getOrCreate()
     try:
-        if args.cmd == "merge":
+        if args.cmd == "check":
+            # CheckIndex (tools/check_index.py) as a maintenance verb
+            from tools.check_index import check_index
+
+            st = {"cmd": "check", **check_index(
+                spark, args.index, deep=args.deep,
+                snapshot_id=args.snapshot)}
+        elif args.cmd == "merge":
             from lucene_solr_spark.index.merge import merge_segments
 
             m = merge_segments(spark, args.index, merge_factor=args.merge_factor)

@@ -63,3 +63,11 @@ def test_unreadable_segment_detected(spark, built_root, tmp_path):
 def test_empty_index_ok(spark, tmp_path):
     rep = check_index(spark, str(tmp_path / "nothing"))
     assert rep["ok"] and rep["segments"] == 0
+
+
+def test_maintain_check_verb(spark, built_root):
+    """`maintain_job.py check --index ... --deep` wraps the tool."""
+    from jobs.maintain_job import main
+
+    st = main(["check", "--index", built_root, "--deep"])
+    assert st["cmd"] == "check" and st["ok"] and st["deep"]
