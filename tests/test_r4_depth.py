@@ -491,7 +491,7 @@ def test_select_wt_writers_roundtrip(spark, sf_dir):
     assert sorted(map(tuple, back)) == want
 
     with pytest.raises(ValueError, match="wt must be"):
-        select(s, {"q": "merge", "wt": "csv"})
+        select(s, {"q": "merge", "wt": "python"})
 
 
 # -- extended json.facet metric kinds (sumsq/stddev/variance/missing/
