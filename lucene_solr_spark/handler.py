@@ -494,9 +494,50 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
     return out
 
 
+#: per-field facet override params — Solr's SolrParams.getFieldParam
+#: rule (``f.<field>.facet.<opt>`` wins over the request-wide
+#: ``facet.<opt>`` for that one field). Pinned subset: the five
+#: narrowing opts the facet engine takes per-request.
+#: ref: solr/solrj/src/java/org/apache/solr/common/params/SolrParams.java
+#: (getFieldParam) + solr/core/.../request/SimpleFacets.java
+_FACET_FIELD_PARAM_RE = re.compile(
+    r"^f\.([A-Za-z_]\w*)\.facet\.(limit|sort|mincount|prefix|offset)$"
+)
+
+
+def _facet_field_overrides(params: dict) -> dict[str, dict]:
+    """Extract ``f.<field>.facet.<opt>`` params into {field: {opt: v}},
+    validating each value with the same rules as the request-wide
+    param. Unmatched ``f.`` params fall through to the unknown check."""
+    out: dict[str, dict] = {}
+    for key, val in params.items():
+        m = _FACET_FIELD_PARAM_RE.match(key)
+        if not m:
+            continue
+        fld, opt = m.group(1), m.group(2)
+        if opt in ("limit", "mincount", "offset"):
+            val = int(val)
+            if opt == "mincount" and val < 1:
+                raise ValueError(
+                    f"{key} must be >= 1 (the engine's facet contract "
+                    "never emits zero buckets)")
+            if opt == "offset" and val < 0:
+                raise ValueError(f"{key} must be >= 0: {val}")
+        elif opt == "sort":
+            if val not in ("count", "index"):
+                raise ValueError(f"{key} must be count|index: {val!r}")
+        out.setdefault(fld, {})[opt] = val
+    return out
+
+
 def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     """params dict → (combined BooleanSpec, normalized options)."""
-    unknown = set(params) - _KNOWN
+    facet_overrides = _facet_field_overrides(params)
+    known_extra = {
+        f"f.{fld}.facet.{opt}"
+        for fld, opts_ in facet_overrides.items() for opt in opts_
+    }
+    unknown = set(params) - _KNOWN - known_extra
     if unknown:
         raise ValueError(f"unknown /select params: {sorted(unknown)}")
     if "q" not in params:
@@ -809,6 +850,19 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if facet_sort != "index":
             raise ValueError("facet.exists needs facet.sort=index "
                              "(every bucket counts 1 under exists)")
+    # f.<field>.facet.* overrides must name a faceted field, and the
+    # facet.exists restrictions apply to the EFFECTIVE per-field values
+    faceted = {fld for fld, _ in facet_fields}
+    for fld, ov in facet_overrides.items():
+        if fld not in faceted:
+            raise ValueError(
+                f"f.{fld}.facet.* override but {fld!r} is not in "
+                "facet.field")
+        if facet_exists and (ov.get("mincount", 1) != 1
+                             or ov.get("sort", "index") != "index"):
+            raise ValueError(
+                f"facet.exists restrictions apply per-field too: "
+                f"f.{fld}.facet.* must keep mincount=1, sort=index")
     # classic facet.query values (SimpleFacets getFacetQueryCounts):
     # each is a PURE filter counted against the doclist's domain
     fquery_raw = params.get("facet.query", [])
@@ -1262,6 +1316,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_offset": facet_offset,
         "facet_method": facet_method,
         "facet_exists": facet_exists,
+        "facet_overrides": facet_overrides,
         "collapse": collapse,
         "expand": (expand_rows if expand else None),
         "elevate": elevate,
@@ -1800,11 +1855,17 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             .orderBy("group_value", "expand_rank")
         )
     for fld, ex_fields in o["facet_fields"]:
+        # f.<field>.facet.<opt> overrides win over the request-wide
+        # facet.<opt> for this one field (SolrParams.getFieldParam)
+        ov = o.get("facet_overrides", {}).get(fld, {})
         fc = searcher.facet(
-            fld, spec=spec, limit=o["facet_limit"],
-            mincount=o["facet_mincount"], sort=o["facet_sort"],
+            fld, spec=spec,
+            limit=ov.get("limit", o["facet_limit"]),
+            mincount=ov.get("mincount", o["facet_mincount"]),
+            sort=ov.get("sort", o["facet_sort"]),
             missing=o["facet_missing"],
-            prefix=o["facet_prefix"], offset=o["facet_offset"],
+            prefix=ov.get("prefix", o["facet_prefix"]),
+            offset=ov.get("offset", o["facet_offset"]),
             exclude_terms=o["facet_exclude_terms"],
             exclude_fields=ex_fields,
             refine=o["facet_method"] != "exact",

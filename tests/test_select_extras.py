@@ -304,3 +304,43 @@ def test_collapse_selectors_and_null_policy(spark, sf_dir):
     ]:
         with pytest.raises(ValueError, match=msg):
             parse_select_params({"q": "m", "fq": bad})
+
+
+def test_facet_per_field_overrides(spark, sf_dir):
+    """f.<field>.facet.<opt> wins over the request-wide facet.<opt>
+    for that one field only: the ftok leg matches a request that sets
+    the same opts request-wide, the role leg matches the defaults."""
+    s = cached_searcher(spark, sf_dir)
+    res = select(s, {"q": "data", "rows": 0,
+                     "facet.field": ["role", "ftok"],
+                     "facet.limit": 10,
+                     "f.ftok.facet.limit": 3,
+                     "f.ftok.facet.sort": "index",
+                     "f.ftok.facet.prefix": "s"})["facet_counts"]
+    want_ftok = select(s, {"q": "data", "rows": 0, "facet.field": "ftok",
+                           "facet.limit": 3, "facet.sort": "index",
+                           "facet.prefix": "s"})["facet_counts"]["ftok"]
+    want_role = select(s, {"q": "data", "rows": 0, "facet.field": "role",
+                           "facet.limit": 10})["facet_counts"]["role"]
+    assert res["ftok"].collect() == want_ftok.collect()
+    assert res["role"].collect() == want_role.collect()
+
+
+def test_facet_per_field_validation():
+    # override names a field that isn't faceted
+    with pytest.raises(ValueError, match="not in"):
+        parse_select_params({"q": "m", "facet.field": "role",
+                             "f.ftok.facet.limit": 3})
+    # bad per-field sort value
+    with pytest.raises(ValueError, match="count|index"):
+        parse_select_params({"q": "m", "facet.field": "role",
+                             "f.role.facet.sort": "weird"})
+    # per-field mincount must satisfy the facet.exists restriction
+    with pytest.raises(ValueError, match="per-field"):
+        parse_select_params({"q": "m", "facet.field": "role",
+                             "facet.sort": "index", "facet.exists": True,
+                             "f.role.facet.mincount": 2})
+    # an f.-prefixed param outside the pinned opt subset is unknown
+    with pytest.raises(ValueError, match="unknown"):
+        parse_select_params({"q": "m", "facet.field": "role",
+                             "f.role.facet.missing": True})
