@@ -597,6 +597,54 @@ def synonym_filter(mapping: dict[str, object], expand: bool = False):
     return run
 
 
+def mapping_char_filter(mapping: dict[str, str]):
+    """MappingCharFilter analog — literal source → target rewrites on
+    the raw text BEFORE tokenization. Pinned contract: sequential
+    literal replaces in (longest source first, then lexical) order,
+    output never rescanned per replace. Lucene's automaton matches
+    every source simultaneously left-to-right; sequential replace is
+    identical whenever no target contains another source — the
+    factory rejects mappings outside that configuration so the
+    divergence can't appear silently. Targets that could FUSE with
+    neighboring text into another source are the caller's contract
+    (pad targets with spaces, as the normMap examples in Solr's
+    mapping-FoldToASCII.txt effectively do for multi-char sources).
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         charfilter/MappingCharFilter.java"""
+    ordered = sorted(mapping.items(), key=lambda kv: (-len(kv[0]), kv[0]))
+    for _, tgt in ordered:
+        for src, _ in ordered:
+            if src in tgt:
+                raise ValueError(
+                    f"mapping target {tgt!r} contains source {src!r}: "
+                    "sequential replace would rescan output where "
+                    "Lucene's automaton does not")
+
+    def run(text: pd.Series) -> pd.Series:
+        text = text.fillna("")
+        for src, tgt in ordered:
+            text = text.str.replace(src, tgt, regex=False)
+        return text
+
+    return run
+
+
+def pattern_replace_char_filter(pattern: str, replacement: str):
+    """PatternReplaceCharFilter analog: one global regex rewrite of
+    the raw text before tokenization — leftmost, non-overlapping,
+    replaced output never rescanned (java.util.regex replaceAll ≡
+    python re.sub ≡ RE2 'g' for patterns kept inside the common
+    dialect; backreferences spelled \\1 both sides).
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         pattern/PatternReplaceCharFilter.java"""
+    rx = re.compile(pattern)
+
+    def run(text: pd.Series) -> pd.Series:
+        return text.fillna("").str.replace(rx, replacement, regex=True)
+
+    return run
+
+
 def chain(*filters, char_filters=()):
     """Compose an analyzer stage: char_filter_1 → ... → tokenize →
     filter_1 → ... → filter_n (Analyzer/TokenStream pipeline;

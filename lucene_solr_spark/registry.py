@@ -3069,6 +3069,78 @@ register(
 )
 
 
+# --- Mapping + PatternReplace char-filter chain ---------------------
+# The index is built over text with an emoticon/phone-ish suffix
+# (' :) :-( 3-4-5'); MappingCharFilter rewrites the emoticons to
+# words, PatternReplaceCharFilter fuses digit pairs across dashes —
+# both BEFORE tokenization, so the mapped tokens enter the dictionary
+# and doc_len/df shift identically in both engines. A non-filtering
+# engine would tokenize 3/4/5 and never see 'happy' (the must term) —
+# zero hits, an unmissable mismatch.
+CHARMAP_CHAIN_VERSION = "charmap-v1"
+
+_CHARMAP_SUFFIX = " :) :-( 3-4-5"
+
+
+def _charmap_enriched(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return t.withColumn(
+        "text", F.concat(F.col("text"), F.lit(_CHARMAP_SUFFIX)))
+
+
+def cached_charmap_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "charmap")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_charmap_idx_")
+        build_index(
+            spark, _charmap_enriched(spark, sf_dir), root, num_parts=8,
+            lineage_source=sf_dir,
+            analyzer=an.chain(char_filters=(
+                an.mapping_char_filter({":)": " happy ", ":-(": " sad "}),
+                an.pattern_replace_char_filter(
+                    r"([0-9]+)-([0-9]+)", r"\1\2"),
+            )),
+            analyzer_version=CHARMAP_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(spark, root,
+                         analyzer_version=CHARMAP_CHAIN_VERSION)
+
+
+# mapping order is (longest source, lexical): ':-(' replaces before
+# ':)' — the DuckDB twin nests its literal replaces the same way,
+# then applies the same global digit-pair regex
+_CHARMAP_TOKS_SQL = (
+    "regexp_extract_all(lower(regexp_replace(replace(replace("
+    f"text || '{_CHARMAP_SUFFIX}', ':-(', ' sad '), ':)', ' happy '), "
+    r"'([0-9]+)-([0-9]+)', '\1\2', 'g')), '[a-z0-9]+')"
+)
+
+_CHARMAP_SPEC = BooleanSpec(must=("merge", "happy"), k=12)
+
+
+def _idx_charfilter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cached_charmap_searcher(spark, sf_dir).search(
+        _CHARMAP_SPEC, round_to=ROUND
+    )
+
+
+register(
+    "q_idx_charfilter_chain",
+    _idx_charfilter_chain,
+    bm25_oracle_sql(_CHARMAP_SPEC, toks_sql=_CHARMAP_TOKS_SQL),
+)
+
+
 # --- facet.offset (facet paging) ------------------------------------
 def _idx_facet_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """facet.offset=5&facet.limit=10 on the high-cardinality ftok
@@ -10424,6 +10496,67 @@ SELECT conv_id, turn_idx, role
 FROM transcripts
 WHERE role IN ('user', 'assistant') AND turn_idx <= 3
 ORDER BY ts DESC, conv_id, turn_idx LIMIT 20""",
+)
+
+
+_SELECT_FACET_PER_FIELD_REQ = {
+    "q": "data", "rows": 0,
+    "facet.field": ["role", "ftok"],
+    "facet.limit": 10,                 # request-wide default (role leg)
+    "f.ftok.facet.limit": 3,           # per-field overrides (ftok leg)
+    "f.ftok.facet.sort": "index",
+    "f.ftok.facet.prefix": "s",
+}
+
+
+def _select_facet_per_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field facet overrides — Solr's ``f.<field>.facet.<opt>``
+    SolrParams.getFieldParam rule: the role leg keeps the request-wide
+    facet.limit=10 count-sort while the ftok leg runs index-sorted,
+    prefix-narrowed, limit 3. If the handler dropped the overrides the
+    ftok leg would return the global top-10 count-sorted buckets — a
+    completely different row set, so this row attests the per-field
+    routing itself. ref: solr/solrj/src/java/org/apache/solr/common/
+    params/SolrParams.java (getFieldParam) +
+    solr/core/src/java/org/apache/solr/request/SimpleFacets.java."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    res = select(s, _SELECT_FACET_PER_FIELD_REQ)["facet_counts"]
+    return (
+        res["role"].select(F.lit("role").alias("field"),
+                           "facet_value", "cnt")
+        .unionAll(res["ftok"].select(F.lit("ftok").alias("field"),
+                                     "facet_value", "cnt"))
+        .orderBy("field", "facet_value")
+    )
+
+
+register(
+    "q_select_facet_per_field",
+    _select_facet_per_field,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+dom AS (SELECT * FROM docs WHERE list_contains(toks, 'data')),
+rolef AS (
+  SELECT 'role' AS field, role AS facet_value, count(*) AS cnt
+  FROM dom GROUP BY role ORDER BY cnt DESC, facet_value LIMIT 10
+),
+ftokf AS (
+  SELECT 'ftok' AS field, toks[1] AS facet_value, count(*) AS cnt
+  FROM dom
+  WHERE len(toks) > 0 AND toks[1] LIKE 's%'
+  GROUP BY toks[1] ORDER BY facet_value LIMIT 3
+)
+SELECT * FROM (SELECT * FROM rolef UNION ALL SELECT * FROM ftokf)
+ORDER BY field, facet_value
+""".strip(),
 )
 
 

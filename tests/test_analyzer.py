@@ -408,3 +408,33 @@ def test_keyword_marker_protects_exactly_the_listed_words():
     assert out[4] == porter_stem("data")
     # a protected word whose stem WOULD differ is the discriminator
     assert porter_stem("merge") != "merge"
+
+
+def test_mapping_char_filter_order_and_validation():
+    import pandas as pd
+    from lucene_solr_spark import analyzer as an
+
+    # longest source wins: ':-(' must rewrite before ':)' could eat
+    # its first two chars... (':)' is not a prefix of ':-(' but the
+    # order contract is pinned regardless)
+    f = an.mapping_char_filter({":)": " happy ", ":-(": " sad "})
+    out = f(pd.Series(["a :) b :-( c", None]))
+    assert out.tolist() == ["a  happy  b  sad  c", ""]
+    # a target containing a source would make sequential replace
+    # rescan output where Lucene's automaton does not — rejected
+    with pytest.raises(ValueError, match="contains source"):
+        an.mapping_char_filter({"a": "bab", "b": "x"})
+
+
+def test_pattern_replace_char_filter_no_rescan():
+    import pandas as pd
+    from lucene_solr_spark import analyzer as an
+
+    f = an.pattern_replace_char_filter(r"([0-9]+)-([0-9]+)", r"\1\2")
+    # leftmost non-overlapping, output never rescanned: 3-4-5 → 34-5
+    assert f(pd.Series(["3-4-5"])).tolist() == ["34-5"]
+    # chain end-to-end: char filters run BEFORE tokenization
+    ch = an.chain(char_filters=(
+        an.mapping_char_filter({":)": " happy "}), f))
+    assert ch(pd.Series(["ok :) 12-34"])).tolist() == [
+        ["ok", "happy", "1234"]]
