@@ -44,6 +44,7 @@ _KNOWN = {
     "facet.missing",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
     "facet.excludeTerms", "facet.exists",
+    "facet.contains", "facet.contains.ignoreCase",
     "hl", "hl.fl",
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "hl.tag.pre", "hl.tag.post",
@@ -826,6 +827,9 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     facet_offset = int(params.get("facet.offset", 0))
     if facet_offset < 0:
         raise ValueError(f"facet.offset must be >= 0: {facet_offset}")
+    if (params.get("facet.contains.ignoreCase")
+            and "facet.contains" not in params):
+        raise ValueError("facet.contains.ignoreCase needs facet.contains")
     # facet.method — Solr's enum/fc/uif pick maps onto this engine's
     # exact-single-shuffle vs two-phase-refine choice: auto = the
     # cardinality heuristic (default), refine = force two-phase,
@@ -1307,6 +1311,9 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_sort": facet_sort,
         "facet_mincount": facet_mincount,
         "facet_prefix": params.get("facet.prefix"),
+        "facet_contains": params.get("facet.contains"),
+        "facet_contains_ic": bool(
+            params.get("facet.contains.ignoreCase", False)),
         "facet_missing": bool(params.get("facet.missing", False)),
         "facet_exclude_terms": tuple(
             t.strip()
@@ -1865,6 +1872,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             sort=ov.get("sort", o["facet_sort"]),
             missing=o["facet_missing"],
             prefix=ov.get("prefix", o["facet_prefix"]),
+            contains=o.get("facet_contains"),
+            contains_ignore_case=o.get("facet_contains_ic", False),
             offset=ov.get("offset", o["facet_offset"]),
             exclude_terms=o["facet_exclude_terms"],
             exclude_fields=ex_fields,

@@ -1893,6 +1893,7 @@ class IndexSearcher:
         sort: str = "count",
         prefix: str | None = None,
         contains: str | None = None,
+        contains_ignore_case: bool = False,
         exclude_terms: tuple[str, ...] = (),
         missing: bool = False,
         exclude_fields: tuple[str, ...] = (),
@@ -1930,6 +1931,7 @@ class IndexSearcher:
             FacetRequest(
                 field=field, limit=limit, mincount=mincount,
                 sort=sort, prefix=prefix, contains=contains,
+                contains_ignore_case=contains_ignore_case,
                 exclude_terms=tuple(exclude_terms),
                 missing=missing, group_by=group_by, offset=offset,
             ),

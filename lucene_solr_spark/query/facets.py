@@ -64,6 +64,9 @@ class FacetRequest:
     #: facet.contains: only values containing this substring
     #: (case-sensitive, like the reference default)
     contains: str | None = None
+    #: facet.contains.ignoreCase: case-fold BOTH sides of the
+    #: contains test (SimpleFacets' SubstringBytesRefFilter ignoreCase)
+    contains_ignore_case: bool = False
     #: facet.excludeTerms: drop these exact values from the buckets
     #: BEFORE ranking/limit (SimpleFacets' excludeTerms list) — the
     #: negative-membership sibling of prefix/contains
@@ -1114,7 +1117,11 @@ def facet_field(
     if req.prefix is not None:
         parts = parts.filter(F.col("term").startswith(req.prefix))
     if req.contains is not None:
-        parts = parts.filter(F.col("term").contains(req.contains))
+        if req.contains_ignore_case:
+            parts = parts.filter(
+                F.lower(F.col("term")).contains(req.contains.lower()))
+        else:
+            parts = parts.filter(F.col("term").contains(req.contains))
     if req.exclude_terms:
         parts = parts.filter(~F.col("term").isin(*req.exclude_terms))
     rank_order = (

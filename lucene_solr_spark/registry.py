@@ -10560,6 +10560,48 @@ ORDER BY field, facet_value
 )
 
 
+_SELECT_FACET_CONTAINS_REQ = {
+    "q": "data", "rows": 0, "facet.field": "ftok",
+    "facet.limit": 8, "facet.sort": "index",
+    "facet.contains": "ER", "facet.contains.ignoreCase": True,
+}
+
+
+def _select_facet_contains_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.contains + facet.contains.ignoreCase through /select —
+    SimpleFacets' SubstringBytesRefFilter: the dictionary side narrows
+    to terms containing the substring case-folded BEFORE ranking/limit
+    (per-segment counting untouched). 'ER' only matches under
+    ignoreCase — the case-sensitive filter would return zero buckets,
+    so the row attests the fold itself. ref: solr/core/src/java/org/
+    apache/solr/request/SimpleFacets.java (FACET_CONTAINS,
+    FACET_CONTAINS_IGNORE_CASE → SubstringBytesRefFilter)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_FACET_CONTAINS_REQ)["facet_counts"]["ftok"]
+
+
+register(
+    "q_select_facet_contains_ci",
+    _select_facet_contains_ci,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+  AND toks[1] LIKE '%er%'
+GROUP BY 1
+ORDER BY facet_value
+LIMIT 8
+""".strip(),
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate curation (VERDICT r1 item 1): the driver's CORRECTNESS
 # gate attests the FIRST 50 registered queries only, so the dict is

@@ -344,3 +344,25 @@ def test_facet_per_field_validation():
     with pytest.raises(ValueError, match="unknown"):
         parse_select_params({"q": "m", "facet.field": "role",
                              "f.role.facet.missing": True})
+
+
+def test_facet_contains_ignore_case(spark, sf_dir):
+    """facet.contains narrows case-sensitively by default; ignoreCase
+    folds both sides. 'ER' matches nothing in the lowercase dictionary
+    without the fold."""
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "data", "rows": 0, "facet.field": "ftok",
+            "facet.limit": 8, "facet.sort": "index"}
+    cs = select(s, {**base, "facet.contains": "ER"})[
+        "facet_counts"]["ftok"].collect()
+    assert cs == []
+    ci = select(s, {**base, "facet.contains": "ER",
+                    "facet.contains.ignoreCase": True})[
+        "facet_counts"]["ftok"].collect()
+    assert ci and all("er" in r.facet_value for r in ci)
+    lower = select(s, {**base, "facet.contains": "er"})[
+        "facet_counts"]["ftok"].collect()
+    assert ci == lower
+    with pytest.raises(ValueError, match="needs facet.contains"):
+        parse_select_params({"q": "m", "facet.field": "ftok",
+                             "facet.contains.ignoreCase": True})
