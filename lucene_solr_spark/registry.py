@@ -4426,18 +4426,13 @@ GROUP BY 1 ORDER BY hour""",
 _DEL_SEARCH = BooleanSpec(must=("data",), k=15)
 
 
-def _idx_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """deleteByQuery through the index (liveDocs tombstones): tool_7
-    docs are deleted, then a plain 'data' search runs. The oracle is
-    the UNDELETED corpus searched with a NOT-filter — equal results
-    prove both halves of the pinned Lucene contract at once: deleted
-    docs vanish from results AND still count in the BM25 statistics
-    (scores computed over the full corpus)."""
+def _deltest_root(spark: SparkSession, sf_dir: str) -> str:
+    """Index with tool_7 docs tombstoned (shared by the deleteByQuery
+    search row and the index-stats ValueSource row)."""
     import tempfile
 
     from lucene_solr_spark.index.build import build_index
     from lucene_solr_spark.index.deletes import delete_by_query
-    from lucene_solr_spark.query.executor import IndexSearcher
 
     key = sf_dir + "#deltest"
     root = _INDEX_ROOTS.get(key)
@@ -4449,7 +4444,20 @@ def _idx_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, BooleanSpec(filters=(("tool", "tool_7"),))
         )
         _INDEX_ROOTS[key] = root
-    return IndexSearcher(spark, root).search(_DEL_SEARCH, round_to=ROUND)
+    return root
+
+
+def _idx_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deleteByQuery through the index (liveDocs tombstones): tool_7
+    docs are deleted, then a plain 'data' search runs. The oracle is
+    the UNDELETED corpus searched with a NOT-filter — equal results
+    prove both halves of the pinned Lucene contract at once: deleted
+    docs vanish from results AND still count in the BM25 statistics
+    (scores computed over the full corpus)."""
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    return IndexSearcher(spark, _deltest_root(spark, sf_dir)).search(
+        _DEL_SEARCH, round_to=ROUND)
 
 
 register(
@@ -4458,6 +4466,74 @@ register(
     bm25_oracle_sql(
         BooleanSpec(must=("data",), not_filters=(("tool", "tool_7"),), k=15)
     ),
+)
+
+
+def _idx_func_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-stat function queries over a TOMBSTONED index —
+    maxdoc() counts deleted docs, numdocs() doesn't, and
+    docfreq/idf/sumtotaltermfreq/avgdl stay pinned to the FULL corpus
+    (liveDocs never touch BM25 stats until rebuild — the same pinned
+    contract q_idx_delete_by_query proves from the ranking side).
+    Served like Lucene serves them: manifest globals (n_docs, sum_dl)
+    + one bounded dictionary df probe — zero corpus jobs; the idf and
+    avgdl arithmetic runs as Spark expressions so rounding matches the
+    engine everywhere else.
+    ref: lucene/queries/src/java/org/apache/lucene/queries/function/
+         valuesource/MaxDocValueSource.java, NumDocsValueSource.java,
+         IDFValueSource.java, SumTotalTermFreqValueSource.java;
+         solr/core/src/java/org/apache/solr/search/ValueSourceParser.java
+         (maxdoc/numdocs/docfreq/idf/sumtotaltermfreq registrations)"""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    s = IndexSearcher(spark, _deltest_root(spark, sf_dir))
+    maxdoc = s.manifest.n_docs
+    numdocs = maxdoc - len(s.deleted_keys)
+    df_data = s.global_df(["data"])["data"]
+    sttf = s.manifest.sum_dl
+    return (
+        spark.range(1)
+        .select(
+            F.lit(maxdoc).cast("long").alias("maxdoc"),
+            F.lit(numdocs).cast("long").alias("numdocs"),
+            F.lit(df_data).cast("long").alias("df_data"),
+            F.lit(sttf).cast("long").alias("sttf"),
+        )
+        .withColumn(
+            "idf_data",
+            F.round(F.log(
+                1.0 + (F.col("maxdoc") - F.col("df_data") + 0.5)
+                / (F.col("df_data") + 0.5)), 4),
+        )
+        .withColumn(
+            "avgdl",
+            F.round(F.col("sttf") / F.col("maxdoc"), 4),
+        )
+    )
+
+
+register(
+    "q_idx_func_index_stats",
+    _idx_func_index_stats,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS maxdoc,
+         CAST(sum(CASE WHEN tool IS NULL OR tool <> 'tool_7'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS numdocs,
+         CAST(sum(CASE WHEN list_contains(toks, 'data')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS df_data,
+         CAST(sum(len(toks)) AS BIGINT) AS sttf
+  FROM docs)
+SELECT maxdoc, numdocs, df_data, sttf,
+       round(ln(1 + (maxdoc - df_data + 0.5) / (df_data + 0.5)), 4)
+         AS idf_data,
+       round(sttf / maxdoc, 4) AS avgdl
+FROM stats""",
 )
 
 
