@@ -63,7 +63,8 @@ _KNOWN = {
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "spellcheck.maxQueryFrequency",
     "debug",
-    "defType", "mm", "pf", "ps", "bq", "json.facet",
+    "defType", "mm", "pf", "ps", "bq", "q.alt", "json.facet",
+    "spellcheck.q",
     "rq", "rqq",
     "expand", "expand.rows",
     "elevateIds", "excludeIds",
@@ -541,7 +542,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     unknown = set(params) - _KNOWN - known_extra
     if unknown:
         raise ValueError(f"unknown /select params: {sorted(unknown)}")
-    if "q" not in params:
+    if "q" not in params and not (
+            params.get("defType") == "edismax" and "q.alt" in params):
         raise ValueError("missing required param: q")
     # wt= response writer: json (the default — rows stay a typed
     # DataFrame, the Spark-native "format"), xml or javabin route the
@@ -631,15 +633,39 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if "q.op" in params:
             raise ValueError("q.op is not a defType=edismax param — "
                              "mm owns the optional-clause arithmetic")
-        spec = edismax(
-            params["q"], k=start + rows,
-            mm=params.get("mm", 1),
-            pf=bool(params.get("pf", True)),
-            ps=int(params.get("ps", 0)),
-        )
+        if "q" not in params:
+            # q.alt (DisMaxQParser ALTQ): when q is absent the
+            # alternate query defines the match set. Pinned subset:
+            # '*:*' (MatchAllDocsQuery — the standard browse idiom);
+            # a MatchAll doclist has no score order, so the shape is
+            # component-only (rows=0 — facets/stats over everything,
+            # exactly how browse UIs use it). fq still narrows the
+            # domain through the normal filter path.
+            # ref: solr/core/src/java/org/apache/solr/search/
+            # DisMaxQParser.java (getAlternateUserQuery)
+            if str(params["q.alt"]).strip() != "*:*":
+                raise ValueError(
+                    "q.alt subset: only '*:*' (MatchAllDocsQuery)")
+            if rows != 0:
+                raise ValueError(
+                    "q.alt serves component-only requests: rows=0 "
+                    "(a constant-score MatchAll has no rank order)")
+            bad = {"mm", "pf", "ps", "bq", "rq", "sort"} & set(params)
+            if bad:
+                raise ValueError(
+                    f"q.alt MatchAll takes no scoring params: "
+                    f"{sorted(bad)}")
+            spec = BooleanSpec(k=0)
+        else:
+            spec = edismax(
+                params["q"], k=start + rows,
+                mm=params.get("mm", 1),
+                pf=bool(params.get("pf", True)),
+                ps=int(params.get("ps", 0)),
+            )
     elif def_type == "lucene":
-        if {"mm", "pf", "ps", "bq"} & set(params):
-            raise ValueError("mm/pf/ps/bq need defType=edismax")
+        if {"mm", "pf", "ps", "bq", "q.alt"} & set(params):
+            raise ValueError("mm/pf/ps/bq/q.alt need defType=edismax")
         spec = parse(
             params["q"], k=start + rows,
             default_op=params.get("q.op", "OR"),
@@ -1183,12 +1209,14 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             raise ValueError(
                 f"spellcheck.maxQueryFrequency must be >= 0: {sc_maxqf}")
         spellcheck = (sc_count, bool(params.get("spellcheck.collate", False)),
+                      params.get("spellcheck.q"),
                       sc_maxqf)
     elif {"spellcheck.count", "spellcheck.collate",
-          "spellcheck.maxQueryFrequency"} & set(params):
+          "spellcheck.maxQueryFrequency", "spellcheck.q"} & set(params):
         raise ValueError(
             "spellcheck.count/spellcheck.collate/"
-            "spellcheck.maxQueryFrequency need spellcheck=true")
+            "spellcheck.maxQueryFrequency/spellcheck.q "
+            "need spellcheck=true")
     # ReRank leg (rq={!rerank ...}): re-scores the score-ranked head
     rerank = None
     if "rq" in params:
@@ -1722,6 +1750,13 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 spec, rr_spec, re_rank_docs, rr_weight,
                 k=spec.k, round_to=4,
             )
+        elif o["rows"] == 0 and not spec.scoring_terms and not spec.phrases:
+            # q.alt MatchAll (component-only shape): no scoring
+            # clauses exist, so there is no head to rank — the
+            # component legs (numFound, facets, stats) run over the
+            # spec's DocSet domain below
+            head = searcher.spark.createDataFrame(
+                [], "conv_id string, turn_idx int, score double")
         else:
             head = searcher.search(spec, round_to=4)
         order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
@@ -2232,8 +2267,16 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # hits (SpellCheckCollator).
         # ref: solr/core/src/java/org/apache/solr/spelling/
         # DirectSolrSpellChecker.java + SpellCheckCollator.java
-        sc_count, collate, sc_maxqf = o["spellcheck"]
-        q_terms = list(dict.fromkeys(spec.scoring_terms))
+        sc_count, collate, sc_q, sc_maxqf = o["spellcheck"]
+        if sc_q is not None:
+            # spellcheck.q (SpellCheckComponent): the spell input is
+            # the ANALYZED alternate string, not the main query; the
+            # collation then rewrites and counts THAT query
+            from lucene_solr_spark.analyzer import tokenize_one
+
+            q_terms = list(dict.fromkeys(tokenize_one(sc_q)))
+        else:
+            q_terms = list(dict.fromkeys(spec.scoring_terms))
         dfs = searcher.global_df(q_terms)
         misspelled = [t for t in q_terms if dfs[t] <= sc_maxqf]
         sugg_schema = "q string, suggestion string, dist long, df long"
@@ -2270,11 +2313,18 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             top: dict = {}
             for r in sugg.collect():  # bounded: ≤ |misspelled| × count
                 top.setdefault(r.q, r.suggestion)
-            coll_spec = replace(
-                spec,
-                must=tuple(top.get(t, t) for t in spec.must),
-                should=tuple(top.get(t, t) for t in spec.should),
-            )
+            if sc_q is not None:
+                # rewrite the spellcheck.q terms and count THAT query
+                # (all-must, the collator's AND over the alternate
+                # input) — the main spec is not the spell input here
+                coll_spec = BooleanSpec(
+                    must=tuple(top.get(t, t) for t in q_terms))
+            else:
+                coll_spec = replace(
+                    spec,
+                    must=tuple(top.get(t, t) for t in spec.must),
+                    should=tuple(top.get(t, t) for t in spec.should),
+                )
             out["spellcheck_collation"] = {
                 "collationQuery": " ".join(
                     top.get(t, t) for t in q_terms

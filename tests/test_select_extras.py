@@ -366,3 +366,45 @@ def test_facet_contains_ignore_case(spark, sf_dir):
     with pytest.raises(ValueError, match="needs facet.contains"):
         parse_select_params({"q": "m", "facet.field": "ftok",
                              "facet.contains.ignoreCase": True})
+
+
+def test_qalt_browse_contracts(spark, sf_dir):
+    """q.alt=*:* with q absent: MatchAll-minus-fq domain serves the
+    component legs; the pinned subset rejects scoring params, rows>0,
+    non-*:* values, and defType=lucene."""
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {"defType": "edismax", "q.alt": "*:*", "rows": 0,
+                     "fq": "role:user", "facet.field": "role"})
+    fc = out["facet_counts"]["role"].collect()
+    assert [(r.facet_value, r.cnt) for r in fc] == [
+        ("user", out["numFound"])]
+    with pytest.raises(ValueError, match="only '\\*:\\*'"):
+        parse_select_params({"defType": "edismax", "q.alt": "merge",
+                             "rows": 0})
+    with pytest.raises(ValueError, match="rows=0"):
+        parse_select_params({"defType": "edismax", "q.alt": "*:*"})
+    with pytest.raises(ValueError, match="no scoring params"):
+        parse_select_params({"defType": "edismax", "q.alt": "*:*",
+                             "rows": 0, "mm": 1})
+    with pytest.raises(ValueError, match="need defType=edismax"):
+        parse_select_params({"q": "merge", "q.alt": "*:*"})
+    # q present: q.alt is the unused fallback (Solr semantics)
+    ok = select(s, {"defType": "edismax", "q": "merge", "q.alt": "*:*",
+                    "rows": 3})
+    assert ok["numFound"] > 0
+
+
+def test_spellcheck_q_independent_of_main_query(spark, sf_dir):
+    """spellcheck.q overrides the spell input; the main q serves the
+    doclist and is never collated."""
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {"q": "data", "rows": 2, "spellcheck": True,
+                     "spellcheck.q": "mrege", "spellcheck.collate": True})
+    sugg = out["spellcheck"].collect()
+    assert sugg and sugg[0].q == "mrege"
+    assert out["spellcheck_collation"]["collationQuery"] == "merge"
+    # 'data' is in the dictionary: without spellcheck.q nothing to fix
+    base = select(s, {"q": "data", "rows": 2, "spellcheck": True})
+    assert base["spellcheck"].collect() == []
+    with pytest.raises(ValueError, match="need spellcheck=true"):
+        parse_select_params({"q": "m", "spellcheck.q": "mrege"})
