@@ -57,6 +57,7 @@ _KNOWN = {
     "stats", "stats.field", "stats.facet",
     "tv", "tv.df", "tv.positions",
     "group", "group.field", "group.limit", "group.offset", "group.main",
+    "group.facet",
     "group.format", "group.ngroups", "group.sort", "group.query",
     "group.func",
     "mlt", "mlt.count", "mlt.maxqt", "mlt.mintf", "mlt.mindf",
@@ -856,6 +857,18 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     if (params.get("facet.contains.ignoreCase")
             and "facet.contains" not in params):
         raise ValueError("facet.contains.ignoreCase needs facet.contains")
+    # group.facet=true (SimpleFacets#getGroupedCounts): facet.field
+    # legs count each GROUP once per bucket instead of each doc. The
+    # engine's grouped counting is exact only for the segment-local
+    # block key, so the pinned subset requires grouping by conv_id.
+    group_facet = bool(params.get("group.facet", False))
+    if group_facet:
+        if not params.get("group", False) \
+                or params.get("group.field") != "conv_id":
+            raise ValueError(
+                "group.facet=true needs group=true and group.field="
+                "conv_id (grouped facet counts are exact only for the "
+                "segment-local block key)")
     # facet.method — Solr's enum/fc/uif pick maps onto this engine's
     # exact-single-shuffle vs two-phase-refine choice: auto = the
     # cardinality heuristic (default), refine = force two-phase,
@@ -1352,6 +1365,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_method": facet_method,
         "facet_exists": facet_exists,
         "facet_overrides": facet_overrides,
+        "group_facet": group_facet,
         "collapse": collapse,
         "expand": (expand_rows if expand else None),
         "elevate": elevate,
@@ -1909,6 +1923,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             prefix=ov.get("prefix", o["facet_prefix"]),
             contains=o.get("facet_contains"),
             contains_ignore_case=o.get("facet_contains_ic", False),
+            group_by="conv_id" if o.get("group_facet") else None,
             offset=ov.get("offset", o["facet_offset"]),
             exclude_terms=o["facet_exclude_terms"],
             exclude_fields=ex_fields,

@@ -10720,6 +10720,47 @@ LIMIT 5
 )
 
 
+_SELECT_GROUP_FACET_REQ = {
+    "q": "merge", "rows": 2, "group": True, "group.field": "conv_id",
+    "group.facet": True, "facet.field": "role", "facet.limit": 10,
+}
+
+
+def _select_group_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.facet=true (SimpleFacets#getGroupedCounts): the
+    facet.field leg counts each CONVERSATION once per role bucket
+    over the 'merge' domain — exact and shuffle-free because conv
+    blocks are segment-local (the same invariant behind the grouped
+    facet engine). A doc-counting leg would report turn counts —
+    different values on every bucket.
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (getGroupedCounts via TermGroupFacetCollector)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_GROUP_FACET_REQ)["facet_counts"]["role"]
+
+
+register(
+    "q_select_group_facet",
+    _select_group_facet,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, role,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT role AS facet_value,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS cnt
+FROM docs WHERE list_contains(toks, 'merge')
+GROUP BY role
+ORDER BY cnt DESC, facet_value
+LIMIT 10
+""".strip(),
+)
+
+
 _SELECT_SPELLCHECK_Q_REQ = {
     "q": "data", "rows": 0, "spellcheck": True,
     "spellcheck.q": "mrege tabel", "spellcheck.collate": True,

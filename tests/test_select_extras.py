@@ -408,3 +408,21 @@ def test_spellcheck_q_independent_of_main_query(spark, sf_dir):
     assert base["spellcheck"].collect() == []
     with pytest.raises(ValueError, match="need spellcheck=true"):
         parse_select_params({"q": "m", "spellcheck.q": "mrege"})
+
+
+def test_group_facet_counts_conversations(spark, sf_dir):
+    """group.facet=true: role buckets count DISTINCT conversations in
+    the domain (vs turn counts without it); needs group.field=conv_id."""
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "merge", "rows": 2, "group": True,
+            "group.field": "conv_id", "facet.field": "role",
+            "facet.limit": 10}
+    grouped = select(s, {**base, "group.facet": True})[
+        "facet_counts"]["role"].collect()
+    plain = select(s, base)["facet_counts"]["role"].collect()
+    g = {r.facet_value: r.cnt for r in grouped}
+    p = {r.facet_value: r.cnt for r in plain}
+    assert g and all(g[k] <= p[k] for k in g)
+    with pytest.raises(ValueError, match="group.field=conv_id"):
+        parse_select_params({"q": "m", "group": True,
+                             "group.field": "role", "group.facet": True})
