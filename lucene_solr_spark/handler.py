@@ -39,7 +39,7 @@ from lucene_solr_spark.query.parser import edismax, parse
 #: (Solr rejects unknown critical params rather than guessing)
 _KNOWN = {
     "q", "q.op", "fq", "sort", "start", "rows", "fl", "cursorMark",
-    "wt", "sortMissing",
+    "wt", "sortMissing", "NOW",
     "facet", "facet.field", "facet.limit", "facet.sort",
     "facet.missing",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
@@ -934,11 +934,37 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             # start/end, gap = a DateMath step like +1HOUR / +1MONTH
             # applied bound-by-bound (month arithmetic clamps like
             # DateMathParser); hardend=false — the last bucket runs
-            # to start+n*gap even past end
-            r_start = _parse_solr_date(params["facet.range.start"])
-            r_end = _parse_solr_date(params["facet.range.end"])
-            r_gap = str(params["facet.range.gap"])
+            # to start+n*gap even past end. Bounds may be DateMath
+            # expressions anchored at the NOW param (epoch millis) —
+            # Solr's distributed-determinism rule: the coordinator
+            # pins NOW and forwards it so every shard computes the
+            # SAME boundaries; here the pinned NOW makes the request
+            # reproducible across runs and executors, so relative
+            # bounds REQUIRE it (a wall-clock default would break
+            # the engine's determinism contract).
+            # ref: solr/solrj/src/java/org/apache/solr/common/params/
+            # CommonParams.java (NOW) + solr/core/.../util/
+            # DateMathParser.java
             from lucene_solr_spark.query.datemath import parse as _dm
+
+            def _range_bound(raw, which):
+                raw = str(raw)
+                if raw.startswith("NOW"):
+                    if "NOW" not in params:
+                        raise ValueError(
+                            f"facet.range.{which} uses DateMath "
+                            "relative to NOW: pin it with the NOW "
+                            "param (epoch millis), like Solr's "
+                            "coordinator does for every shard")
+                    import datetime as _dtmod
+                    now_dt = _dtmod.datetime.utcfromtimestamp(
+                        int(params["NOW"]) / 1000.0)
+                    return _dm(raw, now=now_dt)
+                return _parse_solr_date(raw)
+
+            r_start = _range_bound(params["facet.range.start"], "start")
+            r_end = _range_bound(params["facet.range.end"], "end")
+            r_gap = str(params["facet.range.gap"])
             if not re.fullmatch(r"\+\d+[A-Z]+", r_gap):
                 raise ValueError(
                     f"facet.range.gap on ts must be a +<n><UNIT> "

@@ -10761,6 +10761,57 @@ LIMIT 10
 )
 
 
+_SELECT_RANGE_NOW_REQ = {
+    "q": "data", "rows": 0,
+    "facet.range": "ts",
+    "facet.range.start": "NOW/HOUR-6HOURS",
+    "facet.range.end": "NOW/HOUR+1HOUR",
+    "facet.range.gap": "+2HOURS",
+    # 2024-01-01T12:34:56.789Z — the pinned coordinator clock
+    "NOW": 1704112496789,
+}
+
+
+def _select_range_date_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateMath-relative facet.range bounds anchored at the NOW param
+    (epoch millis) — Solr's distributed-determinism rule: the
+    coordinator pins NOW and forwards it so every shard computes the
+    SAME bucket boundaries; this engine requires the pin for relative
+    bounds (a wall-clock default would make the request
+    irreproducible). NOW/HOUR-6HOURS..NOW/HOUR+1HOUR at +2HOURS gaps
+    = the 06:00..13:00 window bucketed [06,08,10,12] (hardend=false:
+    the last bucket runs its full gap past end).
+    ref: solr/solrj/.../params/CommonParams.java (NOW) +
+    solr/core/.../util/DateMathParser.java + facet/FacetRange.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_RANGE_NOW_REQ)["facet_ranges"]["ts"]
+
+
+register(
+    "q_select_range_date_now",
+    _select_range_date_now,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT ts FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'data')
+    AND ts >= TIMESTAMP '2024-01-01 06:00:00'
+    AND ts < TIMESTAMP '2024-01-01 14:00:00')
+SELECT strftime(to_timestamp(
+         epoch(TIMESTAMP '2024-01-01 06:00:00')
+         + 7200 * (CAST(epoch(ts) - epoch(TIMESTAMP '2024-01-01 06:00:00')
+                   AS BIGINT) // 7200)), '%Y-%m-%d %H:%M:%S')
+         AS bucket_start,
+       count(*) AS cnt
+FROM dom
+GROUP BY 1 ORDER BY bucket_start
+""".strip(),
+)
+
+
 _SELECT_SPELLCHECK_Q_REQ = {
     "q": "data", "rows": 0, "spellcheck": True,
     "spellcheck.q": "mrege tabel", "spellcheck.collate": True,

@@ -426,3 +426,22 @@ def test_group_facet_counts_conversations(spark, sf_dir):
     with pytest.raises(ValueError, match="group.field=conv_id"):
         parse_select_params({"q": "m", "group": True,
                              "group.field": "role", "group.facet": True})
+
+
+def test_facet_range_now_pin_required(spark, sf_dir):
+    """DateMath-relative range bounds need the pinned NOW param; the
+    pinned request equals the absolute-bounds spelling."""
+    s = cached_searcher(spark, sf_dir)
+    rel = {"q": "data", "rows": 0, "facet.range": "ts",
+           "facet.range.start": "NOW/HOUR-6HOURS",
+           "facet.range.end": "NOW/HOUR+1HOUR",
+           "facet.range.gap": "+2HOURS"}
+    with pytest.raises(ValueError, match="NOW param"):
+        select(s, rel)
+    got = select(s, {**rel, "NOW": 1704112496789})[
+        "facet_ranges"]["ts"].collect()
+    absolute = select(s, {**rel,
+                          "facet.range.start": "2024-01-01T06:00:00Z",
+                          "facet.range.end": "2024-01-01T13:00:00Z"})[
+        "facet_ranges"]["ts"].collect()
+    assert got == absolute and got
