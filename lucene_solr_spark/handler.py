@@ -1066,9 +1066,12 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     if params.get("stats", False) and not stats_fields:
         raise ValueError("stats=true needs at least one stats.field")
     for sf in stats_fields:
-        if sf not in _AGG_COLS:
+        # ts gets the DATE stats shape (StatsValuesFactory
+        # DateStatsValues): min/max/count/missing — ordering
+        # aggregates only, no sum/mean/stddev arithmetic on instants
+        if sf not in _AGG_COLS | {"ts"}:
             raise ValueError(f"stats.field must be one of "
-                             f"{sorted(_AGG_COLS)}, got {sf!r}")
+                             f"{sorted(_AGG_COLS | {'ts'})}, got {sf!r}")
     # stats.facet: per-facet-value stats sub-blocks (the classic
     # pre-json.facet spelling; single-valued group fields only, like
     # StatsValuesFactory's facet handling)
@@ -2046,6 +2049,18 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["stats"] = {}
 
         def _stats_aggs(sf_: str) -> list:
+            if sf_ == "ts":
+                # DateStatsValues subset: ordering aggregates only,
+                # min/max stringified (the pinned timestamp rule)
+                return [
+                    F.date_format(F.min(sf_), "yyyy-MM-dd HH:mm:ss")
+                    .alias("min"),
+                    F.date_format(F.max(sf_), "yyyy-MM-dd HH:mm:ss")
+                    .alias("max"),
+                    F.count(sf_).cast("long").alias("cnt"),
+                    (F.count("*") - F.count(sf_)).cast("long")
+                    .alias("missing"),
+                ]
             return [
                 F.min(sf_).cast("long").alias("min"),
                 F.max(sf_).cast("long").alias("max"),

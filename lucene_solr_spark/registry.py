@@ -10812,6 +10812,43 @@ GROUP BY 1 ORDER BY bucket_start
 )
 
 
+_SELECT_STATS_DATE_REQ = {
+    "q": "merge", "rows": 0, "stats": True, "stats.field": "ts",
+}
+
+
+def _select_stats_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.field on a DATE docvalues column (StatsValuesFactory
+    DateStatsValues): min/max/count/missing over the 'merge' domain —
+    ordering aggregates only (no sum/mean arithmetic on instants),
+    min/max stringified per the engine's pinned timestamp rule. One
+    partial-aggregating narrow job, same as the numeric leg.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    StatsValuesFactory.java (DateStatsValues)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_STATS_DATE_REQ)["stats"]["ts"]
+
+
+register(
+    "q_select_stats_date",
+    _select_stats_date,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT ts FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'merge'))
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max,
+       CAST(count(ts) AS BIGINT) AS cnt,
+       CAST(count(*) - count(ts) AS BIGINT) AS missing
+FROM dom
+""".strip(),
+)
+
+
 _SELECT_SPELLCHECK_Q_REQ = {
     "q": "data", "rows": 0, "spellcheck": True,
     "spellcheck.q": "mrege tabel", "spellcheck.collate": True,
