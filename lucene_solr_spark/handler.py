@@ -921,7 +921,24 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     facet_range = None
     range_subs = {"facet.range.start", "facet.range.end", "facet.range.gap"}
     if "facet.range" in params:
-        fld = params["facet.range"]
+        raw_rf = str(params["facet.range"])
+        # multi-select on the range leg ({!ex=tag}field — the price-
+        # slider pattern: the slider's own fq must not narrow its
+        # facet): same tag map + field-keyed exclusion as facet.field
+        m_rf = _EX_RE.match(raw_rf)
+        rf_ex: tuple = ()
+        if m_rf:
+            ex_rf: set[str] = set()
+            for tag in m_rf.group(1).split(","):
+                if tag not in tag_fields:
+                    raise ValueError(
+                        f"facet.range {raw_rf!r}: unknown ex tag "
+                        f"{tag!r} (declared: {sorted(tag_fields)})")
+                ex_rf |= tag_fields[tag]
+            rf_ex = tuple(sorted(ex_rf))
+            fld = m_rf.group(2)
+        else:
+            fld = raw_rf
         if fld not in _AGG_COLS | {"ts"}:
             raise ValueError(f"facet.range field must be one of "
                              f"{sorted(_AGG_COLS | {'ts'})}, got {fld!r}")
@@ -995,7 +1012,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             raise ValueError("facet.range.hardend applies to numeric "
                              "ranges (the date path is pinned "
                              "hardend=false)")
-        facet_range = (fld, r_start, r_end, r_gap, r_hardend)
+        facet_range = (fld, r_start, r_end, r_gap, r_hardend, rf_ex)
     elif range_subs & set(params):
         raise ValueError("facet.range.start/end/gap need facet.range")
     elif "facet.range.hardend" in params:
@@ -1977,16 +1994,27 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             for raw, f_spec in o["facet_queries"]
         }
     if o["facet_range"]:
-        fld, r_start, r_end, r_gap, r_hardend = o["facet_range"]
+        fld, r_start, r_end, r_gap, r_hardend, rf_ex = o["facet_range"]
+        if rf_ex:
+            # {!ex}: drop the tagged fq constraints from THIS range
+            # facet's domain only (filters are rewrite-independent,
+            # so the exclusion applies to the request spec directly)
+            from lucene_solr_spark.query.executor import (
+                _exclude_filter_fields,
+            )
+
+            r_spec = _exclude_filter_fields(spec, rf_ex)
+        else:
+            r_spec = spec
         if fld == "ts":
             out["facet_ranges"] = {
-                fld: _date_range_buckets(searcher, spec, fld,
+                fld: _date_range_buckets(searcher, r_spec, fld,
                                          r_start, r_end, r_gap)
             }
             eff_end = r_end
         else:
             out["facet_ranges"] = {
-                fld: _range_buckets(searcher, spec, fld, r_start,
+                fld: _range_buckets(searcher, r_spec, fld, r_start,
                                     r_end, r_gap, hardend=r_hardend)
             }
             # the 'other' boundary follows the hardend-adjusted last
@@ -1997,7 +2025,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             )
         if o["facet_range_other"]:
             out["facet_ranges_other"] = {
-                fld: _range_other(searcher, spec, fld, r_start, eff_end,
+                fld: _range_other(searcher, r_spec, fld, r_start, eff_end,
                                   o["facet_range_other"])
             }
     if o["facet_interval"]:

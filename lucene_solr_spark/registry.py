@@ -10812,6 +10812,47 @@ GROUP BY 1 ORDER BY bucket_start
 )
 
 
+_SELECT_RANGE_EX_REQ = {
+    "q": "data", "rows": 0,
+    "fq": ["{!tag=tw}turn_idx:[2 TO 4]", "role:assistant"],
+    "facet.range": "{!ex=tw}turn_idx",
+    "facet.range.start": 0, "facet.range.end": 8, "facet.range.gap": 2,
+}
+
+
+def _select_range_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select on the RANGE facet — the price-slider pattern:
+    fq={!tag=tw}turn_idx:[2 TO 4] narrows the doclist, but
+    facet.range={!ex=tw}turn_idx histograms the full 0..8 band over
+    data+role:assistant with the slider's own constraint dropped
+    (otherwise buckets outside the selected range could never show).
+    The untagged role fq keeps applying. A non-excluding engine would
+    return only the [2,4] buckets.
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (computeDocSet ex-tag handling) + facet/FacetRange.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_RANGE_EX_REQ)["facet_ranges"]["turn_idx"]
+
+
+register(
+    "q_select_range_ex",
+    _select_range_ex,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT turn_idx FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'data')
+    AND role = 'assistant' AND turn_idx >= 0 AND turn_idx < 8)
+SELECT CAST((turn_idx // 2) * 2 AS BIGINT) AS bucket_start,
+       count(*) AS cnt
+FROM dom GROUP BY 1 ORDER BY bucket_start
+""".strip(),
+)
+
+
 _SELECT_STATS_DATE_REQ = {
     "q": "merge", "rows": 0, "stats": True, "stats.field": "ts",
 }

@@ -445,3 +445,26 @@ def test_facet_range_now_pin_required(spark, sf_dir):
                           "facet.range.end": "2024-01-01T13:00:00Z"})[
         "facet_ranges"]["ts"].collect()
     assert got == absolute and got
+
+
+def test_range_facet_multiselect_exclusion(spark, sf_dir):
+    """{!ex} on facet.range: the slider's tagged fq drops from the
+    range facet's domain only — buckets equal the request without the
+    slider fq; the doclist keeps honoring it."""
+    s = cached_searcher(spark, sf_dir)
+    base = {"q": "data", "rows": 0, "facet.range": "turn_idx",
+            "facet.range.start": 0, "facet.range.end": 8,
+            "facet.range.gap": 2}
+    ex = select(s, {**base, "fq": ["{!tag=tw}turn_idx:[2 TO 4]",
+                                   "role:assistant"],
+                    "facet.range": "{!ex=tw}turn_idx"})
+    no_slider = select(s, {**base, "fq": "role:assistant"})
+    assert (ex["facet_ranges"]["turn_idx"].collect()
+            == no_slider["facet_ranges"]["turn_idx"].collect())
+    # numFound still honors the slider constraint
+    with_slider = select(s, {**base, "fq": ["turn_idx:[2 TO 4]",
+                                            "role:assistant"]})
+    assert ex["numFound"] == with_slider["numFound"] \
+        < no_slider["numFound"]
+    with pytest.raises(ValueError, match="unknown ex tag"):
+        parse_select_params({**base, "facet.range": "{!ex=zz}turn_idx"})
