@@ -457,20 +457,46 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                 raise ValueError(
                     f"json.facet {name!r}: unknown keys {sorted(unknown)}")
             fld = req.get("field")
-            if fld not in _AGG_COLS:
+            if fld not in _AGG_COLS | {"ts"}:
                 raise ValueError(f"json.facet {name!r}: range field must "
-                                 f"be one of {sorted(_AGG_COLS)}, got "
-                                 f"{fld!r}")
-            try:
-                start_v = int(req["start"])
-                end_v = int(req["end"])
-                gap = int(req["gap"])
-            except (KeyError, TypeError, ValueError):
-                raise ValueError(f"json.facet {name!r}: integer start/"
-                                 "end/gap required") from None
-            if gap <= 0 or end_v <= start_v:
-                raise ValueError(f"json.facet {name!r}: need gap > 0 and "
-                                 "end > start")
+                                 f"be one of {sorted(_AGG_COLS | {'ts'})},"
+                                 f" got {fld!r}")
+            if fld == "ts":
+                # DATE range (the JSON-API spelling of the classic ts
+                # leg): ISO start/end, gap = a +<n><UNIT> DateMath
+                # step applied bound-by-bound; pinned hardend=false
+                try:
+                    start_v = _parse_solr_date(req["start"])
+                    end_v = _parse_solr_date(req["end"])
+                    gap = str(req["gap"])
+                except KeyError:
+                    raise ValueError(
+                        f"json.facet {name!r}: start/end/gap "
+                        "required") from None
+                from lucene_solr_spark.query.datemath import (
+                    parse as _dm_jf,
+                )
+                if not re.fullmatch(r"\+\d+[A-Z]+", gap):
+                    raise ValueError(
+                        f"json.facet {name!r}: gap on ts must be a "
+                        f"+<n><UNIT> DateMath step, got {gap!r}")
+                if _dm_jf(f"NOW{gap}", now=start_v) <= start_v:
+                    raise ValueError(
+                        f"json.facet {name!r}: gap must advance time")
+                if end_v <= start_v:
+                    raise ValueError(
+                        f"json.facet {name!r}: need end > start")
+            else:
+                try:
+                    start_v = int(req["start"])
+                    end_v = int(req["end"])
+                    gap = int(req["gap"])
+                except (KeyError, TypeError, ValueError):
+                    raise ValueError(f"json.facet {name!r}: integer "
+                                     "start/end/gap required") from None
+                if gap <= 0 or end_v <= start_v:
+                    raise ValueError(f"json.facet {name!r}: need gap > 0 "
+                                     "and end > start")
             # other (FacetRange other): before/after/between special
             # rows alongside the buckets — 'all' or a list; the
             # JSON-API spelling of facet.range.other
@@ -2467,14 +2493,22 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     )
             elif req[0] == "range":
                 _, fld, start_v, end_v, gap, o_kinds = req
-                out["facets"][name] = _range_buckets(
-                    searcher, spec, fld, start_v, end_v, gap
-                )
-                if o_kinds:
+                if fld == "ts":
+                    out["facets"][name] = _date_range_buckets(
+                        searcher, spec, fld, start_v, end_v, gap
+                    )
+                    # date path: 'other' boundary is the raw end (the
+                    # classic ts leg's pinned rule)
+                    eff = end_v
+                else:
+                    out["facets"][name] = _range_buckets(
+                        searcher, spec, fld, start_v, end_v, gap
+                    )
                     # hardend has no JSON spelling here: the json leg
                     # is pinned hardend=false, so the 'other' boundary
                     # is the gap-padded end
                     eff = start_v + -(-(end_v - start_v) // gap) * gap
+                if o_kinds:
                     out["facets"][f"{name}:other"] = _range_other(
                         searcher, spec, fld, start_v, eff, o_kinds
                     )

@@ -10853,6 +10853,52 @@ FROM dom GROUP BY 1 ORDER BY bucket_start
 )
 
 
+_SELECT_JF_RANGE_DATE_REQ = {
+    "q": "merge", "rows": 0,
+    "json.facet": ('{"rd": {"type": "range", "field": "ts",'
+                   ' "start": "2024-01-01T06:00:00Z",'
+                   ' "end": "2024-01-01T13:00:00Z",'
+                   ' "gap": "+2HOURS"}}'),
+}
+
+
+def _select_jf_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet DATE range buckets — the JSON-API spelling of the
+    classic ts range leg: ISO start/end, DateMath +2HOURS gap applied
+    bound-by-bound, non-empty buckets only, hardend=false (the last
+    bucket runs its full gap past end). Same broadcast (lo,hi) range
+    join as the classic leg. ref: solr/core/src/java/org/apache/solr/
+    search/facet/FacetRange.java (date gap handling via
+    DateMathParser)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_JF_RANGE_DATE_REQ)["facets"]["rd"]
+
+
+register(
+    "q_select_jf_range_date",
+    _select_jf_range_date,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+dom AS (
+  SELECT ts FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'merge')
+    AND ts >= TIMESTAMP '2024-01-01 06:00:00'
+    AND ts < TIMESTAMP '2024-01-01 14:00:00')
+SELECT strftime(to_timestamp(
+         epoch(TIMESTAMP '2024-01-01 06:00:00')
+         + 7200 * (CAST(epoch(ts) - epoch(TIMESTAMP '2024-01-01 06:00:00')
+                   AS BIGINT) // 7200)), '%Y-%m-%d %H:%M:%S')
+         AS bucket_start,
+       count(*) AS cnt
+FROM dom
+GROUP BY 1 ORDER BY bucket_start
+""".strip(),
+)
+
+
 _SELECT_STATS_DATE_REQ = {
     "q": "merge", "rows": 0, "stats": True, "stats.field": "ts",
 }

@@ -468,3 +468,28 @@ def test_range_facet_multiselect_exclusion(spark, sf_dir):
         < no_slider["numFound"]
     with pytest.raises(ValueError, match="unknown ex tag"):
         parse_select_params({**base, "facet.range": "{!ex=zz}turn_idx"})
+
+
+def test_jf_range_date_equals_classic(spark, sf_dir):
+    """json.facet ts range == the classic facet.range ts leg (same
+    helper, same pinned contract); 'other' rides the date domain too."""
+    import json as _json
+    s = cached_searcher(spark, sf_dir)
+    jf = select(s, {"q": "data", "rows": 0, "json.facet": _json.dumps(
+        {"rd": {"type": "range", "field": "ts",
+                "start": "2024-01-01T06:00:00Z",
+                "end": "2024-01-01T13:00:00Z", "gap": "+2HOURS",
+                "other": "all"}})})
+    classic = select(s, {"q": "data", "rows": 0, "facet.range": "ts",
+                         "facet.range.start": "2024-01-01T06:00:00Z",
+                         "facet.range.end": "2024-01-01T13:00:00Z",
+                         "facet.range.gap": "+2HOURS"})
+    assert (jf["facets"]["rd"].collect()
+            == classic["facet_ranges"]["ts"].collect())
+    other = jf["facets"]["rd:other"].collect()[0]
+    assert other.before >= 0 and other.after >= 0 and other.between > 0
+    with pytest.raises(ValueError, match="DateMath step"):
+        parse_select_params({"q": "d", "rows": 0, "json.facet": _json.dumps(
+            {"rd": {"type": "range", "field": "ts",
+                    "start": "2024-01-01T06:00:00Z",
+                    "end": "2024-01-01T13:00:00Z", "gap": 2}})})
