@@ -1936,6 +1936,28 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             aug = aug.join(per_doc, ["conv_id", "turn_idx"], "left")
         page = aug.orderBy("rn").drop("rn")
     if o["fl"]:
+        missing_fl = [f for f in o["fl"] if f not in page.columns]
+        if missing_fl:
+            # stored/docvalues fl fields on a score-sorted page
+            # hydrate via ONE page-bounded join: ≤ start+rows keys
+            # broadcast against the PRUNED docmap columns (Solr's
+            # per-page stored-fields fetch); rn carries the page
+            # order through the join
+            dm_all = set(searcher.docmap().columns)
+            bad_fl = [f for f in missing_fl if f not in dm_all]
+            if bad_fl:
+                raise ValueError(
+                    f"unknown fl fields: {sorted(bad_fl)}")
+            vals = (
+                searcher.docmap()
+                .select("conv_id", "turn_idx", *missing_fl)
+                .join(F.broadcast(page_keys), ["conv_id", "turn_idx"])
+            )
+            page = (
+                page.join(F.broadcast(vals),
+                          ["conv_id", "turn_idx"], "left")
+                .orderBy("rn").drop("rn")
+            )
         page = page.select(*o["fl"])
     page = _encode_wt(page, o["wt"])
     if (o["facet_fields"] or o["json_facets"] or o["facet_queries"]

@@ -10853,6 +10853,41 @@ FROM dom GROUP BY 1 ORDER BY bucket_start
 )
 
 
+_SELECT_FL_DV_SPEC = BooleanSpec(must=("merge",), k=10)
+
+
+def _select_fl_docvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl naming stored/docvalues fields on a SCORE-sorted page:
+    role/tool hydrate via ONE page-bounded broadcast join of the ≤
+    start+rows page keys against the pruned docmap columns — Solr's
+    per-page stored-fields fetch (the doclist never drags docvalues
+    through the scorer). ref: solr/core/src/java/org/apache/solr/
+    response/DocsStreamer.java (stored-fields hydration per page) +
+    search/SolrReturnFields.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {"q": "merge", "rows": 10,
+                      "fl": "conv_id,turn_idx,role,tool,score"})[
+        "response"]
+
+
+register(
+    "q_select_fl_docvalues",
+    _select_fl_docvalues,
+    f"""
+SELECT b.conv_id, b.turn_idx, t.role, t.tool, b.score
+FROM (
+{bm25_oracle_sql(_SELECT_FL_DV_SPEC)}
+) b JOIN (
+  WITH {TRANSCRIPTS_ORACLE_CTE}
+  SELECT conv_id, turn_idx, role, tool FROM transcripts
+) t USING (conv_id, turn_idx)
+ORDER BY b.score DESC, b.conv_id, b.turn_idx
+""".strip(),
+)
+
+
 _SELECT_JF_RANGE_DATE_REQ = {
     "q": "merge", "rows": 0,
     "json.facet": ('{"rd": {"type": "range", "field": "ts",'

@@ -493,3 +493,19 @@ def test_jf_range_date_equals_classic(spark, sf_dir):
             {"rd": {"type": "range", "field": "ts",
                     "start": "2024-01-01T06:00:00Z",
                     "end": "2024-01-01T13:00:00Z", "gap": 2}})})
+
+
+def test_fl_docvalues_hydration(spark, sf_dir):
+    """fl stored/docvalues fields hydrate on the score-sorted page via
+    the page-bounded docmap join; order and scores are unchanged, and
+    unknown fields raise."""
+    s = cached_searcher(spark, sf_dir)
+    plain = select(s, {"q": "merge", "rows": 5})["response"].collect()
+    fl = select(s, {"q": "merge", "rows": 5,
+                    "fl": "conv_id,turn_idx,role,score"})[
+        "response"].collect()
+    assert [(r.conv_id, r.turn_idx, r.score) for r in fl] \
+        == [(r.conv_id, r.turn_idx, r.score) for r in plain]
+    assert all(r.role is not None for r in fl)
+    with pytest.raises(ValueError, match="unknown fl"):
+        select(s, {"q": "merge", "rows": 2, "fl": "conv_id,nope"})
