@@ -2893,7 +2893,7 @@ def json_request(searcher, body: dict,
 #: /terms handler param surface (TermsComponent front door)
 _TERMS_KNOWN = {
     "terms.fl", "terms.prefix", "terms.regex", "terms.limit",
-    "terms.mincount", "terms.sort", "terms.ttf",
+    "terms.mincount", "terms.maxcount", "terms.sort", "terms.ttf",
     "terms.lower", "terms.upper", "terms.lower.incl", "terms.upper.incl",
     "terms.list",
 }
@@ -2935,6 +2935,11 @@ def terms(searcher, params: dict) -> DataFrame:
     mincount = int(params.get("terms.mincount", 1))
     if limit < 1 or mincount < 1:
         raise ValueError("terms.limit and terms.mincount must be >= 1")
+    # terms.maxcount (TermsComponent): upper df gate — -1 = unbounded
+    # (the Solr default); composes with mincount as a [min, max] band
+    maxcount = int(params.get("terms.maxcount", -1))
+    if maxcount != -1 and maxcount < mincount:
+        raise ValueError("terms.maxcount must be -1 or >= terms.mincount")
     sort = params.get("terms.sort", "count")
     if sort not in ("count", "index"):
         raise ValueError(f"terms.sort must be count|index: {sort!r}")
@@ -2986,6 +2991,8 @@ def terms(searcher, params: dict) -> DataFrame:
     out = dicts.groupBy("term").agg(*aggs).filter(
         F.col("df") >= mincount
     )
+    if maxcount != -1:
+        out = out.filter(F.col("df") <= maxcount)
     order = (
         [F.desc("df"), F.asc("term")] if sort == "count"
         else [F.asc("term")]

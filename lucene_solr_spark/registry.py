@@ -10853,6 +10853,40 @@ FROM dom GROUP BY 1 ORDER BY bucket_start
 )
 
 
+def _terms_maxcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms.maxcount: the upper docFreq gate (TermsComponent) —
+    composes with terms.mincount as a [min, max] band over the
+    dictionary-stat aggregation; -1 (the default) is unbounded. Rare-
+    but-not-hapax s-terms here: 2 <= df <= 30, index order.
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    TermsComponent.java (TermsParams.TERMS_MAXCOUNT)."""
+    from lucene_solr_spark.handler import terms as terms_handler
+
+    s = cached_searcher(spark, sf_dir)
+    return terms_handler(s, {
+        "terms.prefix": "s", "terms.mincount": 2, "terms.maxcount": 30,
+        "terms.sort": "index", "terms.limit": 15,
+    })
+
+
+register(
+    "q_terms_maxcount",
+    _terms_maxcount,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+          WHERE term LIKE 's%' GROUP BY term)
+SELECT term, df FROM dfreq
+WHERE df >= 2 AND df <= 30
+ORDER BY term LIMIT 15
+""".strip(),
+)
+
+
 _SELECT_FL_DV_SPEC = BooleanSpec(must=("merge",), k=10)
 
 

@@ -509,3 +509,22 @@ def test_fl_docvalues_hydration(spark, sf_dir):
     assert all(r.role is not None for r in fl)
     with pytest.raises(ValueError, match="unknown fl"):
         select(s, {"q": "merge", "rows": 2, "fl": "conv_id,nope"})
+
+
+def test_terms_maxcount_band(spark, sf_dir):
+    """terms.maxcount caps df; [mincount, maxcount] band composes, -1
+    is unbounded, maxcount < mincount raises."""
+    from lucene_solr_spark.handler import terms as terms_handler
+    s = cached_searcher(spark, sf_dir)
+    band = terms_handler(s, {"terms.prefix": "s", "terms.mincount": 2,
+                             "terms.maxcount": 400, "terms.limit": 100,
+                             "terms.sort": "index"}).collect()
+    assert band and all(2 <= r.df <= 400 for r in band)
+    unb = terms_handler(s, {"terms.prefix": "s", "terms.mincount": 2,
+                            "terms.maxcount": -1, "terms.limit": 100,
+                            "terms.sort": "index"}).collect()
+    assert len(unb) > len(band)
+    assert [r.term for r in band] == [
+        r.term for r in unb if r.df <= 400]
+    with pytest.raises(ValueError, match="maxcount"):
+        terms_handler(s, {"terms.mincount": 5, "terms.maxcount": 2})
