@@ -559,6 +559,63 @@ def _facet_field_overrides(params: dict) -> dict[str, dict]:
     return out
 
 
+def _split_fl(raw: str) -> list[str]:
+    """Split an fl string on commas OUTSIDE parentheses (function
+    pseudo-fields carry comma-separated args)."""
+    parts, depth, cur = [], 0, []
+    for ch in str(raw):
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+#: fl function pseudo-field grammar — the same pinned ValueSource
+#: family as {!boost} and sort-by-function. ref: solr/core/src/java/
+#: org/apache/solr/search/SolrReturnFields.java (function parsing via
+#: FunctionQParser) + ValueSourceParser (log/sqrt/recip)
+_FL_FUNC_RE = re.compile(
+    r"^(\w+):(log|sqrt|recip)\(([a-z_][\w]*)((?:,-?\d+(?:\.\d+)?){0,3})\)$"
+)
+_FL_FUNC_COLS = {"doc_len", "turn_idx"}
+
+
+def _parse_fl_func(f: str) -> tuple:
+    """``alias:func(col[,args])`` → (alias, col, spark_column_fn)."""
+    m = _FL_FUNC_RE.match(f)
+    if not m:
+        raise ValueError(
+            f"unsupported fl pseudo-field {f!r} (alias:log(col)|"
+            "sqrt(col)|recip(col,m,a,b) over numeric docvalues)")
+    alias, kind, col, args_s = m.groups()
+    if col not in _FL_FUNC_COLS:
+        raise ValueError(
+            f"fl function column must be numeric docvalues "
+            f"{sorted(_FL_FUNC_COLS)}, got {col!r}")
+    args = [float(a) for a in args_s.lstrip(",").split(",") if a]
+    if kind == "log":
+        if args:
+            raise ValueError(f"log takes no extra args: {f!r}")
+        fn = lambda: F.round(F.log10(F.col(col) + F.lit(0.0)), 4)  # noqa: E731
+    elif kind == "sqrt":
+        if args:
+            raise ValueError(f"sqrt takes no extra args: {f!r}")
+        fn = lambda: F.round(F.sqrt(F.col(col) + F.lit(0.0)), 4)  # noqa: E731
+    else:
+        if len(args) != 3:
+            raise ValueError(f"recip wants (col,m,a,b): {f!r}")
+        m_c, a_c, b_c = args
+        fn = lambda: F.round(  # noqa: E731
+            F.lit(a_c) / (F.lit(m_c) * F.col(col) + F.lit(b_c)), 4)
+    return (alias, col, fn)
+
+
 def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     """params dict → (combined BooleanSpec, normalized options)."""
     facet_overrides = _facet_field_overrides(params)
@@ -1352,9 +1409,10 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     fl_raw = params.get("fl")
     fl_entries: list[str] | None = None
     fl_transformers: list[str] = []
+    fl_funcs: list[tuple] = []
     if fl_raw is not None:
         parts_fl = (
-            [p.strip() for p in fl_raw.split(",")]
+            _split_fl(fl_raw)
             if isinstance(fl_raw, str) else [str(p) for p in fl_raw]
         )
         fl_entries = []
@@ -1367,6 +1425,14 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                         "([docid]|[shard]|[explain]|[elevated])")
                 fl_transformers.append(name)
                 fl_entries.append(name)
+            elif ":" in f:
+                # function pseudo-field (SolrReturnFields alias:func):
+                # the same pinned ValueSource family as {!boost}/sort-
+                # by-function — log (log10), sqrt, recip(col,m,a,b)
+                # over the numeric docvalues columns, 4dp-rounded
+                # (the engine's pinned float rule)
+                fl_funcs.append(_parse_fl_func(f))
+                fl_entries.append(f.split(":", 1)[0])
             else:
                 fl_entries.append(f)
         if "elevated" in fl_transformers and elevate is None:
@@ -1419,6 +1485,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "wt": wt,
         "fl": fl_entries,
         "fl_transformers": fl_transformers,
+        "fl_funcs": fl_funcs,
         "facet_fields": list(facet_fields),
         "facet_limit": int(params.get("facet.limit", 10)),
         "facet_sort": facet_sort,
@@ -1936,7 +2003,17 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             aug = aug.join(per_doc, ["conv_id", "turn_idx"], "left")
         page = aug.orderBy("rn").drop("rn")
     if o["fl"]:
-        missing_fl = [f for f in o["fl"] if f not in page.columns]
+        func_aliases = {a for a, _, _ in o.get("fl_funcs", ())}
+        bad_alias = func_aliases & set(page.columns)
+        if bad_alias:
+            raise ValueError(
+                f"fl pseudo-field alias collides with a real column: "
+                f"{sorted(bad_alias)}")
+        func_bases = [c for _, c, _ in o.get("fl_funcs", ())
+                      if c not in page.columns]
+        missing_fl = [f for f in o["fl"]
+                      if f not in page.columns and f not in func_aliases]
+        missing_fl += [c for c in func_bases if c not in missing_fl]
         if missing_fl:
             # stored/docvalues fl fields on a score-sorted page
             # hydrate via ONE page-bounded join: ≤ start+rows keys
@@ -1958,6 +2035,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                           ["conv_id", "turn_idx"], "left")
                 .orderBy("rn").drop("rn")
             )
+        for alias, _, fn in o.get("fl_funcs", ()):
+            page = page.withColumn(alias, fn())
         page = page.select(*o["fl"])
     page = _encode_wt(page, o["wt"])
     if (o["facet_fields"] or o["json_facets"] or o["facet_queries"]

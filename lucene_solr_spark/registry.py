@@ -10922,6 +10922,46 @@ ORDER BY b.score DESC, b.conv_id, b.turn_idx
 )
 
 
+def _select_fl_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl FUNCTION pseudo-fields (SolrReturnFields alias:func): the
+    page carries computed ValueSources — recip(doc_len,1,100,100) and
+    sqrt(turn_idx) — evaluated over the hydrated docvalues columns of
+    the ≤ start+rows page (never the corpus), 4dp-rounded. Same
+    pinned function family as {!boost} and sort-by-function.
+    ref: solr/core/src/java/org/apache/solr/search/
+    SolrReturnFields.java (FunctionQParser pseudo-fields) +
+    ValueSourceParser (recip/sqrt)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "merge", "rows": 10,
+        "fl": "conv_id,turn_idx,r:recip(doc_len,1,100,100),"
+              "sq:sqrt(turn_idx),score",
+    })["response"]
+
+
+register(
+    "q_select_fl_function",
+    _select_fl_function,
+    f"""
+SELECT b.conv_id, b.turn_idx,
+       round(100.0 / (1.0 * t.dl + 100.0), 4) AS r,
+       round(sqrt(b.turn_idx), 4) AS sq,
+       b.score
+FROM (
+{bm25_oracle_sql(BooleanSpec(must=("merge",), k=10))}
+) b JOIN (
+  WITH {TRANSCRIPTS_ORACLE_CTE}
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM transcripts
+) t USING (conv_id, turn_idx)
+ORDER BY b.score DESC, b.conv_id, b.turn_idx
+""".strip(),
+)
+
+
 _SELECT_JF_RANGE_DATE_REQ = {
     "q": "merge", "rows": 0,
     "json.facet": ('{"rd": {"type": "range", "field": "ts",'

@@ -528,3 +528,20 @@ def test_terms_maxcount_band(spark, sf_dir):
         r.term for r in unb if r.df <= 400]
     with pytest.raises(ValueError, match="maxcount"):
         terms_handler(s, {"terms.mincount": 5, "terms.maxcount": 2})
+
+
+def test_fl_function_pseudo_fields(spark, sf_dir):
+    """alias:func(...) in fl computes the pinned ValueSource family on
+    the hydrated page; bad grammar and alias collisions raise."""
+    s = cached_searcher(spark, sf_dir)
+    rows = select(s, {"q": "merge", "rows": 4,
+                      "fl": "conv_id,turn_idx,"
+                            "r:recip(doc_len,1,100,100),score"})[
+        "response"].collect()
+    assert rows and all(0 < r.r < 1 for r in rows)
+    with pytest.raises(ValueError, match="unsupported fl"):
+        select(s, {"q": "merge", "rows": 1, "fl": "x:exp(doc_len)"})
+    with pytest.raises(ValueError, match="collides"):
+        select(s, {"q": "merge", "rows": 1, "fl": "score:sqrt(doc_len)"})
+    with pytest.raises(ValueError, match="numeric docvalues"):
+        select(s, {"q": "merge", "rows": 1, "fl": "x:sqrt(role)"})
