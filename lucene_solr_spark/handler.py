@@ -3388,3 +3388,107 @@ def analysis(spark, params: dict) -> DataFrame:
         "part string, stage_idx long, stage string, pos long, "
         "token string, match boolean",
     ).orderBy("part", "stage_idx", "pos")
+
+
+#: /update JSON doc schema — the collection's pinned fields
+_UPDATE_DOC_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                      "text string, tool string, ts timestamp")
+_UPDATE_KNOWN_CMDS = {"add", "delete", "commit"}
+
+
+def update_json(spark, index_root: str, body: dict,
+                batch_tag: int = 1) -> dict:
+    """/update JSON command front door (UpdateRequestHandler JSON
+    format): ``{"add": {"doc": {...}} | [docs...], "delete":
+    {"id": "conv#turn"} | {"query": "..."} | [deletes...],
+    "commit": {}}``. Pinned subset: the request MUST carry a commit
+    command — this engine publishes atomically per request (adds
+    become ONE appended micro-segment batch, deletes ride the
+    tombstone machinery, and nothing is visible until the manifest
+    commit — the same guarantee as the streaming NRT path, so
+    cross-request soft-commit buffering is out of scope). Unknown
+    commands and docs missing the key fields raise like the 400s
+    UpdateRequestHandler returns.
+
+    ref: solr/core/src/java/org/apache/solr/handler/loader/
+    JsonLoader.java + update/processor/DistributedUpdateProcessor.java
+    (add/delete/commit command routing)
+    """
+    import datetime as _dt
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.index.deletes import (
+        delete_by_ids,
+        delete_by_query,
+    )
+
+    if not isinstance(body, dict):
+        raise ValueError("/update body must be a JSON object of "
+                         "add/delete/commit commands")
+    unknown = set(body) - _UPDATE_KNOWN_CMDS
+    if unknown:
+        raise ValueError(f"unknown /update commands: {sorted(unknown)}")
+    if "commit" not in body:
+        raise ValueError(
+            "/update subset requires an explicit commit command "
+            "(this engine publishes atomically per request)")
+
+    adds_raw = body.get("add", [])
+    if isinstance(adds_raw, dict):
+        adds_raw = [adds_raw]
+    docs = []
+    for a in adds_raw:
+        doc = a.get("doc") if isinstance(a, dict) and "doc" in a else a
+        if not isinstance(doc, dict):
+            raise ValueError(f"add command wants a doc object: {a!r}")
+        missing = {"conv_id", "turn_idx", "text"} - set(doc)
+        if missing:
+            raise ValueError(
+                f"add doc missing required fields {sorted(missing)}")
+        ts = doc.get("ts")
+        if isinstance(ts, str):
+            ts = _parse_solr_date(ts)
+        docs.append((
+            str(doc["conv_id"]), int(doc["turn_idx"]),
+            doc.get("role"), str(doc["text"]), doc.get("tool"),
+            ts if ts is not None else _dt.datetime(2024, 1, 1),
+        ))
+
+    dels_raw = body.get("delete", [])
+    if isinstance(dels_raw, dict):
+        dels_raw = [dels_raw]
+    del_ids: list[tuple[str, int]] = []
+    del_queries: list[str] = []
+    for d in dels_raw:
+        if not isinstance(d, dict) or not {"id", "query"} & set(d):
+            raise ValueError(
+                f"delete command wants {{id}} or {{query}}: {d!r}")
+        if "id" in d:
+            m = _DOC_ID_RE.match(str(d["id"]))
+            if not m:
+                raise ValueError(
+                    f"delete id must be '<conv_id>#<turn_idx>': "
+                    f"{d['id']!r}")
+            del_ids.append((m.group(1), int(m.group(2))))
+        else:
+            del_queries.append(str(d["query"]))
+
+    out = {"adds": len(docs), "delete_ids": len(del_ids),
+           "delete_queries": len(del_queries)}
+    if docs:
+        # ONE appended micro-segment batch (the NRT append path);
+        # batch_tag keeps the segment namespace disjoint per request
+        build_index(
+            spark,
+            spark.createDataFrame(docs, _UPDATE_DOC_SCHEMA),
+            index_root, num_parts=1, resume=False,
+            lineage_source=f"update-json-{batch_tag}",
+            part_offset=batch_tag * 100_000,
+            seg_prefix=f"u{int(batch_tag):06d}_",
+        )
+    for q in del_queries:
+        out["tombstones"] = delete_by_query(
+            spark, index_root, parse(q, default_op="AND"))
+    if del_ids:
+        out["tombstones"] = delete_by_ids(spark, index_root, del_ids)
+    return out

@@ -88,6 +88,41 @@ def delete_by_query(
     return int(n)
 
 
+def delete_by_ids(
+    spark: SparkSession,
+    index_root: str,
+    ids: list[tuple[str, int]],
+    max_tombstones: int = MAX_TOMBSTONES,
+) -> int:
+    """deleteById (UpdateRequestHandler delete-by-id): tombstone the
+    listed business keys directly — no docset query, the id list is
+    request-bounded. Same cumulative cap + manifest commit as
+    :func:`delete_by_query`; unknown keys are harmless (a tombstone
+    for an absent key masks nothing, exactly Lucene's behavior).
+    ref: solr/core/src/java/org/apache/solr/update/
+    DirectUpdateHandler2.java (delete(DeleteUpdateCommand) by id)."""
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    s = IndexSearcher(spark, index_root)
+    merged = set(s.deleted_keys) | {(str(c), int(t)) for c, t in ids}
+    n = len(merged)
+    if n > max_tombstones:
+        raise ValueError(
+            f"deleteById would leave {n} tombstones "
+            f"(cap {max_tombstones}): rebuild instead")
+    keys = spark.createDataFrame(
+        sorted(merged), "conv_id string, turn_idx int")
+
+    m = Manifest.load(index_root)
+    rel = f"deletes/del-{m.snapshot_id + 1}.parquet"
+    out = os.path.join(index_root, rel)
+    keys.coalesce(1).write.mode("overwrite").parquet(out)
+    m.tombstones = {"path": rel, "n": int(n)}
+    m.commit({}, {"op": "delete_by_ids", "n_ids": len(ids),
+                  "n_total": int(n)})
+    return int(n)
+
+
 def clear_tombstones(index_root: str) -> None:
     """Drop all tombstones (post-rebuild housekeeping)."""
     m = Manifest.load(index_root)

@@ -10853,6 +10853,79 @@ FROM dom GROUP BY 1 ORDER BY bucket_start
 )
 
 
+def _update_json_root(spark: SparkSession, sf_dir: str) -> str:
+    """Index with a /update JSON request applied: 2 adds (convjson),
+    one deleteById, one deleteByQuery (tool_9), one commit."""
+    import tempfile
+
+    from lucene_solr_spark.handler import update_json
+    from lucene_solr_spark.index.build import build_index
+
+    key = sf_dir + "#ujtest"
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_idx_uj_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+        update_json(spark, root, {
+            "add": [
+                {"doc": {"conv_id": "convjson", "turn_idx": 0,
+                         "role": "user",
+                         "text": "json loaded quasar question"}},
+                {"doc": {"conv_id": "convjson", "turn_idx": 1,
+                         "role": "assistant",
+                         "text": "json loaded quasar answer"}},
+            ],
+            "delete": [{"id": "conv00000001#0"},
+                       {"query": "tool:tool_9"}],
+            "commit": {},
+        })
+        _INDEX_ROOTS[key] = root
+    return root
+
+
+def _idx_update_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/update JSON command front door (UpdateRequestHandler +
+    JsonLoader): adds land as ONE appended micro-segment batch,
+    deleteById/deleteByQuery ride the tombstone machinery, and the
+    required commit publishes atomically. The row returns the added
+    conversation's docvalues PLUS the total live count — adds present,
+    deletes masked, in one frame.
+    ref: solr/core/src/java/org/apache/solr/handler/loader/
+    JsonLoader.java + update/DirectUpdateHandler2.java."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    s = IndexSearcher(spark, _update_json_root(spark, sf_dir))
+    live = s.docmap().count()
+    return (
+        s.docmap().filter(F.col("conv_id") == "convjson")
+        .select("conv_id", "turn_idx", "role",
+                F.lit(live).cast("long").alias("live_docs"))
+        .orderBy("turn_idx")
+    )
+
+
+register(
+    "q_idx_update_json",
+    _idx_update_json,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+live AS (
+  SELECT CAST(count(*) + 2 AS BIGINT) AS live_docs
+  FROM transcripts
+  WHERE NOT (conv_id = 'conv00000001' AND turn_idx = 0)
+    AND (tool IS NULL OR tool <> 'tool_9'))
+SELECT v.conv_id, v.turn_idx, v.role, live.live_docs
+FROM (VALUES ('convjson', 0, 'user'),
+             ('convjson', 1, 'assistant'))
+     v(conv_id, turn_idx, role), live
+ORDER BY v.turn_idx
+""".strip(),
+)
+
+
 def _terms_maxcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terms.maxcount: the upper docFreq gate (TermsComponent) —
     composes with terms.mincount as a [min, max] band over the

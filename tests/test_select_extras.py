@@ -545,3 +545,37 @@ def test_fl_function_pseudo_fields(spark, sf_dir):
         select(s, {"q": "merge", "rows": 1, "fl": "score:sqrt(doc_len)"})
     with pytest.raises(ValueError, match="numeric docvalues"):
         select(s, {"q": "merge", "rows": 1, "fl": "x:sqrt(role)"})
+
+
+def test_update_json_contracts(spark, sf_dir, tmp_path):
+    """/update JSON: commit required, unknown commands raise, bad ids
+    raise, adds+deleteById round-trip through a real index."""
+    from lucene_solr_spark.handler import update_json
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path / "ujidx")
+    t = transcripts_from_documents(spark, sf_dir).limit(40)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    n0 = IndexSearcher(spark, root).docmap().count()
+    res = update_json(spark, root, {
+        "add": {"doc": {"conv_id": "cj", "turn_idx": 0,
+                        "text": "xylophone doc"}},
+        "commit": {}})
+    assert res["adds"] == 1
+    s = IndexSearcher(spark, root)
+    assert s.docmap().count() == n0 + 1
+    update_json(spark, root, {"delete": {"id": "cj#0"}, "commit": {}},
+                batch_tag=2)
+    assert IndexSearcher(spark, root).docmap().count() == n0
+    with pytest.raises(ValueError, match="commit"):
+        update_json(spark, root, {"add": []})
+    with pytest.raises(ValueError, match="unknown /update"):
+        update_json(spark, root, {"optimize": {}, "commit": {}})
+    with pytest.raises(ValueError, match="conv_id>#<turn_idx"):
+        update_json(spark, root, {"delete": {"id": "nohash"},
+                                  "commit": {}})
+    with pytest.raises(ValueError, match="required fields"):
+        update_json(spark, root, {"add": {"doc": {"conv_id": "x"}},
+                                  "commit": {}})
