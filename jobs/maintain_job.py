@@ -68,6 +68,14 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--deep", action="store_true")
     p.add_argument("--snapshot", type=int, default=None)
 
+    # /update JSON command file from spark-submit (JsonLoader format:
+    # {"add": ..., "delete": ..., "commit": {}})
+    p = sub.add_parser("update-json")
+    p.add_argument("--index", required=True)
+    p.add_argument("--body", help="inline JSON command object")
+    p.add_argument("--body-file", help="path to a JSON command file")
+    p.add_argument("--batch-tag", type=int, default=1)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "replicate":  # file-level; no Spark session needed
@@ -118,6 +126,17 @@ def main(argv: list[str] | None = None) -> dict:
             st = {"cmd": "check", **check_index(
                 spark, args.index, deep=args.deep,
                 snapshot_id=args.snapshot)}
+        elif args.cmd == "update-json":
+            from lucene_solr_spark.handler import update_json
+
+            if bool(args.body) == bool(args.body_file):
+                raise SystemExit(
+                    "update-json wants exactly one of --body/--body-file")
+            body = json.loads(
+                args.body if args.body
+                else open(args.body_file).read())
+            st = {"cmd": "update-json", **update_json(
+                spark, args.index, body, batch_tag=args.batch_tag)}
         elif args.cmd == "merge":
             from lucene_solr_spark.index.merge import merge_segments
 
