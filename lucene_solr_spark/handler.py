@@ -3406,8 +3406,15 @@ def update_json(spark, index_root: str, body: dict,
     become ONE appended micro-segment batch, deletes ride the
     tombstone machinery, and nothing is visible until the manifest
     commit — the same guarantee as the streaming NRT path, so
-    cross-request soft-commit buffering is out of scope). Unknown
-    commands and docs missing the key fields raise like the 400s
+    cross-request soft-commit buffering is out of scope). Pinned
+    command order: deletes → adds → commit, and adds must be NEW
+    keys — neither live nor tombstoned (Solr's add is overwrite-by-
+    uniqueKey; immutable segments + key-masking tombstones can't
+    replace in place — a tombstone would hide the appended doc too —
+    so in-place replace routes through the atomic-update/tlog path
+    or a rebuild; bounded probes reject clashing adds instead of
+    silently serving duplicate or invisible docs). Unknown commands
+    and docs missing the key fields raise like the 400s
     UpdateRequestHandler returns.
 
     ref: solr/core/src/java/org/apache/solr/handler/loader/
@@ -3475,6 +3482,58 @@ def update_json(spark, index_root: str, body: dict,
 
     out = {"adds": len(docs), "delete_ids": len(del_ids),
            "delete_queries": len(del_queries)}
+    # VALIDATE EVERYTHING BEFORE THE FIRST COMMIT — a rejected
+    # request must leave the index untouched (the per-request
+    # atomicity this front door promises). Solr add = overwrite-by-
+    # uniqueKey; this engine's segments are immutable and tombstones
+    # mask by business key across ALL segments (a replace-tombstone
+    # would hide the appended doc too), so adds must be NEW keys —
+    # neither live, nor tombstoned, nor deleted BY THIS REQUEST.
+    # In-place replace routes through the atomic-update/tlog path.
+    del_q_specs = [parse(q, default_op="AND") for q in del_queries]
+    if docs:
+        from lucene_solr_spark.query.executor import IndexSearcher
+
+        s_probe = IndexSearcher(spark, index_root)
+        add_key_set = {(c, int(t)) for c, t, *_ in docs}
+        dead = set(s_probe.deleted_keys) | {
+            (str(c), int(t)) for c, t in del_ids}
+        for dspec in del_q_specs:
+            dead |= {
+                (r.conv_id, int(r.turn_idx))
+                for r in s_probe.docset(dspec)
+                .join(F.broadcast(spark.createDataFrame(
+                    sorted(add_key_set),
+                    "conv_id string, turn_idx int")),
+                    ["conv_id", "turn_idx"], "left_semi")
+                .collect()  # bounded: ≤ |adds| rows survive the join
+            }
+        dead_clash = add_key_set & dead
+        if dead_clash:
+            raise ValueError(
+                f"add ids are tombstoned {sorted(dead_clash)[:5]}: "
+                "tombstones mask by business key across ALL segments "
+                "(the appended doc would be invisible) — replace "
+                "routes through the atomic-update/tlog path, or "
+                "rebuild + clear-tombstones")
+        add_keys = spark.createDataFrame(
+            sorted(add_key_set), "conv_id string, turn_idx int")
+        clash = (
+            s_probe.docmap().select("conv_id", "turn_idx")
+            .join(F.broadcast(add_keys), ["conv_id", "turn_idx"])
+            .limit(5).collect()
+        )
+        if clash:
+            raise ValueError(
+                "add would overwrite existing ids "
+                f"{[(r.conv_id, r.turn_idx) for r in clash]}: this "
+                "subset appends NEW docs only — replace routes "
+                "through the atomic-update/tlog path")
+    # Pinned command order: deletes → adds → commit
+    for dspec in del_q_specs:
+        out["tombstones"] = delete_by_query(spark, index_root, dspec)
+    if del_ids:
+        out["tombstones"] = delete_by_ids(spark, index_root, del_ids)
     if docs:
         # ONE appended micro-segment batch (the NRT append path);
         # batch_tag keeps the segment namespace disjoint per request
@@ -3486,9 +3545,4 @@ def update_json(spark, index_root: str, body: dict,
             part_offset=batch_tag * 100_000,
             seg_prefix=f"u{int(batch_tag):06d}_",
         )
-    for q in del_queries:
-        out["tombstones"] = delete_by_query(
-            spark, index_root, parse(q, default_op="AND"))
-    if del_ids:
-        out["tombstones"] = delete_by_ids(spark, index_root, del_ids)
     return out

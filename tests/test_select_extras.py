@@ -579,3 +579,42 @@ def test_update_json_contracts(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="required fields"):
         update_json(spark, root, {"add": {"doc": {"conv_id": "x"}},
                                   "commit": {}})
+
+
+def test_update_json_replace_idiom(spark, sf_dir, tmp_path):
+    """Blind add of an existing key raises, and so does adding a
+    TOMBSTONED key (the tombstone would mask the appended doc too) —
+    in-place replace is routed to the atomic-update path."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import update_json
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path / "ujridx")
+    t = transcripts_from_documents(spark, sf_dir).limit(30)
+    build_index(spark, t, root, num_parts=2, lineage_source=sf_dir)
+    key = t.select("conv_id", "turn_idx").first()
+    doc = {"conv_id": key.conv_id, "turn_idx": int(key.turn_idx),
+           "role": "user", "text": "replacement body"}
+    with pytest.raises(ValueError, match="overwrite existing"):
+        update_json(spark, root, {"add": {"doc": doc}, "commit": {}})
+    with pytest.raises(ValueError, match="tombstoned"):
+        update_json(spark, root, {
+            "delete": {"id": f"{key.conv_id}#{key.turn_idx}"},
+            "add": {"doc": doc}, "commit": {}}, batch_tag=3)
+    # validation runs BEFORE any commit: the rejected request left
+    # the index untouched — the original doc is still live
+    s = IndexSearcher(spark, root)
+    rows = s.docmap().filter(
+        (F.col("conv_id") == key.conv_id)
+        & (F.col("turn_idx") == int(key.turn_idx))).collect()
+    assert len(rows) == 1 and rows[0].role != "user"
+    # delete-by-QUERY colliding with an add is rejected the same way
+    # (turn_idx:[0 TO 0] covers every conversation's first turn,
+    # including the add key)
+    with pytest.raises(ValueError, match="tombstoned"):
+        update_json(spark, root, {
+            "delete": {"query": "turn_idx:[0 TO 0]"},
+            "add": {"doc": doc}, "commit": {}}, batch_tag=4)
