@@ -3546,3 +3546,70 @@ def update_json(spark, index_root: str, body: dict,
             seg_prefix=f"u{int(batch_tag):06d}_",
         )
     return out
+
+
+def update_xml(spark, index_root: str, payload: str,
+               batch_tag: int = 1) -> dict:
+    """/update XML front door (XMLLoader): the classic
+    ``<update><add><doc><field name=..>..</field></doc></add>
+    <delete><id>conv#turn</id><query>..</query></delete>
+    <commit/></update>`` envelope (a bare ``<add>`` root also
+    accepted), translated onto the SAME command path as
+    :func:`update_json` — one validation pass, one atomic publish,
+    identical add/delete/commit contracts. The request payload is
+    driver-bounded by definition (one HTTP body); the corpus-scale
+    XML path stays the distributed ``sources.xml_source`` decode.
+    ref: solr/core/src/java/org/apache/solr/handler/loader/
+    XMLLoader.java."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(payload)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed /update XML: {e}") from None
+    if root.tag == "add":
+        add_nodes, del_nodes = [root], []
+        has_commit = False
+    elif root.tag == "update":
+        unknown = {c.tag for c in root} - {"add", "delete", "commit"}
+        if unknown:
+            raise ValueError(
+                f"unknown /update XML commands: {sorted(unknown)}")
+        add_nodes = root.findall("add")
+        del_nodes = root.findall("delete")
+        has_commit = root.find("commit") is not None
+    else:
+        raise ValueError(
+            f"expected <update> or <add> root, got <{root.tag}>")
+
+    body: dict = {}
+    adds = []
+    for an in add_nodes:
+        for doc in an.iterfind("doc"):
+            d = {}
+            for f in doc.iterfind("field"):
+                name = f.get("name")
+                if not name:
+                    raise ValueError("<field> wants a name attribute")
+                d[name] = f.text if f.text is not None else ""
+            if "turn_idx" in d:
+                d["turn_idx"] = int(d["turn_idx"])
+            adds.append({"doc": d})
+    if adds:
+        body["add"] = adds
+    dels = []
+    for dn in del_nodes:
+        for c in dn:
+            if c.tag == "id":
+                dels.append({"id": (c.text or "").strip()})
+            elif c.tag == "query":
+                dels.append({"query": (c.text or "").strip()})
+            else:
+                raise ValueError(
+                    f"<delete> wants <id>/<query> children, got "
+                    f"<{c.tag}>")
+    if dels:
+        body["delete"] = dels
+    if has_commit:
+        body["commit"] = {}
+    return update_json(spark, index_root, body, batch_tag=batch_tag)

@@ -10926,6 +10926,66 @@ ORDER BY v.turn_idx
 )
 
 
+def _idx_update_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/update XML front door (XMLLoader): the classic
+    <update><add><doc><field>..</..><delete><id>/<query>
+    <commit/> envelope translated onto the SAME validated command
+    path as the JSON loader — one atomic publish, identical
+    contracts. ref: solr/core/src/java/org/apache/solr/handler/
+    loader/XMLLoader.java."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import update_xml
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = sf_dir + "#uxtest"
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_idx_ux_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+        update_xml(spark, root, """
+<update>
+  <add>
+    <doc><field name="conv_id">convxml</field>
+         <field name="turn_idx">0</field>
+         <field name="role">user</field>
+         <field name="text">xml loaded pulsar question</field></doc>
+  </add>
+  <delete><id>conv00000002#0</id><query>tool:tool_8</query></delete>
+  <commit/>
+</update>""")
+        _INDEX_ROOTS[key] = root
+    s = IndexSearcher(spark, root)
+    live = s.docmap().count()
+    return (
+        s.docmap().filter(F.col("conv_id") == "convxml")
+        .select("conv_id", "turn_idx", "role",
+                F.lit(live).cast("long").alias("live_docs"))
+        .orderBy("turn_idx")
+    )
+
+
+register(
+    "q_idx_update_xml",
+    _idx_update_xml,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+live AS (
+  SELECT CAST(count(*) + 1 AS BIGINT) AS live_docs
+  FROM transcripts
+  WHERE NOT (conv_id = 'conv00000002' AND turn_idx = 0)
+    AND (tool IS NULL OR tool <> 'tool_8'))
+SELECT 'convxml' AS conv_id, 0 AS turn_idx, 'user' AS role,
+       live.live_docs
+FROM live
+""".strip(),
+)
+
+
 def _terms_maxcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terms.maxcount: the upper docFreq gate (TermsComponent) —
     composes with terms.mincount as a [min, max] band over the

@@ -618,3 +618,32 @@ def test_update_json_replace_idiom(spark, sf_dir, tmp_path):
         update_json(spark, root, {
             "delete": {"query": "turn_idx:[0 TO 0]"},
             "add": {"doc": doc}, "commit": {}}, batch_tag=4)
+
+
+def test_update_xml_envelope(spark, sf_dir, tmp_path):
+    """XML envelope rides the same validated command path: bare <add>
+    without commit raises, malformed XML raises, unknown command tags
+    raise."""
+    from lucene_solr_spark.handler import update_xml
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path / "uxidx")
+    build_index(spark,
+                transcripts_from_documents(spark, sf_dir).limit(20),
+                root, num_parts=2, lineage_source=sf_dir)
+    with pytest.raises(ValueError, match="commit"):
+        update_xml(spark, root,
+                   '<add><doc><field name="conv_id">a</field>'
+                   '<field name="turn_idx">0</field>'
+                   '<field name="text">t</field></doc></add>')
+    with pytest.raises(ValueError, match="malformed"):
+        update_xml(spark, root, "<update><add>")
+    with pytest.raises(ValueError, match="unknown /update XML"):
+        update_xml(spark, root, "<update><optimize/><commit/></update>")
+    res = update_xml(spark, root, (
+        '<update><add><doc><field name="conv_id">a</field>'
+        '<field name="turn_idx">0</field>'
+        '<field name="text">brand new</field></doc></add>'
+        '<commit/></update>'))
+    assert res["adds"] == 1
