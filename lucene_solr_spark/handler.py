@@ -3613,3 +3613,37 @@ def update_xml(spark, index_root: str, payload: str,
     if has_commit:
         body["commit"] = {}
     return update_json(spark, index_root, body, batch_tag=batch_tag)
+
+
+def update_csv(spark, index_root: str, payload: str,
+               commit: bool = False, batch_tag: int = 1) -> dict:
+    """/update CSV front door (CSVLoader): header row names the
+    fields, every data row is one add doc, and ``commit`` rides the
+    request params (the CSV body has no command syntax — exactly
+    Solr's ``/update/csv?commit=true``). Translated onto the SAME
+    validated command path as the JSON/XML loaders; commit=False
+    raises like the JSON subset does (atomic-per-request engine).
+    ref: solr/core/src/java/org/apache/solr/handler/loader/
+    CSVLoader.java (CSVLoaderBase)."""
+    import csv as _csv
+    import io
+
+    rows = list(_csv.reader(io.StringIO(payload)))
+    rows = [r for r in rows if r and any(c.strip() for c in r)]
+    if len(rows) < 2:
+        raise ValueError("/update CSV wants a header row + data rows")
+    header = [h.strip() for h in rows[0]]
+    docs = []
+    for i, r in enumerate(rows[1:], start=2):
+        if len(r) != len(header):
+            raise ValueError(
+                f"CSV row {i} has {len(r)} fields, header has "
+                f"{len(header)}")
+        d = dict(zip(header, (c.strip() for c in r)))
+        if "turn_idx" in d:
+            d["turn_idx"] = int(d["turn_idx"])
+        docs.append({"doc": d})
+    body: dict = {"add": docs}
+    if commit:
+        body["commit"] = {}
+    return update_json(spark, index_root, body, batch_tag=batch_tag)

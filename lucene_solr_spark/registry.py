@@ -10986,6 +10986,58 @@ FROM live
 )
 
 
+def _idx_update_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/update CSV front door (CSVLoader): header-named fields, one
+    add per data row, commit as a REQUEST param (the CSV body has no
+    command syntax) — same validated command path as JSON/XML.
+    ref: solr/core/src/java/org/apache/solr/handler/loader/
+    CSVLoader.java (CSVLoaderBase)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import update_csv
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = sf_dir + "#uctest"
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_idx_uc_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, t, root, num_parts=4, lineage_source=sf_dir)
+        update_csv(spark, root,
+                   "conv_id,turn_idx,role,text\n"
+                   "convcsv,0,user,csv loaded nebula question\n"
+                   "convcsv,1,assistant,csv loaded nebula answer\n",
+                   commit=True)
+        _INDEX_ROOTS[key] = root
+    s = IndexSearcher(spark, root)
+    live = s.docmap().count()
+    return (
+        s.docmap().filter(F.col("conv_id") == "convcsv")
+        .select("conv_id", "turn_idx", "role",
+                F.lit(live).cast("long").alias("live_docs"))
+        .orderBy("turn_idx")
+    )
+
+
+register(
+    "q_idx_update_csv",
+    _idx_update_csv,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+live AS (SELECT CAST(count(*) + 2 AS BIGINT) AS live_docs
+         FROM transcripts)
+SELECT v.conv_id, v.turn_idx, v.role, live.live_docs
+FROM (VALUES ('convcsv', 0, 'user'),
+             ('convcsv', 1, 'assistant'))
+     v(conv_id, turn_idx, role), live
+ORDER BY v.turn_idx
+""".strip(),
+)
+
+
 def _terms_maxcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terms.maxcount: the upper docFreq gate (TermsComponent) —
     composes with terms.mincount as a [min, max] band over the

@@ -647,3 +647,30 @@ def test_update_xml_envelope(spark, sf_dir, tmp_path):
         '<field name="text">brand new</field></doc></add>'
         '<commit/></update>'))
     assert res["adds"] == 1
+
+
+def test_update_csv_contracts(spark, sf_dir, tmp_path):
+    """CSV loader: header/row arity mismatch raises, commit param
+    required, docs land through the shared command path."""
+    from lucene_solr_spark.handler import update_csv
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path / "ucidx")
+    build_index(spark,
+                transcripts_from_documents(spark, sf_dir).limit(20),
+                root, num_parts=2, lineage_source=sf_dir)
+    with pytest.raises(ValueError, match="header"):
+        update_csv(spark, root, "conv_id,turn_idx,text\n", commit=True)
+    with pytest.raises(ValueError, match="row 2 has"):
+        update_csv(spark, root,
+                   "conv_id,turn_idx,text\na,0\n", commit=True)
+    with pytest.raises(ValueError, match="commit"):
+        update_csv(spark, root, "conv_id,turn_idx,text\na,0,t\n")
+    res = update_csv(spark, root,
+                     "conv_id,turn_idx,text\ncnew,0,fresh doc\n",
+                     commit=True)
+    assert res["adds"] == 1
+    assert IndexSearcher(spark, root).docmap().filter(
+        "conv_id = 'cnew'").count() == 1
