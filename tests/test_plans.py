@@ -479,3 +479,18 @@ def test_select_mlt_and_spellcheck_leg_plans_bounded(spark, sf_dir):
     assert "WindowGroupLimit" in sc_plan and "Partial" in sc_plan, \
         sc_plan[:2000]
     assert "CartesianProduct" not in sc_plan
+
+
+def test_select_fl_hydration_is_broadcast(spark, sf_dir):
+    """fl docvalues hydration on a score-sorted page must join the ≤
+    start+rows page keys via BROADCAST — the docmap side is never
+    shuffle-partitioned for a page fetch."""
+    from lucene_solr_spark.handler import select
+    from lucene_solr_spark.registry import cached_searcher
+
+    s = cached_searcher(spark, sf_dir)
+    page = select(s, {"q": "merge", "rows": 5,
+                      "fl": "conv_id,turn_idx,role,score"})["response"]
+    plan = _physical(page)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
