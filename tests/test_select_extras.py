@@ -674,3 +674,25 @@ def test_update_csv_contracts(spark, sf_dir, tmp_path):
     assert res["adds"] == 1
     assert IndexSearcher(spark, root).docmap().filter(
         "conv_id = 'cnew'").count() == 1
+
+
+def test_update_json_replay_rejected(spark, sf_dir, tmp_path):
+    """Replaying a committed update request (same body, same
+    batch_tag) is REJECTED by the add-key probe instead of silently
+    double-applying — the crash-replay safety of the loader path."""
+    from lucene_solr_spark.handler import update_json
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    root = str(tmp_path / "ujr2idx")
+    build_index(spark,
+                transcripts_from_documents(spark, sf_dir).limit(20),
+                root, num_parts=2, lineage_source=sf_dir)
+    body = {"add": {"doc": {"conv_id": "rp", "turn_idx": 0,
+                            "text": "replay probe"}}, "commit": {}}
+    update_json(spark, root, body, batch_tag=7)
+    with pytest.raises(ValueError, match="overwrite existing"):
+        update_json(spark, root, body, batch_tag=7)
+    assert IndexSearcher(spark, root).docmap().filter(
+        "conv_id = 'rp'").count() == 1
