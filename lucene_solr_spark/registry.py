@@ -11041,15 +11041,16 @@ ORDER BY v.turn_idx
 def _terms_maxcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terms.maxcount: the upper docFreq gate (TermsComponent) —
     composes with terms.mincount as a [min, max] band over the
-    dictionary-stat aggregation; -1 (the default) is unbounded. Rare-
-    but-not-hapax s-terms here: 2 <= df <= 30, index order.
+    dictionary-stat aggregation; -1 (the default) is unbounded. The
+    band 2 <= df <= 380 keeps the rare tail and cuts the Zipf head —
+    a SELECTIVE non-empty slice of this corpus's dictionary.
     ref: solr/core/src/java/org/apache/solr/handler/component/
     TermsComponent.java (TermsParams.TERMS_MAXCOUNT)."""
     from lucene_solr_spark.handler import terms as terms_handler
 
     s = cached_searcher(spark, sf_dir)
     return terms_handler(s, {
-        "terms.prefix": "s", "terms.mincount": 2, "terms.maxcount": 30,
+        "terms.mincount": 2, "terms.maxcount": 380,
         "terms.sort": "index", "terms.limit": 15,
     })
 
@@ -11064,9 +11065,9 @@ docs AS (SELECT conv_id, turn_idx,
          FROM transcripts),
 tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
 dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
-          WHERE term LIKE 's%' GROUP BY term)
+          GROUP BY term)
 SELECT term, df FROM dfreq
-WHERE df >= 2 AND df <= 30
+WHERE df >= 2 AND df <= 380
 ORDER BY term LIMIT 15
 """.strip(),
 )
