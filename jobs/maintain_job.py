@@ -68,13 +68,16 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--deep", action="store_true")
     p.add_argument("--snapshot", type=int, default=None)
 
-    # /update JSON command file from spark-submit (JsonLoader format:
-    # {"add": ..., "delete": ..., "commit": {}})
-    p = sub.add_parser("update-json")
-    p.add_argument("--index", required=True)
-    p.add_argument("--body", help="inline JSON command object")
-    p.add_argument("--body-file", help="path to a JSON command file")
-    p.add_argument("--batch-tag", type=int, default=1)
+    # /update loader verbs from spark-submit (JsonLoader/XMLLoader/
+    # CSVLoader formats onto the same validated command path)
+    for verb in ("update-json", "update-xml", "update-csv"):
+        p = sub.add_parser(verb)
+        p.add_argument("--index", required=True)
+        p.add_argument("--body", help="inline command payload")
+        p.add_argument("--body-file", help="path to a payload file")
+        p.add_argument("--batch-tag", type=int, default=1)
+        if verb == "update-csv":
+            p.add_argument("--commit", action="store_true")
 
     args = ap.parse_args(argv)
 
@@ -126,17 +129,28 @@ def main(argv: list[str] | None = None) -> dict:
             st = {"cmd": "check", **check_index(
                 spark, args.index, deep=args.deep,
                 snapshot_id=args.snapshot)}
-        elif args.cmd == "update-json":
-            from lucene_solr_spark.handler import update_json
+        elif args.cmd in ("update-json", "update-xml", "update-csv"):
+            from lucene_solr_spark.handler import (
+                update_csv,
+                update_json,
+                update_xml,
+            )
 
             if bool(args.body) == bool(args.body_file):
                 raise SystemExit(
-                    "update-json wants exactly one of --body/--body-file")
-            body = json.loads(
-                args.body if args.body
-                else open(args.body_file).read())
-            st = {"cmd": "update-json", **update_json(
-                spark, args.index, body, batch_tag=args.batch_tag)}
+                    f"{args.cmd} wants exactly one of --body/--body-file")
+            raw = args.body if args.body else open(args.body_file).read()
+            if args.cmd == "update-json":
+                res = update_json(spark, args.index, json.loads(raw),
+                                  batch_tag=args.batch_tag)
+            elif args.cmd == "update-xml":
+                res = update_xml(spark, args.index, raw,
+                                 batch_tag=args.batch_tag)
+            else:
+                res = update_csv(spark, args.index, raw,
+                                 commit=args.commit,
+                                 batch_tag=args.batch_tag)
+            st = {"cmd": args.cmd, **res}
         elif args.cmd == "merge":
             from lucene_solr_spark.index.merge import merge_segments
 
