@@ -2087,9 +2087,19 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # f.<field>.facet.<opt> overrides win over the request-wide
         # facet.<opt> for this one field (SolrParams.getFieldParam)
         ov = o.get("facet_overrides", {}).get(fld, {})
+        f_lim = ov.get("limit", o["facet_limit"])
+        if f_lim == -1:
+            # facet.limit=-1 (SimpleFacets UNLIMITED): resolve to the
+            # field's dictionary cardinality — one bounded dictionary
+            # aggregation (cached), so the request stays explicitly
+            # bounded instead of an open-ended collect
+            f_lim = searcher.field_cardinality(fld)
+        elif f_lim < 1:
+            raise ValueError(
+                f"facet.limit must be >= 1 or -1 (unlimited): {f_lim}")
         fc = searcher.facet(
             fld, spec=spec,
-            limit=ov.get("limit", o["facet_limit"]),
+            limit=f_lim,
             mincount=ov.get("mincount", o["facet_mincount"]),
             sort=ov.get("sort", o["facet_sort"]),
             missing=o["facet_missing"],

@@ -696,3 +696,21 @@ def test_update_json_replay_rejected(spark, sf_dir, tmp_path):
         update_json(spark, root, body, batch_tag=7)
     assert IndexSearcher(spark, root).docmap().filter(
         "conv_id = 'rp'").count() == 1
+
+
+def test_facet_limit_unlimited(spark, sf_dir):
+    """facet.limit=-1 returns EVERY bucket (resolved via the cached
+    dictionary cardinality); invalid limits raise."""
+    s = cached_searcher(spark, sf_dir)
+    allb = select(s, {"q": "data", "rows": 0, "facet.field": "ftok",
+                      "facet.limit": -1, "facet.sort": "index"})[
+        "facet_counts"]["ftok"].collect()
+    two = select(s, {"q": "data", "rows": 0, "facet.field": "ftok",
+                     "facet.limit": 2, "facet.sort": "index"})[
+        "facet_counts"]["ftok"].collect()
+    assert len(allb) > len(two) == 2
+    assert [r.facet_value for r in allb[:2]] == [
+        r.facet_value for r in two]
+    with pytest.raises(ValueError, match="facet.limit"):
+        select(s, {"q": "data", "rows": 0, "facet.field": "ftok",
+                   "facet.limit": 0})
