@@ -44,7 +44,7 @@ _KNOWN = {
     "facet.missing",
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
     "facet.excludeTerms", "facet.exists",
-    "facet.contains", "facet.contains.ignoreCase",
+    "facet.contains", "facet.contains.ignoreCase", "facet.matches",
     "hl", "hl.fl",
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "hl.tag.pre", "hl.tag.post",
@@ -940,6 +940,13 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     if (params.get("facet.contains.ignoreCase")
             and "facet.contains" not in params):
         raise ValueError("facet.contains.ignoreCase needs facet.contains")
+    if "facet.matches" in params:
+        # fail fast like Solr's Pattern.compile in RegexBytesRefFilter;
+        # the pattern must stay in the Java∩python∩RE2 dialect
+        try:
+            re.compile(str(params["facet.matches"]))
+        except re.error as exc:
+            raise ValueError(f"facet.matches: bad regex: {exc}") from exc
     # group.facet=true (SimpleFacets#getGroupedCounts): facet.field
     # legs count each GROUP once per bucket instead of each doc. The
     # engine's grouped counting is exact only for the segment-local
@@ -1494,6 +1501,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_contains": params.get("facet.contains"),
         "facet_contains_ic": bool(
             params.get("facet.contains.ignoreCase", False)),
+        "facet_matches": params.get("facet.matches"),
         "facet_missing": bool(params.get("facet.missing", False)),
         "facet_exclude_terms": tuple(
             t.strip()
@@ -2106,6 +2114,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             prefix=ov.get("prefix", o["facet_prefix"]),
             contains=o.get("facet_contains"),
             contains_ignore_case=o.get("facet_contains_ic", False),
+            matches=o.get("facet_matches"),
             group_by="conv_id" if o.get("group_facet") else None,
             offset=ov.get("offset", o["facet_offset"]),
             exclude_terms=o["facet_exclude_terms"],

@@ -1894,6 +1894,7 @@ class IndexSearcher:
         prefix: str | None = None,
         contains: str | None = None,
         contains_ignore_case: bool = False,
+        matches: str | None = None,
         exclude_terms: tuple[str, ...] = (),
         missing: bool = False,
         exclude_fields: tuple[str, ...] = (),
@@ -1932,6 +1933,7 @@ class IndexSearcher:
                 field=field, limit=limit, mincount=mincount,
                 sort=sort, prefix=prefix, contains=contains,
                 contains_ignore_case=contains_ignore_case,
+                matches=matches,
                 exclude_terms=tuple(exclude_terms),
                 missing=missing, group_by=group_by, offset=offset,
             ),

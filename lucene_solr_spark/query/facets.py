@@ -67,6 +67,11 @@ class FacetRequest:
     #: facet.contains.ignoreCase: case-fold BOTH sides of the
     #: contains test (SimpleFacets' SubstringBytesRefFilter ignoreCase)
     contains_ignore_case: bool = False
+    #: facet.matches: only values whose WHOLE value matches this regex
+    #: (SimpleFacets' RegexBytesRefFilter — Pattern.matches, not find;
+    #: pattern must stay in the Java∩python∩RE2 dialect so all three
+    #: engines agree)
+    matches: str | None = None
     #: facet.excludeTerms: drop these exact values from the buckets
     #: BEFORE ranking/limit (SimpleFacets' excludeTerms list) — the
     #: negative-membership sibling of prefix/contains
@@ -1122,6 +1127,10 @@ def facet_field(
                 F.lower(F.col("term")).contains(req.contains.lower()))
         else:
             parts = parts.filter(F.col("term").contains(req.contains))
+    if req.matches is not None:
+        # whole-value match (Pattern.matches): anchor explicitly —
+        # Catalyst rlike is a find/substring match
+        parts = parts.filter(F.col("term").rlike(f"^(?:{req.matches})$"))
     if req.exclude_terms:
         parts = parts.filter(~F.col("term").isin(*req.exclude_terms))
     rank_order = (

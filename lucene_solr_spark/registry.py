@@ -2327,6 +2327,28 @@ register(
 )
 
 
+def _facet_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.matches (SimpleFacets' RegexBytesRefFilter): only buckets
+    whose WHOLE value matches the regex survive — Pattern.matches
+    semantics, so the engine anchors the pattern; an unanchored find
+    would also keep e.g. 'listens' for 's.*n'. Dictionary-side
+    narrowing like prefix/contains: per-segment counting untouched,
+    the filter runs on the bounded (term, cnt) partials.
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (FACET_MATCHES -> RegexBytesRefFilter)."""
+    s = cached_searcher(spark, sf_dir)
+    return s.facet("ftok", spec=None, limit=10, matches="s.*n|d.*a")
+
+
+register(
+    "q_facet_matches",
+    _facet_matches,
+    _facet_oracle(
+        "len(toks) > 0 AND regexp_matches(toks[1], '^(?:s.*n|d.*a)$')",
+        "toks[1]", 10),
+)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end filter-chain index (SURVEY §2.7 analysis-chain extension
 # points): an index built through chain(stop_filter, s_stem_filter),
@@ -10671,6 +10693,47 @@ SELECT toks[1] AS facet_value, count(*) AS cnt
 FROM docs
 WHERE len(toks) > 0 AND list_contains(toks, 'data')
   AND toks[1] LIKE '%er%'
+GROUP BY 1
+ORDER BY facet_value
+LIMIT 8
+""".strip(),
+)
+
+
+_SELECT_FACET_MATCHES_REQ = {
+    "q": "data", "rows": 0, "facet.field": "ftok",
+    "facet.limit": 8, "facet.sort": "index",
+    "facet.matches": "[a-z]*or[a-z]*|scan",
+}
+
+
+def _select_facet_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.matches through /select — the regex sibling of
+    facet.contains: buckets narrow to dictionary values whose whole
+    value matches the pattern (Pattern.matches, anchored by the
+    engine) BEFORE ranking/limit. The pattern stays in the
+    Java∩python∩RE2 dialect so Catalyst rlike and the DuckDB oracle
+    agree. ref: solr/core/src/java/org/apache/solr/request/
+    SimpleFacets.java (FACET_MATCHES -> RegexBytesRefFilter)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, _SELECT_FACET_MATCHES_REQ)["facet_counts"]["ftok"]
+
+
+register(
+    "q_select_facet_matches",
+    _select_facet_matches,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+  AND regexp_matches(toks[1], '^(?:[a-z]*or[a-z]*|scan)$')
 GROUP BY 1
 ORDER BY facet_value
 LIMIT 8
