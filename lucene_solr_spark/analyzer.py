@@ -542,6 +542,158 @@ def soundex_filter(toks: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Metaphone (PhoneticFilter + commons-codec Metaphone analog) — the
+# consonant-class sibling of Soundex: Lawrence Philips' 1990 rule
+# cascade with the commons-codec refinements, 4-char cap, inject=false
+# (codes REPLACE tokens, lowercase per the one-analyzer rule). Pinned
+# branch choices follow commons-codec, notably word-initial "CH" +
+# vowel -> K ("character" -> krkt) while every other CH -> X
+# ("teach" -> tx). Tokens with non-letters pass through unchanged.
+# ref: lucene/analysis/phonetic/src/java/org/apache/lucene/analysis/
+#      phonetic/PhoneticFilter.java (+ commons-codec
+#      org.apache.commons.codec.language.Metaphone)
+# ---------------------------------------------------------------------------
+
+_MP_VOWELS = "aeiou"
+_MP_FRONTV = "eiy"   # front vowels soften C/G
+_MP_VARSON = "csptg"  # H is silent after these
+
+
+def metaphone_code(w: str, max_len: int = 4) -> str:
+    """Metaphone code of an all-letters token (commons-codec rule
+    cascade, lowercase); non-letter tokens are returned unchanged."""
+    if not w or not w.isalpha():
+        return w
+    if len(w) == 1:
+        return w
+    # initial-pair transforms: AE/GN/KN/PN/WR drop the first letter,
+    # WH -> W, initial X -> S
+    if w[0] in "agkpw" and (
+        (w[0] == "a" and w[1] == "e")
+        or (w[0] in "gkp" and w[1] == "n")
+        or (w[0] == "w" and w[1] == "r")
+    ):
+        w = w[1:]
+    elif w[0] == "w" and w[1] == "h":
+        w = "w" + w[2:]
+    elif w[0] == "x":
+        w = "s" + w[1:]
+    n, wdsz = 0, len(w)
+    code: list[str] = []
+
+    def at(i: int) -> str:
+        return w[i] if 0 <= i < wdsz else ""
+
+    def vowel(i: int) -> bool:
+        return at(i) in _MP_VOWELS
+
+    def region(s: str) -> bool:
+        return w[n:n + len(s)] == s
+
+    while len(code) < max_len and n < wdsz:
+        c = w[n]
+        if c != "c" and at(n - 1) == c:  # dedupe doubles except C
+            n += 1
+            continue
+        if c in _MP_VOWELS:
+            if n == 0:
+                code.append(c)
+        elif c == "b":
+            if not (n == wdsz - 1 and at(n - 1) == "m"):  # terminal MB
+                code.append("b")
+        elif c == "c":
+            if at(n - 1) == "s" and at(n + 1) in _MP_FRONTV:
+                pass  # SCE/SCI/SCY: C silent
+            elif region("cia"):
+                code.append("x")
+            elif at(n + 1) in _MP_FRONTV:
+                code.append("s")  # CE/CI/CY
+            elif at(n - 1) == "s" and at(n + 1) == "h":
+                code.append("k")  # SCH
+            elif at(n + 1) == "h":
+                # the pinned commons-codec branch: initial CH + vowel
+                # after the H -> K, all other CH -> X
+                code.append("k" if n == 0 and wdsz >= 3 and vowel(2)
+                            else "x")
+            else:
+                code.append("k")
+        elif c == "d":
+            if at(n + 1) == "g" and at(n + 2) in _MP_FRONTV \
+                    and n + 1 < wdsz - 1:
+                code.append("j")  # DGE/DGI/DGY
+                n += 2
+            else:
+                code.append("t")
+        elif c == "g":
+            if at(n + 1) == "h" and n + 1 == wdsz - 1:
+                pass  # terminal GH silent
+            elif at(n + 1) == "h" and n + 1 < wdsz - 1 \
+                    and not vowel(n + 2):
+                pass  # GH before consonant silent
+            elif n > 0 and (region("gn") or region("gned")):
+                pass  # silent GN / GNED
+            else:
+                hard = at(n - 1) == "g"
+                if at(n + 1) in _MP_FRONTV and not hard:
+                    code.append("j")
+                else:
+                    code.append("k")
+        elif c == "h":
+            if n == wdsz - 1:
+                pass  # terminal H silent
+            elif n > 0 and at(n - 1) in _MP_VARSON:
+                pass  # CH/SH/PH/TH/GH groups own the H
+            elif vowel(n + 1):
+                code.append("h")
+        elif c in "fjlmnr":
+            code.append(c)
+        elif c == "k":
+            if at(n - 1) != "c":
+                code.append("k")
+        elif c == "p":
+            code.append("f" if at(n + 1) == "h" else "p")
+        elif c == "q":
+            code.append("k")
+        elif c == "s":
+            code.append("x" if region("sh") or region("sio")
+                        or region("sia") else "s")
+        elif c == "t":
+            if region("tia") or region("tio"):
+                code.append("x")
+            elif region("tch"):
+                pass  # silent in TCH
+            elif region("th"):
+                code.append("0")  # theta
+            else:
+                code.append("t")
+        elif c == "v":
+            code.append("f")
+        elif c in "wy":
+            if n < wdsz - 1 and vowel(n + 1):
+                code.append(c)
+        elif c == "x":
+            code.extend("ks")
+        elif c == "z":
+            code.append("s")
+        n += 1
+    return "".join(code[:max_len])
+
+
+def metaphone_filter(toks: pd.Series) -> pd.Series:
+    """PhoneticFilter(Metaphone, inject=false): replace each token
+    with its Metaphone class code (memoized per batch)."""
+    cache: dict[str, str] = {}
+
+    def enc(t: str) -> str:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = metaphone_code(t)
+        return s
+
+    return toks.map(lambda ts: [enc(t) for t in ts])
+
+
+# ---------------------------------------------------------------------------
 # ASCII folding (ASCIIFoldingFilter analog) — a CHAR filter here: the
 # pinned tokenizer splits on [^a-z0-9], so accented letters must fold
 # BEFORE tokenization to join their tokens (Lucene folds after its

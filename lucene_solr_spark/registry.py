@@ -2906,6 +2906,77 @@ register(
 )
 
 
+# --- Metaphone phonetic chain (commons-codec Metaphone analog) ------
+# The consonant-class sibling of the Soundex chain: same
+# PhoneticFilter inject=false contract, same analyzer_version manifest
+# gating, same vocab-generated oracle CASE map (the PORTER_VOCAB
+# subset guard in test_analyzer is load-bearing here too). Querying
+# the misspelling 'mirge' reaches the 'merge' class mrj.
+METAPHONE_CHAIN_VERSION = "metaphone-v1"
+
+
+def cached_metaphone_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "metaphone")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_mph_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(an.metaphone_filter),
+            analyzer_version=METAPHONE_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(
+        spark, root, analyzer_version=METAPHONE_CHAIN_VERSION)
+
+
+def _metaphone_toks_sql() -> str:
+    """DuckDB spelling of chain(metaphone_filter): vocab-generated
+    code map, identity for unmapped tokens (the same construction —
+    and the same guard — as _soundex_toks_sql)."""
+    from lucene_solr_spark.analyzer import metaphone_code
+
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN '{metaphone_code(w)}'"
+        for w in PORTER_VOCAB if metaphone_code(w) != w
+    )
+    return (
+        "list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+        f"t -> CASE {cases} ELSE t END)"
+    )
+
+
+def _idx_metaphone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the Metaphone-chained index: the misspelling 'mirge'
+    encodes to merge's class mrj (G softened by the front vowel),
+    which Soundex would NOT conflate the same way (m620 keys on the
+    letter classes, mrj on the consonant sounds).
+    ref: commons-codec org.apache.commons.codec.language.Metaphone via
+    lucene/analysis/phonetic/.../PhoneticFilter.java."""
+    from lucene_solr_spark.analyzer import metaphone_code
+
+    s = cached_metaphone_searcher(spark, sf_dir)
+    return s.search(
+        BooleanSpec(must=(metaphone_code("mirge"),), k=12), round_to=ROUND
+    )
+
+
+register(
+    "q_idx_metaphone_search",
+    _idx_metaphone_search,
+    bm25_oracle_sql(
+        BooleanSpec(must=("mrj",), k=12), toks_sql=_metaphone_toks_sql()
+    ),
+)
+
+
 # --- Word-delimiter chain (WordDelimiterFilter analog) --------------
 # The corpus text vocabulary is all-alpha, so the index is built over
 # text copyField-enriched with the tool id (underscore stripped:

@@ -250,6 +250,61 @@ def test_soundex_oracle_case_map_is_total_over_vocab():
         assert code != w and len(code) == 4, (w, code)
 
 
+# --- Metaphone (commons-codec analog, r4) ------------------------------
+
+@pytest.mark.parametrize("word,want", [
+    # pinned commons-codec branch choices, hand-derived from the rule
+    # cascade (lowercased): initial CH + vowel -> K, other CH -> X,
+    # SCH -> K, silent KN/GH, WR drops W, TH -> '0' (theta)
+    ("character", "krkt"), ("teach", "tx"), ("school", "skl"),
+    ("schedule", "sktl"), ("knight", "nt"), ("wright", "rt"),
+    ("xavier", "sfr"), ("thompson", "0mps"),
+    ("merge", "mrj"), ("mirge", "mrj"),  # front-vowel-softened G
+    ("marge", "mrj"), ("lodge", "lj"),   # DGE -> J
+    ("why", ""), ("ae", "e"), ("a", "a"),
+    ("tool7", "tool7"), ("42", "42"), ("", ""),  # pass-through
+])
+def test_metaphone_vectors(word, want):
+    from lucene_solr_spark.analyzer import metaphone_code
+
+    assert metaphone_code(word) == want
+
+
+def test_metaphone_filter_vectorized():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import metaphone_filter
+
+    out = metaphone_filter(pd.Series([["merge", "tool7"], [], ["teach"]]))
+    assert list(out) == [["mrj", "tool7"], [], ["tx"]]
+
+
+def test_metaphone_fuzz_total_and_bounded():
+    """Property: metaphone_code is total over lowercase-alpha tokens —
+    <= 4 chars, all from the code alphabet (consonant codes + the
+    theta '0' + a single leading vowel). NOTE deliberately weaker
+    than the Soundex doubling property: Metaphone context windows see
+    THROUGH doubled letters ('loddge' is not 'lodge'), matching the
+    commons-codec scan order."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.analyzer import metaphone_code
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1,
+                   max_size=12))
+    def prop(w):
+        c = metaphone_code(w)
+        if len(w) == 1:
+            assert c == w  # commons-codec length-1 early return
+            return
+        assert len(c) <= 4 and set(c) <= set("abcdefhijklmnoprstuwxy0")
+        # vowels survive only in position 0
+        assert all(ch not in "aeiou" for ch in c[1:])
+
+    prop()
+
+
 # --- WordDelimiterFilter analog (r4) ----------------------------------
 
 def test_word_delimiter_splits_runs():
