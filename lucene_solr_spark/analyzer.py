@@ -112,6 +112,59 @@ def shingle_filter(toks: pd.Series, size: int = 2, sep: str = " ") -> pd.Series:
 _S_SUFFIXES = ("sses", "ies", "ss")
 
 
+def common_grams_filter(
+    toks: pd.Series, common: frozenset[str] = ENGLISH_STOP_WORDS
+) -> pd.Series:
+    """CommonGramsFilter (index side): keep every unigram and ALSO
+    inject a ``left_right`` bigram for each adjacent pair where either
+    member is a common word — the phrase-speed trade: common-word
+    phrases become single posting lists. Our list model appends the
+    bigram right after its left member (Lucene overlays it with
+    posInc=0; self-consistent here because query + oracle run the
+    SAME chain under the analyzer_version gate).
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+    commongrams/CommonGramsFilter.java"""
+    cw = common
+
+    def run(ts: list[str]) -> list[str]:
+        out: list[str] = []
+        n = len(ts)
+        for i, t in enumerate(ts):
+            out.append(t)
+            if i + 1 < n and (t in cw or ts[i + 1] in cw):
+                out.append(t + "_" + ts[i + 1])
+        return out
+
+    return toks.map(run)
+
+
+def common_grams_query_filter(
+    toks: pd.Series, common: frozenset[str] = ENGLISH_STOP_WORDS
+) -> pd.Series:
+    """CommonGramsQueryFilter (query side): emit ONLY the bigrams for
+    common-word pairs and drop the unigrams they absorbed; tokens that
+    join no bigram pass through (a lone common word still emits
+    itself). 'the merge scan' -> ['the_merge', 'scan'].
+    ref: lucene/analysis/common/.../commongrams/CommonGramsQueryFilter.java"""
+    cw = common
+
+    def run(ts: list[str]) -> list[str]:
+        n = len(ts)
+        pair = [
+            i + 1 < n and (ts[i] in cw or ts[i + 1] in cw)
+            for i in range(n)
+        ]
+        out: list[str] = []
+        for i, t in enumerate(ts):
+            if pair[i]:
+                out.append(t + "_" + ts[i + 1])
+            elif not (i > 0 and pair[i - 1]):
+                out.append(t)
+        return out
+
+    return toks.map(run)
+
+
 def s_stem_filter(toks: pd.Series) -> pd.Series:
     """Minimal English s-stemmer (EnglishMinimalStemFilter semantics:
     plural 's' removal, not full Porter — the documented light option)."""

@@ -2977,6 +2977,84 @@ register(
 )
 
 
+# --- CommonGrams chain (CommonGramsFilter analog) -------------------
+# Index chain injects `left_right` bigrams wherever either neighbor
+# is a stop word (unigrams kept); the query side routes common-word
+# phrases to ONE bigram term lookup instead of a positional phrase
+# scan — the reference's phrase-speed trade, and at 100 TB the
+# difference between a postings intersection + position check and a
+# single pruned-bucket term read.
+COMMONGRAMS_CHAIN_VERSION = "commongrams-v1"
+
+
+def cached_commongrams_searcher(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from lucene_solr_spark import analyzer as an
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import IndexSearcher
+
+    key = (sf_dir, "commongrams")
+    root = _INDEX_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lss_cg_idx_")
+        t = transcripts_from_documents(spark, sf_dir)
+        build_index(
+            spark, t, root, num_parts=8, lineage_source=sf_dir,
+            analyzer=an.chain(an.common_grams_filter),
+            analyzer_version=COMMONGRAMS_CHAIN_VERSION,
+        )
+        _INDEX_ROOTS[key] = root
+    return IndexSearcher(
+        spark, root, analyzer_version=COMMONGRAMS_CHAIN_VERSION)
+
+
+def _commongrams_toks_sql() -> str:
+    """DuckDB spelling of chain(common_grams_filter): per position,
+    the unigram plus (when either neighbor is common) the bigram —
+    flatten over a 1-based position list."""
+    from lucene_solr_spark.analyzer import ENGLISH_STOP_WORDS
+
+    cw = "[" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + "]"
+    return (
+        "flatten(list_transform(range(1, len(regexp_extract_all(lower(text),"
+        " '[a-z0-9]+')) + 1), i -> CASE WHEN"
+        " i < len(regexp_extract_all(lower(text), '[a-z0-9]+')) AND"
+        f" (list_contains({cw},"
+        " regexp_extract_all(lower(text), '[a-z0-9]+')[i]) OR"
+        f" list_contains({cw},"
+        " regexp_extract_all(lower(text), '[a-z0-9]+')[i+1]))"
+        " THEN [regexp_extract_all(lower(text), '[a-z0-9]+')[i],"
+        " regexp_extract_all(lower(text), '[a-z0-9]+')[i] || '_' ||"
+        " regexp_extract_all(lower(text), '[a-z0-9]+')[i+1]]"
+        " ELSE [regexp_extract_all(lower(text), '[a-z0-9]+')[i]] END))"
+    )
+
+
+def _idx_commongrams_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase 'the merge' through the CommonGrams pair: the query
+    chain (common_grams_query_filter) contracts it to the single term
+    'the_merge' — one posting list, no positional intersection."""
+    import pandas as pd
+
+    from lucene_solr_spark import analyzer as an
+
+    s = cached_commongrams_searcher(spark, sf_dir)
+    qtoks = an.common_grams_query_filter(pd.Series([["the", "merge"]]))[0]
+    assert qtoks == ["the_merge"], qtoks  # the contract this row attests
+    return s.search(BooleanSpec(must=tuple(qtoks), k=12), round_to=ROUND)
+
+
+register(
+    "q_idx_commongrams_search",
+    _idx_commongrams_search,
+    bm25_oracle_sql(
+        BooleanSpec(must=("the_merge",), k=12),
+        toks_sql=_commongrams_toks_sql(),
+    ),
+)
+
+
 # --- Word-delimiter chain (WordDelimiterFilter analog) --------------
 # The corpus text vocabulary is all-alpha, so the index is built over
 # text copyField-enriched with the tool id (underscore stripped:

@@ -250,6 +250,72 @@ def test_soundex_oracle_case_map_is_total_over_vocab():
         assert code != w and len(code) == 4, (w, code)
 
 
+# --- CommonGrams (CommonGramsFilter analog, r4) ------------------------
+
+def test_common_grams_index_side_injects_bigrams():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import common_grams_filter
+
+    out = common_grams_filter(pd.Series([
+        ["the", "merge", "scan"],       # common left
+        ["merge", "the", "scan"],       # common middle: both pairs
+        ["fast", "scan"],               # no common word: unigrams only
+        ["the"],                        # lone common word
+        [],
+    ]))
+    assert list(out) == [
+        ["the", "the_merge", "merge", "scan"],
+        ["merge", "merge_the", "the", "the_scan", "scan"],
+        ["fast", "scan"],
+        ["the"],
+        [],
+    ]
+
+
+def test_common_grams_query_side_contracts_pairs():
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import common_grams_query_filter
+
+    out = common_grams_query_filter(pd.Series([
+        ["the", "merge", "scan"],   # -> bigram + untouched tail
+        ["merge", "the", "scan"],   # overlapping bigrams, both emitted
+        ["fast", "scan"],           # untouched
+        ["the"],                    # lone common word passes through
+    ]))
+    assert list(out) == [
+        ["the_merge", "scan"],
+        ["merge_the", "the_scan"],
+        ["fast", "scan"],
+        ["the"],
+    ]
+
+
+def test_common_grams_query_vocab_is_index_subset():
+    """Every token the query filter can emit is in the index filter's
+    output vocabulary for the same text (the searchability contract)."""
+    import pandas as pd
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.analyzer import (
+        common_grams_filter,
+        common_grams_query_filter,
+    )
+
+    words = st.sampled_from(["the", "a", "merge", "scan", "fast", "of"])
+
+    @given(st.lists(words, max_size=6))
+    def prop(ts):
+        idx = set(common_grams_filter(pd.Series([ts]))[0])
+        q = set(common_grams_query_filter(pd.Series([ts]))[0])
+        assert q <= idx, (ts, q, idx)
+
+    prop()
+
+
 # --- Metaphone (commons-codec analog, r4) ------------------------------
 
 @pytest.mark.parametrize("word,want", [
