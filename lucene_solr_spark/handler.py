@@ -581,18 +581,44 @@ def _split_fl(raw: str) -> list[str]:
 #: org/apache/solr/search/SolrReturnFields.java (function parsing via
 #: FunctionQParser) + ValueSourceParser (log/sqrt/recip)
 _FL_FUNC_RE = re.compile(
-    r"^(\w+):(log|sqrt|recip)\(([a-z_][\w]*)((?:,-?\d+(?:\.\d+)?){0,3})\)$"
+    r"^(\w+):(log|sqrt|recip|scale|map)"
+    r"\(([a-z_][\w]*)((?:,-?\d+(?:\.\d+)?){0,3})\)$"
 )
 _FL_FUNC_COLS = {"doc_len", "turn_idx"}
 
 
+def _scale_bounds(searcher, col: str) -> tuple[float, float]:
+    """Corpus-global (min, max) of a numeric docvalues column for
+    ``scale()`` — ONE bounded narrow aggregation over the pruned
+    column, memoized per searcher (snapshot-pinned, so staleness is
+    impossible). Rides ``searcher.docmap()``, so the tombstone mask
+    applies (every docmap read site does): bounds are over LIVE docs.
+    Pinned deviation from Lucene's ScaleFloatFunction (which sweeps
+    0..maxDoc including deleted docs) — masked bounds keep the scaled
+    output inside [target_min, target_max] for every doc a query can
+    actually return."""
+    cache = searcher.__dict__.setdefault("_scale_bounds_cache", {})
+    got = cache.get(col)
+    if got is None:
+        row = searcher.docmap().agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+        got = cache[col] = (float(row["lo"]), float(row["hi"]))
+    return got
+
+
 def _parse_fl_func(f: str) -> tuple:
-    """``alias:func(col[,args])`` → (alias, col, spark_column_fn)."""
+    """``alias:func(col[,args])`` → (alias, col, spark_column_fn);
+    the fn takes the searcher (scale() needs corpus-global bounds,
+    the scalar kinds ignore it).
+    ref: solr/core/src/java/org/apache/solr/search/ValueSourceParser.java
+    (log/sqrt/recip/scale/map) + lucene/queries/.../function/valuesource/
+    ScaleFloatFunction.java, RangeMapFloatFunction.java."""
     m = _FL_FUNC_RE.match(f)
     if not m:
         raise ValueError(
             f"unsupported fl pseudo-field {f!r} (alias:log(col)|"
-            "sqrt(col)|recip(col,m,a,b) over numeric docvalues)")
+            "sqrt(col)|recip(col,m,a,b)|scale(col,min,max)|"
+            "map(col,min,max,target) over numeric docvalues)")
     alias, kind, col, args_s = m.groups()
     if col not in _FL_FUNC_COLS:
         raise ValueError(
@@ -602,16 +628,43 @@ def _parse_fl_func(f: str) -> tuple:
     if kind == "log":
         if args:
             raise ValueError(f"log takes no extra args: {f!r}")
-        fn = lambda: F.round(F.log10(F.col(col) + F.lit(0.0)), 4)  # noqa: E731
+        fn = lambda s=None: F.round(  # noqa: E731
+            F.log10(F.col(col) + F.lit(0.0)), 4)
     elif kind == "sqrt":
         if args:
             raise ValueError(f"sqrt takes no extra args: {f!r}")
-        fn = lambda: F.round(F.sqrt(F.col(col) + F.lit(0.0)), 4)  # noqa: E731
+        fn = lambda s=None: F.round(  # noqa: E731
+            F.sqrt(F.col(col) + F.lit(0.0)), 4)
+    elif kind == "scale":
+        # scale(col,target_min,target_max): linear map of the CORPUS
+        # value range onto [target_min, target_max]; degenerate range
+        # pins to target_min (Lucene would emit NaN — rejected here)
+        if len(args) != 2:
+            raise ValueError(f"scale wants (col,min,max): {f!r}")
+        t_lo, t_hi = args
+
+        def fn(s, _c=col, _lo=t_lo, _hi=t_hi):
+            lo, hi = _scale_bounds(s, _c)
+            if hi == lo:
+                return F.lit(round(_lo, 4))
+            return F.round(
+                (F.col(_c) - F.lit(lo)) / F.lit(hi - lo)
+                * F.lit(_hi - _lo) + F.lit(_lo), 4)
+    elif kind == "map":
+        # map(col,min,max,target): values inside [min,max] become
+        # target, everything else passes through (RangeMapFloatFunction
+        # with the default passthrough)
+        if len(args) != 3:
+            raise ValueError(f"map wants (col,min,max,target): {f!r}")
+        m_lo, m_hi, tgt = args
+        fn = lambda s=None: F.round(  # noqa: E731
+            F.when((F.col(col) >= F.lit(m_lo)) & (F.col(col) <= F.lit(m_hi)),
+                   F.lit(tgt)).otherwise(F.col(col) + F.lit(0.0)), 4)
     else:
         if len(args) != 3:
             raise ValueError(f"recip wants (col,m,a,b): {f!r}")
         m_c, a_c, b_c = args
-        fn = lambda: F.round(  # noqa: E731
+        fn = lambda s=None: F.round(  # noqa: E731
             F.lit(a_c) / (F.lit(m_c) * F.col(col) + F.lit(b_c)), 4)
     return (alias, col, fn)
 
@@ -2044,7 +2097,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 .orderBy("rn").drop("rn")
             )
         for alias, _, fn in o.get("fl_funcs", ()):
-            page = page.withColumn(alias, fn())
+            page = page.withColumn(alias, fn(searcher))
         page = page.select(*o["fl"])
     page = _encode_wt(page, o["wt"])
     if (o["facet_fields"] or o["json_facets"] or o["facet_queries"]

@@ -11360,6 +11360,49 @@ ORDER BY b.score DESC, b.conv_id, b.turn_idx
 )
 
 
+def _select_fl_scale_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl scale()/map() ValueSources: scale(doc_len,0,1) linearly maps
+    the LIVE-corpus doc_len range onto [0,1] (corpus bounds via ONE
+    memoized narrow aggregation, never a per-row job);
+    map(turn_idx,0,3,0) collapses the band [0,3] to 0 and passes
+    everything else through. Both evaluate on the ≤ start+rows page.
+    ref: solr/core/src/java/org/apache/solr/search/ValueSourceParser.java
+    + lucene/queries/.../function/valuesource/ScaleFloatFunction.java,
+    RangeMapFloatFunction.java."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "merge", "rows": 10,
+        "fl": "conv_id,turn_idx,norm:scale(doc_len,0,1),"
+              "band:map(turn_idx,0,3,0),score",
+    })["response"]
+
+
+register(
+    "q_select_fl_scale_map",
+    _select_fl_scale_map,
+    f"""
+WITH dl AS (
+  WITH {TRANSCRIPTS_ORACLE_CTE}
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM transcripts
+),
+mm AS (SELECT min(dl) AS lo, max(dl) AS hi FROM dl)
+SELECT b.conv_id, b.turn_idx,
+       round((t.dl - mm.lo) * 1.0 / (mm.hi - mm.lo), 4) AS norm,
+       round(CASE WHEN b.turn_idx BETWEEN 0 AND 3
+                  THEN 0.0 ELSE b.turn_idx * 1.0 END, 4) AS band,
+       b.score
+FROM (
+{bm25_oracle_sql(BooleanSpec(must=("merge",), k=10))}
+) b JOIN dl t USING (conv_id, turn_idx), mm
+ORDER BY b.score DESC, b.conv_id, b.turn_idx
+""".strip(),
+)
+
+
 _SELECT_JF_RANGE_DATE_REQ = {
     "q": "merge", "rows": 0,
     "json.facet": ('{"rd": {"type": "range", "field": "ts",'
