@@ -62,7 +62,7 @@ _KNOWN = {
     "group.func",
     "mlt", "mlt.count", "mlt.maxqt", "mlt.mintf", "mlt.mindf",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
-    "spellcheck.maxQueryFrequency",
+    "spellcheck.maxQueryFrequency", "spellcheck.extendedResults",
     "debug",
     "defType", "mm", "pf", "ps", "bq", "q.alt", "json.facet",
     "spellcheck.q",
@@ -1412,12 +1412,15 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                 f"spellcheck.maxQueryFrequency must be >= 0: {sc_maxqf}")
         spellcheck = (sc_count, bool(params.get("spellcheck.collate", False)),
                       params.get("spellcheck.q"),
-                      sc_maxqf)
+                      sc_maxqf,
+                      bool(params.get("spellcheck.extendedResults", False)))
     elif {"spellcheck.count", "spellcheck.collate",
-          "spellcheck.maxQueryFrequency", "spellcheck.q"} & set(params):
+          "spellcheck.maxQueryFrequency", "spellcheck.q",
+          "spellcheck.extendedResults"} & set(params):
         raise ValueError(
             "spellcheck.count/spellcheck.collate/"
-            "spellcheck.maxQueryFrequency/spellcheck.q "
+            "spellcheck.maxQueryFrequency/spellcheck.q/"
+            "spellcheck.extendedResults "
             "need spellcheck=true")
     # ReRank leg (rq={!rerank ...}): re-scores the score-ranked head
     rerank = None
@@ -2550,7 +2553,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # hits (SpellCheckCollator).
         # ref: solr/core/src/java/org/apache/solr/spelling/
         # DirectSolrSpellChecker.java + SpellCheckCollator.java
-        sc_count, collate, sc_q, sc_maxqf = o["spellcheck"]
+        sc_count, collate, sc_q, sc_maxqf, sc_ext = o["spellcheck"]
         if sc_q is not None:
             # spellcheck.q (SpellCheckComponent): the spell input is
             # the ANALYZED alternate string, not the main query; the
@@ -2563,6 +2566,13 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         dfs = searcher.global_df(q_terms)
         misspelled = [t for t in q_terms if dfs[t] <= sc_maxqf]
         sugg_schema = "q string, suggestion string, dist long, df long"
+        if sc_ext:
+            # spellcheck.extendedResults: each row also reports the
+            # INPUT term's frequency (origFreq) next to the
+            # suggestion's — the reference's extended response shape.
+            # ref: solr/core/src/java/org/apache/solr/handler/component/
+            # SpellCheckComponent.java (toNamedList extendedResults)
+            sugg_schema += ", origFreq long"
         if misspelled:
             qdf = searcher.spark.createDataFrame(
                 [(t, int(dfs[t])) for t in misspelled],
@@ -2586,7 +2596,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             sugg = (
                 cand.withColumn("scrn", F.row_number().over(scw))
                 .filter(F.col("scrn") <= sc_count)
-                .select("q", F.col("term").alias("suggestion"), "dist", "df")
+                .select("q", F.col("term").alias("suggestion"), "dist", "df",
+                        *([F.col("q_df").alias("origFreq")] if sc_ext
+                          else []))
                 .orderBy("q", "dist", F.desc("df"), "suggestion")
             )
         else:

@@ -7310,6 +7310,56 @@ ORDER BY q, dist, df DESC, suggestion
 )
 
 
+def _select_spellcheck_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spellcheck.extendedResults: the suggestion rows ALSO report the
+    input term's own frequency (origFreq) beside each suggestion's df
+    — the reference's extended response shape, here one extra column
+    carried from the same bounded df probe (no extra job).
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    SpellCheckComponent.java (toNamedList extendedResults=true)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "fast data", "rows": 5,
+        "spellcheck": True, "spellcheck.count": 3,
+        "spellcheck.maxQueryFrequency": 380,
+        "spellcheck.extendedResults": True,
+    })["spellcheck"]
+
+
+register(
+    "q_select_spellcheck_extended",
+    _select_spellcheck_extended,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES ('fast'), ('data')),
+miss AS (
+  SELECT q.q, coalesce(d.df, 0) AS q_df
+  FROM q LEFT JOIN dfreq d ON d.term = q.q
+  WHERE coalesce(d.df, 0) <= 380),
+cand AS (
+  SELECT m.q, d.term AS suggestion,
+         CAST(levenshtein(m.q, d.term) AS BIGINT) AS dist, d.df,
+         m.q_df AS origFreq
+  FROM miss m, dfreq d
+  WHERE levenshtein(m.q, d.term) <= 2 AND len(d.term) >= 3
+    AND d.term <> m.q AND d.df > m.q_df),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand)
+SELECT q, suggestion, dist, df, origFreq FROM ranked WHERE rn <= 3
+ORDER BY q, dist, df DESC, suggestion
+""".strip(),
+)
+
+
 _SELECT_PIVOT_PARAMS = {
     "q": "data", "rows": 5, "facet.pivot": "role,tool",
     "facet.limit": 3,
