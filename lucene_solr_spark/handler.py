@@ -61,6 +61,7 @@ _KNOWN = {
     "group.format", "group.ngroups", "group.sort", "group.query",
     "group.func",
     "mlt", "mlt.count", "mlt.maxqt", "mlt.mintf", "mlt.mindf",
+    "mlt.boost",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "spellcheck.maxQueryFrequency", "spellcheck.extendedResults",
     "debug",
@@ -1377,9 +1378,10 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         mlt_mindf = int(params.get("mlt.mindf", 1))
         if mlt_mintf < 1 or mlt_mindf < 1:
             raise ValueError("mlt.mintf and mlt.mindf must be >= 1")
-        mlt = (mlt_count, mlt_maxqt, mlt_mintf, mlt_mindf)
+        mlt = (mlt_count, mlt_maxqt, mlt_mintf, mlt_mindf,
+               bool(params.get("mlt.boost", False)))
     elif {"mlt.count", "mlt.maxqt", "mlt.mintf",
-          "mlt.mindf"} & set(params):
+          "mlt.mindf", "mlt.boost"} & set(params):
         raise ValueError("mlt.* params need mlt=true")
     # TermVectorComponent leg: tv=true returns (term, tf) vectors
     # for every PAGE doc off the pinned analyzer stream (the tokens
@@ -2482,7 +2484,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # page Solr materializes identically).
         if stored is None:
             raise ValueError("mlt=true needs the stored-fields frame")
-        mlt_count, mlt_maxqt, mlt_mintf, mlt_mindf = o["mlt"]
+        mlt_count, mlt_maxqt, mlt_mintf, mlt_mindf, mlt_boost = o["mlt"]
         page_rows = (
             stored.join(F.broadcast(page_keys), ["conv_id", "turn_idx"])
             .select("conv_id", "turn_idx", "text")
@@ -2491,7 +2493,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         out["moreLikeThis"] = searcher.mlt_batch(
             [(r.conv_id, r.turn_idx, r.text) for r in page_rows],
             max_terms=mlt_maxqt, k=mlt_count, round_to=4,
-            min_tf=mlt_mintf, min_df=mlt_mindf,
+            min_tf=mlt_mintf, min_df=mlt_mindf, boost=mlt_boost,
         )
     if o["tv"]:
         # TermVectorComponent leg: only the page's ≤ rows docs join

@@ -789,6 +789,7 @@ class IndexSearcher:
         round_to: int | None = None,
         min_tf: int = 1,
         min_df: int = 1,
+        boost: bool = False,
     ) -> DataFrame:
         """Batched MoreLikeThis — the /select ``mlt=true`` component
         (MoreLikeThisComponent runs one MLT query PER doclist doc;
@@ -846,11 +847,19 @@ class IndexSearcher:
                  if c >= min_tf and dfs[t] >= min_df),
                 key=lambda x: (-x[0], x[1]),
             )[:max_terms]
-            for _, t in ranked:
-                src_rows.append((cid, tid, t))
+            # mlt.boost (MoreLikeThis#setBoost): weight each
+            # interesting term by its score RATIO to the best term of
+            # ITS source (Lucene's tq.setBoost(myScore / bestScore));
+            # boost=false keeps the flat 1.0 the plain query uses
+            best = ranked[0][0] if ranked else 0.0
+            for sc, t in ranked:
+                b = (sc / best) if (boost and best > 0) else 1.0
+                src_rows.append((cid, tid, t, float(b)))
                 int_union.add(t)
         src_map = self.spark.createDataFrame(
-            src_rows, "src_conv_id string, src_turn_idx int, term string"
+            src_rows,
+            "src_conv_id string, src_turn_idx int, term string, "
+            "boost double",
         )
         avgdl = self.manifest.avgdl
         seg_dirs = self.seg_dir_by_id
@@ -913,7 +922,7 @@ class IndexSearcher:
                   & (F.col("turn_idx") == F.col("src_turn_idx")))
             )
             .groupBy("src_conv_id", "src_turn_idx", "conv_id", "turn_idx")
-            .agg(F.sum("contrib").alias("score"))
+            .agg(F.sum(F.col("contrib") * F.col("boost")).alias("score"))
         )
         if round_to is not None:
             scored = scored.withColumn("score", F.round("score", round_to))

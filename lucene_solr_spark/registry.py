@@ -7208,6 +7208,61 @@ assert "a.tf >= 2" in _MLT_GATES_ORACLE
 register("q_select_mlt_gates", _select_mlt_gates, _MLT_GATES_ORACLE)
 
 
+_SELECT_MLT_BOOST_PARAMS = dict(_SELECT_MLT_PARAMS, **{"mlt.boost": True})
+
+
+def _select_mlt_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mlt.boost (MoreLikeThis#setBoost): each interesting term's
+    contribution is weighted by its score RATIO to the best term of
+    its source (Lucene's tq.setBoost(myScore/bestScore)) — the pair
+    ranking tilts toward docs sharing the source's MOST interesting
+    terms. The ratio rides the same broadcast source-map (one extra
+    double column); the distributed pass is unchanged.
+    ref: lucene/queries/src/java/org/apache/lucene/queries/mlt/
+    MoreLikeThis.java (createQuery boost handling)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_MLT_BOOST_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["moreLikeThis"]
+
+
+_MLT_BOOST_ORACLE = ORACLES["q_select_mlt"].replace(
+    """int_terms AS (
+  SELECT src_cid, src_tid, term FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_cid, src_tid ORDER BY w DESC, term) AS trn
+    FROM src_w)
+  WHERE trn <= 4
+),""",
+    """int_terms AS (
+  SELECT src_cid, src_tid, term, w / best AS boost FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_cid, src_tid ORDER BY w DESC, term) AS trn,
+       first_value(w) OVER (
+      PARTITION BY src_cid, src_tid ORDER BY w DESC, term) AS best
+    FROM src_w)
+  WHERE trn <= 4
+),""",
+).replace(
+    """         round(sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (a.tf * ({_K1} + 1))
+           / (a.tf + {_K1} * (1 - {_B} + {_B} * a.doc_len / stats.avgdl))
+         ), 4) AS score""".format(_K1=_K1, _B=_B),
+    """         round(sum(
+           it.boost
+           * ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (a.tf * ({_K1} + 1))
+           / (a.tf + {_K1} * (1 - {_B} + {_B} * a.doc_len / stats.avgdl))
+         ), 4) AS score""".format(_K1=_K1, _B=_B),
+)
+assert "it.boost" in _MLT_BOOST_ORACLE and "w / best" in _MLT_BOOST_ORACLE
+register("q_select_mlt_boost", _select_mlt_boost, _MLT_BOOST_ORACLE)
+
+
 _SELECT_SPELLCHECK_PARAMS = {
     "q": "mrege tabel data", "rows": 5,
     "spellcheck": True, "spellcheck.count": 3,
