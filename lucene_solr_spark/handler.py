@@ -45,7 +45,7 @@ _KNOWN = {
     "facet.mincount", "facet.prefix", "facet.offset", "facet.method",
     "facet.excludeTerms", "facet.exists",
     "facet.contains", "facet.contains.ignoreCase", "facet.matches",
-    "hl", "hl.fl",
+    "hl", "hl.fl", "hl.q",
     "hl.snippets", "hl.fragsize", "hl.usePhraseHighlighter",
     "hl.tag.pre", "hl.tag.post",
     "hl.alternateField", "hl.maxAlternateFieldLength",
@@ -970,6 +970,16 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     for tag in (hl_pre, hl_post):
         if not tag or "'" in tag or "\\" in tag:
             raise ValueError(f"bad hl.tag marker: {tag!r}")
+    # hl.q (HighlightParams.Q): highlight against an ALTERNATE query
+    # — the marking terms/phrases come from hl.q's parse, the hit
+    # list stays the main query's (the classic rq/boost companion).
+    # ref: solr/core/src/java/org/apache/solr/highlight/
+    # DefaultSolrHighlighter.java (getHighlightQuery)
+    hl_q_spec = None
+    if "hl.q" in params:
+        if not hl:
+            raise ValueError("hl.q needs hl=true")
+        hl_q_spec = parse(str(params["hl.q"]), default_op="AND")
     hl_phrase = bool(params.get("hl.usePhraseHighlighter", False))
     if hl_phrase:
         if not hl:
@@ -977,7 +987,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if hl_passages:
             raise ValueError("hl.usePhraseHighlighter and passage "
                              "mode are exclusive in this subset")
-        if spec.phrases and spec.phrase_slop:
+        eff_hl = hl_q_spec if hl_q_spec is not None else spec
+        if eff_hl.phrases and eff_hl.phrase_slop:
             raise ValueError("hl.usePhraseHighlighter marks EXACT "
                              "adjacency occurrences; sloppy phrases "
                              "are outside the subset")
@@ -1598,6 +1609,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "hl_snippets": hl_snippets,
         "hl_fragsize": hl_fragsize,
         "hl_phrase": hl_phrase,
+        "hl_q_spec": hl_q_spec,
         "hl_alternate": hl_alternate,
         "hl_alt_len": hl_alt_len,
         "hl_pre": hl_pre,
@@ -2736,8 +2748,12 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             raise ValueError("hl=true needs the stored-fields frame")
         from lucene_solr_spark.analyzer import tokens_col
 
+        # hl.q substitutes the MARKING query; the page (hit list,
+        # order) stays the main query's
+        hspec = o.get("hl_q_spec") or spec
         terms = list(dict.fromkeys(
-            spec.scoring_terms + tuple(t for ph in spec.phrases for t in ph)
+            hspec.scoring_terms
+            + tuple(t for ph in hspec.phrases for t in ph)
         ))
         toks = tokens_col("text")
         joined = stored.join(
@@ -2811,7 +2827,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 .drop("rn")
             )
             return out
-        if o["hl_phrase"] and spec.phrases:
+        if o["hl_phrase"] and hspec.phrases:
             # hl.usePhraseHighlighter (PhraseHelper): phrase terms mark
             # ONLY inside an actual exact-adjacency occurrence of one
             # of the query's phrases — an isolated constituent stays
@@ -2820,7 +2836,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             # indexed lambda over the same analyzer stream the phrase
             # matcher used, so marking can't disagree with the scorer.
             conds = []
-            for ph in spec.phrases:
+            for ph in hspec.phrases:
                 length = len(ph)
                 for j in range(length):
                     parts = [f"i - {j} >= 0",
@@ -2831,7 +2847,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     ]
                     conds.append("(" + " AND ".join(parts) + ")")
             phrase_hit = " OR ".join(conds)
-            others = list(dict.fromkeys(spec.must + spec.should))
+            others = list(dict.fromkeys(hspec.must + hspec.should))
             in_other = (
                 "tk IN (" + ", ".join(f"'{t}'" for t in others) + ")"
                 if others else "false"

@@ -7263,6 +7263,52 @@ assert "it.boost" in _MLT_BOOST_ORACLE and "w / best" in _MLT_BOOST_ORACLE
 register("q_select_mlt_boost", _select_mlt_boost, _MLT_BOOST_ORACLE)
 
 
+_SELECT_HL_Q_PARAMS = {
+    "q": "merge", "rows": 10,
+    "hl": True, "hl.q": "table scan",
+}
+
+
+def _select_hl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.q (HighlightParams.Q): the snippet marking runs against an
+    ALTERNATE query — the page (hit list, order) is still q=merge's,
+    but the marked tokens are hl.q's terms (table, scan). The classic
+    companion of rq/boost requests where the display terms differ
+    from the retrieval terms. Same page-bounded broadcast join.
+    ref: solr/core/src/java/org/apache/solr/highlight/
+    DefaultSolrHighlighter.java (getHighlightQuery / HighlightParams.Q)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, _SELECT_HL_Q_PARAMS,
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["highlighting"]
+
+
+register(
+    "q_select_hl_q",
+    _select_hl_q,
+    f"""
+WITH b AS (
+{bm25_oracle_sql(BooleanSpec(must=("merge",), k=10))}
+), t AS (
+  WITH {TRANSCRIPTS_ORACLE_CTE}
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT b.conv_id, b.turn_idx,
+       array_to_string(list_transform(t.toks,
+         tk -> CASE WHEN tk IN ('table', 'scan')
+                    THEN '<em>' || tk || '</em>' ELSE tk END), ' ')
+         AS snippet
+FROM b JOIN t USING (conv_id, turn_idx)
+ORDER BY b.score DESC, b.conv_id, b.turn_idx
+""".strip(),
+)
+
+
 _SELECT_SPELLCHECK_PARAMS = {
     "q": "mrege tabel data", "rows": 5,
     "spellcheck": True, "spellcheck.count": 3,
