@@ -64,6 +64,7 @@ _KNOWN = {
     "mlt.boost",
     "spellcheck", "spellcheck.count", "spellcheck.collate",
     "spellcheck.maxQueryFrequency", "spellcheck.extendedResults",
+    "spellcheck.alternativeTermCount", "spellcheck.accuracy",
     "debug",
     "defType", "mm", "pf", "ps", "bq", "q.alt", "json.facet",
     "spellcheck.q",
@@ -1423,17 +1424,42 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         if sc_maxqf < 0:
             raise ValueError(
                 f"spellcheck.maxQueryFrequency must be >= 0: {sc_maxqf}")
+        # spellcheck.alternativeTermCount (context-sensitive spell
+        # check): PRESENT terms (df above maxQueryFrequency) also get
+        # up to this many alternatives; 0 (default) keeps the
+        # absent/low-df-only gate. spellcheck.accuracy: minimum
+        # normalized similarity 1 - dist/max(|q|,|suggestion|)
+        # (org.apache.lucene.search.spell.LevenshteinDistance
+        # getDistance); 0.0 (default) keeps every dist<=2 candidate.
+        sc_alt = int(params.get("spellcheck.alternativeTermCount", 0))
+        if sc_alt < 0:
+            raise ValueError(
+                f"spellcheck.alternativeTermCount must be >= 0: {sc_alt}")
+        sc_acc = float(params.get("spellcheck.accuracy", 0.0))
+        if not (0.0 <= sc_acc <= 1.0):
+            raise ValueError(
+                f"spellcheck.accuracy must be in [0, 1]: {sc_acc}")
+        if sc_alt > 0 and params.get("spellcheck.collate", False):
+            # the pinned collate contract rewrites MISSPELLED terms
+            # only; context-sensitive collation over present-term
+            # alternatives is outside the subset
+            raise ValueError("spellcheck.collate with "
+                             "alternativeTermCount is outside the "
+                             "pinned subset")
         spellcheck = (sc_count, bool(params.get("spellcheck.collate", False)),
                       params.get("spellcheck.q"),
                       sc_maxqf,
-                      bool(params.get("spellcheck.extendedResults", False)))
+                      bool(params.get("spellcheck.extendedResults", False)),
+                      sc_alt, sc_acc)
     elif {"spellcheck.count", "spellcheck.collate",
           "spellcheck.maxQueryFrequency", "spellcheck.q",
-          "spellcheck.extendedResults"} & set(params):
+          "spellcheck.extendedResults", "spellcheck.alternativeTermCount",
+          "spellcheck.accuracy"} & set(params):
         raise ValueError(
             "spellcheck.count/spellcheck.collate/"
             "spellcheck.maxQueryFrequency/spellcheck.q/"
-            "spellcheck.extendedResults "
+            "spellcheck.extendedResults/spellcheck.alternativeTermCount/"
+            "spellcheck.accuracy "
             "need spellcheck=true")
     # ReRank leg (rq={!rerank ...}): re-scores the score-ranked head
     rerank = None
@@ -2567,7 +2593,8 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # hits (SpellCheckCollator).
         # ref: solr/core/src/java/org/apache/solr/spelling/
         # DirectSolrSpellChecker.java + SpellCheckCollator.java
-        sc_count, collate, sc_q, sc_maxqf, sc_ext = o["spellcheck"]
+        (sc_count, collate, sc_q, sc_maxqf, sc_ext,
+         sc_alt, sc_acc) = o["spellcheck"]
         if sc_q is not None:
             # spellcheck.q (SpellCheckComponent): the spell input is
             # the ANALYZED alternate string, not the main query; the
@@ -2578,7 +2605,11 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         else:
             q_terms = list(dict.fromkeys(spec.scoring_terms))
         dfs = searcher.global_df(q_terms)
-        misspelled = [t for t in q_terms if dfs[t] <= sc_maxqf]
+        # alternativeTermCount > 0 widens eligibility to PRESENT terms
+        # with their own (smaller) suggestion cap; the misspelled gate
+        # keeps sc_count
+        misspelled = [t for t in q_terms
+                      if dfs[t] <= sc_maxqf or sc_alt > 0]
         sugg_schema = "q string, suggestion string, dist long, df long"
         if sc_ext:
             # spellcheck.extendedResults: each row also reports the
@@ -2589,8 +2620,10 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             sugg_schema += ", origFreq long"
         if misspelled:
             qdf = searcher.spark.createDataFrame(
-                [(t, int(dfs[t])) for t in misspelled],
-                "q string, q_df long",
+                [(t, int(dfs[t]),
+                  int(sc_count if dfs[t] <= sc_maxqf else sc_alt))
+                 for t in misspelled],
+                "q string, q_df long, cap long",
             )
             dicts = searcher.postings().groupBy("term").agg(
                 F.sum("df").cast("long").alias("df")
@@ -2604,12 +2637,19 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                         & (F.col("term") != F.col("q"))
                         & (F.col("df") > F.col("q_df")))
             )
+            if sc_acc > 0.0:
+                # accuracy gate: normalized similarity must reach the
+                # threshold (1 - dist/max(|q|, |suggestion|) — the
+                # LevenshteinDistance#getDistance normalization)
+                sim = F.lit(1.0) - F.col("dist") / F.greatest(
+                    F.length("q"), F.length("term"))
+                cand = cand.filter(sim >= F.lit(sc_acc))
             scw = Window.partitionBy("q").orderBy(
                 "dist", F.desc("df"), F.col("term")
             )
             sugg = (
                 cand.withColumn("scrn", F.row_number().over(scw))
-                .filter(F.col("scrn") <= sc_count)
+                .filter(F.col("scrn") <= F.col("cap"))
                 .select("q", F.col("term").alias("suggestion"), "dist", "df",
                         *([F.col("q_df").alias("origFreq")] if sc_ext
                           else []))

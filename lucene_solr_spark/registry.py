@@ -7263,6 +7263,106 @@ assert "it.boost" in _MLT_BOOST_ORACLE and "w / best" in _MLT_BOOST_ORACLE
 register("q_select_mlt_boost", _select_mlt_boost, _MLT_BOOST_ORACLE)
 
 
+def _select_spellcheck_alternative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spellcheck.alternativeTermCount: PRESENT q terms also get
+    alternatives — 'mrege' (absent) keeps the full spellcheck.count
+    window while 'row' (df 393, present) gets up to 2 MORE POPULAR
+    dist<=2 neighbors ('slow', df 394). The per-term cap rides the
+    same broadcast input frame; one probe, one dictionary pass.
+    ref: solr/core/src/java/org/apache/solr/spelling/
+    DirectSolrSpellChecker.java (alternativeTermCount widening)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "mrege row", "rows": 5,
+        "spellcheck": True, "spellcheck.count": 3,
+        "spellcheck.alternativeTermCount": 2,
+    })["spellcheck"]
+
+
+register(
+    "q_select_spellcheck_alternative",
+    _select_spellcheck_alternative,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES ('mrege'), ('row')),
+miss AS (
+  SELECT q.q, coalesce(d.df, 0) AS q_df,
+         CASE WHEN coalesce(d.df, 0) <= 0 THEN 3 ELSE 2 END AS cap
+  FROM q LEFT JOIN dfreq d ON d.term = q.q),
+cand AS (
+  SELECT m.q, m.cap, d.term AS suggestion,
+         CAST(levenshtein(m.q, d.term) AS BIGINT) AS dist, d.df
+  FROM miss m, dfreq d
+  WHERE levenshtein(m.q, d.term) <= 2 AND len(d.term) >= 3
+    AND d.term <> m.q AND d.df > m.q_df),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand)
+SELECT q, suggestion, dist, df FROM ranked WHERE rn <= cap
+ORDER BY q, dist, df DESC, suggestion
+""".strip(),
+)
+
+
+def _select_spellcheck_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spellcheck.accuracy: candidates must reach the normalized
+    similarity 1 - dist/max(|q|,|suggestion|) — at 0.55, 'mrege' keeps
+    only 'merge' (sim 0.6) and every dist-2 4-letter neighbor
+    (sim 0.5) is pruned.
+    ref: lucene/suggest/src/java/org/apache/lucene/search/spell/
+    DirectSpellChecker.java (setAccuracy) + LevenshteinDistance
+    getDistance normalization."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "mrege tabel data", "rows": 5,
+        "spellcheck": True, "spellcheck.count": 3,
+        "spellcheck.accuracy": 0.55,
+    })["spellcheck"]
+
+
+register(
+    "q_select_spellcheck_accuracy",
+    _select_spellcheck_accuracy,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT conv_id, turn_idx,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tf AS (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term FROM docs),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+q(q) AS (VALUES ('mrege'), ('tabel'), ('data')),
+miss AS (
+  SELECT q.q, coalesce(d.df, 0) AS q_df
+  FROM q LEFT JOIN dfreq d ON d.term = q.q
+  WHERE coalesce(d.df, 0) <= 0),
+cand AS (
+  SELECT m.q, d.term AS suggestion,
+         CAST(levenshtein(m.q, d.term) AS BIGINT) AS dist, d.df
+  FROM miss m, dfreq d
+  WHERE levenshtein(m.q, d.term) <= 2 AND len(d.term) >= 3
+    AND d.term <> m.q AND d.df > m.q_df
+    AND 1.0 - levenshtein(m.q, d.term) * 1.0
+              / greatest(len(m.q), len(d.term)) >= 0.55),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand)
+SELECT q, suggestion, dist, df FROM ranked WHERE rn <= 3
+ORDER BY q, dist, df DESC, suggestion
+""".strip(),
+)
+
+
 _SELECT_HL_Q_PARAMS = {
     "q": "merge", "rows": 10,
     "hl": True, "hl.q": "table scan",
