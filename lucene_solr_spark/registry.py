@@ -11913,7 +11913,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # features_check (attested r3) yields to the NEW SemDeDup op; the
     # r4 WAV codec row keeps the multimodal family attested
     # dedup_clusters (attested r3) yields to the NEW k-means trainer
-    "q_ann_ivf", "q_knn_join", "q_kmeans_train",
+    # r4 mid-round swap: q_ann_ivf is the window's only twice-attested
+    # row (r2+r3 green, plan-asserted, still in the full battery);
+    # the CommonGrams chain is a NEW analyzer-level capability
+    "q_idx_commongrams_search", "q_knn_join", "q_kmeans_train",
     "q_multimodal_wav_decode", "q_dedup_semantic",
     # never-attested pipeline hygiene ops (VERDICT r3 item 10 list)
     "q_quality_repetition", "q_domain_mix", "q_pack_sequences",
