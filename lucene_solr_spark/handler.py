@@ -527,12 +527,15 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
 
 #: per-field facet override params — Solr's SolrParams.getFieldParam
 #: rule (``f.<field>.facet.<opt>`` wins over the request-wide
-#: ``facet.<opt>`` for that one field). Pinned subset: the five
-#: narrowing opts the facet engine takes per-request.
+#: ``facet.<opt>`` for that one field). Pinned subset: the seven
+#: narrowing opts the facet engine takes per-request (contains/
+#: matches joined r4-continuation-2; contains.ignoreCase stays
+#: request-wide).
 #: ref: solr/solrj/src/java/org/apache/solr/common/params/SolrParams.java
 #: (getFieldParam) + solr/core/.../request/SimpleFacets.java
 _FACET_FIELD_PARAM_RE = re.compile(
-    r"^f\.([A-Za-z_]\w*)\.facet\.(limit|sort|mincount|prefix|offset)$"
+    r"^f\.([A-Za-z_]\w*)\.facet\."
+    r"(limit|sort|mincount|prefix|offset|contains|matches)$"
 )
 
 
@@ -557,6 +560,11 @@ def _facet_field_overrides(params: dict) -> dict[str, dict]:
         elif opt == "sort":
             if val not in ("count", "index"):
                 raise ValueError(f"{key} must be count|index: {val!r}")
+        elif opt == "matches":
+            try:
+                re.compile(str(val))
+            except re.error as exc:
+                raise ValueError(f"{key}: bad regex: {exc}") from exc
         out.setdefault(fld, {})[opt] = val
     return out
 
@@ -2208,9 +2216,9 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             sort=ov.get("sort", o["facet_sort"]),
             missing=o["facet_missing"],
             prefix=ov.get("prefix", o["facet_prefix"]),
-            contains=o.get("facet_contains"),
+            contains=ov.get("contains", o.get("facet_contains")),
             contains_ignore_case=o.get("facet_contains_ic", False),
-            matches=o.get("facet_matches"),
+            matches=ov.get("matches", o.get("facet_matches")),
             group_by="conv_id" if o.get("group_facet") else None,
             offset=ov.get("offset", o["facet_offset"]),
             exclude_terms=o["facet_exclude_terms"],

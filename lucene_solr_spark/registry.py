@@ -10997,6 +10997,44 @@ ORDER BY ts DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _select_facet_pf_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field facet.matches override (f.<field>.facet.matches —
+    getFieldParam over the regex narrowing too): the request-wide
+    pattern would keep '[a-z]*a[a-z]*' buckets; the ftok override
+    narrows to terms containing 'or' or exactly 'scan'. A dropped
+    override returns the request-wide bucket set — disjoint rows, so
+    this attests the per-field routing of the regex filter itself."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "data", "rows": 0, "facet.field": "ftok",
+        "facet.limit": 8, "facet.sort": "index",
+        "facet.matches": "[a-z]*a[a-z]*",
+        "f.ftok.facet.matches": "[a-z]*or[a-z]*|scan",
+    })["facet_counts"]["ftok"]
+
+
+register(
+    "q_select_facet_pf_matches",
+    _select_facet_pf_matches,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+  AND regexp_matches(toks[1], '^(?:[a-z]*or[a-z]*|scan)$')
+GROUP BY 1
+ORDER BY facet_value
+LIMIT 8
+""".strip(),
+)
+
+
 _SELECT_FACET_PER_FIELD_REQ = {
     "q": "data", "rows": 0,
     "facet.field": ["role", "ftok"],
