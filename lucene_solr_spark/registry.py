@@ -10997,6 +10997,70 @@ ORDER BY ts DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _sql_or_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/sql parenthesized text OR group: ``text='merge' AND
+    (text='scan' OR text='sort')`` → MUST(merge) + SHOULD(scan, sort)
+    with min_should_match=1 (MinShouldMatchSumScorer — the same
+    clause arithmetic Calcite-planned Solr SQL hands Lucene). The
+    disjuncts score; the doclist here is ts-ordered so the row
+    attests the MATCH SET."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    return sql_query(
+        s,
+        "SELECT conv_id, turn_idx, role FROM transcripts "
+        "WHERE text = 'merge' AND (text = 'scan' OR text = 'sort') "
+        "ORDER BY ts DESC LIMIT 15",
+    )
+
+
+register(
+    "q_sql_or_text",
+    _sql_or_text,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT conv_id, turn_idx, role, ts,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts)
+SELECT conv_id, turn_idx, role
+FROM docs
+WHERE list_contains(toks, 'merge')
+  AND (list_contains(toks, 'scan') OR list_contains(toks, 'sort'))
+ORDER BY ts DESC, conv_id, turn_idx LIMIT 15""",
+)
+
+
+def _sql_or_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/sql one-field docvalues OR group: ``(role='user' OR
+    role='tool')`` normalizes to the SAME TermInSetQuery mask as IN —
+    the facet-mode GROUP BY then rides the sparse engine over that
+    domain."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    return sql_query(
+        s,
+        "SELECT role, COUNT(*) AS cnt FROM transcripts "
+        "WHERE (role = 'user' OR role = 'tool') AND text = 'data' "
+        "GROUP BY role ORDER BY cnt DESC LIMIT 5",
+    )
+
+
+register(
+    "q_sql_or_in",
+    _sql_or_in,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts)
+SELECT role, CAST(count(*) AS BIGINT) AS cnt
+FROM docs
+WHERE role IN ('user', 'tool') AND list_contains(toks, 'data')
+GROUP BY role ORDER BY cnt DESC, role LIMIT 5""",
+)
+
+
 def _select_facet_pf_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field facet.matches override (f.<field>.facet.matches —
     getFieldParam over the regex narrowing too): the request-wide

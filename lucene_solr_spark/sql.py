@@ -116,9 +116,31 @@ def _parse_where(p: _P) -> BooleanSpec:
     """AND-conjunction of predicates → ONE BooleanSpec. Text-field
     equality analyzes the literal (one token → TermQuery, several →
     exact PhraseQuery — the field-qparser contract); docvalues
-    predicates ride the fq mask family."""
+    predicates ride the fq mask family.
+
+    Parenthesized OR groups join the conjunction in the two shapes the
+    engine's one-BooleanSpec model expresses exactly (Calcite's plans
+    normalize the same way before hitting Lucene):
+
+    - ``(text = 'a' OR text = 'b')`` → SHOULD clauses with
+      min_should_match=1 (MinShouldMatchSumScorer semantics — the OR
+      disjuncts also SCORE, like Solr SQL's text disjunctions). At
+      most ONE text OR group per statement: a second group's disjuncts
+      would blur into the same SHOULD bucket and change semantics, so
+      it raises instead.
+    - ``(f = 'v1' OR f = 'v2')`` over ONE docvalues field → an
+      in_filters entry (TermInSetQuery — exactly IN's mask).
+
+    Anything else inside parens (mixed fields, nested AND, ranges)
+    is outside the subset and raises."""
     spec = BooleanSpec(k=10)
     while True:
+        if p.peek() == "(":
+            p.next()
+            spec = _parse_or_group(p, spec)
+            if not p.accept("AND"):
+                break
+            continue
         field = p.next()
         if field.upper() in ("GROUP", "HAVING", "ORDER", "LIMIT"):
             raise ValueError("SQL: empty WHERE predicate")
@@ -169,6 +191,52 @@ def _parse_where(p: _P) -> BooleanSpec:
         if not p.accept("AND"):
             break
     return spec
+
+
+def _parse_or_group(p: _P, spec: BooleanSpec) -> BooleanSpec:
+    """Parse ``( pred OR pred ... )`` after the opening paren (see
+    _parse_where for the two pinned shapes)."""
+    disjuncts: list[tuple[str, str]] = []  # (field, value)
+    while True:
+        field = p.next()
+        op = p.next().upper()
+        if op != "=":
+            raise ValueError(
+                f"SQL: OR-group predicates support only '=', got {op}")
+        disjuncts.append((field, _unq(p.next())))
+        t = p.next()
+        if t == ")":
+            break
+        if t.upper() != "OR":
+            raise ValueError(
+                f"SQL: parenthesized groups are OR-only, got {t!r}")
+    fields = {f for f, _ in disjuncts}
+    if fields == {_TEXT_FIELD}:
+        if spec.should:
+            raise ValueError(
+                "SQL: at most one text OR group per statement (a "
+                "second group would share the SHOULD bucket and "
+                "change semantics)")
+        toks: list[str] = []
+        for _, val in disjuncts:
+            vt = tokenize_one(val)
+            if len(vt) != 1:
+                raise ValueError(
+                    "SQL: text OR disjuncts must each analyze to one "
+                    f"term, got {val!r}")
+            toks.append(vt[0])
+        return replace(
+            spec, should=spec.should + tuple(toks), min_should_match=1)
+    if len(fields) == 1:
+        (field,) = fields
+        _check_dv(field)
+        return replace(
+            spec,
+            in_filters=spec.in_filters
+            + ((field, tuple(v for _, v in disjuncts)),),
+        )
+    raise ValueError(
+        f"SQL: an OR group must stay on one field, got {sorted(fields)}")
 
 
 def _check_dv(field: str) -> None:

@@ -618,6 +618,46 @@ def test_sql_parse_contracts(spark, sf_dir):
         sql_query(s, "SELECT role FROM transcripts LIMIT 3")
 
 
+def test_sql_or_group_contracts():
+    """OR groups: the two pinned shapes compile to SHOULD+mm=1 /
+    in_filters; everything else inside parens raises."""
+    from lucene_solr_spark.sql import parse_sql
+
+    plan = parse_sql(
+        "SELECT conv_id, turn_idx FROM t WHERE text = 'merge' AND "
+        "(text = 'scan' OR text = 'sort') ORDER BY ts LIMIT 5")
+    spec = plan["spec"]
+    assert spec.must == ("merge",)
+    assert spec.should == ("scan", "sort")
+    assert spec.min_should_match == 1
+
+    plan = parse_sql(
+        "SELECT role, COUNT(*) AS c FROM t WHERE "
+        "(role = 'user' OR role = 'tool') GROUP BY role")
+    assert plan["spec"].in_filters == (("role", ("user", "tool")),)
+
+    for bad, msg in [
+        # mixed fields in one group
+        ("SELECT role FROM t WHERE (role = 'user' OR tool = 't') "
+         "ORDER BY ts LIMIT 1", "one field"),
+        # second text OR group would share the SHOULD bucket
+        ("SELECT role FROM t WHERE (text = 'a' OR text = 'b') AND "
+         "(text = 'c' OR text = 'd') ORDER BY ts LIMIT 1",
+         "one text OR group"),
+        # non-equality inside a group
+        ("SELECT role FROM t WHERE (turn_idx < 3 OR turn_idx > 5) "
+         "ORDER BY ts LIMIT 1", "only '='"),
+        # AND inside parens
+        ("SELECT role FROM t WHERE (role = 'user' AND tool = 't') "
+         "ORDER BY ts LIMIT 1", "OR-only"),
+        # multi-token text disjunct
+        ("SELECT role FROM t WHERE (text = 'a b' OR text = 'c') "
+         "ORDER BY ts LIMIT 1", "one\\s+term"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_sql(bad)
+
+
 def test_sql_facet_mode_equals_engine(spark, sf_dir):
     """GROUP BY mode must equal the facet_metrics engine result
     directly (same spec, same kinds) — the SQL layer adds parsing,
