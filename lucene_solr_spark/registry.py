@@ -11061,6 +11061,42 @@ GROUP BY role ORDER BY cnt DESC, role LIMIT 5""",
 )
 
 
+def _sql_order_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/sql ranked mode — ``ORDER BY score DESC LIMIT k`` plans the
+    engine's BM25 top-k (per-segment heaps + TakeOrdered) instead of
+    the /export docvalues sort, exactly like Solr SQL's Calcite plan
+    routes limited score-sorted selects to a ranked Lucene query. The
+    role column hydrates via a page-bounded broadcast join (≤ k keys).
+    ref: solr/core/src/java/org/apache/solr/handler/sql/ (SolrTable
+    ranked-query planning)."""
+    from lucene_solr_spark.sql import sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    return sql_query(
+        s,
+        "SELECT conv_id, turn_idx, role, score FROM transcripts "
+        "WHERE text = 'merge' AND role <> 'system' "
+        "ORDER BY score DESC LIMIT 12",
+    )
+
+
+register(
+    "q_sql_order_by_score",
+    _sql_order_by_score,
+    f"""
+SELECT b.conv_id, b.turn_idx, t.role, b.score
+FROM (
+{bm25_oracle_sql(BooleanSpec(must=("merge",), k=12,
+                             not_filters=(("role", "system"),)))}
+) b JOIN (
+  WITH {TRANSCRIPTS_ORACLE_CTE}
+  SELECT conv_id, turn_idx, role FROM transcripts
+) t USING (conv_id, turn_idx)
+ORDER BY b.score DESC, b.conv_id, b.turn_idx
+""".strip(),
+)
+
+
 def _select_facet_pf_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field facet.matches override (f.<field>.facet.matches —
     getFieldParam over the regex narrowing too): the request-wide

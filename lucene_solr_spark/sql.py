@@ -305,7 +305,8 @@ def parse_sql(stmt: str) -> dict:
                     "engine names output columns explicitly")
             items.append(("agg", kind, col, p.next()))
         else:
-            _check_dv(t)
+            if t != "score":  # score: ranked-mode pseudo-column
+                _check_dv(t)
             name = t
             if p.accept("AS"):
                 name_alias = p.next()
@@ -472,6 +473,42 @@ def sql_query(searcher, stmt: str) -> DataFrame:
         raise ValueError("SQL: plain SELECT needs ORDER BY (the "
                          "/export sorted-stream contract)")
     key, desc = q["order_by"]
+    if key == "score":
+        # ranked mode — Solr SQL's ``ORDER BY score DESC`` plans a
+        # ranked Lucene query instead of an /export sort; here it is
+        # the engine's BM25 top-k (per-segment heaps + TakeOrdered,
+        # never a global sort). ref: solr/core/src/java/org/apache/
+        # solr/handler/sql/SolrTableScan → limit-pushed ranked search.
+        if not desc:
+            raise ValueError("SQL: ORDER BY score supports DESC only")
+        if not (spec.must or spec.should or spec.phrases):
+            raise ValueError("SQL: ORDER BY score needs a scoring "
+                             "text predicate")
+        if q["limit"] is None:
+            raise ValueError("SQL: ORDER BY score needs LIMIT "
+                             "(the ranked top-k contract)")
+        hits = searcher.search(replace(spec, k=q["limit"]), round_to=4)
+        extra = [c for c in q["cols"]
+                 if c not in ("conv_id", "turn_idx", "score")]
+        if extra:
+            # page-bounded hydration: ≤ LIMIT keys broadcast against
+            # the pruned docvalues columns (the /select fl contract)
+            vals = (
+                searcher.docmap()
+                .select("conv_id", "turn_idx", *extra)
+                .join(F.broadcast(hits.select("conv_id", "turn_idx")),
+                      ["conv_id", "turn_idx"])
+            )
+            hits = hits.join(F.broadcast(vals),
+                             ["conv_id", "turn_idx"], "left")
+        return (
+            hits.orderBy(F.desc("score"), F.asc("conv_id"),
+                         F.asc("turn_idx"))
+            .select(*q["cols"])
+        )
+    if "score" in q["cols"]:
+        raise ValueError("SQL: the score column requires "
+                         "ORDER BY score DESC")
     _check_dv(key)
     need = list(dict.fromkeys(
         q["cols"] + [key, "conv_id", "turn_idx"]))

@@ -658,6 +658,37 @@ def test_sql_or_group_contracts():
             parse_sql(bad)
 
 
+def test_sql_score_mode_contracts(spark, sf_dir):
+    """ORDER BY score: desc-only, needs a scoring predicate and a
+    LIMIT; bare score column without score order raises."""
+    from lucene_solr_spark.sql import parse_sql, sql_query
+
+    s = cached_searcher(spark, sf_dir)
+    for bad, msg in [
+        ("SELECT conv_id FROM t WHERE text = 'merge' "
+         "ORDER BY score ASC LIMIT 3", "DESC only"),
+        ("SELECT conv_id FROM t WHERE role = 'user' "
+         "ORDER BY score DESC LIMIT 3", "scoring "),
+        ("SELECT conv_id FROM t WHERE text = 'merge' "
+         "ORDER BY score DESC", "needs LIMIT"),
+        ("SELECT conv_id, score FROM t WHERE text = 'merge' "
+         "ORDER BY ts DESC LIMIT 3", "requires\\s+ORDER BY score"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            plan = parse_sql(bad)
+            sql_query(s, bad)
+    # ranked mode equals the engine's search() directly
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    got = sql_query(
+        s, "SELECT conv_id, turn_idx, score FROM transcripts "
+           "WHERE text = 'merge' ORDER BY score DESC LIMIT 5").collect()
+    want = s.search(BooleanSpec(must=("merge",), k=5),
+                    round_to=4).collect()
+    assert [(r.conv_id, r.turn_idx, r.score) for r in got] == \
+        [(r.conv_id, r.turn_idx, r.score) for r in want]
+
+
 def test_sql_facet_mode_equals_engine(spark, sf_dir):
     """GROUP BY mode must equal the facet_metrics engine result
     directly (same spec, same kinds) — the SQL layer adds parsing,
