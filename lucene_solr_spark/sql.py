@@ -26,11 +26,14 @@ the engine's bounded primitives —
   range-partitioned total sort.
 
 Like Solr, malformed or unsupported SQL raises (the 400 analog) —
-nothing silently degrades. The subset: single table, AND-only WHERE
-(with =, !=, <>, <, <=, >, >=, IN), one GROUP BY field over the
-facetable docvalues columns, aggregates COUNT(*) / COUNT(col) /
-COUNT(DISTINCT col) / SUM / AVG / MIN / MAX with mandatory AS
-aliases, HAVING over the aliased aggregates, ORDER BY one key, LIMIT.
+nothing silently degrades. The subset: single table, AND-conjunction
+WHERE (with =, !=, <>, <, <=, >, >=, IN, and parenthesized OR groups
+in the two BooleanSpec-exact shapes — see :func:`_parse_where`), one
+GROUP BY field over the facetable docvalues columns, aggregates
+COUNT(*) / COUNT(col) / COUNT(DISTINCT col) / SUM / AVG / MIN / MAX
+with mandatory AS aliases, HAVING over the aliased aggregates,
+ORDER BY one key (``score DESC`` + LIMIT plans the engine's ranked
+BM25 top-k instead of a docvalues sort), LIMIT.
 
 Deterministic order contract: every ORDER BY appends the engine's
 pinned (conv_id, turn_idx) tiebreak (doclists) or the bucket value
