@@ -166,6 +166,11 @@ _GROUPABLE = {"conv_id", "role", "tool"}
 #: local params — the multi-select faceting request plumbing)
 _TAG_RE = re.compile(r"^\{!tag=([\w,]+)\}(.+)$")
 _EX_RE = re.compile(r"^\{!ex=([\w,]+)\}(\w+)$")
+#: general facet.field local params: {!key=alias ex=t1,t2}field in
+#: either order (QueryParsing localParams; `key` renames the output
+#: entry — CommonParams.OUTPUT_KEY — so ONE field can be faceted
+#: twice under different keys/exclusions, the multi-select idiom)
+_FACET_LOCAL_RE = re.compile(r"^\{!([^{}]+)\}(\w+)$")
 #: {!frange l=L u=U}<numeric docvalues field> — FunctionRangeQParser
 #: over a BARE field ValueSource: maps onto the engine's inclusive
 #: range-filter fq family (l/u are inclusive, Solr's incl/incu
@@ -270,7 +275,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
         if ftype == "terms":
             unknown = set(req) - {
                 "type", "field", "limit", "facet", "sort", "domain",
-                "prefix", "mincount", "missing",
+                "prefix", "mincount", "missing", "offset",
             }
             if unknown:
                 raise ValueError(
@@ -430,10 +435,22 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                 raise ValueError(
                     f"json.facet {name!r}: missing rides the plain "
                     "terms pass (no scalar sub-aggs)")
+            # offset (FacetField offset — bucket paging): skip the
+            # first N ranked buckets; the classic facet.offset rule
+            # (the refine over-request widens to offset+limit). Plain
+            # terms only, like prefix/mincount/missing.
+            jf_offset = int(req.get("offset", 0))
+            if jf_offset < 0:
+                raise ValueError(
+                    f"json.facet {name!r}: offset must be >= 0")
+            if jf_offset and aggs:
+                raise ValueError(
+                    f"json.facet {name!r}: offset rides the plain "
+                    "terms pass (no scalar sub-aggs)")
             out[name] = (
                 "terms", fld, int(req.get("limit", 10)), tuple(aggs),
                 sort, ex, dom_filter, dom_query, jf_prefix, jf_mincount,
-                jf_missing,
+                jf_missing, jf_offset,
             )
         elif ftype == "query":
             unknown = set(req) - {"type", "q", "facet"}
@@ -920,23 +937,47 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         facet_fields_raw = []
     facet_fields = []
     for raw in facet_fields_raw:
-        m = _EX_RE.match(raw)
+        m = _FACET_LOCAL_RE.match(raw)
         if m:
-            # multi-select: {!ex=tag}field drops the tagged fq-side
-            # constraints from THIS facet's domain only (the engine's
-            # exclude_fields API keys on FIELD names — exact in the
-            # one-fq-per-field multi-select case, see
-            # IndexSearcher.facet)
+            # {!key=alias ex=tags}field (QueryParsing local params):
+            # ex drops the tagged fq-side constraints from THIS
+            # facet's domain only (the engine's exclude_fields API
+            # keys on FIELD names — exact in the one-fq-per-field
+            # multi-select case, see IndexSearcher.facet); key
+            # renames the response entry so one field can appear
+            # under several keys
             ex: set[str] = set()
-            for tag in m.group(1).split(","):
-                if tag not in tag_fields:
+            key_alias = None
+            for tok in m.group(1).split():
+                if "=" not in tok:
                     raise ValueError(
-                        f"facet.field {raw!r}: unknown ex tag {tag!r} "
-                        f"(declared: {sorted(tag_fields)})")
-                ex |= tag_fields[tag]
-            facet_fields.append((m.group(2), tuple(sorted(ex))))
+                        f"facet.field {raw!r}: bad local param {tok!r}")
+                k, v = tok.split("=", 1)
+                if k == "ex":
+                    for tag in v.split(","):
+                        if tag not in tag_fields:
+                            raise ValueError(
+                                f"facet.field {raw!r}: unknown ex tag "
+                                f"{tag!r} (declared: "
+                                f"{sorted(tag_fields)})")
+                        ex |= tag_fields[tag]
+                elif k == "key":
+                    if not re.fullmatch(r"\w+", v):
+                        raise ValueError(
+                            f"facet.field {raw!r}: bad key {v!r}")
+                    key_alias = v
+                else:
+                    raise ValueError(
+                        f"facet.field {raw!r}: unknown local param "
+                        f"{k!r} (ex, key)")
+            fld = m.group(2)
+            facet_fields.append(
+                (fld, tuple(sorted(ex)), key_alias or fld))
         else:
-            facet_fields.append((raw, ()))
+            facet_fields.append((raw, (), raw))
+    if len({k for _, _, k in facet_fields}) != len(facet_fields):
+        raise ValueError("facet.field output keys collide — use "
+                         "{!key=alias} to disambiguate")
     hl = bool(params.get("hl", False))
     if hl and params.get("hl.fl", "text") != "text":
         raise ValueError("hl.fl supports the analyzed text field only")
@@ -1059,7 +1100,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                              "(every bucket counts 1 under exists)")
     # f.<field>.facet.* overrides must name a faceted field, and the
     # facet.exists restrictions apply to the EFFECTIVE per-field values
-    faceted = {fld for fld, _ in facet_fields}
+    faceted = {fld for fld, _, _ in facet_fields}
     for fld, ov in facet_overrides.items():
         if fld not in faceted:
             raise ValueError(
@@ -2195,7 +2236,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             )
             .orderBy("group_value", "expand_rank")
         )
-    for fld, ex_fields in o["facet_fields"]:
+    for fld, ex_fields, out_key in o["facet_fields"]:
         # f.<field>.facet.<opt> overrides win over the request-wide
         # facet.<opt> for this one field (SolrParams.getFieldParam)
         ov = o.get("facet_overrides", {}).get(fld, {})
@@ -2233,7 +2274,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             fc = fc.withColumn(
                 "cnt", F.least(F.col("cnt"), F.lit(1).cast("long"))
             )
-        out["facet_counts"][fld] = fc
+        out["facet_counts"][out_key] = fc
     if o["facet_queries"]:
         # classic facet.query leg (SimpleFacets getFacetQueryCounts):
         # each value counts the docs matching BOTH the doclist's
@@ -2712,7 +2753,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         for name, req in o["json_facets"].items():
             if req[0] == "terms":
                 _, fld, limit, aggs_t, sort, ex, dom_f, dom_q, \
-                    jf_prefix, jf_mincount, jf_missing = req
+                    jf_prefix, jf_mincount, jf_missing, jf_offset = req
                 # domain.excludeTags: drop the tagged fq constraints
                 # from THIS bucket's domain only (multi-select);
                 # domain.filter: add a bucket-local pure filter;
@@ -2730,7 +2771,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     out["facets"][name] = searcher.facet(
                         fld, spec=leg_spec, limit=limit,
                         prefix=jf_prefix, mincount=jf_mincount,
-                        missing=jf_missing,
+                        missing=jf_missing, offset=jf_offset,
                         sort="index" if sort == "index" else "count",
                     )
                 else:

@@ -11097,6 +11097,95 @@ ORDER BY b.score DESC, b.conv_id, b.turn_idx
 )
 
 
+def _select_jf_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet terms ``offset`` (FacetField bucket paging): skip
+    the first 2 ranked buckets, return the next 3 — the JSON spelling
+    of classic facet.offset, riding the same widened refine
+    over-request (offset+limit) so the skipped head stays exact.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetField.java (offset)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "data", "rows": 0,
+        "json.facet": '{"t": {"type": "terms", "field": "ftok",'
+                      ' "limit": 3, "offset": 2}}',
+    })["facets"]["t"]
+
+
+register(
+    "q_select_jf_offset",
+    _select_jf_offset,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT toks[1] AS facet_value, count(*) AS cnt
+FROM docs
+WHERE len(toks) > 0 AND list_contains(toks, 'data')
+GROUP BY 1
+ORDER BY cnt DESC, facet_value
+OFFSET 2 LIMIT 3
+""".strip(),
+)
+
+
+def _select_facet_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!key=alias} facet renaming (CommonParams.OUTPUT_KEY): ONE
+    field faceted TWICE in one request — the selected view (fq
+    applied) and the multi-select view ({!ex} drops the tagged
+    role fq) — distinguishable only because key renames the response
+    entries. The canonical sidebar idiom.
+    ref: solr/core/src/java/org/apache/solr/request/SimpleFacets.java
+    (getFieldMissingCount/key handling via QueryParsing localParams)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    res = select(s, {
+        "q": "data", "rows": 0,
+        "fq": "{!tag=r}role:user",
+        "facet.field": ["{!key=role_sel}role", "{!key=role_all ex=r}role"],
+        "facet.limit": 10,
+    })["facet_counts"]
+    return (
+        res["role_sel"].select(F.lit("role_sel").alias("key"),
+                               "facet_value", "cnt")
+        .unionAll(res["role_all"].select(F.lit("role_all").alias("key"),
+                                         "facet_value", "cnt"))
+        .orderBy("key", "facet_value")
+    )
+
+
+register(
+    "q_select_facet_key",
+    _select_facet_key,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+dom AS (SELECT * FROM docs WHERE list_contains(toks, 'data')),
+sel AS (
+  SELECT 'role_sel' AS key, role AS facet_value, count(*) AS cnt
+  FROM dom WHERE role = 'user'
+  GROUP BY role ORDER BY cnt DESC, facet_value LIMIT 10
+),
+allr AS (
+  SELECT 'role_all' AS key, role AS facet_value, count(*) AS cnt
+  FROM dom GROUP BY role ORDER BY cnt DESC, facet_value LIMIT 10
+)
+SELECT * FROM (SELECT * FROM sel UNION ALL SELECT * FROM allr)
+ORDER BY key, facet_value
+""".strip(),
+)
+
+
 def _select_facet_pf_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-field facet.matches override (f.<field>.facet.matches —
     getFieldParam over the regex narrowing too): the request-wide

@@ -494,3 +494,20 @@ def test_select_fl_hydration_is_broadcast(spark, sf_dir):
     plan = _physical(page)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sql_score_mode_plan_is_ranked_topk(searcher):
+    """/sql ORDER BY score DESC LIMIT k must ride the engine's ranked
+    top-k (per-segment heaps merged by TakeOrderedAndProject) with the
+    hydration join BROADCAST — a global sort of the match set or a
+    shuffled docmap join would not survive 100 TB."""
+    from lucene_solr_spark.sql import parse_sql, sql_query
+
+    q = ("SELECT conv_id, turn_idx, role, score FROM transcripts "
+         "WHERE text = 'merge' ORDER BY score DESC LIMIT 7")
+    assert parse_sql(q)["order_by"] == ("score", True)
+    plan = _physical(sql_query(searcher, q))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
