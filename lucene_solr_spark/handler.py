@@ -55,7 +55,7 @@ _KNOWN = {
     "facet.pivot",
     "facet.interval", "facet.interval.set",
     "stats", "stats.field", "stats.facet",
-    "tv", "tv.df", "tv.positions",
+    "tv", "tv.df", "tv.positions", "tv.tf_idf",
     "group", "group.field", "group.limit", "group.offset", "group.main",
     "group.facet",
     "group.format", "group.ngroups", "group.sort", "group.query",
@@ -1453,10 +1453,17 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     # TermVectorComponent.java
     tv = None
     if params.get("tv", False):
+        tv_tfidf = bool(params.get("tv.tf_idf", False))
+        if tv_tfidf and not params.get("tv.df", False):
+            # Solr's TermVectorComponent computes tf_idf from the df it
+            # just fetched — the pinned subset makes that dependency
+            # explicit instead of implicitly flipping df on
+            raise ValueError("tv.tf_idf needs tv.df=true")
         tv = (bool(params.get("tv.df", False)),
-              bool(params.get("tv.positions", False)))
-    elif {"tv.df", "tv.positions"} & set(params):
-        raise ValueError("tv.df/tv.positions need tv=true")
+              bool(params.get("tv.positions", False)),
+              tv_tfidf)
+    elif {"tv.df", "tv.positions", "tv.tf_idf"} & set(params):
+        raise ValueError("tv.df/tv.positions/tv.tf_idf need tv=true")
     # SpellCheck component leg
     spellcheck = None
     if params.get("spellcheck", False):
@@ -2588,7 +2595,7 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # doc, tf = one bounded groupBy; df (when asked) probes the
         # term dictionary PRUNED to the page's vocabulary (broadcast
         # semi-join — never a full-dictionary aggregation)
-        tv_df, tv_pos = o["tv"]
+        tv_df, tv_pos, tv_tfidf = o["tv"]
         if stored is None:
             raise ValueError("tv=true needs the stored-fields frame")
         from lucene_solr_spark.analyzer import tokens_col as _tvtoks
@@ -2626,6 +2633,15 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 "df", F.coalesce(F.col("df"), F.lit(0).cast("long"))
             )
             cols.append("df")
+            if tv_tfidf:
+                # tv.tf_idf (TermVectorComponent TV_KEY_TF_IDF):
+                # tf × (1/df) as a double, 4dp-rounded like every
+                # float the engine emits; df=0 cannot occur for a
+                # page term (it came from the page's own stream)
+                tv_base = tv_base.withColumn(
+                    "tf_idf",
+                    F.round(F.col("tf") / F.col("df"), 4))
+                cols.append("tf_idf")
         if tv_pos:
             cols.append("positions")
         out["termVectors"] = (

@@ -6334,6 +6334,52 @@ ORDER BY tv.conv_id, tv.turn_idx, tv.term""",
 )
 
 
+def _select_tv_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tv.tf_idf (TermVectorComponent TV_KEY_TF_IDF): each page term
+    also carries tf × (1/df) as a 4dp double — computed from the df
+    column the same page-pruned dictionary probe already fetched
+    (tv.tf_idf without tv.df raises; Solr computes it from the same
+    fetch). ref: solr/core/src/java/org/apache/solr/handler/
+    component/TermVectorComponent.java (TV_KEY_TF_IDF)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(
+        s, {"q": "merge", "rows": 3,
+            "tv": True, "tv.df": True, "tv.tf_idf": True},
+        stored=transcripts_from_documents(spark, sf_dir),
+    )["termVectors"]
+
+
+register(
+    "q_select_tv_tfidf",
+    _select_tv_tfidf,
+    bm25_oracle_sql(BooleanSpec(must=("merge",), k=3)).split(
+        "\nSELECT conv_id, turn_idx, round(score"
+    )[0]
+    + f""",
+top AS (
+  SELECT conv_id, turn_idx FROM scored
+  ORDER BY round(score, {ROUND}) DESC, conv_id, turn_idx LIMIT 3),
+tok AS (
+  SELECT d.conv_id, d.turn_idx, unnest(d.toks) AS term
+  FROM docs2 d JOIN top USING (conv_id, turn_idx)),
+tv AS (
+  SELECT conv_id, turn_idx, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY conv_id, turn_idx, term),
+tvdf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT conv_id, turn_idx, unnest(toks) AS term
+        FROM docs2)
+  GROUP BY term)
+SELECT tv.conv_id, tv.turn_idx, tv.term, tv.tf,
+       coalesce(d.df, 0) AS df,
+       round(tv.tf * 1.0 / d.df, 4) AS tf_idf
+FROM tv LEFT JOIN tvdf d USING (term)
+ORDER BY tv.conv_id, tv.turn_idx, tv.term""",
+)
+
+
 _SELECT_JF_SORT_INDEX_PARAMS = {
     "q": "data", "rows": 0,
     "json.facet": ('{"ti": {"type": "terms", "field": "ftok",'
