@@ -714,3 +714,49 @@ def test_facet_limit_unlimited(spark, sf_dir):
     with pytest.raises(ValueError, match="facet.limit"):
         select(s, {"q": "data", "rows": 0, "facet.field": "ftok",
                    "facet.limit": 0})
+
+
+def test_facet_key_local_param_grammar():
+    """{!key=alias ex=tag}field grammar: key renames the output entry,
+    either param order parses, colliding keys raise, unknown local
+    params raise."""
+    base = {"q": "m", "fq": "{!tag=r}role:user"}
+    _, o = parse_select_params({**base, "facet.field": [
+        "{!key=a}role", "{!ex=r key=b}role"]})
+    assert o["facet_fields"] == [("role", (), "a"), ("role", ("role",), "b")]
+    # plain field keeps its own name as the key
+    _, o = parse_select_params({**base, "facet.field": "role"})
+    assert o["facet_fields"] == [("role", (), "role")]
+    with pytest.raises(ValueError, match="keys collide"):
+        parse_select_params({**base, "facet.field": ["role",
+                                                     "{!ex=r}role"]})
+    with pytest.raises(ValueError, match="unknown local param"):
+        parse_select_params({**base, "facet.field": "{!tag=x}role"})
+    with pytest.raises(ValueError, match="bad key"):
+        parse_select_params({**base, "facet.field": "{!key=a-b}role"})
+
+
+def test_spellcheck_alt_and_accuracy_validation():
+    with pytest.raises(ValueError, match="alternativeTermCount"):
+        parse_select_params({"q": "m", "spellcheck": True,
+                             "spellcheck.alternativeTermCount": -1})
+    with pytest.raises(ValueError, match="accuracy"):
+        parse_select_params({"q": "m", "spellcheck": True,
+                             "spellcheck.accuracy": 1.5})
+    with pytest.raises(ValueError, match="outside the"):
+        parse_select_params({"q": "m", "spellcheck": True,
+                             "spellcheck.collate": True,
+                             "spellcheck.alternativeTermCount": 2})
+    with pytest.raises(ValueError, match="need spellcheck=true"):
+        parse_select_params({"q": "m",
+                             "spellcheck.extendedResults": True})
+
+
+def test_hl_q_and_tv_tfidf_validation():
+    with pytest.raises(ValueError, match="hl.q needs hl=true"):
+        parse_select_params({"q": "m", "hl.q": "x"})
+    with pytest.raises(ValueError, match="tv.tf_idf needs tv.df"):
+        parse_select_params({"q": "m", "tv": True, "tv.tf_idf": True})
+    with pytest.raises(ValueError, match="facet.matches"):
+        parse_select_params({"q": "m", "facet.field": "role",
+                             "facet.matches": "(unclosed"})
