@@ -316,6 +316,36 @@ def test_common_grams_query_vocab_is_index_subset():
     prop()
 
 
+def test_common_grams_bigram_iff_adjacent():
+    """Semantic pin: for a pair (w1, w2) with either member common,
+    the bigram token is in a doc's INDEX stream iff the doc contains
+    w1 immediately followed by w2 — i.e. the query filter's single
+    term lookup decides exactly the exact-adjacency phrase."""
+    import pandas as pd
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.analyzer import common_grams_filter
+
+    words = st.sampled_from(["the", "a", "merge", "scan", "of"])
+
+    @given(st.lists(words, min_size=0, max_size=8), words, words)
+    def prop(doc, w1, w2):
+        from lucene_solr_spark.analyzer import ENGLISH_STOP_WORDS
+
+        if w1 not in ENGLISH_STOP_WORDS and w2 not in ENGLISH_STOP_WORDS:
+            return  # no bigram is formed for an all-content pair
+        idx = common_grams_filter(pd.Series([doc]))[0]
+        adjacent = any(
+            doc[i] == w1 and doc[i + 1] == w2
+            for i in range(len(doc) - 1)
+        )
+        assert ((w1 + "_" + w2) in idx) == adjacent, (doc, w1, w2, idx)
+
+    prop()
+
+
 # --- Metaphone (commons-codec analog, r4) ------------------------------
 
 @pytest.mark.parametrize("word,want", [
