@@ -2712,9 +2712,14 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             scw = Window.partitionBy("q").orderBy(
                 "dist", F.desc("df"), F.col("term")
             )
+            # the LITERAL bound keeps Catalyst's WindowGroupLimit
+            # Partial pushdown alive (the pinned rn<=k shape — a
+            # column-only bound would shuffle every candidate); the
+            # per-term cap column then narrows inside it
             sugg = (
                 cand.withColumn("scrn", F.row_number().over(scw))
-                .filter(F.col("scrn") <= F.col("cap"))
+                .filter((F.col("scrn") <= F.lit(max(sc_count, sc_alt)))
+                        & (F.col("scrn") <= F.col("cap")))
                 .select("q", F.col("term").alias("suggestion"), "dist", "df",
                         *([F.col("q_df").alias("origFreq")] if sc_ext
                           else []))

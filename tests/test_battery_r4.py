@@ -785,7 +785,8 @@ def test_select_handler_json_facet_leg(spark, sf_dir):
         ' "facet": {"avg_ts": "avg(ts)"}}}',              # non-numeric col
         '{"x": {"type": "query", "q": "merge"}}',         # scoring q
         '{"x": {"type": "query"}}',                       # q required
-        '{"x": {"type": "terms", "field": "role", "offset": 1}}',  # unknown
+        '{"x": {"type": "terms", "field": "role", "overrequest": 9}}',  # unknown
+        '{"x": {"type": "terms", "field": "role", "offset": -1}}',  # bad offset
         '["not", "an", "object"]',
     ]
     for jf in bad:
