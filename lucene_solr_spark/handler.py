@@ -461,10 +461,30 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             if not raw:
                 raise ValueError(f"json.facet {name!r}: 'q' required")
             q_subs = req.get("facet", {})
-            if any(isinstance(a, dict) for a in q_subs.values()):
-                raise ValueError(
-                    f"json.facet {name!r}: query buckets take scalar "
-                    "sub-aggs only")
+            sub_dicts = {k: v for k, v in q_subs.items()
+                         if isinstance(v, dict)}
+            if sub_dicts:
+                # ONE nested terms sub-facet: the bucket's domain
+                # (main ∧ q) faceted by the sub-facet's field —
+                # FacetModule's query-facet-with-sub-facet shape.
+                # Mixing it with scalar aggs (or nesting deeper)
+                # stays outside the subset.
+                if len(q_subs) != 1 or len(sub_dicts) != 1:
+                    raise ValueError(
+                        f"json.facet {name!r}: a query bucket takes "
+                        "scalar sub-aggs OR one terms sub-facet")
+                (sub_name, sub_req), = sub_dicts.items()
+                if sub_req.get("type") != "terms"                         or sub_req.get("field") not in _FACETABLE                         or set(sub_req) - {"type", "field", "limit"}:
+                    raise ValueError(
+                        f"json.facet {name!r}.{sub_name}: the nested "
+                        "sub-facet must be a plain terms bucket "
+                        "(type/field/limit) over a facetable field")
+                out[name] = (
+                    "query_terms",
+                    _pure_filter(parse(raw, default_op="AND"), raw),
+                    sub_req["field"], int(sub_req.get("limit", 10)),
+                )
+                continue
             out[name] = (
                 "query", _pure_filter(parse(raw, default_op="AND"), raw),
                 _parse_scalar_aggs(name, q_subs),
@@ -1290,10 +1310,15 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     for sf in stats_fields:
         # ts gets the DATE stats shape (StatsValuesFactory
         # DateStatsValues): min/max/count/missing — ordering
-        # aggregates only, no sum/mean/stddev arithmetic on instants
-        if sf not in _AGG_COLS | {"ts"}:
-            raise ValueError(f"stats.field must be one of "
-                             f"{sorted(_AGG_COLS | {'ts'})}, got {sf!r}")
+        # aggregates only, no sum/mean/stddev arithmetic on instants.
+        # String docvalues fields get the StringStatsValues shape:
+        # lexicographic min/max + count/missing, same ordering-only
+        # family (ref: solr/core/src/java/org/apache/solr/handler/
+        # component/StatsValuesFactory.java StringStatsValues)
+        if sf not in _AGG_COLS | {"ts"} | _FACETABLE:
+            raise ValueError(
+                f"stats.field must be one of "
+                f"{sorted(_AGG_COLS | {'ts'} | _FACETABLE)}, got {sf!r}")
     # stats.facet: per-facet-value stats sub-blocks (the classic
     # pre-json.facet spelling; single-valued group fields only, like
     # StatsValuesFactory's facet handling)
@@ -2387,6 +2412,15 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     (F.count("*") - F.count(sf_)).cast("long")
                     .alias("missing"),
                 ]
+            if sf_ in _FACETABLE:
+                # StringStatsValues: lexicographic min/max + counts
+                return [
+                    F.min(sf_).alias("min"),
+                    F.max(sf_).alias("max"),
+                    F.count(sf_).cast("long").alias("cnt"),
+                    (F.count("*") - F.count(sf_)).cast("long")
+                    .alias("missing"),
+                ]
             return [
                 F.min(sf_).cast("long").alias("min"),
                 F.max(sf_).cast("long").alias("max"),
@@ -2834,6 +2868,16 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                 )
                 out["facets"][name] = facet_nested(
                     searcher, f1, f2, spec=n_spec, limit1=l1, limit2=l2
+                )
+            elif req[0] == "query_terms":
+                # query bucket with ONE nested terms sub-facet: the
+                # sub-facet runs the sparse field-facet engine over
+                # the bucket's merged domain (main ∧ bucket filter) —
+                # the same one-seg-fan-out path every facet leg rides
+                _, f_spec, sub_fld, sub_limit = req
+                out["facets"][name] = searcher.facet(
+                    sub_fld, spec=_merge_filters(spec, f_spec),
+                    limit=sub_limit,
                 )
             else:
                 _, f_spec, q_aggs = req

@@ -11270,6 +11270,79 @@ LIMIT 8
 )
 
 
+def _select_stats_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.field on a STRING docvalues field (StatsValuesFactory
+    StringStatsValues): lexicographic min/max + count/missing — the
+    ordering-only family, like the date shape; no sum/mean on
+    strings. One partial-aggregating narrow job over the domain's
+    pruned column (tool is nullable, so missing is non-vacuous).
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    StatsValuesFactory.java (StringStatsValues)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "data", "rows": 0, "stats": True, "stats.field": "tool",
+    })["stats"]["tool"]
+
+
+register(
+    "q_select_stats_string",
+    _select_stats_string,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT min(tool) AS min, max(tool) AS max,
+       CAST(count(tool) AS BIGINT) AS cnt,
+       CAST(count(*) - count(tool) AS BIGINT) AS missing
+FROM docs WHERE list_contains(toks, 'data')
+""".strip(),
+)
+
+
+def _select_jf_query_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet QUERY bucket with a nested terms sub-facet: the
+    sub-facet runs the sparse field-facet engine over the bucket's
+    merged domain (main q ∧ bucket filter) — FacetModule's
+    query-facet-with-sub-facet shape, one seg-driver fan-out like
+    every other facet leg.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetQuery.java (subFacets processing)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "data", "rows": 0,
+        "json.facet": '{"assist": {"type": "query",'
+                      ' "q": "role:assistant",'
+                      ' "facet": {"tools": {"type": "terms",'
+                      ' "field": "tool", "limit": 5}}}}',
+    })["facets"]["assist"]
+
+
+register(
+    "q_select_jf_query_nested",
+    _select_jf_query_nested,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT tool AS facet_value, count(*) AS cnt
+FROM docs
+WHERE list_contains(toks, 'data') AND role = 'assistant'
+  AND tool IS NOT NULL
+GROUP BY 1
+ORDER BY cnt DESC, facet_value
+LIMIT 5
+""".strip(),
+)
+
+
 _SELECT_FACET_PER_FIELD_REQ = {
     "q": "data", "rows": 0,
     "facet.field": ["role", "ftok"],

@@ -760,3 +760,38 @@ def test_hl_q_and_tv_tfidf_validation():
     with pytest.raises(ValueError, match="facet.matches"):
         parse_select_params({"q": "m", "facet.field": "role",
                              "facet.matches": "(unclosed"})
+
+
+def test_jf_query_nested_validation():
+    """Query buckets: one nested terms sub-facet OR scalar aggs, never
+    both / deeper nesting / non-facetable fields."""
+    base = {"q": "m", "rows": 0}
+    with pytest.raises(ValueError, match="scalar sub-aggs OR one"):
+        parse_select_params({**base, "json.facet":
+            '{"x": {"type": "query", "q": "role:user", "facet": {'
+            '"t": {"type": "terms", "field": "tool"},'
+            '"sum_doc_len": "sum(doc_len)"}}}'})
+    with pytest.raises(ValueError, match="plain terms bucket"):
+        parse_select_params({**base, "json.facet":
+            '{"x": {"type": "query", "q": "role:user", "facet": {'
+            '"t": {"type": "terms", "field": "tool",'
+            ' "mincount": 2}}}}'})
+    with pytest.raises(ValueError, match="plain terms bucket"):
+        parse_select_params({**base, "json.facet":
+            '{"x": {"type": "query", "q": "role:user", "facet": {'
+            '"t": {"type": "terms", "field": "doc_len"}}}}'})
+    # the good shape parses to the query_terms plan
+    _, o = parse_select_params({**base, "json.facet":
+        '{"x": {"type": "query", "q": "role:user", "facet": {'
+        '"t": {"type": "terms", "field": "tool", "limit": 4}}}}'})
+    kind, _fspec, fld, lim = o["json_facets"]["x"]
+    assert (kind, fld, lim) == ("query_terms", "tool", 4)
+
+
+def test_stats_string_field_validation():
+    _, o = parse_select_params({"q": "m", "stats": True,
+                                "stats.field": "role"})
+    assert o["stats_fields"] == ["role"]
+    with pytest.raises(ValueError, match="stats.field must be"):
+        parse_select_params({"q": "m", "stats": True,
+                             "stats.field": "text"})
