@@ -1598,8 +1598,27 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             _split_fl(fl_raw)
             if isinstance(fl_raw, str) else [str(p) for p in fl_raw]
         )
+        #: the pinned stored/docvalues schema a glob may expand to
+        #: (SolrReturnFields glob patterns; score stays explicit-only
+        #: like Solr's '*' which never implies score)
+        _FL_GLOBBABLE = ("conv_id", "turn_idx", "role", "tool",
+                         "ftok", "ts", "doc_len")
         fl_entries = []
         for f in parts_fl:
+            if f == "*" or (f.endswith("*") and ":" not in f
+                            and not f.startswith("[")):
+                # fl glob (SolrReturnFields): '*' = every stored/
+                # docvalues column of the pinned schema; 'prefix*'
+                # narrows by name. A glob matching nothing raises —
+                # the engine never silently projects less than asked.
+                pre = f[:-1]
+                hits = [c for c in _FL_GLOBBABLE if c.startswith(pre)]
+                if not hits:
+                    raise ValueError(f"fl glob {f!r} matches no field "
+                                     f"of {list(_FL_GLOBBABLE)}")
+                fl_entries.extend(
+                    c for c in hits if c not in fl_entries)
+                continue
             if f.startswith("["):
                 name = f[1:-1] if f.endswith("]") else ""
                 if name not in ("docid", "shard", "explain", "elevated"):

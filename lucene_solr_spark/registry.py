@@ -11343,6 +11343,45 @@ LIMIT 5
 )
 
 
+def _select_fl_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl glob patterns (SolrReturnFields): ``t*`` expands against
+    the pinned stored/docvalues schema (turn_idx, tool, ts) and
+    composes with explicit names and score; '*' would take the whole
+    schema. Expansion is parse-time — the page-bounded hydration join
+    then fetches exactly the expanded columns, nothing more.
+    ref: solr/core/src/java/org/apache/solr/search/SolrReturnFields.java
+    (glob handling in parseFieldList)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    out = select(s, {
+        "q": "merge", "rows": 8, "fl": "conv_id,t*,score",
+    })["response"]
+    # comparator plumbing only: the engine returns ts as a native
+    # timestamp; stringify for the cross-engine dtype rule
+    return out.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+
+
+register(
+    "q_select_fl_glob",
+    _select_fl_glob,
+    f"""
+SELECT b.conv_id, b.turn_idx, t.tool,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS ts, b.score
+FROM (
+{bm25_oracle_sql(BooleanSpec(must=("merge",), k=8))}
+) b JOIN (
+  WITH {TRANSCRIPTS_ORACLE_CTE}
+  SELECT conv_id, turn_idx, tool, ts FROM transcripts
+) t USING (conv_id, turn_idx)
+ORDER BY b.score DESC, b.conv_id, b.turn_idx
+""".strip(),
+)
+
+
 _SELECT_FACET_PER_FIELD_REQ = {
     "q": "data", "rows": 0,
     "facet.field": ["role", "ftok"],

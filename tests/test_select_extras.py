@@ -795,3 +795,15 @@ def test_stats_string_field_validation():
     with pytest.raises(ValueError, match="stats.field must be"):
         parse_select_params({"q": "m", "stats": True,
                              "stats.field": "text"})
+
+
+def test_fl_glob_expansion():
+    """fl globs expand against the pinned schema in schema order,
+    dedupe against explicit names, and a no-match glob raises."""
+    _, o = parse_select_params({"q": "m", "fl": "conv_id,t*,score"})
+    assert o["fl"] == ["conv_id", "turn_idx", "tool", "ts", "score"]
+    _, o = parse_select_params({"q": "m", "fl": "*"})
+    assert o["fl"] == ["conv_id", "turn_idx", "role", "tool",
+                       "ftok", "ts", "doc_len"]  # score never implied
+    with pytest.raises(ValueError, match="matches no field"):
+        parse_select_params({"q": "m", "fl": "zz*"})
