@@ -589,3 +589,62 @@ def test_pattern_replace_char_filter_no_rescan():
         an.mapping_char_filter({":)": " happy "}), f))
     assert ch(pd.Series(["ok :) 12-34"])).tolist() == [
         ["ok", "happy", "1234"]]
+
+
+def test_commongrams_index_bigram_equals_plain_phrase(spark, sf_dir):
+    """END-TO-END equivalence: on the CommonGrams index, the ONE-term
+    bigram query the query filter emits for a common-word phrase must
+    match exactly the docs the PLAIN index matches for the exact
+    phrase — the phrase-speed trade changes the plan, never the match
+    set. (Scores differ by design — the chained stream has its own
+    stats — so the duel compares match SETS.)"""
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import (
+        cached_commongrams_searcher,
+        cached_searcher,
+    )
+
+    cg = cached_commongrams_searcher(spark, sf_dir)
+    plain = cached_searcher(spark, sf_dir)
+    for w1, w2 in [("the", "merge"), ("a", "scan"), ("the", "table")]:
+        got = {
+            (r.conv_id, r.turn_idx)
+            for r in cg.docset(
+                BooleanSpec(must=(f"{w1}_{w2}",))).collect()
+        }
+        want = {
+            (r.conv_id, r.turn_idx)
+            for r in plain.docset(
+                BooleanSpec(must=(w1, w2), phrases=((w1, w2),))
+            ).collect()
+        }
+        assert got == want, (w1, w2, len(got), len(want))
+        assert got, (w1, w2)  # non-vacuous: the phrase occurs
+
+
+def test_metaphone_index_matches_brute_sound_class(spark, sf_dir):
+    """END-TO-END: searching a Metaphone code on the chained index
+    matches exactly the docs containing ANY surface token of that
+    sound class (brute pandas recomputation)."""
+    import pandas as pd
+
+    from lucene_solr_spark.analyzer import metaphone_code, tokenize_pandas
+    from lucene_solr_spark.query.model import BooleanSpec
+    from lucene_solr_spark.registry import cached_metaphone_searcher
+    from lucene_solr_spark.transcripts import transcripts_from_documents
+
+    s = cached_metaphone_searcher(spark, sf_dir)
+    code = metaphone_code("merge")  # mrj
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in s.docset(BooleanSpec(must=(code,))).collect()
+    }
+    rows = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text").collect()
+    toks = tokenize_pandas(pd.Series([r.text for r in rows]))
+    want = {
+        (rows[i].conv_id, rows[i].turn_idx)
+        for i, ts in enumerate(toks)
+        if any(metaphone_code(t) == code for t in ts)
+    }
+    assert got == want and got
