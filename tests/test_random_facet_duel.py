@@ -123,3 +123,58 @@ def test_random_relatedness_duel(env, seed):
     assert np.allclose(
         got.relatedness.to_numpy(), want.relatedness.to_numpy()
     ), (field, term)
+
+
+# --- dictionary-side narrowing duel (matches/contains/prefix) --------
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_random_facet_narrowing_duel(env, seed):
+    """Random (domain × field × narrowing) triples: the dictionary-
+    side bucket filters (prefix / contains / whole-value matches) must
+    equal a Catalyst GROUP-BY control applying the same predicate to
+    the raw values — on every seed, through the refine path."""
+    import re as _re
+
+    s, t, vocab = env
+    rng = np.random.default_rng(2000 + seed)
+    field = FIELDS[int(rng.integers(0, len(FIELDS)))]
+    limit = int(rng.integers(3, 15))
+    term = vocab[int(rng.integers(0, max(1, len(vocab) // 3)))]
+    spec = BooleanSpec(must=(term,))
+    frag = "abcdefghijklmnopqrstuvwxyz"[int(rng.integers(0, 26))]
+    mode = ("prefix", "contains", "matches")[int(rng.integers(0, 3))]
+
+    kw = {}
+    if mode == "prefix":
+        kw["prefix"] = frag
+        pred = lambda c: c.startswith(frag)  # noqa: E731
+    elif mode == "contains":
+        kw["contains"] = frag
+        pred = lambda c: c.contains(frag)  # noqa: E731
+    else:
+        pat = f"[a-z_0-9]*{frag}[a-z_0-9]*"
+        kw["matches"] = pat
+        full = f"^(?:{pat})$"
+        pred = lambda c: c.rlike(full)  # noqa: E731
+        assert _re.fullmatch(pat, f"x{frag}y")  # sanity on the family
+
+    got = s.facet(field, spec=spec, limit=limit,
+                  method="refine", **kw).toPandas()
+
+    domain = t.withColumn("toks", tokens_col("text")).filter(
+        F.array_contains("toks", term)
+    )
+    want = (
+        domain.withColumn("facet_value", _field_col(field))
+        .filter(F.col("facet_value").isNotNull())
+        .filter(pred(F.col("facet_value")))
+        .groupBy("facet_value")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("facet_value"))
+        .limit(limit)
+        .toPandas()
+    )
+    assert list(zip(got.facet_value, got.cnt)) == list(
+        zip(want.facet_value, want.cnt)
+    ), (seed, field, mode, frag, term)
