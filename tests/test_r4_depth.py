@@ -806,3 +806,65 @@ def test_freetext_suggester_backoff(spark, sf_dir):
     # ranked on score desc, token asc
     ranks = [(-r.score, r.token) for r in got]
     assert ranks == sorted(ranks)
+
+
+def test_sql_random_duel_vs_duckdb(spark, sf_dir):
+    """Randomized /sql duel: random docvalues-only statements from the
+    subset grammar run VERBATIM on both engines — sql_query against
+    the index vs DuckDB against the transcripts CTE. Text predicates
+    are excluded (they mean token-containment here, not equality), so
+    the same string is valid, identically-typed SQL in both dialects."""
+    import duckdb
+    import numpy as np
+
+    from lucene_solr_spark.sql import sql_query
+    from lucene_solr_spark.transcripts import TRANSCRIPTS_ORACLE_CTE
+
+    s = cached_searcher(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    roles = ["user", "assistant", "system", "tool"]
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        preds = []
+        if rng.integers(0, 2):
+            preds.append(f"role = '{roles[int(rng.integers(0, 4))]}'")
+        if rng.integers(0, 2):
+            preds.append(f"turn_idx <= {int(rng.integers(2, 8))}")
+        if rng.integers(0, 2):
+            r1, r2 = rng.choice(roles, 2, replace=False)
+            preds.append(f"(role = '{r1}' OR role = '{r2}')")
+        gb = ("role", "tool")[int(rng.integers(0, 2))]
+        lim = int(rng.integers(2, 8))
+        having = (f" HAVING c > {int(rng.integers(1, 5))}"
+                  if rng.integers(0, 2) else "")
+        where = (" WHERE " + " AND ".join(preds)) if preds else ""
+        stmt = (
+            f"SELECT {gb}, COUNT(*) AS c, MAX(turn_idx) AS mt "
+            f"FROM transcripts{where} GROUP BY {gb}{having} "
+            f"ORDER BY c DESC LIMIT {lim}"
+        )
+        got = [tuple(r) for r in sql_query(s, stmt).collect()]
+        # the engine appends the bucket-value tiebreak; spell it out
+        # for DuckDB so the LIMIT boundary is the same total order.
+        # Facet-mode semantics: docs without the group field form NO
+        # bucket (the engine's pinned never-a-NULL-bucket rule), so
+        # the control filters them explicitly.
+        preds_d = preds + [f"{gb} IS NOT NULL"]
+        duck_stmt = (
+            f"WITH {TRANSCRIPTS_ORACLE_CTE} "
+            f"SELECT {gb}, COUNT(*) AS c, MAX(turn_idx) AS mt "
+            f"FROM transcripts WHERE " + " AND ".join(preds_d)
+            + f" GROUP BY {gb}{having} "
+            f"ORDER BY c DESC, {gb} LIMIT {lim}"
+        )
+        want = [
+            (r[0], int(r[1]), int(r[2]))
+            for r in con.execute(duck_stmt).fetchall()
+        ]
+        got = [(r[0], int(r[1]), int(r[2])) for r in got]
+        assert got == want, (seed, stmt, got, want)
