@@ -1006,7 +1006,7 @@ def test_select_handler_component_legs_contracts(spark, sf_dir):
          "facet.range.gap": 2},
         {"q": "x", "stats.field": "doc_len"},             # needs stats
         {"q": "x", "stats": True},                        # needs field
-        {"q": "x", "stats": True, "stats.field": "role"},  # non-numeric
+        {"q": "x", "stats": True, "stats.field": "text"},  # unstatable
         {"q": "x", "facet.query": "data merge"},          # scoring fq
         {"q": "x", "group": True},                        # needs field
         {"q": "x", "group": True, "group.field": "ts"},   # ungroupable
