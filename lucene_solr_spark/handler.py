@@ -1263,7 +1263,39 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     # pivot over ord-indexed fields; facet.limit bounds every level
     facet_pivot = None
     if "facet.pivot" in params:
-        parts = [p.strip() for p in str(params["facet.pivot"]).split(",")]
+        raw_pivot = str(params["facet.pivot"])
+        pivot_ex: tuple = ()
+        pivot_key = None
+        lm = re.match(r"^(\{![^{}]+\})(.+)$", raw_pivot)
+        if lm:
+            # {!ex=tags key=alias}f1,f2 — the same QueryParsing local
+            # params facet.field takes: ex drops the tagged fq
+            # constraints from the pivot leg's own domain (the
+            # multi-select pivot), key renames the response entry
+            for tok in lm.group(1)[2:-1].split():
+                if "=" not in tok:
+                    raise ValueError(
+                        f"facet.pivot: bad local param {tok!r}")
+                k, v = tok.split("=", 1)
+                if k == "ex":
+                    exs: set[str] = set()
+                    for tag in v.split(","):
+                        if tag not in tag_fields:
+                            raise ValueError(
+                                f"facet.pivot: unknown ex tag {tag!r} "
+                                f"(declared: {sorted(tag_fields)})")
+                        exs |= tag_fields[tag]
+                    pivot_ex = tuple(sorted(exs))
+                elif k == "key":
+                    if not re.fullmatch(r"\w+", v):
+                        raise ValueError(f"facet.pivot: bad key {v!r}")
+                    pivot_key = v
+                else:
+                    raise ValueError(
+                        f"facet.pivot: unknown local param {k!r} "
+                        "(ex, key)")
+            raw_pivot = lm.group(2)
+        parts = [p.strip() for p in raw_pivot.split(",")]
         if (len(parts) not in (2, 3)
                 or not all(p in _FACETABLE for p in parts)):
             raise ValueError(
@@ -1272,7 +1304,8 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
                 f"{params['facet.pivot']!r}")
         if len(set(parts)) != len(parts):
             raise ValueError("facet.pivot fields must differ")
-        facet_pivot = tuple(parts)
+        facet_pivot = (tuple(parts), pivot_ex,
+                       pivot_key or ",".join(parts))
     # classic facet.interval (IntervalFacets): arbitrary, possibly
     # OVERLAPPING inclusive [lo,hi] sets over a numeric docvalues
     # column — a doc counts in EVERY containing interval
@@ -2397,19 +2430,29 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
         # distinct co-occurring pairs, never the corpus)
         from lucene_solr_spark.query.facets import facet_pivot, facet_pivot3
 
+        from lucene_solr_spark.query.executor import (  # noqa: F811
+            _exclude_filter_fields,
+        )
+
+        pv_fields, pv_ex, pv_key = o["facet_pivot"]
+        # {!ex}: the tagged fq constraints drop from THIS pivot's
+        # domain only (the multi-select rule, same engine API the
+        # facet.field leg rides)
+        p_spec = _exclude_filter_fields(spec, pv_ex) if pv_ex else spec
         # facet_pivot does not rewrite multiterm specs itself
-        p_spec = searcher.rewrite(spec) if spec.needs_rewrite else spec
+        p_spec = searcher.rewrite(p_spec) if p_spec.needs_rewrite \
+            else p_spec
         lim = o["facet_limit"]
-        if len(o["facet_pivot"]) == 2:
-            f1, f2 = o["facet_pivot"]
+        if len(pv_fields) == 2:
+            f1, f2 = pv_fields
             pv = facet_pivot(
                 searcher, f1, f2, spec=p_spec, limit1=lim, limit2=lim)
         else:
-            f1, f2, f3 = o["facet_pivot"]
+            f1, f2, f3 = pv_fields
             pv = facet_pivot3(
                 searcher, f1, f2, f3, spec=p_spec,
                 limit1=lim, limit2=lim, limit3=lim)
-        out["facet_pivots"] = {",".join(o["facet_pivot"]): pv}
+        out["facet_pivots"] = {pv_key: pv}
     if o["stats_fields"]:
         # StatsComponent leg: algebraic aggregates over the domain's
         # docvalues column — one partial-aggregating narrow job per

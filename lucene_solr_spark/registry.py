@@ -11382,6 +11382,46 @@ ORDER BY b.score DESC, b.conv_id, b.turn_idx
 )
 
 
+def _select_pivot_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.pivot={!ex=tag key=alias}role,tool — multi-select on the
+    PIVOT leg: the tagged role fq drops from the pivot's own domain
+    (all roles pivot) while the doclist keeps it; key renames the
+    response entry. Same engine exclude_fields API as facet.field's
+    {!ex}. ref: solr/core/src/java/org/apache/solr/handler/component/
+    FacetComponent.java + PivotFacetProcessor (localParams on pivot)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "data", "rows": 0,
+        "fq": "{!tag=r}role:user",
+        "facet.pivot": "{!ex=r key=all_pivot}role,tool",
+        "facet.limit": 3,
+    })["facet_pivots"]["all_pivot"]
+
+
+register(
+    "q_select_pivot_ex",
+    _select_pivot_ex,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, tool, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts),
+pairs AS (
+  SELECT role AS v1, tool AS v2, count(*) AS cnt
+  FROM docs WHERE tool IS NOT NULL AND list_contains(toks, 'data')
+  GROUP BY 1, 2),
+top1 AS (
+  SELECT v1, sum(cnt) AS t1 FROM pairs GROUP BY v1
+  ORDER BY t1 DESC, v1 LIMIT 3)
+SELECT v1, v2, cnt FROM (
+  SELECT p.v1, p.v2, p.cnt, t1,
+         row_number() OVER (PARTITION BY p.v1 ORDER BY p.cnt DESC, p.v2) AS rk
+  FROM pairs p JOIN top1 USING (v1))
+WHERE rk <= 3 ORDER BY t1 DESC, v1, cnt DESC, v2""",
+)
+
+
 _SELECT_FACET_PER_FIELD_REQ = {
     "q": "data", "rows": 0,
     "facet.field": ["role", "ftok"],

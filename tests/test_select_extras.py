@@ -807,3 +807,19 @@ def test_fl_glob_expansion():
                        "ftok", "ts", "doc_len"]  # score never implied
     with pytest.raises(ValueError, match="matches no field"):
         parse_select_params({"q": "m", "fl": "zz*"})
+
+
+def test_pivot_local_params_grammar():
+    """facet.pivot local params: key renames the entry, unknown tags/
+    params raise, plain specs keep the joined-fields key."""
+    base = {"q": "m", "fq": "{!tag=r}role:user"}
+    _, o = parse_select_params(
+        {**base, "facet.pivot": "{!ex=r key=p}role,tool"})
+    assert o["facet_pivot"] == (("role", "tool"), ("role",), "p")
+    _, o = parse_select_params({**base, "facet.pivot": "role,tool"})
+    assert o["facet_pivot"] == (("role", "tool"), (), "role,tool")
+    with pytest.raises(ValueError, match="unknown ex tag"):
+        parse_select_params({**base, "facet.pivot": "{!ex=z}role,tool"})
+    with pytest.raises(ValueError, match="unknown local param"):
+        parse_select_params({**base,
+                             "facet.pivot": "{!tag=x}role,tool"})
