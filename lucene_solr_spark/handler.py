@@ -491,7 +491,7 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
             )
         elif ftype == "range":
             unknown = set(req) - {"type", "field", "start", "end", "gap",
-                                  "other"}
+                                  "other", "facet"}
             if unknown:
                 raise ValueError(
                     f"json.facet {name!r}: unknown keys {sorted(unknown)}")
@@ -554,6 +554,39 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
                         f"json.facet {name!r}: other wants all|before|"
                         f"after|between, got {raw_o!r}")
                 o_kinds = kinds
+            r_subs = req.get("facet")
+            if r_subs is not None:
+                # ONE nested terms sub-facet per range bucket (the
+                # price-slider-with-brand-facets idiom): numeric
+                # ranges only, no 'other' rows (each special row
+                # would need its own domain pass), the sub-facet a
+                # plain terms bucket like the query-bucket rule
+                if fld == "ts":
+                    raise ValueError(
+                        f"json.facet {name!r}: nested sub-facets on "
+                        "date ranges are outside the subset")
+                if o_kinds:
+                    raise ValueError(
+                        f"json.facet {name!r}: 'other' and a nested "
+                        "sub-facet are exclusive")
+                if len(r_subs) != 1 or not all(
+                        isinstance(v, dict) for v in r_subs.values()):
+                    raise ValueError(
+                        f"json.facet {name!r}: range buckets take "
+                        "exactly one terms sub-facet")
+                (rs_name, rs_req), = r_subs.items()
+                if rs_req.get("type") != "terms" \
+                        or rs_req.get("field") not in _FACETABLE \
+                        or set(rs_req) - {"type", "field", "limit"}:
+                    raise ValueError(
+                        f"json.facet {name!r}.{rs_name}: the nested "
+                        "sub-facet must be a plain terms bucket "
+                        "(type/field/limit) over a facetable field")
+                out[name] = (
+                    "range_terms", fld, start_v, end_v, gap,
+                    rs_req["field"], int(rs_req.get("limit", 10)),
+                )
+                continue
             out[name] = ("range", fld, start_v, end_v, gap, o_kinds)
         else:
             raise ValueError(
@@ -2917,6 +2950,39 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
                     out["facets"][f"{name}:other"] = _range_other(
                         searcher, spec, fld, start_v, eff, o_kinds
                     )
+            elif req[0] == "range_terms":
+                # range buckets × ONE terms sub-facet in a SINGLE
+                # narrow pass: the derived bucket key and the
+                # sub-field column group together, then a
+                # bucket-partitioned rank window (rn <= literal →
+                # WindowGroupLimit pre-reduction) keeps the top
+                # values per NON-EMPTY bucket — never one domain
+                # pass per bucket
+                _, fld, start_v, end_v, gap, rs_fld, rs_lim = req
+                c = F.col(fld)
+                upper = start_v + -(-(end_v - start_v) // gap) * gap
+                pairs = (
+                    searcher.docmap()
+                    .select("conv_id", "turn_idx", fld, rs_fld)
+                    .join(searcher.docset(spec), ["conv_id", "turn_idx"])
+                    .filter((c >= start_v) & (c < upper)
+                            & F.col(rs_fld).isNotNull())
+                    .groupBy(
+                        (F.floor((c - start_v) / gap) * gap + start_v)
+                        .cast("long").alias("bucket_start"),
+                        F.col(rs_fld).alias("facet_value"),
+                    )
+                    .agg(F.count("*").cast("long").alias("cnt"))
+                )
+                rw = Window.partitionBy("bucket_start").orderBy(
+                    F.desc("cnt"), F.asc("facet_value"))
+                out["facets"][name] = (
+                    pairs.withColumn("rn", F.row_number().over(rw))
+                    .filter(F.col("rn") <= rs_lim)
+                    .select("bucket_start", "facet_value", "cnt")
+                    .orderBy("bucket_start", F.desc("cnt"),
+                             "facet_value")
+                )
             elif req[0] == "nested":
                 from lucene_solr_spark.query.facets import facet_nested
 

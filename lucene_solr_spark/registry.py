@@ -11422,6 +11422,54 @@ WHERE rk <= 3 ORDER BY t1 DESC, v1, cnt DESC, v2""",
 )
 
 
+def _select_jf_range_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet RANGE buckets × ONE nested terms sub-facet — the
+    price-slider-with-brand-facets idiom: doc_len histogram buckets,
+    each carrying its top roles. ONE narrow pass groups (derived
+    bucket, sub-value) pairs; a bucket-partitioned rank window
+    (rn <= literal — WindowGroupLimit) bounds each bucket's list.
+    Never a domain pass per bucket.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetRange.java (subFacets per range bucket)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "data", "rows": 0,
+        "json.facet": '{"r": {"type": "range", "field": "doc_len",'
+                      ' "start": 0, "end": 120, "gap": 40,'
+                      ' "facet": {"roles": {"type": "terms",'
+                      ' "field": "role", "limit": 2}}}}',
+    })["facets"]["r"]
+
+
+register(
+    "q_select_jf_range_nested",
+    _select_jf_range_nested,
+    f"""
+WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+),
+pairs AS (
+  SELECT CAST((dl // 40) * 40 AS BIGINT) AS bucket_start,
+         role AS facet_value, CAST(count(*) AS BIGINT) AS cnt
+  FROM docs
+  WHERE list_contains(toks, 'data') AND dl >= 0 AND dl < 120
+    AND role IS NOT NULL
+  GROUP BY 1, 2)
+SELECT bucket_start, facet_value, cnt FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket_start ORDER BY cnt DESC, facet_value) AS rn
+  FROM pairs)
+WHERE rn <= 2
+ORDER BY bucket_start, cnt DESC, facet_value
+""".strip(),
+)
+
+
 _SELECT_FACET_PER_FIELD_REQ = {
     "q": "data", "rows": 0,
     "facet.field": ["role", "ftok"],

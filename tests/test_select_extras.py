@@ -823,3 +823,27 @@ def test_pivot_local_params_grammar():
     with pytest.raises(ValueError, match="unknown local param"):
         parse_select_params({**base,
                              "facet.pivot": "{!tag=x}role,tool"})
+
+
+def test_jf_range_nested_validation():
+    base = {"q": "m", "rows": 0}
+    rng = ('{"r": {"type": "range", "field": "doc_len", "start": 0,'
+           ' "end": 100, "gap": 50,')
+    with pytest.raises(ValueError, match="exclusive"):
+        parse_select_params({**base, "json.facet": rng +
+            ' "other": "all", "facet": {"t": {"type": "terms",'
+            ' "field": "role"}}}}'})
+    with pytest.raises(ValueError, match="exactly one terms"):
+        parse_select_params({**base, "json.facet": rng +
+            ' "facet": {"sum_doc_len": "sum(doc_len)"}}}'})
+    with pytest.raises(ValueError, match="date ranges"):
+        parse_select_params({**base, "json.facet":
+            '{"r": {"type": "range", "field": "ts",'
+            ' "start": "2024-01-01T00:00:00Z",'
+            ' "end": "2024-01-02T00:00:00Z", "gap": "+6HOURS",'
+            ' "facet": {"t": {"type": "terms", "field": "role"}}}}'})
+    _, o = parse_select_params({**base, "json.facet": rng +
+        ' "facet": {"t": {"type": "terms", "field": "role",'
+        ' "limit": 3}}}}'})
+    assert o["json_facets"]["r"] == (
+        "range_terms", "doc_len", 0, 100, 50, "role", 3)
