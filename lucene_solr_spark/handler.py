@@ -178,7 +178,8 @@ _FACET_LOCAL_RE = re.compile(r"^\{!([^{}]+)\}(\w+)$")
 #: (q_frange).
 _FRANGE_FQ_RE = re.compile(
     r"^\{!frange(?:\s+l=(-?\d+(?:\.\d+)?))?"
-    r"(?:\s+u=(-?\d+(?:\.\d+)?))?\}(\w+)$"
+    r"(?:\s+u=(-?\d+(?:\.\d+)?))?"
+    r"(?:\s+incl=(true|false))?(?:\s+incu=(true|false))?\}(\w+)$"
 )
 
 
@@ -967,7 +968,9 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         tags, body = (m.group(1).split(","), m.group(2)) if m else ([], raw)
         fr = _FRANGE_FQ_RE.match(body.strip())
         if fr is not None:
-            lo, hi, fr_fld = fr.group(1), fr.group(2), fr.group(3)
+            lo, hi, incl, incu, fr_fld = (
+                fr.group(1), fr.group(2), fr.group(3), fr.group(4),
+                fr.group(5))
             if fr_fld not in _AGG_COLS:
                 raise ValueError(
                     f"{{!frange}} fq wants a bare numeric docvalues "
@@ -977,6 +980,22 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
             if lo is None and hi is None:
                 raise ValueError(f"{{!frange}} needs l= and/or u=: "
                                  f"{raw!r}")
+            # incl/incu (FunctionRangeQParser bound inclusivity,
+            # default true): the engine's range mask is inclusive, so
+            # exclusive bounds normalize ±1 on the INTEGER docvalues
+            # fields (the same adjustment the SQL front door's strict
+            # operators make); float literals with an exclusive bound
+            # are outside the subset
+            def _adj(v, flag, step, which):
+                if v is None or flag != "false":
+                    return v
+                if "." in v:
+                    raise ValueError(
+                        f"{{!frange}} {which}=false needs an integer "
+                        f"bound: {raw!r}")
+                return str(int(v) + step)
+            lo = _adj(lo, incl, 1, "incl")
+            hi = _adj(hi, incu, -1, "incu")
             f_spec = BooleanSpec(range_filters=((fr_fld, lo, hi),))
         else:
             f_spec = _pure_filter(parse(body, default_op="AND"), raw)

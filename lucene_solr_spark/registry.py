@@ -11470,6 +11470,42 @@ ORDER BY bucket_start, cnt DESC, facet_value
 )
 
 
+def _select_frange_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fq={!frange l= u= incl=false incu=false} — FunctionRangeQParser
+    bound inclusivity: exclusive integer bounds normalize onto the
+    engine's inclusive range mask by ±1 (the same strict-operator
+    adjustment the SQL front door makes), so (5, 40) becomes the
+    inclusive [6, 39]. ref: solr/core/src/java/org/apache/solr/search/
+    FunctionRangeQParserPlugin.java (incl/incu)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    return select(s, {
+        "q": "merge", "rows": 10,
+        "fq": "{!frange l=5 u=40 incl=false incu=false}doc_len",
+    })["response"]
+
+
+register(
+    "q_select_frange_excl",
+    _select_frange_excl,
+    f"""
+WITH b AS (
+{bm25_oracle_sql(BooleanSpec(must=("merge",), k=1000))}
+), t AS (
+  WITH {TRANSCRIPTS_ORACLE_CTE}
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM transcripts
+)
+SELECT b.conv_id, b.turn_idx, b.score
+FROM b JOIN t USING (conv_id, turn_idx)
+WHERE t.dl > 5 AND t.dl < 40
+ORDER BY b.score DESC, b.conv_id, b.turn_idx LIMIT 10
+""".strip(),
+)
+
+
 _SELECT_FACET_PER_FIELD_REQ = {
     "q": "data", "rows": 0,
     "facet.field": ["role", "ftok"],

@@ -847,3 +847,16 @@ def test_jf_range_nested_validation():
         ' "limit": 3}}}}'})
     assert o["json_facets"]["r"] == (
         "range_terms", "doc_len", 0, 100, 50, "role", 3)
+
+
+def test_frange_inclusivity_validation():
+    # default bounds stay inclusive; float + exclusive bound raises
+    _, o = parse_select_params(
+        {"q": "m", "fq": "{!frange l=5 u=40}doc_len"})
+    assert o is not None
+    spec, _ = parse_select_params(
+        {"q": "m", "fq": "{!frange l=5 u=40 incl=false}doc_len"})
+    assert spec.range_filters == (("doc_len", "6", "40"),)
+    with pytest.raises(ValueError, match="integer bound"):
+        parse_select_params(
+            {"q": "m", "fq": "{!frange l=5.5 incl=false}doc_len"})
