@@ -3623,9 +3623,10 @@ def suggest(searcher, params: dict) -> DataFrame:
     if count < 1:
         raise ValueError(f"suggest.count must be >= 1: {count}")
     dictionary = params.get("suggest.dictionary", "prefix")
-    if dictionary not in ("prefix", "infix"):
+    if dictionary not in ("prefix", "infix", "fuzzy"):
         raise ValueError(
-            f"suggest.dictionary must be prefix|infix, got {dictionary!r}")
+            f"suggest.dictionary must be prefix|infix|fuzzy, "
+            f"got {dictionary!r}")
     q = searcher.spark.createDataFrame(
         [(f,) for f in frags], "fragment string"
     )
@@ -3634,6 +3635,25 @@ def suggest(searcher, params: dict) -> DataFrame:
     )
     if dictionary == "prefix":
         cond = F.col("term").startswith(F.col("fragment"))
+    elif dictionary == "fuzzy":
+        # FuzzyLookupFactory subset (FuzzySuggester defaults): the
+        # typed fragment fuzzy-matches the suggestion's PREFIX of the
+        # same length — maxEdits=1, nonFuzzyPrefix=1 (first char
+        # exact), minFuzzyLength=3 (shorter fragments stay exact-
+        # prefix). One broadcast NLJ of the bounded fragment table
+        # against the dictionary, like the spellcheck candidates.
+        # ref: lucene/suggest/src/java/org/apache/lucene/search/
+        # suggest/analyzing/FuzzySuggester.java
+        head = F.expr("substring(term, 1, length(fragment))")
+        cond = (
+            (F.expr("substring(term, 1, 1)")
+             == F.expr("substring(fragment, 1, 1)"))
+            & (F.length("term") >= F.length("fragment"))
+            & F.when(
+                F.length("fragment") >= 3,
+                F.levenshtein(head, F.col("fragment")) <= 1,
+            ).otherwise(head == F.col("fragment"))
+        )
     else:
         cond = F.col("term").contains(F.col("fragment"))
     cand = dicts.join(F.broadcast(q), cond)

@@ -11506,6 +11506,54 @@ ORDER BY b.score DESC, b.conv_id, b.turn_idx LIMIT 10
 )
 
 
+def _suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """suggest.dictionary=fuzzy (FuzzyLookupFactory subset —
+    FuzzySuggester defaults): the typed fragment fuzzy-matches the
+    suggestion's PREFIX of the same length with maxEdits=1,
+    nonFuzzyPrefix=1 (first char exact) and minFuzzyLength=3;
+    'mer'/'scn'-style typos still complete to the weight-ranked
+    dictionary terms. Same bounded broadcast join + per-fragment
+    WindowGroupLimit as the other lookups.
+    ref: lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/FuzzySuggester.java + solr FuzzyLookupFactory."""
+    from lucene_solr_spark.handler import suggest
+
+    s = cached_searcher(spark, sf_dir)
+    return suggest(s, {
+        "suggest": True, "suggest.q": "mer,scn,qu",
+        "suggest.count": 4, "suggest.dictionary": "fuzzy",
+    })
+
+
+register(
+    "q_suggest_fuzzy",
+    _suggest_fuzzy,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+         FROM tok GROUP BY term),
+q(fragment) AS (VALUES ('mer'), ('scn'), ('qu')),
+cand AS (
+  SELECT q.fragment, d.term AS suggestion, d.weight
+  FROM q JOIN dict d
+    ON substring(d.term, 1, 1) = substring(q.fragment, 1, 1)
+   AND len(d.term) >= len(q.fragment)
+   AND CASE WHEN len(q.fragment) >= 3
+            THEN levenshtein(substring(d.term, 1, len(q.fragment)),
+                             q.fragment) <= 1
+            ELSE substring(d.term, 1, len(q.fragment)) = q.fragment
+       END),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fragment ORDER BY weight DESC, suggestion) AS rn
+  FROM cand)
+SELECT fragment, suggestion, weight FROM ranked WHERE rn <= 4
+ORDER BY fragment, weight DESC, suggestion""",
+)
+
+
 _SELECT_FACET_PER_FIELD_REQ = {
     "q": "data", "rows": 0,
     "facet.field": ["role", "ftok"],
