@@ -331,6 +331,114 @@ def porter_filter(toks: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Non-English light stemmers (the per-language analysis chains under
+# lucene/analysis/common). Same wiring as Porter: pandas token-Series
+# filters composed via chain(), index pinned by analyzer_version, and
+# the DuckDB oracle CASE map generated from the SAME scalar stemmer
+# over the pinned corpus vocabulary (the vocab-subset guard in
+# tests/test_analyzer.py covers every chain that uses the pattern).
+# ---------------------------------------------------------------------------
+
+#: Tokens the FrenchAnalyzer's ElisionFilter would have consumed as
+#: "l'" / "qu'" prefixes. Our [a-z0-9]+ tokenizer splits on the
+#: apostrophe, so the elided article survives as its own 1-2 char
+#: token — dropping those tokens is the stream-level equivalent.
+#: ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+#:      util/ElisionFilter.java (FrenchAnalyzer#DEFAULT_ARTICLES)
+FRENCH_ELISION = frozenset("l m t qu n s j d c".split())
+
+
+def french_minimal_stem(w: str) -> str:
+    """One token through Lucene's French *minimal* stemmer: plural
+    'x' normalization (chevaux → cheval), then strip at most one each
+    of trailing s, r, e, é, and a doubled final letter — only on
+    words of length >= 6.
+
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         fr/FrenchMinimalStemFilter.java (FrenchMinimalStemmer, the
+         Savoy minimal French stemmer)"""
+    if len(w) < 6:
+        return w
+    if w[-1] == "x":
+        if w[-3] == "a" and w[-2] == "u":
+            return w[:-2] + "l"
+        return w[:-1]
+    n = len(w)
+    if w[n - 1] == "s":
+        n -= 1
+    if w[n - 1] == "r":
+        n -= 1
+    if w[n - 1] == "e":
+        n -= 1
+    if w[n - 1] == "é":  # é
+        n -= 1
+    if w[n - 1] == w[n - 2] and w[n - 1].isalpha():
+        n -= 1
+    return w[:n]
+
+
+def french_minimal_filter(toks: pd.Series) -> pd.Series:
+    """FrenchMinimalStemFilter (memoized per batch like Porter)."""
+    cache: dict[str, str] = {}
+
+    def stem(t: str) -> str:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = french_minimal_stem(t)
+        return s
+
+    return toks.map(lambda ts: [stem(t) for t in ts])
+
+
+def german_light_stem(w: str) -> str:
+    """One token through Lucene's German light stemmer (Savoy):
+    umlaut/diacritic normalization, then two suffix-strip passes —
+    step 1 removes 'ern' / 'e[mnrs]' / final 'e' / 's' after a valid
+    consonant, step 2 removes 'est' / 'st' after a valid consonant.
+
+    ref: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+         de/GermanLightStemFilter.java (GermanLightStemmer)"""
+    w = w.translate(_GERMAN_FOLD)
+    n = len(w)
+    # step 1
+    if n > 5 and w.endswith("ern"):
+        n -= 3
+    elif n > 4 and w[n - 2] == "e" and w[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and w[n - 1] == "e":
+        n -= 1
+    elif n > 3 and w[n - 1] == "s" and w[n - 2] in _ST_ENDING:
+        n -= 1
+    w = w[:n]
+    # step 2
+    if n > 5 and w.endswith("est"):
+        n -= 3
+    elif n > 4 and w.endswith("st") and w[n - 3] in _ST_ENDING:
+        n -= 2
+    return w[:n]
+
+
+#: Valid consonants before a strippable s/st (GermanLightStemmer#stEnding)
+_ST_ENDING = frozenset("bdfghklmnt")
+_GERMAN_FOLD = str.maketrans(
+    {"ä": "a", "ö": "o", "ü": "u", "ß": "s"}
+)
+
+
+def german_light_filter(toks: pd.Series) -> pd.Series:
+    """GermanLightStemFilter (memoized per batch like Porter)."""
+    cache: dict[str, str] = {}
+
+    def stem(t: str) -> str:
+        s = cache.get(t)
+        if s is None:
+            s = cache[t] = german_light_stem(t)
+        return s
+
+    return toks.map(lambda ts: [stem(t) for t in ts])
+
+
+# ---------------------------------------------------------------------------
 # Multi-word synonym contraction (SynonymGraphFilter's raison d'être:
 # "data base => database"). Leftmost scan over the token stream; an
 # occurrence of the source n-gram collapses to the single target

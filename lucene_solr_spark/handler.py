@@ -2841,12 +2841,19 @@ def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
             dicts = searcher.postings().groupBy("term").agg(
                 F.sum("df").cast("long").alias("df")
             )
+            # length-band join condition + thresholded levenshtein:
+            # the lossless dictionary prune ahead of the banded DP
+            # (IndexSearcher.fuzzy_predicate shape; VERDICT r4 item 5)
             cand = (
-                dicts.join(F.broadcast(qdf))
-                .withColumn(
-                    "dist", F.levenshtein("term", F.col("q")).cast("long")
+                dicts.join(
+                    F.broadcast(qdf),
+                    F.abs(F.length("term") - F.length("q")) <= 2,
                 )
-                .filter((F.col("dist") <= 2) & (F.length("term") >= 3)
+                .withColumn(
+                    "dist",
+                    F.levenshtein(F.col("term"), F.col("q"), 2).cast("long"),
+                )
+                .filter((F.col("dist") >= 0) & (F.length("term") >= 3)
                         & (F.col("term") != F.col("q"))
                         & (F.col("df") > F.col("q_df")))
             )
@@ -3651,7 +3658,9 @@ def suggest(searcher, params: dict) -> DataFrame:
             & (F.length("term") >= F.length("fragment"))
             & F.when(
                 F.length("fragment") >= 3,
-                F.levenshtein(head, F.col("fragment")) <= 1,
+                # thresholded banded DP (-1 past maxEdits=1); the
+                # compared slices are equal-length so no length band
+                F.levenshtein(head, F.col("fragment"), 1) >= 0,
             ).otherwise(head == F.col("fragment"))
         )
     else:

@@ -118,7 +118,10 @@ def q_fuzzy_query(spark, sf_dir):
     return (
         d.select("conv_id", "turn_idx", F.explode("toks").alias("term"))
         .distinct()
-        .filter(F.levenshtein("term", F.lit("merge")) <= 1)
+        # banded: length prune + thresholded levenshtein (see
+        # IndexSearcher.fuzzy_predicate — same shape, dict-local here)
+        .filter((F.abs(F.length("term") - F.lit(5)) <= 1)
+                & (F.levenshtein("term", F.lit("merge"), 1) >= 0))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), "term")

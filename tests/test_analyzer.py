@@ -160,6 +160,87 @@ def test_porter_vocab_covers_testdata():
         assert toks <= vocab, sorted(toks - vocab)
 
 
+FRENCH_MINIMAL_VECTORS = {
+    # canonical -aux plural normalization (FrenchMinimalStemmer)
+    "chevaux": "cheval", "aux": "aux",
+    # sequential s/r/e strips + doubled-letter removal
+    "customers": "custom", "customer": "custom", "querelle": "querel",
+    "tables": "tabl", "table": "table",  # len<6 guard
+    # the r-check precedes the e-check: stripping 'e' exposes an 'r'
+    # that is NOT re-examined (single left-to-right pass)
+    "filtre": "filtr", "filtres": "filtr",
+    "the": "the", "merge": "merge",
+    # x without 'au' context just drops
+    "chevaix": "chevai",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(FRENCH_MINIMAL_VECTORS.items()))
+def test_french_minimal_vectors(word, want):
+    from lucene_solr_spark.analyzer import french_minimal_stem
+
+    assert french_minimal_stem(word) == want
+
+
+GERMAN_LIGHT_VECTORS = {
+    # umlaut fold + step1 'e[mnrs]' / 'ern' / trailing-e rules
+    "häuser": "haus", "kindern": "kind", "filter": "filt",
+    "tage": "tag", "buches": "buch",
+    # 's' only strips after an stEnding consonant ('r' is not one)
+    "customers": "customers", "rings": "ring",
+    # step2 'est' / 'st' after stEnding
+    "kleinest": "klein",
+    "the": "the",
+}
+
+
+@pytest.mark.parametrize("word,want", sorted(GERMAN_LIGHT_VECTORS.items()))
+def test_german_light_vectors(word, want):
+    from lucene_solr_spark.analyzer import german_light_stem
+
+    assert german_light_stem(word) == want
+
+
+def test_language_chain_filters_vectorized():
+    """Both non-English filters run per-batch memoized like Porter,
+    and the French elision stop set drops surviving article tokens
+    (the post-apostrophe-split ElisionFilter analog)."""
+    from lucene_solr_spark.analyzer import (
+        FRENCH_ELISION,
+        french_minimal_filter,
+        german_light_filter,
+        stop_filter,
+    )
+
+    toks = pd.Series([["l", "avions", "chevaux"], []])
+    kept = stop_filter(toks, FRENCH_ELISION)
+    assert kept.iloc[0] == ["avions", "chevaux"]
+    assert french_minimal_filter(kept).iloc[0] == ["avion", "cheval"]
+    assert german_light_filter(pd.Series([["häuser", "tage"]])).iloc[0] == [
+        "haus", "tag",
+    ]
+
+
+def test_language_stem_fuzz_total_and_shrinking():
+    """French minimal + German light stems are total over the token
+    alphabet and never lengthen (the Porter fuzz contract extended to
+    the new chains — both feed vocab-generated oracle CASE maps)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.analyzer import french_minimal_stem, german_light_stem
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                   min_size=0, max_size=18))
+    def run(w):
+        for stem in (french_minimal_stem, german_light_stem):
+            s = stem(w)
+            assert isinstance(s, str) and len(s) <= len(w)
+
+    run()
+
+
 def test_ascii_fold_matches_duckdb():
     """ascii_fold (NFKD + strip combining) must agree with the oracle
     spelling strip_accents() on Latin input — the dueling-spellings
