@@ -240,6 +240,25 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
                 r["facet_counts"]["role"].collect()
 
             timed("select_handler", _sel)
+
+            # round-5 session: json.facet multi-metric bucket pass
+            # (sum/avg/min/max riding the sparse facet engine) — the
+            # corpus-width table's jf-metrics witness
+            def _jf() -> None:
+                from lucene_solr_spark.handler import select as _select
+
+                r = _select(searcher, {
+                    "q": "data", "rows": 0,
+                    "json.facet": (
+                        '{"by_role": {"type": "terms", "field": "role",'
+                        ' "limit": 5, "sort": "avg_doc_len desc",'
+                        ' "facet": {"sum_doc_len": "sum(doc_len)",'
+                        ' "avg_doc_len": "avg(doc_len)"}}}'
+                    ),
+                })
+                r["facets"]["by_role"].collect()
+
+            timed("jf_metrics", _jf)
             out["queries"] = q_secs
             out["query_total_sec"] = round(sum(q_secs.values()), 3)
 

@@ -2013,6 +2013,80 @@ def _encode_wt(page: DataFrame, wt: str) -> DataFrame:
 
 
 def select(searcher, params: dict, stored: DataFrame | None = None) -> dict:
+    """/select front door. With ``timeAllowed`` (ms) present, the main
+    doclist materializes under a Spark job group watched by a cancel
+    timer — the ExitableDirectoryReader / SolrIndexSearcher
+    timeAllowed contract: a query that exceeds its budget is cut off
+    at the scheduler (pending stages cancelled) and the response
+    comes back FLAGGED ``partialResults=True`` with an empty doclist
+    instead of blocking unboundedly or returning an unflagged wrong
+    answer. Inside the budget the response is bit-identical to the
+    un-budgeted request (``partialResults=False``). The budget covers
+    the main search phase (page + numFound + docset warm), matching
+    Solr's collector-level check; component legs returned as lazy
+    frames collect outside it.
+
+    ref: lucene/core/src/java/org/apache/lucene/index/
+         ExitableDirectoryReader.java,
+         solr/core/src/java/org/apache/solr/search/
+         SolrIndexSearcher.java (timeAllowed / partialResults)"""
+    ta = params.get("timeAllowed")
+    if ta is None:
+        return _select_impl(searcher, params, stored)
+    ta = int(ta)
+    if ta <= 0:
+        raise ValueError(f"timeAllowed must be a positive ms count: {ta}")
+    import threading
+    import uuid
+
+    inner = {k: v for k, v in params.items() if k != "timeAllowed"}
+    sc = searcher.spark.sparkContext
+    gid = f"timeAllowed-{uuid.uuid4().hex}"
+    fired = [False]
+
+    def _cancel():
+        fired[0] = True
+        sc.cancelJobGroup(gid)
+
+    timer = threading.Timer(ta / 1000.0, _cancel)
+    sc.setJobGroup(gid, f"/select timeAllowed={ta}ms")
+    timer.start()
+    try:
+        out = _select_impl(searcher, inner, stored)
+        resp = out["response"]
+        # materialize the bounded page inside the budget so partiality
+        # is decided here, not at some later caller-side collect
+        rows = resp.collect()
+        out["response"] = searcher.spark.createDataFrame(rows, resp.schema)
+        # cancelJobGroup only aborts ACTIVE jobs — a cancel landing
+        # between two jobs lets the rest run to completion. The
+        # contract stays honest: budget elapsed ⇒ flagged, even when
+        # the late result happens to be complete (Solr flags whenever
+        # the timeAllowed check trips, too).
+        out["partialResults"] = fired[0]
+        return out
+    except Exception:
+        if not fired[0]:
+            raise  # a real error, not the budget
+        return {
+            "response": searcher.spark.createDataFrame(
+                [], "conv_id string, turn_idx int, score double"
+            ),
+            "numFound": 0,
+            "facet_counts": {},
+            "partialResults": True,
+        }
+    finally:
+        timer.cancel()
+        # detach this thread from the group so a late-firing cancel
+        # (or the group id lingering) can never hit a later query
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+
+
+def _select_impl(
+    searcher, params: dict, stored: DataFrame | None = None
+) -> dict:
     """Run the composed request; returns ``{"response": DataFrame,
     "numFound": int, "facet_counts": {field: DataFrame}}``.
 
@@ -3595,7 +3669,13 @@ def get(searcher_spark, params: dict, committed: DataFrame,
 
 #: /suggest handler param surface (SuggestComponent front door)
 _SUGGEST_KNOWN = {"suggest", "suggest.q", "suggest.count",
-                  "suggest.dictionary"}
+                  "suggest.dictionary", "suggest.field",
+                  "suggest.weightField", "suggest.payloadField"}
+
+#: DocumentDictionary legal sources: suggestion text from a string
+#: docvalues field; weight from a numeric docvalues field
+_SUGGEST_DOC_FIELDS = ("role", "tool", "conv_id")
+_SUGGEST_WEIGHT_FIELDS = ("turn_idx",)
 
 
 def suggest(searcher, params: dict) -> DataFrame:
@@ -3630,13 +3710,74 @@ def suggest(searcher, params: dict) -> DataFrame:
     if count < 1:
         raise ValueError(f"suggest.count must be >= 1: {count}")
     dictionary = params.get("suggest.dictionary", "prefix")
-    if dictionary not in ("prefix", "infix", "fuzzy"):
+    if dictionary not in ("prefix", "infix", "fuzzy", "document"):
         raise ValueError(
-            f"suggest.dictionary must be prefix|infix|fuzzy, "
+            f"suggest.dictionary must be prefix|infix|fuzzy|document, "
             f"got {dictionary!r}")
+    doc_params = {k for k in ("suggest.field", "suggest.weightField",
+                              "suggest.payloadField") if k in params}
+    if dictionary != "document" and doc_params:
+        raise ValueError(
+            f"{sorted(doc_params)} require suggest.dictionary=document")
     q = searcher.spark.createDataFrame(
         [(f,) for f in frags], "fragment string"
     )
+    if dictionary == "document":
+        # DocumentDictionary lookup: suggestion entries come from a
+        # docvalues FIELD's values (not the term dictionary), each
+        # weighted by a numeric docvalues field, with an optional
+        # payload field RETURNED beside the suggestion. Duplicate
+        # values collapse to one entry under a pinned rule: weight =
+        # MAX(weightField) across the value's live docs, payload from
+        # the max-(weight, payload) doc (deterministic tiebreak).
+        # searcher.docmap() is the read path, so the liveDocs mask
+        # applies (a tombstoned doc can never donate weight/payload).
+        # One bounded field-cardinality aggregation + the broadcast
+        # fragment probe — never a corpus collect.
+        # ref: lucene/suggest/src/java/org/apache/lucene/search/
+        # suggest/DocumentDictionary.java (TERM_FIELD / WEIGHT_FIELD /
+        # PAYLOAD_FIELD), solr/core/.../spelling/suggest/
+        # DocumentDictionaryFactory.java
+        field = params.get("suggest.field")
+        if field not in _SUGGEST_DOC_FIELDS:
+            raise ValueError(
+                f"suggest.field must be one of {_SUGGEST_DOC_FIELDS}: "
+                f"{field!r}")
+        wfield = params.get("suggest.weightField")
+        if wfield not in _SUGGEST_WEIGHT_FIELDS:
+            raise ValueError(
+                f"suggest.weightField must be one of "
+                f"{_SUGGEST_WEIGHT_FIELDS}: {wfield!r}")
+        pfield = params.get("suggest.payloadField")
+        if pfield is not None and pfield not in _SUGGEST_DOC_FIELDS:
+            raise ValueError(
+                f"suggest.payloadField must be one of "
+                f"{_SUGGEST_DOC_FIELDS}: {pfield!r}")
+        pay = F.col(pfield) if pfield is not None else F.lit(None)
+        ent = (
+            searcher.docmap()
+            .filter(F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("suggestion"))
+            .agg(
+                F.max(F.col(wfield)).cast("long").alias("weight"),
+                F.max_by(
+                    pay.cast("string"),
+                    F.struct(F.col(wfield), pay.cast("string")),
+                ).alias("payload"),
+            )
+        )
+        cand = ent.join(
+            F.broadcast(q), F.col("suggestion").startswith(F.col("fragment"))
+        )
+        w = Window.partitionBy("fragment").orderBy(
+            F.desc("weight"), F.col("suggestion")
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= count)
+            .select("fragment", "suggestion", "weight", "payload")
+            .orderBy("fragment", F.desc("weight"), "suggestion")
+        )
     dicts = searcher.postings().groupBy("term").agg(
         F.sum("cf").cast("long").alias("weight")
     )

@@ -2,15 +2,16 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The sandbox has no image/video codec libraries, so THOSE decoders are
-STUBBED exactly as the brief prescribes: the real-codec path raises
-``NotImplementedError`` behind an import-try, and a clearly-marked
-deterministic fake (byte statistics) stands in so the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-is real and tested. AUDIO is the exception: WAV (RIFF PCM16) needs
-only the stdlib ``wave`` module, so ``q_multimodal_wav_decode`` is a
-REAL codec round-trip — encode to the binary column, parse the RIFF
-header and PCM frames back, extract integer-exact features.
+All four modalities now carry a REAL codec round-trip in pure
+python/stdlib — no ffmpeg/PIL needed: WAV (RIFF PCM16 via stdlib
+``wave``), BMP (24-bit uncompressed), PNG (zlib DEFLATE + the full
+scanline filter family + CRC validation) and VIDEO as Y4M/YUV4MPEG2
+(stream-header + FRAME framing + raw plane reads,
+``q_multimodal_video_decode`` — closing the last r4 stub). The one
+remaining ``NotImplementedError`` guards the generic feature-extract
+path's real-library branch (PIL/librosa are absent by design; the
+deterministic byte-statistics fake keeps that plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — real and tested).
 
 The media bytes here are derived deterministically from ``documents``
 (utf-8 payload + a modality tag by ``doc_id % 3``), which keeps the
@@ -709,3 +710,150 @@ def q_multimodal_png_decode(spark, sf_dir):
 
     img = cpu_scaled(d, "doc_id").mapInPandas(synth, schema_syn)
     return img.mapInPandas(decode, schema_out).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode: Y4M (YUV4MPEG2) is the uncompressed interchange
+# format every ffmpeg pipeline can emit — a one-line ASCII stream
+# header, then `FRAME\n` + raw Y/U/V planes per frame. Pure python +
+# numpy parse it exactly, so the video modality gets a genuine
+# encode→binary-column→decode→features pipeline (closing the last
+# r4 stub): stream-header parse, per-frame plane framing, and
+# integer-exact spatial + TEMPORAL (motion) features the oracle
+# replays from the signal definition.
+# ref: the yuv4mpeg(5) format as consumed by
+#      solr/contrib-style media pipelines via ffmpeg -f yuv4mpegpipe
+# ---------------------------------------------------------------------------
+
+
+def _y4m_params(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(w, h, n_frames, a, b) — deterministic per-doc geometry and
+    luma-formula coefficients."""
+    return (
+        8 + (doc_id % 3) * 4,
+        6 + (doc_id % 2) * 2,
+        3 + doc_id % 4,
+        2 + doc_id % 3,
+        5 + doc_id % 4,
+    )
+
+
+def _y4m_planes(doc_id: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(T, W*H) uint8 planes: y = (p*a + t*b + id) % 256,
+    u = (p + 7t + id) % 256, v = (3p + t + 2id) % 256."""
+    w, h, nf, a, b = _y4m_params(doc_id)
+    t = np.arange(nf, dtype=np.int64)[:, None]
+    p = np.arange(w * h, dtype=np.int64)[None, :]
+    y = (p * a + t * b + doc_id) % 256
+    u = (p + 7 * t + doc_id) % 256
+    v = (3 * p + t + 2 * doc_id) % 256
+    return y.astype(np.uint8), u.astype(np.uint8), v.astype(np.uint8)
+
+
+def _synth_y4m(doc_id: int) -> bytes:
+    """A real YUV4MPEG2 stream: C444 (full-res chroma), 25 fps."""
+    w, h, nf, _, _ = _y4m_params(doc_id)
+    y, u, v = _y4m_planes(doc_id)
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
+    for t in range(nf):
+        out += b"FRAME\n"
+        out += y[t].tobytes() + u[t].tobytes() + v[t].tobytes()
+    return bytes(out)
+
+
+@op(
+    "q_multimodal_video_decode",
+    """WITH v AS (
+  SELECT doc_id,
+         8 + (doc_id % 3) * 4 AS w,
+         6 + (doc_id % 2) * 2 AS h,
+         3 + doc_id % 4 AS nf,
+         2 + doc_id % 3 AS a,
+         5 + doc_id % 4 AS b
+  FROM documents WHERE doc_id % 3 = 2),
+px AS (
+  SELECT doc_id, w, h, nf, t, p,
+         (p * a + t * b + doc_id) % 256 AS y,
+         (p + 7 * t + doc_id) % 256 AS u,
+         (3 * p + t + 2 * doc_id) % 256 AS cv
+  FROM v, unnest(range(0, nf)) AS ft(t),
+       unnest(range(0, w * h)) AS pp(p)),
+m AS (
+  SELECT doc_id, w, h, nf, y, u, cv,
+         y - lag(y) OVER (PARTITION BY doc_id, p ORDER BY t) AS dy
+  FROM px)
+SELECT doc_id,
+  CAST(any_value(w) AS BIGINT) AS width,
+  CAST(any_value(h) AS BIGINT) AS height,
+  CAST(any_value(nf) AS BIGINT) AS n_frames,
+  CAST(sum(y) AS BIGINT) AS y_sum,
+  CAST(max(y) AS BIGINT) AS y_peak,
+  CAST(sum(CASE WHEN dy IS NULL THEN 0 ELSE abs(dy) END) AS BIGINT)
+    AS motion,
+  CAST(sum(u + cv) AS BIGINT) AS uv_sum
+FROM m GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_multimodal_video_decode(spark, sf_dir):
+    """REAL video pipeline for the 'video' modality: synthesize actual
+    YUV4MPEG2 (Y4M C444) streams into the binary column, then DECODE
+    them in a separate Arrow stage — stream-header parse (W/H/chroma
+    tag validated), FRAME-marker framing, per-frame Y/U/V plane reads
+    — and extract integer-exact features including the TEMPORAL one a
+    stub can't fake: motion = Σ|Y_t − Y_{t−1}| across frames. The
+    oracle replays every pixel from the signal definition."""
+    schema_syn = "doc_id long, vid binary"
+    schema_out = (
+        "doc_id long, width long, height long, n_frames long, "
+        "y_sum long, y_peak long, motion long, uv_sum long"
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)  # the 'video' docs
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "vid": [_synth_y4m(int(x)) for x in pdf["doc_id"]],
+            })
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["vid"]):
+                raw = bytes(raw)
+                nl = raw.index(b"\n")
+                toks = raw[:nl].decode().split(" ")
+                assert toks[0] == "YUV4MPEG2"
+                tags = {t[0]: t[1:] for t in toks[1:]}
+                w, h = int(tags["W"]), int(tags["H"])
+                assert tags.get("C", "420") == "444"
+                plane = w * h
+                pos, ys, us, vs = nl + 1, [], [], []
+                while pos < len(raw):
+                    fe = raw.index(b"\n", pos)
+                    assert raw[pos:fe].split(b" ")[0] == b"FRAME"
+                    pos = fe + 1
+                    ys.append(np.frombuffer(raw, np.uint8, plane, pos))
+                    us.append(np.frombuffer(
+                        raw, np.uint8, plane, pos + plane))
+                    vs.append(np.frombuffer(
+                        raw, np.uint8, plane, pos + 2 * plane))
+                    pos += 3 * plane
+                y = np.stack(ys).astype(np.int64)
+                rows.append((
+                    int(doc_id), w, h, len(ys),
+                    int(y.sum()), int(y.max()),
+                    int(np.abs(np.diff(y, axis=0)).sum()),
+                    int(np.stack(us).astype(np.int64).sum()
+                        + np.stack(vs).astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_frames",
+                "y_sum", "y_peak", "motion", "uv_sum",
+            ])
+
+    vid = cpu_scaled(d, "doc_id").mapInPandas(synth, schema_syn)
+    return vid.mapInPandas(decode, schema_out).orderBy("doc_id")

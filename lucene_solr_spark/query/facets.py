@@ -197,7 +197,7 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
             import pyarrow.parquet as pq
 
             seg_id = int(pdf["seg_id"].iloc[0])
-            bits, n = ds_bc.value[seg_id]
+            bits, n = ds_bc.get(seg_id)
             hits = np.flatnonzero(np.unpackbits(
                 np.frombuffer(bits, np.uint8), count=n
             ))
@@ -410,7 +410,7 @@ def facet_metrics(
         nulls = {c: dm[c].isna().to_numpy() for c in metric_cols}
         objs = {c: dm[c].to_numpy(object) for c in uq_cols}
         if ds_bc is not None:
-            bits, n = ds_bc.value[seg_id]
+            bits, n = ds_bc.get(seg_id)
             hits = np.flatnonzero(np.unpackbits(
                 np.frombuffer(bits, np.uint8), count=n
             ))
@@ -631,7 +631,7 @@ def facet_pivot(
             import pyarrow.parquet as pq
 
             seg_id = int(pdf["seg_id"].iloc[0])
-            bits, n = ds_bc.value[seg_id]
+            bits, n = ds_bc.get(seg_id)
             hits = np.flatnonzero(np.unpackbits(
                 np.frombuffer(bits, np.uint8), count=n
             ))
@@ -962,7 +962,7 @@ def facet_nested(
             import pyarrow.parquet as pq
 
             seg_id = int(pdf["seg_id"].iloc[0])
-            bits, n = ds_bc.value[seg_id]
+            bits, n = ds_bc.get(seg_id)
             hits = np.flatnonzero(np.unpackbits(
                 np.frombuffer(bits, np.uint8), count=n
             ))
