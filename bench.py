@@ -146,6 +146,18 @@ def run_once(cpus: int, n_turns: int, queries: bool = True,
         if queries:
             from lucene_solr_spark.query.model import BooleanSpec
 
+            # the 4MB input splits exist for the BUILD (its corpus
+            # files are ~3MB); the QUERY phase scans index parquet
+            # (postings grow with the corpus — 1.8 GB at 10M turns),
+            # where 4MB splits fan one term scan into ~450 tasks.
+            # Restore the defaults for the serving phase — a real
+            # deployment tunes ingest and serving sessions separately.
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+            )
+            spark.conf.set(
+                "spark.sql.files.openCostInBytes", str(4 * 1024 * 1024)
+            )
             searcher = IndexSearcher(spark, idx_root).persist()
             # warmup (JIT/Arrow init — excluded from per-query numbers)
             searcher.search(next(iter(BM25_SPECS.values()))).collect()

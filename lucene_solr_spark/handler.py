@@ -269,6 +269,16 @@ def _parse_json_facets(jf, tag_fields: dict | None = None) -> dict:
         raise ValueError("json.facet must be a JSON object")
     out: dict = {}
     for name, req in jf.items():
+        if isinstance(req, str):
+            # top-level STAT facet (FacetModule's root AggValueSource:
+            # {"avg_doc_len": "avg(doc_len)"}) — the scalar computes
+            # over the WHOLE q+fq domain; the key names the output
+            # column under the same <kind>_<col> rule as bucket
+            # sub-aggs. ref: solr/core/src/java/org/apache/solr/
+            # search/facet/FacetModule.java (top-level aggregations)
+            aggs = _parse_scalar_aggs(name, {name: req})
+            out[name] = ("stat", aggs[0])
+            continue
         if not isinstance(req, dict) or "type" not in req:
             raise ValueError(f"json.facet {name!r}: object with 'type' "
                              f"required, got {req!r}")
@@ -3097,6 +3107,12 @@ def _select_impl(
                 out["facets"][name] = facet_nested(
                     searcher, f1, f2, spec=n_spec, limit1=l1, limit2=l2
                 )
+            elif req[0] == "stat":
+                # root-level stat facet: one partial-aggregating job
+                # over the main q+fq domain (the query-bucket agg
+                # engine with no extra filter)
+                out["facets"][name] = _domain_aggs(
+                    searcher, spec, (req[1],))
             elif req[0] == "query_terms":
                 # query bucket with ONE nested terms sub-facet: the
                 # sub-facet runs the sparse field-facet engine over
@@ -3670,7 +3686,8 @@ def get(searcher_spark, params: dict, committed: DataFrame,
 #: /suggest handler param surface (SuggestComponent front door)
 _SUGGEST_KNOWN = {"suggest", "suggest.q", "suggest.count",
                   "suggest.dictionary", "suggest.field",
-                  "suggest.weightField", "suggest.payloadField"}
+                  "suggest.weightField", "suggest.payloadField",
+                  "suggest.highlight"}
 
 #: DocumentDictionary legal sources: suggestion text from a string
 #: docvalues field; weight from a numeric docvalues field
@@ -3806,14 +3823,35 @@ def suggest(searcher, params: dict) -> DataFrame:
         )
     else:
         cond = F.col("term").contains(F.col("fragment"))
+    hl = bool(params.get("suggest.highlight", False))
+    if hl and dictionary not in ("prefix", "infix"):
+        # Lucene highlights only where the match region is literal
+        # (AnalyzingInfixSuggester#highlight); a fuzzy match has no
+        # exact region to wrap
+        raise ValueError(
+            "suggest.highlight needs suggest.dictionary=prefix|infix")
     cand = dicts.join(F.broadcast(q), cond)
     w = Window.partitionBy("fragment").orderBy(
         F.desc("weight"), F.col("term")
     )
+    cols = ["fragment", F.col("term").alias("suggestion"), "weight"]
+    if hl:
+        # AnalyzingInfixSuggester's <b>-wrapped match region: the
+        # FIRST occurrence of the typed fragment wraps (prefix mode
+        # always matches at 0; infix at the leftmost hit) — a pure
+        # Catalyst string rewrite on the bounded candidate rows
+        cols.append(
+            F.concat(
+                F.expr("substring(term, 1, instr(term, fragment) - 1)"),
+                F.lit("<b>"), F.col("fragment"), F.lit("</b>"),
+                F.expr("substring(term, instr(term, fragment)"
+                       " + length(fragment))"),
+            ).alias("highlighted")
+        )
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= count)
-        .select("fragment", F.col("term").alias("suggestion"), "weight")
+        .select(*cols)
         .orderBy("fragment", F.desc("weight"), "suggestion")
     )
 

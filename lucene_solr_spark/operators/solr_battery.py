@@ -2413,6 +2413,238 @@ def q_result_clustering(spark, sf_dir):
     )
 
 
+# --- STC result clustering (real Carrot2 semantics, r5) -------------
+# Carrot2's second engine, STCClusteringAlgorithm (Zamir & Etzioni
+# 1998 "Web Document Clustering: A Feasibility Demonstration"), is
+# deterministic — unlike Lingo's SVD — so it oracle-checks row-level.
+# Pinned contract:
+#   base clusters = contiguous phrases (n = 1..3 over the analyzer
+#     stream, distinct per hit doc) present in >= 2 hits and <= 80%
+#     of hits, excluding phrases whose EVERY word is a stop word or
+#     the query term (the "too general to label" gate);
+#   base score = df × w(n), w = {1: 0.5, 2: 2.0, 3: 3.0} (the STC
+#     single-word penalty / phrase-length reward);
+#   top K = 15 base clusters by (score desc, phrase asc);
+#   merge: the classic STC binary 0.5 rule — clusters A, B connect
+#     iff |A∩B| > 0.5·|A| AND |A∩B| > 0.5·|B|; final clusters are
+#     connected components (component id = lexicographically smallest
+#     member phrase, both engines);
+#   label = the component's (score desc, phrase asc)-best phrase;
+#   size = |union of member base clusters' docs|.
+# Scale shape: the phrase explode is bounded by the RESULT SET (not
+# the corpus), the merge graph by K² = 225 pairs, and the only
+# driver-side work is the K-row transitive closure — the same
+# bounded-collect budget as facet limits.
+# ref: Carrot2 STCClusteringAlgorithm (carrot2-core), wired in Solr
+#      via solr/contrib/clustering/.../CarrotClusteringEngine.java
+_STC_K = 15
+_STC_W = {1: 0.5, 2: 2.0, 3: 3.0}
+
+
+def _stc_grams_col():
+    """1/2/3-gram phrases over ``toks`` as one array column (empty
+    sub-arrays when the doc is shorter than n — sequence() would
+    descend on a negative stop, so each n is guarded)."""
+    g1 = "transform(toks, t -> t)"
+    g2 = ("CASE WHEN size(toks) >= 2 THEN transform("
+          "sequence(0, size(toks) - 2),"
+          " i -> concat_ws(' ', toks[i], toks[i+1])) "
+          "ELSE array() END")
+    g3 = ("CASE WHEN size(toks) >= 3 THEN transform("
+          "sequence(0, size(toks) - 3),"
+          " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+          "ELSE array() END")
+    return F.expr(f"concat({g1}, {g2}, {g3})")
+
+
+def _stc_components(rows) -> dict[str, str]:
+    """Transitive closure over the <= K collected merge edges:
+    phrase -> component id (= min member phrase). Driver-side by
+    design — the graph is K nodes, never corpus-sized."""
+    comp = {p: p for p in rows}
+    edges = rows  # {phrase: set(neighbors)}
+    changed = True
+    while changed:
+        changed = False
+        for p, nbrs in edges.items():
+            for q in nbrs:
+                lo = min(comp[p], comp[q])
+                for r in (p, q):
+                    if comp[r] != lo:
+                        comp[r] = lo
+                        changed = True
+    return comp
+
+
+@op(
+    "q_result_clustering_stc",
+    f"""{DOCS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+hits AS (SELECT conv_id, turn_idx, toks FROM docs
+         WHERE list_contains(toks, 'merge')),
+nh AS (SELECT count(*) AS c FROM hits),
+g1 AS (SELECT conv_id, turn_idx, toks[i] AS phrase, 1 AS n
+       FROM hits, unnest(range(1, len(toks) + 1)) u(i)),
+g2 AS (SELECT conv_id, turn_idx,
+              toks[i] || ' ' || toks[i+1] AS phrase, 2 AS n
+       FROM hits, unnest(range(1, len(toks))) u(i)),
+g3 AS (SELECT conv_id, turn_idx,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS phrase,
+              3 AS n
+       FROM hits, unnest(range(1, len(toks) - 1)) u(i)),
+grams AS (
+  SELECT DISTINCT conv_id, turn_idx, phrase, n FROM (
+    SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL
+    SELECT * FROM g3)
+  WHERE len(list_filter(string_split(phrase, ' '),
+        w -> w NOT IN ({{stops}}, 'merge'))) > 0),
+base AS (
+  SELECT phrase, any_value(n) AS n, count(*) AS bdf,
+         count(*) * CASE any_value(n) WHEN 1 THEN 0.5
+                    WHEN 2 THEN 2.0 ELSE 3.0 END AS score
+  FROM grams GROUP BY phrase
+  HAVING count(*) >= 2
+     AND count(*) <= floor(0.8 * (SELECT c FROM nh))),
+topk AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rn
+  FROM base QUALIFY rn <= {_STC_K}),
+memb AS (
+  SELECT g.phrase, g.conv_id, g.turn_idx, t.bdf, t.score
+  FROM grams g JOIN topk t ON g.phrase = t.phrase),
+pair AS (
+  SELECT a.phrase AS pa, b.phrase AS pb, count(*) AS ov
+  FROM memb a JOIN memb b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.phrase < b.phrase
+  GROUP BY a.phrase, b.phrase),
+edge AS (
+  SELECT p.pa, p.pb FROM pair p
+  JOIN topk ta ON ta.phrase = p.pa JOIN topk tb ON tb.phrase = p.pb
+  WHERE p.ov > 0.5 * ta.bdf AND p.ov > 0.5 * tb.bdf),
+edge2 AS (SELECT pa AS u, pb AS v FROM edge
+          UNION SELECT pb, pa FROM edge),
+reach(node, lbl) AS (
+  SELECT phrase, phrase FROM topk
+  UNION
+  SELECT e.u, r.lbl FROM edge2 e JOIN reach r ON r.node = e.v),
+comp AS (SELECT node AS phrase, min(lbl) AS cid FROM reach GROUP BY node),
+lab AS (
+  SELECT c.cid, t.phrase AS label,
+         row_number() OVER (PARTITION BY c.cid
+                            ORDER BY t.score DESC, t.phrase) AS lrn
+  FROM comp c JOIN topk t ON t.phrase = c.phrase),
+sz AS (
+  SELECT c.cid,
+         count(DISTINCT m.conv_id || '#' || CAST(m.turn_idx AS VARCHAR))
+           AS n_docs,
+         count(DISTINCT c.phrase) AS n_phrases
+  FROM comp c JOIN memb m ON m.phrase = c.phrase GROUP BY c.cid)
+SELECT l.label, CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.n_phrases AS BIGINT) AS n_phrases
+FROM lab l JOIN sz s ON s.cid = l.cid
+WHERE l.lrn = 1
+ORDER BY n_docs DESC, label""".replace(
+        "{stops}",
+        ", ".join(
+            f"'{w}'"
+            for w in sorted(
+                __import__(
+                    "lucene_solr_spark.analyzer", fromlist=["x"]
+                ).ENGLISH_STOP_WORDS
+            )
+        ),
+    ),
+)
+def q_result_clustering_stc(spark, sf_dir):
+    """STC result clustering for q='merge' (see the contract block
+    above). All heavy passes are result-set-bounded; only the
+    K-node merge closure runs on the driver."""
+    from lucene_solr_spark.analyzer import ENGLISH_STOP_WORDS
+
+    d = _docs(spark, sf_dir)
+    hits = d.filter(F.array_contains("toks", "merge"))
+    n_hits = hits.count()
+    stop_gate = set(ENGLISH_STOP_WORDS) | {"merge"}
+    # the gram frame feeds four passes (base dfs, membership, the
+    # pair join's two sides, the final size agg) — persisted once,
+    # freed after the bounded result materializes (facet discipline)
+    grams = (
+        hits.select(
+            "conv_id", "turn_idx",
+            F.explode(_stc_grams_col()).alias("phrase"),
+        )
+        .distinct()
+        .filter(
+            F.exists(
+                F.split("phrase", " "),
+                lambda w: ~w.isin(*sorted(stop_gate)),
+            )
+        )
+        .persist()
+    )
+    base = (
+        grams.groupBy("phrase")
+        .agg(F.count("*").alias("bdf"))
+        .filter(
+            (F.col("bdf") >= 2)
+            & (F.col("bdf") <= F.floor(F.lit(0.8 * n_hits)))
+        )
+        .withColumn(
+            "n", F.size(F.split("phrase", " "))
+        )
+        .withColumn(
+            "score",
+            F.col("bdf") * F.when(F.col("n") == 1, 0.5)
+            .when(F.col("n") == 2, 2.0).otherwise(3.0),
+        )
+    )
+    topk = base.orderBy(F.desc("score"), "phrase").limit(_STC_K)
+    top_rows = {r.phrase: (int(r.bdf), float(r.score))
+                for r in topk.collect()}  # K rows — bounded
+    top_df = spark.createDataFrame(
+        [(p,) for p in top_rows], "phrase string"
+    )
+    memb = grams.join(F.broadcast(top_df), "phrase")
+    pa = memb.select(F.col("phrase").alias("pa"), "conv_id", "turn_idx")
+    pb = memb.select(F.col("phrase").alias("pb"), "conv_id", "turn_idx")
+    pairs = (
+        pa.join(pb, ["conv_id", "turn_idx"])
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("ov"))
+        .collect()  # <= K^2 rows — bounded
+    )
+    nbrs: dict[str, set[str]] = {p: set() for p in top_rows}
+    for r in pairs:
+        if (r.ov > 0.5 * top_rows[r.pa][0]
+                and r.ov > 0.5 * top_rows[r.pb][0]):
+            nbrs[r.pa].add(r.pb)
+            nbrs[r.pb].add(r.pa)
+    comp = _stc_components(nbrs)
+    label = {}
+    for p, (bdf, score) in top_rows.items():
+        cid = comp[p]
+        cur = label.get(cid)
+        if cur is None or (-score, p) < (-cur[1], cur[0]):
+            label[cid] = (p, score)
+    cmap = spark.createDataFrame(
+        [(p, comp[p], label[comp[p]][0]) for p in top_rows],
+        "phrase string, cid string, label string",
+    )
+    out = (
+        memb.join(F.broadcast(cmap), "phrase")
+        .groupBy("cid", "label")
+        .agg(
+            F.countDistinct("conv_id", "turn_idx").alias("n_docs"),
+            F.countDistinct("phrase").cast("long").alias("n_phrases"),
+        )
+        .select("label", "n_docs", "n_phrases")
+        .orderBy(F.desc("n_docs"), "label")
+    )
+    rows = out.collect()  # <= K clusters — bounded
+    grams.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # ref: solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/
 #      RandomStream.java (pseudo-random sample of a query's results)
 @op(

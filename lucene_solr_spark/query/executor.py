@@ -162,6 +162,17 @@ def filter_mask(dm, spec: BooleanSpec):
     return mask
 
 
+def postings_task_columns(spec) -> list[str] | None:
+    """Columns an in-task postings read needs (None = all). For a
+    non-positional spec the pos pair stays in the parquet file — at
+    corpus scale the position payload dominates postings bytes, the
+    Lucene .pos-file IO contract (see BooleanSpec.needs_positions)."""
+    if spec is None or spec.needs_positions:
+        return None
+    return ["seg_id", "term", "df", "cf", "first_docs", "doc_offs",
+            "tf_offs", "max_tfs", "min_dls", "doc_bytes", "tf_bytes"]
+
+
 def _write_bits(cache_dir: str, seg_id: int, payload: bytes) -> None:
     """Task-side atomic sidecar write: unique temp + rename, so a
     concurrent warm of the same entry (or a task retry) can never
@@ -510,6 +521,7 @@ class IndexSearcher:
                 post_tbl = pq.read_table(
                     f"{seg_dirs[seg_id]}/postings.parquet",
                     filters=[("term", "in", lookup)],
+                    columns=postings_task_columns(lspec),
                 ).to_pandas()
                 term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
             hits = match_segment(
@@ -655,6 +667,23 @@ class IndexSearcher:
         deleted_bc = self._deleted_bc
 
         post = self.postings().filter(F.col("term").isin(all_terms))
+        if not spec.needs_positions:
+            # the position payload (~60% of postings bytes at 10M
+            # turns, measured) never leaves the parquet reader for a
+            # pure term/boolean spec — Lucene's .pos-file IO contract
+            post = post.drop("pos_offs", "pos_bytes")
+
+        # fields the fq mask actually touches (pandas-materialized in
+        # tasks; everything else stays Arrow/numpy)
+        fq_fields = sorted(
+            {f for f in spec.exists_filters}
+            | {f for f in spec.missing_filters}
+            | {f for f, _ in spec.filters}
+            | {f for f, _ in spec.in_filters}
+            | {f for f, _ in spec.not_filters}
+            | {f for f, _, _ in spec.range_filters}
+        )
+        has_deletes = bool(self.deleted_keys)
 
         def run_seg(pdf):
             import numpy as np
@@ -662,36 +691,48 @@ class IndexSearcher:
             import pyarrow.parquet as pq
 
             seg_id = int(pdf["seg_id"].iloc[0])
-            # per-segment docvalues/norms read — segment-local, no shuffle
-            dm = pq.read_table(
+            # per-segment docvalues/norms read — segment-local, no
+            # shuffle, and ARROW-NATIVE: converting a whole segment's
+            # docmap to pandas materializes every conv_id as a python
+            # string — 10M objects per query at 10M turns, the
+            # measured corpus-width latency term. Only the fq columns,
+            # the delete keys (when tombstones exist) and the top-k
+            # OUTPUT rows ever cross into pandas.
+            dm_t = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
-            ).to_pandas()  # written sorted by doc_ord
-            doc_len = dm["doc_len"].to_numpy("int64")
+            )  # written sorted by doc_ord
+            doc_len = np.asarray(
+                dm_t.column("doc_len").to_numpy(zero_copy_only=False),
+                np.int64,
+            )
             if fq_bc is not None:
                 bits, n = fq_bc.get(seg_id)
                 fq_mask = np.unpackbits(
                     np.frombuffer(bits, np.uint8), count=n
                 ).astype(bool)
+            elif fq_fields:
+                fq_mask = filter_mask(
+                    dm_t.select(fq_fields).to_pandas(), spec
+                )
             else:
-                fq_mask = filter_mask(dm, spec)
-            allowed = apply_deletes(
-                fq_mask, dm,
-                deleted_bc.value if deleted_bc else None,
-            )
+                fq_mask = None
+            if has_deletes:
+                allowed = apply_deletes(
+                    fq_mask,
+                    dm_t.select(["conv_id", "turn_idx"]).to_pandas(),
+                    deleted_bc.value if deleted_bc else None,
+                )
+            else:
+                allowed = fq_mask
             term_rows = {r["term"]: r for _, r in pdf.iterrows()}
             docs, scores = score_segment(
                 spec, term_rows, idf, avgdl, doc_len, allowed, seg_k
             )
             if len(docs) == 0:
                 return pd.DataFrame(columns=["conv_id", "turn_idx", "score"])
-            sel = dm.iloc[docs]
-            return pd.DataFrame(
-                {
-                    "conv_id": sel["conv_id"].to_numpy(),
-                    "turn_idx": sel["turn_idx"].to_numpy(),
-                    "score": scores,
-                }
-            )
+            sel = dm_t.select(["conv_id", "turn_idx"]).take(docs).to_pandas()
+            sel["score"] = scores
+            return sel
 
         return post.groupBy("seg_id").applyInPandas(run_seg, schema=RESULT_SCHEMA)
 
@@ -1318,7 +1359,8 @@ class IndexSearcher:
 
             seg_id = int(pdf["seg_id"].iloc[0])
             post = pq.read_table(
-                f"{seg_dirs[seg_id]}/postings.parquet"
+                f"{seg_dirs[seg_id]}/postings.parquet",
+                columns=postings_task_columns(lspec),
             ).to_pandas()
             dm = pq.read_table(
                 f"{seg_dirs[seg_id]}/docmap.parquet", columns=dm_cols
@@ -1496,9 +1538,19 @@ class IndexSearcher:
         none of a query's terms (pure-negative / filter-only specs,
         MatchAll facet domains)."""
         seg_ids = sorted(self.seg_dir_by_id)
+        # one TASK per segment only up to the cluster's core count:
+        # past that, tasks serve several segment GROUPS sequentially
+        # (same per-segment UDF calls, fewer scheduling waves — at 192
+        # segments on local[32] this is 6× less task overhead, and on
+        # a 1000-executor cluster it still spreads one segment per
+        # core)
+        n_parts = min(
+            len(seg_ids),
+            max(self.spark.sparkContext.defaultParallelism, 1),
+        )
         return self.spark.createDataFrame(
             [(s,) for s in seg_ids], "seg_id int"
-        ).repartition(len(seg_ids), "seg_id")
+        ).repartition(n_parts, "seg_id")
 
     # -- DocSet (all matches, no scoring) ------------------------------
     def docset(self, spec: BooleanSpec) -> DataFrame:
@@ -1574,6 +1626,7 @@ class IndexSearcher:
                     post_tbl = pq.read_table(
                         f"{seg_dirs[seg_id]}/postings.parquet",
                         filters=[("term", "in", lookup)],
+                        columns=postings_task_columns(spec),
                     ).to_pandas()
                     term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
             else:

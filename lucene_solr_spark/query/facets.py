@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lucene_solr_spark.query.executor import postings_task_columns
 from lucene_solr_spark.query.model import BooleanSpec
 from lucene_solr_spark.query.scorer import match_segment
 
@@ -242,6 +243,7 @@ def segment_partials(searcher, req: FacetRequest, spec: BooleanSpec | None) -> D
                 post_tbl = pq.read_table(
                     f"{seg_dirs[seg_id]}/postings.parquet",
                     filters=[("term", "in", lookup)],
+                    columns=postings_task_columns(spec),
                 ).to_pandas()
                 term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
         else:
@@ -431,6 +433,7 @@ def facet_metrics(
                     post_tbl = pq.read_table(
                         f"{seg_dirs[seg_id]}/postings.parquet",
                         filters=[("term", "in", lookup)],
+                        columns=postings_task_columns(spec),
                     ).to_pandas()
                     term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
             else:
@@ -672,6 +675,7 @@ def facet_pivot(
                     post_tbl = pq.read_table(
                         f"{seg_dirs[seg_id]}/postings.parquet",
                         filters=[("term", "in", lookup)],
+                        columns=postings_task_columns(spec),
                     ).to_pandas()
                     term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
             else:
@@ -817,6 +821,7 @@ def facet_pivot3(
                     post_tbl = pq.read_table(
                         f"{seg_dirs[seg_id]}/postings.parquet",
                         filters=[("term", "in", lookup)],
+                        columns=postings_task_columns(spec),
                     ).to_pandas()
                     term_rows = {
                         r["term"]: r for _, r in post_tbl.iterrows()}
@@ -1003,6 +1008,7 @@ def facet_nested(
                     post_tbl = pq.read_table(
                         f"{seg_dirs[seg_id]}/postings.parquet",
                         filters=[("term", "in", lookup)],
+                        columns=postings_task_columns(spec),
                     ).to_pandas()
                     term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
             else:
@@ -1269,6 +1275,7 @@ def facet_relatedness(
             post_tbl = pq.read_table(
                 f"{seg_dirs[seg_id]}/postings.parquet",
                 filters=[("term", "in", lookup)],
+                columns=postings_task_columns(lspec),
             ).to_pandas()
             term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
         max_dl = int(dm["doc_len"].max()) if n_docs else 0
@@ -1391,6 +1398,7 @@ def facet_block_domain(
                 post_tbl = pq.read_table(
                     f"{seg_dirs[seg_id]}/postings.parquet",
                     filters=[("term", "in", lookup)],
+                    columns=postings_task_columns(lspec),
                 ).to_pandas()
                 term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
         else:
@@ -1499,6 +1507,7 @@ def facet_unique_block(
                     post_tbl = pq.read_table(
                         f"{seg_dirs[seg_id]}/postings.parquet",
                         filters=[("term", "in", lookup)],
+                        columns=postings_task_columns(lspec),
                     ).to_pandas()
                     term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
             else:
@@ -1601,6 +1610,7 @@ def facet_block_parent(
                 post_tbl = pq.read_table(
                     f"{seg_dirs[seg_id]}/postings.parquet",
                     filters=[("term", "in", lookup)],
+                    columns=postings_task_columns(lspec),
                 ).to_pandas()
                 term_rows = {r["term"]: r for _, r in post_tbl.iterrows()}
         else:

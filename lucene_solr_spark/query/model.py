@@ -255,6 +255,21 @@ class BooleanSpec:
         return dict(self.boosts)
 
     @property
+    def needs_positions(self) -> bool:
+        """True when any constraint consumes the position stream. The
+        postings scan drops the pos columns otherwise — at corpus
+        scale the position payload dominates postings bytes (measured
+        ~60% of a 10M-turn index), so a pure term/boolean query must
+        never move it off the parquet reader (Lucene reads the .pos
+        file only for positional queries — the same IO contract)."""
+        return bool(
+            self.phrases or self.must_not_phrases or self.multi_phrases
+            or self.span_near or self.span_or or self.span_not
+            or self.span_first or self.span_range or self.span_within
+            or self.pf_phrases
+        )
+
+    @property
     def lookup_terms(self) -> tuple[str, ...]:
         """Every term whose postings the executor must fetch: scoring
         terms + MUST_NOT terms + negated-phrase terms, deduped."""

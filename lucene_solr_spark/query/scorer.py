@@ -48,12 +48,18 @@ class TermPostings:
         self.first_docs = np.asarray(row["first_docs"], np.int64)
         self.doc_offs = np.asarray(row["doc_offs"], np.int64)
         self.tf_offs = np.asarray(row["tf_offs"], np.int64)
-        self.pos_offs = np.asarray(row["pos_offs"], np.int64)
         self.max_tfs = np.asarray(row["max_tfs"], np.int64)
         self.min_dls = np.asarray(row["min_dls"], np.int64)
         self.doc_bytes = row["doc_bytes"]
         self.tf_bytes = row["tf_bytes"]
-        self.pos_bytes = row["pos_bytes"]
+        # non-positional specs prune the pos columns at the parquet
+        # reader (BooleanSpec.needs_positions) — positions() then has
+        # nothing to decode, and must never be reached
+        has_pos = "pos_offs" in row
+        self.pos_offs = (
+            np.asarray(row["pos_offs"], np.int64) if has_pos else None
+        )
+        self.pos_bytes = row["pos_bytes"] if has_pos else None
         self.n_blocks = len(self.first_docs)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -80,6 +86,11 @@ class TermPostings:
 
     def positions(self, blocks: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ords, tfs, flat positions) for selected blocks."""
+        if self.pos_offs is None:
+            raise RuntimeError(
+                "position stream pruned for a non-positional spec — "
+                "needs_positions is out of sync with the executor"
+            )
         d, t = self.decode_blocks(blocks)
         pos = codec.unpack_positions(self.pos_offs, self.pos_bytes, t, blocks, self.n_blocks)
         return d, t, pos

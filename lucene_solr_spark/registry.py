@@ -10596,6 +10596,82 @@ ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _suggest_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """suggest.highlight=true (r5): the AnalyzingInfixSuggester
+    response's ``<b>``-wrapped match region — the leftmost occurrence
+    of the typed fragment inside each suggestion, rewritten as a pure
+    Catalyst string expression on the bounded candidate rows.
+    ref: lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/AnalyzingInfixSuggester.java (addPrefixMatch/highlight)."""
+    from lucene_solr_spark.handler import suggest
+
+    s = cached_searcher(spark, sf_dir)
+    return suggest(s, {
+        "suggest": True, "suggest.q": "erg,ta", "suggest.count": 4,
+        "suggest.dictionary": "infix", "suggest.highlight": True,
+    })
+
+
+register(
+    "q_suggest_highlight",
+    _suggest_highlight,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         FROM transcripts),
+tok AS (SELECT unnest(toks) AS term FROM docs),
+dict AS (SELECT term, CAST(count(*) AS BIGINT) AS weight
+         FROM tok GROUP BY term),
+q(fragment) AS (VALUES ('erg'), ('ta')),
+cand AS (
+  SELECT q.fragment, d.term AS suggestion, d.weight
+  FROM q JOIN dict d ON contains(d.term, q.fragment)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fragment ORDER BY weight DESC, suggestion) AS rn
+  FROM cand)
+SELECT fragment, suggestion, weight,
+       substr(suggestion, 1, strpos(suggestion, fragment) - 1)
+       || '<b>' || fragment || '</b>'
+       || substr(suggestion, strpos(suggestion, fragment)
+                 + len(fragment)) AS highlighted
+FROM ranked WHERE rn <= 4
+ORDER BY fragment, weight DESC, suggestion""",
+)
+
+
+def _select_jf_root_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet TOP-LEVEL stat facet (r5): a bare string agg at the
+    request root ({"avg_doc_len": "avg(doc_len)"}) computes over the
+    whole q+fq domain — the most common json.facet one-liner. Rides
+    the same one-job _domain_aggs engine as query-bucket sub-aggs.
+    ref: solr/core/src/java/org/apache/solr/search/facet/
+    FacetModule.java (top-level aggregations)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {
+        "q": "data", "rows": 0,
+        "fq": ["role:assistant"],
+        "json.facet": {"avg_doc_len": "avg(doc_len)"},
+    })
+    return r["facets"]["avg_doc_len"]
+
+
+register(
+    "q_select_jf_root_stat",
+    _select_jf_root_stat,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+docs AS (
+  SELECT role, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM transcripts
+)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(len(toks)), 4) AS avg_doc_len
+FROM docs
+WHERE list_contains(toks, 'data') AND role = 'assistant'""",
+)
+
+
 def _select_jf_query_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json.facet QUERY bucket with scalar sub-aggs (FacetQuery +
     the agg family): count + avg + unique over the bucket's merged
