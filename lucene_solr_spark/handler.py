@@ -54,7 +54,7 @@ _KNOWN = {
     "facet.range.hardend",
     "facet.pivot",
     "facet.interval", "facet.interval.set",
-    "stats", "stats.field", "stats.facet",
+    "stats", "stats.field", "stats.facet", "stats.calcdistinct",
     "tv", "tv.df", "tv.positions", "tv.tf_idf",
     "group", "group.field", "group.limit", "group.offset", "group.main",
     "group.facet",
@@ -150,6 +150,21 @@ _RQ_RE = re.compile(
 #: docvalues columns a field sort may key on (SortSpecParsing resolves
 #: sort fields against the schema the same way; anything else is a 400)
 _SORTABLE = {"conv_id", "turn_idx", "role", "tool", "ftok", "ts", "doc_len"}
+
+#: Never-null docvalues fields a FIELD-sort cursorMark may page on
+#: (the keyset predicate has no tri-state null compares)
+_CURSOR_FIELDS = {"conv_id", "turn_idx", "role", "ts", "doc_len"}
+
+
+def _cursor_value(fld: str, raw: str):
+    """One field-sort cursor token value, typed by its field."""
+    if fld in ("turn_idx", "doc_len"):
+        return int(raw)
+    if fld == "ts":
+        from datetime import datetime
+
+        return datetime.fromisoformat(raw)
+    return raw
 
 #: ord-indexed fields the facet engines bucket on / numeric docvalues
 #: a JSON-Facet sub-agg may aggregate (schema resolution, 400 outside)
@@ -833,16 +848,49 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         raw_cm = str(params["cursorMark"])
         if start:
             raise ValueError("cursorMark requires start=0")
-        if sort != "score desc":
-            raise ValueError("cursorMark pages the pinned total order "
-                             "(sort must stay score desc)")
         comp = {"facet", "facet.field", "hl", "group", "mlt", "debug",
                 "stats", "json.facet", "spellcheck", "rq", "fl",
                 "defType"} & set(params)
         if comp:
             raise ValueError(f"cursorMark pages a plain doclist; "
                              f"drop {sorted(comp)}")
-        if raw_cm == "*":
+        if sort_key is not None:
+            # FIELD-sort cursor (r5 — CursorMark over any sort that
+            # closes a total order): clause fields must be never-null
+            # docvalues (keyset compares have no tri-state), so
+            # nullable `tool`/sortMissing are rejected; the mark is
+            # the full clause list's values (request clauses + pinned
+            # tiebreaks) '|'-joined.
+            clauses_cm, sm_cm = sort_key
+            if sm_cm is not None:
+                raise ValueError("cursorMark with sortMissing is "
+                                 "unsupported (nullable keyset)")
+            bad = [f for f, _ in clauses_cm
+                   if f not in _CURSOR_FIELDS]
+            if bad:
+                raise ValueError(
+                    f"cursorMark sort fields must be never-null "
+                    f"docvalues {sorted(_CURSOR_FIELDS)}: {bad}")
+            if raw_cm == "*":
+                cursor_mark = ("*",)
+            else:
+                from lucene_solr_spark.query.executor import IndexSearcher
+
+                full_cm = IndexSearcher.cursor_clauses(clauses_cm)
+                parts_cm = raw_cm.split("|")
+                try:
+                    if len(parts_cm) != len(full_cm):
+                        raise ValueError
+                    cursor_mark = (tuple(
+                        _cursor_value(f, raw)
+                        for (f, _), raw in zip(full_cm, parts_cm)
+                    ),)
+                except ValueError:
+                    raise ValueError(
+                        f"malformed cursorMark: {raw_cm!r} (want "
+                        f"{len(full_cm)} '|'-joined sort-key values "
+                        "or '*')") from None
+        elif raw_cm == "*":
             cursor_mark = ("*",)
         else:
             parts_cm = raw_cm.split("|")
@@ -1418,6 +1466,14 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
     # pre-json.facet spelling; single-valued group fields only, like
     # StatsValuesFactory's facet handling)
     stats_facet = params.get("stats.facet")
+    # stats.calcdistinct=true (StatsComponent): adds countDistinct to
+    # every stats block. The distinctValues LIST half of Solr's param
+    # is deliberately omitted — materializing every distinct value in
+    # a response is an anti-feature at corpus scale; the count is the
+    # algebraic (partial-aggregating) part.
+    stats_calcdistinct = bool(params.get("stats.calcdistinct", False))
+    if stats_calcdistinct and not stats_fields:
+        raise ValueError("stats.calcdistinct needs stats=true + stats.field")
     if stats_facet is not None:
         if not stats_fields:
             raise ValueError("stats.facet needs stats=true + stats.field")
@@ -1812,6 +1868,7 @@ def parse_select_params(params: dict) -> tuple[BooleanSpec, dict]:
         "facet_pivot": facet_pivot,
         "facet_interval": facet_interval,
         "stats_fields": list(stats_fields),
+        "stats_calcdistinct": stats_calcdistinct,
         "stats_facet": stats_facet,
         "group": group,
         "group_queries": group_queries,
@@ -2120,6 +2177,32 @@ def _select_impl(
         # collect the distributed merge performs) so nextCursorMark
         # serializes without re-running the plan
         (mark,) = o["cursor_mark"]
+        if o["sort"] is not None:
+            # FIELD-sort cursor (r5): keyset page over the request's
+            # clause order + pinned tiebreaks; the mark serializes
+            # the full clause list's values
+            clauses_c, _ = o["sort"]
+            page = searcher.cursor_page_fields(
+                spec, clauses_c, k=o["rows"],
+                cursor=None if mark == "*" else mark,
+            )
+            page_rows = page.collect()
+            if page_rows:
+                last = page_rows[-1]
+                full_c = searcher.cursor_clauses(clauses_c)
+                next_mark = "|".join(
+                    str(getattr(last, f)) for f, _ in full_c
+                )
+            else:
+                next_mark = params["cursorMark"]
+            page_df = searcher.spark.createDataFrame(
+                page_rows, page.schema
+            )
+            return {
+                "response": _encode_wt(page_df, o["wt"]),
+                "numFound": searcher.docset_count(spec),
+                "nextCursorMark": next_mark,
+            }
         page_rows = searcher.cursor_page(
             spec, k=o["rows"],
             cursor=None if mark == "*" else mark, round_to=4,
@@ -2598,6 +2681,10 @@ def _select_impl(
         out["stats"] = {}
 
         def _stats_aggs(sf_: str) -> list:
+            extra = (
+                [F.countDistinct(sf_).cast("long").alias("countDistinct")]
+                if o["stats_calcdistinct"] else []
+            )
             if sf_ == "ts":
                 # DateStatsValues subset: ordering aggregates only,
                 # min/max stringified (the pinned timestamp rule)
@@ -2609,7 +2696,7 @@ def _select_impl(
                     F.count(sf_).cast("long").alias("cnt"),
                     (F.count("*") - F.count(sf_)).cast("long")
                     .alias("missing"),
-                ]
+                ] + extra
             if sf_ in _FACETABLE:
                 # StringStatsValues: lexicographic min/max + counts
                 return [
@@ -2618,7 +2705,7 @@ def _select_impl(
                     F.count(sf_).cast("long").alias("cnt"),
                     (F.count("*") - F.count(sf_)).cast("long")
                     .alias("missing"),
-                ]
+                ] + extra
             return [
                 F.min(sf_).cast("long").alias("min"),
                 F.max(sf_).cast("long").alias("max"),
@@ -2627,7 +2714,7 @@ def _select_impl(
                 (F.count("*") - F.count(sf_)).cast("long").alias("missing"),
                 F.round(F.avg(sf_), 4).alias("mean"),
                 F.round(F.stddev_samp(sf_), 4).alias("stddev"),
-            ]
+            ] + extra
 
         for sf in o["stats_fields"]:
             dm_need = ["conv_id", "turn_idx", sf]

@@ -844,6 +844,58 @@ class IndexSearcher:
             hits = hits.filter(after_mark)
         return hits.orderBy(F.desc("score"), "conv_id", "turn_idx").limit(k)
 
+    @staticmethod
+    def cursor_clauses(clauses) -> list[tuple[str, bool]]:
+        """A field-sort cursor's FULL total order: the request clauses
+        plus the pinned (conv_id, turn_idx) tiebreak for whichever of
+        the two the request didn't name (Solr's uniqueKey-in-sort
+        cursor requirement, closed by the engine's pinned keys)."""
+        full = list(clauses)
+        present = {f for f, _ in full}
+        for tb in ("conv_id", "turn_idx"):
+            if tb not in present:
+                full.append((tb, True))
+        return full
+
+    def cursor_page_fields(
+        self,
+        spec: BooleanSpec,
+        clauses,
+        k: int,
+        cursor: tuple | None = None,
+    ) -> DataFrame:
+        """cursorMark deep paging under a FIELD sort (r5 — Solr's
+        CursorMark works with any sort that closes a total order):
+        keyset predicate = lexicographic after-mark over the full
+        clause list, hits = DocSet keys joined to the PRUNED docmap
+        sort columns, page = one distributed TakeOrdered of k rows.
+        Like the score cursor, page cost does not grow with depth.
+        Restricted to never-null docvalues fields (the parse layer
+        enforces it) so the keyset compare needs no tri-state logic.
+
+        ref: solr/core/src/java/org/apache/solr/search/CursorMark.java
+        (sortSpec totalOrder + post-filter)"""
+        full = self.cursor_clauses(clauses)
+        extra = [f for f, _ in full if f not in ("conv_id", "turn_idx")]
+        dm = self.docmap().select("conv_id", "turn_idx", *extra)
+        hits = self.docset(spec).join(dm, ["conv_id", "turn_idx"])
+        if cursor is not None:
+            pred = None
+            eq = None
+            for (fld, asc), val in zip(full, cursor):
+                c = F.col(fld)
+                gt = (c > F.lit(val)) if asc else (c < F.lit(val))
+                term = gt if eq is None else (eq & gt)
+                pred = term if pred is None else (pred | term)
+                this_eq = c == F.lit(val)
+                eq = this_eq if eq is None else (eq & this_eq)
+            hits = hits.filter(pred)
+        order = [
+            F.col(f).asc() if asc else F.col(f).desc() for f, asc in full
+        ]
+        cols = ["conv_id", "turn_idx"] + extra
+        return hits.orderBy(*order).limit(k).select(*cols)
+
     # -- MoreLikeThis --------------------------------------------------
     def interesting_terms(
         self, text: str, max_terms: int = 5

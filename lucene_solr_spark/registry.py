@@ -10596,6 +10596,91 @@ ORDER BY tf DESC, conv_id, turn_idx LIMIT 20""",
 )
 
 
+def _select_stats_calcdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.calcdistinct=true (r5): countDistinct joins the numeric
+    stats family (the algebraic half of Solr's param; the
+    distinctValues list is deliberately omitted — materializing every
+    distinct value is an anti-feature at corpus scale).
+    ref: solr/core/src/java/org/apache/solr/handler/component/
+    StatsValuesFactory.java (calcDistinct)."""
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    r = select(s, {
+        "q": "merge", "rows": 0, "stats": True,
+        "stats.field": "turn_idx", "stats.calcdistinct": True,
+    })
+    return r["stats"]["turn_idx"]
+
+
+register(
+    "q_select_stats_calcdistinct",
+    _select_stats_calcdistinct,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+hits AS (
+  SELECT turn_idx FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'merge'))
+SELECT CAST(min(turn_idx) AS BIGINT) AS min,
+       CAST(max(turn_idx) AS BIGINT) AS max,
+       CAST(sum(turn_idx) AS BIGINT) AS sum,
+       CAST(count(turn_idx) AS BIGINT) AS cnt,
+       CAST(count(*) - count(turn_idx) AS BIGINT) AS missing,
+       round(avg(turn_idx), 4) AS mean,
+       round(stddev_samp(turn_idx), 4) AS stddev,
+       CAST(count(DISTINCT turn_idx) AS BIGINT) AS countDistinct
+FROM hits""",
+)
+
+
+def _select_cursor_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cursorMark under a FIELD sort (r5 — CursorMark over any
+    total-order sort, not just score): page 1 opens with '*' under
+    ``sort=ts asc``, page 2 requests the returned nextCursorMark; the
+    keyset predicate runs over (ts, conv_id, turn_idx) so page 2 ≡
+    rows 6-10 of the global order — the oracle checks both pages
+    row-level via LIMIT/OFFSET on the same pinned order.
+    ref: solr/core/src/java/org/apache/solr/search/CursorMark.java."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.handler import select
+
+    s = cached_searcher(spark, sf_dir)
+    pages = []
+    mark = "*"
+    for pg in (1, 2):
+        r = select(s, {
+            "q": "merge", "rows": 5, "sort": "ts asc",
+            "cursorMark": mark,
+        })
+        mark = r["nextCursorMark"]
+        pages.append(r["response"].withColumn("page", F.lit(pg)))
+    out = reduce(lambda a, b: a.unionByName(b), pages)
+    return out.select(
+        "page", "conv_id", "turn_idx",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    ).orderBy("page", "ts_s", "conv_id", "turn_idx")
+
+
+register(
+    "q_select_cursor_fields",
+    _select_cursor_fields,
+    f"""WITH {TRANSCRIPTS_ORACLE_CTE},
+hits AS (
+  SELECT conv_id, turn_idx, ts,
+         row_number() OVER (ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM transcripts
+  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      'merge'))
+SELECT CAST((rn - 1) // 5 + 1 AS INT) AS page, conv_id, turn_idx,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM hits WHERE rn <= 10
+ORDER BY page, ts_s, conv_id, turn_idx""",
+)
+
+
 def _suggest_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """suggest.highlight=true (r5): the AnalyzingInfixSuggester
     response's ``<b>``-wrapped match region — the leftmost occurrence
