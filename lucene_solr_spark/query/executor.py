@@ -497,7 +497,13 @@ class IndexSearcher:
             return
         lspec = key
         seg_dirs = self.seg_dir_by_id
-        dm_cols = filter_cols(lspec, _BASE_COLS)
+        # the warm task needs the doc keys ONLY to bake the liveDocs
+        # mask in; with no tombstones the scan drops the key columns
+        # (10M string reads per warm at 10M turns, otherwise)
+        base_cols = _BASE_COLS if self.deleted_keys else [
+            "doc_ord", "doc_len",
+        ]
+        dm_cols = filter_cols(lspec, base_cols)
         deleted_bc = self._deleted_bc
         lookup = list(lspec.lookup_terms)
         cdir = self._cache_entry_dir("ds", key)

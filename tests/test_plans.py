@@ -511,3 +511,26 @@ def test_sql_score_mode_plan_is_ranked_topk(searcher):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_position_columns_pruned_for_non_positional_specs(searcher):
+    """A pure term/boolean spec must never move the position payload
+    off the parquet reader (~60% of postings bytes at 10M turns —
+    Lucene's .pos-file IO contract): the scan's ReadSchema excludes
+    pos_offs/pos_bytes. A phrase spec still reads them."""
+    from lucene_solr_spark.query.model import BooleanSpec
+
+    term_plan = _physical(
+        searcher.score_hits(BooleanSpec(must=("merge",), k=10), k=10)
+    )
+    scan = [
+        ln for ln in term_plan.splitlines()
+        if "postings.parquet" in ln or "ReadSchema" in ln
+    ]
+    assert not any("pos_offs" in ln for ln in scan), scan
+    phrase_plan = _physical(
+        searcher.score_hits(
+            BooleanSpec(phrases=(("table", "scan"),), k=10), k=10
+        )
+    )
+    assert "pos_offs" in phrase_plan
