@@ -449,9 +449,18 @@ def test_select_cursor_mark_raises(spark, sf_dir):
     s = cached_searcher(spark, sf_dir)
     with pytest.raises(ValueError, match="start=0"):
         select(s, {"q": "merge", "cursorMark": "*", "start": 3})
-    with pytest.raises(ValueError, match="score desc"):
+    # r5 relaxed the score-sort-only rule: FIELD sorts now cursor too
+    # (never-null docvalues fields); the r4 restriction survives as
+    # the nullable-field / sortMissing rejections
+    with pytest.raises(ValueError, match="never-null"):
         select(s, {"q": "merge", "cursorMark": "*",
-                   "sort": "turn_idx asc"})
+                   "sort": "tool asc"})
+    with pytest.raises(ValueError, match="sortMissing"):
+        select(s, {"q": "merge", "cursorMark": "*",
+                   "sort": "turn_idx asc", "sortMissing": "last"})
+    fielded = select(s, {"q": "merge", "cursorMark": "*", "rows": 3,
+                         "sort": "turn_idx asc"})
+    assert fielded["response"].count() == 3
     with pytest.raises(ValueError, match="plain doclist"):
         select(s, {"q": "merge", "cursorMark": "*", "facet.field": "role"})
     with pytest.raises(ValueError, match="malformed cursorMark"):
